@@ -1,0 +1,121 @@
+"""Register the driver-generated testdata parquet tables as temp views.
+
+Mirrors the reference's "external source" behavior: tables not defined by
+any model are readable by name (reference src/main.rs:221 filters unknown
+refs out of the DAG instead of erroring; src/types.rs:121-123 types them
+open). In Spark, unknown names are hard errors, so all sources are
+registered up front (SURVEY.md §7 decision 2).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS: tuple[str, ...] = ("region", "nation", "supplier", "part")
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``powersql_spark`` importable on executors.
+
+    Python workers deserialize UDFs (e.g. the multimodal mapInPandas
+    stages) by reference to this package, so it must be on every
+    executor's PYTHONPATH. Zipping the package and ``addPyFile``-ing it
+    is the same mechanism used to deploy to a real cluster; here it also
+    makes the driver contract robust to whatever cwd the harness runs
+    from. Idempotent per session.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_powersql_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="powersql_pkg_")
+    zip_base = os.path.join(staging, "powersql_spark_pkg")
+    shutil.make_archive(
+        zip_base,
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_base + ".zip")
+    sc._powersql_shipped = True
+
+
+_NANOS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects these
+    outright (PARQUET_TYPE_ILLEGAL), so they need the nanosAsLong escape
+    hatch + an explicit conversion. Footer-only metadata probe, cached."""
+    cached = _NANOS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        inner = glob.glob(os.path.join(path, "*.parquet"))
+        probe = inner[0] if inner else path
+    try:
+        schema = pq.read_schema(probe)
+        cols = tuple(
+            f.name for f in schema if str(f.type) == "timestamp[ns]"
+        )
+    except Exception:
+        cols = ()
+    _NANOS_CACHE[path] = cols
+    return cols
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet reader that tolerates TIMESTAMP(NANOS) columns by reading
+    them as int64 nanos and truncating to microsecond timestamps (the
+    same truncation DuckDB applies, so oracle comparisons agree)."""
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read each parquet table and register it as a temp view.
+
+    Reading is lazy (schema-only); per-query registration cost is
+    negligible and keeps every query callable self-contained on
+    ``(spark, sf_dir)`` as the driver contract requires.
+    """
+    ship_package(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = read_parquet(spark, path)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,15 @@
+"""SQL-surface parity operators (SURVEY.md §2.B), one module per family.
+
+Importing this package registers every query key in the registry.
+"""
+
+from powersql_spark.operators import (  # noqa: F401
+    aggregates,
+    asserts,
+    functions,
+    joins,
+    projection,
+    scans,
+    sorts_sets,
+    subqueries,
+)

@@ -1,0 +1,167 @@
+"""Join operators (SURVEY.md §2.B.3).
+
+The reference traverses joins without inspecting kind (src/main.rs:60-66,
+src/types.rs:168-174) and delegates the physical strategy to the backend.
+Here Catalyst picks broadcast-hash / shuffled-hash / sort-merge from stats
+and AQE; we add explicit ``F.broadcast`` hints on dimension tables —
+region/nation/supplier stay tiny relative to the fact tables at any scale
+factor, so the hint removes a shuffle of the 100 TB side entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.operators.common import dsum
+from powersql_spark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 0.0
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER JOIN ... ON equi-key — reference join traversal
+    (src/main.rs:60-66; unit test 'join x on 1=1' src/main.rs:474-487).
+    Both dims broadcast: zero shuffles of the customer side."""
+    c = spark.table("customer").where(F.col("c_acctbal") > 0.0)
+    n = F.broadcast(spark.table("nation"))
+    r = F.broadcast(spark.table("region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .join(r, n.n_regionkey == r.r_regionkey, "inner")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT n_name, COUNT(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT [OUTER] JOIN — e.g. examples/postgres/tests/data_tests.sql:4.
+    COUNT(col) counts non-null matches, preserving unmatched nations."""
+    n = spark.table("nation")
+    c = spark.table("customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT [OUTER] JOIN — parseable surface [P] (SURVEY.md §2.B.3)."""
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey
+    ),
+    supp AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        FROM supplier WHERE s_acctbal > 9000.0 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey, n_cust, n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN — parseable surface [P]. Unmatched sides produce
+    NULL counts, exercising null-generating join semantics."""
+    cust = (
+        spark.table("customer")
+        .where(F.col("c_acctbal") > 9000.0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        spark.table("supplier")
+        .where(F.col("s_acctbal") > 9000.0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, cust.nk == supp.nk, "full").select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN — parseable surface [P]. Dim x dim only (5 x 25 rows);
+    a cross join with a fact table would be a scale bug, not a feature."""
+    return (
+        spark.table("region")
+        .crossJoin(spark.table("nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the reference reaches semi-joins via EXISTS/IN
+    (src/main.rs:115,122); Spark exposes the join type directly."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — NOT EXISTS in the reference's test corpus
+    (examples/postgres/tests/data_tests.sql:1-21)."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )

@@ -1,0 +1,7 @@
+"""LLM-data-pipeline extensions (driver north star; beyond the reference).
+
+Importing this package registers the dedup / similarity / text /
+multimodal query keys.
+"""
+
+from powersql_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,347 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (driver
+north-star extension; NOT in the reference — SURVEY.md §2.B.11).
+
+Scale design (the point of each variant):
+
+- exact: hash-groupBy on a fingerprint — one shuffle of (hash, id), the
+  100 TB workhorse. Never groupBy raw text at scale; group the 128-bit
+  hash.
+- ngram-jaccard: *blocked* pairwise verification — blocking keys
+  (lang, source, length bucket) bound the quadratic term to within-block
+  pairs. This is the exact-verification tail of any fuzzy-dedup funnel.
+- minhash-LSH: the sub-quadratic funnel head — shingle -> k minhashes ->
+  b bands -> bucket join. Candidate generation cost is O(docs x bands),
+  independent of pair count; only candidates pay the exact-jaccard check.
+- simhash: 64-bit signature + banded hamming candidate search — cheaper
+  signatures than minhash, good for near-identical boilerplate.
+- embedding-cosine: near-dup by semantic distance, blocked by label
+  (stand-in for an IVF/cluster assignment at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+_JACCARD_THRESHOLD = 0.30
+
+
+def _doc_shingles(spark: SparkSession) -> DataFrame:
+    """doc_id + distinct word-bigram shingle array, plus blocking keys."""
+    d = spark.table("documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / 64).cast("int").alias("len_bucket"),
+        shingles.alias("shingles"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest id.
+    One shuffle of (16-byte hash, id) pairs regardless of document size —
+    the canonical 100 TB dedup plan."""
+    d = spark.table("documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH sh AS (
+        SELECT doc_id, lang, source,
+               CAST(n_chars // 64 AS INTEGER) AS len_bucket,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split_regex(trim(text), '\s+'))),
+                       i -> list_extract(string_split_regex(trim(text), '\s+'), i)
+                            || ' ' ||
+                            list_extract(string_split_regex(trim(text), '\s+'), i + 1)
+                   )
+               ) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)))
+          >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: candidate pairs only within
+    (lang, source, length-bucket) blocks, exact word-bigram Jaccard per
+    pair. Blocking keeps the pair count ~linear in docs-per-block."""
+    sh = _doc_shingles(spark)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - common
+    jac = common.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# MinHash parameters: 16 hashes in 4 bands of 4 rows. With jaccard
+# threshold t, P(candidate) = 1-(1-t^4)^4; the s-curve midpoint sits
+# near t ~ 0.55 — tuned for "strong" near-dups.
+_MINHASH_K = 16
+_BANDS = 4
+_ROWS_PER_BAND = _MINHASH_K // _BANDS
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: hash functions are engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle -> 16 seeded xxhash64 minhashes ->
+    4 bands -> bucket join -> exact-jaccard verification of candidates.
+
+    Scale shape: candidate generation is (docs x bands) rows shuffled by
+    band signature; no quadratic term until verification, which only
+    touches bucket-colliding pairs. Driver check is rows-only (the hash
+    family is engine-specific, so no DuckDB twin)."""
+    sh = _doc_shingles(spark).select("doc_id", "shingles")
+    seeds = spark.range(_MINHASH_K).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    exploded = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    # Seeded hash family: xxhash64(shingle, seed) via concat.
+    minhashes = (
+        exploded.join(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.xxhash64(
+                F.concat(F.col("shingle"), F.lit("#"), F.col("seed"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+    bands = (
+        minhashes.withColumn("band", F.col("seed") % _BANDS)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.struct("seed", "minhash"))
+                ).cast("array<string>"),
+                "|",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact verification of candidates only.
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (common.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+@query("dedup_simhash")  # no SQL oracle: hash functions are engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from token hashes (bitwise
+    majority vote), banded into 4x16-bit chunks; pigeonhole guarantees
+    pairs within hamming distance 3 share at least one chunk. Candidates
+    verified by exact hamming distance.
+
+    Scale shape: signatures are one map + one groupBy; candidate join is
+    on 16-bit chunk values. Rows-only driver check."""
+    d = spark.table("documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tokens = d.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+    # 64-bit token hash as a zero-padded binary string (bin() of a
+    # negative long is already the full 64-bit two's complement).
+    bits_str = F.lpad(F.bin(F.xxhash64("tok")), 64, "0")
+    # Per-token +/-1 contribution for each of the 64 bits.
+    contrib = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda b: F.when(F.substring(bits_str, b, F.lit(1)) == "1", 1).otherwise(-1),
+    )
+    votes = (
+        tokens.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("c"),
+                F.array_repeat(F.lit(0), 64),
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            ).alias("votes")
+        )
+    )
+    bits = F.transform(
+        F.col("votes"), lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    sig = votes.select("doc_id", bits.alias("bits"))
+    # 4 chunks of 16 bits each -> integer chunk values.
+    chunk = lambda i: F.aggregate(  # noqa: E731
+        F.slice("bits", i * 16 + 1, 16),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    sig = sig.select(
+        "doc_id",
+        "bits",
+        *[chunk(i).alias(f"chunk{i}") for i in range(4)],
+    )
+    pairs = None
+    for i in range(4):
+        a = sig.alias("a")
+        b = sig.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.chunk{i}") == F.col(f"b.chunk{i}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(list_extract(a.embedding, i) AS DOUBLE)
+                    * CAST(list_extract(b.embedding, i) AS DOUBLE)))
+             / (a.nrm * b.nrm), 4) AS cosine
+    FROM norms a JOIN norms b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(list_extract(a.embedding, i) AS DOUBLE)
+                    * CAST(list_extract(b.embedding, i) AS DOUBLE)))
+             / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairwise cosine within label blocks (the label
+    stands in for an IVF/cluster assignment, which is how this stays
+    sub-quadratic at scale). Dot products via zip_with/aggregate in
+    double precision; cosine rounded to 4dp so the oracle hash matches."""
+    e = spark.table("embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            emb_d, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    norms = e.select("vec_id", "label", emb_d.alias("emb"), nrm.alias("nrm"))
+    a = norms.alias("a")
+    b = norms.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.emb", "b.emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cosine = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )

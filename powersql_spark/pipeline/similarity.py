@@ -1,0 +1,156 @@
+"""Similarity search over the ``embeddings`` table (driver north-star
+extension; NOT in the reference — SURVEY.md §2.B.11).
+
+Two tiers, mirroring how ANN is actually deployed on Spark:
+
+- brute-force cosine top-k: the correctness baseline — a broadcast of the
+  query vector against a full scan; linear, embarrassingly parallel,
+  exact. At 100 TB this is the "re-rank" tail.
+- IVF-style partitioned search: restrict the scan to the nprobe closest
+  coarse cells (here: label centroids, standing in for k-means cells).
+  This is the scale path — the scan touches nprobe/ncells of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+_TOPK = 10
+_QUERY_VEC_ID = 0
+_NPROBE = 3
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT embedding AS qv,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(list_extract(e.embedding, i) AS DOUBLE)
+                        * CAST(list_extract(q.qv, i) AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * q.qn),
+                 4) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id ASC LIMIT {_TOPK}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector: broadcast the query,
+    score every row, TakeOrderedAndProject the top k. Cosine rounded to
+    4dp (and tie-broken by vec_id) so the cut is engine-independent."""
+    e = spark.table("embeddings")
+    q = (
+        e.where(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(
+            _to_double("embedding").alias("qv"),
+        )
+        .select("qv", _norm(F.col("qv")).alias("qn"))
+    )
+    cand = e.where(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", "label", _to_double("embedding").alias("emb")
+    )
+    scored = cand.join(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("emb"), F.col("qv")) / (_norm(F.col("emb")) * F.col("qn")),
+            4,
+        ).alias("cosine"),
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    ).limit(_TOPK)
+
+
+@query("sim_topk_ivf")  # rows-only: recall-based ANN has no SQL oracle
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = per-label centroids; probe the
+    _NPROBE cells whose centroids are closest to the query; exact cosine
+    re-rank inside the probed cells only.
+
+    Scale shape: centroid table is tiny (broadcast); the candidate scan
+    reads nprobe/ncells of the data — with parquet written partitioned by
+    cell, partition pruning makes that literal. Driver check is rows-only
+    (ANN recall isn't SQL-expressible), but with these cells the result
+    equals the exact top-k whenever the true neighbors live in probed
+    cells."""
+    e = spark.table("embeddings")
+    emb = e.select("vec_id", "label", _to_double("embedding").alias("emb"))
+
+    q = (
+        emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("emb")
+        .select(F.col("emb").alias("qv"), _norm(F.col("emb")).alias("qn"))
+    )
+
+    # Coarse quantizer: element-wise mean embedding per label cell.
+    dim = 64
+    centroids = (
+        emb.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+    probed = (
+        centroids.join(F.broadcast(q))
+        .select(
+            "label",
+            (
+                _dot(F.col("centroid"), F.col("qv"))
+                / (_norm(F.col("centroid")) * F.col("qn"))
+            ).alias("cdist"),
+        )
+        .orderBy(F.col("cdist").desc())
+        .limit(_NPROBE)
+        .select("label")
+    )
+    cand = emb.join(F.broadcast(probed), "label").where(
+        F.col("vec_id") != _QUERY_VEC_ID
+    )
+    scored = cand.join(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("emb"), F.col("qv")) / (_norm(F.col("emb")) * F.col("qn")),
+            4,
+        ).alias("cosine"),
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    ).limit(_TOPK)

@@ -1,0 +1,136 @@
+"""Text analysis over the ``documents`` table (driver north-star extension;
+NOT in the reference — see SURVEY.md §2.B.11).
+
+All operators are pure Spark built-ins (whole-stage codegen, no Python on
+the hot path): language-ID is an n-gram/stopword heuristic, quality
+scoring is length/stopword ratios, token counting is a regex split,
+fingerprinting is md5 over normalized text. Each scales linearly with an
+embarrassingly-parallel map — no shuffle at all except where aggregation
+is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+               AS n_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + counts — the token-count primitive every
+    data pipeline needs before length filtering / packing."""
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / len(t) AS avg_token_len,
+           CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+               / len(t) AS stopword_ratio,
+           CAST(CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                        / len(t) BETWEEN 0.01 AND 0.5
+                   THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality
+    FROM toks
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count in range + sane stopword
+    ratio (the Gopher-rules family of filters, reduced to components that
+    are oracle-expressible)."""
+    t = _tokens()
+    d = spark.table("documents").select("doc_id", "text", t.alias("t"))
+    n_tok = F.size("t")
+    sw = F.size(F.filter("t", lambda x: x.isin(*_STOPWORDS)))
+    sw_ratio = sw.cast("double") / n_tok
+    quality = (
+        F.when(n_tok.between(10, 1000), 0.5).otherwise(0.0)
+        + F.when(sw_ratio.between(0.01, 0.5), 0.5).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.length("text").cast("double") / n_tok).alias("avg_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           (CASE
+                WHEN (' ' || text || ' ') LIKE '% the %'
+                  OR (' ' || text || ' ') LIKE '% and %' THEN 'en'
+                WHEN (' ' || text || ' ') LIKE '% der %'
+                  OR (' ' || text || ' ') LIKE '% und %' THEN 'de'
+                WHEN (' ' || text || ' ') LIKE '% el %'
+                  OR (' ' || text || ' ') LIKE '% los %' THEN 'es'
+                ELSE 'unk'
+            END) AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via stopword-marker heuristic (n-gram
+    heuristic reduced to marker words so the DuckDB oracle can run the
+    identical rule). Production note: swap the CASE for a fastText/CLD3
+    pandas_udf — the plumbing (map-only, no shuffle) is identical."""
+    d = spark.table("documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(padded.like("% the %") | padded.like("% and %"), "en")
+        .when(padded.like("% der %") | padded.like("% und %"), "de")
+        .when(padded.like("% el %") | padded.like("% los %"), "es")
+        .otherwise("unk")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text — the canonical-form hash used as the exact-dedup key."""
+    d = spark.table("documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))

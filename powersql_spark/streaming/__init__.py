@@ -1,0 +1,5 @@
+"""Windowed event aggregation — batch-first (oracle-checkable), with
+Structured Streaming variants of the same logic.
+"""
+
+from powersql_spark.streaming import windows  # noqa: F401

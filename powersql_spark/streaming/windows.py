@@ -1,0 +1,179 @@
+"""Windowed event aggregation over ``events`` (extension; the reference
+has no streaming at all — SURVEY.md §2.B.10).
+
+Batch-first: tumbling / sliding / session windows are implemented with
+the exact functions Structured Streaming uses (``F.window``,
+``F.session_window``), run in batch mode so the DuckDB oracle can verify
+values. ``run_streaming_tumbling`` then runs the *same* aggregation as a
+real ``readStream`` with a watermark (micro-batch, availableNow) — the
+tests assert batch and streaming agree, which is the guarantee that
+matters when promoting a batch pipeline to a live stream.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.operators.common import dsum
+from powersql_spark.registry import query
+
+
+@query(
+    "window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type — F.window in batch mode;
+    identical code runs under readStream with a watermark."""
+    e = spark.table("events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - k * INTERVAL '30 minutes' AS window_start,
+               value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        WHERE ts < time_bucket(INTERVAL '30 minutes', ts)
+                   - k * INTERVAL '30 minutes' + INTERVAL '1 hour'
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM slid GROUP BY window_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — each event lands
+    in two windows. The oracle reconstructs the window set with an
+    unnested offset join."""
+    e = spark.table("events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '10 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 10-minute gap per user — F.session_window
+    in batch mode (same operator Structured Streaming uses for stateful
+    sessionization). Oracle: classic gaps-and-islands rewrite."""
+    e = spark.table("events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM (
+        SELECT DISTINCT ON (event_id) event_id, user_id, event_type
+        FROM events ORDER BY event_id, ts
+    ) d
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-id dedup then aggregate — batch ``dropDuplicates`` here; the
+    streaming twin is ``dropDuplicatesWithinWatermark`` (tested in
+    tests/test_streaming.py). event_id is unique in the testdata, so
+    DISTINCT ON and dropDuplicates agree deterministically."""
+    e = spark.table("events")
+    return (
+        e.dropDuplicates(["event_id"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def run_streaming_tumbling(
+    spark: SparkSession, sf_dir: str, table_name: str = "stream_tumbling_out"
+) -> DataFrame:
+    """True Structured Streaming variant of :func:`window_tumbling`:
+    readStream over the events parquet, 2-hour watermark, availableNow
+    trigger into an in-memory sink. Returns the sink contents.
+
+    Watermark semantics: with a finite availableNow input and a watermark
+    larger than any disorder in the data, the result equals the batch
+    aggregation — asserted in tests/test_streaming.py."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="powersql_ckpt_")
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
