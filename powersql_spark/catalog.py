@@ -102,6 +102,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_parquet`: readStream with the same
+    TIMESTAMP(NANOS) tolerance (int64 nanos -> microsecond timestamps)."""
+    nanos = _nanos_timestamp_cols(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        # File-stream sources need a directory; glob-filter to the file.
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

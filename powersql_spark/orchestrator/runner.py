@@ -1,0 +1,209 @@
+"""The four commands: check / run / test / docs (reference
+src/main.rs:348-454), orchestrated over the Spark executor.
+
+Execution order is topological (Kahn); the reference runs models
+serially (src/main.rs:400-413). ``run(parallel=True)`` submits ready
+models concurrently from a thread pool — Spark job submission is
+thread-safe and independent models shuffle/scan concurrently, which is
+the free orchestration-level win the reference leaves on the table
+(SURVEY.md §7 decision 6). Serial remains the default, faithful mode.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor, wait
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from powersql_spark.catalog import load_tables
+from powersql_spark.orchestrator.config import PowerSqlConfig, load_config
+from powersql_spark.orchestrator.dag import (
+    build_graph,
+    detect_cycles,
+    get_dependencies,
+    topo_order,
+)
+from powersql_spark.orchestrator.executor import SparkExecutor
+from powersql_spark.orchestrator.sqlparse import (
+    Model,
+    Test,
+    parse_model_file,
+    parse_test_file,
+)
+
+
+@dataclass
+class Project:
+    config: PowerSqlConfig
+    models: dict[str, Model]
+    deps: dict[str, list[str]]
+    tests: list[Test] = field(default_factory=list)
+
+    @property
+    def order(self) -> list[str]:
+        return topo_order(self.deps)
+
+
+def load_project(project_dir: str | Path) -> Project:
+    """Shared prefix of every command (src/main.rs:319-345): config ->
+    discover -> parse -> deps -> cycle check."""
+    config = load_config(project_dir)
+    models: dict[str, Model] = {}
+    for path in config.model_files():
+        models.update(parse_model_file(path.read_text()))
+    deps = get_dependencies(models)
+    detect_cycles(deps)
+    tests: list[Test] = []
+    for path in config.test_files():
+        tests.extend(parse_test_file(path.read_text()))
+    return Project(config=config, models=models, deps=deps, tests=tests)
+
+
+def _register_sources(spark: SparkSession, sources: str | None) -> None:
+    """External source tables must be present before analysis — the
+    reference tolerates unknown sources via open typing
+    (src/types.rs:121-123); Spark treats them as errors, so register
+    them up front (SURVEY.md §7 decision 2)."""
+    if sources:
+        load_tables(spark, sources)
+
+
+def check(
+    spark: SparkSession, project_dir: str | Path, sources: str | None = None
+) -> dict[str, str]:
+    """Static type-check: analyze every model in topo order with zero
+    jobs run; analysis errors are check failures (src/main.rs:348-386).
+    Returns {model: schema DDL}. Strictly stronger than the reference's
+    gradual Any-typing (SURVEY.md §1.2)."""
+    project = load_project(project_dir)
+    _register_sources(spark, sources)
+    ex = SparkExecutor(spark, Path(project_dir) / "target")
+    schemas: dict[str, str] = {}
+    for name in project.order:
+        df = ex.analyze(project.models[name])
+        schemas[name] = df.schema.simpleString()
+    # Test conditions must type as boolean (src/main.rs:378-385).
+    for t in project.tests:
+        df = spark.sql(f"SELECT ({t.condition}) AS condition")
+        dtype = df.schema[0].dataType.simpleString()
+        if dtype != "boolean":
+            raise TypeError(
+                f"Test condition must be boolean, got {dtype}: {t.message}"
+            )
+    return schemas
+
+
+def run(
+    spark: SparkSession,
+    project_dir: str | Path,
+    sources: str | None = None,
+    parallel: bool = False,
+) -> list[str]:
+    """Materialize every model in dependency order (src/main.rs:387-415).
+    Idempotent: re-running overwrites views/tables in place."""
+    project = load_project(project_dir)
+    _register_sources(spark, sources)
+    ex = SparkExecutor(spark, Path(project_dir) / "target")
+    if not parallel:
+        for name in project.order:
+            ex.execute(project.models[name])
+        return project.order
+
+    # Kahn with concurrent submission of ready models.
+    graph = build_graph(project.deps)
+    done: list[str] = []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = {}
+
+        def submit_ready() -> None:
+            for name, node in graph.items():
+                if node.live_parents == 0 and name not in futures:
+                    futures[name] = pool.submit(ex.execute, project.models[name])
+
+        submit_ready()
+        pending = set(futures.values())
+        while pending:
+            finished, pending = wait(pending, return_when="FIRST_COMPLETED")
+            for fut in finished:
+                fut.result()  # propagate errors
+                name = next(k for k, v in futures.items() if v is fut)
+                done.append(name)
+                graph[name].live_parents = -1
+                for child in graph[name].next_nodes:
+                    graph[child].live_parents -= 1
+            before = set(futures.values())
+            submit_ready()
+            pending |= set(futures.values()) - before
+    return done
+
+
+def _restore_models(
+    spark: SparkSession, project: Project, ex: SparkExecutor
+) -> None:
+    """Re-register models in a fresh session.
+
+    The reference's backend is a persistent warehouse, so `test` sees
+    what `run` built; Spark temp views are session-scoped. Views are
+    lazy — re-creating them is free; TABLE models load from the parquet
+    target written by `run` (falling back to materializing if absent).
+    """
+    import os
+
+    for name in project.order:
+        model = project.models[name]
+        if model.kind == "table":
+            path = os.path.join(ex.target_dir, model.name)
+            if os.path.isdir(path):
+                spark.read.parquet(path).createOrReplaceTempView(model.name)
+            else:
+                ex.execute(model)
+        else:
+            ex.execute(model)
+
+
+def test(
+    spark: SparkSession,
+    project_dir: str | Path,
+    sources: str | None = None,
+    fail_fast: bool = False,
+) -> int:
+    """Run ASSERT data tests; returns the exit code (0 ok, 1 failures),
+    printing OK/ERROR per test (src/main.rs:430-454)."""
+    project = load_project(project_dir)
+    _register_sources(spark, sources)
+    ex = SparkExecutor(spark, Path(project_dir) / "target")
+    _restore_models(spark, project, ex)
+    exit_code = 0
+    for t in project.tests:
+        ok = ex.query_bool(t.condition)
+        if ok:
+            print(f"{t.message}...OK")
+        else:
+            print(f"{t.message}...ERROR")
+            exit_code = 1
+            if fail_fast:
+                return 1
+    return exit_code
+
+
+def docs(project_dir: str | Path) -> Path:
+    """Emit docs/docs.md: one heading per model + the dependency arrows
+    the reference computes but never writes (src/main.rs:416-429) as a
+    mermaid graph — the documented improvement from SURVEY.md §2.A."""
+    project = load_project(project_dir)
+    out_dir = Path(project_dir) / "docs"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    lines = [f"# {project.config.name}", ""]
+    lines += ["```mermaid", "graph TD"]
+    for name, refs in sorted(project.deps.items()):
+        for r in refs:
+            lines.append(f"    {r} --> {name}")
+    lines += ["```", ""]
+    for name in project.order:
+        model = project.models[name]
+        lines += [f"## {name}", "", f"Kind: {model.kind}", "", "```sql", model.sql, "```", ""]
+    path = out_dir / "docs.md"
+    path.write_text("\n".join(lines))
+    return path

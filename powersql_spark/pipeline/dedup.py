@@ -29,15 +29,25 @@ _JACCARD_THRESHOLD = 0.30
 
 
 def _doc_shingles(spark: SparkSession) -> DataFrame:
-    """doc_id + distinct word-bigram shingle array, plus blocking keys."""
-    d = spark.table("documents")
+    """doc_id + distinct word-bigram shingle array, plus blocking keys.
+
+    Repartitions first: a small parquet file arrives as ONE input split,
+    which would serialize the CPU-heavy per-doc shingle work onto a
+    single core (measured 10s -> sub-second at sf0.1). At real scale the
+    input already has many splits and this is a cheap round-robin.
+    Shingles via one zip_with over two array slices — linear, instead of
+    a sequence+element_at transform (interpreted HOFs; fewer ops wins).
+    """
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         )
     )
     return d.select(
@@ -143,41 +153,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup: shingle -> 16 seeded xxhash64 minhashes ->
     4 bands -> bucket join -> exact-jaccard verification of candidates.
 
-    Scale shape: candidate generation is (docs x bands) rows shuffled by
-    band signature; no quadratic term until verification, which only
-    touches bucket-colliding pairs. Driver check is rows-only (the hash
-    family is engine-specific, so no DuckDB twin)."""
+    Scale shape: shingles explode once and are hashed once in
+    whole-stage codegen; the K seeded hashes derive from that base hash
+    via xxhash64(base, seed) — also codegen — and collapse through 16
+    map-side partial MIN aggregates, so the shuffle carries only
+    (doc_id, 16 longs) per doc. Band signatures then posexplode to 4
+    small rows per doc for the bucket join; no quadratic term until
+    verification, which only touches bucket-colliding pairs. Driver
+    check is rows-only (the hash family is engine-specific, so no
+    DuckDB twin).
+
+    Kept OUT of higher-order functions deliberately: HOF lambdas are
+    interpreted (not codegen'd), and a nested-transform variant of this
+    signature was ~10x slower in bench.py."""
     sh = _doc_shingles(spark).select("doc_id", "shingles")
-    seeds = spark.range(_MINHASH_K).select(
-        F.col("id").cast("int").alias("seed")
-    )
-    exploded = sh.select(
+    base = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(_MINHASH_K)
+        ]
     )
-    # Seeded hash family: xxhash64(shingle, seed) via concat.
-    minhashes = (
-        exploded.join(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.xxhash64(
-                F.concat(F.col("shingle"), F.lit("#"), F.col("seed"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
-    bands = (
-        minhashes.withColumn("band", F.col("seed") % _BANDS)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.sort_array(
-                    F.collect_list(F.struct("seed", "minhash"))
-                ).cast("array<string>"),
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
                 "|",
-            ).alias("band_sig")
-        )
+                *[
+                    F.col(f"m{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "band_sig")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -223,32 +235,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signatures are one map + one groupBy; candidate join is
     on 16-bit chunk values. Rows-only driver check."""
-    d = spark.table("documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    tokens = d.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
-    # 64-bit token hash as a zero-padded binary string (bin() of a
-    # negative long is already the full 64-bit two's complement).
-    bits_str = F.lpad(F.bin(F.xxhash64("tok")), 64, "0")
-    # Per-token +/-1 contribution for each of the 64 bits.
-    contrib = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda b: F.when(F.substring(bits_str, b, F.lit(1)) == "1", 1).otherwise(-1),
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    votes = (
-        tokens.select("doc_id", contrib.alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("c"),
-                F.array_repeat(F.lit(0), 64),
-                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
-            ).alias("votes")
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    # Per-token 64-char bit string of xxhash64 (bin() of a negative long
+    # is already the full 64-bit two's complement; lpad covers positives).
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+        ).alias("hbits"),
+        F.size(toks).alias("n_tok"),
+    )
+    # votes[b] = (#tokens with bit b set) * 2 - n_tok  — all map-side,
+    # no explode/shuffle: one projection computes the whole signature.
+    votes = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda b: F.size(
+            F.filter(
+                F.col("hbits"), lambda h: F.substring(h, b, F.lit(1)) == "1"
+            )
         )
+        * 2
+        - F.col("n_tok"),
     )
     bits = F.transform(
-        F.col("votes"), lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0))
+        votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0))
     )
-    sig = votes.select("doc_id", bits.alias("bits"))
+    sig = hashed.select("doc_id", bits.alias("bits"))
     # 4 chunks of 16 bits each -> integer chunk values.
     chunk = lambda i: F.aggregate(  # noqa: E731
         F.slice("bits", i * 16 + 1, 16),

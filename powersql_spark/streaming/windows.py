@@ -152,10 +152,10 @@ def run_streaming_tumbling(
     Watermark semantics: with a finite availableNow input and a watermark
     larger than any disorder in the data, the result equals the batch
     aggregation — asserted in tests/test_streaming.py."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from powersql_spark.catalog import read_parquet_stream
+
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(f"{sf_dir}/events.parquet")
+        read_parquet_stream(spark, f"{sf_dir}/events.parquet")
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))

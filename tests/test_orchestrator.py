@@ -1,0 +1,281 @@
+"""Orchestrator unit + integration tests.
+
+Unit layer mirrors the reference's in-module tests (src/main.rs:463-548:
+dependency extraction, cycle detection, graph building; src/types.rs:
+230-354: model typing — here via Spark lazy analysis). Integration layer
+mirrors the reference's PostgreSQL CI (.github/workflows/postgres.yml:
+33-39): check, run, run again (idempotence), test, docs on the example
+project.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from powersql_spark.orchestrator.dag import (
+    ModelNode,
+    build_graph,
+    detect_cycles,
+    get_dependencies,
+)
+from powersql_spark.orchestrator.sqlparse import (
+    extract_refs,
+    parse_model_file,
+    parse_model_statement,
+    parse_test_file,
+    split_statements,
+)
+
+# ---------- parsing ----------
+
+
+def test_parse_view():
+    m = parse_model_statement("CREATE VIEW x AS SELECT a FROM y")
+    assert m.name == "x" and m.kind == "view" and m.query == "SELECT a FROM y"
+
+
+def test_parse_materialized_view():
+    m = parse_model_statement("CREATE MATERIALIZED VIEW x AS SELECT 1 AS a")
+    assert m.kind == "materialized_view"
+
+
+def test_parse_table_as():
+    m = parse_model_statement("CREATE TABLE t AS SELECT a FROM y")
+    assert m.name == "t" and m.kind == "table"
+
+
+def test_parse_rejects_other_statements():
+    # Reference: unimplemented!("Only (materialized) view and create
+    # table as supported") (src/main.rs:159).
+    with pytest.raises(ValueError, match="Only .*view"):
+        parse_model_statement("INSERT INTO x VALUES (1)")
+
+
+def test_split_statements_preserves_operators():
+    stmts = split_statements("CREATE VIEW a AS SELECT 1 >= 0 AS b; -- c\n")
+    assert stmts == ["CREATE VIEW a AS SELECT 1 >= 0 AS b"]
+
+
+def test_parse_test_file():
+    tests = parse_test_file(
+        "ASSERT NOT EXISTS (SELECT 1 FROM t WHERE x < 0) AS 'no negatives';\n"
+        "ASSERT (SELECT COUNT(*) FROM t) >= 10 AS 'enough rows';"
+    )
+    assert [t.message for t in tests] == ["no negatives", "enough rows"]
+    assert tests[0].condition.startswith("NOT EXISTS")
+
+
+def test_parse_test_rejects_other():
+    with pytest.raises(ValueError, match="Only assert"):
+        parse_test_file("SELECT 1")
+
+
+# ---------- ref extraction (reference src/main.rs:463-487) ----------
+
+
+def test_dependencies():
+    # Mirrors test_dependencies (src/main.rs:463-471).
+    models = parse_model_file("CREATE VIEW z AS SELECT a FROM x")
+    assert extract_refs(models["z"].query) == ["x"]
+
+
+def test_dependencies_join():
+    # Mirrors test_dependencies_join (src/main.rs:473-487): y join x.
+    refs = extract_refs("SELECT a FROM y JOIN x ON 1 = 1")
+    assert sorted(refs) == ["x", "y"]
+
+
+def test_refs_cte_excluded():
+    refs = extract_refs(
+        "WITH c AS (SELECT * FROM base) SELECT * FROM c JOIN other ON 1=1"
+    )
+    assert sorted(refs) == ["base", "other"]
+
+
+def test_refs_subquery_in_where():
+    refs = extract_refs(
+        "SELECT a FROM t WHERE a IN (SELECT b FROM u) AND EXISTS (SELECT 1 FROM v)"
+    )
+    assert sorted(refs) == ["t", "u", "v"]
+
+
+def test_refs_derived_table():
+    refs = extract_refs("SELECT * FROM (SELECT a FROM inner_t) AS d")
+    assert refs == ["inner_t"]
+
+
+def test_refs_nested_join():
+    refs = extract_refs("SELECT * FROM (a JOIN b ON a.x = b.x) JOIN c ON 1=1")
+    assert sorted(refs) == ["a", "b", "c"]
+
+
+def test_refs_comma_from_list():
+    refs = extract_refs("SELECT * FROM a, b WHERE a.x = b.x")
+    assert sorted(refs) == ["a", "b"]
+
+
+def test_refs_extract_not_a_table():
+    refs = extract_refs("SELECT EXTRACT(YEAR FROM ts) FROM evts")
+    assert refs == ["evts"]
+
+
+def test_refs_dotted_and_quoted():
+    refs = extract_refs('SELECT * FROM sch.tab JOIN "Weird Name" ON 1=1')
+    assert refs == ["sch.tab", "Weird Name"]
+
+
+# ---------- DAG (reference src/main.rs:489-548) ----------
+
+
+def test_cycle_detected():
+    # Mirrors the 2-cycle error test (src/main.rs:489-498).
+    with pytest.raises(ValueError, match="Cycle"):
+        detect_cycles({"x": ["y"], "y": ["x"]})
+
+
+def test_missing_model_error():
+    # Mirrors the missing-model error test (src/main.rs:500-509).
+    with pytest.raises(ValueError, match="Model y not found"):
+        detect_cycles({"x": ["y"]})
+
+
+def test_dag_ok():
+    # Mirrors the ok-on-DAG test (src/main.rs:511-520).
+    detect_cycles({"x": ["y"], "y": []})
+
+
+def test_build_graph():
+    # Mirrors test_build_graph in-degrees/adjacency (src/main.rs:522-548).
+    graph = build_graph({"x": ["y"], "y": []})
+    assert graph["x"] == ModelNode(live_parents=1, next_nodes=[])
+    assert graph["y"] == ModelNode(live_parents=0, next_nodes=["x"])
+
+
+def test_external_sources_filtered():
+    models = parse_model_file(
+        "CREATE VIEW a AS SELECT * FROM ext_source;"
+        "CREATE VIEW b AS SELECT * FROM a"
+    )
+    deps = get_dependencies(models)
+    assert deps == {"a": [], "b": ["a"]}
+
+
+# ---------- integration (reference postgres.yml:33-39) ----------
+
+PROJECT = "examples/project"
+SOURCES = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def clean_target():
+    yield
+    shutil.rmtree(f"{PROJECT}/target", ignore_errors=True)
+    shutil.rmtree(f"{PROJECT}/docs", ignore_errors=True)
+
+
+def test_check_command(spark):
+    from powersql_spark.orchestrator.runner import check
+
+    schemas = check(spark, PROJECT, sources=SOURCES)
+    assert set(schemas) == {"revenue", "rev_per_product", "top_products"}
+    assert "product_id" in schemas["rev_per_product"]
+
+
+def test_check_rejects_bad_model(spark, tmp_path):
+    from powersql_spark.orchestrator.runner import check
+
+    (tmp_path / "powersql.toml").write_text(
+        '[project]\nname = "bad"\nmodels = ["models"]\n'
+    )
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "m.sql").write_text(
+        "CREATE VIEW broken AS SELECT nonexistent_col FROM lineitem"
+    )
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        check(spark, tmp_path, sources=SOURCES)
+
+
+def test_run_twice_idempotent_and_test_pass(spark, capsys):
+    from powersql_spark.orchestrator.runner import run, test as run_tests
+
+    order = run(spark, PROJECT, sources=SOURCES)
+    assert order.index("revenue") < order.index("rev_per_product")
+    first = {r["product_id"]: r["rev"] for r in spark.table("rev_per_product").collect()}
+    # Idempotence: run twice, same result (reference CI runs `run` twice,
+    # .github/workflows/postgres.yml:38-39).
+    order2 = run(spark, PROJECT, sources=SOURCES)
+    assert order2 == order
+    second = {r["product_id"]: r["rev"] for r in spark.table("rev_per_product").collect()}
+    assert first == second
+    assert spark.table("top_products").count() == 100
+
+    rc = run_tests(spark, PROJECT, sources=SOURCES)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("...OK") == 5
+
+
+def test_run_parallel_matches_serial(spark):
+    from powersql_spark.orchestrator.runner import run
+
+    done = run(spark, PROJECT, sources=SOURCES, parallel=True)
+    assert set(done) == {"revenue", "rev_per_product", "top_products"}
+    assert done.index("revenue") < done.index("rev_per_product")
+    assert spark.table("top_products").count() == 100
+
+
+def test_failing_assert_and_fail_fast(spark, tmp_path, capsys):
+    from powersql_spark.orchestrator.runner import test as run_tests
+
+    (tmp_path / "powersql.toml").write_text(
+        '[project]\nname = "failing"\nmodels = ["models"]\ntests = ["tests"]\n'
+    )
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "m.sql").write_text(
+        "CREATE VIEW all_items AS SELECT * FROM lineitem"
+    )
+    (tmp_path / "tests").mkdir()
+    (tmp_path / "tests" / "t.sql").write_text(
+        "ASSERT (SELECT COUNT(*) FROM lineitem) < 0 AS 'impossible';\n"
+        "ASSERT (SELECT COUNT(*) FROM lineitem) > 0 AS 'has rows';"
+    )
+    rc = run_tests(spark, tmp_path, sources=SOURCES)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "impossible...ERROR" in out and "has rows...OK" in out
+
+    rc = run_tests(spark, tmp_path, sources=SOURCES, fail_fast=True)
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "has rows" not in out  # stopped at first failure
+
+
+def test_docs_command(tmp_path):
+    from powersql_spark.orchestrator.runner import docs
+
+    path = docs(PROJECT)
+    content = path.read_text()
+    assert "revenue --> rev_per_product" in content
+    assert "## top_products" in content
+
+
+def test_check_rejects_non_boolean_test_condition(spark, tmp_path):
+    from powersql_spark.orchestrator.runner import check
+
+    (tmp_path / "powersql.toml").write_text(
+        '[project]\nname = "badtest"\nmodels = ["models"]\ntests = ["tests"]\n'
+    )
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "m.sql").write_text(
+        "CREATE VIEW v AS SELECT l_orderkey FROM lineitem"
+    )
+    (tmp_path / "tests").mkdir()
+    (tmp_path / "tests" / "t.sql").write_text(
+        "ASSERT (SELECT COUNT(*) FROM lineitem) AS 'not a boolean'"
+    )
+    with pytest.raises(TypeError, match="boolean"):
+        check(spark, tmp_path, sources=SOURCES)

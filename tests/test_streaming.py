@@ -1,0 +1,69 @@
+"""Structured Streaming tests: the streaming variants must agree with
+their batch twins (same functions, same semantics — SURVEY.md §2.B.10).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from powersql_spark.catalog import load_tables, read_parquet
+from powersql_spark.streaming.windows import run_streaming_tumbling, window_tumbling
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    load_tables(spark, sf_dir, ("events",))
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in window_tumbling(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_streaming_tumbling(spark, sf_dir, "t_stream_eq").collect()
+    }
+    assert batch == stream
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on a replayed (duplicated) stream:
+    every event arrives twice within the watermark window; the streaming
+    dedup must collapse them back to the batch distinct count."""
+    load_tables(spark, sf_dir, ("events",))
+    events = spark.table("events")
+    n_distinct = events.select("event_id").distinct().count()
+
+    # Write the events twice into a staging dir to simulate replay.
+    staging = tempfile.mkdtemp(prefix="powersql_replay_")
+    events.write.mode("overwrite").parquet(staging + "/a")
+    dup = staging + "/in"
+    events.write.mode("overwrite").parquet(dup)
+    spark.read.parquet(staging + "/a").write.mode("append").parquet(dup)
+
+    schema = spark.read.parquet(dup).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(dup)
+        .withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="powersql_ckpt_")
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_dedup_wm")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.table("t_dedup_wm").collect()[0]["n"]
+    assert n_stream == n_distinct
+
+
+def test_read_parquet_nanos_column(spark, sf_dir):
+    df = read_parquet(spark, f"{sf_dir}/events.parquet")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.count() > 0
