@@ -1,0 +1,246 @@
+"""Relational extensions beyond the reference surface (SURVEY.md §2.B.4
+"absent — extension only" rows, §2.B.3 as-of joins, plus struct/interval
+support). The reference's parser would pass none of these through, but a
+user of a modern warehouse expects them; all are native Spark operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from powersql_spark.operators.common import dsum
+from powersql_spark.registry import query
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — multi-granularity aggregation in one
+    pass (Catalyst plans an Expand + single shuffle, not N scans)."""
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals."""
+    return (
+        spark.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping combinations."""
+    return (
+        spark.table("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS open_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS finished_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS partial_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — orders total by priority x status. Spark's pivot with an
+    explicit value list (never pivot on unknown cardinality at scale:
+    the value list bounds the output width and skips a distinct scan)."""
+    piv = (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice", "t"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("O").alias("open_total"),
+        F.col("F").alias("finished_total"),
+        F.col("P").alias("partial_total"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous percentiles (interpolated — deterministic, so it
+    oracle-checks exactly, unlike approximate sketches)."""
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("median_price"),
+            F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the scale path for
+    cardinality: constant memory per group vs the exact distinct's
+    shuffle of every value. Engine-specific sketch, so rows-only check;
+    tests assert it lands within 5% of exact."""
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+        SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts, e.err_ts AS last_error_ts
+    FROM purchases p
+    ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND e.err_ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the most recent error of the same
+    user at or before it. Spark lacks a native ASOF join; the scalable
+    rewrite is union + last_value window — ONE shuffle on user_id, no
+    range cross-product. (DuckDB has native ASOF JOIN for the oracle.)"""
+    e = spark.table("events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("err_ts")
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("err_ts"),
+    )
+    # Errors sort before purchases at equal ts (err_ts non-null first in
+    # the tagged union) so "<=" semantics match ASOF.
+    tagged = errors.union(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("err_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.last("err_ts", ignorenulls=True).over(w).alias("last_error_ts"),
+        )
+        .where(F.col("event_id").isNotNull())
+    )
+
+
+@query(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(o_orderdate AS DATE) + 7 AS week_later,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS q
+    FROM orders WHERE o_totalprice > 290000.0
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + quarter extraction."""
+    o = spark.table("orders").where(F.col("o_totalprice") > 290000.0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("week_later"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT event_id,
+           struct_extract({'etype': event_type, 'val': value}, 'etype') AS etype,
+           struct_extract({'etype': event_type, 'val': value}, 'val') AS val
+    FROM events WHERE event_id < 300
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access (flattened to scalars so the
+    value hash is representation-independent)."""
+    e = spark.table("events").where(F.col("event_id") < 300)
+    s = F.struct(
+        F.col("event_type").alias("etype"), F.col("value").alias("val")
+    )
+    return e.select(
+        "event_id",
+        s.getField("etype").alias("etype"),
+        s.getField("val").alias("val"),
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET — paging over a total order."""
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """
+    )
