@@ -78,9 +78,20 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         inner = glob.glob(os.path.join(path, "*.parquet"))
         probe = inner[0] if inner else path
     try:
-        schema = pq.read_schema(probe)
+        pf = pq.ParquetFile(probe)
+        schema = pf.schema_arrow
+        # INT96 timestamps (Spark's legacy physical type) also surface as
+        # timestamp[ns] in arrow, but Spark reads them natively — only
+        # true INT64 TIMESTAMP(NANOS) columns need the compat path.
+        int96 = {
+            pf.schema.column(i).name
+            for i in range(len(pf.schema))
+            if pf.schema.column(i).physical_type == "INT96"
+        }
         cols = tuple(
-            f.name for f in schema if str(f.type) == "timestamp[ns]"
+            f.name
+            for f in schema
+            if str(f.type) == "timestamp[ns]" and f.name not in int96
         )
     except Exception:
         cols = ()
@@ -125,15 +136,28 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Read each parquet table and register it as a temp view.
 
-    Reading is lazy (schema-only); per-query registration cost is
-    negligible and keeps every query callable self-contained on
-    ``(spark, sf_dir)`` as the driver contract requires.
+    Keeps every query callable self-contained on ``(spark, sf_dir)`` as
+    the driver contract requires. Registration is memoized per
+    (session, view, path): schema inference reads parquet footers, and
+    re-running it for all 10 tables on every query call costs more than
+    many of the queries themselves (~0.7 s/call measured at sf0.1). A
+    view is re-registered only when it should point at a different path
+    (e.g. tests at sf0.001 vs the driver at sf0.01 in one session).
     """
     ship_package(spark)
+    cache: dict[str, tuple[str, DataFrame]] = getattr(spark, "_powersql_views", None)
+    if cache is None:
+        cache = {}
+        spark._powersql_views = cache
     dfs: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        hit = cache.get(name)
+        if hit is not None and hit[0] == path and spark.catalog.tableExists(name):
+            dfs[name] = hit[1]
+            continue
         df = read_parquet(spark, path)
         df.createOrReplaceTempView(name)
+        cache[name] = (path, df)
         dfs[name] = df
     return dfs

@@ -30,6 +30,19 @@ def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _max_partition_bytes(master: str | None) -> str:
+    """File-split size. 128 MB (Spark's default) on a real cluster, where
+    row groups are ~128 MB and splits should match them. Local testdata is
+    megabytes, so 128 MB would map an entire table to ONE scan task and
+    serialize scan + partial aggregation onto a single core; 4 MB keeps a
+    file-per-task once bench.py lays tables out as multi-file parquet
+    (openCostInBytes' 4 MB padding then closes each bin after one file)."""
+    if os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        return os.environ["SPARK_GRAFT_MAX_PARTITION_BYTES"]
+    is_local = master is None or master.startswith("local")
+    return "4m" if is_local else "134217728"
+
+
 def build_session(
     app_name: str = "powersql_spark",
     master: str | None = None,
@@ -49,7 +62,11 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Micros, not Spark's legacy INT96: INT96 is deprecated, unreadable
+        # by many engines, and pyarrow reports it as timestamp[ns], which
+        # would trip the catalog's nanos-compat path on our own output.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.sql.files.maxPartitionBytes", _max_partition_bytes(master))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
