@@ -64,7 +64,7 @@ def prepare_layout(spark, src_dir: str) -> str:
 
 # bench name -> registry key
 HEADLINE = {
-    "q1_pricing_summary": "agg_group_by",
+    "q1_pricing_summary": "tpch_q1",
     "q2_star_join": "join_inner",
     "q3_rev_per_product": "agg_sum",
     "q4_window_topn": "window_fns",
@@ -74,6 +74,11 @@ HEADLINE = {
     "q8_sim_topk": "sim_topk_bruteforce",
     "q9_dedup_minhash": "dedup_minhash_lsh",
     "q10_text_quality": "text_quality_score",
+    "q11_shipping_priority": "tpch_q3",
+    "q12_local_supplier": "tpch_q5",
+    "q13_forecast_revenue": "tpch_q6",
+    "q14_returned_items": "tpch_q10",
+    "q15_keep_latest": "window_qualify",
 }
 
 

@@ -5,6 +5,7 @@ Importing this package registers every query key in the registry.
 
 from powersql_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     asserts,
     extensions,
     functions,
@@ -13,4 +14,5 @@ from powersql_spark.operators import (  # noqa: F401
     scans,
     sorts_sets,
     subqueries,
+    tpch,
 )

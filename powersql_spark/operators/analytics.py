@@ -1,0 +1,283 @@
+"""Window-function variants, statistical aggregates, and reshaping
+operators (SURVEY.md §2.B.6 `window_fns` widened, plus extension rows).
+
+Determinism notes (driver hash-compares against DuckDB):
+- every window ORDER BY ends in a unique key, so frames and row numbers
+  are total-ordered and engine-independent;
+- double-valued statistics are rounded to 4dp on BOTH sides — engines
+  disagree in the last ulps of variance/correlation;
+- running sums go through DECIMAL so frame accumulation order can't
+  show up in the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD over each customer's order history — inter-row deltas
+    without a self-join (one shuffle on the partition key; the sort is
+    local to each partition)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return spark.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), prev_date.cast("date")
+        ).cast("bigint").alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4)     OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rnk <= 100
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE — top accounts per market segment.
+    The rank filter is pushed below the final projection by Catalyst,
+    so only 100 rows per segment survive the window stage."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        spark.table("customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .where(F.col("rnk") <= 100)
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           round(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS moving_avg3
+    FROM orders WHERE o_custkey < 500
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average per customer — cumulative
+    frames (ROWS BETWEEN), the time-series workhorse."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    return (
+        spark.table("orders")
+        .where(F.col("o_custkey") < 500)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(cum)
+            .cast("double")
+            .alias("running_spend"),
+            F.round(F.avg("o_totalprice").over(last3), 4).alias("moving_avg3"),
+        )
+    )
+
+
+@query(
+    "window_qualify",
+    oracle="""
+    SELECT user_id, event_id, ts, value FROM (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key via row_number()=1 (the QUALIFY idiom) — THE
+    canonical training-data-pipeline op ("best document per URL").
+    One shuffle on the key; at 100 TB prefer this over groupBy+join-back
+    (single pass) and over dropDuplicates (which can't express 'latest')."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / variance / correlation /
+    covariance. Single-pass (Welford-style partial aggregation), so one
+    shuffle of constant-size state per group at any scale."""
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 4294967296 < 214748365
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample by multiplicative hashing of the key
+    (Knuth). Unlike TABLESAMPLE/rand(), the sample is reproducible
+    across engines, runs, and partitionings — which is what a training
+    pipeline needs for stable held-out splits. Pure int64 arithmetic, so
+    it stays in whole-stage codegen and pushes down to the scan."""
+    return (
+        spark.table("orders")
+        .where((F.col("o_orderkey") * 2654435761) % 4294967296 < 214748365)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle=r"""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE / UNNEST — one row per token (LATERAL VIEW in SQL form).
+    Generators run inside codegen; the blow-up happens after the
+    filter, so only sampled docs pay it."""
+    d = spark.table("documents").where(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+
+
+@query(
+    "unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) — Spark's native unpivot/melt; the plan is
+    a single Expand node (one scan, no union of N scans)."""
+    p = spark.table("part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 100000.0),
+               ('mid', 100000.0, 250000.0),
+               ('large', 250000.0, 1000000000.0)
+    )
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a tiny bands dimension. Catalyst
+    plans BroadcastNestedLoopJoin — correct here because the build side
+    is rows-sized; a fact-fact range join would instead be rewritten to
+    a banded equi-join (bucket the range key, equi-join on bucket,
+    re-filter), same trick dedup blocking uses."""
+    from powersql_spark.operators.common import dsum
+
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 100000.0),
+            ("mid", 100000.0, 250000.0),
+            ("large", 250000.0, 1000000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = spark.table("orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
