@@ -6,6 +6,14 @@ Same file format as the reference:
     name = "project_1"
     models = ["models"]
     tests = ["tests"]
+    sources = "/data/parquet"   # engine extension, see below
+
+``sources`` (optional) names a directory of parquet source tables to
+register before analysis/execution — the Spark analog of the
+reference's backend-connection env vars (src/execute.rs:52-56): where
+PowerSQL's external tables simply already live in the warehouse, Spark
+needs them registered in the session catalog. A relative path resolves
+against the project dir; the CLI's --sources overrides it.
 """
 
 from __future__ import annotations
@@ -21,6 +29,13 @@ class PowerSqlConfig:
     models: list[str]
     tests: list[str] = field(default_factory=list)
     root: Path = Path(".")
+    sources: str | None = None
+
+    def sources_dir(self) -> str | None:
+        if self.sources is None:
+            return None
+        p = Path(self.sources)
+        return str(p if p.is_absolute() else self.root / p)
 
     def model_files(self) -> list[Path]:
         """Recursive walk of model dirs for *.sql (src/main.rs:331-342)."""
@@ -49,4 +64,5 @@ def load_config(project_dir: str | Path) -> PowerSqlConfig:
         models=list(project.get("models", [])),
         tests=list(project.get("tests", [])),
         root=root,
+        sources=project.get("sources"),
     )

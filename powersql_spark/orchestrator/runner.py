@@ -61,11 +61,15 @@ def load_project(project_dir: str | Path) -> Project:
     return Project(config=config, models=models, deps=deps, tests=tests)
 
 
-def _register_sources(spark: SparkSession, sources: str | None) -> None:
+def _register_sources(
+    spark: SparkSession, sources: str | None, project: Project
+) -> None:
     """External source tables must be present before analysis — the
     reference tolerates unknown sources via open typing
     (src/types.rs:121-123); Spark treats them as errors, so register
-    them up front (SURVEY.md §7 decision 2)."""
+    them up front (SURVEY.md §7 decision 2). Explicit ``sources`` wins;
+    otherwise the project config's ``sources`` entry applies."""
+    sources = sources or project.config.sources_dir()
     if sources:
         load_tables(spark, sources)
 
@@ -78,7 +82,7 @@ def check(
     Returns {model: schema DDL}. Strictly stronger than the reference's
     gradual Any-typing (SURVEY.md §1.2)."""
     project = load_project(project_dir)
-    _register_sources(spark, sources)
+    _register_sources(spark, sources, project)
     ex = SparkExecutor(spark, Path(project_dir) / "target")
     schemas: dict[str, str] = {}
     for name in project.order:
@@ -104,7 +108,7 @@ def run(
     """Materialize every model in dependency order (src/main.rs:387-415).
     Idempotent: re-running overwrites views/tables in place."""
     project = load_project(project_dir)
-    _register_sources(spark, sources)
+    _register_sources(spark, sources, project)
     ex = SparkExecutor(spark, Path(project_dir) / "target")
     if not parallel:
         for name in project.order:
@@ -172,7 +176,7 @@ def test(
     """Run ASSERT data tests; returns the exit code (0 ok, 1 failures),
     printing OK/ERROR per test (src/main.rs:430-454)."""
     project = load_project(project_dir)
-    _register_sources(spark, sources)
+    _register_sources(spark, sources, project)
     ex = SparkExecutor(spark, Path(project_dir) / "target")
     _restore_models(spark, project, ex)
     exit_code = 0
