@@ -7,6 +7,7 @@ from powersql_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
     asserts,
+    connectors,
     extensions,
     functions,
     joins,

@@ -1,0 +1,168 @@
+"""Format connectors and storage-layout sinks (extensions past the
+reference's parquet-only testdata surface; the reference's own I/O is
+entirely the warehouse's, src/execute.rs:101).
+
+These keys prove the engine ingests/emits the formats a reference user's
+warehouse would (CSV, JSON) and — more important at 100 TB — that it
+exploits Spark's storage-layout features: hive-style partitioned writes
+(partition pruning turns a 100 TB scan into a single-directory read) and
+bucketed tables (pre-shuffled storage makes repeated joins on the bucket
+key shuffle-free).
+
+The connector keys materialize their input from the registered testdata
+views first (eager, deterministic, overwrite-idempotent), then read it
+back through the format under test — so each callable stays
+self-contained on (spark, sf_dir) per the driver contract, and the
+DuckDB oracle reads the same intermediate file.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.operators.common import dsum
+from powersql_spark.registry import query
+
+_STAGE = os.path.join(tempfile.gettempdir(), "powersql_connectors")
+
+
+def _stage_path(name: str) -> str:
+    os.makedirs(_STAGE, exist_ok=True)
+    return os.path.join(_STAGE, name)
+
+
+@query(
+    "source_csv",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('{_stage_path("nation.csv")}', header = true,
+                  columns = {{'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
+                              'n_regionkey': 'BIGINT'}})
+    ORDER BY n_nationkey
+    """,
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an explicit schema (never infer at scale: schema
+    inference is an extra full pass over the data)."""
+    path = _stage_path("nation.csv")
+    pdf = spark.table("nation").orderBy("n_nationkey").toPandas()
+    pdf.to_csv(path, index=False)
+    return (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", "true")
+        .csv(path)
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "source_json",
+    oracle=f"""
+    SELECT r_regionkey, r_name
+    FROM read_json('{_stage_path("region.jsonl")}',
+                   columns = {{'r_regionkey': 'BIGINT', 'r_name': 'VARCHAR'}},
+                   format = 'newline_delimited')
+    ORDER BY r_regionkey
+    """,
+)
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema — the interchange format
+    of most LLM training corpora."""
+    path = _stage_path("region.jsonl")
+    pdf = spark.table("region").orderBy("r_regionkey").toPandas()
+    pdf.to_json(path, orient="records", lines=True)
+    return (
+        spark.read.schema("r_regionkey long, r_name string")
+        .json(path)
+        .orderBy("r_regionkey")
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + pruned read-back. The
+    read filters on the partition column, so Spark lists ONE directory
+    and never opens the others (PartitionFilters in .explain) — at
+    100 TB this is the difference between a full scan and a metadata
+    lookup. Partition columns must be low-cardinality (here: 3 values);
+    partitioning by a high-cardinality key creates a small-file storm."""
+    path = _stage_path("lineitem_by_flag")
+    (
+        spark.table("lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", "qty"))
+    )
+
+
+@query(
+    "sink_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed managed tables + bucket-join. Both sides are written
+    bucketed 8 ways on the join key; the join then requires NO exchange
+    (both children's output partitioning already satisfies the join's
+    requirement — .explain shows no Exchange above the scans). This is
+    THE storage-level answer to repeated big-big joins at 100 TB: pay
+    the shuffle once at write time, never again at read time."""
+    # DROP alone isn't enough: managed-table *locations* outlive the
+    # session-scoped in-memory catalog, and a fresh session refuses to
+    # create a managed table over a leftover directory.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (
+        spark.table("orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+    )
+    (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+    )
+    o = spark.table("orders_bkt")
+    li = spark.table("lineitem_bkt")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", "total"),
+        )
+    )
