@@ -2,4 +2,4 @@
 Structured Streaming variants of the same logic.
 """
 
-from powersql_spark.streaming import windows  # noqa: F401
+from powersql_spark.streaming import stateful, windows  # noqa: F401

@@ -63,6 +63,39 @@ def test_drop_duplicates_within_watermark(spark, sf_dir):
     assert n_stream == n_distinct
 
 
+def test_stateful_user_totals_multi_batch(spark, sf_dir):
+    """applyInPandasWithState across several micro-batches must converge
+    to the batch groupBy totals: stage events as 4 files, stream them
+    one file per trigger, compare final per-user state to batch."""
+    import math
+
+    from powersql_spark.streaming.stateful import (
+        run_streaming_user_totals,
+        stateful_user_totals,
+    )
+
+    load_tables(spark, sf_dir, ("events",))
+    staging = tempfile.mkdtemp(prefix="powersql_state_")
+    spark.table("events").repartition(4).write.mode("overwrite").parquet(
+        staging + "/events.parquet"
+    )
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stateful_user_totals(spark, sf_dir).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in run_streaming_user_totals(
+            spark, staging, "t_state_multi", max_files_per_trigger=1
+        ).collect()
+    }
+    assert set(batch) == set(stream)
+    for uid, (n_b, v_b) in batch.items():
+        n_s, v_s = stream[uid]
+        assert n_s == n_b, f"user {uid}: count {n_s} != {n_b}"
+        assert math.isclose(v_s, v_b, rel_tol=1e-9), f"user {uid} totals differ"
+
+
 def test_read_parquet_nanos_column(spark, sf_dir):
     df = read_parquet(spark, f"{sf_dir}/events.parquet")
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
