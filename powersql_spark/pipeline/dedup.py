@@ -165,8 +165,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Kept OUT of higher-order functions deliberately: HOF lambdas are
     interpreted (not codegen'd), and a nested-transform variant of this
-    signature was ~10x slower in bench.py."""
-    sh = _doc_shingles(spark).select("doc_id", "shingles")
+    signature was ~10x slower in bench.py.
+
+    The shingle set is used three times (signature build + both sides of
+    candidate verification); persisting it computes the CPU-heavy
+    shingling once. At 100 TB the equivalent move is materializing the
+    shingle/signature stage to parquet between pipeline phases."""
+    sh = (
+        _doc_shingles(spark)
+        .select("doc_id", "shingles")
+        .persist()
+    )
     base = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("h"))
