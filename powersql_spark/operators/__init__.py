@@ -10,6 +10,7 @@ from powersql_spark.operators import (  # noqa: F401
     connectors,
     extensions,
     functions,
+    functions_ext,
     joins,
     projection,
     scans,

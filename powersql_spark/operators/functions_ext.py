@@ -1,0 +1,186 @@
+"""Extended scalar-function families (beyond operators/functions.py's
+reference-parity set; the reference passes all function calls through
+opaquely, src/main.rs:117-121, typed Any at src/types.rs:94 — so the
+function library is the execution engine's. These keys document the
+breadth a warehouse user actually leans on).
+
+All JVM-side built-ins — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+
+@query(
+    "fn_regexp",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           regexp_matches(text, '\bdata\b') AS mentions_data
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract / extract-all / match. Compiled once per
+    task by codegen, not per row."""
+    d = spark.table("documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"))).alias(
+            "n_numbers"
+        ),
+        F.col("text").rlike(r"\bdata\b").alias("mentions_data"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash functions (cross-engine standardized, unlike
+    xxhash64/murmur — those are engine-specific and used internally for
+    dedup signatures)."""
+    c = spark.table("customer").where(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_size & 15 AS low_bits,
+           p_size | 16 AS with_flag,
+           xor(p_size, 255) AS xored,
+           p_size << 2 AS shifted
+    FROM part WHERE p_partkey <= 400
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND / OR / XOR / shift — flag fields and bit-packed
+    encodings."""
+    p = spark.table("part").where(F.col("p_partkey") <= 400)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").bitwiseAND(F.lit(15)).alias("low_bits"),
+        F.col("p_size").bitwiseOR(F.lit(16)).alias("with_flag"),
+        F.col("p_size").bitwiseXOR(F.lit(255)).alias("xored"),
+        F.shiftleft(F.col("p_size"), 2).alias("shifted"),
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(lower(text), ' ')))[1:5] AS first_toks,
+           len(string_split(text, ' ')) AS n_toks,
+           list_contains(string_split(lower(text), ' '), 'the') AS has_the
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pipeline: split -> distinct -> sort -> slice, plus
+    membership — the building blocks of the dedup/text operators, shown
+    as user-facing functions."""
+    d = spark.table("documents").where(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    ltoks = F.split(F.lower(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.slice(F.sort_array(F.array_distinct(ltoks)), 1, 5).alias(
+            "first_toks"
+        ),
+        F.size(toks).alias("n_toks"),
+        F.array_contains(ltoks, "the").alias("has_the"),
+    )
+
+
+@query(
+    "fn_sequence",
+    oracle="""
+    SELECT r_regionkey, unnest(range(0, 3)) AS step
+    FROM region
+    """,
+)
+def fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence generation + explode — row multiplication without a
+    join (the idiom behind sliding-window reconstruction and date
+    spines)."""
+    r = spark.table("region")
+    return r.select(
+        "r_regionkey",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("step"),
+    )
+
+
+@query(
+    "fn_string_advanced",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_id,
+           reverse(c_name) AS rev_name,
+           replace(c_name, 'Customer', 'Cust') AS short_name,
+           strpos(c_name, '#') AS hash_pos,
+           repeat('*', 3) AS stars,
+           CAST(translate(c_name, '#', '_') AS VARCHAR) AS underscored
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def fn_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-tier string ops: pad / reverse / replace / locate /
+    repeat / translate."""
+    c = spark.table("customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_id"),
+        F.reverse("c_name").alias("rev_name"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("short_name"),
+        F.locate("#", F.col("c_name")).alias("hash_pos"),
+        F.repeat(F.lit("*"), 3).alias("stars"),
+        F.translate("c_name", "#", "_").alias("underscored"),
+    )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN source = 'web' THEN 'https://example.org/docs/' || doc_id
+                ELSE NULL END AS url,
+           CASE WHEN source = 'web' THEN 'example.org' END AS host,
+           CASE WHEN source = 'web' THEN '/docs/' || doc_id END AS path
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + component extraction (parse_url) — provenance
+    tracking in crawl pipelines. The oracle mirrors the parse results
+    literally since DuckDB lacks parse_url."""
+    d = spark.table("documents").where(F.col("doc_id") < 150)
+    url = F.when(
+        F.col("source") == "web",
+        F.concat(F.lit("https://example.org/docs/"), F.col("doc_id")),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
