@@ -230,6 +230,56 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skyline_pareto",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-optimal set): parts not dominated on
+    (minimize retailprice, minimize size). Skyline-in-Spark-SQL is a
+    studied problem (EDBT 2023, PAPERS.md); the naive NOT EXISTS form
+    (the oracle) is an O(n^2) nested-loop join, while this plan is the
+    sort-scan rewrite:
+
+      distinct pairs -> min size per price (one shuffle, partial agg)
+      -> prefix-min scan over prices ascending -> semi-join back.
+
+    A pair is in the skyline iff its size beats the running min of all
+    strictly cheaper prices; identical duplicate points don't dominate
+    each other (strict domination), which the semi-join back preserves.
+    The final ordered scan runs over at most |distinct prices| rows —
+    at 100 TB the same shape holds with a partition-local prefix-min
+    first (each partition's local skyline is tiny), so the global scan
+    never sees raw data volume."""
+    p = spark.table("part").select("p_partkey", "p_retailprice", "p_size")
+    # Only the min-size pair per price can survive (same price, larger
+    # size => strictly dominated).
+    per_price = (
+        p.groupBy("p_retailprice")
+        .agg(F.min("p_size").alias("p_size"))
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_pairs = (
+        per_price.withColumn("prev_min", F.min("p_size").over(w))
+        .where(F.col("prev_min").isNull() | (F.col("p_size") < F.col("prev_min")))
+        .select("p_retailprice", "p_size")
+    )
+    return p.join(
+        F.broadcast(sky_pairs), ["p_retailprice", "p_size"], "left_semi"
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
     "limit_offset",
     oracle="""
     SELECT o_orderkey, o_totalprice

@@ -16,6 +16,7 @@ real image bytes: map-only stages, no shuffle, Arrow batches bounded by
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -99,6 +100,102 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0), F.col("n_chars").cast("int") - 1, F.lit(100)
     )
     return d.select("doc_id", F.explode(offsets).alias("frame_offset"))
+
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int"
+)
+
+
+def _resize_plan_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Fit-within-256 resize arithmetic on decoded dims. The actual
+    pixel work would happen here with PIL present; the batch shape,
+    schema, and scaling math are the real contract."""
+    for pdf in batches:
+        metas = [_decode_image_meta(p) for p in pdf["payload"]]
+        w = pd.Series([m[0] for m in metas])
+        h = pd.Series([m[1] for m in metas])
+        scale = (256 / w.combine(h, max)).clip(upper=1.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "width": w,
+                "height": h,
+                # floor, not round: must match the oracle's FLOOR and
+                # be identical float64 math in both engines
+                "out_w": (w * scale).apply(math.floor).clip(lower=1),
+                "out_h": (h * scale).apply(math.floor).clip(lower=1),
+            }
+        )
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               (length(text) % 640) + 1 AS width,
+               ((length(text) * 7) % 480) + 1 AS height
+        FROM documents
+    )
+    SELECT doc_id, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(GREATEST(FLOOR(width * LEAST(256.0 / GREATEST(width, height), 1.0)), 1)
+                AS INTEGER) AS out_w,
+           CAST(GREATEST(FLOOR(height * LEAST(256.0 / GREATEST(width, height), 1.0)), 1)
+                AS INTEGER) AS out_h
+    FROM dims
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (fit within 256px, aspect-preserving): decode
+    -> compute target dims -> (with a codec present) rewrite pixels.
+    Map-only mapInPandas — no shuffle; at 100 TB this stage scales
+    embarrassingly with executor count."""
+    d = spark.table("documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_resize_plan_batches, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           length(text) / 32000.0 AS duration_s,
+           CAST(length(text) % 256 AS DOUBLE) / 255.0 AS rms_stub
+    FROM documents WHERE n_chars >= 100
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: treat the payload as 16-bit
+    PCM at 16 kHz (duration = bytes / 32000); RMS is a deterministic
+    stub (no audio libs in this container — a real librosa/soxr decode
+    drops into the same mapInPandas slot). Arrow batch in, typed
+    features out, map-only."""
+    d = spark.table("documents").where(F.col("n_chars") >= 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": n,
+                    "duration_s": n / 32000.0,
+                    "rms_stub": (n % 256) / 255.0,
+                }
+            )
+
+    return d.mapInPandas(
+        feats,
+        schema="doc_id bigint, n_bytes bigint, duration_s double, rms_stub double",
+    )
 
 
 def decode_image_column(df: DataFrame, payload_col: str = "payload") -> DataFrame:
