@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import dsum
 from powersql_spark.registry import query
 
 
@@ -238,6 +239,43 @@ def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["p_size", "p_retailprice"],
         variableColumnName="metric",
         valueColumnName="val",
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted join for skewed keys. A hot key (one user with
+    millions of events) lands its entire shuffle partition on one task;
+    salting splits it: the skewed side gets a random-ish salt in
+    [0, S), the build side is replicated S ways via explode, and the
+    join key becomes (key, salt) — the hot key now spreads across S
+    tasks. AQE's skew-join handles the sort-merge case automatically;
+    explicit salting is the portable version (works for broadcast-less
+    hash joins, streaming joins, and engines without AQE). Salt here is
+    a deterministic hash of the row (event_id % S), never rand() —
+    results must not depend on the draw."""
+    S = 8
+    e = spark.table("events").withColumn(
+        "salt", (F.col("event_id") % S).cast("int")
+    )
+    o = spark.table("orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    return (
+        e.join(
+            o,
+            (e.user_id == o.o_custkey) & (e.salt == o.salt),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
     )
 
 
