@@ -154,3 +154,82 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     ).limit(_TOPK)
+
+
+@query(
+    "sim_join_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(list_extract(a.embedding, i) AS DOUBLE)
+                        * CAST(list_extract(b.embedding, i) AS DOUBLE)))
+                 / (a.nrm * b.nrm), 4) AS cosine
+        FROM v a JOIN v b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 50
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def sim_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similarity JOIN (EDBT 2020's problem shape, PAPERS.md):
+    the 3 nearest neighbors for EVERY query vector, not one query.
+    Blocked by label (the IVF-cell stand-in) so the pair space is
+    within-block; per-query top-k via a rank window partitioned by the
+    query, so no global sort. At 100 TB: block -> score -> per-key
+    window is one shuffle on the block key plus one on the query key —
+    the pattern holds for any pairwise scoring function."""
+    e = spark.table("embeddings")
+    v = e.select(
+        "vec_id", "label", _to_double("embedding").alias("emb")
+    ).withColumn("nrm", _norm(F.col("emb")))
+    a = v.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("emb").alias("nemb"),
+        F.col("nrm").alias("nnrm"),
+    )
+    scored = (
+        a.join(b, "label")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qemb"), F.col("nemb"))
+                / (F.col("qnrm") * F.col("nnrm")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )
