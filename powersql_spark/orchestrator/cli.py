@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
             )
     sub.choices["test"].add_argument("--fail-fast", action="store_true")
     sub.choices["run"].add_argument("--parallel", action="store_true")
+    sub.choices["run"].add_argument(
+        "--model",
+        default=None,
+        help="materialize only this model and its upstream closure",
+    )
     args = p.parse_args(argv)
 
     from powersql_spark.orchestrator import runner
@@ -54,7 +59,11 @@ def _dispatch(args: argparse.Namespace, runner) -> int:
         return 0
     if args.command == "run":
         order = runner.run(
-            spark, args.project, args.sources, parallel=args.parallel
+            spark,
+            args.project,
+            args.sources,
+            parallel=args.parallel,
+            model=args.model,
         )
         for name in order:
             print(f"materialized {name}")

@@ -99,24 +99,49 @@ def check(
     return schemas
 
 
+def _ancestor_closure(deps: dict[str, list[str]], target: str) -> set[str]:
+    """The target plus everything it transitively reads — the minimal
+    subgraph whose materialization makes ``target`` valid."""
+    if target not in deps:
+        raise ValueError(f"Model {target} not found")
+    keep: set[str] = set()
+    stack = [target]
+    while stack:
+        cur = stack.pop()
+        if cur in keep:
+            continue
+        keep.add(cur)
+        stack.extend(deps[cur])
+    return keep
+
+
 def run(
     spark: SparkSession,
     project_dir: str | Path,
     sources: str | None = None,
     parallel: bool = False,
+    model: str | None = None,
 ) -> list[str]:
     """Materialize every model in dependency order (src/main.rs:387-415).
-    Idempotent: re-running overwrites views/tables in place."""
+    Idempotent: re-running overwrites views/tables in place. ``model``
+    restricts the run to one model plus its upstream closure (the
+    dbt-style selector the reference lacks — at real scale you rebuild
+    the subgraph that changed, not the whole project)."""
     project = load_project(project_dir)
     _register_sources(spark, sources, project)
     ex = SparkExecutor(spark, Path(project_dir) / "target")
+    order = project.order
+    if model is not None:
+        keep = _ancestor_closure(project.deps, model)
+        order = [n for n in order if n in keep]
     if not parallel:
-        for name in project.order:
+        for name in order:
             ex.execute(project.models[name])
-        return project.order
+        return order
 
     # Kahn with concurrent submission of ready models.
-    graph = build_graph(project.deps)
+    sub_deps = {n: project.deps[n] for n in order}
+    graph = build_graph(sub_deps)
     done: list[str] = []
     with ThreadPoolExecutor(max_workers=8) as pool:
         futures = {}

@@ -219,6 +219,19 @@ def test_run_twice_idempotent_and_test_pass(spark, capsys):
     assert out.count("...OK") == 5
 
 
+def test_run_selected_model_and_closure(spark):
+    """--model selection: materialize one model plus its upstream
+    closure only (dbt-style subgraph rebuild)."""
+    from powersql_spark.orchestrator.runner import run
+
+    order = run(spark, PROJECT, sources=SOURCES, model="rev_per_product")
+    assert order == ["revenue", "rev_per_product"]  # top_products excluded
+    assert spark.table("rev_per_product").count() > 0
+
+    with pytest.raises(ValueError, match="Model nope not found"):
+        run(spark, PROJECT, sources=SOURCES, model="nope")
+
+
 def test_run_parallel_matches_serial(spark):
     from powersql_spark.orchestrator.runner import run
 
