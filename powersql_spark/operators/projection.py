@@ -308,3 +308,25 @@ def expr_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~(F.col("o_orderstatus") == "F")
         )
     ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "pred_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_name LIKE '%green%'
+      AND p_type NOT LIKE 'SMALL%'
+      AND p_brand LIKE 'Brand#_3'
+    """,
+)
+def pred_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE with % and _ wildcards. A leading-anchored
+    pattern (prefix LIKE) can push to parquet as a range filter;
+    %-leading patterns are full scans by nature."""
+    p = spark.table("part")
+    return p.where(
+        F.col("p_name").like("%green%")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_brand").like("Brand#_3")
+    ).select("p_partkey", "p_name", "p_type")

@@ -157,3 +157,33 @@ def subq_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY kind
         """
     )
+
+
+@query(
+    "subq_correlated",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_extendedprice
+    FROM lineitem a
+    WHERE l_extendedprice = (
+        SELECT MIN(l_extendedprice) FROM lineitem b
+        WHERE b.l_partkey = a.l_partkey
+    )
+    ORDER BY l_partkey, l_orderkey
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (cheapest line per part — the TPC-H Q2
+    pattern). Catalyst decorrelates it into aggregate + join, i.e. the
+    rewrite you'd hand-write at scale: one groupBy shuffle on the
+    correlation key plus one join, NOT a per-row subquery execution."""
+    return spark.sql(
+        """
+        SELECT l_partkey, l_orderkey, l_extendedprice
+        FROM lineitem a
+        WHERE l_extendedprice = (
+            SELECT MIN(l_extendedprice) FROM lineitem b
+            WHERE b.l_partkey = a.l_partkey
+        )
+        ORDER BY l_partkey, l_orderkey
+        """
+    )

@@ -63,6 +63,46 @@ def test_drop_duplicates_within_watermark(spark, sf_dir):
     assert n_stream == n_distinct
 
 
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """session_window under readStream (watermark, availableNow) must
+    produce the same sessions as the batch twin."""
+    from powersql_spark.catalog import read_parquet_stream
+    from powersql_spark.operators.common import dsum
+    from powersql_spark.streaming.windows import window_session
+
+    load_tables(spark, sf_dir, ("events",))
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in window_session(spark, sf_dir).collect()
+    }
+    stream_df = (
+        read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+    ckpt = tempfile.mkdtemp(prefix="powersql_ckpt_sess_")
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sess_stream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in spark.table("t_sess_stream").collect()
+    }
+    assert batch == stream
+
+
 def test_stateful_user_totals_multi_batch(spark, sf_dir):
     """applyInPandasWithState across several micro-batches must converge
     to the batch groupBy totals: stage events as 4 files, stream them
