@@ -84,9 +84,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=rf"""
+_NGRAM_PAIRS_SQL = rf"""
     WITH sh AS (
         SELECT doc_id, lang, source,
                CAST(n_chars // 64 AS INTEGER) AS len_bucket,
@@ -111,8 +109,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (len(a.shingles) + len(b.shingles)
                 - len(list_intersect(a.shingles, b.shingles)))
           >= {_JACCARD_THRESHOLD}
-    """,
-)
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: candidate pairs only within
     (lang, source, length-bucket) blocks, exact word-bigram Jaccard per
@@ -368,4 +368,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine.alias("cosine"),
         )
         .where(F.col("cosine") >= 0.4)
+    )
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+        UNION
+        SELECT doc_id AS a, doc_id AS b
+        FROM documents
+        WHERE doc_id IN (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs)
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id,
+           (MIN(b) = a) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of near-duplicate pairs -> cluster IDs — the
+    step every real dedup pipeline needs after pair generation (A~B and
+    B~C must collapse to ONE cluster even when A~C was never scored).
+    cluster_id = min doc_id reachable; is_canonical marks the keeper.
+
+    Algorithm: iterative min-label propagation (the simplified
+    large-star idea): each round, every node takes the min label in its
+    closed neighborhood; converges in O(graph diameter) rounds — near-dup
+    clusters are shallow, so a handful of shuffles on the edge key. Each
+    round persists its label frontier and counts changes (the
+    convergence check IS the action that materializes the round).
+    Driver-side loop, executor-side data: nothing ever collects.
+
+    Oracle: recursive-CTE transitive closure in DuckDB (exact same
+    cluster labeling, engine-independent because labels are min ids,
+    not traversal order).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .persist()
+    )
+    for _ in range(20):  # cap >> any real near-dup cluster diameter
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("lab"),
+                (F.col("nlab") < F.col("lab")).alias("changed"),
+            )
+            .persist()
+        )
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "lab").persist()
+        new_labels.unpersist()
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("lab") == F.col("node")).alias("is_canonical"),
     )
