@@ -15,7 +15,7 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="powersql")
     sub = p.add_subparsers(dest="command", required=True)
-    for cmd in ("check", "run", "test", "docs"):
+    for cmd in ("check", "run", "test", "docs", "explain"):
         sp = sub.add_parser(cmd)
         sp.add_argument("--project", default=".", help="project dir with powersql.toml")
         if cmd != "docs":
@@ -26,11 +26,12 @@ def main(argv: list[str] | None = None) -> int:
             )
     sub.choices["test"].add_argument("--fail-fast", action="store_true")
     sub.choices["run"].add_argument("--parallel", action="store_true")
-    sub.choices["run"].add_argument(
-        "--model",
-        default=None,
-        help="materialize only this model and its upstream closure",
-    )
+    for cmd in ("run", "explain"):
+        sub.choices[cmd].add_argument(
+            "--model",
+            default=None,
+            help="restrict to this model and its upstream closure",
+        )
     args = p.parse_args(argv)
 
     from powersql_spark.orchestrator import runner
@@ -72,6 +73,13 @@ def _dispatch(args: argparse.Namespace, runner) -> int:
         return runner.test(
             spark, args.project, args.sources, fail_fast=args.fail_fast
         )
+    if args.command == "explain":
+        plans = runner.explain(
+            spark, args.project, args.sources, model=args.model
+        )
+        for name, plan in plans.items():
+            print(f"== {name} ==\n{plan}")
+        return 0
     return 2
 
 

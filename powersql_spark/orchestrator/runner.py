@@ -217,6 +217,33 @@ def test(
     return exit_code
 
 
+def explain(
+    spark: SparkSession,
+    project_dir: str | Path,
+    sources: str | None = None,
+    model: str | None = None,
+) -> dict[str, str]:
+    """Formatted physical plan per model without executing anything —
+    what the reference cannot offer at all (its EXPLAIN would be the
+    remote warehouse's). Models are analyzed in topo order so
+    downstream plans resolve against upstream views."""
+    project = load_project(project_dir)
+    _register_sources(spark, sources, project)
+    ex = SparkExecutor(spark, Path(project_dir) / "target")
+    order = project.order
+    if model is not None:
+        keep = _ancestor_closure(project.deps, model)
+        order = [n for n in order if n in keep]
+    plans: dict[str, str] = {}
+    for name in order:
+        df = ex.analyze(project.models[name])
+        df.createOrReplaceTempView(name)
+        plans[name] = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    return plans
+
+
 def docs(project_dir: str | Path) -> Path:
     """Emit docs/docs.md: one heading per model + the dependency arrows
     the reference computes but never writes (src/main.rs:416-429) as a

@@ -232,6 +232,19 @@ def test_run_selected_model_and_closure(spark):
         run(spark, PROJECT, sources=SOURCES, model="nope")
 
 
+def test_explain_command(spark):
+    """explain: formatted plan per model, analysis only, closure-aware.
+    Column pruning must reach the scan (the revenue model reads 3 of
+    lineitem's 11 columns)."""
+    from powersql_spark.orchestrator.runner import explain
+
+    plans = explain(spark, PROJECT, sources=SOURCES, model="rev_per_product")
+    assert set(plans) == {"revenue", "rev_per_product"}
+    assert "Scan parquet" in plans["revenue"]
+    assert "ReadSchema: struct<l_partkey:bigint" in plans["revenue"]
+    assert "HashAggregate" in plans["rev_per_product"]
+
+
 def test_run_parallel_matches_serial(spark):
     from powersql_spark.orchestrator.runner import run
 
