@@ -166,3 +166,32 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "total"),
         )
     )
+
+
+@query(
+    "sink_sorted",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 10000 AND 10500
+    """,
+)
+def sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-on-write + range-filtered read-back. repartitionByRange +
+    sortWithinPartitions clusters each output file on the key, so
+    parquet row-group min/max statistics make a key-range predicate skip
+    whole row groups — the single cheapest storage-layout win for
+    range-filtered scans at 100 TB (the poor man's Z-order for one
+    dimension)."""
+    path = _stage_path("orders_sorted")
+    (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).where(
+        F.col("o_orderkey").between(10000, 10500)
+    )

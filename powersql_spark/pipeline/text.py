@@ -134,3 +134,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.table("documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@query(
+    "text_chunk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(start - 1 AS INTEGER) AS chunk_start,
+           array_to_string(t[start : start + 63], ' ') AS chunk_text,
+           CAST(LEAST(64, len(t) - start + 1) AS INTEGER) AS chunk_len
+    FROM toks, unnest(range(1, GREATEST(len(t), 1) + 1, 48)) AS u(start)
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks with 16-token overlap
+    (stride 48) — THE packing primitive before tokenization in a
+    training pipeline. Offsets via sequence + explode (codegen, no
+    Python, no shuffle); each chunk slices the token array in place.
+    At 100 TB: map-only, output partitioning inherits the input's."""
+    d = spark.table("documents")
+    toks = _tokens()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(48))
+    return (
+        d.select("doc_id", toks.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("chunk_start"),
+            F.array_join(F.slice("t", F.col("s") + 1, 64), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(64), F.size("t") - F.col("s")).cast("int").alias(
+                "chunk_len"
+            ),
+        )
+    )
