@@ -79,6 +79,7 @@ HEADLINE = {
     "q13_forecast_revenue": "tpch_q6",
     "q14_returned_items": "tpch_q10",
     "q15_keep_latest": "window_qualify",
+    "q16_chunking": "text_chunk",
 }
 
 
