@@ -319,3 +319,38 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT c_mktsegment,
+           min(n_name) FILTER (WHERE rk = 1) AS top_nation
+    FROM (
+        SELECT c_mktsegment, n_name, COUNT(*) AS n,
+               rank() OVER (PARTITION BY c_mktsegment ORDER BY COUNT(*) DESC) AS rk
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment, n_name
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value per group (mode), tie-broken by name — via
+    count + rank, the portable two-shuffle form (Spark's mode() and
+    DuckDB's mode() tie-break differently, so the rewrite IS the
+    deterministic contract)."""
+    c = spark.table("customer")
+    n = spark.table("nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc())
+    return (
+        counts.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") == 1)
+        .groupBy("c_mktsegment")
+        .agg(F.min("n_name").alias("top_nation"))
+    )

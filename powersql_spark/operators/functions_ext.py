@@ -184,3 +184,37 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("HOST")).alias("host"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
     )
+
+
+@query(
+    "fn_json_typed",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS INTEGER)
+                AS DECIMAL(18,6))) AS DOUBLE) AS k_total
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+    GROUP BY event_type
+    """,
+)
+def fn_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with from_json + schema (vs per-field
+    get_json_object): ONE parse per row materializes every needed field;
+    N get_json_object calls parse the document N times. The difference
+    compounds at 100 TB — always from_json with an explicit schema for
+    multi-field extraction."""
+    e = spark.table("events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.where(F.col("p.k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p.k").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("k_total"),
+        )
+    )

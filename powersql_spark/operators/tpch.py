@@ -320,3 +320,50 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 21)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+            AND l_quantity BETWEEN 15 AND 35)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+            AND l_quantity BETWEEN 25 AND 50))
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted-revenue shape: equi-join plus a disjunction
+    of conjunctive band predicates spanning BOTH sides. Catalyst keeps
+    the equi-key as the join condition and evaluates the OR-of-ANDs as a
+    post-join filter, while the single-side conjuncts it can factor out
+    (p_brand IN (...), p_size/l_quantity hull ranges) push to the scans."""
+    li = spark.table("lineitem")
+    p = spark.table("part")
+    cond = (
+        (
+            (p.p_brand == "Brand#1")
+            & p.p_size.between(1, 15)
+            & li.l_quantity.between(1, 21)
+        )
+        | (
+            (p.p_brand == "Brand#2")
+            & p.p_size.between(10, 30)
+            & li.l_quantity.between(15, 35)
+        )
+        | (
+            (p.p_brand == "Brand#3")
+            & p.p_size.between(20, 50)
+            & li.l_quantity.between(25, 50)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(dsum(rev, "revenue"))
+    )
