@@ -354,3 +354,64 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.min("n_name").alias("top_nation"))
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE — first and latest order price per
+    customer in one window pass. LAST_VALUE needs the full-partition
+    frame (the default frame stops at CURRENT ROW — the classic
+    silent-wrong-answer; made explicit here)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        spark.table("orders")
+        .select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "pred_null_safe_eq",
+    oracle="""
+    SELECT a.event_id AS ea, b.event_id AS eb
+    FROM (SELECT event_id, CASE WHEN value < 10 THEN NULL
+                                ELSE CAST(FLOOR(value / 20) AS INTEGER) END AS vb
+          FROM events WHERE event_id < 500) a
+    JOIN (SELECT event_id, CASE WHEN value < 10 THEN NULL
+                                ELSE CAST(FLOOR(value / 20) AS INTEGER) END AS vb
+          FROM events WHERE event_id < 500) b
+      ON a.vb IS NOT DISTINCT FROM b.vb AND a.event_id < b.event_id
+    """,
+)
+def pred_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) as a JOIN key:
+    NULL matches NULL, unlike plain =. Spark plans it as a proper
+    equi-join (hashable), not a nested loop — which is why it's the
+    right way to join on nullable keys at scale."""
+    e = spark.table("events").where(F.col("event_id") < 500)
+    vb = F.when(
+        F.col("value") < 10, F.lit(None).cast("int")
+    ).otherwise(F.floor(F.col("value") / 20).cast("int"))
+    a = e.select(F.col("event_id").alias("ea"), vb.alias("vba"))
+    b = e.select(F.col("event_id").alias("eb"), vb.alias("vbb"))
+    return (
+        a.join(b, a.vba.eqNullSafe(b.vbb) & (a.ea < b.eb))
+        .select("ea", "eb")
+    )

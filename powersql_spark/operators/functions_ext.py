@@ -218,3 +218,45 @@ def fn_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k_total"),
         )
     )
+
+
+@query(
+    "fn_date_spine",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                      INTERVAL 1 DAY))::DATE AS d
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT spine.d AS day, COALESCE(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def fn_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date spine: a generated calendar left-joined to the data so
+    gap days appear as zeros — the prerequisite for any time series
+    that must not silently skip empty periods. The spine generates on
+    the fly (sequence + explode, no stored calendar table) and
+    broadcasts into the aggregate."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, spine.day == daily.d, "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_orders"))
+    )

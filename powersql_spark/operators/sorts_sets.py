@@ -210,3 +210,23 @@ def window_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 5)
     )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 30
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference (multiplicity-preserving), vs
+    EXCEPT's set semantics. Catalyst rewrites it to a count-compare
+    aggregate + generate, one shuffle."""
+    li = spark.table("lineitem")
+    a = li.where(F.col("l_quantity") > 30).select("l_partkey")
+    b = li.where(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)
+    ).select("l_partkey")
+    return a.exceptAll(b)
