@@ -173,3 +173,32 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER)
+               AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer count (GPT-2-style split: contraction
+    suffixes, space-prefixed letter runs, digit runs, punctuation runs)
+    next to the whitespace count — the standard cheap estimate of LLM
+    token cost before running a real tokenizer. ASCII classes keep the
+    regex identical under Java regex (Spark) and RE2 (DuckDB)."""
+    d = spark.table("documents")
+    pat = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(_tokens()).alias("n_ws_tokens"),
+    )
