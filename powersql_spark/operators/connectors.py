@@ -99,15 +99,16 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup. Partition columns must be low-cardinality (here: 3 values);
     partitioning by a high-cardinality key creates a small-file storm."""
     path = _stage_path("lineitem_by_flag")
-    (
-        spark.table("lineitem")
-        .select("l_returnflag", "l_linestatus", "l_quantity")
-        .write.mode("overwrite")
-        .partitionBy("l_returnflag")
-        .parquet(path)
+    out = spark.table("lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
     )
+    out.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    # Explicit schema on read-back: an all-empty write leaves no files
+    # to infer from (and at scale, inference over thousands of files is
+    # a wasted listing pass anyway).
     return (
-        spark.read.parquet(path)
+        spark.read.schema(out.schema)
+        .parquet(path)
         .where(F.col("l_returnflag") == "R")
         .groupBy("l_linestatus")
         .agg(F.count("*").alias("n"), dsum("l_quantity", "qty"))
