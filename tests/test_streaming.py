@@ -191,6 +191,48 @@ def test_streaming_checkpoint_incremental_restart(spark, sf_dir):
     assert p1["numInputRows"] == sum(expect1.values())
 
 
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment join: a streaming events source joined
+    to the static orders table (dimension lookup per micro-batch) must
+    match the batch join."""
+    from powersql_spark.catalog import read_parquet_stream
+
+    load_tables(spark, sf_dir, ("events", "orders"))
+    orders_dim = spark.table("orders").select(
+        F.col("o_orderkey").alias("user_id"), "o_orderpriority"
+    )
+    batch = {
+        (r["o_orderpriority"],): r["n"]
+        for r in (
+            spark.table("events")
+            .join(orders_dim, "user_id")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    stream = (
+        read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+        .join(orders_dim, "user_id")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="powersql_ckpt_ssj_")
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_ssj")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["o_orderpriority"],): r["n"] for r in spark.table("t_ssj").collect()
+    }
+    assert got == batch
+
+
 def test_read_parquet_nanos_column(spark, sf_dir):
     df = read_parquet(spark, f"{sf_dir}/events.parquet")
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
