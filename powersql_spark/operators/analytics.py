@@ -415,3 +415,59 @@ def pred_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.vba.eqNullSafe(b.vbb) & (a.ea < b.eb))
         .select("ea", "eb")
     )
+
+
+@query(
+    "agg_filter",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) on aggregates — conditional aggregation in
+    one pass over the data instead of N filtered scans (the CASE WHEN
+    trick, as first-class syntax)."""
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("discounted_rev"),
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST — relative standing within the whole
+    ordered set. An un-partitioned window is a single-task sort; fine
+    for dimension-sized inputs (suppliers), never for facts — partition
+    or pre-aggregate first at scale."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    return spark.table("supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
