@@ -80,6 +80,7 @@ HEADLINE = {
     "q14_returned_items": "tpch_q10",
     "q15_keep_latest": "window_qualify",
     "q16_chunking": "text_chunk",
+    "q17_training_funnel": "pipeline_training_data",
 }
 
 

@@ -202,3 +202,87 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(_tokens()).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "pipeline_training_data",
+    oracle=rf"""
+    WITH quality AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+        WHERE lang = 'en'
+    ),
+    scored AS (
+        SELECT doc_id, text, len(t) AS n_tokens,
+               CAST(len(list_filter(t, x -> x IN ({_SW_SQL}))) AS DOUBLE)
+                   / len(t) AS sw_ratio
+        FROM quality
+        WHERE len(t) >= 10
+    ),
+    kept AS (
+        SELECT doc_id, text, n_tokens FROM scored WHERE sw_ratio >= 0.05
+    ),
+    fp AS (
+        SELECT doc_id, text, n_tokens,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        FROM kept
+    ),
+    canonical AS (
+        SELECT doc_id, text, n_tokens
+        FROM (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+              FROM fp)
+        WHERE rn = 1
+    )
+    SELECT doc_id,
+           CAST(start - 1 AS INTEGER) AS chunk_start,
+           array_to_string(
+               string_split_regex(trim(text), '\s+')[start : start + 63],
+               ' ') AS chunk_text
+    FROM canonical,
+         unnest(range(1, GREATEST(n_tokens, 1) + 1, 48)) AS u(start)
+    """,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data funnel as ONE declarative plan:
+    language filter -> length + stopword-ratio quality gate -> exact
+    dedup (keep lowest doc_id per fingerprint) -> sliding-window
+    chunking. Because it's a single DataFrame chain, Catalyst fuses the
+    filters into the scan, the dedup is the only shuffle, and chunking
+    explodes AFTER dedup so dropped documents never pay chunking cost.
+    The per-stage operators exist as standalone keys (text_quality_score,
+    dedup_exact, text_chunk); this key proves they compose."""
+    d = spark.table("documents").where(F.col("lang") == "en")
+    toks = _tokens()
+    n = F.size(toks)
+    scored = (
+        d.select("doc_id", "text", toks.alias("t"), n.alias("n_tokens"))
+        .where(F.col("n_tokens") >= 10)
+        .withColumn(
+            "sw_ratio",
+            F.size(F.filter("t", lambda x: x.isin(*_STOPWORDS))).cast("double")
+            / F.col("n_tokens"),
+        )
+        .where(F.col("sw_ratio") >= 0.05)
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("f").orderBy("doc_id")
+    canonical = (
+        scored.withColumn("f", F.md5(norm))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)), F.lit(48)
+    )
+    return canonical.select(
+        "doc_id", "t", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s").cast("int").alias("chunk_start"),
+        F.array_join(F.slice("t", F.col("s") + 1, 64), " ").alias(
+            "chunk_text"
+        ),
+    )
