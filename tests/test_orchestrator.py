@@ -232,6 +232,42 @@ def test_run_selected_model_and_closure(spark):
         run(spark, PROJECT, sources=SOURCES, model="nope")
 
 
+def test_run_parallel_wide_dag(spark, tmp_path):
+    """Diamond DAG (4 independent mid-layer models + a union sink):
+    parallel run must respect dependencies and match serial results."""
+    (tmp_path / "powersql.toml").write_text(
+        '[project]\nname = "wide"\nmodels = ["models"]\n'
+    )
+    mdir = tmp_path / "models"
+    mdir.mkdir()
+    mids = []
+    for seg in ("BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD"):
+        name = f"seg_{seg.lower()}"
+        mids.append(name)
+        (mdir / f"{name}.sql").write_text(
+            f"CREATE VIEW {name} AS "
+            f"SELECT c_custkey, c_acctbal FROM base_customers "
+            f"WHERE c_mktsegment = '{seg}'"
+        )
+    (mdir / "base.sql").write_text(
+        "CREATE VIEW base_customers AS "
+        "SELECT c_custkey, c_acctbal, c_mktsegment FROM customer"
+    )
+    union_sql = " UNION ALL ".join(f"SELECT * FROM {m}" for m in mids)
+    (mdir / "all_segs.sql").write_text(
+        f"CREATE TABLE all_segs AS {union_sql}"
+    )
+    from powersql_spark.orchestrator.runner import run
+
+    serial = run(spark, tmp_path, sources=SOURCES)
+    n_serial = spark.table("all_segs").count()
+    done = run(spark, tmp_path, sources=SOURCES, parallel=True)
+    assert set(done) == set(serial) == {"base_customers", "all_segs", *mids}
+    assert done.index("base_customers") == 0
+    assert done.index("all_segs") == len(done) - 1
+    assert spark.table("all_segs").count() == n_serial > 0
+
+
 def test_explain_command(spark):
     """explain: formatted plan per model, analysis only, closure-aware.
     Column pruning must reach the scan (the revenue model reads 3 of
