@@ -471,3 +471,52 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "incr_new_rows",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    WHERE e.event_id % 3 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_id % 3 = 0 AND p.event_id = e.event_id
+    )
+    """,
+)
+def incr_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest idiom: new rows = source ANTI JOIN processed
+    (here: rows with event_id % 3 == 0 stand in for the already-loaded
+    set). One shuffled/broadcast anti join, no full-table diff — how a
+    100 TB pipeline takes a delta without reprocessing history."""
+    e = spark.table("events")
+    processed = e.where(F.col("event_id") % 3 == 0).select("event_id")
+    return (
+        e.where(F.col("event_id") % 3 != 0)
+        .join(processed, "event_id", "left_anti")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT r_name,
+           list_sort(list_distinct(list(n_name))) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sorted array: set-valued aggregation with a
+    deterministic representation (collect order varies with
+    partitioning, so the sort is what makes the result reproducible —
+    and hash-comparable)."""
+    n = spark.table("nation")
+    r = F.broadcast(spark.table("region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+    )
