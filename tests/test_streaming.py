@@ -233,6 +233,72 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_foreach_batch_upsert(spark, sf_dir):
+    """foreachBatch upsert: merge each micro-batch's per-user aggregate
+    into a versioned parquet state table (read current + combine +
+    write next version + advance a pointer — the MERGE-less upsert that
+    works on plain parquet). Final state must equal the batch aggregate
+    over all input, across multiple micro-batches."""
+    import os
+
+    load_tables(spark, sf_dir, ("events",))
+    events = spark.table("events")
+    root = tempfile.mkdtemp(prefix="powersql_upsert_")
+    src = f"{root}/in/events.parquet"
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    state_root, ptr = f"{root}/state", f"{root}/LATEST"
+
+    def current_state():
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return spark.read.parquet(fh.read().strip())
+
+    def upsert(batch_df, batch_id: int):
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+        cur = current_state()
+        combined = agg if cur is None else (
+            cur.unionByName(agg)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+        )
+        nxt = f"{state_root}/v{batch_id}"
+        combined.write.mode("overwrite").parquet(nxt)
+        with open(ptr + ".tmp", "w") as fh:
+            fh.write(nxt)
+        os.replace(ptr + ".tmp", ptr)  # atomic pointer swap
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user_id"]: (r["n"], float(r["v"]))
+        for r in current_state().collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], float(r["v"]))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
 def test_read_parquet_nanos_column(spark, sf_dir):
     df = read_parquet(spark, f"{sf_dir}/events.parquet")
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
