@@ -316,6 +316,26 @@ def test_failing_assert_and_fail_fast(spark, tmp_path, capsys):
     assert "has rows" not in out  # stopped at first failure
 
 
+def test_pipeline_example_project(spark, capsys):
+    """The second example project (examples/pipeline): the LLM
+    training-data funnel expressed as orchestrated models over the
+    documents source, with 4 ASSERT data tests."""
+    import shutil
+
+    from powersql_spark.orchestrator.runner import run, test as run_tests
+
+    try:
+        order = run(spark, "examples/pipeline")
+        assert order == ["scored_docs", "kept_docs", "doc_chunks"]
+        assert spark.table("doc_chunks").count() > 0
+        rc = run_tests(spark, "examples/pipeline")
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert out.count("...OK") == 4
+    finally:
+        shutil.rmtree("examples/pipeline/target", ignore_errors=True)
+
+
 def test_docs_command(tmp_path):
     from powersql_spark.orchestrator.runner import docs
 
