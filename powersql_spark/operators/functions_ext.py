@@ -260,3 +260,55 @@ def fn_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, spine.day == daily.d, "left")
         .select("day", F.coalesce("n", F.lit(0)).alias("n_orders"))
     )
+
+
+@query(
+    "fn_math_extended",
+    oracle="""
+    SELECT p_partkey,
+           round(ln(p_retailprice), 6) AS ln_price,
+           round(log10(p_retailprice), 6) AS log10_price,
+           round(exp(p_size / 25.0), 6) AS exp_sz,
+           CAST(sign(p_size - 25) AS DOUBLE) AS sz_sign,
+           p_size % 7 AS sz_mod,
+           GREATEST(p_size, 25) AS sz_hi,
+           LEAST(p_size, 25) AS sz_lo
+    FROM part WHERE p_partkey <= 600
+    """,
+)
+def fn_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended math: ln / log10 / exp / sign / mod / greatest / least.
+    Rounded to 6dp — transcendental libm results differ in the last
+    ulps across engines."""
+    p = spark.table("part").where(F.col("p_partkey") <= 600)
+    return p.select(
+        "p_partkey",
+        F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.round(F.log10("p_retailprice"), 6).alias("log10_price"),
+        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("exp_sz"),
+        F.signum(F.col("p_size") - 25).cast("double").alias("sz_sign"),
+        (F.col("p_size") % 7).alias("sz_mod"),
+        F.greatest("p_size", F.lit(25)).alias("sz_hi"),
+        F.least("p_size", F.lit(25)).alias("sz_lo"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND / BOOL_OR (every/any) — predicate aggregation, the
+    set-level form of ASSERT conditions."""
+    o = spark.table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.count("*").alias("n"),
+    )
