@@ -85,6 +85,10 @@ def _rows_close(a, b) -> bool:
             return False
         if isinstance(x, bool) != isinstance(y, bool):
             return False
+        # int 1 vs float 1.0 repr differently in the driver's value
+        # hash (caught live with DuckDB sign() INTEGER vs Spark DOUBLE).
+        if isinstance(x, float) != isinstance(y, float):
+            return False
         if isinstance(x, float) and isinstance(y, float):
             if math.isnan(x) and math.isnan(y):
                 continue
