@@ -286,3 +286,49 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@query(
+    "grouped_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CASE WHEN stddev_samp(value) OVER w IS NULL
+                      OR stddev_samp(value) OVER w = 0 THEN 0.0
+                      ELSE (value - avg(value) OVER w)
+                           / stddev_samp(value) OVER w END, 6) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization via applyInPandas (grouped-map
+    Pandas UDF): each user's events arrive as ONE pandas DataFrame,
+    Arrow-transferred — the escape hatch for group-local logic that
+    built-ins can't express (sklearn transforms, per-group model
+    scoring). For THIS computation the window-function form (the
+    oracle) is the better plan — the docstring point is the mechanism,
+    and the test proves the two agree exactly."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std()  # pandas std = sample stddev, ddof=1
+        mean = pdf["value"].mean()
+        z = (
+            (pdf["value"] - mean) / sd
+            if sd and not pd.isna(sd) and sd != 0
+            else pdf["value"] * 0.0
+        )
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z": z.round(6),
+            }
+        )
+
+    return (
+        spark.table("events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, schema="event_id bigint, user_id bigint, z double")
+    )

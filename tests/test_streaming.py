@@ -299,6 +299,73 @@ def test_foreach_batch_upsert(spark, sf_dir):
     assert got == expect
 
 
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + a time-interval
+    condition (purchase joined to same-user errors in the preceding
+    hour). Both sides buffered in state, bounded by the watermark; the
+    finite availableNow run must equal the batch join."""
+    from powersql_spark.catalog import read_parquet_stream
+
+    load_tables(spark, sf_dir, ("events",))
+    e = spark.table("events")
+    purchases_b = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors_b = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") <= F.col("p_ts"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    batch = {
+        (r["p_id"], r["e_id"])
+        for r in purchases_b.join(errors_b, cond).select("p_id", "e_id").collect()
+    }
+
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    purchases_s = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    errors_s = (
+        read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = purchases_s.join(errors_s, cond).select("p_id", "e_id")
+    ckpt = tempfile.mkdtemp(prefix="powersql_ckpt_ssj2_")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ss_join")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["p_id"], r["e_id"]) for r in spark.table("t_ss_join").collect()
+    }
+    assert got == batch
+    assert len(got) > 0
+
+
 def test_read_parquet_nanos_column(spark, sf_dir):
     df = read_parquet(spark, f"{sf_dir}/events.parquet")
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
