@@ -330,3 +330,27 @@ def pred_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("p_type").like("SMALL%")
         & F.col("p_brand").like("Brand#_3")
     ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "expr_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(substring(text, 1, 4) AS INTEGER) AS maybe_int,
+           TRY_CAST(lang AS DOUBLE) AS never_double,
+           CAST(n_chars AS VARCHAR) AS chars_str
+    FROM documents WHERE doc_id < 250
+    """,
+)
+def expr_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST — NULL on conversion failure instead of a runtime
+    error. Under ANSI mode (Spark 4 default) plain CAST throws on bad
+    input mid-job; TRY_CAST is how a 100 TB pipeline survives dirty
+    rows without disabling ANSI safety everywhere else."""
+    d = spark.table("documents").where(F.col("doc_id") < 250)
+    return d.select(
+        "doc_id",
+        F.expr("TRY_CAST(substring(text, 1, 4) AS INT)").alias("maybe_int"),
+        F.expr("TRY_CAST(lang AS DOUBLE)").alias("never_double"),
+        F.col("n_chars").cast("string").alias("chars_str"),
+    )

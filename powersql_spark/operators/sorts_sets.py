@@ -230,3 +230,22 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)
     ).select("l_partkey")
     return a.exceptAll(b)
+
+
+@query(
+    "sort_nulls",
+    oracle="""
+    SELECT event_id, nullif(value, 0.0) AS v
+    FROM events WHERE event_id < 400
+    ORDER BY v DESC NULLS LAST, event_id
+    """,
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering. Engines disagree on the
+    default (Spark: nulls first on ASC; others: nulls last), so
+    portable sorts always say it explicitly — here DESC NULLS LAST
+    with a unique tiebreaker."""
+    e = spark.table("events").where(F.col("event_id") < 400)
+    return e.select(
+        "event_id", F.nullif("value", F.lit(0.0)).alias("v")
+    ).orderBy(F.col("v").desc_nulls_last(), F.col("event_id"))
