@@ -17,4 +17,5 @@ from powersql_spark.operators import (  # noqa: F401
     sorts_sets,
     subqueries,
     tpch,
+    tpch_more,
 )

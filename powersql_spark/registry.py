@@ -31,6 +31,7 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str
+    module: str = ""
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -50,7 +51,10 @@ def query(key: str, oracle: str | None = None, tables: tuple[str, ...] = TABLES)
 
         if key in _REGISTRY:
             raise ValueError(f"duplicate query key: {key}")
-        _REGISTRY[key] = QuerySpec(key, wrapped, oracle, (fn.__doc__ or "").strip())
+        module = fn.__module__.removeprefix("powersql_spark.")
+        _REGISTRY[key] = QuerySpec(
+            key, wrapped, oracle, (fn.__doc__ or "").strip(), module
+        )
         return fn
 
     return deco
