@@ -81,6 +81,9 @@ HEADLINE = {
     "q15_keep_latest": "window_qualify",
     "q16_chunking": "text_chunk",
     "q17_training_funnel": "pipeline_training_data",
+    "q18_order_counts": "tpch_q13",
+    "q19_waiting_suppliers": "tpch_q21",
+    "q20_mkt_share": "tpch_q8",
 }
 
 
