@@ -1,0 +1,119 @@
+"""Physical-plan health gates.
+
+Correctness tests prove the answers; these prove the PLANS are the ones
+that survive a 100x scale-up. Each assertion encodes a scale property
+claimed in README "Scale design" / the operator docstrings:
+
+- dimension joins broadcast (no shuffle of the small side);
+- no accidental cartesian product / nested-loop join anywhere in the
+  TPC-H suite (a BNLJ that is tolerable at sf0.01 is a cluster-killer
+  at 100 TB);
+- ORDER BY + LIMIT plans as TakeOrderedAndProject (top-k), never a
+  global sort;
+- date/segment filters reach the parquet scan (PushedFilters);
+- decorrelated rewrites really do scan the fact table once (q21);
+- scans prune columns (lineitem has 11 columns; Q6 needs 4).
+
+If Catalyst's planning changes under us (version bump, config drift),
+these fail loudly instead of silently regressing the bench.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from powersql_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, sf_dir, key: str) -> str:
+    df = SPECS[key].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+TPCH_KEYS = sorted(k for k in SPECS if k.startswith("tpch_"))
+
+# Scalar-subquery pattern: a single-row aggregate (the HAVING threshold /
+# the average balance) joined with no key. That plans as a broadcast
+# nested-loop of exactly ONE row — constant work per partition, fine at
+# any scale. Everything else must be hash-joinable.
+SCALAR_BROADCAST_OK = {"tpch_q11", "tpch_q22"}
+
+
+@pytest.mark.parametrize("key", TPCH_KEYS)
+def test_no_cartesian_or_nested_loop(spark, sf_dir, key):
+    plan = plan_of(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan, f"{key} plans a cartesian product"
+    if key not in SCALAR_BROADCAST_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{key} plans a BNLJ"
+    else:
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+@pytest.mark.parametrize(
+    "key", ["tpch_q3", "tpch_q5", "tpch_q9", "tpch_q10", "tpch_q19"]
+)
+def test_dimensions_broadcast(spark, sf_dir, key):
+    plan = plan_of(spark, sf_dir, key)
+    assert "BroadcastHashJoin" in plan, f"{key}: no broadcast join in plan"
+
+
+@pytest.mark.parametrize("key", ["tpch_q3", "tpch_q10", "tpch_q18"])
+def test_topk_never_global_sort(spark, sf_dir, key):
+    plan = plan_of(spark, sf_dir, key)
+    assert "TakeOrderedAndProject" in plan, (
+        f"{key}: ORDER BY+LIMIT did not plan as top-k"
+    )
+
+
+@pytest.mark.parametrize(
+    "key,pushed",
+    [
+        ("tpch_q6", "l_shipdate"),
+        ("tpch_q3", "c_mktsegment"),
+        ("tpch_q19", "p_brand"),
+    ],
+)
+def test_filters_pushed_to_scan(spark, sf_dir, key, pushed):
+    plan = plan_of(spark, sf_dir, key)
+    m = re.search(rf"PushedFilters: \[[^\]]*{pushed}", plan)
+    assert m, f"{key}: filter on {pushed} not pushed to the parquet scan"
+
+
+@pytest.mark.parametrize(
+    "key,table,max_scans",
+    [
+        ("tpch_q21", "lineitem", 1),  # decorrelated EXISTS pair: one pass
+        ("tpch_q15", "lineitem", 1),  # revenue CTE reused via window max
+        ("tpch_q17", "lineitem", 2),  # fact + per-part threshold build
+    ],
+)
+def test_fact_scan_count(spark, sf_dir, key, table, max_scans):
+    plan = plan_of(spark, sf_dir, key)
+    n = plan.count(f"{table}.parquet")
+    assert 1 <= n <= max_scans, f"{key}: {table} scanned {n}x (max {max_scans})"
+
+
+def test_column_pruning_q6(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q6")
+    scan = next(
+        line for line in plan.splitlines() if "FileScan" in line and "lineitem" in line
+    )
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan)
+    assert m, "no scan column list"
+    cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+    assert len(cols) <= 4, f"Q6 reads {len(cols)} columns: {cols}"
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """The shuffle must carry partial aggregate state (a few groups),
+    not raw rows: HashAggregate appears below AND above the exchange."""
+    plan = plan_of(spark, sf_dir, "tpch_q1")
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], "no final aggregate"
+    assert "HashAggregate" in plan[:first_exchange] or plan.count(
+        "HashAggregate"
+    ) >= 2, "no partial (map-side) aggregate before the shuffle"
