@@ -154,14 +154,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — NOT EXISTS in the reference's test corpus
-    (examples/postgres/tests/data_tests.sql:1-21)."""
+    (examples/postgres/tests/data_tests.sql:1-21). Against urgent
+    orders only: every testdata customer has SOME order, so the
+    unrestricted anti-join would be vacuously empty."""
     c = spark.table("customer")
-    o = spark.table("orders")
+    o = spark.table("orders").where(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -315,7 +315,7 @@ def expr_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_type
     FROM part
-    WHERE p_name LIKE '%green%'
+    WHERE p_name LIKE '%gear%'
       AND p_type NOT LIKE 'SMALL%'
       AND p_brand LIKE 'Brand#_3'
     """,
@@ -326,7 +326,7 @@ def pred_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     %-leading patterns are full scans by nature."""
     p = spark.table("part")
     return p.where(
-        F.col("p_name").like("%green%")
+        F.col("p_name").like("%gear%")
         & ~F.col("p_type").like("SMALL%")
         & F.col("p_brand").like("Brand#_3")
     ).select("p_partkey", "p_name", "p_type")

@@ -156,13 +156,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
     SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — customers who never ordered (set difference);
-    ``subtract`` is Spark's EXCEPT DISTINCT."""
+    """EXCEPT — customers dormant since 2000 (set difference);
+    ``subtract`` is Spark's EXCEPT DISTINCT. The right side is
+    date-restricted because every testdata customer has some order —
+    the unrestricted difference would be vacuously empty."""
     c = spark.table("customer").select(F.col("c_custkey").alias("custkey"))
-    o = spark.table("orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        spark.table("orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.subtract(o)
 
 
