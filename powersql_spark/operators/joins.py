@@ -170,3 +170,26 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by
+    price — the per-row top-n join shape. Identical SQL runs on both
+    engines. Catalyst decorrelates the LATERAL into a join +
+    per-partition ranking rather than re-executing the subquery per
+    customer row; the tie-free ORDER BY (price, then orderkey) keeps
+    the picked rows deterministic across engines and partitionings."""
+    return spark.sql(_LATERAL_SQL)

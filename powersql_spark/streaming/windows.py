@@ -142,6 +142,91 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS trailing_1h_value,
+           COUNT(*) OVER w AS n_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame: per-user trailing-1-hour sum
+    and count at every event — the time-series 'value in the last hour'
+    shape. Spark's rangeBetween needs a numeric ordering key, so the
+    frame orders by unix_micros(ts) with a microsecond offset, exactly
+    matching the oracle's INTERVAL arithmetic (events timestamps are
+    microsecond-exact; verified no sub-microsecond residue). One
+    shuffle on user_id; the frame is computed in a single sorted pass
+    per partition with a sliding accumulator, never a per-row rescan."""
+    from pyspark.sql import Window
+
+    e = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+        F.count("*").over(w).alias("n_trailing"),
+    )
+
+
+@query(
+    "rollup_hypertable",
+    oracle="""
+    SELECT CASE WHEN GROUPING(bucket_hour) = 0 THEN 'hour' ELSE 'day' END
+               AS grain,
+           COALESCE(bucket_hour, bucket_day) AS bucket_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+             event_type, value
+      FROM events
+    ) buckets
+    GROUP BY GROUPING SETS ((bucket_hour, event_type),
+                            (bucket_day, event_type))
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily
+    per-type aggregates of the event stream in ONE pass via GROUPING
+    SETS (the multi-granularity rollup a time-series store maintains
+    incrementally). Partial aggregation still applies per grouping set,
+    so the scan is read once and the shuffle carries two small partial
+    states per (bucket, type) — at 100 TB this halves the read vs a
+    UNION ALL of two aggregations."""
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(bucket_hour) = 0 THEN 'hour' ELSE 'day' END
+                   AS grain,
+               COALESCE(bucket_hour, bucket_day) AS bucket_start,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM (
+          SELECT date_trunc('HOUR', ts) AS bucket_hour,
+                 date_trunc('DAY', ts) AS bucket_day,
+                 event_type, value
+          FROM events
+        )
+        GROUP BY GROUPING SETS ((bucket_hour, event_type),
+                                (bucket_day, event_type))
+        """
+    )
+
+
 def run_streaming_tumbling(
     spark: SparkSession, sf_dir: str, table_name: str = "stream_tumbling_out"
 ) -> DataFrame:
