@@ -359,15 +359,23 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 customer order-count distribution (the filter rides ON
-    the outer join, keeping order-less customers with count 0). Two
-    aggregations: per-customer (shuffle on custkey), then the tiny
-    histogram over counts."""
+    the outer join, keeping order-less customers with count 0).
+    Aggregate-before-join: orders collapse to per-customer counts
+    (partial aggregation map-side) BEFORE meeting customers, so the
+    join shuffles one row per customer instead of one per order — at
+    100 TB that's orders-of-magnitude less shuffle than joining raw
+    orders into customers and grouping afterwards. Missing customers
+    surface as COALESCE(n, 0)."""
     c = spark.table("customer")
-    o = spark.table("orders").where(F.col("o_orderpriority") != "5-LOW")
+    counts = (
+        spark.table("orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
