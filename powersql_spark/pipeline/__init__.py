@@ -4,4 +4,10 @@ Importing this package registers the dedup / similarity / text /
 multimodal query keys.
 """
 
-from powersql_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from powersql_spark.pipeline import (  # noqa: F401
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,106 @@
+"""Dataset-curation operators: deterministic splits and weighted source
+mixing (driver north-star extensions; the reference has no analog —
+its surface ends at SQL orchestration, src/execute.rs:101).
+
+Both ops assign rows to buckets by content hash (md5 of the key), not
+``rand()``: assignment is a pure function of the row, so it is
+reproducible across engines, runs, partitionings, and cluster sizes,
+and a document keeps its split when the corpus around it grows — the
+property a training pipeline needs so examples never leak from test
+into train between dataset versions.
+
+Cross-engine note: the bucket is the first two hex chars of the md5
+compared LEXICOGRAPHICALLY — lowercase hex ordering equals numeric
+ordering, and both Spark and DuckDB emit lowercase hex, so the same
+literal thresholds work on both engines with no integer parsing
+('cd' = 205/256 ~ 80%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+
+def _bucket(col):
+    """First two hex chars of md5(key) — 256 deterministic buckets."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, 2)
+
+
+@query(
+    "split_train_val_test",
+    oracle="""
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                       THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                       THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split, reported per
+    language. Pure row-local hashing — no shuffle at assignment time,
+    stays in whole-stage codegen; at 100 TB the split is a free column
+    on the scan, and the only shuffle is the reporting aggregate."""
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    )
+    return (
+        spark.table("documents")
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "mix_sources_weighted",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 'zz'
+               WHEN source IN ('src5','src6','src7','src8','src9')
+                    THEN '80'
+               ELSE '40' END
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: keep 100% of the first five sources, 50%
+    of the next five, 25% of the rest — the training-mix downsampling
+    step, as a deterministic per-row hash filter (no rand(), no
+    shuffle until the reporting aggregate). Changing the mix is a
+    threshold edit, not a re-shuffle; rows keep their fate across
+    dataset versions so incremental rebuilds only touch changed
+    sources."""
+    b = _bucket(F.col("doc_id"))
+    threshold = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "zz"
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"), "80"
+        )
+        .otherwise("40")
+    )
+    return (
+        spark.table("documents")
+        .where(b < threshold)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
