@@ -109,3 +109,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} vs brute force"
+
+
+def test_split_assignment_stable_under_corpus_growth(spark, sf_dir):
+    """The curation split is a pure function of the row: computing it
+    on a 10% subset must give every doc the same split as on the full
+    corpus (no rand(), no corpus-relative state). This is the property
+    that keeps test docs out of train across dataset versions."""
+    from powersql_spark.pipeline.curation import _bucket
+
+    d = spark.table("documents")
+    b = _bucket(F.col("doc_id"))
+    split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
+    full = {r["doc_id"]: r["s"] for r in d.select("doc_id", split.alias("s")).collect()}
+    sub = d.where(F.col("doc_id") % 10 == 0).select("doc_id", split.alias("s"))
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["s"]
+    # All three splits are populated and roughly 80/10/10.
+    from collections import Counter
+
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert 0.70 <= c["train"] / n <= 0.90
+    assert c["val"] > 0 and c["test"] > 0
