@@ -120,6 +120,28 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile")  # rows-only: quantile sketches are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the scale path for
+    quantiles: bounded-size mergeable sketch per group vs the exact
+    percentile's full sort of every value. At 100 TB the exact form
+    shuffles and sorts the whole column; the sketch keeps O(1/eps)
+    state and merges map-side. Engine-specific sketch, so rows-only
+    check; tests assert it lands within 2% of the exact percentile."""
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias(
+                "approx_median_price"
+            ),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias(
+                "approx_p90_price"
+            ),
+        )
+    )
+
+
 @query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for

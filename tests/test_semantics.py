@@ -132,3 +132,18 @@ def test_split_assignment_stable_under_corpus_growth(spark, sf_dir):
     n = sum(c.values())
     assert 0.70 <= c["train"] / n <= 0.90
     assert c["val"] > 0 and c["test"] > 0
+
+
+def test_approx_percentile_within_2pct(spark, sf_dir):
+    approx = {
+        r["o_orderpriority"]: (r["approx_median_price"], r["approx_p90_price"])
+        for r in SPECS["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["median_price"], r["p90_price"])
+        for r in SPECS["agg_percentile"].fn(spark, sf_dir).collect()
+    }
+    for k, (em, e90) in exact.items():
+        am, a90 = approx[k]
+        assert abs(am - em) / em <= 0.02, f"{k}: median {am} vs {em}"
+        assert abs(a90 - e90) / e90 <= 0.02, f"{k}: p90 {a90} vs {e90}"
