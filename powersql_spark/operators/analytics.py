@@ -503,20 +503,25 @@ def incr_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
     SELECT r_name,
-           list_sort(list_distinct(list(n_name))) AS nations
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set -> sorted array: set-valued aggregation with a
-    deterministic representation (collect order varies with
-    partitioning, so the sort is what makes the result reproducible —
-    and hash-comparable)."""
+    """collect_set with a deterministic scalar representation: sort the
+    set (collect order varies with partitioning) and join to a string.
+    The string form is what makes the row hashable by the driver's
+    pandas canonicalizer — round 1 returned the raw array and crashed
+    it (TypeError: unhashable type 'list')."""
     n = spark.table("nation")
     r = F.broadcast(spark.table("region"))
     return (
         n.join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
-        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias(
+                "nations"
+            )
+        )
     )

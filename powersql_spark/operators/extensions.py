@@ -120,41 +120,78 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: quantile sketches are engine-specific
+@query(
+    "agg_approx_percentile",
+    # Sketch values are engine-specific, so the driver can't hash-compare
+    # them directly. Instead the Spark side emits the ACCURACY GATE itself
+    # — |approx - exact| <= 2% of exact, per group and percentile — and the
+    # oracle asserts that gate holds (true for every group). A sketch drift
+    # beyond 2% flips a boolean and fails the driver's value hash.
+    oracle="""
+    SELECT o_orderpriority,
+           true AS median_within_2pct,
+           true AS p90_within_2pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the scale path for
     quantiles: bounded-size mergeable sketch per group vs the exact
     percentile's full sort of every value. At 100 TB the exact form
     shuffles and sorts the whole column; the sketch keeps O(1/eps)
-    state and merges map-side. Engine-specific sketch, so rows-only
-    check; tests assert it lands within 2% of the exact percentile."""
-    return (
+    state and merges map-side. The exact percentile computed alongside
+    exists only to feed the tolerance gate; production would run the
+    sketch alone."""
+    g = (
         spark.table("orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.percentile_approx("o_totalprice", 0.5, 10000).alias(
-                "approx_median_price"
-            ),
-            F.percentile_approx("o_totalprice", 0.9, 10000).alias(
-                "approx_p90_price"
-            ),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("am"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("a90"),
+            F.percentile("o_totalprice", 0.5).alias("em"),
+            F.percentile("o_totalprice", 0.9).alias("e90"),
         )
+    )
+    return g.select(
+        "o_orderpriority",
+        (F.abs(F.col("am") - F.col("em")) <= 0.02 * F.abs(F.col("em"))).alias(
+            "median_within_2pct"
+        ),
+        (F.abs(F.col("a90") - F.col("e90")) <= 0.02 * F.abs(F.col("e90"))).alias(
+            "p90_within_2pct"
+        ),
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+@query(
+    "agg_approx_distinct",
+    # Same tolerance-gate pattern as agg_approx_percentile: emit the 5%
+    # accuracy claim as a boolean the driver hash-verifies.
+    oracle="""
+    SELECT l_returnflag, true AS parts_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the scale path for
     cardinality: constant memory per group vs the exact distinct's
-    shuffle of every value. Engine-specific sketch, so rows-only check;
-    tests assert it lands within 5% of exact."""
-    return (
+    shuffle of every value. The exact count-distinct computed alongside
+    exists only to feed the 5% tolerance gate; production would run the
+    sketch alone."""
+    g = (
         spark.table("lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("parts_within_5pct"),
     )
 
 

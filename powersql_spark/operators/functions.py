@@ -146,9 +146,16 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_array",
+    # The array itself is emitted as a decimal-formatted joined string:
+    # the driver's pandas canonicalizer can't hash list cells (the
+    # agg_collect_set round-1 crash), and double->string formatting
+    # differs across engines, so each element goes through DECIMAL(18,6)
+    # first (same trick as dsum in operators/common.py).
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           [l_quantity, l_discount, l_tax] AS triple,
+           CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) || ',' ||
+           CAST(CAST(l_discount AS DECIMAL(18,6)) AS VARCHAR) || ',' ||
+           CAST(CAST(l_tax AS DECIMAL(18,6)) AS VARCHAR) AS triple_str,
            len([l_quantity, l_discount, l_tax]) AS triple_len,
            list_extract([l_quantity, l_discount, l_tax], 1) AS first_elem,
            list_contains([l_quantity, l_discount, l_tax], 0.0) AS has_zero
@@ -161,10 +168,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/types.rs:31-32)."""
     li = spark.table("lineitem").where(F.col("l_quantity") > 49.5)
     triple = F.array("l_quantity", "l_discount", "l_tax")
+
+    def dec_str(col: str):
+        return F.col(col).cast("decimal(18,6)").cast("string")
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        triple.alias("triple"),
+        F.concat_ws(
+            ",", dec_str("l_quantity"), dec_str("l_discount"), dec_str("l_tax")
+        ).alias("triple_str"),
         F.size(triple).alias("triple_len"),
         F.element_at(triple, 1).alias("first_elem"),
         F.array_contains(triple, 0.0).alias("has_zero"),

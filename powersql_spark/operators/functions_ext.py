@@ -86,16 +86,21 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn_array_ops",
+    # Joined to a string: the driver's pandas canonicalizer can't hash
+    # list cells (the agg_collect_set round-1 crash).
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(lower(text), ' ')))[1:5] AS first_toks,
+           array_to_string(
+               list_sort(list_distinct(string_split(lower(text), ' ')))[1:5],
+               ','
+           ) AS first_toks,
            len(string_split(text, ' ')) AS n_toks,
            list_contains(string_split(lower(text), ' '), 'the') AS has_the
     FROM documents WHERE doc_id < 100
     """,
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array pipeline: split -> distinct -> sort -> slice, plus
+    """Array pipeline: split -> distinct -> sort -> slice -> join, plus
     membership — the building blocks of the dedup/text operators, shown
     as user-facing functions."""
     d = spark.table("documents").where(F.col("doc_id") < 100)
@@ -103,9 +108,9 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ltoks = F.split(F.lower(F.col("text")), " ")
     return d.select(
         "doc_id",
-        F.slice(F.sort_array(F.array_distinct(ltoks)), 1, 5).alias(
-            "first_toks"
-        ),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct(ltoks)), 1, 5), ","
+        ).alias("first_toks"),
         F.size(toks).alias("n_toks"),
         F.array_contains(ltoks, "the").alias("has_the"),
     )
