@@ -14,6 +14,13 @@ compared LEXICOGRAPHICALLY — lowercase hex ordering equals numeric
 ordering, and both Spark and DuckDB emit lowercase hex, so the same
 literal thresholds work on both engines with no integer parsing
 ('cd' = 205/256 ~ 80%).
+
+Each DECISION hashes with its own salt (':split' vs ':mix'): with a
+shared hash the two decisions are fully correlated — rows surviving a
+50%/25% downsample all have low buckets and would land entirely in
+'train' when the ops compose, so downsampled sources would contribute
+zero val/test examples. Independent salts make the decisions
+independent coin flips per row.
 """
 
 from __future__ import annotations
@@ -24,9 +31,12 @@ from pyspark.sql import functions as F
 from powersql_spark.registry import query
 
 
-def _bucket(col):
-    """First two hex chars of md5(key) — 256 deterministic buckets."""
-    return F.substring(F.md5(col.cast("string").cast("binary")), 1, 2)
+def _bucket(col, salt: str):
+    """First two hex chars of md5(key || salt) — 256 deterministic
+    buckets, independent across salts."""
+    return F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary")), 1, 2
+    )
 
 
 @query(
@@ -35,9 +45,9 @@ def _bucket(col):
     SELECT lang, split, COUNT(*) AS n_docs
     FROM (
       SELECT lang,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cd'
                        THEN 'train'
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
                        THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
@@ -51,7 +61,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     language. Pure row-local hashing — no shuffle at assignment time,
     stays in whole-stage codegen; at 100 TB the split is a free column
     on the scan, and the only shuffle is the reporting aggregate."""
-    b = _bucket(F.col("doc_id"))
+    b = _bucket(F.col("doc_id"), ":split")
     split = (
         F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
     )
@@ -69,7 +79,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, COUNT(*) AS n_docs
     FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 2) <
           CASE WHEN source IN ('src0','src1','src2','src3','src4')
                     THEN 'zz'
                WHEN source IN ('src5','src6','src7','src8','src9')
@@ -87,7 +97,7 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold edit, not a re-shuffle; rows keep their fate across
     dataset versions so incremental rebuilds only touch changed
     sources."""
-    b = _bucket(F.col("doc_id"))
+    b = _bucket(F.col("doc_id"), ":mix")
     threshold = (
         F.when(
             F.col("source").isin("src0", "src1", "src2", "src3", "src4"), "zz"

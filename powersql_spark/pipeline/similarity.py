@@ -13,9 +13,10 @@ Two tiers, mirroring how ANN is actually deployed on Spark:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
 from powersql_spark.registry import query
 
 _TOPK = 10
@@ -162,7 +163,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
         SELECT vec_id, label, embedding,
                sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {sub_bucket_sql("vec_id", "label", BLOCK_CAP)} AS sub
         FROM embeddings
     ),
     scored AS (
@@ -173,7 +175,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * CAST(list_extract(b.embedding, i) AS DOUBLE)))
                  / (a.nrm * b.nrm), 4) AS cosine
         FROM v a JOIN v b
-          ON a.label = b.label AND a.vec_id <> b.vec_id
+          ON a.label = b.label AND a.sub = b.sub AND a.vec_id <> b.vec_id
         WHERE a.vec_id < 50
     )
     SELECT query_id, neighbor_id, cosine FROM (
@@ -190,28 +192,35 @@ def sim_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k similarity JOIN (EDBT 2020's problem shape, PAPERS.md):
     the 3 nearest neighbors for EVERY query vector, not one query.
     Blocked by label (the IVF-cell stand-in) so the pair space is
-    within-block; per-query top-k via a rank window partitioned by the
-    query, so no global sort. At 100 TB: block -> score -> per-key
-    window is one shuffle on the block key plus one on the query key —
-    the pattern holds for any pairwise scoring function."""
+    within-block, with the guarded width cap (pipeline/blocks.py)
+    sub-bucketing oversized blocks so candidate volume stays O(n*cap);
+    per-query top-k via a rank window partitioned by the query, so no
+    global sort. At 100 TB: block -> score -> per-key window is one
+    shuffle on the block key plus one on the query key — the pattern
+    holds for any pairwise scoring function."""
     e = spark.table("embeddings")
-    v = e.select(
-        "vec_id", "label", _to_double("embedding").alias("emb")
-    ).withColumn("nrm", _norm(F.col("emb")))
+    width = F.count("*").over(Window.partitionBy("label"))
+    v = (
+        e.select("vec_id", "label", _to_double("embedding").alias("emb"))
+        .withColumn("nrm", _norm(F.col("emb")))
+        .withColumn("sub", sub_bucket(F.col("vec_id"), width, BLOCK_CAP))
+    )
     a = v.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("label"),
+        F.col("sub"),
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
     b = v.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label"),
+        F.col("sub"),
         F.col("emb").alias("nemb"),
         F.col("nrm").alias("nnrm"),
     )
     scored = (
-        a.join(b, "label")
+        a.join(b, ["label", "sub"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -223,8 +232,6 @@ def sim_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

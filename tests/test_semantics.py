@@ -112,7 +112,7 @@ def test_split_assignment_stable_under_corpus_growth(spark, sf_dir):
     from powersql_spark.pipeline.curation import _bucket
 
     d = spark.table("documents")
-    b = _bucket(F.col("doc_id"))
+    b = _bucket(F.col("doc_id"), ":split")
     split = F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test")
     full = {r["doc_id"]: r["s"] for r in d.select("doc_id", split.alias("s")).collect()}
     sub = d.where(F.col("doc_id") % 10 == 0).select("doc_id", split.alias("s"))
