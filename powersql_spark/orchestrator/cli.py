@@ -26,6 +26,12 @@ def main(argv: list[str] | None = None) -> int:
             )
     sub.choices["test"].add_argument("--fail-fast", action="store_true")
     sub.choices["run"].add_argument("--parallel", action="store_true")
+    for cmd in ("check", "explain"):
+        sub.choices[cmd].add_argument(
+            "--sources-schema",
+            default=None,
+            help="JSON manifest {table: 'col TYPE, ...'} for data-free analysis",
+        )
     for cmd in ("run", "explain"):
         sub.choices[cmd].add_argument(
             "--model",
@@ -54,7 +60,9 @@ def _dispatch(args: argparse.Namespace, runner) -> int:
 
     spark = build_session(app_name=f"powersql-{args.command}")
     if args.command == "check":
-        schemas = runner.check(spark, args.project, args.sources)
+        schemas = runner.check(
+            spark, args.project, args.sources, args.sources_schema
+        )
         for name, schema in schemas.items():
             print(f"{name}: {schema}")
         return 0
@@ -75,7 +83,11 @@ def _dispatch(args: argparse.Namespace, runner) -> int:
         )
     if args.command == "explain":
         plans = runner.explain(
-            spark, args.project, args.sources, model=args.model
+            spark,
+            args.project,
+            args.sources,
+            model=args.model,
+            sources_schema=args.sources_schema,
         )
         for name, plan in plans.items():
             print(f"== {name} ==\n{plan}")

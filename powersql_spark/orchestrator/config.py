@@ -14,6 +14,13 @@ reference's backend-connection env vars (src/execute.rs:52-56): where
 PowerSQL's external tables simply already live in the warehouse, Spark
 needs them registered in the session catalog. A relative path resolves
 against the project dir; the CLI's --sources overrides it.
+
+``sources_schema`` (optional) names a JSON file mapping source table
+name -> DDL column list ("col TYPE, col TYPE"). ``check`` / ``explain``
+fall back to it when no source data is present, registering EMPTY
+typed relations — restoring the reference's data-free static
+type-check ergonomics (src/types.rs:47-221 runs on the AST
+environment, no warehouse connection needed).
 """
 
 from __future__ import annotations
@@ -30,11 +37,18 @@ class PowerSqlConfig:
     tests: list[str] = field(default_factory=list)
     root: Path = Path(".")
     sources: str | None = None
+    sources_schema: str | None = None
 
     def sources_dir(self) -> str | None:
         if self.sources is None:
             return None
         p = Path(self.sources)
+        return str(p if p.is_absolute() else self.root / p)
+
+    def sources_schema_path(self) -> str | None:
+        if self.sources_schema is None:
+            return None
+        p = Path(self.sources_schema)
         return str(p if p.is_absolute() else self.root / p)
 
     def model_files(self) -> list[Path]:
@@ -65,4 +79,5 @@ def load_config(project_dir: str | Path) -> PowerSqlConfig:
         tests=list(project.get("tests", [])),
         root=root,
         sources=project.get("sources"),
+        sources_schema=project.get("sources_schema"),
     )

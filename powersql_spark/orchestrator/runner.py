@@ -74,15 +74,56 @@ def _register_sources(
         load_tables(spark, sources)
 
 
+def _register_schema_manifest(spark: SparkSession, path: str | Path) -> None:
+    """Register each manifest table as an EMPTY DataFrame with the
+    declared schema: the analyzer then type-checks every model with no
+    source data on disk — the reference's data-free `check` ergonomics
+    (src/types.rs:47-221 runs on the AST env, no warehouse needed)."""
+    import json
+
+    manifest = json.loads(Path(path).read_text())
+    for table, ddl in manifest.items():
+        spark.createDataFrame([], ddl).createOrReplaceTempView(table)
+
+
+def _register_analysis_env(
+    spark: SparkSession,
+    sources: str | None,
+    sources_schema: str | None,
+    project: Project,
+) -> None:
+    """Source environment for analysis-only commands (check/explain).
+    Precedence: explicit --sources-schema > explicit --sources > config
+    sources dir if it exists > config sources_schema. The fallback chain
+    is what lets `check` run in a clean checkout before any data lands."""
+    if sources_schema:
+        _register_schema_manifest(spark, sources_schema)
+        return
+    if sources:
+        load_tables(spark, sources)
+        return
+    cfg_dir = project.config.sources_dir()
+    if cfg_dir and Path(cfg_dir).exists():
+        load_tables(spark, cfg_dir)
+        return
+    cfg_schema = project.config.sources_schema_path()
+    if cfg_schema:
+        _register_schema_manifest(spark, cfg_schema)
+
+
 def check(
-    spark: SparkSession, project_dir: str | Path, sources: str | None = None
+    spark: SparkSession,
+    project_dir: str | Path,
+    sources: str | None = None,
+    sources_schema: str | None = None,
 ) -> dict[str, str]:
     """Static type-check: analyze every model in topo order with zero
     jobs run; analysis errors are check failures (src/main.rs:348-386).
     Returns {model: schema DDL}. Strictly stronger than the reference's
-    gradual Any-typing (SURVEY.md §1.2)."""
+    gradual Any-typing (SURVEY.md §1.2); with a schema manifest it is
+    also data-free like the reference's."""
     project = load_project(project_dir)
-    _register_sources(spark, sources, project)
+    _register_analysis_env(spark, sources, sources_schema, project)
     ex = SparkExecutor(spark, Path(project_dir) / "target")
     schemas: dict[str, str] = {}
     for name in project.order:
@@ -222,13 +263,14 @@ def explain(
     project_dir: str | Path,
     sources: str | None = None,
     model: str | None = None,
+    sources_schema: str | None = None,
 ) -> dict[str, str]:
     """Formatted physical plan per model without executing anything —
     what the reference cannot offer at all (its EXPLAIN would be the
     remote warehouse's). Models are analyzed in topo order so
     downstream plans resolve against upstream views."""
     project = load_project(project_dir)
-    _register_sources(spark, sources, project)
+    _register_analysis_env(spark, sources, sources_schema, project)
     ex = SparkExecutor(spark, Path(project_dir) / "target")
     order = project.order
     if model is not None:

@@ -199,6 +199,52 @@ def test_check_rejects_bad_model(spark, tmp_path):
         check(spark, tmp_path, sources=SOURCES)
 
 
+def _write_data_free_project(tmp_path, model_sql):
+    (tmp_path / "powersql.toml").write_text(
+        '[project]\nname = "nodata"\nmodels = ["models"]\n'
+        'sources = "missing_dir"\nsources_schema = "schema.json"\n'
+    )
+    (tmp_path / "schema.json").write_text(
+        '{"lineitem": "l_partkey BIGINT, l_extendedprice DOUBLE,'
+        ' l_discount DOUBLE"}'
+    )
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "m.sql").write_text(model_sql)
+
+
+def test_check_data_free_with_schema_manifest(spark, tmp_path):
+    """`check` with NO source data present: the schema manifest registers
+    empty typed relations, restoring the reference's data-free static
+    type-check (src/types.rs:47-221 needs no warehouse connection)."""
+    from powersql_spark.orchestrator.runner import check
+
+    _write_data_free_project(
+        tmp_path,
+        "CREATE VIEW revenue AS SELECT l_partkey AS product_id,"
+        " l_extendedprice * (1 - l_discount) AS euro FROM lineitem;\n"
+        "CREATE VIEW rev_per_product AS SELECT product_id,"
+        " SUM(euro) AS rev FROM revenue GROUP BY product_id",
+    )
+    schemas = check(spark, tmp_path)
+    assert set(schemas) == {"revenue", "rev_per_product"}
+    assert "product_id" in schemas["rev_per_product"]
+    spark.catalog.dropTempView("lineitem")
+
+
+def test_check_data_free_still_catches_type_errors(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    from powersql_spark.orchestrator.runner import check
+
+    _write_data_free_project(
+        tmp_path,
+        "CREATE VIEW broken AS SELECT no_such_col FROM lineitem",
+    )
+    with pytest.raises(AnalysisException):
+        check(spark, tmp_path)
+    spark.catalog.dropTempView("lineitem")
+
+
 def test_run_twice_idempotent_and_test_pass(spark, capsys):
     from powersql_spark.orchestrator.runner import run, test as run_tests
 
