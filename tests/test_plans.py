@@ -108,6 +108,26 @@ def test_column_pruning_q6(spark, sf_dir):
     assert len(cols) <= 4, f"Q6 reads {len(cols)} columns: {cols}"
 
 
+@pytest.mark.parametrize(
+    "key",
+    [
+        # The pairwise pipeline ops: candidate generation must plan as
+        # EQUI-joins on blocking/prefix/sub-bucket keys — a cartesian or
+        # BNLJ here is the quadratic blowup the round-2 bounding work
+        # (prefix filter, guarded width cap) exists to prevent.
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_join_topk",
+    ],
+)
+def test_pairwise_ops_equijoin_only(spark, sf_dir, key):
+    plan = plan_of(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan, f"{key} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{key} plans a BNLJ"
+
+
 def test_q1_partial_aggregation(spark, sf_dir):
     """The shuffle must carry partial aggregate state (a few groups),
     not raw rows: HashAggregate appears below AND above the exchange."""
