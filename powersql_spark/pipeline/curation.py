@@ -114,3 +114,100 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source")
     )
+
+
+@query(
+    "curation_contamination_check",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                      i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM toks WHERE len(t) >= 5
+    ),
+    bench AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_contaminated_grams
+    FROM grams c JOIN bench USING (g)
+    WHERE c.doc_id % 100 <> 0
+    GROUP BY c.doc_id
+    """,
+)
+def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing any word
+    5-gram with the benchmark set (stand-in: every 100th doc), with the
+    count of distinct colliding 5-grams — the decontamination step every
+    training pipeline runs against eval suites.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are fixed-size), so it BROADCASTS; the corpus side is a
+    map-only explode scanned once — no shuffle of corpus text, and the
+    only aggregation shuffles (doc_id, gram) hits. At 100 TB this is the
+    canonical plan: dimension-side broadcast, fact-side linear scan."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    grams5 = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))),
+    )
+    d = spark.table("documents").where(n >= 5).select(
+        "doc_id", F.explode(grams5).alias("g")
+    )
+    bench = (
+        d.where(F.col("doc_id") % 100 == 0).select("g").distinct()
+    )
+    corpus = d.where(F.col("doc_id") % 100 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_contaminated_grams"))
+    )
+
+
+@query(
+    "mix_epochs_weighted",
+    oracle="""
+    SELECT source, CAST(e AS INTEGER) AS epoch, COUNT(*) AS n_docs
+    FROM (
+        SELECT source,
+               unnest(range(1,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                             THEN 3
+                        WHEN source IN ('src5','src6','src7','src8','src9')
+                             THEN 2
+                        ELSE 1 END + 1)) AS e
+        FROM documents
+    )
+    GROUP BY source, e
+    ORDER BY source, epoch
+    """,
+)
+def mix_epochs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted upsampling — the complement of mix_sources_weighted:
+    high-quality sources repeat for 3 training epochs, mid-tier for 2,
+    the tail for 1, implemented as a map-only sequence+explode (row
+    multiplication without a join or shuffle; the epoch column lets the
+    trainer interleave copies). Changing the mix is a literal edit, and
+    the replication happens at scan time — nothing is materialized
+    three times."""
+    epochs = (
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 3
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2
+        )
+        .otherwise(1)
+    )
+    return (
+        spark.table("documents")
+        .select("source", F.explode(F.sequence(F.lit(1), epochs)).alias("epoch"))
+        .groupBy("source", "epoch")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "epoch")
+    )

@@ -332,3 +332,61 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(zscore, schema="event_id bigint, user_id bigint, z double")
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) >= 2 THEN
+                   list_transform(range(1, len(t)),
+                       i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))
+               ELSE t END AS bg
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+               AS dup_token_ratio,
+           1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               AS dup_bigram_ratio
+    FROM grams
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal (the Gopher/RefinedWeb filter
+    family): fraction of duplicate tokens and duplicate bigrams per
+    document — high values flag boilerplate/spam for removal before
+    training. Pure built-ins, map-only, no shuffle; single-token docs
+    fall back to unigrams for the bigram ratio (mirroring the dedup
+    shingle convention)."""
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(toks)
+    d = spark.table("documents").select(
+        "doc_id", toks.alias("t"), bigrams.alias("bg")
+    )
+    return d.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (
+            F.lit(1)
+            - F.size(F.array_distinct("t")).cast("double") / F.size("t")
+        ).alias("dup_token_ratio"),
+        (
+            F.lit(1)
+            - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+        ).alias("dup_bigram_ratio"),
+    )

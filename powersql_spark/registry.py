@@ -192,6 +192,11 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "rollup_hypertable",
     "stateful_user_totals",
+    # round-2 additions (never driver-run; join the rotation queue)
+    "text_repetition_ratio",
+    "curation_contamination_check",
+    "mix_epochs_weighted",
+    "stream_interval_join",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

@@ -262,3 +262,54 @@ def run_streaming_tumbling(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           COUNT(c.ts) AS n_recent_clicks,
+           COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+               AS recent_click_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every purchase with the count/value of same-user
+    clicks in the preceding 10 minutes — the attribution-window shape.
+    This is the BATCH twin of the stream-stream watermarked interval
+    join (the real readStream run, with both sides' state bounded by
+    watermark + interval, is asserted equal to batch in
+    tests/test_streaming.py::test_stream_stream_interval_join).
+    One shuffle on user_id; the range predicate rides the equi-join."""
+    e = spark.table("events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("ts"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("c_ts").alias("n_recent_clicks"),
+            F.coalesce(
+                F.sum(F.col("c_value").cast("decimal(18,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("recent_click_value"),
+        )
+    )

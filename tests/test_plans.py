@@ -128,6 +128,36 @@ def test_pairwise_ops_equijoin_only(spark, sf_dir, key):
     assert "BroadcastNestedLoopJoin" not in plan, f"{key} plans a BNLJ"
 
 
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """The benchmark n-gram set is the small side (eval suites are
+    fixed-size): it must broadcast so the corpus scan stays linear with
+    no corpus-text shuffle."""
+    plan = plan_of(spark, sf_dir, "curation_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_ratio_is_map_only(spark, sf_dir):
+    """Per-doc quality scoring must not shuffle at all."""
+    plan = plan_of(spark, sf_dir, "text_repetition_ratio")
+    assert "Exchange" not in plan, "repetition ratio plans a shuffle"
+
+
+def test_epoch_mix_has_no_join(spark, sf_dir):
+    """Row multiplication via sequence+explode, never a join against a
+    replication table."""
+    plan = plan_of(spark, sf_dir, "mix_epochs_weighted")
+    assert "Join" not in plan, "epoch upsampling plans a join"
+
+
+def test_interval_join_is_equijoin(spark, sf_dir):
+    """The range predicate must ride the user_id equi-join, not force a
+    nested-loop over all (purchase, click) pairs."""
+    plan = plan_of(spark, sf_dir, "stream_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q1_partial_aggregation(spark, sf_dir):
     """The shuffle must carry partial aggregate state (a few groups),
     not raw rows: HashAggregate appears below AND above the exchange."""
