@@ -7,6 +7,7 @@ multimodal query keys.
 from powersql_spark.pipeline import (  # noqa: F401
     curation,
     dedup,
+    embeddings,
     multimodal,
     similarity,
     text,

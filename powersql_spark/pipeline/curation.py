@@ -25,7 +25,7 @@ independent coin flips per row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.registry import query
@@ -210,4 +210,114 @@ def mix_epochs_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "epoch")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "epoch")
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok
+                   AS tok_before
+        FROM d
+    )
+    SELECT source,
+           CAST(floor(tok_before / 512.0) AS INTEGER) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate documents per source in
+    deterministic (doc_id) order and split the stream at 512-token
+    context boundaries — each doc is assigned to the bin where it
+    starts. This is the concat-and-chunk packing GPT-style pre-training
+    uses to avoid padding; the output is (bin -> docs, tokens), i.e.
+    the shard manifest a data loader consumes.
+
+    Packing is inherently order-sensitive, so it keys on a total order
+    (source, doc_id), never on partition layout — the same bins come
+    out of any cluster size. Scale shape: one hash shuffle on source
+    for the running sum; at 100 TB you pack per OUTPUT SHARD (source ×
+    shard_id from a doc_id hash) so window partitions stay
+    executor-sized — same plan, finer key."""
+    d = spark.table("documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("tok_before"),
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("tok_before") / 512.0).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 20 documents per language, chosen by a
+    salted content hash so the sample is deterministic, uniform within
+    each stratum, and stable as the corpus grows (a kept doc stays kept
+    until 20 better hashes exist in its stratum) — the eval-set /
+    inspection-sample primitive, where rand() would be unreproducible.
+
+    Scale shape: one shuffle on lang + a rank window. For 100 TB strata,
+    pre-filter with a hash-prefix threshold derived from approximate
+    stratum counts (keeps ~k·safety candidates per group) and run the
+    same window over the survivors — two linear passes, no giant
+    window partition."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":strat")).cast(
+                "binary"
+            )
+        ),
+        "doc_id",
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
     )

@@ -540,3 +540,76 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("cluster_id"),
         (F.col("lab") == F.col("node")).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_chunk_crosscorpus",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((i - 1) * 20 + 1 AS BIGINT) AS s,
+               md5(array_to_string(t[(i-1)*20+1 : (i-1)*20+20], ' ')) AS h
+        FROM toks,
+             unnest(range(1, CAST(ceil(len(t) / 20.0) AS INTEGER) + 1))
+                 AS u(i)
+    ),
+    ranked AS (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(1 - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                    / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS kept_ratio
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_chunk_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus span dedup (the CCNet/RefinedWeb line-dedup family,
+    adapted to newline-free text): split every document into
+    non-overlapping 20-token chunks, keep only the FIRST occurrence of
+    each chunk corpus-wide (first = lowest (doc_id, offset) — a total,
+    engine-independent order), and report per document how much survives.
+    Boilerplate repeated across pages is removed everywhere but its
+    first appearance — the span-level complement of whole-doc dedup.
+
+    Scale shape: the shuffle key is md5(chunk), 16 bytes — chunk TEXT
+    never moves; each exploded row carries (hash, doc_id, offset). The
+    first-occurrence rank is one window over the hash partition, then
+    the per-doc rollup shuffles doc_id. Two bounded shuffles, linear in
+    corpus size — the same plan at 100 TB."""
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), n, F.lit(20))
+    chunks = d.select(
+        "doc_id", toks.alias("t"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s").cast("bigint").alias("s"),
+        F.md5(
+            F.array_join(F.slice("t", F.col("s"), 20), " ").cast("binary")
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "s")
+    ranked = chunks.select(
+        "doc_id", "s", F.row_number().over(w).alias("rn")
+    )
+    dup = F.sum((F.col("rn") > 1).cast("int")).cast("bigint")
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        dup.alias("n_dup_chunks"),
+        (F.lit(1) - dup / F.count("*").cast("double"))
+        .cast("double")
+        .alias("kept_ratio"),
+    )

@@ -197,6 +197,11 @@ _PRIORITY: tuple[str, ...] = (
     "curation_contamination_check",
     "mix_epochs_weighted",
     "stream_interval_join",
+    "dedup_chunk_crosscorpus",
+    "pack_sequences",
+    "sample_stratified",
+    "emb_centroids",
+    "emb_norm_quantize",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

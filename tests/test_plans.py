@@ -167,3 +167,39 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "HashAggregate" in plan[:first_exchange] or plan.count(
         "HashAggregate"
     ) >= 2, "no partial (map-side) aggregate before the shuffle"
+
+
+def test_chunk_dedup_shuffles_hashes_only(spark, sf_dir):
+    """The window exchange must partition on the 16-byte md5 column —
+    never on (or carrying) raw chunk text: the project below the
+    exchange reduces each exploded row to (doc_id, s, h)."""
+    plan = plan_of(spark, sf_dir, "dedup_chunk_crosscorpus")
+    assert re.search(r"hashpartitioning\(h#", plan), "window not keyed on md5"
+    first_exchange = plan.index("Exchange")
+    # md5/array_join are computed BELOW the exchange (later in the tree
+    # string), so the shuffle rows are already hash-sized.
+    assert "md5" in plan[first_exchange:]
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_shuffle_no_join(spark, sf_dir):
+    """Packing is a window + rollup over (source) — no join, no BNLJ."""
+    plan = plan_of(spark, sf_dir, "pack_sequences")
+    assert "Join" not in plan
+
+
+def test_emb_norm_quantize_is_map_only(spark, sf_dir):
+    """Per-vector quantization must not shuffle or use Python."""
+    plan = plan_of(spark, sf_dir, "emb_norm_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_emb_centroids_partial_aggregation(spark, sf_dir):
+    """The columnar reduce must map-side combine: HashAggregate below
+    AND above the exchange, so the shuffle carries (label, pos) partial
+    sums, not exploded rows."""
+    plan = plan_of(spark, sf_dir, "emb_centroids")
+    before, _, after = plan.partition("Exchange")
+    assert "HashAggregate" in before and "HashAggregate" in after
