@@ -84,6 +84,8 @@ HEADLINE = {
     "q18_order_counts": "tpch_q13",
     "q19_waiting_suppliers": "tpch_q21",
     "q20_mkt_share": "tpch_q8",
+    "q21_contamination": "curation_contamination_check",
+    "q22_chunk_dedup": "dedup_chunk_crosscorpus",
 }
 
 
