@@ -196,3 +196,28 @@ def sink_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).where(
         F.col("o_orderkey").between(10000, 10500)
     )
+
+
+@query(
+    "source_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_nationkey AS INTEGER) AS s_nationkey,
+           s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write the supplier table as ORC (Spark's other
+    native columnar format — the one Hive-era warehouses migrate from),
+    read it back, and hash-compare against the original rows. DuckDB
+    cannot read ORC, so the oracle reads the source view directly: hash
+    equality proves the ORC encode/decode is lossless across int64 /
+    int32 / string / double. Staged Spark-side (distributed write) —
+    no driver materialization."""
+    path = _stage_path("supplier_orc")
+    out = spark.table("supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out.write.mode("overwrite").orc(path)
+    return spark.read.schema(out.schema).orc(path).orderBy("s_suppkey")

@@ -390,3 +390,95 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
         ).alias("dup_bigram_ratio"),
     )
+
+
+@query(
+    "text_idf",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+            AS token
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, COUNT(*) AS df,
+           round(ln(n_docs / CAST(COUNT(*) AS DOUBLE)), 4) AS idf
+    FROM tok, n
+    GROUP BY token, n_docs
+    """,
+)
+def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus IDF table: per-token document frequency and
+    ln(N/df) — the weighting table TF-IDF quality filters and sparse
+    retrievers consume. Document frequency = distinct (doc, token)
+    pairs, so within-doc repetition doesn't inflate df.
+
+    Scale shape: explode + distinct + count is two hash shuffles of
+    (token) — vocabulary-sized, tiny next to the corpus. The corpus
+    row count joins in as a single-row broadcast (constant work per
+    partition, the scalar-subquery idiom) — never a driver-side
+    collect inside the plan."""
+    d = spark.table("documents")
+    tok = d.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).distinct()
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tok.join(F.broadcast(n))
+        .groupBy("token", "n_docs")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log(F.col("n_docs") / F.col("df").cast("double")), 4
+            ).alias("idf"),
+        )
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                   i -> list_extract(t, i) || ' ' || list_extract(t, i + 1)))
+            AS gram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM bg
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 30
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: the 30 most frequent word bigrams — the
+    boilerplate detector (repeated headers/footers surface instantly)
+    and the n-gram LM / tokenizer-training primitive.
+
+    Scale shape: explode -> partial count (map-side combine) -> one
+    shuffle of (gram, partial_n) -> TakeOrderedAndProject top-k — no
+    global sort; ties broken by gram so the cut is deterministic. At
+    100 TB, swap the exact count for count-min sketch + candidate
+    re-count if the vocabulary itself stops fitting."""
+    d = spark.table("documents")
+    toks = _tokens()
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        d.where(n >= 2)
+        .select(F.explode(bigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(30)
+    )

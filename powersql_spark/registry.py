@@ -202,6 +202,9 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified",
     "emb_centroids",
     "emb_norm_quantize",
+    "source_orc",
+    "text_idf",
+    "text_ngram_topk",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

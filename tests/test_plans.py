@@ -203,3 +203,20 @@ def test_emb_centroids_partial_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "emb_centroids")
     before, _, after = plan.partition("Exchange")
     assert "HashAggregate" in before and "HashAggregate" in after
+
+
+def test_ngram_topk_is_topk_with_partial_agg(spark, sf_dir):
+    """Heavy hitters must plan TakeOrderedAndProject over a partially
+    aggregated count — never a global sort of the full vocabulary."""
+    plan = plan_of(spark, sf_dir, "text_ngram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2, "no map-side combine"
+
+
+def test_idf_scalar_is_single_row_broadcast(spark, sf_dir):
+    """The corpus-count scalar joins as ONE broadcast row (constant work
+    per partition) — allowed BNLJ, like the scalar subqueries in
+    tpch_q11/q22; anything more is a planning regression."""
+    plan = plan_of(spark, sf_dir, "text_idf")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
