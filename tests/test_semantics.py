@@ -135,3 +135,145 @@ def test_approx_percentile_within_2pct(spark, sf_dir):
     for r in rows:
         assert r["median_within_2pct"] is True, r
         assert r["p90_within_2pct"] is True, r
+
+
+def test_stratified_sample_exact_k_and_growth_stable(spark, sf_dir):
+    """Exactly min(20, stratum size) docs per lang; and because rank
+    only improves when the corpus shrinks, a sampled doc that survives
+    a corpus filter is still sampled — the stability that keeps eval
+    samples comparable across dataset versions."""
+    full = SPECS["sample_stratified"].fn(spark, sf_dir)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in spark.table("documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in full.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_lang == {lang: min(20, n) for lang, n in sizes.items()}
+
+    median = spark.table("documents").agg(
+        F.expr("percentile_approx(doc_id, 0.5)")
+    ).collect()[0][0]
+    spark.table("documents").where(F.col("doc_id") < median).createOrReplaceTempView(
+        "documents_small"
+    )
+    try:
+        # Re-run the same window over the shrunken corpus.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":strat")).cast(
+                    "binary"
+                )
+            ),
+            "doc_id",
+        )
+        small = (
+            spark.table("documents_small")
+            .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 20)
+            .select("doc_id", "lang")
+        )
+        kept_full = {r["doc_id"] for r in full.collect() if r["doc_id"] < median}
+        kept_small = {r["doc_id"] for r in small.collect()}
+        assert kept_full <= kept_small
+    finally:
+        spark.catalog.dropTempView("documents_small")
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
+    """Packing is a partition of the corpus: per source, bin doc/token
+    totals must sum to the source totals, and bins are dense from 0."""
+    packed = SPECS["pack_sequences"].fn(spark, sf_dir).collect()
+    truth = {
+        r["source"]: (r["n"], r["tok"])
+        for r in spark.table("documents")
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in packed:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        assert sum(r["n_docs"] for r in rows) == truth[source][0]
+        assert sum(r["n_tokens"] for r in rows) == truth[source][1]
+        bins = sorted(r["bin"] for r in rows)
+        assert bins == list(range(len(bins))), f"{source}: gaps in bins {bins}"
+
+
+def test_chunk_dedup_keeps_exactly_one_copy(spark, sf_dir):
+    """Kept chunks across the corpus == distinct chunk hashes: every
+    duplicated span survives exactly once, and the corpus has real
+    duplicate spans to begin with (the test isn't vacuous)."""
+    res = SPECS["dedup_chunk_crosscorpus"].fn(spark, sf_dir)
+    agg = res.agg(
+        F.sum(F.col("n_chunks") - F.col("n_dup_chunks")).alias("kept"),
+        F.sum("n_dup_chunks").alias("dups"),
+    ).collect()[0]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    distinct_hashes = (
+        spark.table("documents")
+        .select(toks.alias("t"), F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(20))).alias("s"))
+        .select(
+            F.md5(
+                F.array_join(F.slice("t", F.col("s"), 20), " ").cast("binary")
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg["kept"] == distinct_hashes
+    assert agg["dups"] > 0, "corpus has no duplicate spans; test is vacuous"
+
+
+def test_quantization_range_and_extreme_hit(spark, sf_dir):
+    """Symmetric int8 codes stay in [-127, 127] and the max-|x| element
+    maps to an endpoint in every vector; norms are positive."""
+    rows = SPECS["emb_norm_quantize"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["q_max"] == 127 or r["q_min"] == -127, r
+        assert r["l2_norm"] > 0
+
+
+def test_centroids_bounded_by_observed_values(spark, sf_dir):
+    """Each (label, pos) centroid lies within the min/max of the values
+    it averages, and every label covers all 64 positions."""
+    cent = SPECS["emb_centroids"].fn(spark, sf_dir)
+    bounds = (
+        spark.table("embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    joined = cent.join(bounds, ["label", "pos"]).collect()
+    assert len(joined) == cent.count() == 10 * 64
+    for r in joined:
+        assert r["lo"] - 1e-6 <= r["centroid"] <= r["hi"] + 1e-6, r
+
+
+def test_epoch_mix_replicates_exactly(spark, sf_dir):
+    """Every epoch of a source carries the full source: epoch counts
+    within a source are all equal to the source's doc count."""
+    rows = SPECS["mix_epochs_weighted"].fn(spark, sf_dir).collect()
+    truth = {
+        r["source"]: r["n"]
+        for r in spark.table("documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_docs"] == truth[r["source"]], r
