@@ -77,3 +77,54 @@ def assert_typecheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(ok,)], T.StructType([T.StructField("condition", T.BooleanType())])
     )
+
+
+@query(
+    "assert_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_price,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonpositive,
+           (COUNT(*) > 0
+            AND SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+            AND SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0)
+               AS condition
+    FROM orders
+    """,
+)
+def assert_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality metrics via Spark's ``Observation`` API —
+    the Spark-first upgrade of the reference's ASSERT loop (src/main.rs:
+    430-454 runs one query PER test): here row count, null count and
+    range violations are collected as accumulator side effects of ONE
+    pass over the table, with the pass itself writing to a noop sink the
+    way a materialization would. At 100 TB this turns k quality checks
+    from k scans into zero extra scans — the metrics ride the write job.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("quality")
+    observed = spark.table("orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_price"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int"))
+        .cast("bigint")
+        .alias("n_nonpositive"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    ok = (
+        m["n_rows"] > 0
+        and m["n_null_price"] == 0
+        and m["n_nonpositive"] == 0
+    )
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_price"], m["n_nonpositive"], ok)],
+        "n_rows bigint, n_null_price bigint, n_nonpositive bigint, condition boolean",
+    )

@@ -221,3 +221,62 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out.write.mode("overwrite").orc(path)
     return spark.read.schema(out.schema).orc(path).orderBy("s_suppkey")
+
+
+@query(
+    "sink_jsonl_sharded",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def sink_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded JSON-lines export — THE delivery format for LLM training
+    corpora: the table is written as 4 jsonl shards (distributed write,
+    one file per task; at 100 TB you size shards by target bytes via
+    repartition or maxRecordsPerFile), then read back with an explicit
+    schema. Hash equality against the source view proves the export is
+    lossless. Text is excluded from the round-trip columns only to keep
+    the oracle's JSON-escaping out of the comparison; the write itself
+    carries it."""
+    path = _stage_path("documents_jsonl")
+    out = spark.table("documents").select("doc_id", "lang", "source", "n_chars")
+    out.repartition(4).write.mode("overwrite").json(path)
+    return (
+        spark.read.schema("doc_id long, lang string, source string, n_chars long")
+        .json(path)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END
+               AS o_orderpriority
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet drops of the same table —
+    an old one without o_orderpriority, a new one with it — unioned by
+    ``mergeSchema``, the missing column null-filled. This is how a
+    100 TB table that gained a column mid-history reads back without
+    rewriting old partitions. Explicit merged schema would also work;
+    mergeSchema proves Spark reconciles the footers itself."""
+    base = _stage_path("orders_evolved")
+    o = spark.table("orders")
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
+        .orderBy("o_orderkey")
+    )

@@ -205,6 +205,10 @@ _PRIORITY: tuple[str, ...] = (
     "source_orc",
     "text_idf",
     "text_ngram_topk",
+    "assert_observe_metrics",
+    "sink_jsonl_sharded",
+    "source_schema_evolution",
+    "window_topk_per_window",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

@@ -313,3 +313,60 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recent_click_value"),
         )
     )
+
+
+@query(
+    "window_topk_per_window",
+    oracle="""
+    WITH per_user AS (
+        SELECT date_trunc('hour', ts) AS window_start, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY date_trunc('hour', ts), user_id
+    ),
+    ranked AS (
+        SELECT window_start, user_id, total_value,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY total_value DESC, user_id)
+                   AS rnk
+        FROM per_user
+    )
+    SELECT window_start, CAST(rnk AS INTEGER) AS rnk, user_id, total_value
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def window_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by spend per tumbling hour — the windowed-leaderboard
+    shape. Batch twin of the foreachBatch streaming pattern: Structured
+    Streaming cannot rank in append mode, so production runs the
+    window aggregate under readStream and applies this rank inside
+    foreachBatch per micro-batch (complete-mode twin asserted in
+    tests/test_streaming.py). Ties broken by user_id — deterministic
+    cut on both engines.
+
+    Scale shape: partial sum before the (window, user) shuffle, then the
+    rank window re-shuffles only the aggregated (window, user) rows —
+    two exchanges over data that shrinks at each step; the raw event
+    stream is never re-shuffled."""
+    from pyspark.sql import Window as W
+
+    per_user = (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "total_value"
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.desc("total_value"), "user_id"
+        )
+    )
+    return (
+        per_user.select(
+            "window_start", rnk.alias("rnk"), "user_id", "total_value"
+        )
+        .where(F.col("rnk") <= 3)
+        .select("window_start", "rnk", "user_id", "total_value")
+    )

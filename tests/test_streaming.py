@@ -370,3 +370,63 @@ def test_read_parquet_nanos_column(spark, sf_dir):
     df = read_parquet(spark, f"{sf_dir}/events.parquet")
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     assert df.count() > 0
+
+
+def test_streaming_windowed_topk_equals_batch(spark, sf_dir):
+    """The windowed leaderboard under readStream: the window aggregate
+    runs in complete mode, the rank is applied per micro-batch result
+    via foreachBatch (append mode cannot rank) — final state must equal
+    the batch twin."""
+    from pyspark.sql import Window as W
+
+    from powersql_spark.operators.common import dsum
+    from powersql_spark.streaming.windows import window_topk_per_window
+
+    load_tables(spark, sf_dir, ("events",))
+    batch = {
+        (r["window_start"], r["rnk"]): (r["user_id"], r["total_value"])
+        for r in window_topk_per_window(spark, sf_dir).collect()
+    }
+
+    staging = tempfile.mkdtemp(prefix="powersql_topk_in_")
+    spark.table("events").write.mode("overwrite").parquet(staging)
+    schema = read_parquet(spark, staging).schema
+
+    result: dict = {}
+
+    def rank_batch(batch_df, batch_id: int) -> None:
+        rnk = F.row_number().over(
+            W.partitionBy("window_start").orderBy(
+                F.desc("total_value"), "user_id"
+            )
+        )
+        result.clear()
+        for r in (
+            batch_df.select("window_start", rnk.alias("rnk"), "user_id", "total_value")
+            .where(F.col("rnk") <= 3)
+            .collect()
+        ):
+            result[(r["window_start"], r["rnk"])] = (
+                r["user_id"],
+                r["total_value"],
+            )
+
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(staging)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "total_value"
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="powersql_topk_ckpt_")
+    q = (
+        agg.writeStream.foreachBatch(rank_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert result == batch
