@@ -10,5 +10,6 @@ from powersql_spark.pipeline import (  # noqa: F401
     embeddings,
     multimodal,
     similarity,
+    sketches,
     text,
 )

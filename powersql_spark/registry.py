@@ -209,6 +209,7 @@ _PRIORITY: tuple[str, ...] = (
     "sink_jsonl_sharded",
     "source_schema_evolution",
     "window_topk_per_window",
+    "sketch_countmin_bigrams",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

@@ -220,3 +220,13 @@ def test_idf_scalar_is_single_row_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_idf")
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_countmin_partial_agg_and_broadcast_probe(spark, sf_dir):
+    """The sketch build must map-side combine (each partition ships at
+    most d*w counters) and the probe must broadcast the finished
+    sketch — never shuffle the candidate side against it."""
+    plan = plan_of(spark, sf_dir, "sketch_countmin_bigrams")
+    assert plan.count("HashAggregate") >= 2, "no partial sketch build"
+    assert "BroadcastHashJoin" in plan, "sketch probe not broadcast"
+    assert "CartesianProduct" not in plan

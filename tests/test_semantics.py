@@ -277,3 +277,25 @@ def test_epoch_mix_replicates_exactly(spark, sf_dir):
     }
     for r in rows:
         assert r["n_docs"] == truth[r["source"]], r
+
+
+def test_countmin_one_sided_error_within_bound(spark, sf_dir):
+    """CMS guarantees estimate >= truth always; overestimate should stay
+    within the classic e/w * N bound for the heavy hitters (deterministic
+    here: fixed data, fixed hashes)."""
+    import math
+
+    rows = SPECS["sketch_countmin_bigrams"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_grams = (
+        spark.table("documents")
+        .select((F.size(toks) - 1).alias("m"))
+        .where(F.col("m") >= 1)
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    bound = math.e / 256 * n_grams
+    for r in rows:
+        assert r["ok_lower"] is True, r
+        assert r["overestimate"] <= bound, (r, bound)
