@@ -210,6 +210,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_schema_evolution",
     "window_topk_per_window",
     "sketch_countmin_bigrams",
+    "ts_gap_fill_locf",
+    "funnel_conversion",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.operators.common import dsum
@@ -369,4 +369,154 @@ def window_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
         .select("window_start", "rnk", "user_id", "total_value")
+    )
+
+
+@query(
+    "ts_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, gs.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                        AS h FROM bounds) gs
+    )
+    SELECT s.event_type, s.h AS hour_ts, hourly.total,
+           last_value(hourly.total IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS UNBOUNDED PRECEDING) AS total_filled,
+           hourly.total IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN hourly
+      ON hourly.event_type = s.event_type AND hourly.h = s.h
+    """,
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (the TimescaleDB ``time_bucket_gapfill``/``locf`` shape): a dense
+    hourly spine per event type, hours with no events marked and filled
+    from the last observed hour — what dashboards and forecast featurizers
+    need from an irregular event stream.
+
+    Scale shape: the spine is (hours × types) — metadata-sized at ANY
+    data volume, generated executor-side from one min/max aggregate
+    (sequence + explode, no driver loop). The raw stream is touched
+    once by the hourly rollup; the gap-fill join and LOCF window run on
+    rollup-sized data."""
+    e = spark.table("events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(dsum("value", "total"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    spine = e.select("event_type").distinct().crossJoin(hours)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_ts"),
+            "total",
+            F.last("total", ignorenulls=True).over(w).alias("total_filled"),
+            F.col("total").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+        FROM events
+    ),
+    s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM s0
+    ),
+    s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts
+                       END) OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ),
+    pu AS (
+        SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+        FROM s2 GROUP BY user_id
+    )
+    SELECT COUNT(t0) AS n_viewed,
+           COUNT(t1) AS n_clicked_after_view,
+           COUNT(t2) AS n_purchased_after_click
+    FROM pu
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per user,
+    the first view, the first click AFTER that view, the first purchase
+    AFTER that click — then how many users survive each stage. The
+    event-analytics primitive behind every product dashboard.
+
+    Scale shape: three chained unordered window MINs over the SAME
+    user_id partitioning — Catalyst plans ONE exchange and reuses it
+    for all three window stages and the final per-user rollup; the
+    range conditions are per-row predicates, not joins. One shuffle of
+    the event stream, total."""
+    e = spark.table("events")
+    w = Window.partitionBy("user_id")
+    s0 = e.withColumn(
+        "t0",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s1 = s0.withColumn(
+        "t1",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t0")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    pu = s2.groupBy("user_id").agg(
+        F.max("t0").alias("t0"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+    )
+    return pu.agg(
+        F.count("t0").alias("n_viewed"),
+        F.count("t1").alias("n_clicked_after_view"),
+        F.count("t2").alias("n_purchased_after_click"),
     )

@@ -230,3 +230,23 @@ def test_countmin_partial_agg_and_broadcast_probe(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, "no partial sketch build"
     assert "BroadcastHashJoin" in plan, "sketch probe not broadcast"
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_user_shuffle_no_join(spark, sf_dir):
+    """Three chained window MINs + per-user rollup must reuse ONE
+    user_id exchange (plus the final single-partition gather) — and the
+    stage conditions are predicates, never self-joins."""
+    plan = plan_of(spark, sf_dir, "funnel_conversion")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan[plan.index("Exchange hashpartitioning"):]
+
+
+def test_gap_fill_spine_is_broadcast_sized(spark, sf_dir):
+    """The spine cross join (types x hours, metadata-sized at any data
+    volume) may broadcast-nested-loop; nothing else may, and the raw
+    event stream is scanned at most 3x (bounds, types, rollup)."""
+    plan = plan_of(spark, sf_dir, "ts_gap_fill_locf")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert 1 <= plan.count("events.parquet") <= 3
