@@ -11,6 +11,7 @@ is the point.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -481,4 +482,50 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "gram")
         .limit(30)
+    )
+
+
+@query(
+    "udf_pandas_score",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.0 + 0.02 * n_tok - 0.001 * n_chars))),
+                 4) AS model_score
+    FROM f
+    """,
+)
+def udf_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-vectorized ``@pandas_udf`` — the quality-model
+    inference slot: a tiny logistic model scored over numpy batches,
+    standing in for any sklearn/torch scorer too custom for built-ins.
+    This rounds out the UDF surface next to applyInPandas
+    (grouped_zscore), mapInPandas (mm_*) and applyInPandasWithState
+    (streaming): per-batch Arrow transfer, NOT per-row Python.
+
+    The features feed in as columns (computed by codegen'd built-ins,
+    not in Python), the UDF is map-only — no shuffle, plan shows one
+    ArrowEvalPython over the scan. Rounding happens JVM-side with
+    F.round (half-up, matching DuckDB); numpy's half-even np.round
+    would diverge."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(n_tok: pd.Series, n_chars: pd.Series) -> pd.Series:
+        import numpy as np
+
+        z = -1.0 + 0.02 * n_tok.to_numpy() - 0.001 * n_chars.to_numpy()
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    d = spark.table("documents").select(
+        "doc_id", F.size(_tokens()).alias("n_tok"), "n_chars"
+    )
+    return d.select(
+        "doc_id",
+        F.round(score("n_tok", "n_chars"), 4).alias("model_score"),
     )

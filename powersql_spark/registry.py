@@ -212,6 +212,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_countmin_bigrams",
     "ts_gap_fill_locf",
     "funnel_conversion",
+    "udf_pandas_score",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

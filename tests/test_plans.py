@@ -250,3 +250,12 @@ def test_gap_fill_spine_is_broadcast_sized(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert 1 <= plan.count("events.parquet") <= 3
+
+
+def test_pandas_scalar_udf_is_arrow_and_map_only(spark, sf_dir):
+    """The inference UDF must run as ONE Arrow-batched stage over the
+    scan — no shuffle, no row-at-a-time Python."""
+    plan = plan_of(spark, sf_dir, "udf_pandas_score")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan, "fell back to row-at-a-time Python"
+    assert "Exchange" not in plan
