@@ -86,6 +86,8 @@ HEADLINE = {
     "q20_mkt_share": "tpch_q8",
     "q21_contamination": "curation_contamination_check",
     "q22_chunk_dedup": "dedup_chunk_crosscorpus",
+    "q23_funnel": "funnel_conversion",
+    "q24_countmin": "sketch_countmin_bigrams",
 }
 
 

@@ -109,7 +109,15 @@ def sketch_countmin_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant."""
     d = spark.table("documents")
     n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bg = d.where(n >= 2).select(F.explode(_bigrams()).alias("gram"))
+    # Both consumers (sketch build + exact evaluation side) read the
+    # exploded gram stream; persist so the explode runs once — same
+    # idiom as the MinHash shingle stage. Production CMS has no exact
+    # side and would skip this.
+    bg = (
+        d.where(n >= 2)
+        .select(F.explode(_bigrams()).alias("gram"))
+        .persist()
+    )
 
     pairs = bg.select(
         "gram",

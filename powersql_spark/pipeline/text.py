@@ -1,10 +1,12 @@
 """Text analysis over the ``documents`` table (driver north-star extension;
 NOT in the reference — see SURVEY.md §2.B.11).
 
-All operators are pure Spark built-ins (whole-stage codegen, no Python on
-the hot path): language-ID is an n-gram/stopword heuristic, quality
+Operators are Spark built-ins (whole-stage codegen) except where Python
+is the point: language-ID is an n-gram/stopword heuristic, quality
 scoring is length/stopword ratios, token counting is a regex split,
-fingerprinting is md5 over normalized text. Each scales linearly with an
+fingerprinting is md5 over normalized text; ``udf_pandas_score`` is the
+deliberate exception — the Arrow-vectorized ``@pandas_udf`` slot where a
+real model scorer plugs in. Each scales linearly with an
 embarrassingly-parallel map — no shuffle at all except where aggregation
 is the point.
 """
