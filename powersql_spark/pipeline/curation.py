@@ -321,3 +321,65 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "curation_quality_buckets",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS score
+        FROM documents
+    ),
+    b AS (
+        SELECT quantile_cont(score,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM s
+    )
+    SELECT CAST(len(list_filter(bs, x -> score > x)) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(score) AS INTEGER) AS min_score,
+           CAST(MAX(score) AS INTEGER) AS max_score,
+           CAST(SUM(score) AS BIGINT) AS total_tokens
+    FROM s, b
+    GROUP BY 1
+    """,
+)
+def curation_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum decile binning: bucket documents into 10 quality tiers
+    (here: token count, the stand-in for any scalar quality score) —
+    the curriculum-learning / quality-pruning primitive ("train on the
+    top 3 deciles first", "drop the bottom decile").
+
+    Scale shape: the naive form is ``ntile(10) OVER (ORDER BY score)``
+    — a GLOBAL sort window that funnels 100 TB through one partition.
+    Instead: pass 1 computes the 9 decile boundaries (one tiny
+    aggregate), pass 2 assigns each row by comparing against the
+    broadcast boundary array — two linear map passes, no global sort,
+    and the bucket assignment is a pure function of the score so it is
+    stable across partitionings. Boundary percentiles are exact and
+    linearly interpolated identically in both engines; integer scores
+    make the interpolated boundaries exactly representable."""
+    d = spark.table("documents")
+    s = d.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("score")
+    )
+    bounds = s.agg(
+        F.percentile(
+            "score", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("bs")
+    )
+    bucket = F.size(
+        F.filter("bs", lambda x: F.col("score") > x)
+    ).alias("bucket")
+    return (
+        s.join(F.broadcast(bounds))
+        .select("doc_id", "score", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum("score").cast("bigint").alias("total_tokens"),
+        )
+    )

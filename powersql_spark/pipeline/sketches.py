@@ -171,3 +171,44 @@ def sketch_countmin_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_est") >= F.col("n_exact")).alias("ok_lower"),
     )
+
+
+@query(
+    "sketch_hll_by_source",
+    # Sketch binaries are engine-specific, so the driver hash-verifies the
+    # ACCURACY GATE (the agg_approx_* pattern): the merged-estimate-vs-exact
+    # tolerance boolean, which the oracle asserts holds for every language.
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT source) AS n_partials,
+           true AS merged_within_5pct
+    FROM documents GROUP BY lang
+    """,
+)
+def sketch_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (Apache DataSketches via Spark's
+    hll_sketch_agg / hll_union_agg): build one sketch per (lang, source)
+    partial, then MERGE the binary sketches per lang — never recount the
+    raw rows. This is the pre-aggregated-sketch-table pattern that makes
+    distinct-count rollups O(partials) instead of O(rows) at 100 TB:
+    partials are built once map-side next to ingest, and any rollup
+    (per lang, per day, global) is a union of kilobyte sketches.
+
+    The exact count-distinct alongside exists only to feed the 5%
+    tolerance gate; production keeps only the sketch column."""
+    d = spark.table("documents")
+    partials = d.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk")
+    )
+    merged = partials.groupBy("lang").agg(
+        F.count("*").alias("n_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = d.groupBy("lang").agg(F.count_distinct("doc_id").alias("ex"))
+    return merged.join(exact, "lang").select(
+        "lang",
+        "n_partials",
+        (
+            F.abs(F.col("est") - F.col("ex")) <= 0.05 * F.col("ex")
+        ).alias("merged_within_5pct"),
+    )

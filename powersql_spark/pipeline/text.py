@@ -487,6 +487,165 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=rf"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.17'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 202-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_IPV4_RE}')) AS INTEGER)
+               AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM dirty
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub every training corpus gets
+    before release: count and mask emails, IPv4 addresses, and phone
+    numbers. The synthetic corpus is clean lowercase word-soup, so the
+    op first plants deterministic PII (keyed off doc_id, identically in
+    both engines) and then detects/redacts it — the parity check
+    therefore exercises real matches, not a vacuous zero-match filter.
+
+    Regexes use only ASCII classes + ``\\b`` so Java regex (Spark) and
+    RE2 (DuckDB) agree. Map-only: no shuffle, redaction happens inside
+    whole-stage codegen; at 100 TB this is a free rider on the scan.
+    Production swap-in: an NER pandas_udf for names/addresses sits in
+    the same map-only slot."""
+    d = spark.table("documents")
+    did = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".17"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 202-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = F.col("t")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select("doc_id", dirty.alias("t")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS t FROM tok),
+    per AS (
+        SELECT doc_id,
+               round(
+                   CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / t), 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 4) AS avg_lp
+        FROM tok JOIN vocab USING (token), tot
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(avg_lp AS DOUBLE) AS avg_logprob,
+           CAST(round(exp(-avg_lp), 4) AS DOUBLE) AS ppl_proxy
+    FROM per
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus unigram LM: two-pass
+    — pass 1 builds the unigram table (token -> count, one vocab-sized
+    shuffle), pass 2 joins tokens against it and averages log p(token)
+    per document. Low avg log-prob (high proxy perplexity) flags
+    gibberish/rare-token docs, the cheap stand-in for a KenLM filter.
+
+    Scale shape: the vocab aggregate is tiny next to the corpus and is
+    broadcast back (swap to a shuffle join if the vocabulary outgrows
+    the broadcast threshold); the per-doc aggregate shuffles (doc_id,
+    decimal partials) once. Per-token log-probs are rounded to 6dp and
+    decimal-summed so the result is bit-stable across partition counts
+    and engines (see registry module docstring)."""
+    d = spark.table("documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = tok.agg(F.count("*").alias("t"))
+    logp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("t")), 6
+    ).cast("decimal(18,6)")
+    per = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(logp).cast("double") / F.count("*"), 4
+            ).alias("avg_lp")
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("avg_lp").alias("avg_logprob"),
+        F.round(F.exp(-F.col("avg_lp")), 4).alias("ppl_proxy"),
+    )
+
+
 @query(
     "udf_pandas_score",
     oracle=r"""

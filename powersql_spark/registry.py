@@ -213,6 +213,11 @@ _PRIORITY: tuple[str, ...] = (
     "ts_gap_fill_locf",
     "funnel_conversion",
     "udf_pandas_score",
+    "text_pii_redact",
+    "text_unigram_logprob",
+    "curation_quality_buckets",
+    "sketch_hll_by_source",
+    "dedup_embedding_lsh",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

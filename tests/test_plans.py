@@ -119,6 +119,7 @@ def test_column_pruning_q6(spark, sf_dir):
         "dedup_embedding_cosine",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_embedding_lsh",
         "sim_join_topk",
     ],
 )

@@ -299,3 +299,36 @@ def test_countmin_one_sided_error_within_bound(spark, sf_dir):
     for r in rows:
         assert r["ok_lower"] is True, r
         assert r["overestimate"] <= bound, (r, bound)
+
+
+def test_embedding_lsh_recalls_planted_pairs(spark, sf_dir):
+    """dedup_embedding_lsh plants one near-duplicate twin per vector at
+    cosine ~0.98; hyperplane banding (4x8 bits, deterministic LCG
+    planes) must recall nearly all of them, and precision is exact by
+    construction (candidates re-verified with true cosine >= 0.95)."""
+    rows = SPECS["dedup_embedding_lsh"].fn(spark, sf_dir).collect()
+    n_vecs = spark.table("embeddings").count()
+    planted = [r for r in rows if r["vec_b"] - r["vec_a"] == 1_000_000]
+    recall = len(planted) / n_vecs
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on planted twins"
+    for r in rows:
+        assert r["cosine"] >= 0.95, r
+        assert r["vec_a"] < r["vec_b"]
+
+
+def test_embedding_lsh_candidates_subquadratic(spark, sf_dir):
+    """Count the band join's CANDIDATE volume (pre-verification): with
+    4 bands of 8 bits, unrelated vectors collide at ~4/256, so
+    candidates must stay a small fraction of the ~2n^2 pair space —
+    the sub-quadratic claim that justifies LSH over blocked
+    all-pairs."""
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline import dedup as dd
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    n = dd._lsh_corpus(spark).count()
+    pair_space = n * (n - 1) // 2
+    n_cand = dd._lsh_candidates(spark).count()
+    assert n_cand <= pair_space * 0.05, (
+        f"{n_cand} candidates vs {pair_space} pairs"
+    )
