@@ -218,6 +218,7 @@ _PRIORITY: tuple[str, ...] = (
     "curation_quality_buckets",
     "sketch_hll_by_source",
     "dedup_embedding_lsh",
+    "stream_static_enrich",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

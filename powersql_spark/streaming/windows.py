@@ -316,6 +316,41 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to a static
+    dimension (customer segment), aggregated per (segment, event_type)
+    — the canonical "enrich the firehose with a lookup table" shape.
+    BATCH twin of the readStream run asserted equal in
+    tests/test_streaming.py::test_stream_static_join_equals_batch.
+
+    Scale shape: the dimension broadcasts (no stream-side shuffle for
+    the join — each micro-batch probes the broadcast hash table
+    map-side); the only shuffle is the final aggregation on the tiny
+    (segment, type) key space. Decimal-summed for bit-stable parity."""
+    e = spark.table("events")
+    c = spark.table("customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
     "window_topk_per_window",
     oracle="""
     WITH per_user AS (

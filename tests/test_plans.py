@@ -260,3 +260,24 @@ def test_pandas_scalar_udf_is_arrow_and_map_only(spark, sf_dir):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan, "fell back to row-at-a-time Python"
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """The storage-level claim of sink_bucketed: with BOTH sides
+    bucketed 8 ways on the join key, the join itself requires NO
+    shuffle even when neither side broadcasts (the big-big case the
+    bucketing exists for). Disable auto-broadcast to force that case:
+    the plan must be a SortMergeJoin fed directly by bucketed scans,
+    with the aggregation's exchange as the ONLY exchange."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "sink_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "join side got re-shuffled despite bucketing:\n" + plan
+    )
+    assert "SelectedBucketsCount: 8 out of 8" in plan

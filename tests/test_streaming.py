@@ -192,30 +192,32 @@ def test_streaming_checkpoint_incremental_restart(spark, sf_dir):
 
 
 def test_stream_static_join_equals_batch(spark, sf_dir):
-    """Stream-static enrichment join: a streaming events source joined
-    to the static orders table (dimension lookup per micro-batch) must
-    match the batch join."""
+    """Stream-static enrichment join: the registered batch twin
+    (stream_static_enrich: events x broadcast customer dim) must match
+    the same plan run as a readStream with a per-micro-batch dimension
+    lookup."""
     from powersql_spark.catalog import read_parquet_stream
+    from powersql_spark.registry import all_specs
 
-    load_tables(spark, sf_dir, ("events", "orders"))
-    orders_dim = spark.table("orders").select(
-        F.col("o_orderkey").alias("user_id"), "o_orderpriority"
-    )
+    load_tables(spark, sf_dir, ("events", "customer"))
     batch = {
-        (r["o_orderpriority"],): r["n"]
-        for r in (
-            spark.table("events")
-            .join(orders_dim, "user_id")
-            .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("n"))
-            .collect()
+        (r["c_mktsegment"], r["event_type"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
         )
+        for r in all_specs()["stream_static_enrich"].fn(spark, sf_dir).collect()
     }
+    cust = spark.table("customer").select("c_custkey", "c_mktsegment")
     stream = (
         read_parquet_stream(spark, f"{sf_dir}/events.parquet")
-        .join(orders_dim, "user_id")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
     )
     ckpt = tempfile.mkdtemp(prefix="powersql_ckpt_ssj_")
     q = (
@@ -228,7 +230,11 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     )
     q.awaitTermination()
     got = {
-        (r["o_orderpriority"],): r["n"] for r in spark.table("t_ssj").collect()
+        (r["c_mktsegment"], r["event_type"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.table("t_ssj").collect()
     }
     assert got == batch
 
