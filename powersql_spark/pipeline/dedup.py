@@ -768,3 +768,50 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("vec_a", "vec_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= _LSH_VERIFY_COSINE)
     )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN
+          (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup DELIVERABLE: the corpus that
+    remains after pair generation (prefix-filtered blocked jaccard) ->
+    transitive clustering (min-label propagation) -> keep one canonical
+    document per cluster (the lowest doc_id — deterministic, so a
+    rerun or a different cluster keeps the same survivors). Composes
+    the standalone stages (dedup_ngram_jaccard,
+    dedup_connected_components) into the thing a user actually ships
+    to training.
+
+    Scale shape: everything upstream is the stages' own (documented)
+    shapes; the final step is one LEFT ANTI hash join of documents
+    against the (small) non-canonical id set — at 100 TB that id list
+    is a fraction of corpus row count and joins on a bare bigint."""
+    labels = dedup_connected_components(spark, sf_dir)
+    dupes = labels.where(~F.col("is_canonical")).select("doc_id")
+    return (
+        spark.table("documents")
+        .join(dupes, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )

@@ -219,6 +219,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_hll_by_source",
     "dedup_embedding_lsh",
     "stream_static_enrich",
+    "dedup_survivors",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).
