@@ -525,3 +525,58 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    )
+    SELECT LEAST(CAST(floor((o_totalprice - mn) * 20.0 / (mx - mn))
+                      AS INTEGER), 19) AS bucket,
+           CAST(round(mn + LEAST(CAST(floor((o_totalprice - mn) * 20.0
+                                            / (mx - mn)) AS INTEGER), 19)
+                           * (mx - mn) / 20.0, 4) AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders
+    FROM orders, b
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets over [min, max]) — the
+    distribution-profiling primitive behind data-quality dashboards and
+    skew diagnosis. Two passes: a tiny (min, max) aggregate broadcast
+    back (the scalar-subquery idiom — never a driver round-trip), then
+    one linear bucket-assign + count.
+
+    The bucket index is computed with ONE shared formula —
+    floor((x - mn) * 20 / (mx - mn)) — on both engines rather than
+    each engine's width_bucket(), whose internal arithmetic is not
+    specified identically; same-ops-same-order IEEE doubles make the
+    cut deterministic. At 100 TB this is a map + one 20-group shuffle."""
+    o = spark.table("orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            * 20.0
+            / (F.col("mx") - F.col("mn"))
+        ).cast("int"),
+        F.lit(19),
+    )
+    return (
+        o.join(F.broadcast(b))
+        .select(
+            bucket.alias("bucket"),
+            F.round(
+                F.col("mn")
+                + bucket * (F.col("mx") - F.col("mn")) / 20.0,
+                4,
+            ).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -5,6 +5,7 @@ multimodal query keys.
 """
 
 from powersql_spark.pipeline import (  # noqa: F401
+    bpe,
     curation,
     dedup,
     embeddings,

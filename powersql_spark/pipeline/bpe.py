@@ -1,0 +1,129 @@
+"""Distributed BPE merge learning — tokenizer *training* on Spark
+(driver north-star extension; the reference has no analog — its surface
+ends at SQL orchestration, src/execute.rs:101).
+
+Classic BPE (Sennrich et al. 2016) never iterates over the corpus: it
+iterates over the (word, frequency) table, which is vocabulary-sized.
+That factoring is exactly what makes the algorithm distributable:
+
+- ONE corpus pass aggregates to (word, freq) — the only shuffle that
+  scales with data size; at 100 TB this is a word-count.
+- Each merge round then runs on the vocab table: explode adjacent
+  symbol pairs weighted by freq, take the argmax pair (a 1-row
+  aggregate — the learned model parameter, legitimately driver-side),
+  and apply the merge to every word's symbol array map-side.
+
+The merge application is a left-to-right greedy fold over the symbol
+array (F.aggregate), matching the reference algorithm's semantics for
+overlapping pairs ("aaa" + merge(a,a) -> ["aa","a"]).
+
+No SQL oracle (iterative argmax is not expressible); instead
+tests/test_semantics.py replays the identical algorithm in ~20 lines of
+pure Python on the same word-frequency table and asserts the MERGE
+SEQUENCE is identical — stronger than a row-count check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+N_MERGES = 8
+
+
+def word_freq(spark: SparkSession) -> DataFrame:
+    """The corpus word-frequency table BPE actually trains on."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        spark.table("documents")
+        .select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _apply_merge(sym_col, left: str, right: str):
+    """Greedy left-to-right merge of adjacent (left, right) symbol
+    pairs inside one symbol array."""
+    merged = left + right
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        # try_element_at: NULL on the empty accumulator (first element),
+        # which fails the equality and falls through to append.
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_merges(spark: SparkSession, n_merges: int = N_MERGES):
+    """Run the merge loop; returns [(step, left, right, pair_freq)].
+
+    Each round touches only the vocab table (persisted between rounds);
+    the argmax collect moves ONE row to the driver — the model update,
+    not data."""
+    vocab = word_freq(spark).select(
+        "freq", F.split(F.col("word"), "(?!$)").alias("sym")
+    ).persist()
+    rules: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("sym", 1, F.size("sym") - 1),
+                    F.slice("sym", 2, F.size("sym") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("left"), b.alias("right")
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], top[0]["n"]
+        rules.append((step, left, right, int(n)))
+        nxt = vocab.select(
+            "freq", _apply_merge(F.col("sym"), left, right).alias("sym")
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return rules
+
+
+@query("bpe_learn_merges")  # no SQL oracle: iterative argmax; see module doc
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first N_MERGES learned BPE merge rules over the corpus, with
+    the weighted pair frequency each was chosen at. Deterministic:
+    ties break lexicographically, so the merge sequence is a pure
+    function of the corpus."""
+    rules = learn_merges(spark)
+    return spark.createDataFrame(
+        [
+            {
+                "step": s,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "pair_freq": n,
+            }
+            for (s, left, right, n) in rules
+        ],
+        schema="step int, left string, right string, merged string, pair_freq bigint",
+    )

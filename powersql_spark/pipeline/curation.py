@@ -383,3 +383,58 @@ def curation_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || ':wres'), 1, 8)) AS BIGINT)
+                    + 1) / 4294967296.0)
+               / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, n_chars,
+                 ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 50
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): keep
+    the 50 docs with the smallest -ln(u)/w, where w is the row weight
+    (n_chars — longer docs sampled proportionally more often) and u is
+    a DETERMINISTIC uniform in (0,1] derived from md5(doc_id) — the
+    importance-sampling primitive for building eval/inspection sets
+    biased toward high-weight rows, reproducible across runs, engines,
+    and partitionings (rand() is none of those).
+
+    Scale shape: map-only key computation + a global top-k — which
+    Spark plans as TakeOrderedAndProject (per-partition heaps, no
+    global sort). One 50-row result; no shuffle of the corpus."""
+    d = spark.table("documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":wres"))
+                    .cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )

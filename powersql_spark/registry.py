@@ -220,6 +220,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "stream_static_enrich",
     "dedup_survivors",
+    "agg_histogram",
+    "sample_weighted_reservoir",
+    "bpe_learn_merges",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

@@ -281,3 +281,20 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         "join side got re-shuffled despite bucketing:\n" + plan
     )
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_weighted_reservoir_is_topk(spark, sf_dir):
+    """The E-S sample must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the corpus."""
+    plan = plan_of(spark, sf_dir, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_histogram_bounds_are_broadcast(spark, sf_dir):
+    """The (min,max) bounds row must broadcast back into the linear
+    bucket-assign pass — a 1-row build side, constant work per
+    partition."""
+    plan = plan_of(spark, sf_dir, "agg_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -332,3 +332,50 @@ def test_embedding_lsh_candidates_subquadratic(spark, sf_dir):
     assert n_cand <= pair_space * 0.05, (
         f"{n_cand} candidates vs {pair_space} pairs"
     )
+
+
+def test_bpe_merges_match_reference_algorithm(spark, sf_dir):
+    """Replay Sennrich-style BPE in pure Python on the same
+    (word, freq) table and assert the Spark loop learns the IDENTICAL
+    merge sequence (same pairs, same order, same weighted counts) —
+    algorithm-level equivalence, far stronger than a row count."""
+    from collections import Counter
+
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline.bpe import N_MERGES, learn_merges, word_freq
+
+    load_tables(spark, sf_dir, ("documents",))
+    wf = {r["word"]: r["freq"] for r in word_freq(spark).collect()}
+
+    vocab = {tuple(w): f for w, f in wf.items()}
+    expected = []
+    for step in range(N_MERGES):
+        counts = Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        # max count, ties broken lexicographically — as the Spark orderBy
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < 2:
+            break
+        expected.append((step, left, right, n))
+        merged_vocab = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            merged_vocab[key] = merged_vocab.get(key, 0) + f
+        vocab = merged_vocab
+
+    got = learn_merges(spark)
+    assert got == expected, f"\nspark: {got}\nref:   {expected}"
