@@ -88,6 +88,7 @@ HEADLINE = {
     "q22_chunk_dedup": "dedup_chunk_crosscorpus",
     "q23_funnel": "funnel_conversion",
     "q24_countmin": "sketch_countmin_bigrams",
+    "q25_emb_lsh": "dedup_embedding_lsh",
 }
 
 

@@ -20,6 +20,8 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -620,8 +622,12 @@ def dedup_chunk_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generator that replaces blocked all-pairs scans at 100 TB.
 # ---------------------------------------------------------------------------
 
-_LSH_PLANES = 32  # signature bits
-_LSH_BANDS = 4  # 4 bands x 8 bits: P[candidate | random pair] ~ 4/256
+# Band geometry: band width should track log2(n) — at 8-bit bands a 10k-row
+# corpus already put ~39 rows in every bucket (~750k spurious candidate
+# pairs, measured 2.1s at sf0.1); 12-bit bands cut random collisions to
+# bands/4096 of the pair space while 6 bands keep planted-twin recall ~0.95.
+_LSH_PLANES = 72  # signature bits
+_LSH_BANDS = 6  # 6 bands x 12 bits
 _LSH_DIM = 64
 _LSH_VERIFY_COSINE = 0.95
 _PLANT_OFFSET = 1_000_000
@@ -630,8 +636,8 @@ _PLANT_OFFSET = 1_000_000
 def _hyperplanes() -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a 64-bit LCG
     (Knuth MMIX constants) — a fixed model parameter, identical on
-    every run/engine, embedded in the plan as literals (32x64 doubles,
-    ~16 KB: broadcast-free)."""
+    every run/engine (72x64 doubles, ~37 KB, shipped in the UDF
+    closure)."""
     state = 1234567891
     flat = []
     for _ in range(_LSH_PLANES * _LSH_DIM):
@@ -674,44 +680,43 @@ def _lsh_candidates(spark: SparkSession) -> DataFrame:
     """Band-join candidate pairs (pre-verification): the stage whose
     volume the sub-quadratic claim is about — tests count this frame
     directly against the pair space."""
+    from pyspark.sql.functions import pandas_udf
+
     corpus = _lsh_corpus(spark).repartition(
         spark.sparkContext.defaultParallelism
     )
-    planes = F.array(
-        *[
-            F.array(*[F.lit(w) for w in plane])
-            for plane in _hyperplanes()
-        ]
-    )
-    dot = lambda p: F.aggregate(  # noqa: E731
-        F.zip_with(p, F.col("emb"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    bits = F.transform(
-        planes, lambda p: F.when(dot(p) >= 0, F.lit(1)).otherwise(F.lit(0))
-    )
     band_width = _LSH_PLANES // _LSH_BANDS
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
-        lambda b: F.aggregate(
-            F.slice(F.col("bits"), b * band_width + 1, band_width),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc * 2 + v,
-        ),
-    )
+    planes_np = np.array(_hyperplanes())  # model parameter, in the closure
+    pow2 = 1 << np.arange(band_width - 1, -1, -1)
+
+    # Signature = one Arrow-batched matmul: (batch x 64) @ (64 x 72).
+    # The HOF formulation (72 interpreted aggregate/zip_with dots per
+    # row) measured ~4x slower at sf0.1 — this is the vectorized-math
+    # case where a pandas_udf beats built-ins.
+    @pandas_udf("array<long>")
+    def band_vals(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy())
+        bits = (m @ planes_np.T) >= 0
+        vals = np.stack(
+            [
+                bits[:, b * band_width : (b + 1) * band_width] @ pow2
+                for b in range(_LSH_BANDS)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(vals))
+
     nrm = F.sqrt(
         F.aggregate(
             F.col("emb"), F.lit(0.0), lambda acc, x: acc + x * x
         )
     )
     sig = (
-        corpus.withColumn("bits", bits)
-        .select(
+        corpus.select(
             "vec_id",
             "emb",
             nrm.alias("nrm"),
-            F.posexplode(bands).alias("band", "val"),
+            F.posexplode(band_vals(F.col("emb"))).alias("band", "val"),
         )
         .persist()
     )
@@ -731,29 +736,33 @@ def _lsh_candidates(spark: SparkSession) -> DataFrame:
             F.col("a.nrm").alias("nrm_a"),
             F.col("b.nrm").alias("nrm_b"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
     )
+    # NOTE: multi-band duplicates are NOT dropped here — deduplicating
+    # before verification would shuffle rows carrying two 64-double
+    # arrays; instead each (possibly duplicated) candidate pays the
+    # cheap cosine and the dedup runs after, on 3 scalar columns.
     return cand
 
 
 @query("dedup_embedding_lsh")  # rows-only: LSH recall has no SQL oracle
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH (SimHash for
-    vectors): sign(plane . emb) gives a 32-bit signature whose bits
-    agree with probability 1 - theta/pi; band into 4x8 bits and two
+    vectors): sign(plane . emb) gives a 72-bit signature whose bits
+    agree with probability 1 - theta/pi; band into 6x12 bits and two
     vectors become candidates iff they share a band value. Candidates
     then pay one exact cosine check >= 0.95.
 
     Scale shape — this is the answer to "blocked all-pairs doesn't
     scale": candidate generation is ONE equi-join on (band, value)
-    whose collision probability for unrelated vectors is ~4/256, so
-    candidate volume is ~1.6% of the pair space and concentrated on
-    true near-dups (8-bit band agreement at cosine 0.98 ~ 59%, any of
-    4 bands ~97%). Signature computation is map-only codegen (2048
-    multiply-adds per row against literal planes); no all-pairs stage
-    exists anywhere in the plan. dedup_embedding_cosine's capped label
-    blocks remain as the exact-verification tail for in-cell pairs;
-    THIS op is the global candidate source at 100 TB."""
+    whose collision probability for unrelated vectors is ~6/4096
+    (~0.15% of the pair space), concentrated on true near-dups
+    (12-bit band agreement at planted cosine ~0.98 is ~0.4, any of 6
+    bands ~95%). Signatures come from one Arrow-batched numpy matmul
+    (map-only — the vectorized-math slot where pandas_udf beats
+    interpreted HOF dots ~4x); no all-pairs stage exists anywhere in
+    the plan. dedup_embedding_cosine's capped label blocks remain as
+    the exact-verification tail for in-cell pairs; THIS op is the
+    global candidate source at 100 TB."""
     cand = _lsh_candidates(spark)
     cosine = F.round(
         F.aggregate(
@@ -767,6 +776,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("vec_a", "vec_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= _LSH_VERIFY_COSINE)
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
