@@ -825,3 +825,119 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dupes, "doc_id", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): any repeated run of >= K tokens is a
+# duplicate span, wherever it starts. The original uses a single-node
+# suffix array; the distributed re-expression is stride-1 window
+# hashing — one window per token position, so it stays LINEAR in corpus
+# size — followed by gaps-and-islands coalescing of adjacent duplicated
+# windows into maximal spans.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # window width in tokens; a repeated span must cover >= K
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS s,
+               md5(array_to_string(t[i : i + {_SPAN_K} - 1], ' ')) AS h
+        FROM toks, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+        WHERE len(t) >= {_SPAN_K}
+    ),
+    ranked AS (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+        FROM wins
+    ),
+    dup AS (
+        SELECT doc_id, s,
+               s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+                   AS grp
+        FROM ranked WHERE rn > 1
+    )
+    SELECT doc_id,
+           MIN(s) AS span_start,
+           CAST(MAX(s) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(MAX(s) - MIN(s) + {_SPAN_K} AS BIGINT) AS span_tokens,
+           COUNT(*) AS n_windows
+    FROM dup
+    GROUP BY doc_id, grp
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document — the sliding-window
+    complement of ``dedup_chunk_crosscorpus``: chunking only catches
+    aligned repeats, while a stride-1 window catches a repeated run at
+    ANY offset. A window is a duplicate when its K-token hash occurred
+    earlier corpus-wide (first occurrence = lowest (doc_id, start), a
+    total engine-independent order, and is kept); runs of adjacent
+    duplicated windows coalesce into one maximal span via
+    gaps-and-islands (start minus per-doc rank is constant within a
+    run). Downstream masks/cuts ``[span_start, span_end]`` instead of
+    dropping whole documents.
+
+    Scale shape: one window-hash row per token position — linear, the
+    same asymptotics as tokenization itself (the suffix array the
+    original paper builds is single-node and does not distribute). The
+    shuffle key is md5(window), 16 bytes; window TEXT never moves. Then
+    the island coalescing shuffles only the duplicated subset on
+    doc_id. Two bounded shuffles, both on narrow keys — the same plan
+    at 100 TB."""
+    d = spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    wins = (
+        d.where(n >= _SPAN_K)
+        .select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(
+                F.sequence(F.lit(1), n - _SPAN_K + 1)
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("bigint").alias("s"),
+            F.md5(
+                F.array_join(
+                    F.slice("t", F.col("s"), _SPAN_K), " "
+                ).cast("binary")
+            ).alias("h"),
+        )
+    )
+    w_first = Window.partitionBy("h").orderBy("doc_id", "s")
+    dup = (
+        wins.select("doc_id", "s", F.row_number().over(w_first).alias("rn"))
+        .where(F.col("rn") > 1)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    return (
+        dup.select(
+            "doc_id",
+            "s",
+            (F.col("s") - F.row_number().over(w_doc)).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + _SPAN_K - 1).cast("bigint").alias("span_end"),
+            (F.max("s") - F.min("s") + _SPAN_K)
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+        )
+    )

@@ -223,6 +223,10 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram",
     "sample_weighted_reservoir",
     "bpe_learn_merges",
+    "dedup_exact_substring",
+    "bpe_apply_tokenize",
+    "quality_classifier_score",
+    "layout_zorder",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

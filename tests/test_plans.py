@@ -298,3 +298,15 @@ def test_histogram_bounds_are_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_histogram")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_shuffles_hashes_only(spark, sf_dir):
+    """Stride-1 window dedup must shuffle 16-byte md5 keys — the token
+    array is projected away below the first exchange, and no join of
+    any kind appears (it's windows + one aggregate)."""
+    plan = plan_of(spark, sf_dir, "dedup_exact_substring")
+    assert re.search(r"hashpartitioning\(h#", plan), "window not keyed on md5"
+    first_exchange = plan.index("Exchange")
+    assert "md5" in plan[first_exchange:]
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan

@@ -379,3 +379,62 @@ def test_bpe_merges_match_reference_algorithm(spark, sf_dir):
 
     got = learn_merges(spark)
     assert got == expected, f"\nspark: {got}\nref:   {expected}"
+
+
+def test_exact_substring_spans_really_repeat(spark, sf_dir):
+    """Independent verification that doesn't reuse window hashing: the
+    token run each reported span covers must literally occur >= 2 times
+    in the normalized corpus (counting multiplicity), and spans within
+    a document must be disjoint maximal islands with consistent window
+    arithmetic."""
+    from powersql_spark.pipeline.dedup import _SPAN_K
+
+    res = SPECS["dedup_exact_substring"].fn(spark, sf_dir)
+    rows = res.collect()
+    assert len(rows) > 0, "corpus has no duplicate spans; test is vacuous"
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["span_tokens"] >= _SPAN_K
+        assert (
+            r["n_windows"]
+            == r["span_end"] - r["span_start"] - _SPAN_K + 2
+        )
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r["span_start"])
+        for a, b in zip(spans, spans[1:]):
+            # Maximal islands: separated by at least one kept window.
+            assert a["span_end"] < b["span_start"]
+
+    # String-containment check on the widest span: count literal
+    # occurrences of the span text across the whole corpus.
+    top = max(rows, key=lambda r: (r["span_tokens"], r["doc_id"]))
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    doc_toks = (
+        spark.table("documents")
+        .where(F.col("doc_id") == top["doc_id"])
+        .select(F.split(norm, " ").alias("t"))
+        .collect()[0]["t"]
+    )
+    span_text = " ".join(
+        doc_toks[top["span_start"] - 1 : top["span_end"]]
+    )
+    occurrences = (
+        spark.table("documents")
+        .select(
+            (
+                (
+                    F.length(norm)
+                    - F.length(F.replace(norm, F.lit(span_text), F.lit("")))
+                )
+                / F.length(F.lit(span_text))
+            ).alias("k")
+        )
+        .agg(F.sum("k").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert occurrences >= 2, (
+        f"span {span_text!r} reported duplicated but occurs "
+        f"{occurrences} time(s)"
+    )
