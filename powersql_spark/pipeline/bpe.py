@@ -107,6 +107,60 @@ def learn_merges(spark: SparkSession, n_merges: int = N_MERGES):
     return rules
 
 
+def segment_vocab(spark: SparkSession, rules) -> DataFrame:
+    """Apply a learned merge sequence to the DISTINCT-WORD table:
+    (word, sym array) after all merges. This is the other half of the
+    BPE factoring — segmentation is a pure function of the word, so it
+    is computed once per vocabulary entry, never per corpus token."""
+    vocab = word_freq(spark).select(
+        "word", F.split(F.col("word"), "(?!$)").alias("sym")
+    )
+    for (_, left, right, _) in rules:
+        vocab = vocab.select(
+            "word", _apply_merge(F.col("sym"), left, right).alias("sym")
+        )
+    return vocab
+
+
+@query("bpe_apply_tokenize")  # rows-only: learned merges, not SQL-expressible
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges — the *apply*
+    half that turns ``bpe_learn_merges`` into a usable tokenizer: per
+    document, the subword token count and compression ratio a packing /
+    budgeting stage consumes.
+
+    Scale shape: merges never touch the corpus — they run on the
+    vocabulary table (``segment_vocab``); the corpus pass is one word
+    explode plus a broadcast hash join of the (word, n_subwords)
+    segmentation (vocab is orders of magnitude smaller than the corpus;
+    were it to outgrow broadcast, the same plan downgrades to a shuffle
+    join on the word key). Per-doc rollup shuffles doc_id only."""
+    rules = learn_merges(spark)
+    seg = segment_vocab(spark, rules).select(
+        "word", F.size("sym").cast("bigint").alias("n_sub")
+    )
+    words = (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            (
+                F.sum(F.length("word"))
+                / F.sum("n_sub").cast("double")
+            ).alias("chars_per_subword"),
+        )
+        .select("doc_id", "n_words", "n_subwords", "chars_per_subword")
+    )
+
+
 @query("bpe_learn_merges")  # no SQL oracle: iterative argmax; see module doc
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first N_MERGES learned BPE merge rules over the corpus, with

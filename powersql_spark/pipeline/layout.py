@@ -1,0 +1,141 @@
+"""Multi-dimensional data layout — Z-order clustering (driver
+north-star extension; the reference has no analog — its surface ends at
+SQL orchestration, src/execute.rs:101).
+
+At 100 TB a table is pruned or it is scanned: partition pruning handles
+ONE dimension, but real workloads filter lineitem on quantity one day
+and price the next. Z-ordering (Morton curve) interleaves the bits of
+several quantized dimensions into one sort key, so RANGE-partitioning /
+sorting by the z-value makes every file a small axis-aligned rectangle
+in the original space — min/max footer stats then prune scans on ANY of
+the interleaved dimensions (the Delta Lake / Iceberg `OPTIMIZE ZORDER
+BY` idea, rebuilt from first principles).
+
+The whole computation is integer arithmetic (quantize -> interleave ->
+bucket) built from the same Python loop for both engines, so the DuckDB
+oracle verifies the curve bit-for-bit. Nothing here is a UDF; the
+z-value is whole-stage-codegen arithmetic and the layout action is
+``repartitionByRange(z).sortWithinPartitions(z)`` at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powersql_spark.registry import query
+
+_BITS = 8  # bits per dimension: 2 dims -> 16-bit z-value
+_BUCKET_SHIFT = 10  # keep top 6 z-bits -> 64 buckets (files, at scale)
+
+
+def _quant(col: Column, lo: Column, hi: Column) -> Column:
+    """Quantize a double into [0, 2^_BITS - 1] by min/max scaling —
+    FLOOR on both engines (half-even vs half-up rounding never enters)."""
+    scaled = (col - lo) / (hi - lo) * float(1 << _BITS)
+    return F.least(
+        F.floor(scaled).cast("long"), F.lit((1 << _BITS) - 1)
+    )
+
+
+def _interleave(qa: Column, qb: Column) -> Column:
+    """Morton interleave: bit i of each dim lands at 2i+1 / 2i."""
+    z = F.lit(0).cast("long")
+    for i in range(_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qa, i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright(qb, i).bitwiseAND(1), 2 * i)
+        )
+    return z
+
+
+def _interleave_sql(qa: str, qb: str) -> str:
+    """The identical Morton interleave as DuckDB SQL text."""
+    terms = []
+    for i in range(_BITS):
+        terms.append(f"((({qa} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({qb} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_Q = (
+    f"LEAST(CAST(FLOOR((l_quantity - lo_q) / (hi_q - lo_q) * {1 << _BITS})"
+    f" AS BIGINT), {(1 << _BITS) - 1})"
+)
+_P = (
+    f"LEAST(CAST(FLOOR((l_extendedprice - lo_p) / (hi_p - lo_p)"
+    f" * {1 << _BITS}) AS BIGINT), {(1 << _BITS) - 1})"
+)
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(l_quantity) AS lo_q, MAX(l_quantity) AS hi_q,
+               MIN(l_extendedprice) AS lo_p, MAX(l_extendedprice) AS hi_p
+        FROM lineitem
+    ),
+    quant AS (
+        SELECT {_Q} AS qa, {_P} AS qb
+        FROM lineitem, bounds
+    ),
+    z AS (
+        SELECT ({_interleave_sql("qa", "qb")}) >> {_BUCKET_SHIFT}
+                   AS z_bucket,
+               qa, qb
+        FROM quant
+    )
+    SELECT z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(qa) AS min_qty_cell, MAX(qa) AS max_qty_cell,
+           MIN(qb) AS min_price_cell, MAX(qb) AS max_price_cell
+    FROM z
+    GROUP BY z_bucket
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lineitem on (quantity, extendedprice) and report, per
+    target file (z-bucket), the rectangle of quantized cells it covers —
+    the min/max footer stats a pruning scan would consult. The
+    semantics gate (tests/test_semantics.py) asserts the payoff: a
+    selective predicate on EITHER dimension overlaps only a small
+    fraction of buckets, which is precisely the fraction of files a
+    100 TB scan would read.
+
+    Scale shape: the (min, max) bounds row broadcasts into a linear
+    quantize+interleave pass (pure codegen arithmetic); the per-bucket
+    rollup partial-aggregates to at most 64 rows per partition before
+    one exchange. The write-side action this models is
+    ``df.repartitionByRange(n_files, z).sortWithinPartitions(z)`` —
+    same key, same plan, plus the parquet sink."""
+    li = spark.table("lineitem")
+    bounds = li.agg(
+        F.min("l_quantity").alias("lo_q"),
+        F.max("l_quantity").alias("hi_q"),
+        F.min("l_extendedprice").alias("lo_p"),
+        F.max("l_extendedprice").alias("hi_p"),
+    )
+    quant = li.join(F.broadcast(bounds)).select(
+        _quant(F.col("l_quantity"), F.col("lo_q"), F.col("hi_q")).alias(
+            "qa"
+        ),
+        _quant(
+            F.col("l_extendedprice"), F.col("lo_p"), F.col("hi_p")
+        ).alias("qb"),
+    )
+    z = quant.select(
+        F.shiftright(
+            _interleave(F.col("qa"), F.col("qb")), _BUCKET_SHIFT
+        ).alias("z_bucket"),
+        "qa",
+        "qb",
+    )
+    return z.groupBy("z_bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("qa").alias("min_qty_cell"),
+        F.max("qa").alias("max_qty_cell"),
+        F.min("qb").alias("min_price_cell"),
+        F.max("qb").alias("max_price_cell"),
+    )

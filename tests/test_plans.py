@@ -310,3 +310,24 @@ def test_exact_substring_shuffles_hashes_only(spark, sf_dir):
     assert "md5" in plan[first_exchange:]
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_bpe_apply_segments_via_broadcast_join(spark, sf_dir):
+    """Merges run on the vocab table only; the corpus pass must join
+    the (word, n_sub) segmentation as a BROADCAST hash join — a shuffle
+    join on raw corpus words would move the whole exploded corpus."""
+    plan = plan_of(spark, sf_dir, "bpe_apply_tokenize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_is_arithmetic_with_broadcast_bounds(spark, sf_dir):
+    """Quantize+interleave is pure codegen arithmetic over a broadcast
+    1-row bounds frame — no UDF (BatchEvalPython/ArrowEvalPython), no
+    shuffle besides the final 64-row bucket rollup."""
+    plan = plan_of(spark, sf_dir, "layout_zorder")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "SortMergeJoin"):
+        assert bad not in plan

@@ -438,3 +438,113 @@ def test_exact_substring_spans_really_repeat(spark, sf_dir):
         f"span {span_text!r} reported duplicated but occurs "
         f"{occurrences} time(s)"
     )
+
+
+def test_bpe_apply_matches_reference_segmentation(spark, sf_dir):
+    """Segment every distinct word with the learned merges in ~10 lines
+    of pure Python and assert the Spark vocabulary segmentation is
+    identical, symbol for symbol; then assert the corpus rollup
+    conserves words (every corpus token hits the vocab join)."""
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline.bpe import (
+        learn_merges,
+        segment_vocab,
+    )
+
+    load_tables(spark, sf_dir)
+    rules = learn_merges(spark)
+    assert rules, "no merges learned; test is vacuous"
+    got = {
+        r["word"]: tuple(r["sym"])
+        for r in segment_vocab(spark, rules).collect()
+    }
+
+    def ref_apply(word: str) -> tuple:
+        sym = list(word)
+        for (_, left, right, _) in rules:
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == left
+                    and sym[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return tuple(sym)
+
+    assert len(got) > 0
+    merged_somewhere = 0
+    for word, sym in got.items():
+        assert sym == ref_apply(word), (word, sym, ref_apply(word))
+        if len(sym) < len(word):
+            merged_somewhere += 1
+    assert merged_somewhere > 0, "no word was ever merged; vacuous"
+
+    rollup = SPECS["bpe_apply_tokenize"].fn(spark, sf_dir)
+    totals = rollup.agg(
+        F.sum("n_words").alias("w"), F.sum("n_subwords").alias("s")
+    ).collect()[0]
+    corpus_words = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .count()
+    )
+    corpus_chars = (
+        spark.table("documents")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .agg(F.sum(F.length("w")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert totals["w"] == corpus_words, "words dropped at the vocab join"
+    # Each word yields between 1 and len(word) subwords.
+    assert totals["w"] <= totals["s"] <= corpus_chars
+
+
+def test_zorder_buckets_prune_on_either_dimension(spark, sf_dir):
+    """The point of z-ordering: each z-bucket is a small rectangle in
+    (quantity, price) cell space, so a selective predicate on EITHER
+    dimension overlaps only a minority of buckets — the fraction of
+    files a scan would actually read. A single-dimension sort gives
+    this for one dim and 100% for the other."""
+    rows = SPECS["layout_zorder"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n >= 32, f"expected a well-populated bucket space, got {n}"
+    top = 224  # qa/qb >= 224: the top eighth of the 256-cell range
+    for dim_lo, dim_hi in (
+        ("min_qty_cell", "max_qty_cell"),
+        ("min_price_cell", "max_price_cell"),
+    ):
+        for r in rows:
+            assert 0 <= r[dim_lo] <= r[dim_hi] <= 255
+        overlapping = sum(1 for r in rows if r[dim_hi] >= top)
+        assert overlapping <= 0.4 * n, (
+            f"predicate on {dim_hi} overlaps {overlapping}/{n} buckets —"
+            " no pruning payoff"
+        )
+
+
+def test_quality_classifier_generalizes_to_holdout(spark, sf_dir):
+    """The distilled classifier must actually learn the weak-label
+    signal: accuracy on the ~20% holdout (never seen in training) is
+    gated well above chance, and the split is the deterministic salted
+    hash (so train membership is reproducible)."""
+    rows = SPECS["quality_classifier_score"].fn(spark, sf_dir).collect()
+    holdout = [r for r in rows if not r["is_train"]]
+    train = [r for r in rows if r["is_train"]]
+    assert len(holdout) > 30 and len(train) > 100
+    for r in rows:
+        assert 0.0 <= r["p_good"] <= 1.0
+        assert r["pred_label"] == (1 if r["p_good"] >= 0.5 else 0)
+    acc = sum(
+        1 for r in holdout if r["pred_label"] == r["weak_label"]
+    ) / len(holdout)
+    assert acc >= 0.70, f"holdout accuracy {acc:.2f}"
+    # Both classes exist in the holdout, else accuracy is vacuous.
+    assert {r["weak_label"] for r in holdout} == {0, 1}
