@@ -89,6 +89,8 @@ HEADLINE = {
     "q23_funnel": "funnel_conversion",
     "q24_countmin": "sketch_countmin_bigrams",
     "q25_emb_lsh": "dedup_embedding_lsh",
+    "q26_substr_dedup": "dedup_exact_substring",
+    "q27_zorder": "layout_zorder",
 }
 
 
