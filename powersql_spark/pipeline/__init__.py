@@ -10,7 +10,9 @@ from powersql_spark.pipeline import (  # noqa: F401
     dedup,
     embeddings,
     layout,
+    linkage,
     multimodal,
+    profiling,
     similarity,
     sketches,
     text,

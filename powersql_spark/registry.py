@@ -227,6 +227,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_apply_tokenize",
     "quality_classifier_score",
     "layout_zorder",
+    "join_fuzzy_names",
+    "profile_key_skew",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

@@ -331,3 +331,28 @@ def test_zorder_is_arithmetic_with_broadcast_bounds(spark, sf_dir):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                 "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_fuzzy_join_blocks_on_equijoin(spark, sf_dir):
+    """The edit-distance predicate must ride an EQUI-join on the noun
+    block key (hash or broadcast), never a Cartesian/BNLJ all-pairs
+    comparison — blocking is the whole point."""
+    plan = plan_of(spark, sf_dir, "join_fuzzy_names")
+    assert "levenshtein" in plan
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_skew_profile_is_partial_aggregated(spark, sf_dir):
+    """Each key's count-per-key must partially aggregate map-side (two
+    HashAggregates around the exchange) and the three profiles union
+    without any join."""
+    plan = plan_of(spark, sf_dir, "profile_key_skew")
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 6
+    for bad in ("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan
