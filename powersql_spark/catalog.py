@@ -113,6 +113,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is under-parallel.
+
+    The explode-heavy pipeline ops want their map stage spread across
+    all cores, but an unconditional ``repartition()`` is a full shuffle
+    of document text — the most expensive possible move at 100 TB,
+    where a parquet table always arrives with far more splits than
+    cores and the repartition buys nothing. The driver's toy layout is
+    the opposite: one single-row-group file, which parquet cannot
+    split, so the whole corpus lands in one task. Checking the plan's
+    actual partition count keeps the shuffle strictly a small-input
+    concession: at scale this is the identity function."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming twin of :func:`read_parquet`: readStream with the same
     TIMESTAMP(NANOS) tolerance (int64 nanos -> microsecond timestamps)."""

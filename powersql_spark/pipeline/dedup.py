@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
+from powersql_spark.catalog import spread
 from powersql_spark.registry import query
 
 _JACCARD_THRESHOLD = 0.30
@@ -45,9 +46,7 @@ def _doc_shingles(spark: SparkSession) -> DataFrame:
     unigram shingles so identical one-token docs still score jaccard 1
     instead of NULL (0/0) and are reported by every fuzzy-dedup variant.
     """
-    d = spark.table("documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread(spark.table("documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     bigrams = F.array_distinct(
@@ -307,9 +306,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signatures are one map + one groupBy; candidate join is
     on 16-bit chunk values. Rows-only driver check."""
-    d = spark.table("documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread(spark.table("documents"))
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
     # Per-token 64-char bit string of xxhash64 (bin() of a negative long
     # is already the full 64-bit two's complement; lpad covers positives).
@@ -588,9 +585,7 @@ def dedup_chunk_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence rank is one window over the hash partition, then
     the per-doc rollup shuffles doc_id. Two bounded shuffles, linear in
     corpus size — the same plan at 100 TB."""
-    d = spark.table("documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread(spark.table("documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), n, F.lit(20))
@@ -682,9 +677,7 @@ def _lsh_candidates(spark: SparkSession) -> DataFrame:
     directly against the pair space."""
     from pyspark.sql.functions import pandas_udf
 
-    corpus = _lsh_corpus(spark).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    corpus = spread(_lsh_corpus(spark))
     band_width = _LSH_PLANES // _LSH_BANDS
     planes_np = np.array(_hyperplanes())  # model parameter, in the closure
     pow2 = 1 << np.arange(band_width - 1, -1, -1)
@@ -892,9 +885,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the island coalescing shuffles only the duplicated subset on
     doc_id. Two bounded shuffles, both on narrow keys — the same plan
     at 100 TB."""
-    d = spark.table("documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = spread(spark.table("documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     wins = (
