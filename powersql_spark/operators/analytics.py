@@ -580,3 +580,95 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "bucket_lo")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(NTILE(4) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) — equal-height quartiles per nation (both engines fill
+    earlier buckets first on non-divisible counts; the tie-free ORDER BY
+    makes assignment deterministic). Partitioned window: one shuffle on
+    c_nationkey, each quartile assignment local to its partition."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return spark.table("customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey AS k, o_totalprice * 1.10 AS price, 'U' AS op
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, 'I'
+        FROM orders WHERE o_orderkey % 100 = 50
+    )
+    SELECT COALESCE(c.k, b.o_orderkey) AS o_orderkey,
+           CAST(COALESCE(c.price, b.o_totalprice) AS DOUBLE)
+               AS o_totalprice,
+           CASE WHEN c.k IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.k
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics as one FULL OUTER join + COALESCE:
+    matched change rows overwrite (updated), unmatched change rows
+    append (inserted), untouched base rows pass through (kept). The
+    relational core of Delta/Iceberg MERGE, usable against plain
+    parquet via foreachBatch (see streaming upsert test) or a rewrite
+    sink.
+
+    Scale shape: ONE shuffle of each side on the merge key — history is
+    never rewritten row-by-row, and with both sides bucketed on the key
+    (sink_bucketed) the exchange disappears entirely. The change set is
+    usually delta-sized, so AQE downgrades its side to broadcast and
+    the base table never shuffles at all."""
+    o = spark.table("orders")
+    changes = (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 1.10).alias("price"),
+            F.lit("U").alias("op"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 100 == 50).select(
+                (F.col("o_orderkey") + 10_000_000).alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    b, c = o.alias("b"), changes.alias("c")
+    return (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.k"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.coalesce(F.col("c.price"), F.col("b.o_totalprice"))
+            .cast("double")
+            .alias("o_totalprice"),
+            F.when(F.col("c.k").isNull(), "kept")
+            .when(F.col("b.o_orderkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )

@@ -229,6 +229,9 @@ _PRIORITY: tuple[str, ...] = (
     "layout_zorder",
     "join_fuzzy_names",
     "profile_key_skew",
+    "window_ntile",
+    "merge_upsert",
+    "sim_topk_ivf_learned",
 )
 
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).

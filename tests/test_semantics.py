@@ -548,3 +548,20 @@ def test_quality_classifier_generalizes_to_holdout(spark, sf_dir):
     assert acc >= 0.70, f"holdout accuracy {acc:.2f}"
     # Both classes exist in the holdout, else accuracy is vacuous.
     assert {r["weak_label"] for r in holdout} == {0, 1}
+
+
+def test_ivf_learned_recall_vs_bruteforce(spark, sf_dir):
+    """The k-means-trained quantizer must do at least as well as the
+    label-cell stand-in: recall of the exact brute-force top-k >= 0.5
+    with 3 of 16 cells probed."""
+    exact = {
+        r["vec_id"]
+        for r in SPECS["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    learned = {
+        r["vec_id"]
+        for r in SPECS["sim_topk_ivf_learned"].fn(spark, sf_dir).collect()
+    }
+    assert len(learned) == 10
+    recall = len(exact & learned) / len(exact)
+    assert recall >= 0.5, f"learned-IVF recall {recall:.2f} vs brute force"
