@@ -234,6 +234,45 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_ivf_learned",
 )
 
+def _driver_green(root: str | None = None) -> frozenset[str]:
+    """Keys with a banked driver-green row in ANY CORRECTNESS_r*.json.
+
+    Read dynamically so the window self-rotates: when the driver drops
+    a new round's file into the repo, every key it verified moves to
+    the back of the registration order on the next import, and the
+    50-slot window advances to the next tranche of `_PRIORITY` with no
+    manual bookkeeping. Green = the full hash check passed, or a
+    rows-only key (no oracle twin registered) completed its weaker
+    check cleanly. Falls back to the hardcoded round-1 set when no
+    files are readable (e.g. a bare checkout)."""
+    import glob
+    import json
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    seen_file = False
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        seen_file = True
+        for key, r in rows.items():
+            if not isinstance(r, dict) or r.get("err"):
+                continue
+            full = r.get("hash_match") and r.get("schema_match")
+            rows_only = (
+                key in _REGISTRY
+                and _REGISTRY[key].oracle is None
+                and r.get("rows_match") is not False
+            )
+            if full or rows_only:
+                green.add(key)
+    return frozenset(green) if seen_file else _DRIVER_GREEN_R01
+
+
 # Fully green rows in CORRECTNESS_r01.json (rows+schema+hash all true).
 _DRIVER_GREEN_R01: frozenset[str] = frozenset(
     {
@@ -289,18 +328,16 @@ _DRIVER_GREEN_R01: frozenset[str] = frozenset(
 
 
 def _ordered(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Manifest order: priority first, then unlisted new keys (fail-safe —
-    a key someone forgets to rank still beats re-running banked greens),
-    then round-1 greens."""
-    pri = [k for k in _PRIORITY if k in registry]
+    """Manifest order: never-driver-verified keys first (in curated
+    `_PRIORITY` order, unlisted stragglers after as a fail-safe), then
+    banked-green keys — re-running a green key buys nothing while any
+    key still lacks a driver row."""
+    banked = _driver_green()
+    pri = [k for k in _PRIORITY if k in registry and k not in banked]
     rest = [
-        k
-        for k in registry
-        if k not in _PRIORITY and k not in _DRIVER_GREEN_R01
+        k for k in registry if k not in _PRIORITY and k not in banked
     ]
-    green = [
-        k for k in registry if k in _DRIVER_GREEN_R01 and k not in _PRIORITY
-    ]
+    green = [k for k in registry if k in banked]
     return {k: registry[k] for k in (*pri, *rest, *green)}
 
 
