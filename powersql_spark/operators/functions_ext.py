@@ -317,3 +317,48 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) >= 5)) AS INTEGER)
+               AS n_long,
+           CAST(list_sum(list_transform(toks, x -> length(x)))
+                AS BIGINT) AS total_chars,
+           list_max(list_transform(toks, x -> length(x))) AS max_len,
+           CAST(length(toks[1]) = list_max(list_transform(toks,
+                x -> length(x))) AS BOOLEAN) AS first_is_longest
+    FROM t
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a user surface — TRANSFORM /
+    FILTER / AGGREGATE lambdas over an array column (SQL
+    `transform(arr, x -> ...)`), mirrored by DuckDB's list_* lambdas.
+    These run interpreted (outside whole-stage codegen), which is why
+    this repo's hot paths avoid them — fine at dimension scale, and
+    the expressiveness is the point here."""
+    t = spark.table("documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    lens = F.transform("toks", lambda x: F.length(x))
+    max_len = F.array_max(lens)
+    return t.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda x: F.length(x) >= 5)).alias(
+            "n_long"
+        ),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        max_len.alias("max_len"),
+        (F.length(F.element_at("toks", 1)) == max_len).alias(
+            "first_is_longest"
+        ),
+    )

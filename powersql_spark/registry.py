@@ -232,6 +232,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_ntile",
     "merge_upsert",
     "sim_topk_ivf_learned",
+    "fn_higher_order",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

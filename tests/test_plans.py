@@ -356,3 +356,14 @@ def test_skew_profile_is_partial_aggregated(spark, sf_dir):
     assert plan.count("HashAggregate") >= 6
     for bad in ("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"):
         assert bad not in plan
+
+
+def test_merge_upsert_single_join_no_bnlj(spark, sf_dir):
+    """MERGE = exactly one outer join on the key; never a nested-loop
+    or Cartesian comparison of base vs changes."""
+    plan = plan_of(spark, sf_dir, "merge_upsert")
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin).*FullOuter", plan
+    ), "no full-outer hash/merge join in plan"
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan

@@ -565,3 +565,21 @@ def test_ivf_learned_recall_vs_bruteforce(spark, sf_dir):
     assert len(learned) == 10
     recall = len(exact & learned) / len(exact)
     assert recall >= 0.5, f"learned-IVF recall {recall:.2f} vs brute force"
+
+
+def test_morton_interleave_is_bijective(spark, sf_dir):
+    """Exhaustive over the full 256x256 cell space: the z-curve must be
+    a bijection onto [0, 65535] — any collision or gap silently merges
+    or splits file rectangles."""
+    from powersql_spark.pipeline.layout import _interleave
+
+    grid = spark.range(256).selectExpr("id AS qa").crossJoin(
+        spark.range(256).selectExpr("id AS qb")
+    )
+    z = grid.select(_interleave(F.col("qa"), F.col("qb")).alias("z"))
+    stats = z.agg(
+        F.count_distinct("z").alias("n"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).collect()[0]
+    assert (stats["n"], stats["lo"], stats["hi"]) == (65536, 0, 65535)
