@@ -99,18 +99,37 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     return cols
 
 
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to session-time TIMESTAMP (LTZ).
+
+    Parquet written with isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ
+    under Spark 4's default NTZ inference, but NTZ is rejected by the
+    time-instant function family (unix_micros, unix_timestamp,
+    to_utc_timestamp, ...), and which type a table scans as must not
+    depend on the writer's flag or the harness session's conf. Sessions
+    here pin spark.sql.session.timeZone=UTC, so the cast is a pure
+    re-tag: identical wall-clock values, DuckDB-oracle agreement
+    unchanged."""
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet reader that tolerates TIMESTAMP(NANOS) columns by reading
     them as int64 nanos and truncating to microsecond timestamps (the
     same truncation DuckDB applies, so oracle comparisons agree)."""
     nanos = _nanos_timestamp_cols(path)
     if not nanos:
-        return spark.read.parquet(path)
+        return _ntz_to_ltz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _ntz_to_ltz(df)
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -146,7 +165,7 @@ def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
     df = reader.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _ntz_to_ltz(df)
 
 
 def load_tables(

@@ -63,7 +63,7 @@ def _profile_one(spark: SparkSession, key: str) -> DataFrame:
     )
     SELECT join_key,
            COUNT(*) AS n_keys,
-           SUM(c) AS n_rows,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
            MAX(c) AS max_key_rows,
            CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50_key_rows,
            CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_key_rows,
