@@ -91,6 +91,9 @@ HEADLINE = {
     "q25_emb_lsh": "dedup_embedding_lsh",
     "q26_substr_dedup": "dedup_exact_substring",
     "q27_zorder": "layout_zorder",
+    "q28_semdedup": "dedup_semdedup",
+    "q29_dsir_weights": "curation_dsir_weights",
+    "q30_ohlc": "ts_resample_ohlc",
 }
 
 

@@ -672,3 +672,44 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merge_action"),
         )
     )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics — CORR / COVAR_SAMP / REGR_SLOPE /
+    REGR_INTERCEPT per group. The reference passes any aggregate call
+    through untyped (src/main.rs:117-121, src/types.rs:94); here they
+    execute natively as single-pass partial aggregates: each partition
+    reduces to (n, Σx, Σy, Σxy, Σx², Σy²) moment state and only that
+    constant-size state shuffles — the same plan shape at 60k rows and
+    at 100 TB. Rounded on both engines: the merge order of the moment
+    sums differs, so the last ulps do too."""
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "slope"
+        ),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )

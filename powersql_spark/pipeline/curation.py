@@ -553,3 +553,168 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_good.alias("p_good"),
         (p_good >= 0.5).cast("int").alias("pred_label"),
     )
+
+
+_CAP_PER_SOURCE = 20
+
+
+@query(
+    "curation_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, cap_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+             ) AS cap_rank
+      FROM documents
+    ) ranked
+    WHERE cap_rank <= {_CAP_PER_SOURCE}
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — keep at most N docs per source/domain,
+    chosen by a salted-hash priority (the C4/RefinedWeb "domain
+    frequency cap" that stops one crawl domain from dominating the
+    mix). Hash priority instead of "first N by id" means the kept
+    sample is unbiased w.r.t. crawl order and stable as the corpus
+    grows. Scale shape: one shuffle on source; within-partition
+    top-N via rank window (no global sort). A pathologically hot
+    domain is exactly what the cap removes, so the skew fixes itself:
+    only ≤N survivors per key leave the exchange."""
+    w = Window.partitionBy("source").orderBy(
+        _bucket_full(F.col("doc_id"), ":cap"), "doc_id"
+    )
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("cap_rank"),
+        )
+        .where(F.col("cap_rank") <= _CAP_PER_SOURCE)
+    )
+
+
+def _bucket_full(col, salt: str):
+    """Full md5 hex of (key || salt) — a deterministic total priority
+    order shared with the DuckDB oracle."""
+    return F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary"))
+
+
+_DSIR_B = 128  # hashed feature buckets
+_DSIR_TARGET = ("src0", "src1")  # stand-in high-quality target corpus
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(t), 1, 4))::BIGINT % {_DSIR_B} AS b
+        FROM tok
+    ),
+    spine AS (SELECT unnest(range(0, {_DSIR_B})) AS b),
+    tgt AS (
+        SELECT s.b, COUNT(t.b) AS c
+        FROM spine s LEFT JOIN
+             (SELECT b FROM bucketed WHERE source IN ({_DSIR_TARGET_SQL})) t
+             ON s.b = t.b
+        GROUP BY s.b
+    ),
+    raw AS (
+        SELECT s.b, COUNT(t.b) AS c
+        FROM spine s LEFT JOIN bucketed t ON s.b = t.b
+        GROUP BY s.b
+    ),
+    lr AS (
+        SELECT tgt.b,
+               ln((tgt.c + 1.0) / ((SELECT SUM(c) FROM tgt) + {_DSIR_B}))
+             - ln((raw.c + 1.0) / ((SELECT SUM(c) FROM raw) + {_DSIR_B}))
+                   AS logratio
+        FROM tgt JOIN raw ON tgt.b = raw.b
+    )
+    SELECT bucketed.doc_id,
+           COUNT(*) AS n_tokens,
+           round(SUM(lr.logratio), 4) AS dsir_logratio
+    FROM bucketed JOIN lr ON bucketed.b = lr.b
+    GROUP BY bucketed.doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each raw
+    document by how much its hashed-unigram distribution looks like a
+    target corpus — sum over tokens of log p_target(bucket) -
+    log p_raw(bucket), Laplace-smoothed over a fixed 128-bucket hashed
+    vocabulary. High scorers get upsampled into the training mix.
+
+    Scale shape: tokenize is a map-side explode; both language models
+    aggregate to a CONSTANT 128-row table regardless of corpus size;
+    the per-token log-ratio lookup is a broadcast join; the final
+    per-doc sum shuffles only (doc_id, partial sum). The md5-derived
+    bucketing is the same arithmetic on both engines, so the driver
+    hash-verifies the weights bit-for-bit after 4dp rounding."""
+    d = spark.table("documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "t"
+        ),
+    )
+    bucketed = tok.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("t").cast("binary")), 1, 4), 16, 10
+            ).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    def _lm(df):
+        counts = (
+            spine.join(
+                df.select(F.col("b").alias("tb")),
+                spine.b == F.col("tb"),
+                "left",
+            )
+            .groupBy("b")
+            .agg(F.count("tb").alias("c"))
+        )
+        total = Window.partitionBy()
+        return counts.select(
+            "b",
+            F.log(
+                (F.col("c") + 1.0)
+                / (F.sum("c").over(total) + F.lit(float(_DSIR_B)))
+            ).alias("logp"),
+        )
+
+    tgt = _lm(bucketed.where(F.col("source").isin(*_DSIR_TARGET)))
+    raw = _lm(bucketed)
+    lr = (
+        tgt.alias("t")
+        .join(raw.alias("r"), "b")
+        .select(
+            "b",
+            (F.col("t.logp") - F.col("r.logp")).alias("logratio"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("logratio"), 4).alias("dsir_logratio"),
+        )
+    )

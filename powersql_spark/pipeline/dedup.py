@@ -932,3 +932,158 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
         )
     )
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+def _semdedup_oracle(cap: int, tau: float) -> str:
+    return f"""
+    WITH norms AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {sub_bucket_sql("vec_id", "label", cap)} AS sub
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i AS pos,
+               CAST(SUM(CAST(CAST(list_extract(embedding, i) AS DOUBLE)
+                             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+        FROM embeddings, unnest(range(1, 65)) AS u(i)
+        GROUP BY label, i
+    ),
+    centv AS (
+        SELECT label, list(c ORDER BY pos) AS cv
+        FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT n.vec_id, n.label, n.v, n.nrm, n.sub,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> list_extract(n.v, i) * list_extract(cv, i)))
+                 / (n.nrm * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                 4) AS centrality
+        FROM norms n JOIN centv USING (label)
+    ),
+    losers AS (
+        SELECT DISTINCT
+               CASE WHEN (a.centrality > b.centrality)
+                      OR (a.centrality = b.centrality
+                          AND a.vec_id < b.vec_id)
+                    THEN b.vec_id ELSE a.vec_id END AS vec_id
+        FROM scored a JOIN scored b
+          ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
+        WHERE round(
+                list_sum(list_transform(range(1, 65),
+                    i -> list_extract(a.v, i) * list_extract(b.v, i)))
+                / (a.nrm * b.nrm), 4) >= {tau}
+    )
+    SELECT s.vec_id, s.label, s.centrality,
+           s.vec_id IN (SELECT vec_id FROM losers) AS is_dropped
+    FROM scored s
+    """
+
+
+@query(
+    "dedup_semdedup",
+    oracle=_semdedup_oracle(BLOCK_CAP, _SEMDEDUP_TAU),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication inside
+    embedding clusters. Within each cluster (label = the k-means cell
+    stand-in), any pair with cosine >= tau is a semantic duplicate;
+    the pair member preferred by (centrality-to-centroid, vec_id)
+    survives and the other is marked dropped. Centrality is rounded to
+    4dp BEFORE the preference comparison so both engines make the same
+    keep decision at ties.
+
+    Scale shape: centroids are a constant (ncells x dim) columnar
+    reduce broadcast back to the scan; the pairwise stage reuses the
+    guarded block cap (pipeline/blocks.py) so one hot cluster cannot
+    go quadratic; the shuffle carries (label, sub) blocks of
+    64-double vectors — the same bounded-candidate plan as
+    dedup_embedding_cosine plus one broadcast."""
+    e = spark.table("embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    width = F.count("*").over(Window.partitionBy("label"))
+    norms = e.select(
+        "vec_id",
+        "label",
+        emb_d.alias("v"),
+        nrm.alias("nrm"),
+        sub_bucket(F.col("vec_id"), width, BLOCK_CAP).alias("sub"),
+    )
+    cent_long = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    centv = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    cdot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = norms.join(F.broadcast(centv), "label").select(
+        "vec_id",
+        "label",
+        "v",
+        "nrm",
+        "sub",
+        F.round(cdot / (F.col("nrm") * cnorm), 4).alias("centrality"),
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with("a.v", "b.v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    a_wins = (F.col("a.centrality") > F.col("b.centrality")) | (
+        (F.col("a.centrality") == F.col("b.centrality"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    losers = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(pair_cos >= _SEMDEDUP_TAU)
+        .select(
+            F.when(a_wins, F.col("b.vec_id"))
+            .otherwise(F.col("a.vec_id"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return scored.join(losers, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        "centrality",
+        F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+    )

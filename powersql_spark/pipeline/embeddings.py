@@ -133,3 +133,121 @@ def emb_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("q_sum"),
     )
+
+
+_PQ_M = 8  # subspaces
+_PQ_D = _DIM // _PQ_M  # dims per subspace
+_PQ_K = 16  # codebook entries per subspace
+
+
+@query(
+    "emb_pq_encode",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT vec_id AS k, m,
+               list_slice(ve, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D})
+                   AS cvec
+        FROM v, unnest(range(0, {_PQ_M})) AS u(m)
+        WHERE vec_id < {_PQ_K}
+    ),
+    sub AS (
+        SELECT vec_id, m,
+               list_slice(ve, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D})
+                   AS svec
+        FROM v, unnest(range(0, {_PQ_M})) AS u(m)
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.k,
+               round(list_sum(list_transform(range(1, {_PQ_D + 1}),
+                   i -> (list_extract(svec, i) - list_extract(cvec, i))
+                      * (list_extract(svec, i) - list_extract(cvec, i)))),
+                   6) AS dist
+        FROM sub s JOIN cb c USING (m)
+    ),
+    best AS (
+        SELECT vec_id, m, k, dist
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM d)
+        WHERE rn = 1
+    )
+    SELECT b.vec_id, any_value(v.label) AS label,
+           string_agg(CAST(b.k AS VARCHAR), '-' ORDER BY b.m) AS pq_code,
+           CAST(round(SUM(CAST(b.dist AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS recon_err
+    FROM best b JOIN v USING (vec_id)
+    GROUP BY b.vec_id
+    """,
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): split each vector into
+    8 subspaces of 8 dims, encode each subvector as the id of its
+    nearest codebook entry — 64 floats become 8 nibbles, the
+    compression that makes billion-vector ANN indexes fit in RAM. The
+    codebook here is the deterministic sample "vectors 0..15"
+    (documented stand-in; the k-means-trained path is demonstrated by
+    sim_topk_ivf_learned). Emits the code string plus reconstruction
+    error (the quantity PQ training minimizes), distances rounded
+    before argmin so both engines pick identical codes.
+
+    Scale shape: the codebook is 8x16 rows — broadcast; the scan
+    explodes each vector into 8 subvector rows map-side, the distance
+    join is broadcast (no shuffle), and the only exchange is the final
+    groupBy(vec_id) carrying (m, k, dist) triples, not vectors."""
+    e = spark.table("embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "ve"
+        ),
+    )
+    m = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    subv = F.slice(
+        "ve", F.col("m") * _PQ_D + 1, F.lit(_PQ_D)
+    )
+    sub = (
+        v.select("vec_id", "label", "ve", m)
+        .select("vec_id", "label", "m", subv.alias("svec"))
+    )
+    cb = (
+        v.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), "ve", m)
+        .select("k", "m", subv.alias("cvec"))
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    d = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "label", "m", "k", dist.alias("dist")
+    )
+    best = d.groupBy("vec_id", "m").agg(
+        F.any_value("label").alias("label"),
+        F.min_by("k", F.struct("dist", "k")).alias("k"),
+        F.min("dist").alias("dist"),
+    )
+    code = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "k"))),
+            lambda s: s["k"].cast("string"),
+        ),
+        "-",
+    )
+    return best.groupBy("vec_id").agg(
+        F.any_value("label").alias("label"),
+        code.alias("pq_code"),
+        # exact decimal sum of the 6dp distances, rounded in decimal:
+        # double summation could land on a half-up/half-even boundary
+        F.round(F.sum(F.col("dist").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("recon_err"),
+    )

@@ -14,7 +14,7 @@ is the point.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.registry import query
@@ -689,4 +689,56 @@ def udf_pandas_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.round(score("n_tok", "n_chars"), 4).alias("model_score"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, lang, source,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           length(norm_text) AS n_chars_norm,
+           md5(norm_text) AS norm_hash,
+           row_number() OVER (
+               PARTITION BY md5(norm_text) ORDER BY doc_id
+           ) > 1 AS is_norm_dup
+    FROM norm
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization + normalized-form dedup flag: lowercase,
+    collapse runs of whitespace, trim, then md5 the canonical form and
+    mark every doc whose normalized text already appeared under a
+    smaller doc_id. Catches the case/whitespace variants exact dedup
+    misses — the cheap canonicalization layer that runs BEFORE the
+    fuzzy (minhash/simhash) stages so they only spend candidates on
+    real rewrites.
+
+    Scale shape: normalization is map-only codegen; the dup flag
+    shuffles (16-byte md5, doc_id) pairs — never text — identical to
+    dedup_exact's canonical plan."""
+    d = spark.table("documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    )
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            norm.alias("norm_text"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("norm_text").cast("bigint").alias("n_chars_norm"),
+            F.md5(F.col("norm_text").cast("binary")).alias("norm_hash"),
+        )
+        .withColumn("is_norm_dup", F.row_number().over(w) > 1)
     )

@@ -233,6 +233,14 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "sim_topk_ivf_learned",
     "fn_higher_order",
+    # round-2 session additions
+    "agg_corr",
+    "ts_resample_ohlc",
+    "curation_domain_cap",
+    "curation_dsir_weights",
+    "text_normalize",
+    "dedup_semdedup",
+    "emb_pq_encode",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

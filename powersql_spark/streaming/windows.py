@@ -555,3 +555,47 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("n_clicked_after_view"),
         F.count("t2").alias("n_purchased_after_click"),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+               AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+               AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — irregular events downsampled to hourly
+    open/high/low/close candles per type (the TimescaleDB
+    ``candlestick_agg`` / pandas ``resample().ohlc()`` shape).
+
+    open/close are MIN_BY/MAX_BY over a zero-padded (epoch-micros,
+    event_id) string key — one aggregation pass, no sort, and the
+    composite key makes simultaneous events tie-break identically on
+    both engines. Scale shape: pure partial aggregation; only
+    (type, hour) candle state shuffles, never raw ticks — the same
+    single-exchange plan at any volume."""
+    e = spark.table("events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

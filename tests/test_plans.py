@@ -367,3 +367,72 @@ def test_merge_upsert_single_join_no_bnlj(spark, sf_dir):
     ), "no full-outer hash/merge join in plan"
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_agg_corr_is_single_pass_moments(spark, sf_dir):
+    """Corr/covar/regr must reduce to one partial+final aggregate pair
+    (constant moment state per group over the exchange) — no join, no
+    second scan of lineitem."""
+    plan = plan_of(spark, sf_dir, "agg_corr")
+    assert plan.count("HashAggregate") == 2
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_ohlc_is_single_aggregation_no_sort(spark, sf_dir):
+    """OHLC candles come out of ONE aggregation pass (min_by/max_by
+    carry open/close through partial state) — no window sort of raw
+    ticks, no join, no global sort."""
+    plan = plan_of(spark, sf_dir, "ts_resample_ohlc")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_domain_cap_is_rank_window_no_sort_or_join(spark, sf_dir):
+    """The per-source cap is a rank window over one exchange on
+    source — no global sort, no join, no second scan."""
+    plan = plan_of(spark, sf_dir, "curation_domain_cap")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dsir_lms_are_broadcast_back(spark, sf_dir):
+    """The two 128-bucket language models must come back to the token
+    stream as a BROADCAST join (the LM table is constant-size at any
+    corpus scale); no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "curation_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_normalize_shuffles_hashes_not_text(spark, sf_dir):
+    """Normalization is map-side; the dup-flag window exchanges only
+    (md5, doc_id) — the raw text column must not cross the shuffle."""
+    plan = plan_of(spark, sf_dir, "text_normalize")
+    assert "Window" in plan
+    assert "Join" not in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex and all("norm_hash" in ln for ln in ex)
+    assert not any(" text#" in ln for ln in ex)
+
+
+def test_semdedup_centroids_broadcast_pairs_equijoin(spark, sf_dir):
+    """Centroids (ncells x dim, constant-size) broadcast back to the
+    scan; the pairwise stage is an equi-join on (label, sub) — never a
+    cartesian/BNLJ."""
+    plan = plan_of(spark, sf_dir, "dedup_semdedup")
+    assert "BroadcastHashJoin" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_pq_codebook_is_broadcast(spark, sf_dir):
+    """The 8x16 codebook joins the exploded subvector stream as a
+    broadcast hash join; the only exchange is the final per-vector
+    groupBy."""
+    plan = plan_of(spark, sf_dir, "emb_pq_encode")
+    assert "BroadcastHashJoin" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan
