@@ -713,3 +713,113 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_or(CAST(1 AS BIGINT) << l_linenumber) AS BIGINT)
+               AS line_bitmap,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << l_linenumber))
+               AS INTEGER) AS n_distinct_bitmap,
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct_exact
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-accelerated exact distinct count for small-domain values:
+    OR together one-hot bitmaps (1 << value) per group, popcount the
+    result. The bitmap is a mergeable constant-size aggregate — unlike
+    COUNT(DISTINCT), which shuffles every distinct value, the bitmap
+    reduces map-side to 8 bytes per group and merges associatively:
+    the same trick bitmap indexes and Roaring-backed engines use. The
+    exact COUNT(DISTINCT) rides along to prove equality.
+
+    Scale shape: partial aggregation all the way — per-partition
+    bitmaps OR-merge in the exchange; state is O(domain/8) bytes
+    regardless of row count (here: one long for line numbers 1..7)."""
+    li = spark.table("lineitem")
+    bitmap = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), l_linenumber)"))
+    return li.groupBy("l_returnflag").agg(
+        bitmap.alias("line_bitmap"),
+        F.bit_count(bitmap).cast("int").alias("n_distinct_bitmap"),
+        F.countDistinct("l_linenumber").alias("n_distinct_exact"),
+    )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           nth_value(s_acctbal, 2) OVER w AS second_best_in_nation,
+           first_value(s_suppkey) OVER w AS best_supp_in_nation
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE / FIRST_VALUE over a full-partition frame — every row
+    sees its nation's best and second-best account balance (the
+    "compare to the leaders" analytic). The ORDER BY ends in the
+    unique supplier key so the frame is total-ordered and
+    engine-independent. One exchange on the partition key; the frame
+    is evaluated in a single pass per partition."""
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    s = spark.table("supplier")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.nth_value("s_acctbal", 2).over(w).alias("second_best_in_nation"),
+        F.first("s_suppkey").over(w).alias("best_supp_in_nation"),
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, value AS attr_value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each change event
+    becomes a versioned validity interval — valid_from = its
+    timestamp, valid_to = the next change's timestamp (NULL = current
+    row), version = change ordinal. The standard warehouse
+    dimension-history table, derived in one pass with LEAD/ROW_NUMBER
+    over (user, time); the window order ends in event_id so
+    simultaneous changes version deterministically.
+
+    Scale shape: one exchange on user_id, per-user windows evaluated
+    in a single sorted pass — no self-join of the change stream (the
+    naive FROM changes a JOIN changes b ON b.ts > a.ts shape is
+    quadratic per user)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        spark.table("events")
+        .where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+        )
+    )

@@ -280,3 +280,55 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "sink_cow_update",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CASE WHEN o_orderstatus = 'F'
+                     THEN o_totalprice * 1.05
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+)
+def sink_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE by partition rewrite (the Hive/Delta COW
+    idiom on plain parquet): the table is laid out partitioned by
+    o_orderstatus; an update touching only status 'F' rows is written
+    with dynamic partition overwrite, so ONLY the 'F' directory is
+    rewritten — the other partitions' files are untouched (asserted by
+    tests/test_semantics.py on file mtimes). The updated rows derive
+    from the source relation, never from the path being overwritten
+    (self-read during overwrite is undefined; a real COW engine swaps
+    a manifest the same way).
+
+    Scale shape: rewrite cost is proportional to the updated
+    partition, not the table — the entire point of partitioned COW at
+    100 TB. The read-back is a plain partitioned scan with partition
+    pruning available to downstream filters."""
+    path = _stage_path("orders_cow")
+    base = spark.table("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.where(F.col("o_orderstatus") == "F")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Explicit schema: an all-empty write leaves nothing to infer from.
+    return spark.read.schema(base.schema).parquet(path).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

@@ -362,3 +362,41 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_is_longest"
         ),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 7 = 0
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion of semi-structured JSON (the Spark 4 /
+    lakehouse open-schema path): ``parse_json`` once into a binary
+    VARIANT column, then typed ``variant_get`` extractions — unlike
+    ``from_json`` (fn_json) no schema is declared up front, and unlike
+    ``get_json_object`` (fn_json_typed) extraction is from the parsed
+    binary form, not re-parsed text per path. At scale the parse
+    happens once per row at ingest and every downstream path probe is
+    a cheap binary traversal.
+
+    Map-only; the typed extraction filter stays in the scan stage."""
+    e = spark.table("events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        e.select(
+            "event_id",
+            k.alias("k"),
+            (k * 2).alias("k_doubled"),
+            F.try_variant_get(v, "$.missing", "string")
+            .isNotNull()
+            .alias("has_missing"),
+        )
+        .where(F.col("k") % 7 == 0)
+    )

@@ -20,7 +20,7 @@ z-value is whole-stage-codegen arithmetic and the layout action is
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.registry import query
@@ -138,4 +138,65 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("qa").alias("max_qty_cell"),
         F.min("qb").alias("min_price_cell"),
         F.max("qb").alias("max_price_cell"),
+    )
+
+
+_COMPACT_TARGET = 4000  # target bin size (chars standing in for bytes)
+
+
+@query(
+    "layout_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+        SELECT source, doc_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM documents
+    )
+    SELECT source,
+           CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+    FROM files
+    GROUP BY source, bin
+    """,
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE/rewrite_data_files
+    maintenance step every parquet lake needs): treat each doc as a
+    file of n_chars bytes, pack files per source into ~4 KB target
+    bins by running-total assignment — bin = floor(bytes_before /
+    target) over the deterministic (doc_id) order. Emits the plan
+    (bin -> file count + size) a compactor would execute.
+
+    Scale shape: one window per source partition computes the running
+    total (single exchange on source, no driver loop, no sort beyond
+    the per-partition window order); integer arithmetic end-to-end so
+    both engines agree exactly. The real compactor reads each bin's
+    files and writes one output file per bin — work proportional to
+    the small-file debt, not the table."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    files = spark.table("documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        files.select(
+            "source",
+            F.floor(F.col("cum_before") / _COMPACT_TARGET).alias("bin"),
+            "n_chars",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("total_bytes"),
+        )
     )

@@ -319,3 +319,74 @@ def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     ).limit(_TOPK)
+
+
+_RANGE_RADIUS = 0.35
+_RANGE_NQUERY = 4
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH d AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, d.vec_id, d.label,
+           round(
+             list_sum(list_transform(range(1, 65),
+                 i -> list_extract(d.v, i) * list_extract(q.v, i)))
+             / (d.nrm * q.nrm), 4) AS cosine
+    FROM d JOIN d q ON q.vec_id < {_RANGE_NQUERY}
+                   AND d.vec_id <> q.vec_id
+    WHERE round(
+             list_sum(list_transform(range(1, 65),
+                 i -> list_extract(d.v, i) * list_extract(q.v, i)))
+             / (d.nrm * q.nrm), 4) >= {_RANGE_RADIUS}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL vectors within cosine >= r of each
+    query vector — the other half of the ANN API surface next to
+    top-k (top-k bounds result count, range search bounds similarity;
+    dedup and recall evaluation want the latter). Query set = vectors
+    0..3 standing in for a user batch.
+
+    Scale shape: the query batch is broadcast (constant size), so the
+    scan stays linear and partition-local — a 4-row broadcast
+    nested-loop is constant work per row, the same shape the scalar
+    subquery pattern uses. At index scale the same predicate runs
+    per-IVF-cell after cell pruning (sim_topk_ivf)."""
+    e = spark.table("embeddings")
+    d = e.select(
+        "vec_id",
+        "label",
+        _to_double(F.col("embedding")).alias("v"),
+        _norm(_to_double(F.col("embedding"))).alias("nrm"),
+    )
+    q = (
+        d.where(F.col("vec_id") < _RANGE_NQUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    cosine = F.round(
+        _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 4
+    )
+    return (
+        d.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id"), "inner"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= _RANGE_RADIUS)
+    )

@@ -241,6 +241,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_normalize",
     "dedup_semdedup",
     "emb_pq_encode",
+    "sink_cow_update",
+    "layout_compaction_bins",
+    "agg_bitmap_distinct",
+    "window_nth_value",
+    "sim_range_search",
+    "scd2_intervals",
+    "fn_variant",
+    "stream_upsert_sink",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -126,3 +126,125 @@ def run_streaming_user_totals(
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+_UPSERT_KEY = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 10, '0')"
+)
+
+
+# The sink carries the composite upsert key so cross-batch ties on ts
+# alone (same second, different events) still merge deterministically
+# by (ts, event_id).
+_UPSERT_SINK_SCHEMA = (
+    "user_id bigint, last_value double, last_ts timestamp,"
+    " n_events bigint, last_key string"
+)
+
+
+def build_upsert_merge(target: str):
+    """foreachBatch body: reduce the micro-batch to its latest row per
+    user, full-outer merge into the keyed parquet sink preferring the
+    newer (ts, event_id) key, accumulate event counts. Shared by the
+    registered operator and the multi-batch convergence test."""
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        delta = batch.groupBy("user_id").agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(key).alias("last_key"),
+        )
+        cur = sess.read.schema(_UPSERT_SINK_SCHEMA).parquet(target)
+        t_wins = F.col("d.last_key").isNull() | (
+            F.col("t.last_key") > F.col("d.last_key")
+        )
+        merged = (
+            cur.alias("t")
+            .join(delta.alias("d"), "user_id", "full_outer")
+            .select(
+                "user_id",
+                F.when(t_wins, F.col("t.last_value"))
+                .otherwise(F.col("d.last_value"))
+                .alias("last_value"),
+                F.when(t_wins, F.col("t.last_ts"))
+                .otherwise(F.col("d.last_ts"))
+                .alias("last_ts"),
+                (
+                    F.coalesce("t.n_events", F.lit(0))
+                    + F.coalesce("d.n_events", F.lit(0))
+                ).alias("n_events"),
+                F.when(t_wins, F.col("t.last_key"))
+                .otherwise(F.col("d.last_key"))
+                .alias("last_key"),
+            )
+            .localCheckpoint(eager=True)  # sever lineage: target is
+        )  # both the read source and the overwrite destination
+        merged.write.mode("overwrite").parquet(target)
+
+    return _merge
+
+
+@query(
+    "stream_upsert_sink",
+    oracle=f"""
+    SELECT user_id,
+           arg_max(value, {_UPSERT_KEY}) AS last_value,
+           max(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into a keyed parquet sink via foreachBatch — the
+    exactly-once CDC-apply pattern: each micro-batch reduces to its
+    latest row per user (max (ts, event_id), zero-padded so ties break
+    identically on both engines), then upserts into the target by
+    full-outer merge preferring the newer key; event counts accumulate
+    across batches. This key runs REAL Structured Streaming
+    (readStream + availableNow + foreachBatch), not a batch twin; the
+    converged sink state is deterministic regardless of how the input
+    splits into micro-batches (merge is associative), which is what
+    makes it oracle-checkable.
+
+    Scale shape: per-batch reduction is delta-sized; the merge join is
+    keyed (AQE broadcasts the delta side); the sink rewrite is the
+    documented COW trade — a real deployment points the same
+    foreachBatch at a MERGE-capable table format."""
+    import os
+    import shutil
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "powersql_stream_upsert"
+    )
+    target = os.path.join(stage, "target")
+    ckpt = os.path.join(stage, "ckpt")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+
+    from powersql_spark.catalog import read_parquet_stream
+
+    empty = spark.createDataFrame([], _UPSERT_SINK_SCHEMA)
+    empty.write.mode("overwrite").parquet(target)
+    _merge = build_upsert_merge(target)
+
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.schema(_UPSERT_SINK_SCHEMA)
+        .parquet(target)
+        .select("user_id", "last_value", "last_ts", "n_events")
+    )

@@ -436,3 +436,61 @@ def test_pq_codebook_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_compaction_bins_single_window_no_join(spark, sf_dir):
+    """The compaction plan is one window exchange on source + one
+    aggregate — no join, no global sort, one scan."""
+    plan = plan_of(spark, sf_dir, "layout_compaction_bins")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bitmap_distinct_is_partial_aggregated(spark, sf_dir):
+    """The bitmap OR must partially aggregate map-side (constant state
+    per group) — expect the partial/final HashAggregate pair and no
+    join."""
+    plan = plan_of(spark, sf_dir, "agg_bitmap_distinct")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_range_search_broadcasts_query_batch(spark, sf_dir):
+    """The query batch is constant-size: it must broadcast (BNLJ of a
+    4-row side is constant work per row); the big side must never
+    shuffle for the comparison."""
+    plan = plan_of(spark, sf_dir, "sim_range_search")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_cow_readback_supports_partition_pruning(spark, sf_dir):
+    """The COW table is partitioned on the update key: a status filter
+    on the read-back must prune to PartitionFilters (metadata, not
+    data) — proving the layout the rewrite relies on."""
+    from powersql_spark.registry import all_specs
+
+    df = all_specs()["sink_cow_update"].fn(spark, sf_dir)
+    pruned = df.where(df.o_orderstatus == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_scd2_single_window_no_self_join(spark, sf_dir):
+    """The SCD2 build is LEAD/ROW_NUMBER over one exchange on user_id —
+    never the quadratic self-join of the change stream."""
+    plan = plan_of(spark, sf_dir, "scd2_intervals")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_variant_extraction_is_map_only(spark, sf_dir):
+    """VARIANT parse + typed path probes stay in the scan stage: no
+    shuffle, no join, single scan."""
+    plan = plan_of(spark, sf_dir, "fn_variant")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -583,3 +583,32 @@ def test_morton_interleave_is_bijective(spark, sf_dir):
         F.max("z").alias("hi"),
     ).collect()[0]
     assert (stats["n"], stats["lo"], stats["hi"]) == (65536, 0, 65535)
+
+
+def test_cow_update_rewrites_only_target_partition(spark, sf_dir):
+    """Dynamic partition overwrite must rewrite ONLY the updated
+    partition: within one sink_cow_update call the base write lays
+    down all partitions, then the update phase overwrites just
+    o_orderstatus=F — so every F file must be strictly newer than
+    every other partition's files. This is the property that makes a
+    COW update proportional to the touched partition, not the table."""
+    import glob
+    import os
+    import tempfile
+
+    from powersql_spark.registry import all_specs
+
+    all_specs()["sink_cow_update"].fn(spark, sf_dir).collect()
+    root = os.path.join(
+        tempfile.gettempdir(), "powersql_connectors", "orders_cow"
+    )
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{root}/o_orderstatus=*/*.parquet")
+    }
+    f_files = {p: t for p, t in mtimes.items() if "o_orderstatus=F" in p}
+    others = {p: t for p, t in mtimes.items() if "o_orderstatus=F" not in p}
+    assert f_files and others, f"unexpected layout: {sorted(mtimes)}"
+    assert min(f_files.values()) > max(others.values()), (
+        "update phase touched non-F partitions"
+    )

@@ -436,3 +436,69 @@ def test_streaming_windowed_topk_equals_batch(spark, sf_dir):
     )
     q.awaitTermination()
     assert result == batch
+
+
+def test_upsert_sink_converges_across_micro_batches(spark, sf_dir):
+    """stream_upsert_sink's merge must be split-invariant: running the
+    same events through MULTIPLE micro-batches (maxFilesPerTrigger=1
+    over a two-file copy) converges to the same sink state as the
+    registered single-batch run — per-user last value/ts and total
+    event counts identical."""
+    import shutil
+
+    from powersql_spark.registry import all_specs
+    from powersql_spark.streaming.stateful import (
+        _UPSERT_SINK_SCHEMA,
+        build_upsert_merge,
+    )
+
+    single = {
+        r["user_id"]: (r["last_value"], r["last_ts"], r["n_events"])
+        for r in all_specs()["stream_upsert_sink"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    load_tables(spark, sf_dir, ("events",))
+    events = spark.table("events")
+    staging = tempfile.mkdtemp(prefix="powersql_upsert_in_")
+    # Two disjoint files -> maxFilesPerTrigger=1 forces >= 2 batches.
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging + "/in")
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging + "/in")
+
+    target = tempfile.mkdtemp(prefix="powersql_upsert_tgt_")
+    spark.createDataFrame([], _UPSERT_SINK_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(target)
+    merge = build_upsert_merge(target)
+    batches = []
+
+    def merge_counting(batch, batch_id):
+        batches.append(batch_id)
+        merge(batch, batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="powersql_upsert_ckpt_")
+    (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging + "/in")
+        .writeStream.foreachBatch(merge_counting)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(batches) >= 2, "expected multiple micro-batches"
+    multi = {
+        r["user_id"]: (r["last_value"], r["last_ts"], r["n_events"])
+        for r in spark.read.schema(_UPSERT_SINK_SCHEMA)
+        .parquet(target)
+        .select("user_id", "last_value", "last_ts", "n_events")
+        .collect()
+    }
+    assert multi == single
+    shutil.rmtree(staging, ignore_errors=True)
