@@ -66,6 +66,31 @@ SHOW = {
     "join_fuzzy_names": "Blocked fuzzy match: hash equi-join on the "
     "noun block key with levenshtein as a post-join filter — never "
     "Cartesian; the corpus-sized work is one DISTINCT-name aggregate.",
+    "dedup_semdedup": "SemDeDup: constant-size centroid table broadcast "
+    "back to the scan; the pairwise stage is an equi-join on "
+    "(label, sub-bucket) with the block cap bounding any cell's pairs.",
+    "curation_dsir_weights": "DSIR: both 128-bucket language models "
+    "reduce to constant-size tables; the per-token log-ratio lookup is "
+    "a BroadcastHashJoin; the only fact-sized exchange is the per-doc "
+    "sum.",
+    "emb_pq_encode": "PQ encode: the 8x16 codebook broadcasts; the "
+    "subvector explode is map-side; the only exchange is the final "
+    "per-vector groupBy of (m, k, dist) triples.",
+    "ts_resample_ohlc": "OHLC: one aggregation pass — min_by/max_by "
+    "carry open/close through partial state; only candle state crosses "
+    "the exchange, never raw ticks.",
+    "agg_bitmap_distinct": "Bitmap distinct: the one-hot OR partially "
+    "aggregates map-side to 8 bytes per group — constant state "
+    "regardless of row count.",
+    "layout_compaction_bins": "Compaction planner: one window exchange "
+    "on source computes the running total; integer bin arithmetic in "
+    "codegen; no join, no global sort.",
+    "scd2_intervals": "SCD2: LEAD/ROW_NUMBER over one exchange on "
+    "user_id — the linear alternative to the quadratic self-join "
+    "history build.",
+    "stream_upsert_sink": "Streaming MERGE sink: per-batch delta "
+    "reduces before the keyed full-outer merge; AQE broadcasts the "
+    "delta side against the accumulated target.",
 }
 
 
