@@ -823,3 +823,55 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("version"),
         )
     )
+
+
+@query(
+    "window_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    anchored AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER)
+                   AS island_anchor
+        FROM days
+    )
+    SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM anchored
+    GROUP BY user_id, island_anchor
+    """,
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's distinct activity days
+    into maximal runs of consecutive days (activity streaks). The
+    classic rewrite — day minus its per-user row_number is constant
+    within a consecutive run — turns an order-dependent grouping into
+    one window + one aggregate; the same coalescing idiom
+    dedup_exact_substring uses on token offsets.
+
+    Scale shape: one exchange on user_id shared by the DISTINCT, the
+    window, and the final grouped aggregate (Catalyst reuses the
+    partitioning); no join, no self-comparison of rows."""
+    days = (
+        spark.table("events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island_anchor"),
+    )
+    return (
+        anchored.groupBy("user_id", "island_anchor")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("island_anchor")
+    )

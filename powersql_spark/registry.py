@@ -249,6 +249,8 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_intervals",
     "fn_variant",
     "stream_upsert_sink",
+    "graph_pagerank",
+    "window_gap_islands",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

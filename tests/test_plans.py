@@ -494,3 +494,25 @@ def test_variant_extraction_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+_N_PAGERANK_JOINS = 5  # 4 edge-build dims + >=1 per-iteration rank join
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
+    """The fact-sized work is the edge build (broadcast dimension
+    joins); each unrolled iteration must join the rank vector by
+    BROADCAST — no shuffle of the edge table per iteration, no
+    cartesian."""
+    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    assert plan.count("BroadcastHashJoin") >= _N_PAGERANK_JOINS
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_islands_single_partitioning_no_join(spark, sf_dir):
+    """DISTINCT, window, and final aggregate all share the user_id
+    partitioning — expect no join and no second scan."""
+    plan = plan_of(spark, sf_dir, "window_gap_islands")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
