@@ -680,35 +680,40 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("b"),
     )
+    # BOTH language models from ONE pass over the token stream: count
+    # per bucket overall and within the target subset, then smooth.
+    # (A per-model aggregate would re-explode the corpus per model —
+    # the aggregate is 128 rows either way, the scans are not.)
     spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
-    def _lm(df):
-        counts = (
-            spine.join(
-                df.select(F.col("b").alias("tb")),
-                spine.b == F.col("tb"),
-                "left",
-            )
-            .groupBy("b")
-            .agg(F.count("tb").alias("c"))
+    counts = (
+        spine.join(
+            bucketed.select(
+                F.col("b").alias("tb"),
+                F.col("source").isin(*_DSIR_TARGET).alias("is_tgt"),
+            ),
+            spine.b == F.col("tb"),
+            "left",
         )
-        total = Window.partitionBy()
-        return counts.select(
-            "b",
+        .groupBy("b")
+        .agg(
+            F.count("tb").alias("c_raw"),
+            F.count(F.when(F.col("is_tgt"), 1)).alias("c_tgt"),
+        )
+    )
+    total = Window.partitionBy()
+    smooth = F.lit(float(_DSIR_B))
+    lr = counts.select(
+        "b",
+        (
             F.log(
-                (F.col("c") + 1.0)
-                / (F.sum("c").over(total) + F.lit(float(_DSIR_B)))
-            ).alias("logp"),
-        )
-
-    tgt = _lm(bucketed.where(F.col("source").isin(*_DSIR_TARGET)))
-    raw = _lm(bucketed)
-    lr = (
-        tgt.alias("t")
-        .join(raw.alias("r"), "b")
-        .select(
-            "b",
-            (F.col("t.logp") - F.col("r.logp")).alias("logratio"),
-        )
+                (F.col("c_tgt") + 1.0)
+                / (F.sum("c_tgt").over(total) + smooth)
+            )
+            - F.log(
+                (F.col("c_raw") + 1.0)
+                / (F.sum("c_raw").over(total) + smooth)
+            )
+        ).alias("logratio"),
     )
     return (
         bucketed.join(F.broadcast(lr), "b")
@@ -717,4 +722,100 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("logratio"), 4).alias("dsir_logratio"),
         )
+    )
+
+
+_TOKEN_BUDGET = 15_000
+
+
+@query(
+    "curation_token_budget",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok,
+               CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 0 ELSE 1 END
+                   AS tier,
+               md5(CAST(doc_id AS VARCHAR) || ':budget') AS pri,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 2)
+                   AS bkt
+        FROM documents
+    ),
+    bucket_totals AS (
+        SELECT tier, bkt, SUM(n_tok) AS bkt_tok
+        FROM scored GROUP BY tier, bkt
+    ),
+    offsets AS (
+        SELECT tier, bkt,
+               COALESCE(SUM(bkt_tok) OVER (
+                   ORDER BY tier, bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS base
+        FROM bucket_totals
+    )
+    SELECT s.doc_id, s.tier, s.n_tok,
+           CAST(o.base + SUM(s.n_tok) OVER (
+               PARTITION BY s.tier, s.bkt ORDER BY s.pri, s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           (o.base + SUM(s.n_tok) OVER (
+               PARTITION BY s.tier, s.bkt ORDER BY s.pri, s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) <= {_TOKEN_BUDGET} AS selected
+    FROM scored s JOIN offsets o ON s.tier = o.tier AND s.bkt = o.bkt
+    """,
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: fill a fixed training-token budget with
+    the best documents — quality tier first (tier 0 = length band
+    200..2000 chars), salted-hash order within tier — by computing each
+    doc's running token total over the global priority order and
+    keeping docs whose total fits the budget.
+
+    Scale shape: the global running sum NEVER does a global sort.
+    Priority order is (tier, hash-bucket, hash): per-(tier, bucket)
+    token subtotals (256 rows per tier) get prefix offsets in a
+    metadata-sized window, broadcast back, and each bucket computes its
+    LOCAL running sum in parallel — the classic two-phase distributed
+    prefix sum, same pattern as curation_quality_buckets' broadcast
+    percentiles. Integer token counts end-to-end, so both engines
+    agree exactly."""
+    d = spark.table("documents")
+    pri = _bucket_full(F.col("doc_id"), ":budget")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tok"),
+        F.when(F.col("n_chars").between(200, 2000), 0)
+        .otherwise(1)
+        .alias("tier"),
+        pri.alias("pri"),
+        F.substring(pri, 1, 2).alias("bkt"),
+    )
+    bucket_totals = scored.groupBy("tier", "bkt").agg(
+        F.sum("n_tok").alias("bkt_tok")
+    )
+    w_off = (
+        Window.orderBy("tier", "bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_totals.select(
+        "tier",
+        "bkt",
+        F.coalesce(F.sum("bkt_tok").over(w_off), F.lit(0)).alias("base"),
+    )
+    w_local = (
+        Window.partitionBy("tier", "bkt")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("base") + F.sum("n_tok").over(w_local)
+    return scored.join(F.broadcast(offsets), ["tier", "bkt"]).select(
+        "doc_id",
+        "tier",
+        "n_tok",
+        cum.cast("bigint").alias("cum_tokens"),
+        (cum <= _TOKEN_BUDGET).alias("selected"),
     )

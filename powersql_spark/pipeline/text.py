@@ -742,3 +742,89 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_norm_dup", F.row_number().over(w) > 1)
     )
+
+
+_GOPHER_SW_SQL = _SW_SQL  # stopword list shared with quality_score
+
+
+@query(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               round(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+                     / len(t), 4) AS mean_word_len,
+               round(CAST(length(text) - length(replace(text, '#', ''))
+                          + length(text) - length(replace(text, '...', ''))
+                     AS DOUBLE) / len(t), 4) AS symbol_ratio,
+               len(list_filter(t, x -> lower(x) IN ({_GOPHER_SW_SQL}))) >= 2
+                   AS has_stopwords
+        FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, has_stopwords,
+           (n_words BETWEEN 5 AND 100000
+            AND mean_word_len BETWEEN 2 AND 12
+            AND symbol_ratio < 0.1
+            AND has_stopwords) AS passes
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 C.1, as
+    re-used by MassiveText/RefinedWeb): word-count band, mean word
+    length band, symbol-to-word ratio ('#' and '...' marks), and
+    minimum stopword evidence — the cheap pre-filter that runs before
+    any model-based scorer (quality_classifier_score). Emits each rule
+    measurement plus the composite verdict so downstream mixes can
+    re-threshold without recomputing.
+
+    Map-only: every rule is string arithmetic in codegen; no shuffle,
+    no UDF. Ratios are exact integer arithmetic divided once, rounded
+    identically on both engines."""
+    d = spark.table("documents")
+    t = _tokens()
+    n_words = F.size(t).cast("bigint")
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size(t),
+        4,
+    )
+    n_hash = F.length("text") - F.length(F.replace("text", F.lit("#")))
+    n_ell = F.length("text") - F.length(
+        F.replace("text", F.lit("..."), F.lit(""))
+    )
+    symbol_ratio = F.round(
+        (n_hash + n_ell).cast("double") / F.size(t), 4
+    )
+    has_sw = (
+        F.size(
+            F.filter(t, lambda x: F.lower(x).isin(*_STOPWORDS))
+        )
+        >= 2
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        has_sw.alias("has_stopwords"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(5, 100000)
+            & F.col("mean_word_len").between(2, 12)
+            & (F.col("symbol_ratio") < 0.1)
+            & F.col("has_stopwords")
+        ).alias("passes"),
+    )

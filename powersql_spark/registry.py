@@ -251,6 +251,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_upsert_sink",
     "graph_pagerank",
     "window_gap_islands",
+    "text_gopher_rules",
+    "curation_token_budget",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

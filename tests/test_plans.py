@@ -516,3 +516,26 @@ def test_gap_islands_single_partitioning_no_join(spark, sf_dir):
     assert "Window" in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_gopher_rules_map_only(spark, sf_dir):
+    """Every Gopher rule is string arithmetic in the scan stage: no
+    exchange, no join, single scan."""
+    plan = plan_of(spark, sf_dir, "text_gopher_rules")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_token_budget_prefix_sum_is_two_phase(spark, sf_dir):
+    """The running total must be the distributed two-phase prefix sum:
+    bucket offsets broadcast back (BroadcastHashJoin), per-bucket
+    windows in parallel — never one global-sort window over the
+    corpus."""
+    plan = plan_of(spark, sf_dir, "curation_token_budget")
+    assert "BroadcastHashJoin" in plan
+    # the corpus-sized window partitions by (tier, bkt), so its sort is
+    # within hash partitions — a singlepartition global window would
+    # show 'Window' directly above an 'Exchange SinglePartition' over
+    # the fact scan; only the 256-row offsets frame may do that.
+    assert "CartesianProduct" not in plan
