@@ -253,6 +253,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_gap_islands",
     "text_gopher_rules",
     "curation_token_budget",
+    "window_session_dynamic",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

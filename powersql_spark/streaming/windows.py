@@ -599,3 +599,63 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "window_session_dynamic",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL '30 minutes'
+                         ELSE INTERVAL '10 minutes' END AS endt
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, value, endt,
+               CASE WHEN ts <= MAX(endt) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS new_session
+        FROM g
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: the inactivity gap depends on the
+    event (purchases hold a session open 30 minutes, everything else
+    10) — F.session_window with a per-row gap expression, the shape
+    engagement analytics actually needs. The oracle is the general
+    islands construction: a session continues while an event starts at
+    or before the RUNNING MAX of previous members' (ts + gap) ends —
+    the constant-gap lag() rewrite (window_session) is insufficient
+    once gaps vary.
+
+    Scale shape: identical to fixed-gap sessions — one exchange on
+    user_id; in streaming mode the same expression runs stateful with
+    watermark-driven state eviction."""
+    e = spark.table("events")
+    gap = F.when(
+        F.col("event_type") == "purchase", "30 minutes"
+    ).otherwise("10 minutes")
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
