@@ -875,3 +875,70 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island_anchor")
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_id END IGNORE NULLS) OVER w
+                   AS touch_event_id,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS) OVER w
+                   AS touch_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           touch_event_id, touch_type, touch_ts
+    FROM touched
+    WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    PRECEDING non-purchase event of the same user gets the credit —
+    the marketing-analytics sibling of LOCF, via last(... ignorenulls)
+    over a trailing frame (total-ordered by (ts, event_id)). First
+    purchases with no prior touch keep NULLs — unattributed, not
+    dropped.
+
+    Scale shape: one exchange on user_id, one sorted pass; no self
+    join of the event stream (the naive correlated 'latest earlier
+    event' subquery is quadratic per user)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    e = spark.table("events")
+    touched = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(not_purchase, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return touched.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "touch_event_id",
+        "touch_type",
+        "touch_ts",
+    )

@@ -254,6 +254,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_gopher_rules",
     "curation_token_budget",
     "window_session_dynamic",
+    "attribution_last_touch",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -539,3 +539,12 @@ def test_token_budget_prefix_sum_is_two_phase(spark, sf_dir):
     # show 'Window' directly above an 'Exchange SinglePartition' over
     # the fact scan; only the 256-row offsets frame may do that.
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_window_no_self_join(spark, sf_dir):
+    """Last-touch attribution is one window pass over user_id — never
+    the quadratic correlated-subquery shape."""
+    plan = plan_of(spark, sf_dir, "attribution_last_touch")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1

