@@ -819,3 +819,96 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.cast("bigint").alias("cum_tokens"),
         (cum <= _TOKEN_BUDGET).alias("selected"),
     )
+
+
+_BOOT_R = 16  # bootstrap replicates
+# Inverse-CDF thresholds for Poisson(1): P(X<=k) cumulative.
+_POIS = ((0.36788, 0), (0.73576, 1), (0.91970, 2), (0.98101, 3),
+         (0.99634, 4))
+
+
+def _pois_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for p, k in _POIS
+    )
+    return f"CASE {arms} ELSE 5 END"
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_type, e.value, r.r,
+               {_pois_case_sql(
+                   "(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)"
+                   " || ':' || r.r), 1, 8))::BIGINT / 4294967296.0)")}
+                   AS w
+        FROM events e, (SELECT unnest(range(0, {_BOOT_R})) AS r) r
+    ),
+    per_rep AS (
+        SELECT event_type, r,
+               CAST(SUM(CAST(w * value AS DECIMAL(18,6))) AS DOUBLE)
+                   / SUM(w) AS mean_r
+        FROM reps GROUP BY event_type, r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_reps,
+           round(AVG(mean_r), 6) AS boot_mean,
+           round(stddev_samp(mean_r), 6) AS boot_se
+    FROM per_rep
+    GROUP BY event_type
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the big-data bootstrap used in production
+    eval pipelines): estimate the standard error of each event type's
+    mean value WITHOUT resampling the dataset — every (event,
+    replicate) pair gets a deterministic Poisson(1) weight via
+    inverse-CDF on an md5-uniform, and each replicate's weighted mean
+    stands in for a resample. 16 replicates -> bootstrap mean + SE.
+
+    Scale shape: the x16 replicate explode happens map-side and
+    partially aggregates IN THE SAME STAGE, so the exchange carries
+    only (type, replicate) sums — the bootstrap costs 16x compute,
+    never 16x shuffle or storage. Weighted sums go through DECIMAL so
+    both engines agree bit-for-bit before the final 6dp rounding."""
+    e = spark.table("events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(5)
+    for p, k in reversed(_POIS):
+        w = F.when(u < p, k).otherwise(w)
+    reps = e.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    ).select("event_type", "r", w.alias("w"), "value")
+    per_rep = reps.groupBy("event_type", "r").agg(
+        (
+            F.sum((F.col("w") * F.col("value")).cast("decimal(18,6)"))
+            .cast("double")
+            / F.sum("w")
+        ).alias("mean_r")
+    )
+    return per_rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.avg("mean_r"), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("mean_r"), 6).alias("boot_se"),
+    )

@@ -255,6 +255,7 @@ _PRIORITY: tuple[str, ...] = (
     "curation_token_budget",
     "window_session_dynamic",
     "attribution_last_touch",
+    "sample_poisson_bootstrap",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -548,3 +548,14 @@ def test_attribution_single_window_no_self_join(spark, sf_dir):
     assert "Window" in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_bootstrap_explode_aggregates_in_stage(spark, sf_dir):
+    """The x16 replicate explode must partially aggregate in its own
+    stage: exchanges carry (type, replicate) sums, never the exploded
+    stream. Expect partial+final pairs for both aggregations and no
+    join."""
+    plan = plan_of(spark, sf_dir, "sample_poisson_bootstrap")
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
