@@ -94,6 +94,8 @@ HEADLINE = {
     "q28_semdedup": "dedup_semdedup",
     "q29_dsir_weights": "curation_dsir_weights",
     "q30_ohlc": "ts_resample_ohlc",
+    "q31_pagerank": "graph_pagerank",
+    "q32_attribution": "attribution_last_touch",
 }
 
 
