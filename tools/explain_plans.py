@@ -91,6 +91,18 @@ SHOW = {
     "stream_upsert_sink": "Streaming MERGE sink: per-batch delta "
     "reduces before the keyed full-outer merge; AQE broadcasts the "
     "delta side against the accumulated target.",
+    "curation_token_budget": "Token budget: two-phase distributed "
+    "prefix sum — 256-row bucket offsets broadcast back, per-bucket "
+    "running sums in parallel; no global-sort window.",
+    "sample_poisson_bootstrap": "Poisson bootstrap: the x16 replicate "
+    "explode partially aggregates in its own stage — exchanges carry "
+    "(type, replicate) sums, never the exploded stream.",
+    "window_session_dynamic": "Dynamic-gap sessions: native "
+    "session_window with a per-row gap expression; one exchange on "
+    "user_id, stateful-ready.",
+    "attribution_last_touch": "Attribution: one trailing-frame window "
+    "pass on user_id — never the quadratic correlated latest-earlier "
+    "subquery.",
 }
 
 
