@@ -942,3 +942,60 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_type",
         "touch_ts",
     )
+
+
+_SCD2_CUTOFF = "2024-09-01"
+
+
+@query(
+    "scd2_incremental",
+    oracle="""
+    SELECT user_id, event_id, value AS attr_value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: given the dimension-history table
+    built from changes BEFORE a cutoff (the nightly table) and a new
+    change batch after it, produce the up-to-date history by
+    recomputing ONLY users present in the batch — open intervals of
+    affected users get closed/re-versioned, everyone else's rows pass
+    through untouched (anti join). The oracle is the full rebuild:
+    incremental apply must be indistinguishable from recomputing
+    history from scratch.
+
+    Scale shape: maintenance cost is proportional to the CHANGED keys,
+    not the dimension — the pass-through side is one anti join with
+    the delta's distinct keys (AQE broadcasts them), and the window
+    recompute runs on the semi-joined slice only. This is what makes
+    nightly SCD2 loads feasible when history is 100 TB and the delta
+    is megabytes."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def build(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+        )
+
+    changes = spark.table("events").where(
+        F.col("event_type") == "signup"
+    )
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    base = build(changes.where(F.col("ts") < cutoff))
+    batch = changes.where(F.col("ts") >= cutoff)
+    affected = batch.select("user_id").distinct()
+    untouched = base.join(affected, "user_id", "left_anti")
+    redo = build(changes.join(affected, "user_id", "left_semi"))
+    return untouched.unionByName(redo)

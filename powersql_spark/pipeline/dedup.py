@@ -341,9 +341,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = sig.select(
         "doc_id",
-        "bits",
         *[chunk(i).alias(f"chunk{i}") for i in range(4)],
     )
+    # Pack the 4 16-bit chunks into ONE 64-bit signature: the banded
+    # join then shuffles (doc_id, 4 shorts-as-longs, 1 long) instead of
+    # a 64-int array, and hamming distance is a single XOR + popcount
+    # instead of a 64-element lambda fold per candidate pair.
+    # Shifts + OR, not multiplication: a top-bit chunk0 would overflow
+    # signed-long multiply (an error under ANSI mode); the shifted bit
+    # pattern is what XOR/popcount need either way.
+    packed = (
+        F.shiftleft("chunk0", 48)
+        .bitwiseOR(F.shiftleft("chunk1", 32))
+        .bitwiseOR(F.shiftleft("chunk2", 16))
+        .bitwiseOR(F.col("chunk3"))
+    )
+    # The signature build (per-token 64-bit hashing + bit votes) feeds
+    # BOTH sides of all 4 band joins — materialize it once instead of
+    # recomputing it 8x.
+    sig = sig.withColumn("sig", packed).persist()
     pairs = None
     for i in range(4):
         a = sig.alias("a")
@@ -355,15 +371,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         pairs = p if pairs is None else pairs.union(p)
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("int")
     return (
         pairs.dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", hamming.alias("hamming"))
@@ -508,6 +522,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("lab").alias("nlab"))
         )
+        # localCheckpoint (eager) materializes the round AND severs
+        # lineage — without it each round's plan contains every prior
+        # round, and the convergence count re-executes the whole chain
+        # (O(rounds^2) work, unbounded plan growth).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -517,12 +535,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("lab"),
                 (F.col("nlab") < F.col("lab")).alias("changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
         n_changed = new_labels.where(F.col("changed")).count()
         labels.unpersist()
-        labels = new_labels.select("node", "lab").persist()
-        new_labels.unpersist()
+        labels = new_labels.select("node", "lab")
         if n_changed == 0:
             break
     edges.unpersist()

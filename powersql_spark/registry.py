@@ -256,6 +256,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_session_dynamic",
     "attribution_last_touch",
     "sample_poisson_bootstrap",
+    "scd2_incremental",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
