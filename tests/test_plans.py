@@ -567,3 +567,13 @@ def test_bootstrap_explode_aggregates_in_stage(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_scd2_incremental_scopes_recompute_to_changed_keys(spark, sf_dir):
+    """The pass-through side must be an ANTI join and the recompute
+    side a SEMI join against the delta's keys — never a full-history
+    window rebuild (exactly one Window over the semi-joined slice)."""
+    plan = plan_of(spark, sf_dir, "scd2_incremental")
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
