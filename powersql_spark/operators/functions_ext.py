@@ -400,3 +400,55 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("k") % 7 == 0)
     )
+
+
+@query(
+    "fn_collation_lcase",
+    oracle="""
+    WITH variants AS (
+        SELECT upper(n_name) AS v FROM nation
+        UNION ALL
+        SELECT upper(substr(n_name, 1, 1)) || lower(substr(n_name, 2))
+            AS v FROM nation
+    )
+    SELECT lower(v) AS name_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(v) AS first_variant,
+           CAST(COUNT(CASE WHEN lower(v) = 'germany' THEN 1 END)
+                AS BIGINT) AS n_germany
+    FROM variants
+    GROUP BY lower(v)
+    """,
+)
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): group and
+    compare mixed-case name variants under UTF8_LCASE so 'GERMANY' and
+    'Germany' are the SAME key to the aggregate and the equality
+    predicate — the engine-native answer where pre-collation code
+    lowercased every expression by hand. expr_collate keeps the
+    reference's passthrough semantics (the reference never inspects
+    COLLATE, src/main.rs:112-114); this key exercises the real thing.
+    The emitted key is lower()ed only for a deterministic cross-engine
+    representation; grouping itself runs on the collated value.
+
+    Plan note: collation-aware grouping hashes the collation key —
+    still one partial+final aggregate pair, no extra pass."""
+    n = spark.table("nation")
+    manual_title = F.concat(
+        F.upper(F.substring("n_name", 1, 1)),
+        F.lower(F.expr("substr(n_name, 2)")),
+    )
+    variants = n.select(F.upper("n_name").alias("v")).unionAll(
+        n.select(manual_title.alias("v"))
+    )
+    ci = F.collate("v", "UTF8_LCASE")
+    return variants.groupBy(ci.alias("k")).agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("v").alias("first_variant"),
+        F.count(F.when(ci == F.lit("germany"), 1)).alias("n_germany"),
+    ).select(
+        F.lower("k").alias("name_ci"),
+        "n_variants",
+        "first_variant",
+        "n_germany",
+    )

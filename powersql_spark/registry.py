@@ -257,6 +257,7 @@ _PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "sample_poisson_bootstrap",
     "scd2_incremental",
+    "fn_collation_lcase",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
