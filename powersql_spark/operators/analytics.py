@@ -999,3 +999,83 @@ def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched = base.join(affected, "user_id", "left_anti")
     redo = build(changes.join(affected, "user_id", "left_semi"))
     return untouched.unionByName(redo)
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               date_trunc('week', f.cohort_week) AS cohort_week,
+               CAST(date_diff('week', f.cohort_week,
+                              date_trunc('week', e.ts)) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    grouped AS (
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM activity GROUP BY cohort_week, week_offset
+    )
+    SELECT cohort_week, week_offset, n_active,
+           round(CAST(n_active AS DOUBLE)
+                 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 4) AS retention
+    FROM grouped
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    tracked by distinct active weeks since — n_active and the
+    retention fraction per (cohort, week offset). The canonical
+    product-analytics rollup.
+
+    Scale shape: cohort assignment is one groupBy(user); the activity
+    matrix is a fact-side join against that (AQE broadcasts the cohort
+    frame when it is dimension-sized) followed by a DISTINCT and one
+    aggregate — the fact table is scanned twice (cohort build +
+    activity), never per-cohort. Cohort sizes join back as a
+    metadata-sized broadcast."""
+    e = spark.table("events")
+    # .cast("date"): Spark date_trunc returns TIMESTAMP, DuckDB DATE.
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    grouped = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    # Cohort size == n_active at offset 0 (every user is active in
+    # their own first week), so a window over the rollup replaces a
+    # third fact scan + sizes join.
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_week"))
+    return grouped.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / size, 4).alias(
+            "retention"
+        ),
+    )

@@ -912,3 +912,77 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_r"), 6).alias("boot_mean"),
         F.round(F.stddev_samp("mean_r"), 6).alias("boot_se"),
     )
+
+
+_MIX_TAU = 0.7  # temperature: 1.0 = natural, 0 = uniform
+
+
+@query(
+    "curation_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_docs,
+               round(pow(CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
+                         / n_docs, 1 - {_MIX_TAU}), 6) AS keep_rate
+        FROM counts
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           r.keep_rate,
+           CAST(COUNT(CASE WHEN
+                 ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'),
+                                 1, 4))::BIGINT
+                 < CAST(floor(r.keep_rate * 65536) AS BIGINT)
+                 THEN 1 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY r.source, r.n_docs, r.keep_rate
+    """,
+)
+def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source balancing (the multilingual sampling
+    trick from mBERT/XLM-R: sample share proportional to n^tau, tau<1
+    flattening the distribution): per-source keep rate
+    (n_min/n_i)^(1-tau) — the smallest source keeps everything, hot
+    sources are hash-downsampled toward balance — applied as a
+    deterministic per-doc threshold filter, no rand().
+
+    Scale shape: the rate table is one tiny aggregate broadcast back
+    to the scan; the keep decision is row-local hash arithmetic; the
+    report is one more aggregate. Changing tau re-thresholds without
+    reshuffling anything."""
+    d = spark.table("documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.pow(
+                F.col("n_min").cast("double") / F.col("n_docs"),
+                1 - _MIX_TAU,
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":temp"))
+                .cast("binary")
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = bucket < F.floor(F.col("keep_rate") * 65536).cast("long")
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "keep_rate")
+        .agg(F.count(F.when(kept, 1)).alias("n_kept"))
+        .select("source", "n_docs", "keep_rate", "n_kept")
+    )

@@ -258,6 +258,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_poisson_bootstrap",
     "scd2_incremental",
     "fn_collation_lcase",
+    "cohort_retention",
+    "curation_mix_temperature",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

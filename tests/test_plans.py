@@ -577,3 +577,22 @@ def test_scd2_incremental_scopes_recompute_to_changed_keys(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_two_fact_scans_broadcast_sizes(spark, sf_dir):
+    """Cohorts: the fact table appears at most twice (cohort build +
+    activity); cohort sizes come back as a broadcast; no cartesian."""
+    plan = plan_of(spark, sf_dir, "cohort_retention")
+    assert plan.count("Scan parquet") <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # cohort size via window, not a third scan
+
+
+def test_temperature_mix_rates_broadcast(spark, sf_dir):
+    """The per-source rate table is metadata-sized and must broadcast;
+    the keep decision is row-local (no extra exchange on the doc
+    side beyond the reporting aggregate)."""
+    plan = plan_of(spark, sf_dir, "curation_mix_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
