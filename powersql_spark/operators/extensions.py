@@ -353,3 +353,57 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
         """
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+        SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts, e.err_ts AS next_error_ts
+    FROM purchases p
+    ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND e.err_ts >= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the EARLIEST error of the
+    same user at or after it ("did an error follow this purchase?").
+    The mirror of join_asof: same tagged-union + window rewrite but a
+    FOLLOWING frame with first_value — still ONE shuffle on user_id,
+    no range cross-product. Purchases sort before errors at equal ts
+    so '>= ' semantics match DuckDB's ASOF."""
+    e = spark.table("events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("err_ts"),
+    )
+    tagged = purchases.union(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("err_ts").asc_nulls_first())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.first("err_ts", ignorenulls=True)
+            .over(w)
+            .alias("next_error_ts"),
+        )
+        .where(F.col("event_id").isNotNull())
+    )

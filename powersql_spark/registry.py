@@ -260,6 +260,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_collation_lcase",
     "cohort_retention",
     "curation_mix_temperature",
+    "join_asof_forward",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
