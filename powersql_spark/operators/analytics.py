@@ -1079,3 +1079,52 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@query(
+    "window_trailing_events",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           array_to_string(list(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), ',') AS trailing_ids,
+           array_to_string(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), ',') AS trailing_types
+    FROM events
+    """,
+)
+def window_trailing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-bounded array aggregation: each event carries its user's
+    last-3 event ids and types as ordered lists (emitted as joined
+    strings so the driver canonicalizer can hash them) — the trailing
+    context feature every sequence model / sessionized feature store
+    wants per interaction. collect_list over a ROWS frame preserves
+    frame order on both engines because the window ORDER BY ends in
+    the unique event_id.
+
+    One exchange on user_id; the frame walk is a single sorted pass —
+    the history 'join' costs no join at all."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    e = spark.table("events")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.array_join(
+            F.transform(
+                F.collect_list("event_id").over(w),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("trailing_ids"),
+        F.array_join(F.collect_list("event_type").over(w), ",").alias(
+            "trailing_types"
+        ),
+    )

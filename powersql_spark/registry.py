@@ -261,6 +261,7 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "curation_mix_temperature",
     "join_asof_forward",
+    "window_trailing_events",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
