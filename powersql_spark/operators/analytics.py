@@ -1128,3 +1128,62 @@ def window_trailing_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_types"
         ),
     )
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(28,6))) AS DOUBLE) AS s3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(s1 / n, 6) AS mean,
+           round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+           round(
+             (s3 / n - 3 * (s1 / n) * (s2 / n - (s1 / n) * (s1 / n))
+              - (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness
+    FROM s
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher moments from explicit power sums: mean, population
+    variance, and skewness computed from decimal-summed Σx, Σx², Σx³ —
+    NOT the built-in skewness()/kurtosis(), whose bias corrections
+    differ between engines. The power sums are exact decimals, so the
+    derived moments are bit-identical before rounding on any engine
+    and any partitioning — the only way to hash-verify distribution
+    shape cross-engine.
+
+    Scale shape: one partial+final aggregate pair; per-group state is
+    four numbers regardless of row count (the same pattern the
+    built-in moment aggregates use internally)."""
+    li = spark.table("lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(28,6)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(28,6)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(28,6)")).cast("double").alias("s3"),
+    )
+    m = F.col("s1") / F.col("n")
+    var_pop = F.col("s2") / F.col("n") - m * m
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * m * (F.col("s2") / F.col("n") - m * m)
+        - m * m * m
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round(m3 / F.pow(var_pop, 1.5), 6).alias("skewness"),
+    )

@@ -354,3 +354,24 @@ def expr_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(lang AS DOUBLE)").alias("never_double"),
         F.col("n_chars").cast("string").alias("chars_str"),
     )
+
+
+@query(
+    "pred_rlike",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE regexp_matches(o_orderpriority, '^[12]-(URGENT|HIGH)$')
+    """,
+)
+def pred_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate in WHERE (RLIKE) — the pattern-match filter the
+    LIKE surface (pred_like) can't express (anchors, alternation,
+    classes). ASCII-only patterns keep Java regex (Spark) and RE2
+    (DuckDB) agreeing. The filter sits in the scan stage
+    (DataFilters), so matching happens during the columnar read — no
+    separate pass."""
+    o = spark.table("orders")
+    return o.where(
+        F.col("o_orderpriority").rlike(r"^[12]-(URGENT|HIGH)$")
+    ).select("o_orderkey", "o_orderpriority")

@@ -262,6 +262,8 @@ _PRIORITY: tuple[str, ...] = (
     "curation_mix_temperature",
     "join_asof_forward",
     "window_trailing_events",
+    "agg_moments",
+    "pred_rlike",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
