@@ -1187,3 +1187,65 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_pop, 6).alias("var_pop"),
         F.round(m3 / F.pow(var_pop, 1.5), 6).alias("skewness"),
     )
+
+
+@query(
+    "window_range_numeric",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER w AS n_similar_price,
+           CAST(MIN(o_orderkey) OVER w AS BIGINT) AS min_key_in_band
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+    """,
+)
+def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: for each order, how many orders fall
+    within +/-1000 of ITS price (value-based frame bounds, not row
+    counts) — the density-band analytic; the sibling of
+    window_range_frame's time-interval RANGE. COUNT/MIN are
+    order-insensitive inside the frame, so no tie-break key is needed
+    for determinism. Filtered to a dimension-sized slice: an
+    un-partitioned RANGE window is a single-task sort, fine for
+    slices, never for facts — partition or bucket first at scale."""
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return (
+        spark.table("orders")
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_similar_price"),
+            F.min("o_orderkey").over(w).alias("min_key_in_band"),
+        )
+    )
+
+
+@query(
+    "agg_geomean",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(SUM(ln(l_extendedprice)) / COUNT(*)), 4)
+               AS geomean_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean via exp(avg(ln x)) — the multiplicative average
+    (growth rates, relevance scores) that has no built-in aggregate on
+    either engine; expressed as a plain single-pass sum of logs, it
+    partially aggregates like any SUM. Rounded at 4dp: the log-sum's
+    addition order differs between engines."""
+    li = spark.table("lineitem").where(F.col("l_extendedprice") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.exp(F.sum(F.log("l_extendedprice")) / F.count(F.lit(1))), 4
+        ).alias("geomean_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -828,3 +828,66 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("has_stopwords")
         ).alias("passes"),
     )
+
+
+_PAD_LEN = 32
+
+
+@query(
+    "pack_collate_pad",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    ids AS (
+        SELECT doc_id,
+               list_transform(t[1:{_PAD_LEN}],
+                   x -> ('0x' || substr(md5(x), 1, 4))::BIGINT % 32000)
+                   AS tok_ids
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(tok_ids) AS INTEGER) AS n_real,
+           CAST({_PAD_LEN} - len(tok_ids) AS INTEGER) AS n_pad,
+           array_to_string(
+               list_concat(tok_ids,
+                   list_transform(range(1, {_PAD_LEN} - len(tok_ids) + 1),
+                                  i -> CAST(0 AS BIGINT))), ',')
+               AS padded_ids
+    FROM ids
+    """,
+)
+def pack_collate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch collation: truncate each doc's (hash-vocab) token ids to a
+    fixed sequence length and right-pad with 0 — the pad-and-collate
+    step that turns ragged documents into fixed-shape model inputs
+    (emitted as a joined string so the driver can hash it; the array
+    form feeds an Arrow batch unchanged). Vocabulary ids are the same
+    md5-derived arithmetic on both engines.
+
+    Map-only: slice + transform + concat in codegen; output
+    partitioning inherits the scan — the GPU feed pipeline reads it
+    straight off parquet with zero shuffles."""
+    d = spark.table("documents")
+    toks = F.slice(_tokens(), 1, _PAD_LEN)
+    ids = F.transform(
+        toks,
+        lambda x: F.conv(
+            F.substring(F.md5(x.cast("binary")), 1, 4), 16, 10
+        ).cast("long")
+        % 32000,
+    )
+    n_real = F.size(ids)
+    pad = F.array_repeat(F.lit(0).cast("long"), _PAD_LEN - n_real)
+    return d.select(
+        "doc_id",
+        n_real.alias("n_real"),
+        (F.lit(_PAD_LEN) - n_real).cast("int").alias("n_pad"),
+        F.array_join(
+            F.transform(
+                F.concat(ids, pad), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("padded_ids"),
+    )

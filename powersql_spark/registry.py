@@ -264,6 +264,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_trailing_events",
     "agg_moments",
     "pred_rlike",
+    "window_range_numeric",
+    "agg_geomean",
+    "pack_collate_pad",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
