@@ -237,3 +237,30 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity", "total_qty"))
         .where(F.col("total_qty") > 150.0)
     )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — group by every non-aggregate select item (the
+    modern shorthand both Spark 3.4+ and DuckDB support). Resolves at
+    analysis time to an ordinary grouped aggregate: same partial+final
+    plan as writing the keys out."""
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )

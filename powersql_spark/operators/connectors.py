@@ -332,3 +332,51 @@ def sink_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+@query(
+    "sink_append",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT batch) AS BIGINT) AS n_batches
+    FROM (
+        SELECT n_regionkey, 'a' AS batch FROM nation
+        UNION ALL
+        SELECT n_regionkey, 'b' AS batch FROM nation
+        WHERE n_nationkey % 2 = 0
+    )
+    GROUP BY n_regionkey
+    """,
+)
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode sink: two writes land in the same parquet directory
+    without touching each other's files (mode('append') adds files,
+    never rewrites) — the incremental-load idiom. The staging dir is
+    reset per call so the result is deterministic; the read-back
+    aggregates across both batches to prove both are present.
+
+    At scale: append is the only write mode whose cost is the delta's
+    size; pair it with partitionBy so readers prune to fresh
+    partitions (sink_partitioned) and with compaction for small-file
+    debt (layout_compaction_bins)."""
+    import shutil
+
+    path = _stage_path("nation_append")
+    shutil.rmtree(path, ignore_errors=True)
+    n = spark.table("nation")
+    a = n.select("n_regionkey", F.lit("a").alias("batch"))
+    b = n.where(F.col("n_nationkey") % 2 == 0).select(
+        "n_regionkey", F.lit("b").alias("batch")
+    )
+    a.write.mode("append").parquet(path)
+    b.write.mode("append").parquet(path)
+    return (
+        spark.read.schema(a.schema)
+        .parquet(path)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("batch").alias("n_batches"),
+        )
+    )

@@ -169,3 +169,34 @@ def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(target)
     )
     return spark.read.parquet(target)
+
+
+@query(
+    "scan_values",
+    oracle="""
+    SELECT r.r_name, t.tier
+    FROM region r
+    JOIN (VALUES (0, 'core'), (1, 'growth'), (2, 'frontier'),
+                 (3, 'frontier'), (4, 'growth'))
+         AS t(r_regionkey, tier)
+      ON r.r_regionkey = t.r_regionkey
+    ORDER BY r.r_name
+    """,
+)
+def scan_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table — literal rows as a relation (sqlparser's
+    Values body passes through the reference untyped; both its
+    backends execute it). The idiomatic carrier for tiny hand-written
+    mapping tables: Catalyst folds it to a LocalRelation, so joining
+    against it is a broadcast of literals — no file, no scan."""
+    return spark.sql(
+        """
+        SELECT r.r_name, t.tier
+        FROM region r
+        JOIN (VALUES (0, 'core'), (1, 'growth'), (2, 'frontier'),
+                     (3, 'frontier'), (4, 'growth'))
+             AS t(r_regionkey, tier)
+          ON r.r_regionkey = t.r_regionkey
+        ORDER BY r.r_name
+        """
+    )

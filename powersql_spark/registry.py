@@ -267,6 +267,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_numeric",
     "agg_geomean",
     "pack_collate_pad",
+    "scan_values",
+    "sink_append",
+    "agg_group_by_all",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
