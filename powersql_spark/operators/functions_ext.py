@@ -452,3 +452,36 @@ def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_variant",
         "n_germany",
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE round(l_quantity / (l_linenumber - 1), 4)
+           END AS qty_per_prior_line,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 4)
+           END AS price_per_discount
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide yields NULL instead of raising
+    on division by zero — the behavior PostgreSQL/ANSI pipelines
+    expect from guarded expressions, and what keeps a 100 TB job from
+    dying on one bad row when ANSI mode is on. The oracle spells out
+    the equivalent CASE guard (DuckDB has no try_divide)."""
+    li = spark.table("lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_quantity", F.col("l_linenumber") - 1), 4
+        ).alias("qty_per_prior_line"),
+        F.round(
+            F.try_divide("l_extendedprice", F.col("l_discount")), 4
+        ).alias("price_per_discount"),
+    )

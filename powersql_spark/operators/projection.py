@@ -375,3 +375,41 @@ def pred_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(
         F.col("o_orderpriority").rlike(r"^[12]-(URGENT|HIGH)$")
     ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "pred_in_multicol",
+    oracle="""
+    WITH hot AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem li
+    WHERE EXISTS (SELECT 1 FROM hot
+                  WHERE hot.ps_partkey = li.l_partkey
+                    AND hot.ps_suppkey = li.l_suppkey)
+    ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity
+    """,
+)
+def pred_in_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column IN subquery — (a, b) IN (SELECT x, y ...): row-value
+    membership against a derived set (here: part-supplier pairs
+    appearing on 3+ lineitems). Catalyst plans it as a left-semi join
+    on the composite key, exactly like single-column IN — no row-value
+    gymnastics needed at any scale."""
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        FROM lineitem
+        WHERE (l_partkey, l_suppkey) IN (
+            SELECT ps_partkey, ps_suppkey
+            FROM (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                         COUNT(*) AS n
+                  FROM lineitem GROUP BY 1, 2
+                  HAVING COUNT(*) >= 3) hot
+        )
+        ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity
+        """
+    )

@@ -270,6 +270,8 @@ _PRIORITY: tuple[str, ...] = (
     "scan_values",
     "sink_append",
     "agg_group_by_all",
+    "fn_try_arith",
+    "pred_in_multicol",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
