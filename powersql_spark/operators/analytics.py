@@ -1249,3 +1249,94 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("geomean_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "abtest_zscore",
+    oracle="""
+    WITH assigned AS (
+        SELECT value,
+               substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+                   AS is_a
+        FROM events
+    ),
+    s AS (
+        SELECT
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM assigned
+    )
+    SELECT n_a, n_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round(
+             (s_b / n_b - s_a / n_a)
+             / sqrt((q_a / n_a - (s_a / n_a) * (s_a / n_a)) / n_a
+                  + (q_b / n_b - (s_b / n_b) * (s_b / n_b)) / n_b),
+             4) AS zscore
+    FROM s
+    """,
+)
+def abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test readout: deterministic hash assignment of users to
+    variants (salted md5, ~50/50), then the two-sample z-score for the
+    difference in mean event value — computed from one pass of
+    conditional decimal power sums, so the statistic is bit-identical
+    across engines and partitionings before rounding. The shape every
+    experimentation platform computes nightly over event logs.
+
+    Scale shape: ONE scan, ONE aggregate producing six numbers; the
+    whole readout is constant-size state however many events exist —
+    no per-variant scan, no join."""
+    e = spark.table("events")
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(F.col("user_id").cast("string"), F.lit(":ab"))
+                .cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    v = F.col("value")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    s = e.select(is_a.alias("is_a"), v.alias("value")).agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("is_a"), dec(v))).cast("double").alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), dec(v))).cast("double").alias("s_b"),
+        F.sum(F.when(F.col("is_a"), dec(v * v)))
+        .cast("double")
+        .alias("q_a"),
+        F.sum(F.when(~F.col("is_a"), dec(v * v)))
+        .cast("double")
+        .alias("q_b"),
+    )
+    m_a, m_b = F.col("s_a") / F.col("n_a"), F.col("s_b") / F.col("n_b")
+    var_a = F.col("q_a") / F.col("n_a") - m_a * m_a
+    var_b = F.col("q_b") / F.col("n_b") - m_b * m_b
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(
+            (m_b - m_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            4,
+        ).alias("zscore"),
+    )

@@ -272,6 +272,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_group_by_all",
     "fn_try_arith",
     "pred_in_multicol",
+    "abtest_zscore",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
