@@ -1340,3 +1340,71 @@ def abtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zscore"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id,
+               CAST(date_diff('second', first_view, first_purchase)
+                    AS BIGINT) AS secs_to_convert
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_cont(secs_to_convert, 0.5) AS DOUBLE) AS p50_secs,
+           CAST(quantile_cont(secs_to_convert, 0.9) AS DOUBLE) AS p90_secs,
+           CAST(MAX(secs_to_convert) AS BIGINT) AS max_secs
+    FROM conv
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user who viewed then purchased, the
+    seconds from FIRST view to FIRST purchase, summarized as
+    median/p90/max — the latency half of funnel analysis
+    (funnel_conversion counts the stages; this times them).
+
+    Scale shape: per-user firsts are conditional MIN aggregates in one
+    grouped pass (no per-stage scans, no self-join); the summary runs
+    on the converted-users frame, which is keys-sized, not
+    events-sized. Interpolated percentiles are deterministic on both
+    engines."""
+    e = spark.table("events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_seconds("first_purchase")
+            - F.unix_seconds("first_view")
+        ).alias("secs_to_convert")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("secs_to_convert", F.lit(0.5))
+        .cast("double")
+        .alias("p50_secs"),
+        F.percentile("secs_to_convert", F.lit(0.9))
+        .cast("double")
+        .alias("p90_secs"),
+        F.max("secs_to_convert").alias("max_secs"),
+    )

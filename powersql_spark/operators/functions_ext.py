@@ -485,3 +485,28 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide("l_extendedprice", F.col("l_discount")), 4
         ).alias("price_per_discount"),
     )
+
+
+@query(
+    "fn_format_string",
+    oracle="""
+    SELECT n_nationkey,
+           printf('%s (region %d)', n_name, n_regionkey) AS label,
+           printf('%05d', n_nationkey) AS padded_key
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def fn_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style string interpolation — format_string with %s/%d
+    and zero-padded width, the report-formatting surface. ASCII format
+    specifiers behave identically under Java's Formatter (Spark) and
+    DuckDB's printf. Map-only codegen."""
+    n = spark.table("nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string(
+            "%s (region %d)", F.col("n_name"), F.col("n_regionkey")
+        ).alias("label"),
+        F.format_string("%05d", F.col("n_nationkey")).alias("padded_key"),
+    ).orderBy("n_nationkey")

@@ -273,6 +273,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_try_arith",
     "pred_in_multicol",
     "abtest_zscore",
+    "funnel_time_to_convert",
+    "fn_format_string",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
