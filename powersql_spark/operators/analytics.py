@@ -1408,3 +1408,70 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_secs"),
         F.max("secs_to_convert").alias("max_secs"),
     )
+
+
+@query(
+    "dedup_consecutive",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NULL OR event_type <> prev_type
+    """,
+)
+def dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate compaction: keep only events where the
+    user's state CHANGED (event_type differs from the previous event)
+    — log/CDC compaction that collapses runs of identical states to
+    their first occurrence, shrinking a heartbeat-heavy stream to its
+    transitions. One lag window per user, then a filter; the
+    downstream SCD2 build (scd2_intervals) consumes exactly this
+    shape.
+
+    One exchange on user_id, one sorted pass — never a self-join of
+    adjacent rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        spark.table("events")
+        .select("event_id", "user_id", "ts", "event_type", prev.alias("p"))
+        .where(F.col("p").isNull() | (F.col("event_type") != F.col("p")))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS wavg_price,
+           round(AVG(l_extendedprice), 4) AS plain_avg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average — sum(w*x)/sum(w) per group (quantity-weighted
+    price), beside the plain mean it corrects. No built-in weighted
+    aggregate exists on either engine; spelled as two decimal sums it
+    partially aggregates like any SUM and hashes bit-identically."""
+    li = spark.table("lineitem")
+    wx = (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+        "decimal(28,6)"
+    )
+    wsum = F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(wx).cast("double") / wsum).alias("wavg_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("plain_avg_price"),
+        wsum.alias("total_weight"),
+    )

@@ -275,6 +275,8 @@ _PRIORITY: tuple[str, ...] = (
     "abtest_zscore",
     "funnel_time_to_convert",
     "fn_format_string",
+    "dedup_consecutive",
+    "agg_weighted_avg",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
