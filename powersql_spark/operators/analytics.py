@@ -1475,3 +1475,56 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_extendedprice"), 4).alias("plain_avg_price"),
         wsum.alias("total_weight"),
     )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS nation_rev,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / SUM(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                            AS DOUBLE)) OVER (), 6) AS share_of_total,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / MAX(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                            AS DOUBLE)) OVER (), 6) AS ratio_to_max
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total / ratio-to-report: each nation's revenue as a
+    fraction of the grand total and of the leader — the window-over-
+    aggregate idiom (RATIO_TO_REPORT in Oracle-speak). The unpartitioned
+    window runs over the GROUPED frame (25 rows), not the fact table,
+    so 'global' costs nothing.
+
+    Scale shape: dimensions broadcast into one fact aggregate; the
+    share window touches only group-count rows."""
+    o = spark.table("orders")
+    c = F.broadcast(spark.table("customer").select("c_custkey", "c_nationkey"))
+    n = F.broadcast(spark.table("nation").select("n_nationkey", "n_name"))
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "nation_rev",
+        F.round(
+            F.col("nation_rev") / F.sum("nation_rev").over(w), 6
+        ).alias("share_of_total"),
+        F.round(
+            F.col("nation_rev") / F.max("nation_rev").over(w), 6
+        ).alias("ratio_to_max"),
+    )

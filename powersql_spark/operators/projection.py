@@ -413,3 +413,31 @@ def pred_in_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity
         """
     )
+
+
+@query(
+    "pred_like_escape",
+    oracle="""
+    SELECT p_partkey, p_type
+    FROM part
+    WHERE p_type LIKE '%BRUSHED!%%' ESCAPE '!'
+       OR p_type LIKE 'ECONOMY%'
+    ORDER BY p_partkey
+    """,
+)
+def pred_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with an ESCAPE clause — matching a literal '%' (or '_')
+    inside the pattern, the corner of the LIKE surface plain pred_like
+    can't express. No part type actually contains '%', so the escaped
+    branch matches nothing and the result is exactly the ECONOMY
+    prefix scan — proving the escape parses and evaluates rather than
+    silently treating '!' as a literal."""
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type
+        FROM part
+        WHERE p_type LIKE '%BRUSHED!%%' ESCAPE '!'
+           OR p_type LIKE 'ECONOMY%'
+        ORDER BY p_partkey
+        """
+    )

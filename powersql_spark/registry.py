@@ -277,6 +277,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_format_string",
     "dedup_consecutive",
     "agg_weighted_avg",
+    "window_share_of_total",
+    "pred_like_escape",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
