@@ -256,3 +256,40 @@ def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", F.nullif("value", F.lit(0.0)).alias("v")
     ).orderBy(F.col("v").desc_nulls_last(), F.col("event_id"))
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'en'
+        UNION ALL
+        SELECT doc_id, lang, 'unknown' AS source, CAST(NULL AS BIGINT)
+            AS n_chars
+        FROM documents WHERE lang = 'de'
+    )
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True)
+    aligns relations by COLUMN NAME (not position) and null-fills
+    columns one side lacks — how heterogeneous corpus shards with
+    drifted schemas stack into one table without manual projection
+    lists. The oracle spells out the aligned/filled projection the
+    operator derives automatically; the 'unknown' default shows the
+    coalesce-after-union idiom for absent metadata."""
+    d = spark.table("documents")
+    full = d.where(F.col("lang") == "en").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    # A drifted shard: no source column, no n_chars.
+    drifted = d.where(F.col("lang") == "de").select("doc_id", "lang")
+    stacked = full.unionByName(drifted, allowMissingColumns=True)
+    return stacked.select(
+        "doc_id",
+        "lang",
+        F.coalesce("source", F.lit("unknown")).alias("source"),
+        "n_chars",
+    )

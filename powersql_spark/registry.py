@@ -279,6 +279,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_weighted_avg",
     "window_share_of_total",
     "pred_like_escape",
+    "set_union_by_name",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
