@@ -264,3 +264,102 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT l_returnflag,
+           arg_min(l_orderkey,
+                   lpad(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT) AS VARCHAR), 12, '0')
+                   || lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+                   || lpad(CAST(l_linenumber AS VARCHAR), 4, '0'))
+               AS cheapest_orderkey,
+           arg_max(l_orderkey,
+                   lpad(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT) AS VARCHAR), 12, '0')
+                   || lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+                   || lpad(CAST(l_linenumber AS VARCHAR), 4, '0'))
+               AS priciest_orderkey,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY / MAX_BY — the key of the extreme row, not the extreme
+    value itself ('which order was cheapest'), without a groupBy +
+    join-back. The ordering key is zero-padded (price-cents, orderkey,
+    linenumber) so ties on price resolve identically on both engines
+    (DuckDB arg_min/arg_max take one comparable argument; Spark
+    min_by's struct ordering is mirrored as the padded string).
+
+    Single-pass partial aggregation: per-group state is one candidate
+    row key, constant regardless of group size."""
+    li = spark.table("lineitem")
+    key = F.concat(
+        # cents via DECIMAL(18,2): double->BIGINT truncates on Spark but
+        # ROUNDS on DuckDB; double->DECIMAL rounds identically on both.
+        F.lpad(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            12,
+            "0",
+        ),
+        F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("l_linenumber").cast("string"), 4, "0"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", key).alias("cheapest_orderkey"),
+        F.max_by("l_orderkey", key).alias("priciest_orderkey"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
+
+
+@query(
+    "agg_pivot_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS f_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+               AS f_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+               AS o_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+               AS o_n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per pivot value — each
+    (value, aggregate) pair becomes a column (F_qty, F_n, O_qty, O_n).
+    agg_pivot covers the single-aggregate form; this is the wide-table
+    report shape. The oracle spells out the conditional-aggregation
+    desugaring, which is also exactly Catalyst's plan: ONE pass, one
+    partial+final pair, no per-value scans."""
+    li = spark.table("lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("f_qty"),
+        F.col("F_n").alias("f_n"),
+        F.col("O_qty").alias("o_qty"),
+        F.col("O_n").alias("o_n"),
+    )

@@ -280,6 +280,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_share_of_total",
     "pred_like_escape",
     "set_union_by_name",
+    "agg_min_max_by",
+    "agg_pivot_multi",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
