@@ -730,3 +730,69 @@ def test_ohlc_bounds_and_membership(spark, sf_dir):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["n_events"] >= 1
+
+
+def test_abtest_assignment_balanced_and_z_consistent(spark, sf_dir):
+    """A/B readout invariants: USER-level assignment is roughly
+    balanced (event counts legitimately skew with heavy users), both
+    arms are populated, and the z-score is finite."""
+    import math
+
+    r = SPECS["abtest_zscore"].fn(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert math.isfinite(r["zscore"])
+    # The balance property belongs to the assignment RULE, not to the
+    # handful of users a toy SF happens to contain: over 10k synthetic
+    # ids the salted-md5 split must be ~50/50.
+    ids = spark.range(10_000).select(F.col("id").alias("user_id"))
+    n_a_rule = ids.where(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":ab")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    ).count()
+    assert 0.48 < n_a_rule / 10_000 < 0.52, n_a_rule
+
+
+def test_share_of_total_sums_to_one(spark, sf_dir):
+    """Ratio-to-report invariants: shares sum to 1, the leader's
+    ratio_to_max is exactly 1, and every share is positive."""
+    rows = SPECS["window_share_of_total"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-3
+    assert max(r["ratio_to_max"] for r in rows) == 1.0
+    assert all(r["share_of_total"] > 0 for r in rows)
+
+
+def test_min_max_by_rows_exist_in_group(spark, sf_dir):
+    """The extreme-row keys must identify real rows of their group
+    whose price equals the group's min/max."""
+    from powersql_spark.catalog import load_tables
+
+    rows = SPECS["agg_min_max_by"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem")
+    for r in rows:
+        cheap = li.where(
+            (F.col("l_returnflag") == r["l_returnflag"])
+            & (F.col("l_orderkey") == r["cheapest_orderkey"])
+            & (F.col("l_extendedprice") == r["min_price"])
+        ).count()
+        assert cheap >= 1, r
+
+
+def test_collate_pad_shapes_fixed(spark, sf_dir):
+    """Every collated row is exactly the fixed sequence length:
+    n_real + n_pad == PAD_LEN and the id string has PAD_LEN entries."""
+    from powersql_spark.pipeline.text import _PAD_LEN
+
+    rows = SPECS["pack_collate_pad"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_real"] + r["n_pad"] == _PAD_LEN
+        assert len(r["padded_ids"].split(",")) == _PAD_LEN
