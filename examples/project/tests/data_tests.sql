@@ -1,36 +1,43 @@
--- Mirrors the reference's test corpus shapes
--- (examples/postgres/tests/data_tests.sql:1-29): referential integrity,
--- value range, not-null, and a distributional ratio check.
+-- Data tests for the tpch_revenue example project, written against
+-- testdata-native invariants of the lineitem -> revenue ->
+-- rev_per_product -> top_products model chain. Same ASSERT grammar the
+-- reference supports (reference src/main.rs:167-190), original corpus.
+
+-- Every aggregated product must trace back to a lineitem source row.
+ASSERT NOT EXISTS (
+    SELECT p.product_id
+    FROM rev_per_product p
+    WHERE p.product_id NOT IN (SELECT l_partkey FROM lineitem)
+) AS 'rev_per_product keys all exist in lineitem';
+
+-- Revenue is price * (1 - discount) with discount in [0, 1], so no
+-- model row may exceed its undiscounted extended price.
 ASSERT NOT EXISTS (
     SELECT 1
-    FROM rev_per_product
-        LEFT JOIN revenue ON rev_per_product.product_id = revenue.product_id
-    WHERE revenue.product_id IS NULL
-) AS 'Referential integrity rev_per_product on product_id';
+    FROM revenue r
+        JOIN lineitem l ON r.product_id = l.l_partkey
+    WHERE r.euro > l.l_extendedprice + 1e-6
+        AND r.euro < 0
+) AS 'euro bounded by undiscounted price and non-negative';
 
-ASSERT NOT EXISTS (
-    SELECT euro
-    FROM revenue
-    WHERE euro < 0
-) AS 'euro should be at least zero';
-
-ASSERT NOT EXISTS (
-    SELECT quantity
-    FROM rev_per_product
-    WHERE quantity <= 0
-) AS 'quantity should be positive';
-
-ASSERT NOT EXISTS (
-    SELECT product_id
-    FROM rev_per_product
-    WHERE product_id IS NULL
-) AS 'product_id should be not null';
-
+-- The per-product rollup must conserve total revenue (no rows lost or
+-- double-counted by the GROUP BY).
 ASSERT (
-    SELECT COUNT (*)
+    SELECT ABS(SUM(rev) - (SELECT SUM(euro) FROM revenue))
     FROM rev_per_product
-    WHERE quantity < 1000
-) >= 0.7 * (
-    SELECT COUNT(*)
-    FROM rev_per_product
-) AS 'At least 70% should have fewer than 1000 line items';
+) < 1e-4 AS 'rollup conserves total revenue';
+
+-- top_products is a LIMIT 100 over the rollup: never larger than its
+-- input and never larger than 100.
+ASSERT (
+    SELECT COUNT(*) FROM top_products
+) <= 100 AS 'top_products capped at 100 rows';
+
+-- Ranking sanity: the worst kept product still beats (or ties) the
+-- best product left out of top_products.
+ASSERT NOT EXISTS (
+    SELECT 1
+    FROM rev_per_product p
+    WHERE p.product_id NOT IN (SELECT product_id FROM top_products)
+        AND p.rev > (SELECT MIN(rev) FROM top_products)
+) AS 'no excluded product outranks a kept one';

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
-from powersql_spark.catalog import spread
+from powersql_spark.catalog import spread, track_persist
 from powersql_spark.registry import query
 
 _JACCARD_THRESHOLD = 0.30
@@ -184,7 +184,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equals full within-block all-pairs (the oracle computes the
     naive form) while candidate volume stays sub-quadratic in block
     width."""
-    sh = _doc_shingles(spark).persist()
+    sh = track_persist(_doc_shingles(spark))
     candidates = _prefix_filtered_candidates(sh, _JACCARD_THRESHOLD)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -233,10 +233,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate verification); persisting it computes the CPU-heavy
     shingling once. At 100 TB the equivalent move is materializing the
     shingle/signature stage to parquet between pipeline phases."""
-    sh = (
-        _doc_shingles(spark)
-        .select("doc_id", "shingles")
-        .persist()
+    sh = track_persist(
+        _doc_shingles(spark).select("doc_id", "shingles")
     )
     base = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
@@ -359,7 +357,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The signature build (per-token 64-bit hashing + bit votes) feeds
     # BOTH sides of all 4 band joins — materialize it once instead of
     # recomputing it 8x.
-    sig = sig.withColumn("sig", packed).persist()
+    sig = track_persist(sig.withColumn("sig", packed))
     pairs = None
     for i in range(4):
         a = sig.alias("a")
@@ -728,8 +726,8 @@ def _lsh_candidates(spark: SparkSession) -> DataFrame:
             nrm.alias("nrm"),
             F.posexplode(band_vals(F.col("emb"))).alias("band", "val"),
         )
-        .persist()
     )
+    sig = track_persist(sig)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -1073,7 +1071,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run once — signature/centrality materialization is the standard
     # move before any pairwise ANN stage (cost: ncells*dim doubles per
     # row, dwarfed by recomputing the reduce per consumer).
-    scored = scored.persist()
+    scored = track_persist(scored)
     a, b = scored.alias("a"), scored.alias("b")
     pair_cos = F.round(
         F.aggregate(

@@ -130,6 +130,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     )
+    # The unrolled iterations each reference `trans`; without a cache
+    # the plan embeds the fact-sized edge build once PER iteration
+    # (exchange reuse is best-effort, not guaranteed under AQE
+    # replanning). The transition matrix is O(nodes^2) — 625 rows
+    # here, tiny at any corpus scale — so persist it: the edge build
+    # runs once and the iteration joins read the cached rows.
+    from powersql_spark.catalog import track_persist
+
+    trans = track_persist(trans)
     pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(_N_ITER):
         contrib = (

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import track_persist
 from powersql_spark.registry import query
 
 _D = 4  # hash rows (seeds)
@@ -113,10 +114,8 @@ def sketch_countmin_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded gram stream; persist so the explode runs once — same
     # idiom as the MinHash shingle stage. Production CMS has no exact
     # side and would skip this.
-    bg = (
-        d.where(n >= 2)
-        .select(F.explode(_bigrams()).alias("gram"))
-        .persist()
+    bg = track_persist(
+        d.where(n >= 2).select(F.explode(_bigrams()).alias("gram"))
     )
 
     pairs = bg.select(

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from powersql_spark.catalog import TABLES, load_tables
+from powersql_spark.catalog import TABLES, load_tables, release_persisted
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -145,7 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "set_except_all",
     "subq_correlated",
     "join_lateral",
-    # function extensions
+    # function extensions (first tranche; long tail rotated below the
+    # LLM flagship keys per VERDICT r2 #4)
     "fn_array",
     "fn_map",
     "fn_json",
@@ -155,28 +156,35 @@ _PRIORITY: tuple[str, ...] = (
     "fn_array_ops",
     "fn_sequence",
     "fn_string_advanced",
-    "fn_url",
-    "fn_json_typed",
-    "fn_date_spine",
-    "fn_math_extended",
     "agg_bool",
-    # LLM-data-pipeline keys
+    # LLM-data-pipeline flagship tranche — the north-star deliverables
+    # (BASELINE.json): full dedup family incl. the end-to-end survivors
+    # pipeline, the ANN ladder incl. the learned-IVF variant, and the
+    # training-data pipeline composite, ahead of the fn_* long tail.
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "dedup_connected_components",
+    "dedup_survivors",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
+    "sim_topk_ivf_learned",
     "sim_join_topk",
+    "pipeline_training_data",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    # -- next tranche (rounds 4+) ---------------------------------------
+    "fn_url",
+    "fn_json_typed",
+    "fn_date_spine",
+    "fn_math_extended",
     "text_chunk",
     "text_token_count_bpe",
-    "pipeline_training_data",
     "grouped_zscore",
     "split_train_val_test",
     "mix_sources_weighted",
@@ -217,9 +225,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob",
     "curation_quality_buckets",
     "sketch_hll_by_source",
-    "dedup_embedding_lsh",
     "stream_static_enrich",
-    "dedup_survivors",
     "agg_histogram",
     "sample_weighted_reservoir",
     "bpe_learn_merges",
@@ -231,7 +237,6 @@ _PRIORITY: tuple[str, ...] = (
     "profile_key_skew",
     "window_ntile",
     "merge_upsert",
-    "sim_topk_ivf_learned",
     "fn_higher_order",
     # round-2 session additions
     "agg_corr",
@@ -282,6 +287,57 @@ _PRIORITY: tuple[str, ...] = (
     "set_union_by_name",
     "agg_min_max_by",
     "agg_pivot_multi",
+    # -- round-1 greens: banked since r1, ranked here so the curated
+    # manifest covers the registry exactly; they sit at the back anyway
+    # via the banked-green rotation, this order only matters if every
+    # other key ever goes green.
+    "agg_group_by",
+    "agg_sum",
+    "agg_count_star",
+    "agg_count",
+    "agg_min",
+    "agg_max",
+    "agg_avg",
+    "agg_listagg",
+    "agg_distinct",
+    "agg_having",
+    "window_lag_lead",
+    "window_rank",
+    "window_running",
+    "window_qualify",
+    "agg_stats",
+    "sample_deterministic",
+    "explode_tokens",
+    "unpivot",
+    "join_skew_salted",
+    "join_range",
+    "agg_mode",
+    "window_first_last",
+    "pred_null_safe_eq",
+    "agg_filter",
+    "window_percent_rank",
+    "incr_new_rows",
+    "assert_not_exists",
+    "assert_scalar_compare",
+    "assert_typecheck",
+    "source_csv",
+    "source_json",
+    "sink_partitioned",
+    "sink_bucketed",
+    "sink_sorted",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_pivot",
+    "agg_percentile",
+    "join_asof",
+    "fn_datetime_arith",
+    "fn_struct",
+    "skyline_pareto",
+    "limit_offset",
+    "fn_extract_date",
+    "fn_string",
+    "fn_math",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
@@ -400,6 +456,10 @@ def query(key: str, oracle: str | None = None, tables: tuple[str, ...] = TABLES)
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Drop intermediates persisted by the PREVIOUS query (its
+            # result is materialized by now) so 252-key sweeps don't
+            # accumulate cached blocks for the life of the session.
+            release_persisted(spark)
             load_tables(spark, sf_dir, tables)
             return fn(spark, sf_dir)
 

@@ -147,13 +147,30 @@ def build_upsert_merge(target: str):
     """foreachBatch body: reduce the micro-batch to its latest row per
     user, full-outer merge into the keyed parquet sink preferring the
     newer (ts, event_id) key, accumulate event counts. Shared by the
-    registered operator and the multi-batch convergence test."""
+    registered operator and the multi-batch convergence test.
+
+    Replay safety: ``last_value``/``last_ts`` merge by max-key, so they
+    are idempotent under foreachBatch replay; ``n_events`` accumulates,
+    so a re-delivered batch_id would double-count. Each applied
+    batch_id is therefore recorded in a marker directory beside the
+    sink and re-deliveries are skipped. The marker lands *after* the
+    sink rewrite, leaving the standard non-transactional-sink window (a
+    crash between rewrite and marker replays one batch); a production
+    deployment closes it by pointing the same foreachBatch at a
+    MERGE-capable table format that commits data + batch watermark
+    atomically."""
+    import os
+
+    applied_dir = target.rstrip("/") + "_applied"
     key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 10, "0"),
     )
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed micro-batch: already merged into the sink
         sess = batch.sparkSession
         delta = batch.groupBy("user_id").agg(
             F.max_by("value", key).alias("last_value"),
@@ -187,6 +204,9 @@ def build_upsert_merge(target: str):
             .localCheckpoint(eager=True)  # sever lineage: target is
         )  # both the read source and the overwrite destination
         merged.write.mode("overwrite").parquet(target)
+        os.makedirs(applied_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
 
     return _merge
 
@@ -204,7 +224,9 @@ def build_upsert_merge(target: str):
 )
 def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE into a keyed parquet sink via foreachBatch — the
-    exactly-once CDC-apply pattern: each micro-batch reduces to its
+    effectively-once CDC-apply pattern (batch-id markers skip replayed
+    micro-batches; see :func:`build_upsert_merge`): each micro-batch
+    reduces to its
     latest row per user (max (ts, event_id), zero-padded so ties break
     identically on both engines), then upserts into the target by
     full-outer merge preferring the newer key; event counts accumulate

@@ -2,85 +2,116 @@
 
 Round 1 showed the driver verifies only a prefix of queries() (exactly
 the first 50 keys landed in CORRECTNESS_r01.json), so iteration order IS
-the evidence budget. These tests pin the curated manifest:
+the evidence budget. These tests pin the *rotation invariants*, not any
+specific round's window content — the window self-advances whenever the
+driver drops a new CORRECTNESS_r*.json into the repo, so content pins
+would go stale the moment a round lands (this happened in round 2).
 
-- the manifest covers the registry exactly (every key ranked, no typos,
-  no overlap between the priority list and the banked-green list);
-- the 50-slot window holds the SURVEY §2.B core + the three round-1
-  non-green keys + the first TPC-H tranche;
-- banked round-1 greens sit at the very back.
+Invariants:
+- the curated manifest covers the registry exactly (every key ranked,
+  no typos, no duplicates);
+- no banked driver-green key occupies a window slot while any key still
+  lacks a driver row;
+- the window is exactly the first 50 unbanked keys of the curated
+  priority order (the rotation is deterministic, not accidental);
+- banked greens sit at the very back;
+- rows-only keys (no oracle twin) ARE window-eligible — their driver
+  check is the weaker rows+no-err row, which is still evidence — but
+  each must document its semantics so the weaker check is deliberate.
 """
 
 from __future__ import annotations
 
-from powersql_spark.registry import _DRIVER_GREEN_R01, _PRIORITY, all_specs
+import json
+
+from powersql_spark.registry import (
+    _PRIORITY,
+    _driver_green,
+    all_specs,
+)
 
 SPECS = all_specs()
 KEYS = list(SPECS)
+BANKED = _driver_green() & set(KEYS)
+UNBANKED = [k for k in KEYS if k not in BANKED]
 
 
 def test_manifest_covers_registry_exactly():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate manifest keys"
     reg = set(KEYS)
-    ranked = set(_PRIORITY) | set(_DRIVER_GREEN_R01)
-    assert reg - ranked == set(), f"unranked keys: {sorted(reg - ranked)}"
-    assert ranked - reg == set(), f"manifest keys not registered: {sorted(ranked - reg)}"
-    assert set(_PRIORITY) & set(_DRIVER_GREEN_R01) == set()
+    unranked = reg - set(_PRIORITY)
+    # Every key is ranked in the curated order; the historical
+    # round-1 green set is a fallback only and need not rank keys.
+    assert unranked == set(), f"unranked keys: {sorted(unranked)}"
+    ghost = set(_PRIORITY) - reg
+    assert ghost == set(), f"manifest keys not registered: {sorted(ghost)}"
 
 
-def test_window_holds_round2_targets():
-    window = set(KEYS[:50])
-    # §2.B core the judge called out as driver-unverified in round 1.
-    for key in (
-        "join_inner",
-        "join_left",
-        "join_right",
-        "join_full",
-        "join_cross",
-        "join_semi",
-        "join_anti",
-        "filter_where",
-        "pred_compare",
-        "pred_between",
-        "pred_is_null",
-        "pred_in_subquery",
-        "pred_exists",
-        "project_cols",
-        "project_star",
-        "scan_model",
-        "scan_external",
-        "scan_derived",
-        "scan_nested_join",
-        "subq_scalar",
-        "subq_exists",
-        "subq_in",
-        "subq_cte",
-        "subq_nested_query",
-        "set_union",
-        "set_union_all",
-        "set_intersect",
-        "set_except",
-        "topk",
-        # round-1 non-green rows, fixed this round
-        "agg_collect_set",
-        "agg_approx_percentile",
-        "agg_approx_distinct",
-    ):
-        assert key in window, f"{key} fell out of the driver window"
-    # >= 10 TPC-H keys in the window (VERDICT round-2 ask #5).
-    assert sum(1 for k in window if k.startswith("tpch_q")) >= 10
+def test_no_banked_key_occupies_a_window_slot():
+    window = KEYS[:50]
+    overlap = set(window) & BANKED
+    assert overlap == set(), (
+        f"banked-green keys occupy driver window slots: {sorted(overlap)}"
+    )
+
+
+def test_window_is_priority_order_minus_banked():
+    """The rotation is deterministic: slots 1..50 are exactly the first
+    50 curated-priority keys without a banked green row."""
+    expected = [k for k in _PRIORITY if k in SPECS and k not in BANKED][:50]
+    assert KEYS[: len(expected)] == expected
 
 
 def test_banked_greens_sit_last():
-    tail = KEYS[-len(_DRIVER_GREEN_R01):]
-    assert set(tail) == set(_DRIVER_GREEN_R01)
+    if not BANKED:
+        return
+    tail = KEYS[-len(BANKED):]
+    assert set(tail) == BANKED
 
 
-def test_every_window_key_has_an_oracle():
-    """Window slots are scarce; a key without an oracle gets only the
-    weak rows-only check, so it must not occupy a slot by accident."""
+def test_window_survives_future_round_landing(tmp_path):
+    """Simulate the driver landing a CORRECTNESS_r03 that greens the
+    entire current window: the next import's window must advance to the
+    following tranche and every invariant above must still hold.
+
+    This is the regression test for the round-2 breakage, where landing
+    r02 rotated the window and snapped hardcoded content pins.
+    """
+    window = KEYS[:50]
+    rows = {
+        k: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": SPECS[k].oracle is not None,
+            "err": None,
+        }
+        for k in window
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(rows))
+    future_green = _driver_green(root=str(tmp_path))
+    # Rows-only keys bank off rows_match + no err; oracle keys off hash.
+    assert set(window) <= future_green
+    future_unbanked = [k for k in KEYS if k not in future_green | BANKED]
+    next_window = future_unbanked[:50]
+    assert not (set(next_window) & (future_green | BANKED))
+    # The next window keeps draining the curated order.
+    expected = [
+        k
+        for k in _PRIORITY
+        if k in SPECS and k not in future_green | BANKED
+    ][:50]
+    assert next_window == expected
+
+
+def test_rows_only_window_keys_are_documented():
+    """Policy (VERDICT r2 #2): rows-only keys ARE window-eligible — they
+    need driver rows too, and their check (rows_match + no err) is the
+    strongest the driver offers for non-SQL-expressible ops. The gate:
+    each must carry a docstring so the weaker check is a decision, not
+    an accident."""
     for k in KEYS[:50]:
-        assert SPECS[k].oracle is not None, f"{k} has no oracle twin"
+        if SPECS[k].oracle is None:
+            assert SPECS[k].doc, f"rows-only window key {k} lacks a docstring"
 
 
 def test_no_complex_typed_output_columns(spark, sf_dir):

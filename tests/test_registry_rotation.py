@@ -1,7 +1,12 @@
 """The driver verifies only a bounded prefix of queries() per round, so
 registration order IS the coverage strategy: never-verified keys must
 front-load, and keys with a banked green row in any CORRECTNESS_r*.json
-must rotate to the back automatically when a new round's file lands."""
+must rotate to the back automatically when a new round's file lands.
+
+These tests use only rotation-relative invariants (or frozen fixture
+files under tmp_path) so that the driver landing a new round's results
+can never turn the suite red.
+"""
 
 from __future__ import annotations
 
@@ -11,16 +16,19 @@ import os
 from powersql_spark.registry import _driver_green, all_specs
 
 
-def test_current_window_holds_unverified_core():
-    """Slots 1-50 today: the SURVEY-2.B core + round-1 fixes + TPC-H,
-    none of which have a green row yet."""
+def test_current_window_is_all_unverified():
+    """Whatever the current window holds, none of it may be banked; and
+    while unbanked keys remain, the window must be full of them."""
     keys = list(all_specs())
     window = keys[:50]
-    assert "join_inner" in window and "tpch_q10" in window
     banked = _driver_green()
     assert not (set(window) & banked), (
         "banked-green keys occupy driver window slots"
     )
+    unbanked = [k for k in keys if k not in banked]
+    assert len(window) == min(50, len(keys))
+    if len(unbanked) >= 50:
+        assert set(window) <= set(unbanked)
 
 
 def test_green_keys_rotate_to_back(tmp_path):
@@ -53,10 +61,32 @@ def test_green_keys_rotate_to_back(tmp_path):
     assert "dedup_minhash_lsh" in green
 
 
-def test_real_round1_file_is_parsed():
+def test_real_round1_file_is_parsed(tmp_path):
+    """Parse the REAL round-1 file in isolation (copied to a fixture
+    root, so later rounds' files cannot change the expectation): round 1
+    recorded agg_group_by hash-green and agg_collect_set as a harness
+    TypeError, i.e. not green *in that file*."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "CORRECTNESS_r01.json")
+    if not os.path.exists(src):
+        return
+    with open(src) as f:
+        (tmp_path / "CORRECTNESS_r01.json").write_text(f.read())
+    green = _driver_green(root=str(tmp_path))
+    assert "agg_group_by" in green  # hash-green in round 1
+    assert "agg_collect_set" not in green  # harness TypeError in round 1
+
+
+def test_cumulative_rounds_accumulate():
+    """Greens only ever accumulate across rounds: every key green in an
+    earlier file stays green when later files are added (the union
+    semantics of _driver_green)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not os.path.exists(os.path.join(root, "CORRECTNESS_r01.json")):
         return
     green = _driver_green()
-    assert "agg_group_by" in green  # hash-green in round 1
-    assert "agg_collect_set" not in green  # harness TypeError in round 1
+    assert "agg_group_by" in green
+    # Round-2 greens (if the file is present) are also banked.
+    if os.path.exists(os.path.join(root, "CORRECTNESS_r02.json")):
+        assert "join_inner" in green
+        assert "tpch_q1" in green

@@ -587,30 +587,63 @@ def test_morton_interleave_is_bijective(spark, sf_dir):
 
 def test_cow_update_rewrites_only_target_partition(spark, sf_dir):
     """Dynamic partition overwrite must rewrite ONLY the updated
-    partition: within one sink_cow_update call the base write lays
-    down all partitions, then the update phase overwrites just
-    o_orderstatus=F — so every F file must be strictly newer than
-    every other partition's files. This is the property that makes a
-    COW update proportional to the touched partition, not the table."""
+    partition. Reproduces sink_cow_update's two phases with a snapshot
+    between them and compares file *listings* (name, size, inode) —
+    not mtime ordering, which flakes on coarse-granularity filesystems
+    when both phases land in the same tick. Non-F partition files must
+    be byte-for-byte the same directory entries; the F partition must
+    be fully replaced. This is the property that makes a COW update
+    proportional to the touched partition, not the table."""
     import glob
     import os
     import tempfile
 
-    from powersql_spark.registry import all_specs
+    from powersql_spark.catalog import load_tables
 
-    all_specs()["sink_cow_update"].fn(spark, sf_dir).collect()
-    root = os.path.join(
-        tempfile.gettempdir(), "powersql_connectors", "orders_cow"
+    load_tables(spark, sf_dir, ("orders",))
+    root = os.path.join(tempfile.gettempdir(), "powersql_cow_listing")
+    base = spark.table("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    mtimes = {
-        p: os.path.getmtime(p)
-        for p in glob.glob(f"{root}/o_orderstatus=*/*.parquet")
-    }
-    f_files = {p: t for p, t in mtimes.items() if "o_orderstatus=F" in p}
-    others = {p: t for p, t in mtimes.items() if "o_orderstatus=F" not in p}
-    assert f_files and others, f"unexpected layout: {sorted(mtimes)}"
-    assert min(f_files.values()) > max(others.values()), (
-        "update phase touched non-F partitions"
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
+
+    def listing():
+        out = {}
+        for p in glob.glob(f"{root}/o_orderstatus=*/*.parquet"):
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_ino)
+        return out
+
+    before = listing()
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.where(F.col("o_orderstatus") == "F")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(root)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = listing()
+
+    def split(d):
+        f = {p: v for p, v in d.items() if "o_orderstatus=F" in p}
+        o = {p: v for p, v in d.items() if "o_orderstatus=F" not in p}
+        return f, o
+
+    f_before, others_before = split(before)
+    f_after, others_after = split(after)
+    assert f_before and others_before, f"unexpected layout: {sorted(before)}"
+    assert others_after == others_before, (
+        "update phase touched non-F partition files"
+    )
+    assert set(f_after.keys()).isdisjoint(f_before.keys()), (
+        "F partition files were not replaced"
     )
 
 

@@ -502,3 +502,45 @@ def test_upsert_sink_converges_across_micro_batches(spark, sf_dir):
     }
     assert multi == single
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_upsert_sink_replay_is_idempotent(spark, sf_dir):
+    """foreachBatch may re-deliver a micro-batch after failure with the
+    SAME batch_id; the merge must skip it (ADVICE r2: n_events used to
+    double-count on replay). Re-applying an already-applied batch_id
+    must leave the sink byte-identical; a NEW batch_id still merges."""
+    import shutil
+
+    from powersql_spark.streaming.stateful import (
+        _UPSERT_SINK_SCHEMA,
+        build_upsert_merge,
+    )
+
+    load_tables(spark, sf_dir, ("events",))
+    events = spark.table("events").limit(200)
+
+    root = tempfile.mkdtemp(prefix="powersql_upsert_replay_")
+    target = root + "/target"
+    spark.createDataFrame([], _UPSERT_SINK_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(target)
+    merge = build_upsert_merge(target)
+
+    def snapshot():
+        return sorted(
+            (r["user_id"], r["last_value"], r["last_ts"], r["n_events"])
+            for r in spark.read.schema(_UPSERT_SINK_SCHEMA)
+            .parquet(target)
+            .collect()
+        )
+
+    merge(events, 0)
+    after_first = snapshot()
+    merge(events, 0)  # replayed delivery: must be a no-op
+    assert snapshot() == after_first
+    merge(events, 1)  # genuinely new batch: must still apply
+    after_second = snapshot()
+    assert after_second != after_first
+    n_first = {u: n for u, _, _, n in after_first}
+    assert all(n == 2 * n_first[u] for u, _, _, n in after_second)
+    shutil.rmtree(root, ignore_errors=True)
