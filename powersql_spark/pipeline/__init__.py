@@ -17,4 +17,5 @@ from powersql_spark.pipeline import (  # noqa: F401
     similarity,
     sketches,
     text,
+    timeseries,
 )

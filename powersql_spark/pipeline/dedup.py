@@ -686,10 +686,11 @@ def _lsh_corpus(spark: SparkSession) -> DataFrame:
     return e.unionByName(planted)
 
 
-def _lsh_candidates(spark: SparkSession) -> DataFrame:
-    """Band-join candidate pairs (pre-verification): the stage whose
-    volume the sub-quadratic claim is about — tests count this frame
-    directly against the pair space."""
+def _lsh_signed(spark: SparkSession) -> DataFrame:
+    """Corpus with signature bands attached: (vec_id, emb, nrm,
+    bands array<long>) — one Arrow-batched matmul per Arrow batch,
+    persisted because both the band join (scalars only) and the
+    verification fetch (arrays) derive from it."""
     from pyspark.sql.functions import pandas_udf
 
     corpus = spread(_lsh_corpus(spark))
@@ -719,37 +720,40 @@ def _lsh_candidates(spark: SparkSession) -> DataFrame:
             F.col("emb"), F.lit(0.0), lambda acc, x: acc + x * x
         )
     )
-    sig = (
+    return track_persist(
         corpus.select(
             "vec_id",
             "emb",
             nrm.alias("nrm"),
-            F.posexplode(band_vals(F.col("emb"))).alias("band", "val"),
+            band_vals(F.col("emb")).alias("bands"),
         )
     )
-    sig = track_persist(sig)
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.emb").alias("emb_a"),
-            F.col("b.emb").alias("emb_b"),
-            F.col("a.nrm").alias("nrm_a"),
-            F.col("b.nrm").alias("nrm_b"),
-        )
+
+
+def _lsh_candidates(spark: SparkSession) -> DataFrame:
+    """Band-join candidate pairs (pre-verification): the stage whose
+    volume the sub-quadratic claim is about — tests count this frame
+    directly against the pair space (multi-band duplicates included:
+    this IS the raw join volume).
+
+    Only (vec_id, band, val) enters the join — 3 scalars per row. The
+    64-double embedding arrays stay OUT of the band shuffle (they
+    would otherwise ride 2 x bands copies through the exchange);
+    verification fetches them by key afterwards."""
+    sig = _lsh_signed(spark)
+    bands = sig.select(
+        "vec_id", F.posexplode("bands").alias("band", "val")
     )
-    # NOTE: multi-band duplicates are NOT dropped here — deduplicating
-    # before verification would shuffle rows carrying two 64-double
-    # arrays; instead each (possibly duplicated) candidate pays the
-    # cheap cosine and the dedup runs after, on 3 scalar columns.
-    return cand
+    a, b = bands.alias("a"), bands.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+    )
 
 
 @query("dedup_embedding_lsh")  # rows-only: LSH recall has no SQL oracle
@@ -770,8 +774,25 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted HOF dots ~4x); no all-pairs stage exists anywhere in
     the plan. dedup_embedding_cosine's capped label blocks remain as
     the exact-verification tail for in-cell pairs; THIS op is the
-    global candidate source at 100 TB."""
-    cand = _lsh_candidates(spark)
+    global candidate source at 100 TB.
+
+    Shuffle discipline: the band join moves only (vec_id, band, val)
+    scalars; candidate pairs dedup on 2 longs BEFORE verification; the
+    embedding arrays are fetched once per side by vec_id equi-join for
+    the exact cosine. Net array movement is 2 copies of the corpus,
+    versus 2 x bands copies if arrays rode the band shuffle."""
+    cand = _lsh_candidates(spark).dropDuplicates(["vec_a", "vec_b"])
+    sig = _lsh_signed(spark)
+    slim_a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    slim_b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     cosine = F.round(
         F.aggregate(
             F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
@@ -782,9 +803,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return (
-        cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+        cand.join(slim_a, "vec_a")
+        .join(slim_b, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= _LSH_VERIFY_COSINE)
-        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
@@ -1107,4 +1129,96 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "centrality",
         F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup — the provenance-level pass crawl pipelines run
+# BEFORE any content hashing: the same page arrives under scheme/case/
+# www/port/tracking-param/fragment variants, and collapsing them is
+# pure string normalization, no content comparison at all.
+# ---------------------------------------------------------------------------
+
+_URL_DEDUP_ORACLE = """
+WITH urls AS (
+    SELECT doc_id,
+           CASE doc_id % 3
+               WHEN 0 THEN 'example.org' WHEN 1 THEN 'www.Example.org'
+               ELSE 'EXAMPLE.ORG:443' END
+           || '/articles/' || CAST(doc_id % 200 AS VARCHAR)
+           || CASE doc_id % 4
+               WHEN 0 THEN '?utm_source=feed'
+               WHEN 1 THEN '#section-2' ELSE '' END AS url
+    FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           'https://' ||
+           regexp_replace(
+               regexp_replace(
+                   lower(regexp_extract(url, '^([^/?#]+)', 1)),
+                   '^www\\.', ''),
+               ':443$', '')
+           || regexp_extract(url, '^[^/?#]+(/[^?#]*)', 1)
+               AS canonical_url
+    FROM urls
+)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dupes_dropped
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@query("dedup_url_canonical", oracle=_URL_DEDUP_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: normalize host case, strip a leading
+    ``www.``, the default ``:443`` port, tracking query params and
+    fragments, then keep the lowest doc_id per canonical URL. The URL
+    column is synthesized deterministically from doc_id (the testdata
+    has no URL column) with exactly the variant classes real crawls
+    produce, so ~3 raw URLs collapse per canonical page.
+
+    Scale shape: map-only normalization (regexp in whole-stage
+    codegen) + one hash aggregation on the canonical string — the
+    cheapest possible dedup pass, which is why it runs FIRST in a
+    crawl pipeline, before MinHash touches content."""
+    d = spark.table("documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("example.org"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.Example.org"))
+        .otherwise(F.lit("EXAMPLE.ORG:443"))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#section-2"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        host,
+        F.lit("/articles/"),
+        (F.col("doc_id") % 200).cast("string"),
+        tail,
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract(url, r"^([^/?#]+)", 1)),
+                r"^www\.",
+                "",
+            ),
+            r":443$",
+            "",
+        ),
+        F.regexp_extract(url, r"^[^/?#]+(/[^?#]*)", 1),
+    )
+    return (
+        d.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes_dropped"),
+        )
     )

@@ -287,6 +287,9 @@ _PRIORITY: tuple[str, ...] = (
     "set_union_by_name",
     "agg_min_max_by",
     "agg_pivot_multi",
+    # round-3 session additions
+    "dedup_url_canonical",
+    "ts_lttb_downsample",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -596,3 +596,28 @@ def test_temperature_mix_rates_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "curation_mix_temperature")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonical_partial_aggregation(spark, sf_dir):
+    """Canonical-URL dedup: map-only normalization + one hash
+    aggregation whose shuffle carries partial (url, min, count) state —
+    never raw rows, never a join."""
+    plan = plan_of(spark, sf_dir, "dedup_url_canonical")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange] or plan.count(
+        "HashAggregate"
+    ) >= 2, "no map-side partial aggregate before the shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lttb_single_shuffle_arrow_batched(spark, sf_dir):
+    """LTTB: exactly one exchange (the series-key shuffle) feeding one
+    Arrow-batched FlatMapGroupsInPandas — no extra sort-merge joins, no
+    row-at-a-time Python."""
+    plan = plan_of(spark, sf_dir, "ts_lttb_downsample")
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python in plan"

@@ -1,0 +1,106 @@
+"""Semantic gates for ts_lttb_downsample (rows-only key: the bucketed
+argmax recursion has no SQL oracle, so correctness is pinned here) and
+the dedup_url_canonical parity op's local invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from powersql_spark.catalog import load_tables
+from powersql_spark.pipeline.timeseries import _LTTB_OUT, _lttb
+from powersql_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _series(spark, sf_dir):
+    load_tables(spark, sf_dir, ("events",))
+    rows = (
+        spark.table("events")
+        .select("user_id", "ts", "value", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    for v in by_user.values():
+        v.sort()
+    return by_user
+
+
+def test_lttb_counts_endpoints_and_membership(spark, sf_dir):
+    by_user = _series(spark, sf_dir)
+    out = SPECS["ts_lttb_downsample"].fn(spark, sf_dir).collect()
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["user_id"], []).append(
+            (r["pt_rank"], r["ts"], r["value"])
+        )
+    assert set(got) == set(by_user)
+    for uid, pts in got.items():
+        pts.sort()
+        src = by_user[uid]
+        n_expected = min(_LTTB_OUT, len(src))
+        assert len(pts) == n_expected, (uid, len(pts), len(src))
+        # pt_rank is dense 0..n-1 and ts non-decreasing along it.
+        assert [p[0] for p in pts] == list(range(n_expected))
+        ts_seq = [p[1] for p in pts]
+        assert ts_seq == sorted(ts_seq)
+        # Endpoints always kept; every output point exists in the input.
+        assert pts[0][1] == src[0][0] and pts[0][2] == src[0][2]
+        assert pts[-1][1] == src[-1][0] and pts[-1][2] == src[-1][2]
+        src_pts = {(t, v) for (t, _e, v) in src}
+        assert all((t, v) in src_pts for (_rk, t, v) in pts)
+
+
+def test_lttb_short_series_pass_through():
+    ts = np.arange(5, dtype=np.float64)
+    val = np.array([1.0, 5.0, 2.0, 8.0, 3.0])
+    idx = _lttb(ts, val, 24)
+    assert list(idx) == [0, 1, 2, 3, 4]
+
+
+def test_lttb_keeps_spike_uniform_stride_would_miss():
+    """A single extreme spike between stride points must survive:
+    shape preservation is LTTB's entire reason to exist over
+    ``WHERE i % k = 0`` downsampling."""
+    n, n_out = 1000, 10
+    ts = np.arange(n, dtype=np.float64)
+    val = np.zeros(n)
+    spike_at = 537  # not on any uniform stride multiple of 100
+    val[spike_at] = 1000.0
+    keep = _lttb(ts, val, n_out)
+    assert spike_at in keep
+    assert len(keep) == n_out
+    assert keep[0] == 0 and keep[-1] == n - 1
+    # Kept indices strictly increase (one point per bucket).
+    assert np.all(np.diff(keep) > 0)
+
+
+def test_lttb_deterministic_under_ties():
+    """All-equal values: argmax ties everywhere; the FIRST-max rule
+    must give the same indices on every run."""
+    ts = np.arange(100, dtype=np.float64)
+    val = np.ones(100)
+    a = _lttb(ts, val, 12)
+    b = _lttb(ts, val, 12)
+    assert list(a) == list(b)
+
+
+def test_url_canonical_collapses_variants(spark, sf_dir):
+    """Each canonical URL must absorb every host-case/www/port/tracking
+    variant: n_dupes_dropped sums to n_docs - n_canonical, keep_doc_id
+    is the minimum of its group, and no canonical URL retains scheme
+    noise (uppercase, www., :443, ?utm, #fragment)."""
+    load_tables(spark, sf_dir, ("documents",))
+    n_docs = spark.table("documents").count()
+    rows = SPECS["dedup_url_canonical"].fn(spark, sf_dir).collect()
+    assert sum(r["n_dupes_dropped"] for r in rows) == n_docs - len(rows)
+    for r in rows:
+        u = r["canonical_url"]
+        assert u.startswith("https://example.org/articles/")
+        assert "www." not in u and ":443" not in u
+        assert "?" not in u and "#" not in u
+        assert u == u.lower()
