@@ -96,6 +96,8 @@ HEADLINE = {
     "q30_ohlc": "ts_resample_ohlc",
     "q31_pagerank": "graph_pagerank",
     "q32_attribution": "attribution_last_touch",
+    "q33_url_dedup": "dedup_url_canonical",
+    "q34_lttb": "ts_lttb_downsample",
 }
 
 

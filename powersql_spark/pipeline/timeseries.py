@@ -66,31 +66,55 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid — preserving peaks and troughs that uniform striding or
     per-bucket averaging would flatten.
 
-    Scale shape: one shuffle on the series key, then an Arrow-batched
-    per-group pass (state = one group's points); series shorter than
-    the target pass through unchanged. Semantic gates live in
-    tests/test_timeseries.py (endpoint retention, monotone output,
-    bucket-count, pass-through, peak retention vs uniform stride)."""
+    Scale shape: one hash shuffle on the series key + a partition-local
+    sort, then ``mapInPandas`` walks each partition's contiguous groups
+    in ONE Arrow exchange per partition — per-group ``applyInPandas``
+    paid one Python round-trip per series (measured 4.4s vs sub-second
+    at sf0.1's 1500 series, and series count is exactly what grows at
+    100 TB). Series shorter than the target pass through unchanged.
+    Semantic gates live in tests/test_timeseries.py (endpoint
+    retention, monotone output, bucket-count, pass-through, peak
+    retention vs uniform stride)."""
     # event_id rides along purely as the tie-break key: equal
-    # timestamps need a total order or the kept indices would depend
+    # timestamps need a total order or the kept points would depend
     # on shuffle arrival order.
     events = spark.table("events").select(
         "user_id", "ts", "value", "event_id"
     )
+    n_parts = spark.sparkContext.defaultParallelism
+    arranged = events.repartition(n_parts, "user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
 
-    def _downsample(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ts = pdf["ts"].astype("int64").to_numpy(dtype=np.float64)
+    def _downsample(batches):
+        # Arrow batches can split a series; stitch the partition first.
+        # Memory = one partition of (key, ts, value) rows — the same
+        # bound any per-key sequential algorithm needs.
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        uid = pdf["user_id"].to_numpy()
+        ts_i = pdf["ts"].astype("int64").to_numpy()
         val = pdf["value"].to_numpy(dtype=np.float64)
-        idx = _lttb(ts, val, _LTTB_OUT)
-        out = pdf.iloc[idx][["user_id", "ts", "value"]].copy()
-        out["pt_rank"] = np.arange(len(idx), dtype=np.int64)
-        return out
-
-    return (
-        events.groupBy("user_id")
-        .applyInPandas(
-            _downsample,
-            schema="user_id bigint, ts timestamp, value double, pt_rank bigint",
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.append(starts, len(uid))
+        keep_parts = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            keep_parts.append(
+                lo
+                + _lttb(
+                    ts_i[lo:hi].astype(np.float64), val[lo:hi], _LTTB_OUT
+                )
+            )
+        keep = np.concatenate(keep_parts)
+        out = pdf.iloc[keep][["user_id", "ts", "value"]].copy()
+        out["pt_rank"] = np.concatenate(
+            [np.arange(len(k), dtype=np.int64) for k in keep_parts]
         )
+        yield out
+
+    return arranged.mapInPandas(
+        _downsample,
+        schema="user_id bigint, ts timestamp, value double, pt_rank bigint",
     )

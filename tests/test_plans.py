@@ -613,11 +613,15 @@ def test_url_canonical_partial_aggregation(spark, sf_dir):
 
 
 def test_lttb_single_shuffle_arrow_batched(spark, sf_dir):
-    """LTTB: exactly one exchange (the series-key shuffle) feeding one
-    Arrow-batched FlatMapGroupsInPandas — no extra sort-merge joins, no
-    row-at-a-time Python."""
+    """LTTB: exactly one exchange (the series-key hash shuffle), a
+    partition-local sort, and one Arrow-batched MapInPandas per
+    partition — not per series — with no joins and no row-at-a-time
+    Python."""
     plan = plan_of(spark, sf_dir, "ts_lttb_downsample")
     assert plan.count("Exchange") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "Sort" in plan and "global=false" in plan.lower().replace(
+        " ", ""
+    ) or "Sort [user_id" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan, "row-at-a-time Python in plan"
