@@ -1528,3 +1528,89 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nation_rev") / F.max("nation_rev").over(w), 6
         ).alias("ratio_to_max"),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           median(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM orders
+    WHERE o_custkey < 500
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 5 orders per customer — the
+    robust-baseline analytic (outlier-resistant running level).
+
+    Spark has no MEDIAN window function (INVALID_WINDOW_SPEC_FOR_
+    AGGREGATION_FUNC), so this is the compose-it pattern the engine
+    doc promises when a native operator is missing: collect the
+    bounded frame into an array, sort, index the middle — all
+    whole-stage-codegen expression work. The frame is ROWS-bounded at
+    5, so per-row state is constant: the composition scales exactly
+    like any other bounded-frame window, one hash shuffle on the
+    partition key. (An UNBOUNDED frame would need a different design —
+    two-heap streaming state — which is the documented limit of this
+    form.) Median of a sorted frame is exact element extraction (odd)
+    or one addition (even): bit-identical cross-engine, no rounding
+    needed."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return (
+        spark.table("orders")
+        .where(F.col("o_custkey") < 500)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            ((mid_lo + mid_hi) / 2).alias("rolling_median"),
+        )
+    )
+
+
+@query(
+    "window_rolling_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS INTEGER) AS n_distinct_types
+    FROM events
+    """,
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types among each user's trailing 10 events — the
+    behavioral-diversity analytic (how varied is recent activity).
+
+    Spark rejects DISTINCT aggregates over windows
+    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED); the composition is
+    size(array_distinct(collect_list over frame)) — constant per-row
+    state because the frame is ROWS-bounded, one hash shuffle on the
+    partition key, all expression-level (codegen) work. The frame
+    orders by (ts, event_id): the tie-break key makes the frame
+    content — and therefore the count — deterministic under shuffle
+    reordering."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.size(
+            F.array_distinct(F.collect_list("event_type").over(w))
+        ).alias("n_distinct_types"),
+    )

@@ -290,6 +290,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-3 session additions
     "dedup_url_canonical",
     "ts_lttb_downsample",
+    "window_rolling_median",
+    "window_rolling_distinct",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -625,3 +625,24 @@ def test_lttb_single_shuffle_arrow_batched(spark, sf_dir):
     ) or "Sort [user_id" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan, "row-at-a-time Python in plan"
+
+
+def test_rolling_median_bounded_frame_single_shuffle(spark, sf_dir):
+    """Composed rolling median: one exchange (partition key), a Window
+    node, no join, no Python — the collect/sort/index work is all
+    expression-level inside the bounded frame."""
+    plan = plan_of(spark, sf_dir, "window_rolling_median")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rolling_distinct_bounded_frame_single_shuffle(spark, sf_dir):
+    """Composed rolling distinct-count: same shape — one exchange, one
+    Window, no join, no Python."""
+    plan = plan_of(spark, sf_dir, "window_rolling_distinct")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
