@@ -104,3 +104,64 @@ def test_url_canonical_collapses_variants(spark, sf_dir):
         assert "www." not in u and ":443" not in u
         assert "?" not in u and "#" not in u
         assert u == u.lower()
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the LTTB kernel must hold its invariants on ANY
+# series, not just the fixtures above.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=400,
+    ),
+    n_out=st.integers(min_value=3, max_value=50),
+)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_lttb_invariants_hold_on_any_series(vals, n_out):
+    ts = np.arange(len(vals), dtype=np.float64)
+    val = np.asarray(vals, dtype=np.float64)
+    keep = _lttb(ts, val, n_out)
+    n_expected = min(n_out, len(vals))
+    assert len(keep) == n_expected
+    assert keep[0] == 0 and keep[-1] == len(vals) - 1
+    assert np.all(np.diff(keep) > 0), "kept indices must strictly increase"
+    # Idempotence of the kernel on its own output when sizes allow:
+    # downsampling an already-small series is the identity.
+    if len(vals) <= n_out:
+        assert list(keep) == list(range(len(vals)))
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=30,
+        max_size=300,
+    )
+)
+@settings(max_examples=100, deadline=None, derandomize=True)
+def test_lttb_isolated_spike_always_kept(vals):
+    """Structurally guaranteed shape preservation: plant a spike that
+    dwarfs every other value in the middle of an otherwise arbitrary
+    series — within its bucket the spike maximizes the triangle area
+    against ANY previous point and next-bucket average, so LTTB must
+    keep it. (A blanket 'kept range >= x% of true range' claim is NOT
+    a theorem — two opposite extremes falling into one bucket can only
+    keep one — so the test pins the per-bucket argmax guarantee
+    instead.)"""
+    ts = np.arange(len(vals), dtype=np.float64)
+    val = np.asarray(vals, dtype=np.float64)
+    spike_at = len(val) // 2
+    val[spike_at] = np.abs(val).max() * 10 + 1e5
+    keep = _lttb(ts, val, 12)
+    assert spike_at in keep
