@@ -98,6 +98,9 @@ HEADLINE = {
     "q32_attribution": "attribution_last_touch",
     "q33_url_dedup": "dedup_url_canonical",
     "q34_lttb": "ts_lttb_downsample",
+    "q35_ewma": "ts_ewma",
+    "q36_tfidf_topk": "text_tfidf_topk",
+    "q37_maxsim": "sim_maxsim_multivector",
 }
 
 

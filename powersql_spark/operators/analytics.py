@@ -1614,3 +1614,68 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.collect_list("event_type").over(w))
         ).alias("n_distinct_types"),
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    t AS (
+        SELECT source, lang, n,
+               SUM(n) OVER (PARTITION BY source) AS total,
+               COUNT(*) OVER (PARTITION BY source) AS n_langs
+        FROM c
+    )
+    SELECT source,
+           CAST(MAX(total) AS BIGINT) AS n_docs,
+           CAST(MAX(n_langs) AS BIGINT) AS n_langs,
+           round(-SUM((CAST(n AS DOUBLE) / total)
+                      * ln(CAST(n AS DOUBLE) / total)), 6) AS entropy,
+           round(CASE WHEN MAX(n_langs) > 1
+                 THEN -SUM((CAST(n AS DOUBLE) / total)
+                           * ln(CAST(n AS DOUBLE) / total))
+                      / ln(CAST(MAX(n_langs) AS DOUBLE))
+                 ELSE 0.0 END, 6) AS norm_entropy
+    FROM t
+    GROUP BY source
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source (nats), plus the
+    0-1 normalized variant — the diversity/skew diagnostic curation
+    dashboards put next to every corpus slice (a source whose language
+    entropy collapses is a scraper gone wrong). The reference passes
+    aggregate calls through untyped (src/main.rs:117-121); here the
+    two-level aggregate executes natively.
+
+    Scale shape: the corpus is touched once by the (source, lang)
+    count — everything after runs on the category table (|sources| x
+    |langs| rows, metadata-sized at any corpus size). The per-source
+    total/width come from a window over the SAME source partitioning
+    the final groupBy uses, so Catalyst plans one exchange on the tiny
+    table. Entropy terms are exact ratios of exact counts; 6dp guard
+    rounding absorbs the sum-order ulps."""
+    c = spark.table("documents").groupBy("source", "lang").count()
+    w = Window.partitionBy("source")
+    t = c.select(
+        "source",
+        (F.col("count").cast("double") / F.sum("count").over(w)).alias("p"),
+        F.sum("count").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_langs"),
+    )
+    ent = -F.sum(F.col("p") * F.log("p"))
+    return t.groupBy("source").agg(
+        F.max("total").alias("n_docs"),
+        F.max("n_langs").alias("n_langs"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.max("n_langs") > 1,
+                ent / F.log(F.max("n_langs").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+    )

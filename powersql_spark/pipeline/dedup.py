@@ -1222,3 +1222,124 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).alias("n_dupes_dropped"),
         )
     )
+
+
+_CONTAINMENT_THRESHOLD = 0.50
+
+
+@query(
+    "dedup_containment",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               CAST(n_chars // 64 AS INTEGER) AS len_bucket,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, source, len_bucket,
+               CASE WHEN len(t) >= 2 THEN
+                   list_distinct(
+                       list_transform(
+                           range(1, len(t)),
+                           i -> list_extract(t, i) || ' '
+                              || list_extract(t, i + 1)
+                       )
+                   )
+               ELSE list_distinct(t) END AS shingles
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS common,
+               len(a.shingles) AS sz_a, len(b.shingles) AS sz_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(common AS DOUBLE)
+                 / least(sz_a, sz_b), 6) AS containment
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / least(sz_a, sz_b)
+          >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) over
+    word-bigram shingle sets): catches quote-inclusion and
+    doc-inside-doc duplication that symmetric Jaccard under-scores
+    whenever the two documents differ in size — the second measure the
+    Lee et al. 2022 dedup line runs next to Jaccard. Pairs at
+    containment >= 0.5 within (lang, source, length-bucket) blocks.
+
+    Scale shape: shingles computed once (persisted, shared machinery
+    with Jaccard). Candidates come from a prefix->FULL posting-list
+    join — not the Jaccard prefix->prefix join, whose losslessness
+    argument breaks for containment: here only the SMALLER doc is
+    guaranteed a prefix hit (if none of its first
+    |S| - ceil(t*|S|) + 1 globally-rarest shingles appeared in the
+    other doc, the overlap could be at most ceil(t*|S|) - 1 < t*|S|).
+    The matching shingle may sit anywhere in the larger doc, so one
+    side of the join must stay unfiltered. Joining every doc's prefix
+    against every doc's full posting list covers both directions;
+    pairs canonicalize via least/greatest + distinct. Costlier than
+    prefix->prefix but still posting-list bounded (rare shingles fan
+    out, 'the the' does not — prefixes hold the rarest shingles), and
+    the exact-score verify touches candidates only."""
+    sh = track_persist(_doc_shingles(spark))
+    ex = sh.select(
+        "doc_id",
+        "lang",
+        "source",
+        "len_bucket",
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    doc_freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = ex.join(doc_freq, "s").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")
+        ),
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(_CONTAINMENT_THRESHOLD)).cast("int")
+        + 1
+    )
+    prefix = ranked.where(F.col("rn") <= prefix_len).select(
+        "doc_id", "lang", "source", "len_bucket", "s"
+    )
+    full = ex.select("doc_id", "lang", "source", "len_bucket", "s")
+    p = prefix.alias("p")
+    f = full.alias("f")
+    candidates = (
+        p.join(f, ["s", "lang", "source", "len_bucket"])
+        .where(F.col("p.doc_id") != F.col("f.doc_id"))
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    containment = common.cast("double") / F.least(
+        F.size("sh_a"), F.size("sh_b")
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(containment, 6).alias("containment"),
+        )
+        .where(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+    )

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import track_persist
 from powersql_spark.registry import query
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -890,4 +891,94 @@ def pack_collate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("padded_ids"),
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+            AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tf, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token ASC) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, rnk, token, tf, tfidf
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction /
+    sparse-retrieval featurizer that consumes the ``text_idf`` table:
+    tf x ln(N/df), ranked within each doc with a token tie-break so
+    the cut is total and engine-independent.
+
+    Scale shape: ONE corpus explode feeds everything — term
+    frequencies aggregate on (doc_id, token) with map-side partials
+    absorbing within-doc repetition before the exchange, and the
+    document-frequency table derives from the tf aggregate (tf rows
+    ARE the distinct (doc, token) pairs), not from a second corpus
+    scan. The vocabulary-sized IDF side broadcasts back onto tf (no
+    corpus-wide shuffle for the join); the corpus count joins as a
+    single-row broadcast. The top-3 cut is a bounded row_number window
+    over the (doc_id) partitioning the tf aggregate already
+    established. Ranking happens on the ROUNDED score: the raw
+    product's last ulp could order ties differently per engine, the
+    6dp-rounded one cannot."""
+    d = spark.table("documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    # Persisted: tf feeds both the df rollup and the scored join, and
+    # AQE does not reuse the shuffle across the broadcast boundary —
+    # without the persist the corpus explode would run twice.
+    tf = track_persist(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(w).alias("rnk"),
+            "token",
+            "tf",
+            "tfidf",
+        )
+        .where(F.col("rnk") <= 3)
     )

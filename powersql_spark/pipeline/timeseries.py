@@ -17,12 +17,14 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import dsum
 from powersql_spark.registry import query
 
 _LTTB_OUT = 24  # points kept per series
+_EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
 
 
 def _lttb(ts: np.ndarray, val: np.ndarray, n_out: int) -> np.ndarray:
@@ -117,4 +119,183 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arranged.mapInPandas(
         _downsample,
         schema="user_id bigint, ts timestamp, value double, pt_rank bigint",
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS vals
+        FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT user_id, ts, event_id, value,
+           round(list_reduce(vals,
+               (acc, x) -> acc * {1 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x),
+               6) AS ewma
+    FROM ordered
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact exponentially-weighted moving average per user series
+    (y_0 = x_0; y_t = (1-a)*y_{t-1} + a*x_t, the pandas
+    ``ewm(adjust=False)`` recursion) — the smoother behind monitoring
+    baselines and feature pipelines. NOT in the reference (its surface
+    ends at SQL orchestration, src/execute.rs:101).
+
+    Spark shape: entirely JVM-side — a running ``collect_list`` frame
+    over ONE (user_id) exchange, then an ``F.aggregate`` left-fold per
+    row. Both engines fold the identical prefix in the identical order,
+    so the doubles agree bit-for-bit before the 6dp guard rounding.
+
+    Scale note: the running-frame fold is O(L^2) per series in time and
+    frame memory, which is the right trade while per-entity history L
+    is bounded (it is here: ~70 events/user at every SF — corpus growth
+    adds USERS, not length). For unbounded L, the LTTB pattern above
+    (one shuffle + ``mapInPandas`` walking each series once) computes
+    the same recursion in O(L)."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    a = F.lit(_EWMA_ALPHA)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * (F.lit(1.0) - a) + a * x,
+    )
+    return e.select(
+        "user_id", "ts", "event_id", "value",
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, gs.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                        AS h FROM bounds) gs
+    ),
+    joined AS (
+        SELECT s.event_type, s.h, hourly.total
+        FROM spine s
+        LEFT JOIN hourly
+          ON hourly.event_type = s.event_type AND hourly.h = s.h
+    ),
+    bracketed AS (
+        SELECT event_type, h, total,
+            last_value(total IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS UNBOUNDED PRECEDING) AS prev_v,
+            last_value(CASE WHEN total IS NOT NULL THEN h END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY h
+                      ROWS UNBOUNDED PRECEDING) AS prev_t,
+            first_value(total IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+            first_value(CASE WHEN total IS NOT NULL THEN h END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS next_t
+        FROM joined
+    )
+    SELECT event_type, h AS hour_ts, total,
+           round(CASE
+               WHEN total IS NOT NULL THEN total
+               WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+               ELSE prev_v + (next_v - prev_v)
+                    * CAST(epoch_us(h) - epoch_us(prev_t) AS DOUBLE)
+                    / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE)
+           END, 6) AS total_interp,
+           total IS NULL AS is_gap
+    FROM bracketed
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-series gap interpolation (the TimescaleDB
+    ``interpolate`` / pandas ``interpolate(method='time')`` shape):
+    dense hourly spine per event type; hours with no events get the
+    time-weighted blend of the surrounding observations. Complements
+    ``ts_gap_fill_locf`` — LOCF holds a staircase, this draws the line;
+    leading/trailing gaps (no bracket on one side) stay NULL.
+
+    Scale shape: identical to LOCF — the raw stream is touched once by
+    the hourly rollup; the spine is (hours x types) metadata; the four
+    bracket columns are two forward + two backward window passes over
+    the SAME (event_type) partitioning, ONE exchange reused by all.
+    Entirely JVM-side built-ins."""
+    e = spark.table("events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value", "total"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        )
+    )
+    spine = e.select("event_type").distinct().crossJoin(hours)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("total").isNotNull(), F.col("h"))
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        "total",
+        F.last("total", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("prev_t"),
+        F.first("total", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    frac = (
+        (F.unix_micros("h") - F.unix_micros("prev_t")).cast("double")
+        / (F.unix_micros("next_t") - F.unix_micros("prev_t")).cast("double")
+    )
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(
+            F.col("prev_v").isNull() | F.col("next_v").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        "total",
+        F.round(interp, 6).alias("total_interp"),
+        F.col("total").isNull().alias("is_gap"),
     )

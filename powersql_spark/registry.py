@@ -292,6 +292,12 @@ _PRIORITY: tuple[str, ...] = (
     "ts_lttb_downsample",
     "window_rolling_median",
     "window_rolling_distinct",
+    "ts_ewma",
+    "ts_interpolate_linear",
+    "agg_entropy",
+    "sim_maxsim_multivector",
+    "dedup_containment",
+    "text_tfidf_topk",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -121,6 +121,7 @@ def test_column_pruning_q6(spark, sf_dir):
         "dedup_simhash",
         "dedup_embedding_lsh",
         "sim_join_topk",
+        "dedup_containment",
     ],
 )
 def test_pairwise_ops_equijoin_only(spark, sf_dir, key):
@@ -645,4 +646,60 @@ def test_rolling_distinct_bounded_frame_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "Window" in plan
     assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ewma_single_shuffle_no_python(spark, sf_dir):
+    """EWMA: one exchange (series key), one Window node, the fold is
+    expression-level (no Python, no join) — the whole recursion runs
+    inside whole-stage-codegen territory."""
+    plan = plan_of(spark, sf_dir, "ts_ewma")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_interpolate_windows_share_partitioning(spark, sf_dir):
+    """Linear interpolation: the four bracket columns (prev/next value
+    and timestamp) must ride the SAME (event_type) partitioning — no
+    cartesian beyond the metadata-sized spine build, no Python."""
+    plan = plan_of(spark, sf_dir, "ts_interpolate_linear")
+    assert "CartesianProduct" not in plan
+    # The only nested-loop is the spine crossJoin: distinct event
+    # types x generated hours, both metadata-sized at any SF.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_entropy_touches_corpus_once(spark, sf_dir):
+    """Entropy runs on the (source, lang) category table; the corpus
+    parquet must appear exactly once in the plan."""
+    plan = plan_of(spark, sf_dir, "agg_entropy")
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_maxsim_broadcast_query_topk(spark, sf_dir):
+    """MaxSim: single-row query joins as a broadcast (the one
+    acceptable BNLJ shape), scoring is expression-level, and the cut
+    is TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(spark, sf_dir, "sim_maxsim_multivector")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_tfidf_broadcasts_idf_and_pushes_rank_limit(spark, sf_dir):
+    """TF-IDF top-k: the vocabulary-sized IDF table broadcasts onto tf
+    (no corpus-wide join shuffle), the single-row corpus count is the
+    one tolerated BNLJ, and Spark 4's WindowGroupLimit pushes the
+    top-3 cut below the final window sort."""
+    plan = plan_of(spark, sf_dir, "text_tfidf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan

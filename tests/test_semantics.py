@@ -829,3 +829,133 @@ def test_collate_pad_shapes_fixed(spark, sf_dir):
     for r in rows:
         assert r["n_real"] + r["n_pad"] == _PAD_LEN
         assert len(r["padded_ids"].split(",")) == _PAD_LEN
+
+
+def test_entropy_matches_manual_computation(spark, sf_dir):
+    """Recompute per-source language entropy from raw (source, lang)
+    counts in pure Python and compare at full precision."""
+    import math
+
+    from powersql_spark.catalog import load_tables
+
+    rows = SPECS["agg_entropy"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("documents",))
+    counts = (
+        spark.table("documents").groupBy("source", "lang").count().collect()
+    )
+    by_source: dict = {}
+    for r in counts:
+        by_source.setdefault(r["source"], []).append(r["count"])
+    assert {r["source"] for r in rows} == set(by_source)
+    for r in rows:
+        ns = by_source[r["source"]]
+        total = sum(ns)
+        ent = -sum((n / total) * math.log(n / total) for n in ns)
+        assert r["n_docs"] == total
+        assert r["n_langs"] == len(ns)
+        assert abs(r["entropy"] - ent) < 1e-5
+        if len(ns) > 1:
+            assert abs(
+                r["norm_entropy"] - ent / math.log(len(ns))
+            ) < 1e-5
+            assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-9
+
+
+def test_maxsim_matches_numpy_and_bounds_cosine_order(spark, sf_dir):
+    """Recompute MaxSim in numpy over all candidates; the operator's
+    top-k (score, id) list must equal the numpy ranking under the same
+    rounded-score + vec_id tie-break."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline.similarity import (
+        _MAXSIM_DIM,
+        _MAXSIM_SUBS,
+        _QUERY_VEC_ID,
+        _TOPK,
+    )
+
+    out = SPECS["sim_maxsim_multivector"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    all_rows = spark.table("embeddings").collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in all_rows
+    }
+    q = vecs[_QUERY_VEC_ID].reshape(_MAXSIM_SUBS, _MAXSIM_DIM)
+    scored = []
+    for vid, v in vecs.items():
+        if vid == _QUERY_VEC_ID:
+            continue
+        d = v.reshape(_MAXSIM_SUBS, _MAXSIM_DIM)
+        s = float((q @ d.T).max(axis=1).sum())
+        scored.append((round(s, 4), vid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expected = scored[:_TOPK]
+    got = [(r["maxsim"], r["vec_id"]) for r in out]
+    assert [v for _s, v in got] == [v for _s, v in expected]
+    for (gs, _gv), (es, _ev) in zip(got, expected):
+        assert abs(gs - es) < 2e-4
+
+
+def test_containment_bounds_and_jaccard_relation(spark, sf_dir):
+    """Containment is in (0, 1], is >= Jaccard for any pair both
+    operators report, and every reported pair clears the threshold."""
+    from powersql_spark.pipeline.dedup import _CONTAINMENT_THRESHOLD
+
+    pairs = SPECS["dedup_containment"].fn(spark, sf_dir).collect()
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert pairs, "no containment pairs at this SF"
+    for r in pairs:
+        assert _CONTAINMENT_THRESHOLD <= r["containment"] <= 1.0 + 1e-9
+        j = jac.get((r["doc_a"], r["doc_b"]))
+        if j is not None:
+            assert r["containment"] >= j - 1e-9
+
+
+def test_tfidf_topk_matches_python_recompute(spark, sf_dir):
+    """Recompute TF-IDF in pure Python for a sample of documents and
+    compare the per-doc top-3 (term, tf, score) under the same
+    tie-break."""
+    import math
+
+    from powersql_spark.catalog import load_tables
+
+    out = SPECS["text_tfidf_topk"].fn(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    tok_sets, tfs = {}, {}
+    for d in docs:
+        toks = d["text"].strip().split()
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        tfs[d["doc_id"]] = tf
+        tok_sets[d["doc_id"]] = set(tf)
+    df: dict = {}
+    for s in tok_sets.values():
+        for t in s:
+            df[t] = df.get(t, 0) + 1
+    for d in list(by_doc)[:50]:
+        scored = sorted(
+            (
+                (-round(tf * math.log(n_docs / df[t]), 6), t, tf)
+                for t, tf in tfs[d].items()
+            ),
+        )[:3]
+        got = sorted(by_doc[d], key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in got] == list(
+            range(1, len(got) + 1)
+        )
+        assert [(r["token"], r["tf"]) for r in got] == [
+            (t, tf) for _s, t, tf in scored
+        ]
+        for r, (s, _t, _tf) in zip(got, scored):
+            assert abs(r["tfidf"] - (-s)) < 1e-6

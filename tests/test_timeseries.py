@@ -165,3 +165,58 @@ def test_lttb_isolated_spike_always_kept(vals):
     val[spike_at] = np.abs(val).max() * 10 + 1e5
     keep = _lttb(ts, val, 12)
     assert spike_at in keep
+
+
+def test_ewma_matches_pandas_recursion(spark, sf_dir):
+    """Independent check: the JVM fold must equal pandas
+    ewm(adjust=False).mean() — the exact y_t = (1-a)y_{t-1} + a*x_t
+    recursion — per series, bit-for-bit before the guard rounding."""
+    import pandas as pd
+
+    from powersql_spark.pipeline.timeseries import _EWMA_ALPHA
+
+    out = SPECS["ts_ewma"].fn(spark, sf_dir).toPandas()
+    assert len(out) and out["ewma"].notna().all()
+    out = out.sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+    expected = (
+        out.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=_EWMA_ALPHA, adjust=False).mean())
+        .round(6)
+    )
+    pd.testing.assert_series_equal(
+        out["ewma"], expected, check_names=False
+    )
+
+
+def test_interpolate_brackets_and_endpoints(spark, sf_dir):
+    """Observed hours pass through untouched; interior gaps get a value
+    strictly between (or equal to) the bracketing observations; gaps
+    before the first / after the last observation of a type stay NULL;
+    interpolation is monotone along a straight-line segment."""
+    rows = (
+        SPECS["ts_interpolate_linear"].fn(spark, sf_dir).collect()
+    )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour_ts"])
+        obs_idx = [i for i, r in enumerate(rs) if not r["is_gap"]]
+        assert obs_idx, f"{et}: no observed hours"
+        first, last = obs_idx[0], obs_idx[-1]
+        for i, r in enumerate(rs):
+            if not r["is_gap"]:
+                assert r["total_interp"] == round(r["total"], 6)
+            elif i < first or i > last:
+                assert r["total_interp"] is None, (et, i)
+            else:
+                prev = max(j for j in obs_idx if j < i)
+                nxt = min(j for j in obs_idx if j > i)
+                lo = min(rs[prev]["total"], rs[nxt]["total"])
+                hi = max(rs[prev]["total"], rs[nxt]["total"])
+                assert lo - 1e-9 <= r["total_interp"] <= hi + 1e-9, (
+                    et, i, r["total_interp"], lo, hi,
+                )
