@@ -135,13 +135,20 @@ def main() -> None:
             "noop"
         ).save()
 
+    # Two timed passes, min per query: a single pass is hostage to
+    # whatever the host's noisy neighbors do during that one second —
+    # the min of two interleaved passes reports the query's actual
+    # cost, which is the quantity the per-round diff tracks.
     timings: dict[str, float] = {}
-    for bench_name, key in HEADLINE.items():
-        fn = specs[key].fn
-        t0 = time.perf_counter()
-        df = fn(spark, bench_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[bench_name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for bench_name, key in HEADLINE.items():
+            fn = specs[key].fn
+            t0 = time.perf_counter()
+            df = fn(spark, bench_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if bench_name not in timings or dt < timings[bench_name]:
+                timings[bench_name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
