@@ -407,3 +407,87 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("event_id").isNotNull())
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    errors AS (
+        SELECT user_id, ts AS err_ts FROM events
+        WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT e.err_ts FROM errors e
+             WHERE e.user_id = p.user_id
+             ORDER BY abs(epoch_us(e.err_ts) - epoch_us(p.ts)), e.err_ts
+             LIMIT 1) AS nearest_error_ts
+    FROM purchases p
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor AS-OF join (pandas ``merge_asof
+    direction='nearest'``): for each purchase, the error of the same
+    user closest in time in EITHER direction; equidistant ties take
+    the earlier error. Completes the as-of family (backward
+    ``join_asof``, forward ``join_asof_forward``).
+
+    Scale shape: same union + window rewrite as the directional
+    variants — ONE (user_id) exchange and ONE sort serve BOTH frame
+    directions (last-non-null backward, first-non-null forward); the
+    nearest pick is a per-row CASE on the two bracket timestamps. No
+    range cross-product at any scale. The oracle is deliberately a
+    different algorithm (per-row ORDER BY LIMIT 1 over all the user's
+    errors) so the window rewrite is verified against the naive
+    definition, not against itself."""
+    e = spark.table("events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("err_ts"),
+    )
+    # Errors sort before purchases at equal ts, so an equal-ts error
+    # lands in the backward bracket (distance 0 wins regardless).
+    tagged = errors.union(purchases)
+    order = [F.col("ts").asc(), F.col("err_ts").asc_nulls_last()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last("err_ts", ignorenulls=True).over(wb)
+    fwd = F.first("err_ts", ignorenulls=True).over(wf)
+    nearest = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(back)
+            <= F.unix_micros(fwd) - F.unix_micros(F.col("ts")),
+            back,
+        )
+        .otherwise(fwd)
+    )
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            nearest.alias("nearest_error_ts"),
+        )
+        .where(F.col("event_id").isNotNull())
+    )

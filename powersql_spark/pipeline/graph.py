@@ -161,3 +161,120 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("n_nationkey"),
         F.round("pr", 6).alias("pagerank"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH raw AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ),
+    thresh AS (SELECT AVG(CAST(w AS DOUBLE)) AS t FROM raw),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw, thresh WHERE CAST(w AS DOUBLE) > thresh.t
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT n.n_nationkey AS node,
+           CAST(COALESCE(m.n_tri, 0) AS BIGINT) AS n_triangles
+    FROM nation n
+    LEFT JOIN (
+        SELECT node, COUNT(*) AS n_tri FROM member GROUP BY node
+    ) m ON m.node = n.n_nationkey
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the strong-trade graph (undirected
+    edges where the pair's lineitem count exceeds the mean edge
+    weight) — the clustering/community primitive (triangle counting is
+    the building block of clustering coefficients and spam/community
+    detection).
+
+    Scale shape: the fact tables are touched once by the edge
+    aggregation (broadcast dimension tree, same as pagerank); the
+    triangle enumeration is the canonical a<b<c ordered 3-way
+    EQUI-join on the deduplicated edge table — the ordering kills the
+    6x double-count AND the join-explosion symmetry, and on a
+    thresholded dimension graph the edge table is metadata-sized. The
+    mean-weight threshold is a single-row broadcast, not a collect."""
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        spark.table("customer").select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        spark.table("supplier").select("s_suppkey", "s_nationkey")
+    )
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thresh = raw.agg(F.avg(F.col("w").cast("double")).alias("t"))
+    from powersql_spark.catalog import track_persist
+
+    # The edge build (fact-sized join tree + aggregation + threshold)
+    # feeds all three legs of the triangle join AND the membership
+    # rollup — persist it or the plan embeds the corpus scan once per
+    # leg (same lesson as the pagerank transition matrix above).
+    und = track_persist(
+        raw.join(F.broadcast(thresh))
+        .where(F.col("w").cast("double") > F.col("t"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    member = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    per_node = member.groupBy("node").agg(F.count("*").alias("n_tri"))
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+    )

@@ -206,3 +206,98 @@ def decode_image_column(df: DataFrame, payload_col: str = "payload") -> DataFram
         _meta_batches,
         schema=_META_SCHEMA,
     )
+
+
+_PHASH_BITS = 64
+_PHASH_CHUNKS = 4
+_PHASH_MAX_DIST = 3
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """64-bit difference-hash (dHash) signature per payload: split the
+    byte stream into 65 equal blocks; bit i = mean(block i) >
+    mean(block i+1). The gradient form is the discriminative member of
+    the perceptual-hash family (a global-mean threshold collapses for
+    payloads with similar overall byte statistics — e.g. same-charset
+    text — while adjacent-block gradients stay payload-specific).
+    Deterministic, locality-sensitive: editing a few bytes flips few
+    bits. With an image codec present, a DCT pHash over decoded pixels
+    drops into this exact slot — the banding/verify plan downstream is
+    unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        sigs = []
+        for payload in pdf["payload"]:
+            a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            if len(a) == 0:
+                sigs.append(0)
+                continue
+            pad = (-len(a)) % (_PHASH_BITS + 1)
+            if pad:
+                a = np.pad(a, (0, pad))
+            means = a.reshape(_PHASH_BITS + 1, -1).mean(axis=1)
+            bits = (means[:-1] > means[1:]).astype(np.uint64)
+            sig = np.uint64(0)
+            for b in bits:
+                sig = (sig << np.uint64(1)) | b
+            # Two's-complement into a signed long for the JVM side.
+            sigs.append(int(sig.astype(np.int64)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "sig": sigs}
+        )
+
+
+@query("mm_phash_dedup")  # rows-only: the Python block-hash surrogate
+# (like any real pHash) has no SQL form; semantics pinned in
+# tests/test_semantics.py (planted twins collide, hamming bound holds,
+# signature determinism)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over binary payloads — the image-dedup
+    pass crawl pipelines run before any content model: Arrow-batched
+    signature extraction (the decode slot), then the exact SimHash
+    banding plan on the 64-bit signatures: 4x16-bit chunks, pigeonhole
+    equi-join (hamming <= 3 guarantees a shared chunk), XOR+popcount
+    verify on candidates only.
+
+    Scale shape: signatures are one map-only mapInPandas pass (the
+    only Python stage — exactly where a real codec must sit anyway);
+    everything after shuffles (doc_id, 4 shorts, 1 long) per row,
+    never payload bytes. Same sub-quadratic candidate structure as
+    dedup_simhash (pipeline/dedup.py:301)."""
+    from powersql_spark.catalog import spread, track_persist
+
+    d = spread(spark.table("documents")).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    sig = d.mapInPandas(_phash_batches, schema="doc_id bigint, sig bigint")
+    chunks = [
+        F.shiftrightunsigned("sig", 16 * (_PHASH_CHUNKS - 1 - i))
+        .bitwiseAND(F.lit(0xFFFF))
+        .alias(f"chunk{i}")
+        for i in range(_PHASH_CHUNKS)
+    ]
+    sig = track_persist(sig.select("doc_id", "sig", *chunks))
+    pairs = None
+    for i in range(_PHASH_CHUNKS):
+        a = sig.alias("a")
+        b = sig.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.chunk{i}") == F.col(f"b.chunk{i}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("int")
+    return (
+        pairs.dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _PHASH_MAX_DIST)
+    )

@@ -299,3 +299,74 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("total_interp"),
         F.col("total").isNull().alias("is_gap"),
     )
+
+
+_ZS_FRAME = 20  # trailing observations in the baseline window
+_ZS_MIN_OBS = 10  # minimum baseline size before scoring
+_ZS_CUT = 3.0  # |z| flag threshold
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, ts, event_id, value,
+               AVG(value) OVER w AS mu,
+               STDDEV_SAMP(value) OVER w AS sd,
+               COUNT(value) OVER w AS n_base
+        FROM events
+        WHERE value IS NOT NULL
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {_ZS_FRAME} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts, event_id, value,
+           round(CASE WHEN n_base >= {_ZS_MIN_OBS} AND sd > 0
+                 THEN (value - mu) / sd END, 4) AS z,
+           COALESCE(CASE WHEN n_base >= {_ZS_MIN_OBS} AND sd > 0
+                 THEN abs((value - mu) / sd) >= {_ZS_CUT} END,
+                 FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user series: each value
+    scored against the mean/stddev of its own TRAILING window
+    (current row excluded — the anomaly must not contaminate its own
+    baseline), flagged at |z| >= 3; unscored until the baseline has
+    10 observations. The monitoring primitive behind every alerting
+    pipeline.
+
+    Scale shape: one (user_id) exchange; mean, stddev and count ride
+    the SAME bounded ROWS frame, so Catalyst plans a single Window
+    node with constant per-row state. The (ts, event_id) tie-break
+    makes the frame content deterministic under shuffle reordering;
+    4dp guard rounding absorbs the frame-sum ulp difference between
+    engines."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_FRAME, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n_base = F.count("value").over(w)
+    z = F.when(
+        (n_base >= _ZS_MIN_OBS) & (sd > 0),
+        (F.col("value") - mu) / sd,
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.round(z, 4).alias("z"),
+        F.coalesce(
+            F.when(
+                (n_base >= _ZS_MIN_OBS) & (sd > 0),
+                F.abs((F.col("value") - mu) / sd) >= _ZS_CUT,
+            ),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )

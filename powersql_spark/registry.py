@@ -298,6 +298,10 @@ _PRIORITY: tuple[str, ...] = (
     "sim_maxsim_multivector",
     "dedup_containment",
     "text_tfidf_topk",
+    "ts_anomaly_zscore",
+    "join_asof_nearest",
+    "graph_triangle_count",
+    "mm_phash_dedup",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -703,3 +703,48 @@ def test_tfidf_broadcasts_idf_and_pushes_rank_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_anomaly_zscore_single_window_single_shuffle(spark, sf_dir):
+    """Rolling z-score: mean/std/count ride ONE bounded-frame Window
+    over one (user_id) exchange; no join, no Python."""
+    plan = plan_of(spark, sf_dir, "ts_anomaly_zscore")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_asof_nearest_one_sort_serves_both_directions(spark, sf_dir):
+    """Nearest as-of: the union + two-frame window rewrite must stay a
+    single exchange with no join (the naive form is a per-row range
+    scan)."""
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangle_count_caches_edges_equijoins_only(spark, sf_dir):
+    """Triangle enumeration: the fact-sized edge build must be CACHED
+    (it feeds three join legs + the membership rollup — uncached, the
+    plan embeds the corpus scan once per leg), and the legs are
+    equi-joins. The BNLJ/scan substrings repeat only inside the
+    printed cached lineage (one per InMemoryTableScan), never as
+    additional executed stages."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    )
+
+
+def test_phash_bands_equijoin_one_python_stage(spark, sf_dir):
+    """pHash dedup: signatures via ONE Arrow mapInPandas stage (the
+    decode slot), band joins strictly equi-keyed."""
+    plan = plan_of(spark, sf_dir, "mm_phash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

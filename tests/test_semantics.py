@@ -959,3 +959,122 @@ def test_tfidf_topk_matches_python_recompute(spark, sf_dir):
         ]
         for r, (s, _t, _tf) in zip(got, scored):
             assert abs(r["tfidf"] - (-s)) < 1e-6
+
+
+def test_anomaly_zscore_matches_pandas_rolling(spark, sf_dir):
+    """Recompute the trailing-window z-score with pandas rolling
+    (shifted so the current row is excluded) and compare flags and
+    scores."""
+    from powersql_spark.pipeline.timeseries import (
+        _ZS_CUT,
+        _ZS_FRAME,
+        _ZS_MIN_OBS,
+    )
+
+    out = (
+        SPECS["ts_anomaly_zscore"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out)
+    g = out.groupby("user_id")["value"]
+    roll = g.apply(
+        lambda s: s.shift(1).rolling(_ZS_FRAME, min_periods=1).agg(
+            ["mean", "std", "count"]
+        )
+    ).reset_index(drop=True)
+    import numpy as np
+
+    ok = (roll["count"] >= _ZS_MIN_OBS) & (roll["std"] > 0)
+    z = (out["value"] - roll["mean"]) / roll["std"]
+    exp_z = z.where(ok).round(4)
+    assert np.allclose(
+        out["z"].fillna(-999), exp_z.fillna(-999), atol=2e-4
+    )
+    exp_flag = (z.abs() >= _ZS_CUT) & ok
+    assert (out["is_anomaly"] == exp_flag).all()
+    assert out["is_anomaly"].any(), "no anomalies flagged at this SF"
+
+
+def test_asof_nearest_is_truly_nearest(spark, sf_dir):
+    """Brute-force the nearest error per purchase in Python (min
+    absolute gap, earlier error on ties) and compare."""
+    from powersql_spark.catalog import load_tables
+
+    out = SPECS["join_asof_nearest"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    errors: dict = {}
+    for r in ev:
+        if r["event_type"] == "error":
+            errors.setdefault(r["user_id"], []).append(r["ts"])
+    assert out
+    for r in out:
+        errs = errors.get(r["user_id"])
+        if not errs:
+            assert r["nearest_error_ts"] is None
+            continue
+        best = min(errs, key=lambda t: (abs(t - r["ts"]), t))
+        assert r["nearest_error_ts"] == best, (
+            r["event_id"], r["nearest_error_ts"], best,
+        )
+
+
+def test_triangle_counts_invariants(spark, sf_dir):
+    """Triangle membership counts sum to 3x the number of triangles,
+    and some triangles exist on the near-complete trade graph."""
+    rows = SPECS["graph_triangle_count"].fn(spark, sf_dir).collect()
+    total = sum(r["n_triangles"] for r in rows)
+    assert total % 3 == 0
+    assert total > 0, "no triangles on the trade graph at this SF"
+    assert len(rows) == 25  # every nation reported, zeros included
+
+
+def test_phash_twins_collide_unrelated_do_not():
+    """The dHash signature is deterministic, locality-sensitive (a
+    2-byte edit moves hamming distance by <= 4), and separates
+    unrelated payloads."""
+    import pandas as pd
+
+    from powersql_spark.pipeline.multimodal import _phash_batches
+
+    base = ("alpha beta gamma delta " * 16).encode()
+    edit = bytearray(base)
+    edit[11] = ord("x")
+    edit[217] = ord("y")
+    other = ("zq " * 170 + "different tail entirely here").encode()
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [base, bytes(edit), other]}
+    )
+    out1 = next(_phash_batches(iter([pdf.copy()])))
+    out2 = next(_phash_batches(iter([pdf.copy()])))
+    assert list(out1["sig"]) == list(out2["sig"]), "non-deterministic"
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    s = list(out1["sig"])
+    assert ham(s[0], s[1]) <= 4, "twin payloads too far apart"
+    assert ham(s[0], s[2]) > 10, "unrelated payloads too close"
+
+
+def test_phash_dedup_reports_sane_pair_volume(spark, sf_dir):
+    """The banded join must report a sub-percent fraction of all
+    pairs (a collapsed signature would flag thousands) and every pair
+    must respect the hamming bound."""
+    from powersql_spark.pipeline.multimodal import _PHASH_MAX_DIST
+
+    from powersql_spark.catalog import load_tables
+
+    rows = SPECS["mm_phash_dedup"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("documents",))
+    n = spark.table("documents").count()
+    assert all(0 <= r["hamming"] <= _PHASH_MAX_DIST for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+    assert len(rows) <= max(25, n * n // 400), (
+        f"{len(rows)} pairs from {n} docs — signature collapsed"
+    )
