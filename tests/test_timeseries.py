@@ -220,3 +220,62 @@ def test_interpolate_brackets_and_endpoints(spark, sf_dir):
                 assert lo - 1e-9 <= r["total_interp"] <= hi + 1e-9, (
                     et, i, r["total_interp"], lo, hi,
                 )
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ewma_fold_equals_direct_recursion(xs):
+    """The closed-form the JVM fold implements must equal the textbook
+    recursion for arbitrary series (same floating-point op order, so
+    exact equality — not approximate)."""
+    from powersql_spark.pipeline.timeseries import _EWMA_ALPHA
+
+    a = _EWMA_ALPHA
+    # The fold: init = x0, then acc*(1-a) + a*x for each later x.
+    acc = xs[0]
+    folded = [acc]
+    for x in xs[1:]:
+        acc = acc * (1.0 - a) + a * x
+        folded.append(acc)
+    # Textbook y_t = (1-a)*y_{t-1} + a*x_t with y_0 = x_0.
+    y = xs[0]
+    direct = [y]
+    for x in xs[1:]:
+        y = (1.0 - a) * y + a * x
+        direct.append(y)
+    assert folded == direct
+
+
+@given(st.binary(min_size=0, max_size=2000), st.data())
+@settings(max_examples=150, deadline=None)
+def test_phash_edit_locality_bound(payload, data):
+    """dHash locality: a single byte edit touches exactly one of the 65
+    blocks, which participates in exactly two adjacent-mean
+    comparisons — so hamming distance moves by at most 2 per edited
+    byte."""
+    import pandas as pd
+
+    from powersql_spark.pipeline.multimodal import _phash_batches
+
+    if not payload:
+        return
+    n_edits = data.draw(st.integers(min_value=1, max_value=3))
+    edited = bytearray(payload)
+    for _ in range(n_edits):
+        i = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+        edited[i] = data.draw(st.integers(min_value=0, max_value=255))
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [payload, bytes(edited)]}
+    )
+    s1, s2 = next(_phash_batches(iter([pdf])))["sig"]
+    ham = bin((s1 ^ s2) & (2**64 - 1)).count("1")
+    assert ham <= 2 * n_edits
