@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import dsum
+from powersql_spark.operators.common import DEC, dsum
 from powersql_spark.registry import query
 
 
@@ -1678,4 +1678,87 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("norm_entropy"),
+    )
+
+
+_INCR_CUTOFF = "1997-01-01"
+
+
+@query(
+    "incr_agg_maintenance",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+           TRUE AS matches_full
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    pattern: the pre-cutoff aggregate is the existing MV state, the
+    post-cutoff delta aggregates separately, and a full-outer merge
+    with coalesced partial sums produces the refreshed view WITHOUT
+    reaggregating history. The emitted ``matches_full`` gate compares
+    the merged state against a from-scratch recompute inside the
+    query, so the driver hash verifies the maintenance claim itself
+    (oracle: the from-scratch aggregate + TRUE).
+
+    Scale shape: at 100 TB the delta scan is the only fact-sized work
+    on refresh (the base state is group-cardinality-sized); COUNT and
+    decimal-SUM are the mergeable-state aggregates this pattern
+    requires (AVG maintains as SUM/COUNT; MIN/MAX only merge on
+    inserts — all standard MV-maintenance theory). Here both branches
+    read the same table with disjoint pushed date filters; production
+    would read the delta from the ingest log."""
+    o = spark.table("orders")
+    cutoff = F.lit(_INCR_CUTOFF).cast("date")
+    base = (
+        o.where(F.col("o_orderdate") < cutoff)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("b_sum"),
+        )
+    )
+    delta = (
+        o.where(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("d_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("d_sum"),
+        )
+    )
+    merged = (
+        base.join(delta, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("b_n"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b_sum"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col("d_sum"), F.lit(0).cast(DEC))
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    full = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("f_n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+            "f_sum"
+        ),
+    )
+    return merged.join(full, "o_orderpriority", "full").select(
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        (
+            (F.col("n_orders") == F.col("f_n"))
+            & (F.col("total_price") == F.col("f_sum"))
+        ).alias("matches_full"),
     )

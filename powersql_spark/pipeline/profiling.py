@@ -88,3 +88,60 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     state on the driver."""
     profiles = [_profile_one(spark, k) for k in _KEYS]
     return reduce(DataFrame.unionAll, profiles)
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "profile_table_summary",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM documents
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the documents table — row count,
+    null count, exact distinct cardinality, lexicographic min/max per
+    column: the ANALYZE/deequ-style summary every ingestion gate and
+    skew investigation starts from (pairs with ``profile_key_skew``,
+    which drills into per-key ownership).
+
+    Scale shape: ONE pass over the table computes every column's
+    stats in a single aggregate — Spark plans the 5 DISTINCT
+    aggregates via Expand (5x row multiplication before the partial
+    aggregate), the exact-cardinality trade; swap COUNT(DISTINCT) for
+    approx_count_distinct to make the same plan strictly single-pass
+    at 100 TB. The per-column reshape happens on the ONE aggregated
+    row (stack — metadata-sized)."""
+    d = spark.table("documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
+    )

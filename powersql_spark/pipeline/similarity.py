@@ -470,3 +470,161 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("maxsim").desc(), F.col("vec_id").asc()
     ).limit(_TOPK)
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 50
+_MMR_K = 10
+
+
+@query(
+    "sim_rerank_mmr",
+    oracle=f"""
+    WITH RECURSIVE cand AS (
+        SELECT e.vec_id, e.label,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               round(
+                 list_sum(list_transform(range(1,65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(q.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.embedding,
+                        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)
+               AS rel
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings
+               WHERE vec_id = {_QUERY_VEC_ID}) q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+        ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+    ),
+    pair_sim AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               round(
+                 list_sum(list_transform(range(1,65),
+                     i -> a.emb[i] * b.emb[i]))
+                 / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 4)
+                   AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+        SELECT 1 AS rnk,
+               (SELECT vec_id FROM cand
+                 ORDER BY rel DESC, vec_id LIMIT 1) AS vec_id,
+               [ (SELECT vec_id FROM cand
+                   ORDER BY rel DESC, vec_id LIMIT 1) ] AS chosen
+        UNION ALL
+        SELECT rnk + 1,
+               (SELECT c.vec_id FROM cand c
+                 WHERE NOT list_contains(sel.chosen, c.vec_id)
+                 ORDER BY round({_MMR_LAMBDA} * c.rel
+                     - {1 - _MMR_LAMBDA} * (
+                     SELECT MAX(p.sim) FROM pair_sim p
+                      WHERE p.va = c.vec_id
+                        AND list_contains(sel.chosen, p.vb)), 4) DESC,
+                   c.vec_id
+                 LIMIT 1),
+               list_append(sel.chosen,
+               (SELECT c.vec_id FROM cand c
+                 WHERE NOT list_contains(sel.chosen, c.vec_id)
+                 ORDER BY round({_MMR_LAMBDA} * c.rel
+                     - {1 - _MMR_LAMBDA} * (
+                     SELECT MAX(p.sim) FROM pair_sim p
+                      WHERE p.va = c.vec_id
+                        AND list_contains(sel.chosen, p.vb)), 4) DESC,
+                   c.vec_id
+                 LIMIT 1))
+        FROM sel WHERE rnk < {_MMR_K}
+    )
+    SELECT s.rnk, s.vec_id, c.label, c.rel
+    FROM sel s JOIN cand c USING (vec_id) ORDER BY s.rnk
+    """,
+)
+def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998 — the diversity pass RAG retrievers run on the similarity
+    head): greedily pick k results maximizing
+    lambda*rel(q,d) - (1-lambda)*max_sim(d, already_selected), so the
+    final list trades raw relevance for coverage.
+
+    Scale shape: the corpus-sized work — scoring every vector and
+    cutting the top-|pool| — is fully distributed (broadcast query +
+    TakeOrderedAndProject, identical to sim_topk_bruteforce). The
+    greedy runs on the collected POOL-row head: rerank state is
+    k-bounded by definition (pool=50 rows of (id, label, vec, score)
+    — model-parameter-sized, like the BPE vocab loop), never
+    corpus-sized. All scores round to 4dp half-up on BOTH engines
+    before any argmax, so the greedy path is engine-independent; the
+    oracle replays the same greedy as a DuckDB recursive CTE —
+    a genuinely different evaluation strategy over the same
+    definition."""
+    import math
+
+    e = spark.table("embeddings")
+    q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        _to_double("embedding").alias("qv")
+    )
+    q = q.select("qv", _norm(F.col("qv")).alias("qn"))
+    cand = (
+        e.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .select("vec_id", "label", _to_double("embedding").alias("emb"))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            F.round(
+                _dot(F.col("emb"), F.col("qv"))
+                / (_norm(F.col("emb")) * F.col("qn")),
+                4,
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+    )
+    rows = cand.collect()  # k-bounded head (<= _MMR_POOL rows)
+    if not rows:
+        return cand.select(
+            F.lit(1).alias("rnk"), "vec_id", "label", "rel"
+        ).limit(0)
+
+    def half_up(x: float) -> float:
+        return math.copysign(
+            math.floor(abs(x) * 10000.0 + 0.5) / 10000.0, x
+        )
+
+    import numpy as np
+
+    ids = [r["vec_id"] for r in rows]
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    rel = {r["vec_id"]: r["rel"] for r in rows}
+    mat = np.asarray([r["emb"] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ mat.T) / np.outer(nrm, nrm)
+    sim = {
+        (ids[i], ids[j]): half_up(float(sims[i, j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if i != j
+    }
+    first = min(ids, key=lambda v: (-rel[v], v))
+    chosen = [first]
+    remaining = [v for v in ids if v != first]
+    while remaining and len(chosen) < _MMR_K:
+        # Same objective, same rounding, same tie-break as the oracle.
+        def mmr(v: int) -> float:
+            worst = max(sim[(v, c)] for c in chosen)
+            return half_up(
+                _MMR_LAMBDA * rel[v] - (1 - _MMR_LAMBDA) * worst
+            )
+
+        pick = min(remaining, key=lambda v: (-mmr(v), v))
+        chosen.append(pick)
+        remaining.remove(pick)
+    out = [
+        (rnk + 1, v, labels[v], rel[v]) for rnk, v in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        out, schema="rnk int, vec_id bigint, label int, rel double"
+    )

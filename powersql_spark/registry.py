@@ -302,6 +302,9 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "graph_triangle_count",
     "mm_phash_dedup",
+    "sim_rerank_mmr",
+    "profile_table_summary",
+    "incr_agg_maintenance",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -748,3 +748,32 @@ def test_phash_bands_equijoin_one_python_stage(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_mmr_pool_cut_is_topk(spark, sf_dir):
+    """MMR: the corpus-sized stage (score + pool cut) shares the
+    bruteforce shape — broadcast query + TakeOrderedAndProject; the
+    greedy runs on the collected k-bounded head, so the returned frame
+    itself is a local relation of <= k rows."""
+    plan = plan_of(spark, sf_dir, "sim_topk_bruteforce")
+    assert "TakeOrderedAndProject" in plan
+    out = SPECS["sim_rerank_mmr"].fn(spark, sf_dir)
+    assert out.count() <= 10
+
+
+def test_profile_summary_single_scan_with_expand(spark, sf_dir):
+    """The whole profile is ONE scan of the table; the 5 exact
+    DISTINCT aggregates plan via Expand."""
+    plan = plan_of(spark, sf_dir, "profile_table_summary")
+    assert plan.count("documents.parquet") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_incremental_agg_pushes_cutoff_filters(spark, sf_dir):
+    """Base and delta branches must push their date filters to the
+    scan — at 100 TB the refresh only pays for the delta partition."""
+    plan = plan_of(spark, sf_dir, "incr_agg_maintenance")
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), (
+        "cutoff filter not pushed to the orders scan"
+    )

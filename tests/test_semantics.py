@@ -1078,3 +1078,86 @@ def test_phash_dedup_reports_sane_pair_volume(spark, sf_dir):
     assert len(rows) <= max(25, n * n // 400), (
         f"{len(rows)} pairs from {n} docs — signature collapsed"
     )
+
+
+def test_mmr_objective_is_greedy_optimal_each_step(spark, sf_dir):
+    """Independently recompute the MMR objective from raw embeddings:
+    the first pick must be the max-relevance candidate; each later
+    pick must maximize lambda*rel - (1-lambda)*max-sim-to-selected
+    (4dp half-up, vec_id tie-break) among the remaining pool; and the
+    list must actually diverge from plain top-k (diversity did
+    something)."""
+    import math
+
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline.similarity import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        _QUERY_VEC_ID,
+    )
+
+    out = SPECS["sim_rerank_mmr"].fn(spark, sf_dir).collect()
+    assert [r["rnk"] for r in out] == list(range(1, _MMR_K + 1))
+    load_tables(spark, sf_dir, ("embeddings",))
+    rows = spark.table("embeddings").collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+    q = vecs[_QUERY_VEC_ID]
+
+    def hu(x):
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+    def cos(a, b):
+        return float(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    rel = {
+        v: hu(cos(vec, q))
+        for v, vec in vecs.items()
+        if v != _QUERY_VEC_ID
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_POOL]
+    picked = [r["vec_id"] for r in out]
+    assert set(picked) <= set(pool)
+    assert picked[0] == pool[0]
+    chosen = [picked[0]]
+    for nxt in picked[1:]:
+        remaining = [v for v in pool if v not in chosen]
+
+        def obj(v):
+            worst = max(hu(cos(vecs[v], vecs[c])) for c in chosen)
+            return hu(_MMR_LAMBDA * rel[v] - (1 - _MMR_LAMBDA) * worst)
+
+        best = min(remaining, key=lambda v: (-obj(v), v))
+        assert nxt == best, (nxt, best, chosen)
+        chosen.append(nxt)
+    plain_topk = pool[:_MMR_K]
+    assert picked != plain_topk, "MMR chose exactly the plain top-k"
+
+
+def test_profile_summary_bounds(spark, sf_dir):
+    """Per-column sanity: nulls + distinct bounded by rows; min <= max
+    lexicographically for string casts of the same type."""
+    rows = SPECS["profile_table_summary"].fn(spark, sf_dir).collect()
+    assert {r["col_name"] for r in rows} == {
+        "doc_id", "text", "lang", "source", "n_chars",
+    }
+    for r in rows:
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"] - r["n_nulls"]
+        assert r["min_str"] is not None and r["max_str"] is not None
+
+
+def test_incremental_agg_equals_full_recompute(spark, sf_dir):
+    """The emitted gate IS the claim; assert it holds for every group
+    (merged base+delta state == from-scratch aggregate)."""
+    rows = SPECS["incr_agg_maintenance"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["matches_full"] is True, r
