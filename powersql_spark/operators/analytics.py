@@ -1762,3 +1762,82 @@ def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("total_price") == F.col("f_sum"))
         ).alias("matches_full"),
     )
+
+
+@query(
+    "join_temporal_scd2",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, value AS attr_value, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version
+        FROM events WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.event_id, p.user_id, p.ts, d.attr_value, d.version
+    FROM (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase') p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join of facts against SCD2 dimension
+    history: each purchase picks the attribute version valid AT its
+    timestamp — the lookup every warehouse star schema with versioned
+    dimensions performs. Purchases before the user's first version get
+    NULLs.
+
+    Scale shape: because SCD2 intervals are consecutive change
+    timestamps, the temporal join IS an as-of backward join — rewritten
+    as the union + last-non-null window: ONE (user_id) exchange, one
+    sort, zero joins, no interval fan-out. The oracle keeps the naive
+    equi-join + range filter formulation, so the rewrite is verified
+    against the definition (and the naive shape's cost — every fact row
+    replicated per dimension version before filtering — is exactly what
+    this plan avoids at scale)."""
+    e = spark.table("events")
+    changes = e.where(F.col("event_type") == "signup")
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = changes.select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.struct(
+            F.col("value").alias("attr_value"),
+            F.row_number().over(wv).cast("bigint").alias("version"),
+        ).alias("ver"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<attr_value:double,version:bigint>")
+        .alias("ver"),
+    )
+    # Change rows sort before facts at equal ts (non-null ver first),
+    # matching the oracle's p.ts >= valid_from inclusivity.
+    tagged = dim.union(facts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("ver").isNull().cast("int").asc(),
+            F.col("event_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    current = F.last("ver", ignorenulls=True).over(w)
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            current.getField("attr_value").alias("attr_value"),
+            current.getField("version").alias("version"),
+        )
+        .where(F.col("event_id").isNotNull())
+    )

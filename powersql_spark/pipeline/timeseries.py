@@ -370,3 +370,143 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_anomaly"),
     )
+
+
+_HOLT_ALPHA = 0.5  # level smoothing
+_HOLT_BETA = 0.3  # trend smoothing
+
+
+@query(
+    "ts_holt_linear",
+    # The oracle steps the recursion as a RECURSIVE CTE over ranked
+    # observations (all series advance one step per recursion round) —
+    # deliberately NOT a list_reduce fold: DuckDB 1.0's list_reduce
+    # mis-evaluates struct accumulators (the second field's expression
+    # sees a half-updated acc — reproduced: acc.l read as the mean of
+    # the old and new level), and a per-step CTE is a genuinely
+    # different evaluation strategy from Spark's running-frame fold
+    # anyway.
+    oracle=f"""
+    WITH RECURSIVE obs AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ),
+    state AS (
+        SELECT user_id, rn, ts, event_id, value,
+               value AS l, CAST(NULL AS DOUBLE) AS b
+        FROM obs WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, o.ts, o.event_id, o.value,
+               CASE WHEN s.b IS NULL
+                    THEN {_HOLT_ALPHA} * o.value
+                         + {1 - _HOLT_ALPHA} * (s.l + (o.value - s.l))
+                    ELSE {_HOLT_ALPHA} * o.value
+                         + {1 - _HOLT_ALPHA} * (s.l + s.b) END AS l,
+               CASE WHEN s.b IS NULL
+                    THEN {_HOLT_BETA} * (({_HOLT_ALPHA} * o.value
+                         + {1 - _HOLT_ALPHA} * (s.l + (o.value - s.l)))
+                         - s.l)
+                         + {1 - _HOLT_BETA} * (o.value - s.l)
+                    ELSE {_HOLT_BETA} * (({_HOLT_ALPHA} * o.value
+                         + {1 - _HOLT_ALPHA} * (s.l + s.b)) - s.l)
+                         + {1 - _HOLT_BETA} * s.b END AS b
+        FROM state s JOIN obs o
+          ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, ts, event_id, value,
+           floor(l * 10000) / 10000 AS level,
+           floor(COALESCE(b, 0.0) * 10000) / 10000 AS trend,
+           floor((l + COALESCE(b, 0.0)) * 10000) / 10000 AS forecast_next
+    FROM state
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per user series:
+    level l_t = a*x_t + (1-a)(l_{t-1} + b_{t-1}), trend
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}, initialized
+    l_1 = x_1, b_2 = x_2 - x_1; one-step-ahead forecast = l + b.
+    Extends ``ts_ewma`` with trend awareness — the capacity-planning
+    smoother (ewma lags a ramping series, Holt tracks it).
+
+    Spark shape: the same running-frame left-fold as EWMA, but with a
+    two-field STRUCT accumulator — the general pattern for any
+    fixed-state per-series recursion in pure JVM expressions (state
+    rides a struct; both engines fold identical elements in identical
+    order, so doubles agree bit-for-bit before the guard rounding).
+    A NULL trend marks the not-yet-initialized first element, folded
+    exactly the same way on both engines. Same O(L^2)-per-series
+    bound and the same mapInPandas escape hatch as EWMA for unbounded
+    histories."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    elem = F.struct(
+        F.col("value").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    obs = F.collect_list(elem).over(w)
+    a = F.lit(_HOLT_ALPHA)
+    bt = F.lit(_HOLT_BETA)
+    one = F.lit(1.0)
+
+    def step(acc, el):
+        # First fold step (b uninitialized): b0 := x2 - x1.
+        b0 = el.getField("l") - acc.getField("l")
+        l_init = a * el.getField("l") + (one - a) * (
+            acc.getField("l") + b0
+        )
+        init = F.struct(
+            l_init.alias("l"),
+            (
+                bt * (l_init - acc.getField("l")) + (one - bt) * b0
+            ).alias("b"),
+        )
+        l_nxt = a * el.getField("l") + (one - a) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        nxt = F.struct(
+            l_nxt.alias("l"),
+            (
+                bt * (l_nxt - acc.getField("l"))
+                + (one - bt) * acc.getField("b")
+            ).alias("b"),
+        )
+        return F.when(acc.getField("b").isNull(), init).otherwise(nxt)
+
+    st = F.aggregate(
+        F.slice(obs, 2, F.greatest(F.size(obs) - 1, F.lit(0))),
+        F.element_at(obs, 1),
+        step,
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        # FLOOR guard, not round(): both engines fold bit-identical
+        # doubles (verified), but alpha=0.5 keeps values dyadic and
+        # several land EXACTLY on decimal rounding boundaries, where
+        # Spark's BigDecimal-exact HALF_UP and DuckDB's scaled-float
+        # round() disagree. floor(x*1e4)/1e4 is the same fp ops on the
+        # same doubles on both sides — no boundary to disagree about.
+        (F.floor(st.getField("l") * 10000) / 10000).alias("level"),
+        (
+            F.floor(F.coalesce(st.getField("b"), F.lit(0.0)) * 10000)
+            / 10000
+        ).alias("trend"),
+        (
+            F.floor(
+                (
+                    st.getField("l")
+                    + F.coalesce(st.getField("b"), F.lit(0.0))
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("forecast_next"),
+    )

@@ -305,6 +305,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_rerank_mmr",
     "profile_table_summary",
     "incr_agg_maintenance",
+    "join_temporal_scd2",
+    "ts_holt_linear",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -49,7 +49,10 @@ def test_runs_on_empty_input(spark, key):
     # Grand-total aggregates legitimately return one (null/zero) row,
     # and constant generators (sequence demo, date spine) produce rows
     # from literals, not input; everything else must return no rows.
-    generators = {"fn_sequence", "fn_date_spine"}
+    # profile_table_summary is schema-driven: an empty table still
+    # profiles as one all-zero row per COLUMN, which is the correct
+    # answer for "describe this table".
+    generators = {"fn_sequence", "fn_date_spine", "profile_table_summary"}
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"
     )

@@ -777,3 +777,28 @@ def test_incremental_agg_pushes_cutoff_filters(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), (
         "cutoff filter not pushed to the orders scan"
     )
+
+
+def test_holt_single_shuffle_no_python(spark, sf_dir):
+    """Holt: same shape as EWMA — one exchange, one Window, the
+    struct-state fold is expression-level."""
+    plan = plan_of(spark, sf_dir, "ts_holt_linear")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_temporal_scd2_join_is_joinless(spark, sf_dir):
+    """The temporal join rewrite must contain NO join at all — one
+    union, one (user_id) exchange, one window (the oracle's naive
+    equi+range join would replicate every fact per dimension
+    version)."""
+    plan = plan_of(spark, sf_dir, "join_temporal_scd2")
+    assert "Join" not in plan
+    # One logical shuffle on user_id; Spark may place it per union
+    # branch (two Exchange nodes, same key) rather than above the
+    # union.
+    assert plan.count("Exchange") <= 2
+    assert "hashpartitioning(user_id" in plan
+    assert "EvalPython" not in plan

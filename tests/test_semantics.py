@@ -1161,3 +1161,41 @@ def test_incremental_agg_equals_full_recompute(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["matches_full"] is True, r
+
+
+def test_temporal_scd2_join_picks_valid_version(spark, sf_dir):
+    """Brute-force the point-in-time lookup per purchase: the matched
+    version must be the LAST signup change at or before the purchase
+    (and NULL before the first change)."""
+    from powersql_spark.catalog import load_tables
+
+    out = SPECS["join_temporal_scd2"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    changes: dict = {}
+    for r in ev:
+        if r["event_type"] == "signup":
+            changes.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["value"])
+            )
+    for v in changes.values():
+        v.sort()
+    assert out
+    n_matched = 0
+    for r in out:
+        hist = changes.get(r["user_id"], [])
+        valid = [
+            (i + 1, val)
+            for i, (t, _e, val) in enumerate(hist)
+            if t <= r["ts"]
+        ]
+        if not valid:
+            assert r["attr_value"] is None and r["version"] is None
+        else:
+            version, val = valid[-1]
+            assert r["version"] == version, (r, valid[-1])
+            assert r["attr_value"] == val
+            n_matched += 1
+    assert n_matched > 0

@@ -279,3 +279,63 @@ def test_phash_edit_locality_bound(payload, data):
     s1, s2 = next(_phash_batches(iter([pdf])))["sig"]
     ham = bin((s1 ^ s2) & (2**64 - 1)).count("1")
     assert ham <= 2 * n_edits
+
+
+def test_holt_matches_independent_recursion(spark, sf_dir):
+    """Recompute Holt's recursion independently in Python per series
+    and compare (floor-guarded at 4dp like the operator); and on any
+    exactly-linear stretch the method must track the line (level ==
+    value, trend == slope) — the property EWMA lacks."""
+    import math
+
+    from powersql_spark.pipeline.timeseries import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+    )
+
+    out = (
+        SPECS["ts_holt_linear"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out)
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def g(x):
+        return math.floor(x * 10000) / 10000
+
+    for _uid, grp in out.groupby("user_id"):
+        xs = list(grp["value"])
+        l, tr = xs[0], None
+        exp = [(l, 0.0)]
+        for x in xs[1:]:
+            if tr is None:
+                b0 = x - l
+                l1 = a * x + (1 - a) * (l + b0)
+                tr = b * (l1 - l) + (1 - b) * b0
+                l = l1
+            else:
+                l1 = a * x + (1 - a) * (l + tr)
+                tr = b * (l1 - l) + (1 - b) * tr
+                l = l1
+            exp.append((l, tr))
+        got = list(zip(grp["level"], grp["trend"]))
+        for (gl, gt), (el, et) in zip(got, exp):
+            assert gl == g(el) and gt == g(et)
+
+    # Exact-linear tracking property on the kernel itself.
+    xs = [10.0 + 2.5 * t for t in range(30)]
+    l, tr = xs[0], None
+    for x in xs[1:]:
+        if tr is None:
+            b0 = x - l
+            l1 = a * x + (1 - a) * (l + b0)
+            tr = b * (l1 - l) + (1 - b) * b0
+            l = l1
+        else:
+            l1 = a * x + (1 - a) * (l + tr)
+            tr = b * (l1 - l) + (1 - b) * tr
+            l = l1
+    assert abs(l - xs[-1]) < 1e-9 and abs(tr - 2.5) < 1e-9

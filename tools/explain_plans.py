@@ -103,6 +103,25 @@ SHOW = {
     "attribution_last_touch": "Attribution: one trailing-frame window "
     "pass on user_id — never the quadratic correlated latest-earlier "
     "subquery.",
+    "ts_ewma": "EWMA: one (user_id) exchange, one Window node; the "
+    "recursion is an expression-level left-fold — no Python, no join.",
+    "ts_anomaly_zscore": "Rolling z-score: mean/std/count share ONE "
+    "bounded-frame Window over one exchange; constant per-row state.",
+    "text_tfidf_topk": "TF-IDF top-k: one persisted corpus explode "
+    "feeds tf AND df; vocabulary-sized IDF broadcasts back; "
+    "WindowGroupLimit pushes the top-3 cut below the final sort.",
+    "mm_phash_dedup": "pHash dedup: ONE Arrow mapInPandas stage (the "
+    "decode slot) emits 64-bit signatures; band joins are 16-bit "
+    "equi-joins; shuffles carry (doc_id, shorts, long), never bytes.",
+    "incr_agg_maintenance": "Incremental MV refresh: disjoint cutoff "
+    "filters pushed to both scans; mergeable COUNT/decimal-SUM state; "
+    "the equals-full gate joins group-cardinality-sized frames.",
+    "sim_maxsim_multivector": "MaxSim: broadcast single-row query; the "
+    "4x4 dot-product lattice is one nested HOF expression (no "
+    "explode); TakeOrderedAndProject cuts the top-k.",
+    "graph_triangle_count": "Triangles: fact-sized edge build cached "
+    "once; ordered a<b<c equi-join legs read the in-memory edge "
+    "table.",
 }
 
 
