@@ -101,6 +101,9 @@ HEADLINE = {
     "q35_ewma": "ts_ewma",
     "q36_tfidf_topk": "text_tfidf_topk",
     "q37_maxsim": "sim_maxsim_multivector",
+    "q38_anomaly": "ts_anomaly_zscore",
+    "q39_temporal_scd2": "join_temporal_scd2",
+    "q40_phash": "mm_phash_dedup",
 }
 
 

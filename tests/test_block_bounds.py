@@ -188,3 +188,86 @@ def test_split_and_mix_decisions_are_independent(spark, sf_dir):
     assert counts.get("train", 0) > 0
     assert counts.get("val", 0) > 0
     assert counts.get("test", 0) > 0
+
+
+def test_containment_prefix_to_full_is_lossless_and_bounded(spark, sf_dir):
+    """dedup_containment's prefix->FULL posting-list join: (a) LOSSLESS
+    — its pairs equal the naive within-block all-pairs containment
+    result (the oracle form); (b) BOUNDED — the candidate pair count
+    stays below the naive block-pair count (the filter actually
+    prunes)."""
+    from powersql_spark.pipeline.dedup import _CONTAINMENT_THRESHOLD
+
+    load_tables(spark, sf_dir, ("documents",))
+    sh = _doc_shingles(spark)
+
+    # Naive within-block all-pairs containment (the definition).
+    a, b = sh.alias("a"), sh.alias("b")
+    common = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    c = common.cast("double") / F.least(
+        F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
+    )
+    naive_pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            c.alias("containment"),
+        )
+    )
+    naive_block_pair_count = naive_pairs.count()
+    naive_hits = {
+        (r["doc_a"], r["doc_b"])
+        for r in naive_pairs.where(
+            F.col("containment") >= _CONTAINMENT_THRESHOLD
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    assert got == naive_hits, "prefix->full candidates missed a pair"
+
+    # Bounded: count the actual candidate pairs the operator's join
+    # generates (prefix side x full side, canonicalized).
+    from pyspark.sql import Window
+
+    ex = sh.select(
+        "doc_id", "lang", "source", "len_bucket",
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("s"),
+    )
+    doc_freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = ex.join(doc_freq, "s").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(_CONTAINMENT_THRESHOLD)).cast("int")
+        + 1
+    )
+    prefix = ranked.where(F.col("rn") <= prefix_len).select(
+        "doc_id", "lang", "source", "len_bucket", "s"
+    )
+    full = ex.select("doc_id", "lang", "source", "len_bucket", "s")
+    cand_count = (
+        prefix.alias("p")
+        .join(full.alias("f"), ["s", "lang", "source", "len_bucket"])
+        .where(F.col("p.doc_id") != F.col("f.doc_id"))
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert cand_count <= naive_block_pair_count, (
+        f"{cand_count} candidates vs {naive_block_pair_count} naive pairs"
+    )
