@@ -251,3 +251,114 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("recon_err"),
     )
+
+
+@query("emb_whitening")  # rows-only: the eigendecomposition step has no
+# SQL form; the semantic gate (whitened covariance == identity) lives in
+# tests/test_semantics.py and is the mathematically complete check
+def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding table (the retrieval-quality
+    transform: decorrelate dimensions and equalize variance so cosine
+    is not dominated by a few high-variance axes — the standard fix
+    for anisotropic embedding spaces).
+
+    Scale shape — model fit then map-only apply, the MLlib pattern
+    without MLlib:
+    1. Sufficient statistics (n, sum vector, gram matrix X'X) via ONE
+       Arrow ``mapInPandas`` pass — each batch emits its 64x64 gram as
+       (i, j, partial) rows from a single numpy matmul (the documented
+       4x win over interpreted HOFs, see dedup_embedding_lsh), and the
+       groupBy ships at most 64^2+64+1 partials per partition
+       regardless of row count.
+    2. The eigendecomposition runs on the collected 64x64 matrix —
+       model-parameter-sized driver work, same class as the BPE vocab
+       loop and the IVF centroids.
+    3. Apply returns to the executors as plan literals: per row, 64
+       JVM dot products (whitened components) -> norm and first two
+       components as hash-friendly scalars.
+
+    Driver check is rows-only; the real gate is semantic: the
+    covariance of the whitened output must be the IDENTITY matrix,
+    which verifies mean, covariance, eigendecomposition and the apply
+    step all at once (tests/test_semantics.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from powersql_spark.pipeline.similarity import _to_double
+
+    dim = 64
+    e = spark.table("embeddings")
+    emb = e.select("vec_id", "label", _to_double("embedding").alias("x"))
+
+    def _suffstats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["x"]), dtype=np.float64)
+            gram = m.T @ m
+            i_idx, j_idx = np.triu_indices(dim)
+            out = pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [i_idx, np.arange(dim), [dim]]
+                    ).astype("int64"),
+                    "j": np.concatenate(
+                        [j_idx, np.full(dim, -1), [-1]]
+                    ).astype("int64"),
+                    "v": np.concatenate(
+                        [gram[i_idx, j_idx], m.sum(axis=0), [len(m)]]
+                    ),
+                }
+            )
+            yield out
+
+    partials = emb.select("x").mapInPandas(
+        _suffstats, schema="i bigint, j bigint, v double"
+    )
+    stats = partials.groupBy("i", "j").agg(F.sum("v").alias("v")).collect()
+    n_total = 0.0
+    sums = np.zeros(dim)
+    gram = np.zeros((dim, dim))
+    for r in stats:  # <= 64^2/2 + 64 + 1 rows — model-parameter-sized
+        if r["i"] == dim:
+            n_total = r["v"]
+        elif r["j"] == -1:
+            sums[r["i"]] = r["v"]
+        else:
+            gram[r["i"], r["j"]] = gram[r["j"], r["i"]] = r["v"]
+    if n_total < 2:
+        return emb.select(
+            "vec_id",
+            "label",
+            F.lit(0.0).alias("w_norm"),
+            F.lit(0.0).alias("w_c1"),
+            F.lit(0.0).alias("w_c2"),
+        ).limit(0)
+    mu = sums / n_total
+    cov = gram / n_total - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    evals = np.maximum(evals, 1e-12)
+    wmat = evecs @ np.diag(evals**-0.5) @ evecs.T  # ZCA: W = C^(-1/2)
+
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with("x", mu_lit, lambda a, b: a - b)
+
+    def row_dot(w_row):
+        wl = F.array(*[F.lit(float(w)) for w in w_row])
+        return F.aggregate(
+            F.zip_with(centered, wl, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    comps = F.array(*[row_dot(wmat[i]) for i in range(dim)])
+    w_norm = F.sqrt(
+        F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(w_norm, 4).alias("w_norm"),
+        F.round(row_dot(wmat[0]), 4).alias("w_c1"),
+        F.round(row_dot(wmat[1]), 4).alias("w_c2"),
+    )

@@ -510,3 +510,122 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("forecast_next"),
     )
+
+
+_CUSUM_K = 0.5  # slack, in per-series stddev units
+_CUSUM_H = 4.0  # alarm threshold, in per-series stddev units
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    stats AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sxx
+        FROM base GROUP BY user_id
+    ),
+    dev AS (
+        SELECT b.user_id, b.ts, b.event_id, b.value,
+               b.value - (s.sx / s.n)
+                 - {_CUSUM_K} * sqrt(GREATEST(
+                       s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n), 0))
+                   AS d,
+               {_CUSUM_H} * sqrt(GREATEST(
+                       s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n), 0))
+                   AS h
+        FROM base b JOIN stats s USING (user_id)
+    ),
+    runs AS (
+        SELECT user_id, ts, event_id, value, h,
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list(d) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)) AS devs
+        FROM dev
+    )
+    SELECT user_id, ts, event_id, value,
+           floor(list_reduce(devs,
+               (acc, x) -> GREATEST(CAST(0.0 AS DOUBLE), acc + x))
+               * 10000) / 10000 AS cusum,
+           list_reduce(devs,
+               (acc, x) -> GREATEST(CAST(0.0 AS DOUBLE), acc + x)) > h
+               AS alarm
+    FROM runs
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user series (Page
+    1954): s_t = max(0, s_{t-1} + (x_t - mu - k·sigma)), alarm when
+    s_t exceeds h·sigma — the classic drift detector that catches
+    sustained small shifts a per-point z-score never flags. Completes
+    the monitoring family (EWMA smoothing, rolling z-score spikes,
+    Holt trend, CUSUM drift).
+
+    Spark shape: per-series mu/sigma from DECIMAL sufficient sums
+    (order-independent, so both engines see identical doubles), then
+    the same running-frame scalar left-fold as EWMA with a prepended
+    0.0 so the clamp applies from the first element (list_reduce
+    seeds with the first element; the sentinel makes that seed the
+    mathematical s_0 = 0 on both engines). Stats ride a window over
+    the SAME (user_id) exchange the fold uses — one shuffle total.
+    FLOOR guard at 4dp (see ts_holt_linear for why not round())."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    wp = Window.partitionBy("user_id")
+    n = F.count("value").over(wp)
+    sx = F.sum(F.col("value").cast("decimal(28,10)")).over(wp).cast(
+        "double"
+    )
+    sxx = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+        .over(wp)
+        .cast("double")
+    )
+    mu = sx / n
+    sd = F.sqrt(F.greatest(sxx / n - mu * mu, F.lit(0.0)))
+    d = F.col("value") - mu - F.lit(_CUSUM_K) * sd
+    h = F.lit(_CUSUM_H) * sd
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_dev = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        d.alias("d"),
+        h.alias("h"),
+    )
+    staged = with_dev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.concat(
+            F.array(F.lit(0.0)), F.collect_list("d").over(wf)
+        ).alias("devs"),
+        "h",
+    )
+    cusum = F.aggregate(
+        F.slice(
+            F.col("devs"), 2, F.greatest(F.size("devs") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("devs"), 1),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + x),
+    )
+    return staged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.floor(cusum * 10000) / 10000).alias("cusum"),
+        (cusum > F.col("h")).alias("alarm"),
+    )

@@ -307,6 +307,8 @@ _PRIORITY: tuple[str, ...] = (
     "incr_agg_maintenance",
     "join_temporal_scd2",
     "ts_holt_linear",
+    "emb_whitening",
+    "ts_changepoint_cusum",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

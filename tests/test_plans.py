@@ -802,3 +802,25 @@ def test_temporal_scd2_join_is_joinless(spark, sf_dir):
     assert plan.count("Exchange") <= 2
     assert "hashpartitioning(user_id" in plan
     assert "EvalPython" not in plan
+
+
+def test_cusum_single_shuffle_no_python(spark, sf_dir):
+    """CUSUM: per-series stats and the fold ride the SAME (user_id)
+    exchange — one shuffle, window-only, no join, no Python."""
+    plan = plan_of(spark, sf_dir, "ts_changepoint_cusum")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_whitening_constant_state_partials(spark, sf_dir):
+    """Whitening's fact-sized stage is the sufficient-stats pass: one
+    Arrow mapInPandas, partial-aggregated (i, j) sums — assert the
+    apply stage's plan is map-only over the scan (no shuffle after the
+    literals return)."""
+    df = SPECS["emb_whitening"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The returned (apply) plan must not shuffle or call Python: the
+    # whitening matrix is plan literals.
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

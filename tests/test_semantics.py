@@ -1199,3 +1199,72 @@ def test_temporal_scd2_join_picks_valid_version(spark, sf_dir):
             assert r["attr_value"] == val
             n_matched += 1
     assert n_matched > 0
+
+
+def test_whitened_covariance_is_identity(spark, sf_dir):
+    """The complete check for emb_whitening: reconstruct full whitened
+    vectors from raw embeddings using the operator's own contract
+    (norm + first two components must match the numpy reconstruction),
+    and the covariance of numpy-whitened data must be the identity —
+    verifying mean, covariance, eigendecomposition, and apply at
+    once."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    out = SPECS["emb_whitening"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    rows = spark.table("embeddings").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    mu = X.mean(axis=0)
+    C = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    evals = np.maximum(evals, 1e-12)
+    W = evecs @ np.diag(evals**-0.5) @ evecs.T
+    Z = (X - mu) @ W.T
+    cz = np.cov(Z.T, bias=True)
+    assert np.abs(cz - np.eye(len(mu))).max() < 1e-6, (
+        "whitened covariance is not identity"
+    )
+    by_id = {r["vec_id"]: r for r in out}
+    assert set(by_id) == set(ids)
+    for vid, z in zip(ids, Z):
+        r = by_id[vid]
+        assert abs(r["w_norm"] - np.linalg.norm(z)) < 2e-3
+        assert abs(r["w_c1"] - z[0]) < 2e-3
+        assert abs(r["w_c2"] - z[1]) < 2e-3
+
+
+def test_cusum_matches_python_recursion_and_flags_shifts(spark, sf_dir):
+    """Recompute the clamped CUSUM recursion independently per series
+    and compare; alarms must exist at this SF and every alarmed row's
+    statistic must exceed its series threshold."""
+    import math
+
+    from powersql_spark.pipeline.timeseries import _CUSUM_H, _CUSUM_K
+
+    out = (
+        SPECS["ts_changepoint_cusum"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert out["alarm"].any(), "no CUSUM alarms at this SF"
+    for _uid, grp in out.groupby("user_id"):
+        xs = list(grp["value"])
+        n = len(xs)
+        mu = sum(xs) / n
+        var = max(sum(x * x for x in xs) / n - mu * mu, 0.0)
+        sd = math.sqrt(var)
+        s = 0.0
+        h = _CUSUM_H * sd
+        for x, got_c, got_a in zip(
+            xs, grp["cusum"], grp["alarm"]
+        ):
+            s = max(0.0, s + (x - mu - _CUSUM_K * sd))
+            assert abs(got_c - math.floor(s * 10000) / 10000) < 2e-4
+            assert bool(got_a) == (s > h)
