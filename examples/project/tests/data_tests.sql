@@ -10,15 +10,19 @@ ASSERT NOT EXISTS (
     WHERE p.product_id NOT IN (SELECT l_partkey FROM lineitem)
 ) AS 'rev_per_product keys all exist in lineitem';
 
--- Revenue is price * (1 - discount) with discount in [0, 1], so no
--- model row may exceed its undiscounted extended price.
+-- Revenue is price * (1 - discount) with discount in [0, 1]: never
+-- negative per row, and in aggregate never above the undiscounted sum.
 ASSERT NOT EXISTS (
     SELECT 1
-    FROM revenue r
-        JOIN lineitem l ON r.product_id = l.l_partkey
-    WHERE r.euro > l.l_extendedprice + 1e-6
-        AND r.euro < 0
-) AS 'euro bounded by undiscounted price and non-negative';
+    FROM revenue
+    WHERE euro < 0
+) AS 'euro non-negative';
+
+ASSERT (
+    SELECT SUM(euro) FROM revenue
+) <= (
+    SELECT SUM(l_extendedprice) + 1e-6 FROM lineitem
+) AS 'discounts never increase revenue';
 
 -- The per-product rollup must conserve total revenue (no rows lost or
 -- double-counted by the GROUP BY).

@@ -262,7 +262,7 @@ def test_run_twice_idempotent_and_test_pass(spark, capsys):
     rc = run_tests(spark, PROJECT, sources=SOURCES)
     out = capsys.readouterr().out
     assert rc == 0
-    assert out.count("...OK") == 5
+    assert out.count("...OK") == 6
 
 
 def test_run_selected_model_and_closure(spark):
