@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC, dsum
+from powersql_spark.operators.common import DEC, davg, dsum, sql_davg
 from powersql_spark.registry import query
 
 
@@ -1840,4 +1840,54 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             current.getField("version").alias("version"),
         )
         .where(F.col("event_id").isNotNull())
+    )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.05) AS DOUBLE), 6) AS lo,
+               round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS hi
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT e.event_type, b.lo, b.hi,
+           COUNT(*) AS n,
+           {sql_davg("round(LEAST(GREATEST(e.value, b.lo), b.hi), 6)",
+                     "wmean")}
+    FROM events e
+    JOIN bounds b ON b.event_type = e.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per event type: clamp to the
+    exact [p5, p95] quantiles, then average — the robust-location
+    estimator monitoring and quality-score pipelines use when a few
+    outliers would swamp a plain mean (cf. trimmed/winsorized
+    estimators in any robust-statistics text).
+
+    Spark shape: pass 1 computes exact PERCENTILE bounds per group
+    (one exchange on the group key), broadcast back (group-cardinality
+    rows); pass 2 clamps and decimal-averages in the same exchange.
+    Both engines linearly interpolate quantiles on the sorted values
+    (Spark ``percentile`` = DuckDB ``quantile_cont``); bounds and the
+    clamped values are rounded to 6dp before the decimal-sum mean so
+    the result is bit-stable across engines and partitionings."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    bounds = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    clamped = F.round(
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(F.count("*").alias("n"), davg(clamped, "wmean"))
     )

@@ -163,6 +163,46 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _strong_edges(spark: SparkSession) -> DataFrame:
+    """Thresholded undirected trade edges (a < b): nation pairs whose
+    lineitem count exceeds the mean edge weight. The only fact-sized
+    work in the triangle/Jaccard operators — a broadcast-dimension
+    join tree + one aggregation to O(nations^2) rows, persisted
+    because every caller fans it into several join legs (same lesson
+    as the pagerank transition matrix)."""
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        spark.table("customer").select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        spark.table("supplier").select("s_suppkey", "s_nationkey")
+    )
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thresh = raw.agg(F.avg(F.col("w").cast("double")).alias("t"))
+    from powersql_spark.catalog import track_persist
+
+    return track_persist(
+        raw.join(F.broadcast(thresh))
+        .where(F.col("w").cast("double") > F.col("t"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -216,41 +256,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     6x double-count AND the join-explosion symmetry, and on a
     thresholded dimension graph the edge table is metadata-sized. The
     mean-weight threshold is a single-row broadcast, not a collect."""
-    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
-    o = spark.table("orders").select("o_orderkey", "o_custkey")
-    c = F.broadcast(
-        spark.table("customer").select("c_custkey", "c_nationkey")
-    )
-    s = F.broadcast(
-        spark.table("supplier").select("s_suppkey", "s_nationkey")
-    )
-    raw = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"),
-            F.col("s_nationkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    thresh = raw.agg(F.avg(F.col("w").cast("double")).alias("t"))
-    from powersql_spark.catalog import track_persist
-
-    # The edge build (fact-sized join tree + aggregation + threshold)
-    # feeds all three legs of the triangle join AND the membership
-    # rollup — persist it or the plan embeds the corpus scan once per
-    # leg (same lesson as the pagerank transition matrix above).
-    und = track_persist(
-        raw.join(F.broadcast(thresh))
-        .where(F.col("w").cast("double") > F.col("t"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    und = _strong_edges(spark)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
@@ -277,4 +283,96 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(per_node, "node", "left").select(
         "node",
         F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+    )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH raw AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ),
+    thresh AS (SELECT AVG(CAST(w AS DOUBLE)) AS t FROM raw),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw, thresh WHERE CAST(w AS DOUBLE) > thresh.t
+    ),
+    adj AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    common AS (
+        SELECT x.node AS u, y.node AS v, COUNT(*) AS inter
+        FROM adj x JOIN adj y
+            ON x.nbr = y.nbr AND x.node < y.node
+        GROUP BY x.node, y.node
+    )
+    SELECT c.u, c.v, c.inter,
+           round(CAST(c.inter AS DOUBLE)
+                 / (du.d + dv.d - c.inter), 6) AS jaccard
+    FROM common c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every node pair sharing at
+    least one neighbor in the strong-trade graph — the standard
+    link-prediction / role-similarity feature (two nations that trade
+    with the same partners are structurally close even if they never
+    trade directly).
+
+    Scale shape: the fact tables feed the same thresholded undirected
+    edge build as graph_triangle_count (broadcast dimension tree, one
+    aggregation, persisted); everything after runs on the
+    metadata-sized adjacency. The pair enumeration is the wedge
+    EQUI-join adj⋈adj on the shared neighbor with u<v de-duplication —
+    never an all-pairs product; on real graphs its output is bounded
+    by sum-of-degree-squared, the same bound every triangle/similarity
+    engine accepts. Counts are integers; only the final ratio is
+    floating, rounded to 6dp."""
+    und = _strong_edges(spark)
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    x, y = adj.alias("x"), F.broadcast(adj.alias("y"))
+    common = (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(
+            F.col("x.node").alias("u"), F.col("y.node").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")))
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.catalog import track_persist
+from powersql_spark.operators.common import DEC
 from powersql_spark.registry import query
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -981,4 +982,157 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tfidf",
         )
         .where(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t) - 1)]) AS bigram
+        FROM tok WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT bigram, COUNT(*) AS n12 FROM bg GROUP BY bigram),
+    c1 AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, SUM(n12) AS n1
+        FROM c12 GROUP BY split_part(bigram, ' ', 1)
+    ),
+    lp AS (
+        SELECT bigram,
+               round(ln(CAST(n12 AS DOUBLE) / n1), 6) AS logp
+        FROM c12 JOIN c1 ON c1.w1 = split_part(bigram, ' ', 1)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_logprob,
+           round(exp(-round(CAST(SUM(CAST(logp AS DECIMAL(18,6)))
+                                 AS DOUBLE) / COUNT(*), 4)), 4)
+               AS ppl_proxy
+    FROM bg JOIN lp USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM quality score per document: train
+    p(w2|w1) = C(w1 w2) / C(w1 ·) on the corpus itself, then score
+    each doc by its mean log-probability (and a perplexity proxy).
+    The step up from text_unigram_logprob toward the KenLM-style
+    fluency filters (CCNet) — word-order scrambling now tanks the
+    score, which a unigram model cannot see.
+
+    Spark shape: bigrams are built map-side from the token array
+    (``transform`` over ``sequence`` — no positional self-join), so
+    the corpus is tokenized once. The model (bigram -> log p) is a
+    vocab-sized aggregate joined back to the bigram stream — broadcast
+    here; at web scale the bigram vocabulary outgrows the broadcast
+    threshold and this becomes a plain shuffle equi-join on the bigram
+    key with the same plan shape. Per-bigram log-probs round to 6dp
+    and decimal-sum so the per-doc mean is bit-stable cross-engine."""
+    d = spark.table("documents").select("doc_id", _tokens().alias("t"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    bg = d.where(F.size("t") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    c12 = bg.groupBy("bigram").agg(F.count("*").alias("n12"))
+    w1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("n12").alias("n1"))
+    lp = c12.join(c1, w1 == c1.w1).select(
+        "bigram",
+        F.round(
+            F.log(F.col("n12").cast("double") / F.col("n1")), 6
+        ).alias("logp"),
+    )
+    avg_lp = F.round(
+        F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 4
+    )
+    return (
+        bg.join(F.broadcast(lp), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            avg_lp.alias("avg_logprob"),
+        )
+        .withColumn("ppl_proxy", F.round(F.exp(-F.col("avg_logprob")), 4))
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in generate_series(1, len(t) - 2)]) AS s
+        FROM tok WHERE len(t) >= 3
+    ),
+    first AS (SELECT s, MIN(doc_id) AS first_seen FROM sh GROUP BY s)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(*) FILTER (first_seen = doc_id) AS n_novel,
+           round(CAST(COUNT(*) FILTER (first_seen = doc_id) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_ratio
+    FROM sh JOIN first USING (s)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    word-trigram shingles whose FIRST corpus occurrence (min doc_id as
+    the canonical ingest order) is the doc itself. The contribution /
+    memorization-risk metric behind incremental dedup: a doc whose
+    shingles all appeared earlier adds nothing to the training mix
+    even if no single earlier doc duplicates it (cf. the containment
+    view in dedup_containment).
+
+    Spark shape: shingles are built map-side from the token array and
+    de-duplicated per doc before the exchange; the first-seen table is
+    a MIN aggregate on the shingle key joined back on that same key —
+    two shuffles total, both hash-partitioned by shingle, and the
+    second reuses the first's partitioning. At web scale the shingle
+    table is corpus-sized, so this stays a shuffle equi-join by
+    design (no broadcast). Counts are integers; only the final ratio
+    is floating, rounded to 6dp."""
+    d = spark.table("documents").select("doc_id", _tokens().alias("t"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("t", i),
+                F.element_at("t", i + 1),
+                F.element_at("t", i + 2),
+            ),
+        )
+    )
+    sh = d.where(F.size("t") >= 3).select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_seen"))
+    novel = F.count_if(F.col("first_seen") == F.col("doc_id"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count("*"), 6
+            ).alias("novelty_ratio"),
+        )
     )

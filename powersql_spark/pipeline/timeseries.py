@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import dsum
+from powersql_spark.operators.common import DEC, dsum
 from powersql_spark.registry import query
 
 _LTTB_OUT = 24  # points kept per series
@@ -628,4 +628,172 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.floor(cusum * 10000) / 10000).alias("cusum"),
         (cusum > F.col("h")).alias("alarm"),
+    )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, value,
+               lag(value, 1) OVER w AS l1,
+               lag(value, 2) OVER w AS l2
+        FROM events
+        WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(corr(value, l1), 4) AS acf1,
+           round(corr(value, l2), 4) AS acf2,
+           COUNT(*) AS n_obs
+    FROM v
+    GROUP BY user_id
+    HAVING COUNT(l2) >= 3
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-2 autocorrelation per user series — the seasonality /
+    momentum screen run before fitting any forecaster (a near-zero ACF
+    says the series is noise; EWMA/Holt upstream assume otherwise).
+    NOT in the reference (surface ends at SQL orchestration,
+    src/execute.rs:101).
+
+    Spark shape: one (user_id) exchange shared by the lag window and
+    the grouped CORR — Catalyst plans a single sort-based window then a
+    partial-aggregated group, no second shuffle. Pearson correlation of
+    a bounded per-user series (~70 points) rounds to 4dp, the same
+    cross-engine guard agg_corr uses. Series too short for a lag-2
+    pair (< 3 complete pairs) are dropped in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            F.lag("value", 1).over(w).alias("l1"),
+            F.lag("value", 2).over(w).alias("l2"),
+        )
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.round(F.corr("value", "l1"), 4).alias("acf1"),
+            F.round(F.corr("value", "l2"), 4).alias("acf2"),
+            F.count("*").alias("n_obs"),
+            F.count("l2").alias("_pairs"),
+        )
+        .where(F.col("_pairs") >= 3)
+        .drop("_pairs")
+    )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+        SELECT event_type, day, daily,
+               CASE WHEN COUNT(*) OVER w = 7 THEN
+                   round(CAST(SUM(CAST(daily AS DECIMAL(18,6))) OVER w
+                              AS DOUBLE) / 7, 6)
+               END AS trend
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT event_type, isodow(day) AS dow,
+               round(CAST(SUM(CAST(daily - trend AS DECIMAL(18,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS seasonal
+        FROM tr
+        WHERE trend IS NOT NULL
+        GROUP BY event_type, isodow(day)
+    )
+    SELECT tr.event_type, tr.day, tr.daily, tr.trend,
+           seas.seasonal,
+           round(tr.daily - tr.trend - seas.seasonal, 6) AS remainder
+    FROM tr
+    JOIN seas ON seas.event_type = tr.event_type
+              AND seas.dow = isodow(tr.day)
+    WHERE tr.trend IS NOT NULL
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-event-type
+    daily revenue series: trend = centered 7-day moving average (rows
+    frame, edges dropped), seasonal = mean detrended value per ISO
+    weekday (uncentered indices), remainder = what's left. The
+    monitoring/forecasting preprocessing step (statsmodels
+    ``seasonal_decompose``, period=7) as one declarative plan.
+
+    Scale shape: the fact scan collapses to an O(types x days) daily
+    aggregate in one exchange — everything downstream (window MA,
+    weekday means, the seasonal join) runs on that metadata-sized
+    series table, and the 35-row seasonal index table is broadcast
+    back. Every aggregate is decimal-summed and rounded to 6dp so
+    trend/seasonal/remainder are bit-identical across engines and
+    partition counts (see registry module docstring)."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(dsum("value", "daily"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trend = F.when(
+        F.count("*").over(w) == 7,
+        F.round(
+            F.sum(F.col("daily").cast(DEC)).over(w).cast("double") / 7,
+            6,
+        ),
+    )
+    from powersql_spark.catalog import track_persist
+
+    # `tr` feeds BOTH the seasonal-index aggregate and the final join;
+    # uncached the plan would embed the fact-sized daily aggregation
+    # once per branch. It is O(types x days) — persist it so the
+    # corpus is scanned exactly once (same lesson as the pagerank
+    # transition matrix).
+    tr = track_persist(
+        daily.select(
+            "event_type", "day", "daily", trend.alias("trend")
+        ).where(F.col("trend").isNotNull())
+    )
+    # Spark weekday(): 0=Monday — +1 matches DuckDB's isodow.
+    dow = (F.weekday("day") + 1).alias("dow")
+    seas = tr.groupBy("event_type", dow).agg(
+        F.round(
+            F.sum((F.col("daily") - F.col("trend")).cast(DEC)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("seasonal")
+    )
+    return (
+        tr.withColumn("dow", F.weekday("day") + 1)
+        .join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "daily",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("daily") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
     )

@@ -360,6 +360,13 @@ _PRIORITY: tuple[str, ...] = (
     "fn_extract_date",
     "fn_string",
     "fn_math",
+    # -- round-3 session additions (rotate in after the backlog) ----------
+    "ts_autocorr",
+    "ts_seasonal_decompose",
+    "agg_winsorized_mean",
+    "graph_jaccard_neighbors",
+    "text_bigram_logprob",
+    "text_ngram_novelty",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -824,3 +824,74 @@ def test_whitening_constant_state_partials(spark, sf_dir):
     # whitening matrix is plan literals.
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_autocorr_single_shuffle_no_join(spark, sf_dir):
+    """ACF: the lag window and the grouped CORR share ONE (user_id)
+    exchange — no join, no Python."""
+    plan = plan_of(spark, sf_dir, "ts_autocorr")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_seasonal_decompose_single_corpus_scan(spark, sf_dir):
+    """Decomposition: the fact scan collapses to the cached
+    O(types x days) series table; the seasonal-index join is a
+    broadcast. Uncached, the plan would embed the daily aggregation
+    once per branch. The fact-scan substring repeats only inside the
+    printed cached lineage (one per InMemoryTableScan), never as an
+    additional executed stage."""
+    plan = plan_of(spark, sf_dir, "ts_seasonal_decompose")
+    assert "InMemoryTableScan" in plan, "series table not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_winsorized_mean_broadcast_bounds(spark, sf_dir):
+    """Winsorize: exact quantiles force two passes over the corpus;
+    the bounds table (group-cardinality rows) must come back as a
+    broadcast, never a shuffle join."""
+    plan = plan_of(spark, sf_dir, "agg_winsorized_mean")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_jaccard_neighbors_cached_edges_equijoins(spark, sf_dir):
+    """Neighbor Jaccard: same contract as triangle counting — the
+    fact-sized edge build is cached, the wedge enumeration is an
+    equi-join on the shared neighbor (never all-pairs), degrees come
+    back broadcast."""
+    plan = plan_of(spark, sf_dir, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    )
+
+
+def test_bigram_logprob_broadcast_model_no_python(spark, sf_dir):
+    """Bigram LM: the model join is broadcast at this scale (shuffle
+    equi-join at web scale — same plan shape); scoring is pure
+    expression work, no Python anywhere."""
+    plan = plan_of(spark, sf_dir, "text_bigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ngram_novelty_shingle_keyed_shuffles_only(spark, sf_dir):
+    """Novelty: the first-seen aggregate and the join back are both
+    keyed on the shingle — hash-partitioned equi-joins, no cartesian,
+    no Python."""
+    plan = plan_of(spark, sf_dir, "text_ngram_novelty")
+    assert "hashpartitioning(s" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

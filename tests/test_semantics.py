@@ -1268,3 +1268,123 @@ def test_cusum_matches_python_recursion_and_flags_shifts(spark, sf_dir):
             s = max(0.0, s + (x - mu - _CUSUM_K * sd))
             assert abs(got_c - math.floor(s * 10000) / 10000) < 2e-4
             assert bool(got_a) == (s > h)
+
+
+def test_winsorized_mean_matches_numpy(spark, sf_dir):
+    """Bounds are numpy's linear-interpolation percentiles; the mean
+    is the clipped average."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    vals = (
+        spark.table("events")
+        .where("value is not null")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    out = {
+        r["event_type"]: r
+        for r in SPECS["agg_winsorized_mean"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(vals["event_type"].unique())
+    for et, g in vals.groupby("event_type"):
+        v = g["value"].to_numpy()
+        lo = round(float(np.percentile(v, 5)), 6)
+        hi = round(float(np.percentile(v, 95)), 6)
+        r = out[et]
+        assert abs(r["lo"] - lo) <= 1e-6 and abs(r["hi"] - hi) <= 1e-6
+        wm = np.clip(v, lo, hi).round(6).mean()
+        assert abs(r["wmean"] - wm) <= 1e-6
+        assert r["n"] == len(v)
+
+
+def test_jaccard_neighbors_matches_bruteforce(spark, sf_dir):
+    """Operator output == the O(n^2) python recomputation from the
+    same thresholded edge set (membership, intersection sizes, and
+    the ratio)."""
+    from itertools import combinations
+
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline.graph import _strong_edges
+
+    load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "nation"),
+    )
+    nbrs: dict = {}
+    for r in _strong_edges(spark).collect():
+        nbrs.setdefault(r["a"], set()).add(r["b"])
+        nbrs.setdefault(r["b"], set()).add(r["a"])
+    expected = {}
+    for u, v in combinations(sorted(nbrs), 2):
+        inter = len(nbrs[u] & nbrs[v])
+        if inter:
+            expected[(u, v)] = (
+                inter,
+                round(inter / len(nbrs[u] | nbrs[v]), 6),
+            )
+    got = {
+        (r["u"], r["v"]): (r["inter"], r["jaccard"])
+        for r in SPECS["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_ngram_novelty_first_doc_and_conservation(spark, sf_dir):
+    """The earliest doc is 100% novel by construction, every ratio is
+    in (0, 1], and sum(n_novel) over docs == the number of distinct
+    shingles in the corpus (each shingle is novel exactly once)."""
+    rows = SPECS["text_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    first = min(r["doc_id"] for r in rows)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[first]["novelty_ratio"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty_ratio"] <= 1.0
+    from powersql_spark.pipeline.text import _tokens
+
+    distinct_shingles = (
+        spark.table("documents")
+        .select(F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(_tokens()) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(_tokens(), i),
+                        F.element_at(_tokens(), i + 1),
+                        F.element_at(_tokens(), i + 2),
+                    ),
+                )
+            )
+        ).alias("s"))
+        .where("s is not null")
+        .agg(F.count_distinct("s")).collect()[0][0]
+    )
+    assert sum(r["n_novel"] for r in rows) == distinct_shingles
+
+
+def test_bigram_logprob_bounds_and_coverage(spark, sf_dir):
+    """Log-probs are <= 0 (every conditional p <= 1), the perplexity
+    proxy inverts the mean exactly, and every doc with >= 2 tokens is
+    scored."""
+    import math
+
+    rows = SPECS["text_bigram_logprob"].fn(spark, sf_dir).collect()
+    n_docs_2tok = (
+        spark.table("documents")
+        .where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 2)
+        .count()
+    )
+    assert len(rows) == n_docs_2tok
+    for r in rows:
+        assert r["avg_logprob"] <= 0.0
+        assert r["n_bigrams"] >= 1
+        assert abs(
+            r["ppl_proxy"] - round(math.exp(-r["avg_logprob"]), 4)
+        ) <= 1e-9
+        assert r["ppl_proxy"] >= 1.0 - 1e-9

@@ -5,6 +5,7 @@ the dedup_url_canonical parity op's local invariants."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from powersql_spark.catalog import load_tables
 from powersql_spark.pipeline.timeseries import _LTTB_OUT, _lttb
@@ -339,3 +340,67 @@ def test_holt_matches_independent_recursion(spark, sf_dir):
             tr = b * (l1 - l) + (1 - b) * tr
             l = l1
     assert abs(l - xs[-1]) < 1e-9 and abs(tr - 2.5) < 1e-9
+
+
+def test_autocorr_matches_numpy(spark, sf_dir):
+    """Per-user lag-1/lag-2 ACF must equal numpy's Pearson correlation
+    of the (value, shifted value) pairs on the independently sorted
+    series."""
+    by_user = _series(spark, sf_dir)
+    out = {
+        r["user_id"]: r
+        for r in SPECS["ts_autocorr"].fn(spark, sf_dir).collect()
+    }
+    for uid, pts in by_user.items():
+        vals = np.array(
+            [v for (_t, _e, v) in pts if v is not None], dtype=float
+        )
+        if len(vals) < 5:  # < 3 complete lag-2 pairs
+            assert uid not in out
+            continue
+        r = out[uid]
+        for lag, col in ((1, "acf1"), (2, "acf2")):
+            exp = np.corrcoef(vals[:-lag], vals[lag:])[0, 1]
+            assert abs(r[col] - round(exp, 4)) <= 1e-4, (uid, col)
+        assert r["n_obs"] == len(vals)
+
+
+def test_seasonal_decompose_matches_pandas(spark, sf_dir):
+    """trend == pandas centered rolling(7) mean of the daily series;
+    seasonal == mean detrended value per ISO weekday; remainder closes
+    the additive identity."""
+    import pandas as pd
+
+    load_tables(spark, sf_dir, ("events",))
+    daily = (
+        spark.table("events")
+        .where("value is not null")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("daily"))
+        .toPandas()
+    )
+    out = SPECS["ts_seasonal_decompose"].fn(spark, sf_dir).toPandas()
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        trend = g["daily"].rolling(7, center=True).mean().round(6)
+        g["trend"] = trend
+        got = (
+            out[out["event_type"] == et]
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        exp_tr = g.dropna(subset=["trend"]).reset_index(drop=True)
+        assert len(got) == len(exp_tr)
+        assert np.allclose(got["trend"], exp_tr["trend"], atol=1e-6)
+        dow = pd.to_datetime(exp_tr["day"]).dt.dayofweek + 1
+        detr = exp_tr["daily"] - exp_tr["trend"]
+        seas = detr.groupby(dow.values).mean().round(6)
+        got_dow = pd.to_datetime(got["day"]).dt.dayofweek + 1
+        assert np.allclose(
+            got["seasonal"], seas.loc[got_dow.values], atol=2e-6
+        )
+        assert np.allclose(
+            got["remainder"],
+            (got["daily"] - got["trend"] - got["seasonal"]).round(6),
+            atol=1e-6,
+        )
