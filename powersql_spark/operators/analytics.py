@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC, davg, dsum, sql_davg
+from powersql_spark.operators.common import DEC, davg, dsum, sql_davg, sql_dsum
 from powersql_spark.registry import query
 
 
@@ -1890,4 +1890,84 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type", "lo", "hi")
         .agg(F.count("*").alias("n"), davg(clamped, "wmean"))
+    )
+
+
+@query(
+    "diff_metric_snapshots",
+    oracle=f"""
+    SELECT o_custkey,
+           {sql_dsum("CASE WHEN year(o_orderdate) = 1997"
+                     " THEN o_totalprice END", "rev_old")},
+           {sql_dsum("CASE WHEN year(o_orderdate) = 1998"
+                     " THEN o_totalprice END", "rev_new")},
+           CASE
+               WHEN COUNT(CASE WHEN year(o_orderdate) = 1998
+                          THEN 1 END) = 0 THEN 'removed'
+               WHEN COUNT(CASE WHEN year(o_orderdate) = 1997
+                          THEN 1 END) = 0 THEN 'added'
+               WHEN CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1997
+                        THEN o_totalprice END AS DECIMAL(18,6)))
+                        AS DOUBLE)
+                    <> CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1998
+                        THEN o_totalprice END AS DECIMAL(18,6)))
+                        AS DOUBLE) THEN 'changed'
+               ELSE 'same'
+           END AS status,
+           round(COALESCE(CAST(SUM(CAST(CASE WHEN year(o_orderdate)
+                     = 1998 THEN o_totalprice END AS DECIMAL(18,6)))
+                     AS DOUBLE), 0)
+                 - COALESCE(CAST(SUM(CAST(CASE WHEN year(o_orderdate)
+                     = 1997 THEN o_totalprice END AS DECIMAL(18,6)))
+                     AS DOUBLE), 0), 6) AS delta
+    FROM orders
+    WHERE year(o_orderdate) IN (1997, 1998)
+    GROUP BY o_custkey
+    """,
+)
+def diff_metric_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the per-customer revenue metric
+    between two periods (1997 vs 1998) and classify every key as
+    added / removed / changed / same with its delta — the
+    data-diff/regression-report primitive behind pipeline deploys
+    ("what did the new run change?") and CDC reconciliation.
+
+    Spark shape: the naive form is a FULL OUTER join of two snapshot
+    aggregates — two corpus scans plus a shuffle join. Expressed as
+    ONE conditional aggregation over the union of both periods, it is
+    a single scan, a single (key) exchange, and no join at all; the
+    period filter pushes to the parquet scan. Sums are decimal-exact,
+    so the 'changed'/'same' equality is deterministic, not a float
+    comparison."""
+    # Range predicate on the raw column (not year()) so the filter
+    # pushes to the parquet scan; year() appears only post-scan.
+    o = spark.table("orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+    )
+    is_old = F.year("o_orderdate") == 1997
+    is_new = F.year("o_orderdate") == 1998
+    rev_old = F.sum(
+        F.when(is_old, F.col("o_totalprice")).cast(DEC)
+    ).cast("double")
+    rev_new = F.sum(
+        F.when(is_new, F.col("o_totalprice")).cast(DEC)
+    ).cast("double")
+    n_old = F.count(F.when(is_old, F.lit(1)))
+    n_new = F.count(F.when(is_new, F.lit(1)))
+    status = (
+        F.when(n_new == 0, F.lit("removed"))
+        .when(n_old == 0, F.lit("added"))
+        .when(rev_old != rev_new, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return o.groupBy("o_custkey").agg(
+        rev_old.alias("rev_old"),
+        rev_new.alias("rev_new"),
+        status.alias("status"),
+        F.round(
+            F.coalesce(rev_new, F.lit(0.0))
+            - F.coalesce(rev_old, F.lit(0.0)),
+            6,
+        ).alias("delta"),
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import DEC
 from powersql_spark.registry import query
 
 _DIM = 64
@@ -361,4 +362,128 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_norm, 4).alias("w_norm"),
         F.round(row_dot(wmat[0]), 4).alias("w_c1"),
         F.round(row_dot(wmat[1]), 4).alias("w_c2"),
+    )
+
+
+@query(
+    "emb_outlier_distance",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, i,
+               round(CAST(SUM(CAST(CAST(list_extract(embedding, i)
+                              AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM embeddings, unnest(range(1, {_DIM + 1})) AS u(i)
+        GROUP BY label, i
+    ),
+    carr AS (
+        SELECT label, list(c ORDER BY i) AS c FROM cent GROUP BY label
+    ),
+    dist AS (
+        SELECT vec_id, e.label,
+               round(sqrt(list_reduce(
+                   list_transform(range(1, {_DIM + 1}),
+                       i -> round(pow(CAST(list_extract(e.embedding, i)
+                                     AS DOUBLE)
+                                  - list_extract(carr.c, i), 2), 6)),
+                   (acc, x) -> acc + x)), 6) AS dist
+        FROM embeddings e JOIN carr USING (label)
+    ),
+    mom AS (
+        SELECT label,
+               CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               sqrt(greatest(
+                   CAST(SUM(CAST(round(dist * dist, 6)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*)
+                   - pow(CAST(SUM(CAST(dist AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*), 2),
+                   0.0)) AS sd
+        FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist,
+           round((d.dist - m.mu) / m.sd, 4) AS z,
+           round((d.dist - m.mu) / m.sd, 4) > 2.0 AS is_outlier
+    FROM dist d JOIN mom m USING (label)
+    """,
+)
+def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid outlier scoring: each vector's L2 distance
+    to its label centroid, z-scored within the label (population
+    moments), outliers flagged at z > 2 — the embedding-space
+    mislabel/contamination screen run before training on labeled
+    vectors (outliers are candidate label errors or off-distribution
+    docs).
+
+    Spark shape: centroids come from the same columnar posexplode
+    reduce as emb_centroids (shuffle carries scalar partials, never
+    vectors), re-assembled to a label-keyed array and BROADCAST — the
+    distance pass is then map-only over the corpus (codegen'd
+    zip_with/aggregate fold in array order), and the moments are one
+    tiny per-label aggregate broadcast back. Two corpus scans total
+    (centroid pass + distance pass), the same two-pass bound as any
+    exact mean-then-residual computation. Per-term squares round to
+    6dp and fold in index order; moment sums are decimal — the z
+    threshold compares identical 4dp values cross-engine."""
+    e = spark.table("embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    )
+    cent = (
+        expl.groupBy("label", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double").cast(DEC)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    # `carr` sits under BOTH corpus passes (the distance map and, via
+    # `dist`, the moment aggregate + final join); uncached the plan
+    # would embed the fact-sized centroid reduce once per branch. It
+    # is O(labels) rows — persist it.
+    carr = track_persist(
+        cent.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s.c,
+            ).alias("c")
+        )
+    )
+    dd = F.zip_with(
+        F.transform("embedding", lambda x: x.cast("double")),
+        "c",
+        lambda x, c: F.round(F.pow(x - c, 2), 6),
+    )
+    dist = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(dd, F.lit(0.0), lambda acc, x: acc + x)
+            ),
+            6,
+        ).alias("dist"),
+    )
+    mu = F.sum(F.col("dist").cast(DEC)).cast("double") / F.count("*")
+    ex2 = F.sum(
+        F.round(F.col("dist") * F.col("dist"), 6).cast(DEC)
+    ).cast("double") / F.count("*")
+    mom = dist.groupBy("label").agg(
+        mu.alias("mu"),
+        F.sqrt(F.greatest(ex2 - mu * mu, F.lit(0.0))).alias("sd"),
+    )
+    z = F.round((F.col("dist") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        dist.join(F.broadcast(mom), "label")
+        .select(
+            "vec_id", "label", "dist", z.alias("z"),
+            (z > 2.0).alias("is_outlier"),
+        )
     )

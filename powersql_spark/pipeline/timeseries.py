@@ -797,3 +797,80 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("remainder"),
         )
     )
+
+
+@query(
+    "ts_theilsen_slope",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.user_id,
+               round((b.value - a.value)
+                     / ((epoch_us(b.ts) - epoch_us(a.ts)) / 3600e6),
+                     6) AS slope
+        FROM v a JOIN v b
+            ON b.user_id = a.user_id AND a.ts < b.ts
+    ),
+    ranked AS (
+        SELECT user_id, slope,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY slope) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+        FROM pairs
+    )
+    SELECT user_id, slope AS ts_slope, n_pairs
+    FROM ranked
+    WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend estimator per user series: the median of all
+    pairwise slopes (value units per hour) — the robust alternative to
+    the OLS slope in agg_corr (a single wild outlier moves OLS
+    arbitrarily; Theil-Sen tolerates ~29% contamination). The median
+    is the LOWER-median order statistic, i.e. an actual observed
+    slope: interpolation-free, so the result is cross-engine
+    bit-identical (engines disagree in the last ulp when averaging the
+    two middle elements, which a 6dp round can surface).
+
+    Scale shape: the pairwise stage is an EQUI-join on the series key
+    with a timestamp inequality — O(L^2) per entity, the estimator's
+    inherent cost, which is the right trade exactly when per-entity
+    history L is bounded (~70 events/user here at every SF; the corpus
+    grows in USERS). The median then rides ONE window over the same
+    (user_id) partitioning the join produced — no extra exchange.
+    Equal-timestamp pairs are excluded (slope undefined); slopes round
+    to 6dp before ranking so ordering sees identical inputs."""
+    v = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    hours = (
+        F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    ) / F.lit(3600e6)
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("a.ts") < F.col("b.ts")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.round((F.col("b.value") - F.col("a.value")) / hours, 6).alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("slope")
+    wp = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
+    ).select("user_id", F.col("slope").alias("ts_slope"), "n_pairs")

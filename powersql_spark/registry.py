@@ -367,6 +367,9 @@ _PRIORITY: tuple[str, ...] = (
     "graph_jaccard_neighbors",
     "text_bigram_logprob",
     "text_ngram_novelty",
+    "ts_theilsen_slope",
+    "diff_metric_snapshots",
+    "emb_outlier_distance",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -895,3 +895,41 @@ def test_ngram_novelty_shingle_keyed_shuffles_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_theilsen_equijoin_shares_partitioning(spark, sf_dir):
+    """Theil-Sen: the pairwise stage is an EQUI-join on the series key
+    (never a cartesian), and the median window rides the partitioning
+    the join produced — no exchange between join and window."""
+    plan = plan_of(spark, sf_dir, "ts_theilsen_slope")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+    # One exchange per join input side at most; none added for the
+    # window (it reuses the join's hashpartitioning(user_id...)).
+    assert plan.count("Exchange") <= 2
+
+
+def test_snapshot_diff_single_scan_no_join(spark, sf_dir):
+    """Snapshot diff: ONE conditional aggregation, not a full-outer
+    join of two snapshot scans — single orders scan, year filter
+    pushed, no join."""
+    plan = plan_of(spark, sf_dir, "diff_metric_snapshots")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan), (
+        "year filter not pushed to the orders scan"
+    )
+
+
+def test_emb_outlier_broadcast_centroids_no_python(spark, sf_dir):
+    """Outlier scoring: centroid array cached + broadcast, moments
+    broadcast back, distance math codegen'd (no Python), no
+    cartesian."""
+    plan = plan_of(spark, sf_dir, "emb_outlier_distance")
+    assert "InMemoryTableScan" in plan, "centroid table not cached"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -1388,3 +1388,95 @@ def test_bigram_logprob_bounds_and_coverage(spark, sf_dir):
             r["ppl_proxy"] - round(math.exp(-r["avg_logprob"]), 4)
         ) <= 1e-9
         assert r["ppl_proxy"] >= 1.0 - 1e-9
+
+
+def test_theilsen_matches_numpy(spark, sf_dir):
+    """Lower-median of all pairwise slopes recomputed per user with
+    numpy equals the operator output."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    rows = (
+        spark.table("events")
+        .where("value is not null")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"].timestamp(), r["value"])
+        )
+    out = {
+        r["user_id"]: r
+        for r in SPECS["ts_theilsen_slope"].fn(spark, sf_dir).collect()
+    }
+    for uid, pts in by_user.items():
+        t = np.array([p[0] for p in pts])
+        v = np.array([p[1] for p in pts])
+        dt = (t[None, :] - t[:, None]) / 3600.0
+        dv = v[None, :] - v[:, None]
+        mask = dt > 0
+        slopes = np.sort(np.round(dv[mask] / dt[mask], 6))
+        if len(slopes) == 0:
+            assert uid not in out
+            continue
+        lower_median = slopes[(len(slopes) + 1) // 2 - 1]
+        r = out[uid]
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["ts_slope"] - lower_median) <= 1e-9, uid
+
+
+def test_snapshot_diff_statuses_consistent(spark, sf_dir):
+    """Status labels must agree with the null-pattern of the two
+    snapshot sums, and delta closes the identity."""
+    rows = SPECS["diff_metric_snapshots"].fn(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r["status"])
+        old, new = r["rev_old"], r["rev_new"]
+        if r["status"] == "removed":
+            assert new is None and old is not None
+        elif r["status"] == "added":
+            assert old is None and new is not None
+        else:
+            assert old is not None and new is not None
+            assert (old != new) == (r["status"] == "changed")
+        assert abs(r["delta"] - round((new or 0.0) - (old or 0.0), 6)) <= 1e-9
+    assert {"added", "removed", "changed"} <= seen
+
+
+def test_emb_outlier_matches_numpy(spark, sf_dir):
+    """Distances and z-scores recomputed with numpy (6dp-rounded
+    centroids, population moments over 6dp distances) match."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    pdf = spark.table("embeddings").toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    out = {
+        r["vec_id"]: r
+        for r in SPECS["emb_outlier_distance"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == set(pdf["vec_id"])
+    for label, g in pdf.groupby("label"):
+        sub = vecs[g.index.to_numpy()]
+        cent = np.round(sub.mean(axis=0), 6)
+        d = np.round(
+            np.sqrt(np.round((sub - cent) ** 2, 6).sum(axis=1)), 6
+        )
+        mu, sd = d.mean(), d.std()
+        for vid, di in zip(g["vec_id"], d):
+            r = out[vid]
+            assert r["label"] == label
+            # Spark/DuckDB round half-up, numpy half-even: a term
+            # on the .5 boundary shifts the 6dp dist by exactly 1e-6.
+            assert abs(r["dist"] - di) <= 1.01e-6
+            z = round((di - mu) / sd, 4)
+            assert abs(r["z"] - z) <= 1e-3
+            assert bool(r["is_outlier"]) == (r["z"] > 2.0)
