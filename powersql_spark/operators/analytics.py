@@ -1971,3 +1971,65 @@ def diff_metric_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("delta"),
     )
+
+
+@query(
+    "path_trigram_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    ),
+    tri AS (
+        SELECT unnest([path[i] || '>' || path[i+1] || '>' || path[i+2]
+                       for i in generate_series(1, len(path) - 2)])
+                   AS trigram
+        FROM seq WHERE len(path) >= 3
+    )
+    SELECT trigram, COUNT(*) AS n
+    FROM tri
+    GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 20
+    """,
+)
+def path_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral path trigrams: each user's event-type journey
+    (ordered by time) sliced into length-3 sub-paths, counted across
+    the corpus — the "common paths" view behind product-analytics
+    flow/sankey reports (complements funnel_conversion, which checks
+    ONE prescribed path; this discovers which paths exist).
+
+    Spark shape: one (user_id) exchange builds each journey via a
+    sorted collect_list (shuffle carries only the event-type string +
+    ordering keys; per-user history is bounded), trigrams explode
+    map-side from the array, and the count is a partial-aggregated
+    groupBy whose top-20 plans as TakeOrderedAndProject — no global
+    sort. Tie-safe: ordered by (count DESC, trigram) so the LIMIT is
+    deterministic cross-engine."""
+    e = spark.table("events")
+    path = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s.event_type,
+    )
+    seq = e.groupBy("user_id").agg(path.alias("path"))
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size("path") - 2),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at("path", i),
+            F.element_at("path", i + 1),
+            F.element_at("path", i + 2),
+        ),
+    )
+    return (
+        seq.where(F.size("path") >= 3)
+        .select(F.explode(trigrams).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )

@@ -491,3 +491,72 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("event_id").isNotNull())
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    errors AS (
+        SELECT user_id, ts AS err_ts FROM events
+        WHERE event_type = 'error'
+    ),
+    matched AS (
+        SELECT p.event_id, p.user_id, p.ts, e.err_ts
+        FROM purchases p
+        ASOF LEFT JOIN errors e
+            ON p.user_id = e.user_id AND p.ts >= e.err_ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN ts - err_ts <= INTERVAL 1 HOUR THEN err_ts END
+               AS recent_error_ts
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a staleness tolerance (pandas
+    ``merge_asof(tolerance=...)``): each purchase gets the most recent
+    same-user error ONLY if it happened within the last hour —
+    anything older is noise, not a cause. The variant incident
+    attribution and feature pipelines actually want (an error from
+    last week should not label today's purchase).
+
+    Spark shape: identical to join_asof — union + last_value window,
+    ONE (user_id) shuffle, no range cross-product — with the
+    tolerance applied as a post-window filter expression. The
+    tolerance cannot be pushed into the window (the nearest match
+    must be found FIRST, then aged out: dropping old errors before
+    the window would instead surface the second-newest)."""
+    e = spark.table("events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("err_ts"),
+    )
+    tagged = errors.union(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("err_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_err = F.last("err_ts", ignorenulls=True).over(w)
+    return (
+        tagged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                last_err >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+                last_err,
+            ).alias("recent_error_ts"),
+        )
+        .where(F.col("event_id").isNotNull())
+    )

@@ -211,3 +211,175 @@ def sketch_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est") - F.col("ex")) <= 0.05 * F.col("ex")
         ).alias("merged_within_5pct"),
     )
+
+
+_BLOOM_M = 16384  # filter bits
+_BLOOM_K = 5  # hash functions
+_BLOOM_WORD = 32  # bits per word => BIGINT masks stay positive
+
+_BLOOM_POS_SQL = (
+    "(('0x' || substr(md5({key} || '#b{seed}'), 1, 8))"
+    f"::BIGINT % {_BLOOM_M} + {_BLOOM_M}) % {_BLOOM_M}"
+)
+
+
+def _bloom_pos(key: Column, seed: int) -> Column:
+    """Bit position for one Bloom hash: top 32 bits of
+    md5(key#b<seed>) mod m. Identical arithmetic in the oracle."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(key, F.lit(f"#b{seed}")).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+@query(
+    "sketch_bloom_prefilter",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate < DATE '1998-01-01'
+    ),
+    bits AS (
+        SELECT {_BLOOM_POS_SQL.format(key="CAST(members.k AS VARCHAR)",
+                                      seed="' || s.seed || '")} AS pos
+        FROM members, (SELECT unnest(range({_BLOOM_K})) AS seed) s
+    ),
+    sketch AS (
+        SELECT pos // {_BLOOM_WORD} AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD}
+                                                AS INTEGER)) AS word
+        FROM bits GROUP BY pos // {_BLOOM_WORD}
+    ),
+    probe AS (
+        SELECT c_custkey, c_nationkey,
+               {_BLOOM_POS_SQL.format(key="CAST(c_custkey AS VARCHAR)",
+                                      seed="' || s.seed || '")} AS pos
+        FROM customer, (SELECT unnest(range({_BLOOM_K})) AS seed) s
+    ),
+    verdict AS (
+        SELECT c_custkey, ANY_VALUE(c_nationkey) AS c_nationkey,
+               bool_and(COALESCE(
+                   (sketch.word
+                    & (CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD}
+                                                 AS INTEGER))) <> 0,
+                   FALSE)) AS bloom_pos
+        FROM probe LEFT JOIN sketch
+            ON sketch.word_idx = probe.pos // {_BLOOM_WORD}
+        GROUP BY c_custkey
+    )
+    SELECT v.c_nationkey,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (v.bloom_pos) AS n_bloom_pos,
+           COUNT(*) FILTER (m.k IS NOT NULL) AS n_exact,
+           COUNT(*) FILTER (v.bloom_pos AND m.k IS NULL)
+               AS n_false_pos
+    FROM verdict v LEFT JOIN members m ON m.k = v.c_custkey
+    GROUP BY v.c_nationkey
+    """,
+)
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning, the runtime-filter pattern at
+    100 TB: build a {_BLOOM_M}-bit / {_BLOOM_K}-hash filter over the
+    1997 buyer keys (the small join side), probe every customer
+    through it, and report per-nation how the filter would prune an
+    exact semi-join — positives, true members, and false positives.
+    This is what Spark's AQE injects automatically as
+    `bloom_filter_agg`/`might_contain` (runtime filters); built here
+    from relational algebra so the mechanism is visible, tunable, and
+    oracle-verifiable.
+
+    Scale shape: the build explodes k (word, bit) pairs per member
+    key and collapses to a CONSTANT {_BLOOM_M // _BLOOM_WORD}-row
+    word table (bit_or partial-aggregates map-side; the exchange
+    carries words, not keys); the word table then rides into the probe
+    as PLAN LITERALS (the broadcast-variable pattern, cf.
+    emb_whitening), so the probe is MAP-ONLY — the corpus-sized stream
+    never shuffles on the key, which is the entire point of the
+    pattern (prune BEFORE the expensive exchange). md5-derived positions make the DuckDB oracle reproduce
+    the filter bit-for-bit: the sketch is hash-verified, not just
+    row-counted. The one-sided guarantee (no false negatives:
+    n_exact - true positives = 0) is asserted in
+    tests/test_semantics.py."""
+    o = spark.table("orders")
+    members = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = members.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col("k").cast("string"), i)
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    sketch = (
+        bits.groupBy(
+            (F.col("pos") / _BLOOM_WORD).cast("long").alias("word_idx")
+        )
+        .agg(
+            F.bit_or(
+                # shiftleft() needs a literal shift; 2^bit is exact in
+                # a double for bit <= 31 (word width caps it).
+                F.pow(F.lit(2.0), (F.col("pos") % _BLOOM_WORD))
+                .cast("long")
+            ).alias("word")
+        )
+    )
+    # Materialize the CONSTANT-sized word table into plan literals (the
+    # broadcast-variable pattern; cf. emb_whitening's matrix literals):
+    # the probe side then needs NO join and NO per-key shuffle — each
+    # row tests its k bits against the literal array map-side, which is
+    # exactly how a runtime filter sits in front of an exchange.
+    words = [0] * (_BLOOM_M // _BLOOM_WORD)
+    for r in sketch.collect():  # constant rows, not data-sized
+        words[int(r["word_idx"])] = int(r["word"])
+    warr = F.array(*[F.lit(w).cast("long") for w in words])
+    c = spark.table("customer").select("c_custkey", "c_nationkey")
+    tests = []
+    for i in range(_BLOOM_K):
+        pos = _bloom_pos(F.col("c_custkey").cast("string"), i)
+        mask = F.pow(F.lit(2.0), (pos % _BLOOM_WORD)).cast("long")
+        word = F.element_at(
+            warr, ((pos / _BLOOM_WORD).cast("int") + 1)
+        )
+        tests.append(word.bitwiseAND(mask) != 0)
+    bloom_pos = tests[0]
+    for t in tests[1:]:
+        bloom_pos = bloom_pos & t
+    verdict = c.select(
+        "c_custkey", "c_nationkey", bloom_pos.alias("bloom_pos")
+    )
+    return (
+        verdict.join(
+            F.broadcast(members),
+            verdict.c_custkey == members.k,
+            "left",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count(F.when(F.col("bloom_pos"), 1)).alias("n_bloom_pos"),
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_exact"),
+            F.count(
+                F.when(F.col("bloom_pos") & F.col("k").isNull(), 1)
+            ).alias("n_false_pos"),
+        )
+    )

@@ -370,6 +370,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_theilsen_slope",
     "diff_metric_snapshots",
     "emb_outlier_distance",
+    "join_asof_tolerance",
+    "path_trigram_topk",
+    "sketch_bloom_prefilter",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

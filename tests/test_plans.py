@@ -933,3 +933,35 @@ def test_emb_outlier_broadcast_centroids_no_python(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_asof_tolerance_joinless_single_exchange(spark, sf_dir):
+    """Tolerance as-of: union + window, no join; the tolerance is a
+    post-window expression, not a range join."""
+    plan = plan_of(spark, sf_dir, "join_asof_tolerance")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+
+
+def test_path_trigrams_topk_no_join(spark, sf_dir):
+    """Path mining: one (user_id) exchange for the journeys, map-side
+    trigram explode, partial-aggregated count, top-20 as
+    TakeOrderedAndProject — no join, no global sort, no Python."""
+    plan = plan_of(spark, sf_dir, "path_trigram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bloom_probe_is_map_only(spark, sf_dir):
+    """Bloom prefilter: the probe must test bits against PLAN LITERALS
+    — no shuffle of the probe stream on the key (that's the exchange
+    the filter exists to prevent); the only join is the broadcast
+    members join for the evaluation report."""
+    plan = plan_of(spark, sf_dir, "sketch_bloom_prefilter")
+    assert "hashpartitioning(c_custkey" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

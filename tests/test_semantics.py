@@ -1480,3 +1480,94 @@ def test_emb_outlier_matches_numpy(spark, sf_dir):
             z = round((di - mu) / sd, 4)
             assert abs(r["z"] - z) <= 1e-3
             assert bool(r["is_outlier"]) == (r["z"] > 2.0)
+
+
+def test_asof_tolerance_matches_python_mirror(spark, sf_dir):
+    """Per purchase: the most recent same-user error at-or-before it,
+    aged out past one hour — recomputed row-by-row in python."""
+    import datetime
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    evs = spark.table("events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    errors: dict = {}
+    for r in evs:
+        if r["event_type"] == "error":
+            errors.setdefault(r["user_id"], []).append(r["ts"])
+    for v in errors.values():
+        v.sort()
+    out = {
+        r["event_id"]: r["recent_error_ts"]
+        for r in SPECS["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    }
+    import bisect
+
+    hour = datetime.timedelta(hours=1)
+    n_checked = n_matched = 0
+    for r in evs:
+        if r["event_type"] != "purchase":
+            continue
+        n_checked += 1
+        errs = errors.get(r["user_id"], [])
+        i = bisect.bisect_right(errs, r["ts"])
+        exp = errs[i - 1] if i else None
+        if exp is not None and r["ts"] - exp > hour:
+            exp = None
+        assert out[r["event_id"]] == exp, r["event_id"]
+        n_matched += exp is not None
+    assert n_checked == len(out)
+    # The tolerance must actually bite at this SF: some purchases have
+    # an old error that a plain as-of would attach.
+    assert 0 < n_matched < n_checked
+
+
+def test_path_trigrams_match_python_mirror(spark, sf_dir):
+    """Top-20 trigram counts recomputed from the sorted per-user
+    journeys; tie order (count DESC, trigram ASC) is deterministic."""
+    from collections import Counter
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    evs = spark.table("events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    paths: dict = {}
+    for r in evs:
+        paths.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    counts: Counter = Counter()
+    for v in paths.values():
+        v.sort()
+        types = [t for (_ts, _e, t) in v]
+        for i in range(len(types) - 2):
+            counts[">".join(types[i : i + 3])] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["trigram"], r["n"])
+        for r in SPECS["path_trigram_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark, sf_dir):
+    """The one-sided Bloom guarantee: every exact member tests
+    positive (true positives == n_exact per nation); the false
+    positive rate over non-members stays far under the capacity
+    bound."""
+    rows = SPECS["sketch_bloom_prefilter"].fn(spark, sf_dir).collect()
+    assert rows
+    tot_nonmembers = tot_fp = 0
+    for r in rows:
+        true_pos = r["n_bloom_pos"] - r["n_false_pos"]
+        assert true_pos == r["n_exact"], (
+            f"nation {r['c_nationkey']}: false negatives"
+        )
+        tot_nonmembers += r["n_customers"] - r["n_exact"]
+        tot_fp += r["n_false_pos"]
+    if tot_nonmembers:
+        assert tot_fp / tot_nonmembers < 0.05
