@@ -104,6 +104,10 @@ HEADLINE = {
     "q38_anomaly": "ts_anomaly_zscore",
     "q39_temporal_scd2": "join_temporal_scd2",
     "q40_phash": "mm_phash_dedup",
+    "q41_bigram_lm": "text_bigram_logprob",
+    "q42_bloom_prefilter": "sketch_bloom_prefilter",
+    "q43_theilsen": "ts_theilsen_slope",
+    "q44_path_trigrams": "path_trigram_topk",
 }
 
 

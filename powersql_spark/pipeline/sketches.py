@@ -312,7 +312,10 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact - true positives = 0) is asserted in
     tests/test_semantics.py."""
     o = spark.table("orders")
-    members = (
+    # The build-key set feeds the sketch collect AND the evaluation
+    # join; persist it (build-side bounded by assumption) so the
+    # orders scan runs once.
+    members = track_persist(
         o.where(
             (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
