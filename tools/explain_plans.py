@@ -122,6 +122,18 @@ SHOW = {
     "graph_triangle_count": "Triangles: fact-sized edge build cached "
     "once; ordered a<b<c equi-join legs read the in-memory edge "
     "table.",
+    "diff_metric_snapshots": "Snapshot diff: the full-outer snapshot "
+    "join collapsed to ONE conditional aggregation — single pushed-"
+    "filter scan, no Join node anywhere.",
+    "sketch_bloom_prefilter": "Bloom prefilter: probe tests bits "
+    "against plan literals — no key shuffle of the probe stream; the "
+    "only join is the broadcast evaluation join.",
+    "ts_theilsen_slope": "Theil-Sen: pairwise equi-join on the series "
+    "key; the ranking window reuses the join's partitioning (no "
+    "exchange between them).",
+    "text_bigram_logprob": "Bigram LM: token arrays build bigrams "
+    "map-side (no positional self-join); the vocabulary model joins "
+    "back broadcast.",
 }
 
 
