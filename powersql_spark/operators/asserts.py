@@ -128,3 +128,123 @@ def assert_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_null_price"], m["n_nonpositive"], ok)],
         "n_rows bigint, n_null_price bigint, n_nonpositive bigint, condition boolean",
     )
+
+
+@query(
+    "assert_quality_report",
+    oracle="""
+    WITH ref AS (
+        SELECT COUNT(*) AS viol FROM lineitem
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey IS NULL
+    ),
+    flags AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (NOT (l_quantity > 0))
+                   AS qty_positive,
+               COUNT(*) FILTER (NOT (l_extendedprice >= 0))
+                   AS price_non_negative,
+               COUNT(*) FILTER (NOT (l_discount BETWEEN 0 AND 1))
+                   AS discount_in_unit_range,
+               COUNT(*) FILTER (NOT (l_tax BETWEEN 0 AND 1))
+                   AS tax_in_unit_range,
+               COUNT(*) FILTER (NOT (l_shipdate >= DATE '1995-01-01'
+                                     AND l_shipdate < DATE '2002-01-01'))
+                   AS shipdate_in_epoch,
+               COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R'))
+                   AS returnflag_in_domain
+        FROM lineitem
+    ),
+    pivoted AS (
+        SELECT 'qty_positive' AS rule, qty_positive AS n_violations,
+               n_rows FROM flags
+        UNION ALL SELECT 'price_non_negative', price_non_negative,
+               n_rows FROM flags
+        UNION ALL SELECT 'discount_in_unit_range',
+               discount_in_unit_range, n_rows FROM flags
+        UNION ALL SELECT 'tax_in_unit_range', tax_in_unit_range,
+               n_rows FROM flags
+        UNION ALL SELECT 'shipdate_in_epoch', shipdate_in_epoch,
+               n_rows FROM flags
+        UNION ALL SELECT 'returnflag_in_domain', returnflag_in_domain,
+               n_rows FROM flags
+        UNION ALL SELECT 'orderkey_in_orders', ref.viol, flags.n_rows
+               FROM ref, flags
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           round(CAST(n_violations AS DOUBLE) / n_rows, 6)
+               AS violation_pct,
+           n_violations = 0 AS passed
+    FROM pivoted
+    """,
+)
+def assert_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality RULE REPORT: every column rule the
+    reference's ASSERT corpus would write as a separate test
+    (positivity, non-negativity, unit-range, date domain, value
+    domain) evaluated in a SINGLE aggregate over the fact table,
+    plus one referential rule (lineitem -> orders) — emitted as
+    (rule, n_violations, violation_pct, passed) rows. The
+    report-not-gate complement of the boolean ASSERT family: a test
+    runner stops at the first red; operators monitoring 100 TB want
+    the whole violation profile from one scan.
+
+    Spark shape: the six column rules are conditional-count
+    aggregates in ONE scan (partial-aggregated, one single-row
+    result); the referential rule is the standard broadcast/shuffled
+    anti-join count. The pivot to rows happens on the single result
+    row via stack() — zero extra scans (same trick as
+    profile_table_summary)."""
+    li = spark.table("lineitem")
+    from pyspark.sql import functions as F
+
+    viol = {
+        "qty_positive": ~(F.col("l_quantity") > 0),
+        "price_non_negative": ~(F.col("l_extendedprice") >= 0),
+        "discount_in_unit_range": ~F.col("l_discount").between(0, 1),
+        "tax_in_unit_range": ~F.col("l_tax").between(0, 1),
+        "shipdate_in_epoch": ~(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("2002-01-01").cast("date"))
+        ),
+        "returnflag_in_domain": ~F.col("l_returnflag").isin(
+            "A", "N", "R"
+        ),
+    }
+    flags = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.count(F.when(cond, 1)).alias(rule)
+            for rule, cond in viol.items()
+        ],
+    )
+    ref = (
+        li.join(
+            spark.table("orders"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("orderkey_in_orders"))
+    )
+    wide = flags.join(ref)  # 1 row x 1 row
+    rules = list(viol) + ["orderkey_in_orders"]
+    stacked = wide.select(
+        "n_rows",
+        F.expr(
+            "stack({}, {}) as (rule, n_violations)".format(
+                len(rules),
+                ", ".join(f"'{r}', {r}" for r in rules),
+            )
+        ),
+    )
+    return stacked.select(
+        "rule",
+        "n_violations",
+        F.round(
+            F.try_divide(
+                F.col("n_violations").cast("double"), F.col("n_rows")
+            ),
+            6,
+        ).alias("violation_pct"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

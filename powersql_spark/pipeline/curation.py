@@ -986,3 +986,125 @@ def curation_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(kept, 1)).alias("n_kept"))
         .select("source", "n_docs", "keep_rate", "n_kept")
     )
+
+
+_KCENTER_K = 8
+_KC_DIM = 64
+
+_KC_SQDIST = (
+    "round(list_reduce(list_transform(range(1, {dim} + 1), i ->"
+    " round(pow({a}[i] - {b}[i], 2), 6)), (x, y) -> x + y), 6)"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Staged-CTE mirror of the greedy loop: stage k refines the
+    running min-distance with the k-th pick and selects the argmax."""
+    dim = _KC_DIM
+    parts = [
+        "WITH e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings),",
+        "n AS (SELECT vec_id, v,"
+        " round(list_reduce(list_transform(v, x -> round(x * x, 6)),"
+        " (a, b) -> a + b), 6) AS norm FROM e),",
+        "s1 AS (SELECT vec_id, v, CAST(NULL AS DOUBLE) AS radius"
+        " FROM n ORDER BY norm DESC, vec_id LIMIT 1),",
+        "d1 AS (SELECT n.vec_id, n.v, "
+        + _KC_SQDIST.format(dim=dim, a="n.v", b="s1.v")
+        + " AS mind FROM n, s1 WHERE n.vec_id <> s1.vec_id),",
+    ]
+    for k in range(2, _KCENTER_K + 1):
+        parts.append(
+            f"s{k} AS (SELECT vec_id, v, mind AS radius FROM d{k-1}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1),"
+        )
+        if k < _KCENTER_K:
+            parts.append(
+                f"d{k} AS (SELECT d.vec_id, d.v, least(d.mind, "
+                + _KC_SQDIST.format(dim=dim, a="d.v", b=f"s{k}.v")
+                + f") AS mind FROM d{k-1} d, s{k}"
+                f" WHERE d.vec_id <> s{k}.vec_id),"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS sel_round, vec_id, radius FROM s{k}"
+        for k in range(1, _KCENTER_K + 1)
+    )
+    return "\n".join(parts)[:-1] + "\n" + sel
+
+
+@query("sample_coreset_kcenter", oracle=_kcenter_oracle())
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985; the active-learning/data-selection coreset of
+    Sener & Savarese 2018): seed with the max-norm vector, then
+    repeatedly pick the point farthest (squared L2) from everything
+    selected so far — 8 picks whose running min-distance IS the
+    2-approximation coverage radius, emitted per pick.
+
+    Spark shape: the canonical k-bounded driver loop (BPE learn-merge
+    precedent): each round is ONE distributed job — refine the running
+    min-distance against the latest pick shipped as plan literals
+    (map-only; cf. emb_whitening), take the argmax via
+    TakeOrderedAndProject, collect exactly ONE row. k jobs total,
+    never a pairwise stage, state on the driver is k vectors. Squared
+    distances round per-term to 6dp and fold in index order, ties
+    break on vec_id, so every pick is cross-engine deterministic; the
+    oracle replays the same greedy as staged CTEs."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def sqdist_to(vec: list) -> "F.Column":
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        terms = F.zip_with(
+            "v", lit, lambda a, b: F.round(F.pow(a - b, 2), 6)
+        )
+        return F.round(
+            F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 6
+        )
+
+    seed_row = (
+        e.select("vec_id", "v", sqdist_to([0.0] * _KC_DIM).alias("norm"))
+        .orderBy(F.col("norm").desc(), "vec_id")
+        .limit(1)
+        .collect()
+    )
+    out_rows = []
+    if seed_row:
+        sel = seed_row[0]
+        out_rows.append((1, sel["vec_id"], None))
+        cand = e.where(F.col("vec_id") != sel["vec_id"]).select(
+            "vec_id", "v", sqdist_to(sel["v"]).alias("mind")
+        )
+        for k in range(2, _KCENTER_K + 1):
+            pick = (
+                cand.orderBy(F.col("mind").desc(), "vec_id")
+                .limit(1)
+                .collect()
+            )
+            if not pick:
+                break
+            sel = pick[0]
+            out_rows.append((k, sel["vec_id"], sel["mind"]))
+            if k < _KCENTER_K:
+                cand = cand.where(
+                    F.col("vec_id") != sel["vec_id"]
+                ).select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        "mind", sqdist_to(sel["v"])
+                    ).alias("mind"),
+                )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("sel_round", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("radius", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)

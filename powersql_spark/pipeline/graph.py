@@ -376,3 +376,150 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_LPA_ITER = 2
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH raw AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ),
+    und AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+               SUM(w) AS w
+        FROM raw GROUP BY LEAST(src, dst), GREATEST(src, dst)
+    ),
+    adj AS (
+        SELECT a AS node, b AS nbr, w FROM und
+        UNION ALL SELECT b, a, w FROM und
+    ),
+    l0 AS (SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation),
+    v1 AS (
+        SELECT adj.node, l0.lbl, SUM(adj.w) AS votes
+        FROM adj JOIN l0 ON l0.node = adj.nbr
+        GROUP BY adj.node, l0.lbl
+    ),
+    p1 AS (
+        SELECT node, lbl, ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY votes DESC, lbl) AS rn
+        FROM v1
+    ),
+    l1 AS (
+        SELECT l0.node, COALESCE(p1.lbl, l0.lbl) AS lbl
+        FROM l0 LEFT JOIN p1 ON p1.node = l0.node AND p1.rn = 1
+    ),
+    v2 AS (
+        SELECT adj.node, l1.lbl, SUM(adj.w) AS votes
+        FROM adj JOIN l1 ON l1.node = adj.nbr
+        GROUP BY adj.node, l1.lbl
+    ),
+    p2 AS (
+        SELECT node, lbl, ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY votes DESC, lbl) AS rn
+        FROM v2
+    ),
+    l2 AS (
+        SELECT l1.node, COALESCE(p2.lbl, l1.lbl) AS lbl
+        FROM l1 LEFT JOIN p2 ON p2.node = l1.node AND p2.rn = 1
+    )
+    SELECT node AS n_nationkey, lbl AS community
+    FROM l2
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation (community detection) over the
+    undirected trade graph: every node adopts the label with the
+    largest total incident edge weight among its neighbors, ties to
+    the smallest label, for {_LPA_ITER} synchronized rounds. The
+    community complement to dedup_connected_components (which finds
+    CONNECTIVITY — LPA splits a connected graph into densely-traded
+    blocks) and to graph_pagerank (importance, not membership).
+
+    Scale shape: identical skeleton to pagerank — the fact tables
+    collapse once into the persisted O(nations^2) weighted adjacency;
+    each round is one broadcast join of the node-sized label vector
+    against the adjacency + one (node, lbl) vote aggregate + one
+    argmax window. Fixed rounds keep it a single declarative plan the
+    oracle mirrors CTE-for-CTE; ties (votes DESC, lbl ASC) are
+    integer-deterministic."""
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        spark.table("customer").select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        spark.table("supplier").select("s_suppkey", "s_nationkey")
+    )
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from powersql_spark.catalog import track_persist
+
+    und = track_persist(
+        raw.groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).agg(F.sum("w").alias("w"))
+    )
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr"), "w"
+    ).unionAll(
+        und.select(
+            F.col("b").alias("node"), F.col("a").alias("nbr"), "w"
+        )
+    )
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ITER):
+        votes = (
+            adj.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("nbr"), "lbl"
+                    )
+                ),
+                "nbr",
+            )
+            .groupBy("node", "lbl")
+            .agg(F.sum("w").alias("votes"))
+        )
+        w_rank = Window.partitionBy("node").orderBy(
+            F.col("votes").desc(), F.col("lbl")
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = labels.join(F.broadcast(best), "node", "left").select(
+            "node",
+            F.coalesce("new_lbl", "lbl").alias("lbl"),
+        )
+    return labels.select(
+        F.col("node").alias("n_nationkey"),
+        F.col("lbl").alias("community"),
+    )

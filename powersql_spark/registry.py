@@ -373,6 +373,9 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_tolerance",
     "path_trigram_topk",
     "sketch_bloom_prefilter",
+    "assert_quality_report",
+    "graph_label_propagation",
+    "sample_coreset_kcenter",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

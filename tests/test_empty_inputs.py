@@ -52,7 +52,12 @@ def test_runs_on_empty_input(spark, key):
     # profile_table_summary is schema-driven: an empty table still
     # profiles as one all-zero row per COLUMN, which is the correct
     # answer for "describe this table".
-    generators = {"fn_sequence", "fn_date_spine", "profile_table_summary"}
+    generators = {
+        "fn_sequence", "fn_date_spine", "profile_table_summary",
+        # schema-driven report: an empty table still yields one row
+        # per RULE (all zero-violation), the correct answer.
+        "assert_quality_report",
+    }
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"
     )

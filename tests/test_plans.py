@@ -965,3 +965,32 @@ def test_bloom_probe_is_map_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_quality_report_two_scans_max(spark, sf_dir):
+    """Quality report: the six column rules share ONE lineitem scan;
+    the referential rule adds only the anti-join branch — two scans
+    total, pivot on the single result row."""
+    plan = plan_of(spark, sf_dir, "assert_quality_report")
+    assert plan.count("lineitem.parquet") <= 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_label_propagation_cached_adjacency(spark, sf_dir):
+    """LPA: fact tables collapse once into the cached adjacency; every
+    round joins a broadcast label vector — no cartesian, BNLJ bounded
+    by the printed cached lineage."""
+    plan = plan_of(spark, sf_dir, "graph_label_propagation")
+    assert "InMemoryTableScan" in plan, "adjacency not cached"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kcenter_result_is_local_relation(spark, sf_dir):
+    """k-center: the returned frame is the k-bounded driver-collected
+    selection — a local relation with no distributed stages left (the
+    per-round argmax jobs already ran)."""
+    plan = plan_of(spark, sf_dir, "sample_coreset_kcenter")
+    assert "Exchange" not in plan
+    assert "parquet" not in plan

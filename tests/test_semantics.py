@@ -1571,3 +1571,119 @@ def test_bloom_no_false_negatives_and_low_fp(spark, sf_dir):
         tot_fp += r["n_false_pos"]
     if tot_nonmembers:
         assert tot_fp / tot_nonmembers < 0.05
+
+
+def test_quality_report_clean_corpus_all_pass(spark, sf_dir):
+    """The synthetic corpus satisfies every rule: 7 rows (6 column
+    rules + 1 referential), all zero-violation, all passed."""
+    rows = SPECS["assert_quality_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert {r["rule"] for r in rows} == {
+        "qty_positive", "price_non_negative", "discount_in_unit_range",
+        "tax_in_unit_range", "shipdate_in_epoch",
+        "returnflag_in_domain", "orderkey_in_orders",
+    }
+    for r in rows:
+        assert r["n_violations"] == 0
+        assert r["violation_pct"] == 0.0
+        assert bool(r["passed"])
+
+
+def test_label_propagation_matches_python_mirror(spark, sf_dir):
+    """Two synchronized LPA rounds replayed in python from the same
+    weighted adjacency give identical communities."""
+    from collections import defaultdict
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(
+        spark,
+        sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "nation"),
+    )
+    und = spark.sql(
+        """
+        SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+               greatest(c.c_nationkey, s.s_nationkey) AS b,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+        """
+    ).collect()
+    nodes = [
+        r["n_nationkey"]
+        for r in spark.table("nation").select("n_nationkey").collect()
+    ]
+    adj: dict = defaultdict(dict)
+    for r in und:
+        adj[r["a"]][r["b"]] = adj[r["a"]].get(r["b"], 0) + r["w"]
+        adj[r["b"]][r["a"]] = adj[r["b"]].get(r["a"], 0) + r["w"]
+    labels = {n: n for n in nodes}
+    for _ in range(2):
+        new = {}
+        for n in nodes:
+            votes: dict = defaultdict(int)
+            for nbr, w in adj.get(n, {}).items():
+                votes[labels[nbr]] += w
+            if votes:
+                new[n] = min(
+                    votes, key=lambda lbl: (-votes[lbl], lbl)
+                )
+            else:
+                new[n] = labels[n]
+        labels = new
+    got = {
+        r["n_nationkey"]: r["community"]
+        for r in SPECS["graph_label_propagation"].fn(spark, sf_dir).collect()
+    }
+    assert got == labels
+
+
+def test_kcenter_matches_numpy_greedy(spark, sf_dir):
+    """The 8 picks and coverage radii replayed with numpy (identical
+    rounding and tie rules) match; radii are non-increasing (the
+    2-approximation certificate)."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    pdf = spark.table("embeddings").select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+
+    def sqd(A, b):
+        return np.round(np.round((A - b) ** 2, 6).sum(axis=1), 6)
+
+    norms = sqd(V, np.zeros(V.shape[1]))
+    order = np.lexsort((ids, -norms))
+    sel = [order[0]]
+    mask = np.ones(len(ids), bool)
+    mask[sel[0]] = False
+    mind = sqd(V, V[sel[0]])
+    expected = [(1, int(ids[sel[0]]), None)]
+    for k in range(2, 9):
+        cand = np.flatnonzero(mask)
+        pick = cand[np.lexsort((ids[cand], -mind[cand]))[0]]
+        expected.append((k, int(ids[pick]), float(mind[pick])))
+        mask[pick] = False
+        mind = np.minimum(mind, sqd(V, V[pick]))
+    got = [
+        (r["sel_round"], r["vec_id"], r["radius"])
+        for r in sorted(
+            SPECS["sample_coreset_kcenter"].fn(spark, sf_dir).collect(),
+            key=lambda r: r["sel_round"],
+        )
+    ]
+    for (gk, gid, gr), (ek, eid, er) in zip(got, expected):
+        assert (gk, gid) == (ek, eid)
+        if er is None:
+            assert gr is None
+        else:
+            assert abs(gr - er) <= 2e-6
+    radii = [r for (_k, _i, r) in got if r is not None]
+    assert radii == sorted(radii, reverse=True)
