@@ -200,3 +200,132 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_bytes"),
         )
     )
+
+
+def _hilbert_steps():
+    """Step sizes of the xy2d walk, coarse to fine."""
+    return [1 << i for i in range(_BITS - 1, -1, -1)]
+
+
+def _hilbert_sql(qa: str, qb: str) -> str:
+    """Staged-CTE Hilbert index (the standard public-domain xy2d
+    walk): each stage consumes (x, y, d) from the previous, adds the
+    quadrant term, and applies the reflect+swap rotation."""
+    stages = [
+        f"h0 AS (SELECT *, {qa} AS x, {qb} AS y, CAST(0 AS BIGINT) AS d"
+        " FROM quant)"
+    ]
+    for k, s in enumerate(_hilbert_steps(), start=1):
+        p = f"h{k - 1}"
+        stages.append(
+            f"h{k} AS (SELECT * EXCLUDE (x, y, d),"
+            f" CASE WHEN (y & {s}) = 0 THEN"
+            f"   CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END"
+            f" ELSE x END AS x,"
+            f" CASE WHEN (y & {s}) = 0 THEN"
+            f"   CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END"
+            f" ELSE y END AS y,"
+            f" d + {s} * {s} *"
+            f" xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),"
+            f"     CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d"
+            f" FROM {p})"
+        )
+    return ",\n    ".join(stages)
+
+
+@query(
+    "layout_hilbert",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(l_quantity) AS lo_q, MAX(l_quantity) AS hi_q,
+               MIN(l_extendedprice) AS lo_p, MAX(l_extendedprice) AS hi_p
+        FROM lineitem
+    ),
+    quant AS (
+        SELECT {_Q} AS qa, {_P} AS qb
+        FROM lineitem, bounds
+    ),
+    {_hilbert_sql("qa", "qb")}
+    SELECT d >> {_BUCKET_SHIFT} AS h_bucket,
+           COUNT(*) AS n_rows,
+           MIN(qa) AS min_qty_cell, MAX(qa) AS max_qty_cell,
+           MIN(qb) AS min_price_cell, MAX(qb) AS max_price_cell
+    FROM h{_BITS}
+    GROUP BY h_bucket
+    """,
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve data layout over (quantity, price) — the
+    space-filling clustering Delta/Iceberg offer beside Z-order
+    (`OPTIMIZE ... HILBERT`): quantize each dimension to 8-bit cells,
+    map the cell to its Hilbert index with the standard xy2d rotation
+    walk, bucket the top bits. Hilbert beats Morton on locality — the
+    curve never jumps, so a file (bucket) covers one contiguous blob
+    of the grid instead of Morton's split quadrant seams (better
+    min/max pruning at the same file count).
+
+    Spark shape: identical to layout_zorder — pure integer codegen
+    arithmetic, map-only until the per-bucket rollup; the 8 rotation
+    steps are CHAINED PROJECTIONS (withColumns per step), so each
+    step's (x, y, d) are named columns, not exponentially nested
+    expressions. The oracle replays the same walk as staged CTEs;
+    bijectivity on the full 256x256 grid and the python xy2d mirror
+    are pinned in tests."""
+    li = spark.table("lineitem")
+    bounds = li.agg(
+        F.min("l_quantity").alias("lo_q"),
+        F.max("l_quantity").alias("hi_q"),
+        F.min("l_extendedprice").alias("lo_p"),
+        F.max("l_extendedprice").alias("hi_p"),
+    )
+    df = li.join(F.broadcast(bounds)).select(
+        _quant(
+            F.col("l_quantity"), F.col("lo_q"), F.col("hi_q")
+        ).alias("qa"),
+        _quant(
+            F.col("l_extendedprice"), F.col("lo_p"), F.col("hi_p")
+        ).alias("qb"),
+    )
+    df = df.withColumns(
+        {
+            "x": F.col("qa"),
+            "y": F.col("qb"),
+            "d": F.lit(0).cast("long"),
+        }
+    )
+    for s in _hilbert_steps():
+        rx = F.when(F.col("x").bitwiseAND(s) > 0, 1).otherwise(0)
+        ry = F.when(F.col("y").bitwiseAND(s) > 0, 1).otherwise(0)
+        df = df.withColumns({"rx": rx, "ry": ry})
+        flip_x = F.when(
+            F.col("rx") == 1, F.lit(s - 1) - F.col("x")
+        ).otherwise(F.col("x"))
+        flip_y = F.when(
+            F.col("rx") == 1, F.lit(s - 1) - F.col("y")
+        ).otherwise(F.col("y"))
+        df = df.withColumns(
+            {
+                "d": F.col("d")
+                + F.lit(s * s)
+                * (F.lit(3) * F.col("rx")).bitwiseXOR(F.col("ry")),
+                # ry == 0: reflect (if rx) then swap; else unchanged.
+                "x": F.when(F.col("ry") == 0, flip_y).otherwise(
+                    F.col("x")
+                ),
+                "y": F.when(F.col("ry") == 0, flip_x).otherwise(
+                    F.col("y")
+                ),
+            }
+        )
+    return (
+        df.groupBy(
+            F.shiftright(F.col("d"), _BUCKET_SHIFT).alias("h_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("qa").alias("min_qty_cell"),
+            F.max("qa").alias("max_qty_cell"),
+            F.min("qb").alias("min_price_cell"),
+            F.max("qb").alias("max_price_cell"),
+        )
+    )

@@ -145,3 +145,155 @@ def profile_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
     )
+
+
+_KS_BKTS = 256  # coarse value bins for the two-phase prefix sum
+_KS_C05 = 1.358  # Kolmogorov critical coefficient, alpha = 0.05
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH e AS (
+        SELECT round(value, 6) AS v,
+               CASE event_type WHEN 'click' THEN 1 ELSE 2 END AS g
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    dv AS (
+        SELECT v,
+               COUNT(*) FILTER (g = 1) AS c1,
+               COUNT(*) FILTER (g = 2) AS c2
+        FROM e GROUP BY v
+    ),
+    n AS (
+        SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM dv
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c1) OVER (ORDER BY v) AS f1,
+               SUM(c2) OVER (ORDER BY v) AS f2
+        FROM dv
+    ),
+    top AS (
+        SELECT v, abs(f1 * n.n2 - f2 * n.n1) AS dn
+        FROM cum, n
+        ORDER BY dn DESC, v
+        LIMIT 1
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           round(CAST(top.dn AS DOUBLE) / (n.n1 * n.n2), 6) AS ks_d,
+           top.v AS ks_at,
+           CAST(top.dn AS DOUBLE)
+               > {_KS_C05} * sqrt(CAST((n.n1 + n.n2) * n.n1 * n.n2
+                                       AS DOUBLE)) AS reject_05
+    FROM top, n
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the click and
+    purchase value distributions: D = max ECDF gap, the value where it
+    occurs, and the alpha=0.05 decision — the distribution-drift
+    screen run between corpus versions or data sources (complements
+    ts_changepoint_cusum, which watches ONE series over time).
+
+    Scale shape: the ECDF needs a GLOBAL value order, but never a
+    global sort: distinct rounded values aggregate first (one
+    exchange), then the running counts use the two-phase distributed
+    prefix sum (curation_token_budget's pattern) — per-bin subtotals
+    over {_KS_BKTS} range bins get prefix offsets in a metadata-sized
+    window, broadcast back, and each bin accumulates locally in
+    parallel. The gap statistic stays INTEGER (|f1*n2 - f2*n1|) until
+    one final division, so D and its argmax (ties -> min value) are
+    exactly deterministic cross-engine; the argmax itself is a
+    TakeOrderedAndProject, not a sort."""
+    e = (
+        spark.table("events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.round("value", 6).alias("v"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(2)
+            .alias("g"),
+        )
+    )
+    dv = e.groupBy("v").agg(
+        F.count(F.when(F.col("g") == 1, 1)).alias("c1"),
+        F.count(F.when(F.col("g") == 2, 1)).alias("c2"),
+    )
+    rng = dv.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    binned = dv.join(F.broadcast(rng)).select(
+        "v",
+        "c1",
+        "c2",
+        "n1",
+        "n2",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _KS_BKTS
+                ),
+                F.lit(_KS_BKTS - 1),
+            ),
+        )
+        .otherwise(0)
+        .alias("bkt"),
+    )
+    from pyspark.sql import Window
+
+    totals = binned.groupBy("bkt").agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    w_off = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bkt",
+        F.coalesce(F.sum("t1").over(w_off), F.lit(0)).alias("b1"),
+        F.coalesce(F.sum("t2").over(w_off), F.lit(0)).alias("b2"),
+    )
+    w_local = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = binned.join(F.broadcast(offsets), "bkt").select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            (F.col("b1") + F.sum("c1").over(w_local)) * F.col("n2")
+            - (F.col("b2") + F.sum("c2").over(w_local)) * F.col("n1")
+        ).alias("dn"),
+    )
+    top = gaps.orderBy(F.col("dn").desc(), "v").limit(1)
+    return top.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(
+            F.col("dn").cast("double") / (F.col("n1") * F.col("n2")), 6
+        ).alias("ks_d"),
+        F.col("v").alias("ks_at"),
+        (
+            F.col("dn").cast("double")
+            > _KS_C05
+            * F.sqrt(
+                (
+                    (F.col("n1") + F.col("n2"))
+                    * F.col("n1")
+                    * F.col("n2")
+                ).cast("double")
+            )
+        ).alias("reject_05"),
+    )

@@ -376,6 +376,8 @@ _PRIORITY: tuple[str, ...] = (
     "assert_quality_report",
     "graph_label_propagation",
     "sample_coreset_kcenter",
+    "stats_ks_two_sample",
+    "layout_hilbert",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

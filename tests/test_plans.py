@@ -994,3 +994,25 @@ def test_kcenter_result_is_local_relation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_coreset_kcenter")
     assert "Exchange" not in plan
     assert "parquet" not in plan
+
+
+def test_ks_two_phase_prefix_no_global_sort(spark, sf_dir):
+    """KS: the ECDF must use the two-phase prefix sum — a metadata
+    window over bins plus per-bin local windows — and the argmax is a
+    TakeOrderedAndProject; the only single-row broadcasts are the
+    range/total scalars."""
+    plan = plan_of(spark, sf_dir, "stats_ks_two_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "hashpartitioning(bkt" in plan, "no per-bin local windows"
+
+
+def test_hilbert_two_scans_integer_pipeline(spark, sf_dir):
+    """Hilbert layout: bounds pass + map-only walk + rollup — two
+    lineitem scans, no Python, no cartesian blowup (the single-row
+    bounds broadcast is the only nested-loop)."""
+    plan = plan_of(spark, sf_dir, "layout_hilbert")
+    assert plan.count("lineitem.parquet") <= 2
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -1687,3 +1687,97 @@ def test_kcenter_matches_numpy_greedy(spark, sf_dir):
             assert abs(gr - er) <= 2e-6
     radii = [r for (_k, _i, r) in got if r is not None]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_ks_matches_numpy_mirror(spark, sf_dir):
+    """D, its location, and the decision recomputed with numpy's exact
+    integer ECDF formulation."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    pdf = (
+        spark.table("events")
+        .where("value is not null and event_type in ('click','purchase')")
+        .select(F.round("value", 6).alias("v"), "event_type")
+        .toPandas()
+    )
+    a = np.sort(pdf[pdf["event_type"] == "click"]["v"].to_numpy())
+    b = np.sort(pdf[pdf["event_type"] == "purchase"]["v"].to_numpy())
+    n1, n2 = len(a), len(b)
+    vs = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, vs, side="right")
+    f2 = np.searchsorted(b, vs, side="right")
+    dn = np.abs(f1 * n2 - f2 * n1)
+    best = np.flatnonzero(dn == dn.max())[0]  # min v among argmax
+    r = SPECS["stats_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["ks_d"] - round(float(dn[best]) / (n1 * n2), 6)) <= 1e-9
+    assert r["ks_at"] == vs[best]
+    assert bool(r["reject_05"]) == bool(
+        dn[best] > 1.358 * np.sqrt(float((n1 + n2) * n1 * n2))
+    )
+
+
+def _xy2d(order_bits, x, y):
+    d = 0
+    s = 1 << (order_bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_is_bijective_and_unit_step():
+    """The python mirror of the walk is a bijection on the full
+    256x256 grid and consecutive indices are grid-adjacent (the
+    defining Hilbert property Morton lacks)."""
+    n = 256
+    inv = {}
+    for x in range(n):
+        for y in range(n):
+            inv[_xy2d(8, x, y)] = (x, y)
+    assert len(inv) == n * n
+    assert min(inv) == 0 and max(inv) == n * n - 1
+    for d in range(0, n * n - 1, 997):  # stride sample of the walk
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_matches_python_mirror(spark, sf_dir):
+    """Per-bucket rollup recomputed from the quantized cells through
+    the python xy2d."""
+    from collections import defaultdict
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    pdf = spark.table("lineitem").select(
+        "l_quantity", "l_extendedprice"
+    ).toPandas()
+    import numpy as np
+
+    def q(col):
+        lo, hi = col.min(), col.max()
+        return np.minimum(
+            np.floor((col - lo) / (hi - lo) * 256).astype(int), 255
+        )
+
+    qa = q(pdf["l_quantity"].to_numpy())
+    qb = q(pdf["l_extendedprice"].to_numpy())
+    counts: dict = defaultdict(int)
+    for x, y in zip(qa, qb):
+        counts[_xy2d(8, int(x), int(y)) >> 10] += 1
+    got = {
+        r["h_bucket"]: r["n_rows"]
+        for r in SPECS["layout_hilbert"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(counts)
