@@ -1108,3 +1108,71 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out_rows, schema)
+
+
+@query(
+    "split_group_holdout",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id, event_id,
+               CASE
+                   WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || ':grp'), 1, 8))::BIGINT % 10 < 8
+                       THEN 'train'
+                   WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                        || ':grp'), 1, 8))::BIGINT % 10 < 9
+                       THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM events
+    )
+    SELECT split,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM assigned
+    GROUP BY split
+    """,
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level holdout split (80/10/10 by USER, not by row): every
+    event of a user lands in the same split, the leakage-safe protocol
+    for behavioral data — a row-level split (split_train_val_test's
+    shape) would put one user's history on both sides of the
+    train/test boundary and leak identity features. Assignment is a
+    salted md5 of the group key, so it is stable across runs, corpus
+    growth, and engines (the DuckDB oracle reproduces it bit-for-bit).
+
+    Scale shape: the assignment is map-only (hash of the key, no
+    lookup table, no shuffle by user); only the report aggregates.
+    The no-straddle invariant — each user appears in exactly one
+    split — is pinned in tests/test_semantics.py."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit(":grp")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train")
+        .when(bucket < 9, "val")
+        .otherwise("test")
+    )
+    return (
+        spark.table("events")
+        .select("user_id", "event_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -23,6 +23,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import DEC
 from powersql_spark.registry import query
 
 _KEYS = ("l_partkey", "l_suppkey", "l_orderkey")
@@ -296,4 +297,113 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
             )
         ).alias("reject_05"),
+    )
+
+
+# Standard chi-square 0.05 critical values by degrees of freedom.
+_CHI2_CRIT_05 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
+    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 11: 19.675,
+    12: 21.026, 13: 22.362, 14: 23.685, 15: 24.996, 16: 26.296,
+    17: 27.587, 18: 28.869, 19: 30.144, 20: 31.410, 21: 32.671,
+    22: 33.924, 23: 35.172, 24: 36.415, 25: 37.652, 26: 38.885,
+    27: 40.113, 28: 41.337, 29: 42.557, 30: 43.773,
+}
+
+_CHI2_CRIT_CASE = "CASE dof " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in _CHI2_CRIT_05.items()
+) + " END"
+
+
+@query(
+    "stats_chi2_independence",
+    oracle=f"""
+    WITH cont AS (
+        SELECT event_type, isodow(ts) AS dow, COUNT(*) AS obs
+        FROM events GROUP BY event_type, isodow(ts)
+    ),
+    rt AS (SELECT event_type, SUM(obs) AS r FROM cont GROUP BY event_type),
+    ct AS (SELECT dow, SUM(obs) AS c FROM cont GROUP BY dow),
+    n AS (
+        SELECT SUM(obs) AS n,
+               (COUNT(DISTINCT event_type) - 1)
+                   * (COUNT(DISTINCT dow) - 1) AS dof
+        FROM cont
+    ),
+    terms AS (
+        SELECT round(pow(cont.obs - CAST(rt.r * ct.c AS DOUBLE) / n.n, 2)
+                     / (CAST(rt.r * ct.c AS DOUBLE) / n.n), 6) AS t
+        FROM cont
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow), n
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(n.dof AS BIGINT) AS dof,
+           round(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS chi2,
+           round(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE), 4)
+               > {_CHI2_CRIT_CASE} AS reject_05
+    FROM terms, n
+    GROUP BY n.n, n.dof
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between event type and ISO
+    weekday — the categorical drift/association screen next to
+    stats_ks_two_sample's continuous one (is behavior day-of-week
+    dependent, did a source's category mix shift?). Emits N, degrees
+    of freedom, the statistic, and the alpha=0.05 decision against
+    the standard critical-value table.
+
+    Scale shape: ONE exchange collapses the corpus to the (types x 7)
+    contingency table; marginals, expected counts, and the statistic
+    all live on that metadata-sized table (broadcast joins). Terms
+    round to 6dp and decimal-sum, so the 4dp statistic and the
+    threshold comparison are deterministic cross-engine."""
+    cont = (
+        spark.table("events")
+        .groupBy(
+            "event_type", (F.weekday("ts") + 1).alias("dow")
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    from powersql_spark.catalog import track_persist
+
+    cont = track_persist(cont)
+    rt = cont.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = cont.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = cont.agg(
+        F.sum("obs").alias("n"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).alias("dof"),
+    )
+    exp = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    term = F.round(
+        F.pow(F.col("obs") - exp, 2) / exp, 6
+    ).cast(DEC)
+    chi2 = F.round(F.sum(term).cast("double"), 4)
+    crit = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for kv in _CHI2_CRIT_05.items()
+                for x in kv
+            ]
+        ),
+        F.col("dof").cast("int"),
+    )
+    return (
+        cont.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(n))
+        .groupBy("n", "dof")
+        .agg(chi2.alias("chi2"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("dof").cast("bigint").alias("dof"),
+            "chi2",
+            (F.col("chi2") > crit).alias("reject_05"),
+        )
     )

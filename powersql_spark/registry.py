@@ -378,6 +378,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_coreset_kcenter",
     "stats_ks_two_sample",
     "layout_hilbert",
+    "stats_chi2_independence",
+    "split_group_holdout",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1016,3 +1016,22 @@ def test_hilbert_two_scans_integer_pipeline(spark, sf_dir):
     assert plan.count("lineitem.parquet") <= 2
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_chi2_metadata_joins_only(spark, sf_dir):
+    """Chi2: one corpus exchange to the cached contingency table;
+    marginals/expected/statistic are broadcast joins on that table."""
+    plan = plan_of(spark, sf_dir, "stats_chi2_independence")
+    assert "InMemoryTableScan" in plan, "contingency table not cached"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_group_holdout_assignment_is_map_only(spark, sf_dir):
+    """Group split: the assignment must be a pure hash expression — no
+    join, no shuffle by user; only the report aggregate exchanges."""
+    plan = plan_of(spark, sf_dir, "split_group_holdout")
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" not in plan
+    assert "EvalPython" not in plan

@@ -1781,3 +1781,74 @@ def test_hilbert_matches_python_mirror(spark, sf_dir):
         for r in SPECS["layout_hilbert"].fn(spark, sf_dir).collect()
     }
     assert got == dict(counts)
+
+
+def test_chi2_matches_numpy_mirror(spark, sf_dir):
+    """Statistic recomputed from the pandas contingency table with the
+    identical rounding ladder."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    pdf = (
+        spark.table("events")
+        .select("event_type", (F.weekday("ts") + 1).alias("dow"))
+        .toPandas()
+    )
+    cont = pdf.groupby(["event_type", "dow"]).size()
+    n = cont.sum()
+    rt = cont.groupby("event_type").sum()
+    ct = cont.groupby("dow").sum()
+    terms = [
+        round(
+            (obs - rt[et] * ct[dow] / n) ** 2 / (rt[et] * ct[dow] / n),
+            6,
+        )
+        for (et, dow), obs in cont.items()
+    ]
+    chi2 = round(float(np.sum(terms)), 4)
+    dof = (cont.index.levels[0].size - 1) * (
+        cont.index.get_level_values("dow").nunique() - 1
+    )
+    r = SPECS["stats_chi2_independence"].fn(spark, sf_dir).collect()[0]
+    assert r["n"] == n and r["dof"] == dof
+    assert abs(r["chi2"] - chi2) <= 2e-4
+    from powersql_spark.pipeline.profiling import _CHI2_CRIT_05
+
+    assert bool(r["reject_05"]) == (chi2 > _CHI2_CRIT_05[dof])
+
+
+def test_group_holdout_no_user_straddles(spark, sf_dir):
+    """The defining leakage guarantee: recompute the per-user split
+    assignment and check every user maps to exactly one split; the
+    reported counts reconcile."""
+    import hashlib
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    users = [
+        r["user_id"]
+        for r in spark.table("events").select("user_id").distinct().collect()
+    ]
+    n_events = spark.table("events").count()
+
+    def split_of(uid):
+        h = int(
+            hashlib.md5(f"{uid}:grp".encode()).hexdigest()[:8], 16
+        ) % 10
+        return "train" if h < 8 else ("val" if h < 9 else "test")
+
+    per_split_users: dict = {"train": 0, "val": 0, "test": 0}
+    for u in users:
+        per_split_users[split_of(u)] += 1
+    rows = {
+        r["split"]: r
+        for r in SPECS["split_group_holdout"].fn(spark, sf_dir).collect()
+    }
+    assert sum(r["n_users"] for r in rows.values()) == len(users)
+    assert sum(r["n_events"] for r in rows.values()) == n_events
+    for s, cnt in per_split_users.items():
+        if cnt:
+            assert rows[s]["n_users"] == cnt
