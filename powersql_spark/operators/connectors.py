@@ -380,3 +380,52 @@ def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("batch").alias("n_batches"),
         )
     )
+
+
+@query(
+    "join_dpp_pruned",
+    oracle="""
+    WITH dim(yr, era) AS (VALUES (1997, 'old'), (1998, 'recent')),
+    fact AS (
+        SELECT year(o_orderdate) AS yr, o_totalprice FROM orders
+    )
+    SELECT dim.era, fact.yr,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+    FROM fact JOIN dim ON dim.yr = fact.yr
+    WHERE dim.era IN ('old', 'recent')
+    GROUP BY dim.era, fact.yr
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, end to end: stage orders as a
+    Hive-partitioned table on order YEAR, join it against a tiny
+    filtered era dimension on the partition column, and let Spark
+    derive the partition filter FROM THE JOIN at runtime — the scan
+    lists only the dimension's years even though no literal year
+    predicate exists on the fact side. At 100 TB this (plus static
+    pruning, sink_partitioned) is the core mechanism that turns
+    "scan the decade" into "scan two years"; the plan gate asserts
+    the dynamicpruning expression landed in PartitionFilters.
+
+    The staged write is the test-scale stand-in for the already-
+    partitioned production table; the read-back carries an explicit
+    schema so the operator never depends on listing-based inference."""
+    path = _stage_path("orders_by_year")
+    staged = spark.table("orders").select(
+        F.year("o_orderdate").alias("yr"), "o_totalprice"
+    )
+    staged.write.mode("overwrite").partitionBy("yr").parquet(path)
+    fact = spark.read.schema(staged.schema).parquet(path)
+    dim = spark.createDataFrame(
+        [(1997, "old"), (1998, "recent")], "yr int, era string"
+    ).where(F.col("era").isin("old", "recent"))
+    return (
+        fact.join(F.broadcast(dim), "yr")
+        .groupBy("era", "yr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )

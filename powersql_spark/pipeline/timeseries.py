@@ -874,3 +874,84 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(
         F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
     ).select("user_id", F.col("slope").alias("ts_slope"), "n_pairs")
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+               lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    seg AS (
+        SELECT user_id, day, value,
+               (epoch_us(nxt) - epoch_us(ts)) / 1e6 AS dur
+        FROM v WHERE nxt IS NOT NULL
+    )
+    SELECT user_id, day,
+           round(CAST(SUM(CAST(round(value * dur, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(round(dur, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE), 6) AS twavg,
+           COUNT(*) AS n_segments
+    FROM seg
+    GROUP BY user_id, day
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user per day (the TimescaleDB
+    ``time_weight('LOCF', ...)`` aggregate): each observation is held
+    until the next one, so its weight is the duration it was current —
+    the correct average for irregularly sampled series (a plain AVG
+    overweights bursts of samples). Last observation of the day has no
+    successor and carries no weight (days with one sample drop).
+
+    Spark shape: the lead() window and the (user, day) aggregate share
+    ONE exchange — the window partitions on (user_id, day) and the
+    groupBy reuses that partitioning, no second shuffle. Weighted sums
+    and total durations round to 6dp and decimal-sum, so the ratio is
+    bit-stable cross-engine."""
+    # Project `day` BEFORE the window so the window partition and the
+    # final groupBy reference the same attribute — Catalyst then reuses
+    # one (user_id, day) exchange for both (partitioning propagation
+    # does not see through an alias of the raw cast expression).
+    base = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    v = base.select(
+        "user_id",
+        "day",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    dur = (
+        F.unix_micros(F.col("nxt")) - F.unix_micros(F.col("ts"))
+    ) / F.lit(1e6)
+    seg = v.where(F.col("nxt").isNotNull()).select(
+        "user_id", "day", "value", dur.alias("dur")
+    )
+    return seg.groupBy("user_id", "day").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("value") * F.col("dur"), 6).cast(DEC)
+            ).cast("double")
+            / F.sum(F.round(F.col("dur"), 6).cast(DEC)).cast(
+                "double"
+            ),
+            6,
+        ).alias("twavg"),
+        F.count("*").alias("n_segments"),
+    )

@@ -380,6 +380,8 @@ _PRIORITY: tuple[str, ...] = (
     "layout_hilbert",
     "stats_chi2_independence",
     "split_group_holdout",
+    "ts_time_weighted_avg",
+    "join_dpp_pruned",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

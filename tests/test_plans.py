@@ -1035,3 +1035,22 @@ def test_group_holdout_assignment_is_map_only(spark, sf_dir):
     assert "Join" not in plan
     assert "hashpartitioning(user_id" not in plan
     assert "EvalPython" not in plan
+
+
+def test_twap_window_and_agg_share_exchange(spark, sf_dir):
+    """TWAP: the lead() window partitions on (user, day) and the
+    aggregate reuses that partitioning — one exchange, no join."""
+    plan = plan_of(spark, sf_dir, "ts_time_weighted_avg")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dpp_filter_reaches_partitioned_scan(spark, sf_dir):
+    """The join against the filtered era dim must inject a runtime
+    partition filter into the fact scan (dynamicpruning in the plan) —
+    the fact side has NO literal year predicate."""
+    plan = plan_of(spark, sf_dir, "join_dpp_pruned")
+    assert "dynamicpruning" in plan, "DPP did not fire"
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

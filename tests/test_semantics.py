@@ -1852,3 +1852,60 @@ def test_group_holdout_no_user_straddles(spark, sf_dir):
     for s, cnt in per_split_users.items():
         if cnt:
             assert rows[s]["n_users"] == cnt
+
+
+def test_twap_matches_pandas_mirror(spark, sf_dir):
+    """Per (user, day): segment-weighted mean recomputed with pandas
+    (LOCF hold semantics, last point weightless)."""
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    pdf = (
+        spark.table("events")
+        .where("value is not null")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    pdf["day"] = pdf["ts"].dt.date
+    got = {
+        (r["user_id"], r["day"]): r
+        for r in SPECS["ts_time_weighted_avg"].fn(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for (uid, day), g in pdf.groupby(["user_id", "day"]):
+        g = g.sort_values(["ts", "event_id"])
+        if len(g) < 2:
+            assert (uid, day) not in got
+            continue
+        ts = g["ts"].astype("int64").to_numpy() / 1e6
+        vals = g["value"].to_numpy()
+        durs = [round(ts[i + 1] - ts[i], 6) for i in range(len(ts) - 1)]
+        num = sum(round(v * d, 6) for v, d in zip(vals[:-1], (ts[1:] - ts[:-1])))
+        den = sum(durs)
+        r = got[(uid, day)]
+        assert r["n_segments"] == len(g) - 1
+        assert abs(r["twavg"] - num / den) <= 1e-4, (uid, day)
+        n_checked += 1
+    assert n_checked
+    assert len(got) == n_checked
+
+
+def test_dpp_prunes_partitions_and_matches_exact(spark, sf_dir):
+    """The pruned join result equals the unpruned recomputation from
+    raw orders, and only the dim's two years appear."""
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    rows = SPECS["join_dpp_pruned"].fn(spark, sf_dir).collect()
+    assert {r["yr"] for r in rows} <= {1997, 1998}
+    exact = {
+        (r["yr"], r["n"])
+        for r in spark.sql(
+            """
+            SELECT year(o_orderdate) AS yr, COUNT(*) AS n FROM orders
+            WHERE year(o_orderdate) IN (1997, 1998)
+            GROUP BY 1
+            """
+        ).collect()
+    }
+    assert {(r["yr"], r["n_orders"]) for r in rows} == exact
