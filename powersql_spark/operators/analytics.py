@@ -2033,3 +2033,142 @@ def path_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "trigram")
         .limit(20)
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag AS flag, round(l_extendedprice, 6) AS price,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT flag, price, wt,
+               SUM(wt) OVER (PARTITION BY flag ORDER BY price
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY flag) AS tw
+        FROM w
+    ),
+    hit AS (
+        SELECT flag, price, tw,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price)
+                   AS rn
+        FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT flag AS l_returnflag, price AS weighted_median_price,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the total —
+    the weighted-quantile aggregate (inventory-weighted typical price)
+    that plain MEDIAN (each row weight 1) misstates whenever weights
+    are skewed. Defined as the lower weighted median (an observed
+    value, no interpolation), so the answer is exact cross-engine.
+
+    Spark shape: one (flag) exchange carries running and total weight
+    through the same Window; the first row crossing the half-weight
+    threshold pops out of a row_number filter — integer weights
+    end-to-end, no global sort (the order lives inside each flag
+    partition)."""
+    w = spark.table("lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_extendedprice", 6).alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    win_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_all = Window.partitionBy("flag")
+    cum = w.select(
+        "flag",
+        "price",
+        F.sum("wt").over(win_cum).alias("cw"),
+        F.sum("wt").over(win_all).alias("tw"),
+    )
+    win_rn = Window.partitionBy("flag").orderBy("price")
+    hit = cum.where(2 * F.col("cw") >= F.col("tw")).select(
+        "flag", "price", "tw", F.row_number().over(win_rn).alias("rn")
+    )
+    return hit.where(F.col("rn") == 1).select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("price").alias("weighted_median_price"),
+        F.col("tw").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "path_regex_match",
+    oracle=r"""
+    WITH seq AS (
+        SELECT user_id,
+               array_to_string(list(
+                   CASE event_type
+                       WHEN 'signup' THEN 'S' WHEN 'view' THEN 'V'
+                       WHEN 'click' THEN 'C' WHEN 'purchase' THEN 'P'
+                       ELSE 'E'
+                   END ORDER BY ts, event_id), '') AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        COUNT(*) AS n_users,
+        COUNT(*) FILTER (regexp_matches(path, 'S[^E]*P'))
+            AS clean_convert,
+        COUNT(*) FILTER (regexp_matches(path, 'E{{2,}}'))
+            AS error_burst,
+        COUNT(*) FILTER (regexp_matches(path, 'P.*P'))
+            AS repeat_buyer
+    FROM seq
+    """.replace("{{", "{").replace("}}", "}"),
+)
+def path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over user journeys — the
+    MATCH_RECOGNIZE-lite every funnel tool needs and Spark SQL lacks:
+    encode each user's time-ordered event types as a one-char-per-event
+    string and run ordinary regexes over it (clean conversion = signup
+    then purchase with no error between; error burst = 2+ consecutive
+    errors; repeat buyer = 2+ purchases). Arbitrary sequence patterns
+    become regex literals — no per-pattern operator code.
+
+    Spark shape: one (user_id) exchange builds the journey string via
+    a sorted collect_list (same skeleton as path_trigram_topk; the
+    shuffle carries one char per event), then every pattern is a
+    codegen'd rlike over the metadata-sized per-user strings,
+    all counted in a single aggregate."""
+    e = spark.table("events")
+    code = (
+        F.when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("E")
+    )
+    path = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", code.alias("c"))
+                )
+            ),
+            lambda s: s.c,
+        ),
+    )
+    seq = e.groupBy("user_id").agg(path.alias("path"))
+    return seq.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("path").rlike("S[^E]*P"), 1)).alias(
+            "clean_convert"
+        ),
+        F.count(F.when(F.col("path").rlike("E{2,}"), 1)).alias(
+            "error_burst"
+        ),
+        F.count(F.when(F.col("path").rlike("P.*P"), 1)).alias(
+            "repeat_buyer"
+        ),
+    )

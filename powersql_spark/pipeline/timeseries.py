@@ -955,3 +955,65 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twavg"),
         F.count("*").alias("n_segments"),
     )
+
+
+_M4_BUCKETS = 24  # pixel columns per series
+
+
+@query(
+    "ts_downsample_m4",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, ts, event_id, value,
+               ntile({_M4_BUCKETS}) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS bkt
+        FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT user_id, bkt,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS v_first,
+           max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS v_last,
+           COUNT(*) AS n_points
+    FROM s
+    GROUP BY user_id, bkt
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series, split
+    the time axis into {_M4_BUCKETS} pixel-column buckets and keep
+    each bucket's min / max / first / last — the error-free
+    downsampler for line visualization (any pixel-perfect rendering
+    needs exactly these four per column; LTTB above is the
+    shape-PRESERVING alternative when fewer points must survive).
+
+    Spark shape: NTILE and the grouped MIN/MAX/MIN_BY/MAX_BY share
+    one (user_id) exchange — the aggregate reuses the window's
+    partitioning. first/last tie-break on (epoch, event_id), so
+    equal-timestamp points cannot flip the answer between engines or
+    partitionings."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.ntile(_M4_BUCKETS).over(w).alias("bkt"),
+        )
+    )
+    key = F.struct(F.unix_micros("ts"), F.col("event_id"))
+    return s.groupBy("user_id", "bkt").agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min_by("value", key).alias("v_first"),
+        F.max_by("value", key).alias("v_last"),
+        F.count("*").alias("n_points"),
+    )

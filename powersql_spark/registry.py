@@ -382,6 +382,9 @@ _PRIORITY: tuple[str, ...] = (
     "split_group_holdout",
     "ts_time_weighted_avg",
     "join_dpp_pruned",
+    "agg_weighted_median",
+    "ts_downsample_m4",
+    "path_regex_match",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1054,3 +1054,29 @@ def test_dpp_filter_reaches_partitioned_scan(spark, sf_dir):
     assert "dynamicpruning" in plan, "DPP did not fire"
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """Weighted median: running/total weight and the threshold filter
+    ride one (flag) exchange — no join, no global sort."""
+    plan = plan_of(spark, sf_dir, "agg_weighted_median")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_m4_window_and_agg_share_exchange(spark, sf_dir):
+    """M4: NTILE and the grouped min/max/first/last share one
+    (user_id) exchange."""
+    plan = plan_of(spark, sf_dir, "ts_downsample_m4")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_path_regex_single_journey_exchange(spark, sf_dir):
+    """Path regex: one journey-build exchange, then the patterns are
+    codegen'd rlike counts in a single final aggregate."""
+    plan = plan_of(spark, sf_dir, "path_regex_match")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

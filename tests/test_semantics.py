@@ -1909,3 +1909,85 @@ def test_dpp_prunes_partitions_and_matches_exact(spark, sf_dir):
         ).collect()
     }
     assert {(r["yr"], r["n_orders"]) for r in rows} == exact
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    """Lower weighted median recomputed from sorted (price, weight)
+    pairs."""
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    pdf = (
+        spark.table("lineitem")
+        .select(
+            "l_returnflag",
+            F.round("l_extendedprice", 6).alias("price"),
+            F.col("l_quantity").cast("bigint").alias("wt"),
+        )
+        .toPandas()
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in SPECS["agg_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    for flag, g in pdf.groupby("l_returnflag"):
+        g = g.sort_values("price")
+        tw = g["wt"].sum()
+        cum = g["wt"].cumsum()
+        med = g.loc[(2 * cum >= tw).idxmax(), "price"]
+        r = got[flag]
+        assert r["total_weight"] == tw
+        assert r["weighted_median_price"] == med
+
+
+def test_m4_buckets_cover_and_bound(spark, sf_dir):
+    """Every bucket's first/last/min/max are actual series values with
+    min <= {first,last} <= max, and per-user point counts reconcile."""
+    rows = SPECS["ts_downsample_m4"].fn(spark, sf_dir).collect()
+    per_user: dict = {}
+    for r in rows:
+        assert r["v_min"] <= r["v_max"]
+        assert r["v_min"] <= r["v_first"] <= r["v_max"]
+        assert r["v_min"] <= r["v_last"] <= r["v_max"]
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + r["n_points"]
+    totals = {
+        r["user_id"]: r["n"]
+        for r in spark.table("events")
+        .where("value is not null")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_user == totals
+
+
+def test_path_regex_matches_python(spark, sf_dir):
+    """Journey strings + the three regexes recomputed in python."""
+    import re
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    evs = spark.table("events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    code = {"signup": "S", "view": "V", "click": "C", "purchase": "P"}
+    paths: dict = {}
+    for r in evs:
+        paths.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], code.get(r["event_type"], "E"))
+        )
+    strs = [
+        "".join(c for (_t, _e, c) in sorted(v)) for v in paths.values()
+    ]
+    r = SPECS["path_regex_match"].fn(spark, sf_dir).collect()[0]
+    assert r["n_users"] == len(strs)
+    assert r["clean_convert"] == sum(
+        bool(re.search("S[^E]*P", s)) for s in strs
+    )
+    assert r["error_burst"] == sum(
+        bool(re.search("E{2,}", s)) for s in strs
+    )
+    assert r["repeat_buyer"] == sum(
+        bool(re.search("P.*P", s)) for s in strs
+    )
