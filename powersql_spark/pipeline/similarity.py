@@ -628,3 +628,120 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="rnk int, vec_id bigint, label int, rel double"
     )
+
+
+_MRL_DIM = 16  # truncated prefix dimensionality
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_reduce(list_transform(range(1, 65),
+                         i -> e.v[i] * q.qv[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(e.v,
+                            x -> x * x), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_transform(q.qv,
+                            x -> x * x), (a, b) -> a + b))), 4)
+                   AS cos_full,
+               round(list_reduce(list_transform(range(1, {_MRL_DIM} + 1),
+                         i -> e.v[i] * q.qv[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(
+                            e.v[1:{_MRL_DIM}], x -> x * x),
+                            (a, b) -> a + b))
+                        * sqrt(list_reduce(list_transform(
+                            q.qv[1:{_MRL_DIM}], x -> x * x),
+                            (a, b) -> a + b))), 4)
+                   AS cos_trunc
+        FROM e, q
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ),
+    full_top AS (
+        SELECT vec_id FROM scored
+        ORDER BY cos_full DESC, vec_id LIMIT {_TOPK}
+    ),
+    trunc_top AS (
+        SELECT vec_id FROM scored
+        ORDER BY cos_trunc DESC, vec_id LIMIT {_TOPK}
+    )
+    SELECT {_TOPK} AS k,
+           COUNT(*) FILTER (t.vec_id IS NOT NULL) AS n_overlap,
+           round(CAST(COUNT(*) FILTER (t.vec_id IS NOT NULL)
+                      AS DOUBLE) / {_TOPK}, 4) AS recall_at_k
+    FROM full_top f LEFT JOIN trunc_top t USING (vec_id)
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation (MRL, Kusupati et al. 2022):
+    score the corpus against one query with BOTH the full 64-dim
+    cosine and the first-{_MRL_DIM}-dims-only cosine, take both
+    top-{_TOPK} sets, and report the truncated run's recall of the
+    full run — the measurement behind the standard ANN cost lever
+    "search with a prefix of the embedding, rerank with the rest"
+    (prefix dims carry most of the signal in MRL-trained models; this
+    op quantifies how much survives on YOUR vectors).
+
+    Spark shape: both scores come from the same single corpus scan
+    (broadcast query; slice() for the prefix — one pass, two codegen'd
+    fold expressions), each cut is a TakeOrderedAndProject, and the
+    overlap join runs on two k-row frames. Scores round to 4dp with
+    vec_id tie-breaks, so both engines cut identical sets."""
+    e = spark.table("embeddings")
+    q = (
+        e.where(F.col("vec_id") == _QUERY_VEC_ID)
+        .select(_to_double("embedding").alias("qv"))
+        .select(
+            "qv",
+            _norm(F.col("qv")).alias("qn"),
+            F.slice("qv", 1, _MRL_DIM).alias("qt"),
+        )
+        .select("qv", "qn", "qt", _norm(F.col("qt")).alias("qtn"))
+    )
+    cand = e.where(F.col("vec_id") != _QUERY_VEC_ID).select(
+        "vec_id", _to_double("embedding").alias("v")
+    )
+    scored = cand.join(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("qv"))
+            / (_norm(F.col("v")) * F.col("qn")),
+            4,
+        ).alias("cos_full"),
+        F.round(
+            _dot(F.slice("v", 1, _MRL_DIM), F.col("qt"))
+            / (_norm(F.slice("v", 1, _MRL_DIM)) * F.col("qtn")),
+            4,
+        ).alias("cos_trunc"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    scored = track_persist(scored)
+    full_top = scored.orderBy(
+        F.col("cos_full").desc(), "vec_id"
+    ).limit(_TOPK).select("vec_id")
+    trunc_top = scored.orderBy(
+        F.col("cos_trunc").desc(), "vec_id"
+    ).limit(_TOPK).select(F.col("vec_id").alias("t_id"))
+    overlap = full_top.join(
+        trunc_top, full_top.vec_id == trunc_top.t_id, "left"
+    )
+    return overlap.agg(
+        F.lit(_TOPK).alias("k"),
+        F.count(F.when(F.col("t_id").isNotNull(), 1)).alias(
+            "n_overlap"
+        ),
+        F.round(
+            F.count(F.when(F.col("t_id").isNotNull(), 1)).cast(
+                "double"
+            )
+            / _TOPK,
+            4,
+        ).alias("recall_at_k"),
+    )

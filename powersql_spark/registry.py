@@ -385,6 +385,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_weighted_median",
     "ts_downsample_m4",
     "path_regex_match",
+    "sim_matryoshka_recall",
+    "dedup_incremental_delta",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

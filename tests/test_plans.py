@@ -1080,3 +1080,26 @@ def test_path_regex_single_journey_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "path_regex_match")
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_matryoshka_single_scan_two_topk(spark, sf_dir):
+    """MRL eval: both scores come from ONE cached scoring pass
+    (broadcast query), each cut is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "sim_matryoshka_recall")
+    assert "InMemoryTableScan" in plan, "scored frame not cached"
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_incremental_dedup_fingerprint_keyed(spark, sf_dir):
+    """Incremental dedup: the wire carries md5 fingerprints (the
+    exchange partitions on fp), never raw text; base probe is an
+    equi-join."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_delta")
+    assert re.search(r"hashpartitioning\(fp#", plan), (
+        "shuffle not keyed on the fingerprint"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

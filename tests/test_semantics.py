@@ -1991,3 +1991,66 @@ def test_path_regex_matches_python(spark, sf_dir):
     assert r["repeat_buyer"] == sum(
         bool(re.search("P.*P", s)) for s in strs
     )
+
+
+def test_matryoshka_recall_bounds_and_exact_overlap(spark, sf_dir):
+    """recall = |full_top ∩ trunc_top| / k recomputed with numpy on
+    the same rounded scores."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    pdf = spark.table("embeddings").toPandas()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    qi = int(np.flatnonzero(ids == 0)[0])
+    q = V[qi]
+    mask = ids != 0
+    Vc, idc = V[mask], ids[mask]
+
+    def topk(dims):
+        a, b = Vc[:, :dims], q[:dims]
+        cos = np.round(
+            (a @ b)
+            / (np.sqrt((a * a).sum(1)) * np.sqrt((b * b).sum())),
+            4,
+        )
+        order = np.lexsort((idc, -cos))[:10]
+        return set(idc[order])
+
+    exp = len(topk(64) & topk(16)) / 10
+    r = SPECS["sim_matryoshka_recall"].fn(spark, sf_dir).collect()[0]
+    assert r["k"] == 10
+    assert abs(r["recall_at_k"] - round(exp, 4)) <= 1e-9
+    assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_incremental_dedup_semantics(spark, sf_dir):
+    """keep/dup flags recomputed from raw fingerprints: no delta doc
+    marked keep shares a fingerprint with the base or an earlier
+    delta doc."""
+    import hashlib
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    fps = {
+        r["doc_id"]: hashlib.md5(r["text"].strip().encode()).hexdigest()
+        for r in docs
+    }
+    base = {fp for d, fp in fps.items() if d < 400}
+    rows = {
+        r["doc_id"]: r
+        for r in SPECS["dedup_incremental_delta"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {d for d in fps if d >= 400}
+    seen: dict = {}
+    for d in sorted(rows):
+        fp = fps[d]
+        r = rows[d]
+        assert bool(r["dup_of_base"]) == (fp in base)
+        assert bool(r["dup_within_delta"]) == (fp in seen)
+        assert bool(r["keep"]) == (fp not in base and fp not in seen)
+        seen[fp] = d
