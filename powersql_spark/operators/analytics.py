@@ -2172,3 +2172,125 @@ def path_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_buyer"
         ),
     )
+
+
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+
+
+@query(
+    "funnel_window_depth",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               list(struct_pack(t := epoch_us(ts), e := event_type)
+                    ORDER BY ts, event_id) AS arr
+        FROM events GROUP BY user_id
+    ),
+    steps AS (
+        SELECT user_id,
+               list_min([x.t for x in arr if x.e = 'signup']) AS t1
+        FROM seq
+    ),
+    s2 AS (
+        SELECT seq.user_id, steps.t1,
+               list_min([x.t for x in arr
+                         if x.e = 'click' AND x.t >= steps.t1
+                            AND x.t <= steps.t1 + {_FUNNEL_WINDOW_US}])
+                   AS t2
+        FROM seq JOIN steps USING (user_id)
+    ),
+    s3 AS (
+        SELECT seq.user_id, s2.t1, s2.t2,
+               list_min([x.t for x in arr
+                         if x.e = 'purchase' AND x.t >= s2.t2
+                            AND x.t <= s2.t1 + {_FUNNEL_WINDOW_US}])
+                   AS t3
+        FROM seq JOIN s2 USING (user_id)
+    ),
+    depth AS (
+        SELECT user_id,
+               CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_depth
+        FROM s3
+    )
+    SELECT funnel_depth, COUNT(*) AS n_users
+    FROM depth GROUP BY funnel_depth
+    """,
+)
+def funnel_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel depth (ClickHouse ``windowFunnel``): how far
+    each user gets through signup -> click -> purchase where the WHOLE
+    chain must complete within 7 days of the first step — then users
+    per depth. The time bound is what funnel_conversion's unbounded
+    chain can't express: a purchase six months after signup is not a
+    conversion of that campaign.
+
+    Spark shape: one (user_id) exchange builds each journey as a
+    sorted (epoch, type) struct array; the chained earliest-step
+    lookups are codegen'd FILTER + ARRAY_MIN over that array — zero
+    further shuffles until the depth rollup (which is 4 groups). The
+    epochs stay integer microseconds on both engines, so every
+    threshold comparison is exact."""
+    e = spark.table("events")
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("e"),
+                )
+            )
+        ),
+        lambda s: F.struct(s.t.alias("t"), s.e.alias("e")),
+    )
+    seq = e.groupBy("user_id").agg(arr.alias("arr"))
+
+    def earliest(arr_col, etype, lo=None, hi=None):
+        cond = lambda x: (x.e == etype)  # noqa: E731
+        if lo is not None and hi is not None:
+            cond = lambda x: (  # noqa: E731
+                (x.e == etype) & (x.t >= lo) & (x.t <= hi)
+            )
+        return F.array_min(
+            F.transform(F.filter(arr_col, cond), lambda x: x.t)
+        )
+
+    staged = seq.select(
+        "user_id", "arr", earliest(F.col("arr"), "signup").alias("t1")
+    )
+    staged = staged.select(
+        "user_id",
+        "arr",
+        "t1",
+        earliest(
+            F.col("arr"),
+            "click",
+            F.col("t1"),
+            F.col("t1") + _FUNNEL_WINDOW_US,
+        ).alias("t2"),
+    )
+    staged = staged.select(
+        "user_id",
+        "t1",
+        "t2",
+        earliest(
+            F.col("arr"),
+            "purchase",
+            F.col("t2"),
+            F.col("t1") + _FUNNEL_WINDOW_US,
+        ).alias("t3"),
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        staged.select(depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -387,6 +387,7 @@ _PRIORITY: tuple[str, ...] = (
     "path_regex_match",
     "sim_matryoshka_recall",
     "dedup_incremental_delta",
+    "funnel_window_depth",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1103,3 +1103,13 @@ def test_incremental_dedup_fingerprint_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_window_funnel_single_exchange_array_math(spark, sf_dir):
+    """windowFunnel: journey build is the only corpus exchange; the
+    chained earliest-step lookups are array expressions, no joins, no
+    Python."""
+    plan = plan_of(spark, sf_dir, "funnel_window_depth")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # journey build + 4-group rollup

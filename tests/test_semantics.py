@@ -2054,3 +2054,45 @@ def test_incremental_dedup_semantics(spark, sf_dir):
         assert bool(r["dup_within_delta"]) == (fp in seen)
         assert bool(r["keep"]) == (fp not in base and fp not in seen)
         seen[fp] = d
+
+
+def test_window_funnel_matches_python(spark, sf_dir):
+    """Per-user greedy chain within the 7-day bound replayed in
+    python; depth histogram must match."""
+    from collections import Counter
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    evs = spark.table("events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in evs:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["t"], r["event_id"], r["event_type"])
+        )
+    win = 7 * 24 * 3600 * 1_000_000
+    hist: Counter = Counter()
+    for evs_u in by_user.values():
+        evs_u.sort()
+        t1 = min((t for (t, _e, ty) in evs_u if ty == "signup"), default=None)
+        t2 = t3 = None
+        if t1 is not None:
+            t2 = min(
+                (t for (t, _e, ty) in evs_u
+                 if ty == "click" and t1 <= t <= t1 + win),
+                default=None,
+            )
+        if t2 is not None:
+            t3 = min(
+                (t for (t, _e, ty) in evs_u
+                 if ty == "purchase" and t2 <= t <= t1 + win),
+                default=None,
+            )
+        hist[3 if t3 else (2 if t2 else (1 if t1 else 0))] += 1
+    got = {
+        r["funnel_depth"]: r["n_users"]
+        for r in SPECS["funnel_window_depth"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(hist)
