@@ -108,6 +108,10 @@ HEADLINE = {
     "q42_bloom_prefilter": "sketch_bloom_prefilter",
     "q43_theilsen": "ts_theilsen_slope",
     "q44_path_trigrams": "path_trigram_topk",
+    "q45_ks_drift": "stats_ks_two_sample",
+    "q46_hilbert": "layout_hilbert",
+    "q47_m4": "ts_downsample_m4",
+    "q48_window_funnel": "funnel_window_depth",
 }
 
 
