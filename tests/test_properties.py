@@ -133,3 +133,98 @@ def test_parse_roundtrip_models_and_deps(deps):
     assert {n: sorted(r) for n, r in extracted.items()} == {
         n: sorted(r) for n, r in deps.items()
     }
+
+
+# ---- kernels added in round 3: pure-python mirrors property-tested ----
+
+from tests.test_semantics import _xy2d  # noqa: E402
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_hilbert_locality_beats_random_pairs(cells):
+    """Hilbert indices of grid-adjacent cells are closer on average
+    than arbitrary pairs' — the locality property the layout relies
+    on. Weak form per example: adjacent cells always have distinct
+    indices and the index stays in range."""
+    for x, y in cells:
+        d = _xy2d(8, x, y)
+        assert 0 <= d < 256 * 256
+        if x + 1 < 256:
+            d2 = _xy2d(8, x + 1, y)
+            assert d2 != d
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_lower_weighted_median_properties(pairs):
+    """The lower weighted median (first value whose cumulative weight
+    reaches half the total) is an observed value, at least half the
+    weight sits at-or-above it, and scaling all weights preserves
+    it."""
+    pairs = sorted((round(v, 6), w) for v, w in pairs)
+    tw = sum(w for _v, w in pairs)
+    cum = 0
+    med = None
+    for v, w in pairs:
+        cum += w
+        if 2 * cum >= tw:
+            med = v
+            break
+    assert med is not None
+    assert any(v == med for v, _w in pairs)
+    at_or_above = sum(w for v, w in pairs if v >= med)
+    assert 2 * at_or_above >= tw
+    # weight scaling invariance
+    cum = 0
+    med2 = None
+    for v, w in pairs:
+        cum += 7 * w
+        if 2 * cum >= 7 * tw:
+            med2 = v
+            break
+    assert med2 == med
+
+
+@given(
+    st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=50),
+    st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_ks_integer_formulation_matches_float_ecdf(a, b):
+    """|f1*n2 - f2*n1| / (n1*n2) == max |ECDF1 - ECDF2| (the integer
+    form the operator keeps until the final division), and D is
+    invariant under any strictly increasing transform."""
+    import numpy as np
+
+    a = np.sort(np.round(np.asarray(a), 6))
+    b = np.sort(np.round(np.asarray(b), 6))
+    n1, n2 = len(a), len(b)
+    vs = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, vs, side="right")
+    f2 = np.searchsorted(b, vs, side="right")
+    d_int = np.abs(f1 * n2 - f2 * n1).max()
+    d_float = np.abs(f1 / n1 - f2 / n2).max()
+    assert abs(d_int / (n1 * n2) - d_float) < 1e-9
+    # monotone transform invariance (x -> x^3 preserves order)
+    a3 = a**3
+    b3 = b**3
+    vs3 = np.unique(np.concatenate([a3, b3]))
+    g1 = np.searchsorted(np.sort(a3), vs3, side="right")
+    g2 = np.searchsorted(np.sort(b3), vs3, side="right")
+    assert np.abs(g1 * n2 - g2 * n1).max() == d_int
