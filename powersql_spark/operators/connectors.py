@@ -429,3 +429,74 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "revenue"),
         )
     )
+
+
+@query(
+    "source_corrupt_quarantine",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           COUNT(*) FILTER (doc_id % 7 <> 3) AS n_good,
+           COUNT(*) FILTER (doc_id % 7 = 3) AS n_quarantined,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN doc_id END)
+                AS BIGINT) AS good_docid_sum
+    FROM documents
+    """,
+)
+def source_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on JSONL ingest — the PERMISSIVE-mode
+    pattern every production feed needs: stage the documents metadata
+    as newline JSON with a deterministic subset of lines mangled
+    (doc_id % 7 == 3, truncated mid-field), read back with an explicit
+    schema + ``columnNameOfCorruptRecord``, and report good vs
+    quarantined counts plus a checksum of the surviving keys. Bad
+    lines land in the corrupt column instead of killing the job or
+    silently vanishing (FAILFAST / DROPMALFORMED, the two wrong
+    defaults at 100 TB).
+
+    The oracle predicts the report from the corruption rule itself,
+    so the Spark path — write, mangle, permissive parse, quarantine
+    split — is verified end-to-end against what it MUST recover.
+    Spark quirk handled: filtering on the corrupt column requires the
+    parsed frame to be cached first (Spark refuses the
+    internal-column-only filter on the streaming parse)."""
+    path = _stage_path("docs_meta_jsonl")
+    line = F.to_json(
+        F.struct("doc_id", "lang", "n_chars")
+    )
+    staged = spark.table("documents").select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.substring(line, 1, F.length(line) - 5),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    staged.coalesce(1).write.mode("overwrite").text(path)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    from powersql_spark.catalog import track_persist
+
+    parsed = track_persist(
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("doc_id"))
+        ).alias("good_docid_sum"),
+    )

@@ -388,6 +388,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_matryoshka_recall",
     "dedup_incremental_delta",
     "funnel_window_depth",
+    "source_corrupt_quarantine",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2096,3 +2096,25 @@ def test_window_funnel_matches_python(spark, sf_dir):
         for r in SPECS["funnel_window_depth"].fn(spark, sf_dir).collect()
     }
     assert got == dict(hist)
+
+
+def test_corrupt_quarantine_counts_and_content(spark, sf_dir):
+    """The quarantine split recovers exactly the mangled lines: counts
+    follow the doc_id % 7 rule and every surviving doc_id is a real
+    one."""
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    n_docs = spark.table("documents").count()
+    n_bad = spark.table("documents").where("doc_id % 7 = 3").count()
+    r = SPECS["source_corrupt_quarantine"].fn(spark, sf_dir).collect()[0]
+    assert r["n_lines"] == n_docs
+    assert r["n_quarantined"] == n_bad
+    assert r["n_good"] == n_docs - n_bad
+    good_sum = (
+        spark.table("documents")
+        .where("doc_id % 7 <> 3")
+        .agg(F.sum("doc_id"))
+        .collect()[0][0]
+    )
+    assert r["good_docid_sum"] == good_sum
