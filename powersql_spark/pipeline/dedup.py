@@ -210,20 +210,89 @@ _BANDS = 4
 _ROWS_PER_BAND = _MINHASH_K // _BANDS
 
 
-@query("dedup_minhash_lsh")  # no SQL oracle: hash functions are engine-specific
+@query(
+    "dedup_minhash_lsh",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 2 THEN
+                   list_distinct([t[i] || ' ' || t[i+1]
+                                  for i in generate_series(1, len(t) - 1)])
+               ELSE list_distinct(t) END AS shingles
+        FROM tok
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+        FROM ex
+    ),
+    sig AS (
+        SELECT doc_id,
+               MIN((h * 3 + 0) % 2147483647) AS m0,
+               MIN((h * 5 + 40503) % 2147483647) AS m1,
+               MIN((h * 7 + 81006) % 2147483647) AS m2,
+               MIN((h * 9 + 121509) % 2147483647) AS m3,
+               MIN((h * 11 + 162012) % 2147483647) AS m4,
+               MIN((h * 13 + 202515) % 2147483647) AS m5,
+               MIN((h * 15 + 243018) % 2147483647) AS m6,
+               MIN((h * 17 + 283521) % 2147483647) AS m7,
+               MIN((h * 19 + 324024) % 2147483647) AS m8,
+               MIN((h * 21 + 364527) % 2147483647) AS m9,
+               MIN((h * 23 + 405030) % 2147483647) AS m10,
+               MIN((h * 25 + 445533) % 2147483647) AS m11,
+               MIN((h * 27 + 486036) % 2147483647) AS m12,
+               MIN((h * 29 + 526539) % 2147483647) AS m13,
+               MIN((h * 31 + 567042) % 2147483647) AS m14,
+               MIN((h * 33 + 607545) % 2147483647) AS m15
+        FROM hh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR) || '|' || CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR) AS band_sig FROM sig
+        UNION ALL SELECT doc_id, 1 AS band, CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR) || '|' || CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR) AS band_sig FROM sig
+        UNION ALL SELECT doc_id, 2 AS band, CAST(m8 AS VARCHAR) || '|' || CAST(m9 AS VARCHAR) || '|' || CAST(m10 AS VARCHAR) || '|' || CAST(m11 AS VARCHAR) AS band_sig FROM sig
+        UNION ALL SELECT doc_id, 3 AS band, CAST(m12 AS VARCHAR) || '|' || CAST(m13 AS VARCHAR) || '|' || CAST(m14 AS VARCHAR) || '|' || CAST(m15 AS VARCHAR) AS band_sig FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)))
+               AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= 0.30
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: shingle -> 16 seeded xxhash64 minhashes ->
+    """MinHash + LSH near-dup: shingle -> 16 portable minhashes ->
     4 bands -> bucket join -> exact-jaccard verification of candidates.
 
     Scale shape: shingles explode once and are hashed once in
-    whole-stage codegen; the K seeded hashes derive from that base hash
-    via xxhash64(base, seed) — also codegen — and collapse through 16
-    map-side partial MIN aggregates, so the shuffle carries only
-    (doc_id, 16 longs) per doc. Band signatures then posexplode to 4
-    small rows per doc for the bucket join; no quadratic term until
-    verification, which only touches bucket-colliding pairs. Driver
-    check is rows-only (the hash family is engine-specific, so no
-    DuckDB twin).
+    whole-stage codegen; the K derived hashes come from ONE md5-based
+    base hash via affine mixing mod 2^31-1 (pure integer arithmetic —
+    also codegen) and collapse through 16 map-side partial MIN
+    aggregates, so the shuffle carries only (doc_id, 16 longs) per
+    doc. Band signatures then posexplode to 4 small rows per doc for
+    the bucket join; no quadratic term until verification, which only
+    touches bucket-colliding pairs. The hash family is md5-derived
+    (count-min/Bloom precedent), so the DuckDB oracle reproduces the
+    ENTIRE LSH pipeline — signatures, band collisions, surviving
+    pairs — bit-for-bit; upgraded from a rows-only check in round 3.
+    (Throughput note: xxhash64 is a drop-in for the md5 base when raw
+    speed matters more than cross-engine verifiability.)
 
     Kept OUT of higher-order functions deliberately: HOF lambdas are
     interpreted (not codegen'd), and a nested-transform variant of this
@@ -238,10 +307,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # k derived hashes by affine mixing of the 32-bit base mod 2^31-1:
+    # portable integer arithmetic (identical in the oracle), and the
+    # products stay far below bigint overflow (2^32 * 35).
     sig = base.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            F.min(
+                (F.col("h") * (2 * i + 3) + i * 40503) % 2147483647
+            ).alias(f"m{i}")
             for i in range(_MINHASH_K)
         ]
     )
@@ -295,7 +374,112 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # no SQL oracle: hash functions are engine-specific
+@query(
+    "dedup_simhash",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   string_split_regex(trim(text), '\s+'))) AS t
+        FROM documents
+    ),
+    hb AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+        FROM tok
+    ),
+    vt AS (
+        SELECT doc_id, COUNT(*) AS n,
+               SUM((hi >> 31) & 1) AS v1,
+               SUM((hi >> 30) & 1) AS v2,
+               SUM((hi >> 29) & 1) AS v3,
+               SUM((hi >> 28) & 1) AS v4,
+               SUM((hi >> 27) & 1) AS v5,
+               SUM((hi >> 26) & 1) AS v6,
+               SUM((hi >> 25) & 1) AS v7,
+               SUM((hi >> 24) & 1) AS v8,
+               SUM((hi >> 23) & 1) AS v9,
+               SUM((hi >> 22) & 1) AS v10,
+               SUM((hi >> 21) & 1) AS v11,
+               SUM((hi >> 20) & 1) AS v12,
+               SUM((hi >> 19) & 1) AS v13,
+               SUM((hi >> 18) & 1) AS v14,
+               SUM((hi >> 17) & 1) AS v15,
+               SUM((hi >> 16) & 1) AS v16,
+               SUM((hi >> 15) & 1) AS v17,
+               SUM((hi >> 14) & 1) AS v18,
+               SUM((hi >> 13) & 1) AS v19,
+               SUM((hi >> 12) & 1) AS v20,
+               SUM((hi >> 11) & 1) AS v21,
+               SUM((hi >> 10) & 1) AS v22,
+               SUM((hi >> 9) & 1) AS v23,
+               SUM((hi >> 8) & 1) AS v24,
+               SUM((hi >> 7) & 1) AS v25,
+               SUM((hi >> 6) & 1) AS v26,
+               SUM((hi >> 5) & 1) AS v27,
+               SUM((hi >> 4) & 1) AS v28,
+               SUM((hi >> 3) & 1) AS v29,
+               SUM((hi >> 2) & 1) AS v30,
+               SUM((hi >> 1) & 1) AS v31,
+               SUM((hi >> 0) & 1) AS v32,
+               SUM((lo >> 31) & 1) AS v33,
+               SUM((lo >> 30) & 1) AS v34,
+               SUM((lo >> 29) & 1) AS v35,
+               SUM((lo >> 28) & 1) AS v36,
+               SUM((lo >> 27) & 1) AS v37,
+               SUM((lo >> 26) & 1) AS v38,
+               SUM((lo >> 25) & 1) AS v39,
+               SUM((lo >> 24) & 1) AS v40,
+               SUM((lo >> 23) & 1) AS v41,
+               SUM((lo >> 22) & 1) AS v42,
+               SUM((lo >> 21) & 1) AS v43,
+               SUM((lo >> 20) & 1) AS v44,
+               SUM((lo >> 19) & 1) AS v45,
+               SUM((lo >> 18) & 1) AS v46,
+               SUM((lo >> 17) & 1) AS v47,
+               SUM((lo >> 16) & 1) AS v48,
+               SUM((lo >> 15) & 1) AS v49,
+               SUM((lo >> 14) & 1) AS v50,
+               SUM((lo >> 13) & 1) AS v51,
+               SUM((lo >> 12) & 1) AS v52,
+               SUM((lo >> 11) & 1) AS v53,
+               SUM((lo >> 10) & 1) AS v54,
+               SUM((lo >> 9) & 1) AS v55,
+               SUM((lo >> 8) & 1) AS v56,
+               SUM((lo >> 7) & 1) AS v57,
+               SUM((lo >> 6) & 1) AS v58,
+               SUM((lo >> 5) & 1) AS v59,
+               SUM((lo >> 4) & 1) AS v60,
+               SUM((lo >> 3) & 1) AS v61,
+               SUM((lo >> 2) & 1) AS v62,
+               SUM((lo >> 1) & 1) AS v63,
+               SUM((lo >> 0) & 1) AS v64
+        FROM hb GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               (((CASE WHEN 2 * v1 > n THEN 1 ELSE 0 END) << 15) + ((CASE WHEN 2 * v2 > n THEN 1 ELSE 0 END) << 14) + ((CASE WHEN 2 * v3 > n THEN 1 ELSE 0 END) << 13) + ((CASE WHEN 2 * v4 > n THEN 1 ELSE 0 END) << 12) + ((CASE WHEN 2 * v5 > n THEN 1 ELSE 0 END) << 11) + ((CASE WHEN 2 * v6 > n THEN 1 ELSE 0 END) << 10) + ((CASE WHEN 2 * v7 > n THEN 1 ELSE 0 END) << 9) + ((CASE WHEN 2 * v8 > n THEN 1 ELSE 0 END) << 8) + ((CASE WHEN 2 * v9 > n THEN 1 ELSE 0 END) << 7) + ((CASE WHEN 2 * v10 > n THEN 1 ELSE 0 END) << 6) + ((CASE WHEN 2 * v11 > n THEN 1 ELSE 0 END) << 5) + ((CASE WHEN 2 * v12 > n THEN 1 ELSE 0 END) << 4) + ((CASE WHEN 2 * v13 > n THEN 1 ELSE 0 END) << 3) + ((CASE WHEN 2 * v14 > n THEN 1 ELSE 0 END) << 2) + ((CASE WHEN 2 * v15 > n THEN 1 ELSE 0 END) << 1) + ((CASE WHEN 2 * v16 > n THEN 1 ELSE 0 END) << 0)) AS chunk0,
+               (((CASE WHEN 2 * v17 > n THEN 1 ELSE 0 END) << 15) + ((CASE WHEN 2 * v18 > n THEN 1 ELSE 0 END) << 14) + ((CASE WHEN 2 * v19 > n THEN 1 ELSE 0 END) << 13) + ((CASE WHEN 2 * v20 > n THEN 1 ELSE 0 END) << 12) + ((CASE WHEN 2 * v21 > n THEN 1 ELSE 0 END) << 11) + ((CASE WHEN 2 * v22 > n THEN 1 ELSE 0 END) << 10) + ((CASE WHEN 2 * v23 > n THEN 1 ELSE 0 END) << 9) + ((CASE WHEN 2 * v24 > n THEN 1 ELSE 0 END) << 8) + ((CASE WHEN 2 * v25 > n THEN 1 ELSE 0 END) << 7) + ((CASE WHEN 2 * v26 > n THEN 1 ELSE 0 END) << 6) + ((CASE WHEN 2 * v27 > n THEN 1 ELSE 0 END) << 5) + ((CASE WHEN 2 * v28 > n THEN 1 ELSE 0 END) << 4) + ((CASE WHEN 2 * v29 > n THEN 1 ELSE 0 END) << 3) + ((CASE WHEN 2 * v30 > n THEN 1 ELSE 0 END) << 2) + ((CASE WHEN 2 * v31 > n THEN 1 ELSE 0 END) << 1) + ((CASE WHEN 2 * v32 > n THEN 1 ELSE 0 END) << 0)) AS chunk1,
+               (((CASE WHEN 2 * v33 > n THEN 1 ELSE 0 END) << 15) + ((CASE WHEN 2 * v34 > n THEN 1 ELSE 0 END) << 14) + ((CASE WHEN 2 * v35 > n THEN 1 ELSE 0 END) << 13) + ((CASE WHEN 2 * v36 > n THEN 1 ELSE 0 END) << 12) + ((CASE WHEN 2 * v37 > n THEN 1 ELSE 0 END) << 11) + ((CASE WHEN 2 * v38 > n THEN 1 ELSE 0 END) << 10) + ((CASE WHEN 2 * v39 > n THEN 1 ELSE 0 END) << 9) + ((CASE WHEN 2 * v40 > n THEN 1 ELSE 0 END) << 8) + ((CASE WHEN 2 * v41 > n THEN 1 ELSE 0 END) << 7) + ((CASE WHEN 2 * v42 > n THEN 1 ELSE 0 END) << 6) + ((CASE WHEN 2 * v43 > n THEN 1 ELSE 0 END) << 5) + ((CASE WHEN 2 * v44 > n THEN 1 ELSE 0 END) << 4) + ((CASE WHEN 2 * v45 > n THEN 1 ELSE 0 END) << 3) + ((CASE WHEN 2 * v46 > n THEN 1 ELSE 0 END) << 2) + ((CASE WHEN 2 * v47 > n THEN 1 ELSE 0 END) << 1) + ((CASE WHEN 2 * v48 > n THEN 1 ELSE 0 END) << 0)) AS chunk2,
+               (((CASE WHEN 2 * v49 > n THEN 1 ELSE 0 END) << 15) + ((CASE WHEN 2 * v50 > n THEN 1 ELSE 0 END) << 14) + ((CASE WHEN 2 * v51 > n THEN 1 ELSE 0 END) << 13) + ((CASE WHEN 2 * v52 > n THEN 1 ELSE 0 END) << 12) + ((CASE WHEN 2 * v53 > n THEN 1 ELSE 0 END) << 11) + ((CASE WHEN 2 * v54 > n THEN 1 ELSE 0 END) << 10) + ((CASE WHEN 2 * v55 > n THEN 1 ELSE 0 END) << 9) + ((CASE WHEN 2 * v56 > n THEN 1 ELSE 0 END) << 8) + ((CASE WHEN 2 * v57 > n THEN 1 ELSE 0 END) << 7) + ((CASE WHEN 2 * v58 > n THEN 1 ELSE 0 END) << 6) + ((CASE WHEN 2 * v59 > n THEN 1 ELSE 0 END) << 5) + ((CASE WHEN 2 * v60 > n THEN 1 ELSE 0 END) << 4) + ((CASE WHEN 2 * v61 > n THEN 1 ELSE 0 END) << 3) + ((CASE WHEN 2 * v62 > n THEN 1 ELSE 0 END) << 2) + ((CASE WHEN 2 * v63 > n THEN 1 ELSE 0 END) << 1) + ((CASE WHEN 2 * v64 > n THEN 1 ELSE 0 END) << 0)) AS chunk3
+        FROM vt
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk0 = b.chunk0 AND a.doc_id < b.doc_id
+        UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk1 = b.chunk1 AND a.doc_id < b.doc_id
+        UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk2 = b.chunk2 AND a.doc_id < b.doc_id
+        UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk3 = b.chunk3 AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT doc_a, doc_b,
+           CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+                AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+          + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature from token hashes (bitwise
     majority vote), banded into 4x16-bit chunks; pigeonhole guarantees
@@ -303,15 +487,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by exact hamming distance.
 
     Scale shape: signatures are one map + one groupBy; candidate join is
-    on 16-bit chunk values. Rows-only driver check."""
+    on 16-bit chunk values. Token hashes are md5-derived (two 32-bit
+    halves — count-min/Bloom precedent), so the DuckDB oracle replays
+    the whole pipeline — bit votes, chunking, band collisions, hamming
+    filter — bit-for-bit; upgraded from a rows-only check in round 3.
+    (Throughput note: xxhash64 is a drop-in for the md5 halves when
+    raw speed matters more than cross-engine verifiability — the rest
+    of the pipeline is hash-family agnostic.)"""
     d = spread(spark.table("documents"))
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    # Per-token 64-char bit string of xxhash64 (bin() of a negative long
-    # is already the full 64-bit two's complement; lpad covers positives).
+    # Per-token 64-char bit string from TWO md5-derived 32-bit halves —
+    # portable across engines (the oracle rebuilds the same bits).
+    def _half(t, lo, width):
+        return F.lpad(
+            F.bin(
+                F.conv(F.substring(F.md5(t), lo, 8), 16, 10).cast("long")
+            ),
+            width,
+            "0",
+        )
+
     hashed = d.select(
         "doc_id",
         F.transform(
-            toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+            toks,
+            lambda t: F.concat(_half(t, 1, 32), _half(t, 9, 32)),
         ).alias("hbits"),
         F.size(toks).alias("n_tok"),
     )
