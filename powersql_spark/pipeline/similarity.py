@@ -93,7 +93,51 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_TOPK)
 
 
-@query("sim_topk_ivf")  # rows-only: recall-based ANN has no SQL oracle
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT v AS qv,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                    (a, b) -> a + b)) AS qn
+        FROM e WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    cent AS (
+        SELECT label, i,
+               round(CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS m
+        FROM e, unnest(range(1, 65)) AS u(i)
+        GROUP BY label, i
+    ),
+    carr AS (
+        SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY label
+    ),
+    probed AS (
+        SELECT label
+        FROM carr, q
+        ORDER BY round(
+            list_reduce(list_transform(range(1, 65),
+                i -> c[i] * qv[i]), (a, b) -> a + b)
+            / (sqrt(list_reduce(list_transform(c, x -> x * x),
+                    (a, b) -> a + b)) * qn), 6) DESC, label
+        LIMIT {_NPROBE}
+    )
+    SELECT e.vec_id, e.label,
+           round(list_reduce(list_transform(range(1, 65),
+                     i -> e.v[i] * q.qv[i]), (a, b) -> a + b)
+                 / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                         (a, b) -> a + b)) * q.qn), 4) AS cosine
+    FROM e JOIN probed USING (label), q
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT {_TOPK}
+    """,
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse cells = per-label centroids; probe the
     _NPROBE cells whose centroids are closest to the query; exact cosine
@@ -101,10 +145,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: centroid table is tiny (broadcast); the candidate scan
     reads nprobe/ncells of the data — with parquet written partitioned by
-    cell, partition pruning makes that literal. Driver check is rows-only
-    (ANN recall isn't SQL-expressible), but with these cells the result
-    equals the exact top-k whenever the true neighbors live in probed
-    cells."""
+    cell, partition pruning makes that literal. With deterministic cells
+    (decimal-summed 6dp centroid means, rounded + label-tie-broken probe
+    cut) the WHOLE search is reproducible, so the DuckDB oracle replays
+    it exactly — probed cells, candidate scan, re-rank — upgraded from a
+    rows-only check in round 3; the result equals the exact top-k
+    whenever the true neighbors live in probed cells."""
     e = spark.table("embeddings")
     emb = e.select("vec_id", "label", _to_double("embedding").alias("emb"))
 
@@ -119,7 +165,16 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = (
         emb.select("label", F.posexplode("emb").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(
+            # Decimal-summed, 6dp-rounded means: the probed-cell cut
+            # ranks on centroid cosines, so the centroids themselves
+            # must be bit-identical cross-engine (emb_outlier pattern).
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
         .groupBy("label")
         .agg(
             F.transform(
@@ -139,7 +194,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (_norm(F.col("centroid")) * F.col("qn"))
             ).alias("cdist"),
         )
-        .orderBy(F.col("cdist").desc())
+        .orderBy(F.round(F.col("cdist"), 6).desc(), "label")
         .limit(_NPROBE)
         .select("label")
     )
