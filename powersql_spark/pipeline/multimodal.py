@@ -248,10 +248,67 @@ def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_phash_dedup")  # rows-only: the Python block-hash surrogate
-# (like any real pHash) has no SQL form; semantics pinned in
-# tests/test_semantics.py (planted twins collide, hamming bound holds,
-# signature determinism)
+@query(
+    "mm_phash_dedup",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, hx, n,
+               (n + ((65 - n % 65) % 65)) // 65 AS wdt
+        FROM d WHERE n > 0
+    ),
+    by AS (
+        SELECT doc_id, wdt, (i - 1) // wdt AS blk,
+               ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS byte
+        FROM w, unnest(range(1, n + 1)) AS u(i)
+    ),
+    bs AS (
+        SELECT doc_id, blk, SUM(byte) AS s
+        FROM by GROUP BY doc_id, blk
+    ),
+    grid AS (
+        SELECT doc_id, g AS blk FROM w, unnest(range(0, 65)) AS t(g)
+    ),
+    dense AS (
+        SELECT grid.doc_id, grid.blk, COALESCE(bs.s, 0) AS s
+        FROM grid LEFT JOIN bs USING (doc_id, blk)
+    ),
+    bt AS (
+        -- block means share the denominator wdt, so the mean compare
+        -- is the integer block-sum compare
+        SELECT a.doc_id, a.blk AS bi,
+               CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+        FROM dense a JOIN dense b
+            ON b.doc_id = a.doc_id AND b.blk = a.blk + 1
+        WHERE a.blk < 64
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM((CASE WHEN bit = 1 AND bi = 0 THEN 1 << 15 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 1 THEN 1 << 14 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 2 THEN 1 << 13 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 3 THEN 1 << 12 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 4 THEN 1 << 11 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 5 THEN 1 << 10 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 6 THEN 1 << 9 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 7 THEN 1 << 8 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 8 THEN 1 << 7 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 9 THEN 1 << 6 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 10 THEN 1 << 5 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 11 THEN 1 << 4 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 12 THEN 1 << 3 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 13 THEN 1 << 2 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 14 THEN 1 << 1 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 15 THEN 1 << 0 ELSE 0 END)) AS chunk0,
+               SUM((CASE WHEN bit = 1 AND bi = 16 THEN 1 << 15 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 17 THEN 1 << 14 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 18 THEN 1 << 13 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 19 THEN 1 << 12 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 20 THEN 1 << 11 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 21 THEN 1 << 10 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 22 THEN 1 << 9 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 23 THEN 1 << 8 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 24 THEN 1 << 7 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 25 THEN 1 << 6 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 26 THEN 1 << 5 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 27 THEN 1 << 4 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 28 THEN 1 << 3 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 29 THEN 1 << 2 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 30 THEN 1 << 1 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 31 THEN 1 << 0 ELSE 0 END)) AS chunk1,
+               SUM((CASE WHEN bit = 1 AND bi = 32 THEN 1 << 15 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 33 THEN 1 << 14 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 34 THEN 1 << 13 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 35 THEN 1 << 12 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 36 THEN 1 << 11 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 37 THEN 1 << 10 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 38 THEN 1 << 9 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 39 THEN 1 << 8 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 40 THEN 1 << 7 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 41 THEN 1 << 6 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 42 THEN 1 << 5 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 43 THEN 1 << 4 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 44 THEN 1 << 3 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 45 THEN 1 << 2 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 46 THEN 1 << 1 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 47 THEN 1 << 0 ELSE 0 END)) AS chunk2,
+               SUM((CASE WHEN bit = 1 AND bi = 48 THEN 1 << 15 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 49 THEN 1 << 14 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 50 THEN 1 << 13 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 51 THEN 1 << 12 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 52 THEN 1 << 11 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 53 THEN 1 << 10 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 54 THEN 1 << 9 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 55 THEN 1 << 8 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 56 THEN 1 << 7 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 57 THEN 1 << 6 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 58 THEN 1 << 5 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 59 THEN 1 << 4 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 60 THEN 1 << 3 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 61 THEN 1 << 2 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 62 THEN 1 << 1 ELSE 0 END) + (CASE WHEN bit = 1 AND bi = 63 THEN 1 << 0 ELSE 0 END)) AS chunk3
+        FROM bt GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk0 = b.chunk0 AND a.doc_id < b.doc_id
+        UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk1 = b.chunk1 AND a.doc_id < b.doc_id
+        UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk2 = b.chunk2 AND a.doc_id < b.doc_id
+        UNION ALL SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.chunk0 AS a0, a.chunk1 AS a1, a.chunk2 AS a2, a.chunk3 AS a3, b.chunk0 AS b0, b.chunk1 AS b1, b.chunk2 AS b2, b.chunk3 AS b3 FROM sig a JOIN sig b ON a.chunk3 = b.chunk3 AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT doc_a, doc_b,
+           CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+                AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+          + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+    """,
+)
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup over binary payloads — the image-dedup
     pass crawl pipelines run before any content model: Arrow-batched
@@ -264,7 +321,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only Python stage — exactly where a real codec must sit anyway);
     everything after shuffles (doc_id, 4 shorts, 1 long) per row,
     never payload bytes. Same sub-quadratic candidate structure as
-    dedup_simhash (pipeline/dedup.py:301)."""
+    dedup_simhash (pipeline/dedup.py:301).
+
+    Oracle (round 3): the block-hash surrogate IS SQL-expressible —
+    block means share the denominator, so the mean compare is an
+    integer block-sum compare over hex-extracted bytes; the DuckDB
+    twin replays signatures, chunk collisions, and the hamming filter
+    bit-for-bit. A real DCT pHash would drop this back to the
+    rows-only check (semantics stay pinned in tests/test_semantics:
+    planted twins collide, hamming locality bound, determinism)."""
     from powersql_spark.catalog import spread, track_persist
 
     d = spread(spark.table("documents")).select(
