@@ -2294,3 +2294,82 @@ def funnel_window_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_depth")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "agg_gini_revenue",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM per_cust
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+           round(
+               2.0 * CAST(SUM(CAST(round(rk * rev, 6)
+                              AS DECIMAL(28,6))) AS DOUBLE)
+               / (ANY_VALUE(n)
+                  * CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE))
+               - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration
+    diagnostic (how unequal is spend across the customer base; for
+    corpora: how skewed is token mass across sources), via the ranked
+    formula G = 2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n over ascending
+    revenue.
+
+    Scale note: ranking needs a global order, but over the CUSTOMER
+    aggregate, not the fact table — the corpus collapses first
+    (decimal sums), and the global window runs on group-cardinality
+    rows (same trade as stats_ks_two_sample; swap in the two-phase
+    prefix-sum pattern if even the key space outgrows a single
+    window). Rank-weighted products round to 6dp and decimal-sum, so
+    the statistic is bit-stable cross-engine; ties in revenue are
+    broken by key, which leaves G unchanged (equal values commute in
+    the rank sum)."""
+    per_cust = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.any_value("n").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum(
+                F.round(F.col("rk") * F.col("rev"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / (
+                F.any_value("n")
+                * F.sum(F.col("rev").cast(DEC)).cast("double")
+            )
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -1017,3 +1017,53 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", key).alias("v_last"),
         F.count("*").alias("n_points"),
     )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS peak
+        FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           round(MIN(value - peak), 6) AS max_drawdown,
+           round(MAX(peak), 6) AS peak_value,
+           COUNT(*) AS n_obs
+    FROM v
+    GROUP BY user_id
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series: the deepest drop below the
+    running peak (finance's canonical risk statistic; for metrics
+    pipelines, the worst regression from a high-water mark). Running
+    max + one grouped MIN — both on the same (user_id) exchange.
+
+    Exact by construction: the running peak is an order statistic (no
+    summation), the drawdown a single subtraction — rounding only
+    guards the final emit."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            F.max("value").over(w).alias("peak"),
+        )
+    )
+    return v.groupBy("user_id").agg(
+        F.round(F.min(F.col("value") - F.col("peak")), 6).alias(
+            "max_drawdown"
+        ),
+        F.round(F.max("peak"), 6).alias("peak_value"),
+        F.count("*").alias("n_obs"),
+    )

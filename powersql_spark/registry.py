@@ -389,6 +389,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_delta",
     "funnel_window_depth",
     "source_corrupt_quarantine",
+    "ts_max_drawdown",
+    "agg_gini_revenue",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1113,3 +1113,21 @@ def test_window_funnel_single_exchange_array_math(spark, sf_dir):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Exchange") <= 2  # journey build + 4-group rollup
+
+
+def test_drawdown_single_exchange(spark, sf_dir):
+    """Drawdown: running max and the grouped min share one (user_id)
+    exchange."""
+    plan = plan_of(spark, sf_dir, "ts_max_drawdown")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gini_ranks_aggregate_not_facts(spark, sf_dir):
+    """Gini: the global rank window runs over the per-customer
+    aggregate, never the fact table — one orders scan."""
+    plan = plan_of(spark, sf_dir, "agg_gini_revenue")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

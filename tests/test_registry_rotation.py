@@ -47,7 +47,7 @@ def test_green_keys_rotate_to_back(tmp_path):
             "hash_match": False,
             "err": "boom",
         },
-        "dedup_minhash_lsh": {  # rows-only key, clean run: banked
+        "ts_lttb_downsample": {  # rows-only key, clean run: banked
             "rows_match": True,
             "schema_match": False,
             "hash_match": False,
@@ -58,7 +58,7 @@ def test_green_keys_rotate_to_back(tmp_path):
     green = _driver_green(root=str(tmp_path))
     assert "join_inner" in green
     assert "join_left" not in green
-    assert "dedup_minhash_lsh" in green
+    assert "ts_lttb_downsample" in green
 
 
 def test_real_round1_file_is_parsed(tmp_path):

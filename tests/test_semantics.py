@@ -2118,3 +2118,72 @@ def test_corrupt_quarantine_counts_and_content(spark, sf_dir):
         .collect()[0][0]
     )
     assert r["good_docid_sum"] == good_sum
+
+
+def test_drawdown_matches_python(spark, sf_dir):
+    """min(value - running_peak) per user recomputed from sorted
+    series."""
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    rows = (
+        spark.table("events")
+        .where("value is not null")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    got = {
+        r["user_id"]: r
+        for r in SPECS["ts_max_drawdown"].fn(spark, sf_dir).collect()
+    }
+    for uid, pts in series.items():
+        pts.sort()
+        peak, dd, mx = float("-inf"), 0.0, float("-inf")
+        for (_t, _e, v) in pts:
+            peak = max(peak, v)
+            dd = min(dd, v - peak)
+            mx = max(mx, peak)
+        r = got[uid]
+        assert abs(r["max_drawdown"] - round(dd, 6)) <= 1e-9
+        assert abs(r["peak_value"] - round(mx, 6)) <= 1e-9
+        assert r["n_obs"] == len(pts)
+    # drawdown is never positive
+    assert all(r["max_drawdown"] <= 0 for r in got.values())
+
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    """The ranked-formula Gini recomputed with numpy; bounded to
+    [0, 1) for non-negative revenues."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    rev = np.sort(
+        np.array(
+            [
+                r[1]  # (o_custkey, revenue)
+                for r in spark.table("orders")
+                .groupBy("o_custkey")
+                .agg(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,6)")
+                    ).cast("double")
+                )
+                .collect()
+            ]
+        )
+    )
+    n = len(rev)
+    gini = 2 * np.sum(np.arange(1, n + 1) * rev) / (n * rev.sum()) - (
+        n + 1
+    ) / n
+    r = SPECS["agg_gini_revenue"].fn(spark, sf_dir).collect()[0]
+    assert r["n_customers"] == n
+    assert abs(r["gini"] - gini) <= 1e-4
+    assert 0.0 <= r["gini"] < 1.0
