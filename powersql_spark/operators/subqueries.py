@@ -187,3 +187,59 @@ def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_partkey, l_orderkey
         """
     )
+
+
+@query(
+    "subq_not_in_null_aware",
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN
+             (SELECT NULLIF(o_custkey, 7) FROM orders))
+            AS n_not_in_with_null,
+        (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS
+             (SELECT 1 FROM orders
+              WHERE NULLIF(o_custkey, 7) = c.c_custkey))
+            AS n_not_exists,
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN
+             (SELECT NULLIF(o_custkey, 7) FROM orders
+              WHERE NULLIF(o_custkey, 7) IS NOT NULL))
+            AS n_not_in_nullfree
+    """,
+)
+def subq_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, measured: with one NULL planted in the
+    inner set (NULLIF(o_custkey, 7)), `NOT IN` returns ZERO rows
+    (three-valued logic: x <> NULL is unknown for every x), while
+    NOT EXISTS and the null-filtered NOT IN return the real
+    non-buyer count. Every engine must implement all three arms —
+    Spark plans the first as a null-aware anti join — and every data
+    team has lost an afternoon to the difference; this key pins all
+    three side by side.
+
+    Scale note: the null-aware arm cannot hash-partition (a NULL in
+    the build side poisons every probe row), so Spark REQUIRES the
+    broadcast form — fine when the inner set is an aggregate/key
+    column that fits a broadcast, and the reason production pipelines
+    write NOT EXISTS instead for fact-sized inner sets."""
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN
+                 (SELECT NULLIF(o_custkey, 7) FROM orders))
+                AS n_not_in_with_null,
+            (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS
+                 (SELECT 1 FROM orders
+                  WHERE NULLIF(o_custkey, 7) = c.c_custkey))
+                AS n_not_exists,
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN
+                 (SELECT NULLIF(o_custkey, 7) FROM orders
+                  WHERE NULLIF(o_custkey, 7) IS NOT NULL))
+                AS n_not_in_nullfree
+        """
+    )

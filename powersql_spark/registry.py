@@ -391,6 +391,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_corrupt_quarantine",
     "ts_max_drawdown",
     "agg_gini_revenue",
+    "subq_not_in_null_aware",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

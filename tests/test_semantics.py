@@ -2187,3 +2187,25 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
     assert r["n_customers"] == n
     assert abs(r["gini"] - gini) <= 1e-4
     assert 0.0 <= r["gini"] < 1.0
+
+
+def test_not_in_null_trap_three_arms(spark, sf_dir):
+    """The planted NULL makes NOT IN return zero; NOT EXISTS and the
+    null-filtered NOT IN agree with the recomputed non-buyer count."""
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    r = SPECS["subq_not_in_null_aware"].fn(spark, sf_dir).collect()[0]
+    assert r["n_not_in_with_null"] == 0
+    buyers = {
+        row[0]
+        for row in spark.sql(
+            "SELECT DISTINCT NULLIF(o_custkey, 7) FROM orders"
+        ).collect()
+    } - {None}
+    n_customers = spark.table("customer").count()
+    expected = n_customers - spark.table("customer").where(
+        F.col("c_custkey").isin(list(buyers))
+    ).count()
+    assert r["n_not_exists"] == expected
+    assert r["n_not_in_nullfree"] == expected
