@@ -293,3 +293,41 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("source", F.lit("unknown")).alias("source"),
         "n_chars",
     )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(CUME_DIST() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           NTILE(4) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_orderdate >= DATE '1998-01-01'
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST + NTILE over the same ordering — the remaining
+    ranking-family members next to RANK/PERCENT_RANK/ROW_NUMBER
+    (window_rank, window_percent_rank, window_ntile): cumulative
+    share of rows at-or-below each price within its priority class.
+    Total (tie-free) ordering via the key so both engines rank
+    identically; one (priority) exchange serves both functions."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        spark.table("orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )

@@ -392,6 +392,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_max_drawdown",
     "agg_gini_revenue",
     "subq_not_in_null_aware",
+    "window_cume_dist",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
