@@ -407,3 +407,126 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chi2") > crit).alias("reject_05"),
         )
     )
+
+
+# 3x3 Cramer templates over the normal-equation sums (shared between
+# the Spark expression builder and the DuckDB oracle so both engines
+# evaluate the IDENTICAL arithmetic tree).
+_OLS_DET = (
+    "({n} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+)
+_OLS_DET0 = (
+    "({sy} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+    " + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+)
+_OLS_DET1 = (
+    "({n} * ({s1y} * {s22} - {s12} * {s2y})"
+    " - {sy} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+)
+_OLS_DET2 = (
+    "({n} * ({s11} * {s2y} - {s1y} * {s12})"
+    " - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+    " + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+)
+_OLS_NAMES = dict(
+    n="n", s1="s1", s2="s2", sy="sy", s11="s11", s12="s12",
+    s22="s22", s1y="s1y", s2y="s2y",
+)
+
+
+@query(
+    "stats_ols_multi",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s11,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s12,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s22,
+               CAST(SUM(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(28,6))) AS DOUBLE) AS s1y,
+               CAST(SUM(CAST(l_discount * l_extendedprice
+                             AS DECIMAL(28,6))) AS DOUBLE) AS s2y,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round({_OLS_DET0.format(**_OLS_NAMES)}
+                 / {_OLS_DET.format(**_OLS_NAMES)}, 6) AS b0,
+           round({_OLS_DET1.format(**_OLS_NAMES)}
+                 / {_OLS_DET.format(**_OLS_NAMES)}, 6) AS b1,
+           round({_OLS_DET2.format(**_OLS_NAMES)}
+                 / {_OLS_DET.format(**_OLS_NAMES)}, 6) AS b2,
+           round(1.0 - (syy - {_OLS_DET0.format(**_OLS_NAMES)}
+                              / {_OLS_DET.format(**_OLS_NAMES)} * sy
+                            - {_OLS_DET1.format(**_OLS_NAMES)}
+                              / {_OLS_DET.format(**_OLS_NAMES)} * s1y
+                            - {_OLS_DET2.format(**_OLS_NAMES)}
+                              / {_OLS_DET.format(**_OLS_NAMES)} * s2y)
+                       / (syy - sy * sy / n), 4) AS r2
+    FROM s
+    """,
+)
+def stats_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS in closed form: price ~ b0 + b1*quantity +
+    b2*discount per return flag, solved from the normal equations with
+    Cramer's rule over the 3x3 Gram matrix — the step past agg_corr's
+    bivariate REGR_SLOPE, and the pattern for ANY fixed-dimension
+    linear model at 100 TB: ONE partial-aggregated pass collapses the
+    corpus to ten decimal-exact sufficient statistics per group, the
+    solve is constant-time arithmetic on the result row (no MLlib, no
+    iterations, no second scan). R^2 comes from the same sums.
+
+    Both engines evaluate the IDENTICAL determinant expression tree
+    (shared string templates) over decimal-exact sums, so betas agree
+    bit-for-bit before the 6dp guard."""
+    li = spark.table("lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+
+    def dsum28(expr, alias):
+        return F.sum(expr.cast("decimal(28,6)")).cast("double").alias(alias)
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum28(q, "s1"),
+        dsum28(d, "s2"),
+        dsum28(y, "sy"),
+        dsum28(q * q, "s11"),
+        dsum28(q * d, "s12"),
+        dsum28(d * d, "s22"),
+        dsum28(q * y, "s1y"),
+        dsum28(d * y, "s2y"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    det = F.expr(_OLS_DET.format(**_OLS_NAMES))
+    det0 = F.expr(_OLS_DET0.format(**_OLS_NAMES))
+    det1 = F.expr(_OLS_DET1.format(**_OLS_NAMES))
+    det2 = F.expr(_OLS_DET2.format(**_OLS_NAMES))
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = (
+        F.col("syy")
+        - b0 * F.col("sy")
+        - b1 * F.col("s1y")
+        - b2 * F.col("s2y")
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(1.0 - sse / sst, 4).alias("r2"),
+    )

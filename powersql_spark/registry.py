@@ -393,6 +393,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_gini_revenue",
     "subq_not_in_null_aware",
     "window_cume_dist",
+    "stats_ols_multi",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

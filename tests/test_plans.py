@@ -1131,3 +1131,13 @@ def test_gini_ranks_aggregate_not_facts(spark, sf_dir):
     assert plan.count("orders.parquet") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ols_multi_single_pass_constant_state(spark, sf_dir):
+    """OLS: one lineitem scan collapses to ten sufficient statistics
+    per group (partial-aggregated); the solve is row-local arithmetic
+    — no join, no second scan, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_ols_multi")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

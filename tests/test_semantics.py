@@ -2209,3 +2209,36 @@ def test_not_in_null_trap_three_arms(spark, sf_dir):
     ).count()
     assert r["n_not_exists"] == expected
     assert r["n_not_in_nullfree"] == expected
+
+
+def test_ols_multi_matches_numpy_lstsq(spark, sf_dir):
+    """Betas and R^2 recomputed with numpy's least squares on the raw
+    rows."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    pdf = (
+        spark.table("lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in SPECS["stats_ols_multi"].fn(spark, sf_dir).collect()
+    }
+    for flag, g in pdf.groupby("l_returnflag"):
+        X = np.column_stack(
+            [np.ones(len(g)), g["l_quantity"], g["l_discount"]]
+        )
+        y = g["l_extendedprice"].to_numpy()
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ beta
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        r = got[flag]
+        assert r["n"] == len(g)
+        assert abs(r["b0"] - beta[0]) <= 5e-4 * max(1, abs(beta[0]))
+        assert abs(r["b1"] - beta[1]) <= 5e-4 * max(1, abs(beta[1]))
+        assert abs(r["b2"] - beta[2]) <= 5e-4 * max(1, abs(beta[2]))
+        assert abs(r["r2"] - r2) <= 1e-3
