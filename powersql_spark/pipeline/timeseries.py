@@ -1067,3 +1067,108 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("peak"), 6).alias("peak_value"),
         F.count("*").alias("n_obs"),
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT user_id, value AS med FROM (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM v
+        ) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT v.user_id, v.ts, v.event_id, v.value, med.med,
+               abs(v.value - med.med) AS d
+        FROM v JOIN med USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, d AS mad FROM (
+            SELECT user_id, d,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY d) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM dev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.user_id, dev.ts, dev.event_id, dev.value,
+           round(dev.med, 6) AS med,
+           round(mad.mad, 6) AS mad,
+           CASE WHEN mad.mad > 0 THEN
+               round(0.6745 * (dev.value - dev.med) / mad.mad, 4)
+           END AS robust_z,
+           CASE WHEN mad.mad > 0 THEN
+               abs(round(0.6745 * (dev.value - dev.med) / mad.mad, 4))
+                   > 3.5
+           ELSE FALSE END AS is_outlier
+    FROM dev JOIN mad USING (user_id)
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly flags via median/MAD (the
+    Iglewicz-Hoaglin modified z-score, |0.6745*(x-med)/MAD| > 3.5) —
+    the outlier-resistant complement to ts_anomaly_zscore: one wild
+    spike inflates a mean/std baseline enough to hide a second spike,
+    while the median/MAD baseline doesn't move. Medians are LOWER
+    order statistics (the Theil-Sen trick), so every number here is
+    an observed value or a single division — exactly deterministic
+    cross-engine, no interpolation.
+
+    Scale shape: two ranked-window passes on the same (user_id)
+    partitioning (values, then absolute deviations) produce
+    group-cardinality median tables that join back on the series key;
+    per-entity history is bounded, the corpus grows in users, and
+    every stage is keyed on user_id."""
+    v = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def lower_median(df, col, out):
+        w = Window.partitionBy("user_id").orderBy(col)
+        wp = Window.partitionBy("user_id")
+        return (
+            df.select(
+                "user_id",
+                col,
+                F.row_number().over(w).alias("rn"),
+                F.count("*").over(wp).alias("n"),
+            )
+            .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select("user_id", F.col(col).alias(out))
+        )
+
+    med = lower_median(v, "value", "med")
+    dev = v.join(med, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = lower_median(dev.select("user_id", "d"), "d", "mad")
+    z = F.round(
+        0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 4
+    )
+    return dev.join(mad, "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.when(F.col("mad") > 0, z).alias("robust_z"),
+        F.coalesce(
+            F.when(F.col("mad") > 0, F.abs(z) > 3.5), F.lit(False)
+        ).alias("is_outlier"),
+    )

@@ -394,6 +394,7 @@ _PRIORITY: tuple[str, ...] = (
     "subq_not_in_null_aware",
     "window_cume_dist",
     "stats_ols_multi",
+    "ts_anomaly_mad",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

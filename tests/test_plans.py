@@ -1141,3 +1141,13 @@ def test_ols_multi_single_pass_constant_state(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_mad_anomaly_keyed_on_series(spark, sf_dir):
+    """MAD anomalies: every stage (ranked medians, joins) is keyed on
+    user_id — no cartesian, no global window, no Python."""
+    plan = plan_of(spark, sf_dir, "ts_anomaly_mad")
+    assert "hashpartitioning(user_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -2242,3 +2242,39 @@ def test_ols_multi_matches_numpy_lstsq(spark, sf_dir):
         assert abs(r["b1"] - beta[1]) <= 5e-4 * max(1, abs(beta[1]))
         assert abs(r["b2"] - beta[2]) <= 5e-4 * max(1, abs(beta[2]))
         assert abs(r["r2"] - r2) <= 1e-3
+
+
+def test_mad_anomaly_matches_numpy(spark, sf_dir):
+    """Lower medians, MAD, and flags recomputed per user with numpy."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    pdf = (
+        spark.table("events")
+        .where("value is not null")
+        .select("user_id", "event_id", "value")
+        .toPandas()
+    )
+    got = {
+        r["event_id"]: r
+        for r in SPECS["ts_anomaly_mad"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(pdf)
+    for uid, g in pdf.groupby("user_id"):
+        vals = np.sort(g["value"].to_numpy())
+        med = vals[(len(vals) + 1) // 2 - 1]
+        d = np.sort(np.abs(g["value"].to_numpy() - med))
+        mad = d[(len(d) + 1) // 2 - 1]
+        for _, row in g.iterrows():
+            r = got[row["event_id"]]
+            assert abs(r["med"] - round(med, 6)) <= 1e-9
+            assert abs(r["mad"] - round(mad, 6)) <= 1e-9
+            if mad > 0:
+                z = round(0.6745 * (row["value"] - med) / mad, 4)
+                assert abs(r["robust_z"] - z) <= 1e-9
+                assert bool(r["is_outlier"]) == (abs(z) > 3.5)
+            else:
+                assert r["robust_z"] is None
+                assert not r["is_outlier"]
