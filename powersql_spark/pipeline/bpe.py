@@ -17,10 +17,18 @@ The merge application is a left-to-right greedy fold over the symbol
 array (F.aggregate), matching the reference algorithm's semantics for
 overlapping pairs ("aaa" + merge(a,a) -> ["aa","a"]).
 
-No SQL oracle (iterative argmax is not expressible); instead
-tests/test_semantics.py replays the identical algorithm in ~20 lines of
-pure Python on the same word-frequency table and asserts the MERGE
-SEQUENCE is identical — stronger than a row-count check.
+SQL oracle: the merge loop is bounded (N_MERGES), so it unrolls into
+N_MERGES chained CTEs, each computing one argmax pair over the
+previous vocabulary and applying it. The greedy fold has an exact SQL
+form once each word's symbol sequence is encoded as a delimited string
+``(s1)(s2)...(sn)``: merging (l, r) is ``replace(sym, '(l)(r)',
+'(lr)')`` — SQL ``replace`` scans left-to-right non-overlapping, which
+IS the greedy semantics ("(a)(a)(a)" -> "(aa)(a)", "(a)(a)(a)(a)" ->
+"(aa)(aa)"), and the wrappers make a symbol boundary unambiguous so no
+match can start mid-symbol. The corpus is lowercase ASCII (charset
+checked in tests), so '(' / ')' never collide with symbol characters.
+tests/test_semantics.py additionally replays the algorithm in pure
+Python and asserts the merge sequence is identical.
 """
 
 from __future__ import annotations
@@ -31,6 +39,107 @@ from pyspark.sql import functions as F
 from powersql_spark.registry import query
 
 N_MERGES = 8
+
+
+def _bpe_vocab_ctes(n_merges: int) -> str:
+    """DuckDB CTE chain v0..v{n}: the word-frequency vocabulary after
+    each successive merge, with symbols encoded as '(s1)(s2)...'.
+
+    p{k} is step k's argmax pair over v{k-1} (weighted by word freq,
+    ties broken lexicographically — the exact ORDER BY learn_merges
+    uses); v{k} applies it via the wrapped-symbol replace. When the
+    best pair's frequency drops below 2, p{k} is empty, which empties
+    every later CTE — replicating the Spark loop's break."""
+    parts = [
+        r"""v0 AS (
+        SELECT word, freq,
+               '(' || array_to_string(string_split(word, ''), ')(') || ')'
+                   AS sym
+        FROM (
+            SELECT word, COUNT(*) AS freq
+            FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents
+            )
+            GROUP BY word
+        )
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS (
+        SELECT l, r, n FROM (
+            SELECT z[1] AS l, z[2] AS r, CAST(SUM(freq) AS BIGINT) AS n
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(
+                           parts[1:len(parts) - 1], parts[2:len(parts)]
+                       )) AS z
+                FROM (
+                    SELECT freq,
+                           string_split(
+                               sym[2:length(sym) - 1], ')('
+                           ) AS parts
+                    FROM v{k - 1}
+                )
+            )
+            GROUP BY l, r
+        )
+        WHERE n >= 2
+        ORDER BY n DESC, l, r
+        LIMIT 1
+    ),
+    v{k} AS (
+        -- LEFT JOIN ON TRUE: when p{k} is empty (merge loop stopped),
+        -- the vocabulary passes through unchanged, as in learn_merges.
+        SELECT v.word, v.freq,
+               CASE WHEN p.l IS NULL THEN v.sym
+                    ELSE replace(v.sym, '(' || p.l || ')(' || p.r || ')',
+                                 '(' || p.l || p.r || ')')
+               END AS sym
+        FROM v{k - 1} v LEFT JOIN p{k} p ON TRUE
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _learn_merges_oracle(n_merges: int = N_MERGES) -> str:
+    steps = "\n        UNION ALL ".join(
+        f"SELECT CAST({k - 1} AS INTEGER) AS step, l, r, n FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_vocab_ctes(n_merges)}
+    SELECT step, l AS "left", r AS "right", l || r AS merged,
+           n AS pair_freq
+    FROM ({steps})
+    ORDER BY step
+    """
+
+
+def _apply_tokenize_oracle(n_merges: int = N_MERGES) -> str:
+    return f"""
+    WITH {_bpe_vocab_ctes(n_merges)},
+    seg AS (
+        SELECT word,
+               CAST(len(string_split(sym[2:length(sym) - 1], ')('))
+                    AS BIGINT) AS n_sub
+        FROM v{n_merges}
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords,
+           CAST(SUM(length(w.word)) AS DOUBLE)
+               / CAST(SUM(s.n_sub) AS DOUBLE) AS chars_per_subword
+    FROM w JOIN seg s USING (word)
+    GROUP BY w.doc_id
+    """
 
 
 def word_freq(spark: SparkSession) -> DataFrame:
@@ -122,7 +231,7 @@ def segment_vocab(spark: SparkSession, rules) -> DataFrame:
     return vocab
 
 
-@query("bpe_apply_tokenize")  # rows-only: learned merges, not SQL-expressible
+@query("bpe_apply_tokenize", oracle=_apply_tokenize_oracle())
 def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the learned BPE merges — the *apply*
     half that turns ``bpe_learn_merges`` into a usable tokenizer: per
@@ -161,7 +270,7 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_learn_merges")  # no SQL oracle: iterative argmax; see module doc
+@query("bpe_learn_merges", oracle=_learn_merges_oracle())
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first N_MERGES learned BPE merge rules over the corpus, with
     the weighted pair frequency each was chosen at. Deterministic:

