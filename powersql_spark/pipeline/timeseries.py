@@ -27,6 +27,111 @@ _LTTB_OUT = 24  # points kept per series
 _EWMA_ALPHA = 0.3  # smoothing weight on the newest observation
 
 
+def _lttb_oracle(n_out: int = _LTTB_OUT) -> str:
+    """Exact DuckDB twin of the LTTB recursion, unrolled.
+
+    Each kept point depends on the previously kept point, but the
+    recursion depth is FIXED (n_out - 2 interior buckets), so it
+    unrolls into chained CTEs s1..s{n_out-2}: s{b+1} is the argmax
+    triangle-area point of bucket b given s{b}. Float arithmetic
+    mirrors the numpy implementation operation-for-operation —
+    epoch NANOSECONDS cast to DOUBLE (pandas delivers datetime64[ns]),
+    bucket edges trunc(i * ((n-2)/nb)) + 1 exactly as
+    np.linspace(...).astype(int64) computes them, first-maximum
+    tie-break as (area DESC, idx ASC) — so selection is bit-for-bit
+    except on exact float-area ties, which continuous values do not
+    produce. Series with n <= n_out pass through, as in the Spark
+    side."""
+    nb = n_out - 2
+    sels = []
+    for b in range(nb):
+        sels.append(
+            f"""s{b + 1} AS MATERIALIZED (
+        SELECT user_id, idx, ts, te, value FROM (
+            SELECT p.user_id, p.idx, p.ts, p.te, p.value,
+                   row_number() OVER (
+                       PARTITION BY p.user_id
+                       ORDER BY abs(
+                           (s.te - a.avg_t) * (p.value - s.value)
+                           - (s.te - p.te) * (a.avg_v - s.value)
+                       ) DESC, p.idx ASC
+                   ) AS rn
+            FROM big p
+            JOIN bk ON bk.user_id = p.user_id AND bk.b = {b}
+                   AND p.idx >= bk.lo AND p.idx < bk.hi
+            JOIN s{b} s ON s.user_id = p.user_id
+            JOIN avgs a ON a.user_id = p.user_id AND a.b = {b}
+        ) WHERE rn = 1
+    )"""
+        )
+    ranked = "\n        UNION ALL ".join(
+        f"SELECT user_id, ts, value, CAST({b + 1} AS BIGINT) AS pt_rank"
+        f" FROM s{b + 1}"
+        for b in range(nb)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT user_id, ts, value,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - 1 AS BIGINT) AS idx,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ),
+    big AS MATERIALIZED (
+        SELECT user_id, ts, value, idx, n,
+               CAST(epoch_ns(ts) AS DOUBLE) AS te
+        FROM pts WHERE n > {n_out}
+    ),
+    users AS MATERIALIZED (SELECT DISTINCT user_id, n FROM big),
+    edges AS MATERIALIZED (
+        SELECT u.user_id, i.i,
+               CASE WHEN i.i = {nb} THEN u.n - 1
+                    ELSE CAST(trunc(i.i * ((u.n - 2.0) / {nb}.0))
+                              AS BIGINT) + 1
+               END AS e
+        FROM users u
+        CROSS JOIN (SELECT unnest(range(0, {nb + 1})) AS i) i
+    ),
+    bk AS MATERIALIZED (
+        SELECT e1.user_id, e1.i AS b, e1.e AS lo, e2.e AS hi
+        FROM edges e1 JOIN edges e2
+          ON e2.user_id = e1.user_id AND e2.i = e1.i + 1
+        WHERE e1.i < {nb}
+    ),
+    nxt AS MATERIALIZED (
+        SELECT e1.user_id, e1.i - 1 AS b, e1.e AS nlo,
+               COALESCE(e2.e, u.n) AS nhi
+        FROM edges e1
+        LEFT JOIN edges e2
+          ON e2.user_id = e1.user_id AND e2.i = e1.i + 1
+        JOIN users u ON u.user_id = e1.user_id
+        WHERE e1.i BETWEEN 1 AND {nb}
+    ),
+    avgs AS MATERIALIZED (
+        SELECT x.user_id, x.b, AVG(p.te) AS avg_t, AVG(p.value) AS avg_v
+        FROM nxt x JOIN big p
+          ON p.user_id = x.user_id
+         AND p.idx >= x.nlo AND p.idx < x.nhi
+        GROUP BY x.user_id, x.b
+    ),
+    s0 AS MATERIALIZED (
+        SELECT user_id, idx, ts, te, value FROM big WHERE idx = 0
+    ),
+    {",".join(sels)}
+    SELECT user_id, ts, value, pt_rank FROM (
+        SELECT user_id, ts, value, idx AS pt_rank
+        FROM pts WHERE n <= {n_out}
+        UNION ALL
+        SELECT user_id, ts, value, CAST(0 AS BIGINT) FROM s0
+        UNION ALL {ranked}
+        UNION ALL
+        SELECT user_id, ts, value, CAST({n_out - 1} AS BIGINT)
+        FROM big WHERE idx = n - 1
+    )
+    """
+
+
 def _lttb(ts: np.ndarray, val: np.ndarray, n_out: int) -> np.ndarray:
     """Indices kept by LTTB. Deterministic: np.argmax takes the FIRST
     maximal triangle area, so ties cannot reorder across runs or
@@ -58,8 +163,7 @@ def _lttb(ts: np.ndarray, val: np.ndarray, n_out: int) -> np.ndarray:
     return np.asarray(keep)
 
 
-@query("ts_lttb_downsample")  # rows-only: the bucketed argmax recursion
-# has no SQL form (each kept point depends on the previous kept point)
+@query("ts_lttb_downsample", oracle=_lttb_oracle())
 def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-preserving downsample of each user's event-value series to
     24 points via Largest-Triangle-Three-Buckets. Endpoints are always

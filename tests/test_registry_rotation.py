@@ -33,7 +33,12 @@ def test_current_window_is_all_unverified():
 
 def test_green_keys_rotate_to_back(tmp_path):
     """Simulate the driver landing a new round's file: its green keys
-    must leave the front of the order on next computation."""
+    must leave the front of the order on next computation. Every real
+    key now carries an oracle (round 4 closed the rows-only set), so
+    the rows-only banking branch is exercised with a synthetic
+    oracle-less spec injected into the registry."""
+    import powersql_spark.registry as reg
+
     r = {
         "join_inner": {
             "rows_match": True,
@@ -47,7 +52,13 @@ def test_green_keys_rotate_to_back(tmp_path):
             "hash_match": False,
             "err": "boom",
         },
-        "ts_lttb_downsample": {  # rows-only key, clean run: banked
+        "_fake_rows_only": {  # rows-only key, clean run: banked
+            "rows_match": True,
+            "schema_match": False,
+            "hash_match": False,
+            "err": None,
+        },
+        "ts_lttb_downsample": {  # oracle key, hash fail: NOT banked
             "rows_match": True,
             "schema_match": False,
             "hash_match": False,
@@ -55,10 +66,18 @@ def test_green_keys_rotate_to_back(tmp_path):
         },
     }
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(r))
-    green = _driver_green(root=str(tmp_path))
+    fake = reg.QuerySpec(
+        "_fake_rows_only", lambda s, d: None, None, "synthetic", "test"
+    )
+    reg._REGISTRY["_fake_rows_only"] = fake
+    try:
+        green = _driver_green(root=str(tmp_path))
+    finally:
+        del reg._REGISTRY["_fake_rows_only"]
     assert "join_inner" in green
     assert "join_left" not in green
-    assert "ts_lttb_downsample" in green
+    assert "_fake_rows_only" in green
+    assert "ts_lttb_downsample" not in green
 
 
 def test_real_round1_file_is_parsed(tmp_path):

@@ -15,9 +15,11 @@ from powersql_spark.registry import all_specs  # noqa: E402
 HEADER = """# INVENTORY — registered operator keys (generated from the registry)
 
 One row per `queries()` key in `__spark_entry__.py`. Oracle = has a
-DuckDB SQL twin in `oracle_sql()` (driver hash-compares values);
-rows-only = engine-specific semantics (hash families, ANN recall),
-checked by row count + local semantic tests.
+DuckDB SQL twin in `oracle_sql()` (driver hash-compares values). As of
+round 4 EVERY key has one: engine-specific semantics (learned models,
+iterative merges, sequential selections) are verified either exactly
+(unrolled bounded loops, portable hash families) or via in-query
+boolean gates (recall/accuracy/identity claims the oracle replays).
 
 Total: {n} keys.
 
