@@ -112,6 +112,7 @@ HEADLINE = {
     "q46_hilbert": "layout_hilbert",
     "q47_m4": "ts_downsample_m4",
     "q48_window_funnel": "funnel_window_depth",
+    "q49_curation_e2e": "pipeline_curation_e2e",
 }
 
 

@@ -47,7 +47,20 @@ def _doc_shingles(spark: SparkSession) -> DataFrame:
     instead of NULL (0/0) and are reported by every fuzzy-dedup variant.
     """
     d = spread(spark.table("documents"))
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / 64).cast("int").alias("len_bucket"),
+        _shingle_expr().alias("shingles"),
+    )
+
+
+def _shingle_expr(text_col: str = "text"):
+    """Distinct word-bigram shingles of a text column (unigram fallback
+    for single-token docs) — the one shingle definition every fuzzy
+    variant and the e2e composite share."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     bigrams = F.array_distinct(
         F.zip_with(
@@ -56,14 +69,7 @@ def _doc_shingles(spark: SparkSession) -> DataFrame:
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     )
-    shingles = F.when(n >= 2, bigrams).otherwise(F.array_distinct(toks))
-    return d.select(
-        "doc_id",
-        "lang",
-        "source",
-        (F.col("n_chars") / 64).cast("int").alias("len_bucket"),
-        shingles.alias("shingles"),
-    )
+    return F.when(n >= 2, bigrams).otherwise(F.array_distinct(toks))
 
 
 @query(
@@ -210,12 +216,30 @@ _BANDS = 4
 _ROWS_PER_BAND = _MINHASH_K // _BANDS
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=r"""
-    WITH tok AS (
+def _minhash_sql_ctes(src: str) -> str:
+    """CTE chain tok -> sh -> ex -> hh -> sig -> bands -> cand ->
+    mh_pairs over any (doc_id, text) relation ``src``: the portable
+    md5-derived MinHash pipeline (same affine hash family as the Spark
+    side), ending in the verified near-dup pairs at
+    _JACCARD_THRESHOLD. Parameterized so the standalone key runs it on
+    ``documents`` and the e2e composite on its survivor CTE."""
+    mins = ",\n               ".join(
+        f"MIN((h * {2 * i + 3} + {i * 40503}) % 2147483647) AS m{i}"
+        for i in range(_MINHASH_K)
+    )
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sig".format(
+            b=b,
+            sig=" || '|' || ".join(
+                f"CAST(m{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return rf"""tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents
+        FROM {src}
     ),
     sh AS (
         SELECT doc_id,
@@ -233,47 +257,39 @@ _ROWS_PER_BAND = _MINHASH_K // _BANDS
     ),
     sig AS (
         SELECT doc_id,
-               MIN((h * 3 + 0) % 2147483647) AS m0,
-               MIN((h * 5 + 40503) % 2147483647) AS m1,
-               MIN((h * 7 + 81006) % 2147483647) AS m2,
-               MIN((h * 9 + 121509) % 2147483647) AS m3,
-               MIN((h * 11 + 162012) % 2147483647) AS m4,
-               MIN((h * 13 + 202515) % 2147483647) AS m5,
-               MIN((h * 15 + 243018) % 2147483647) AS m6,
-               MIN((h * 17 + 283521) % 2147483647) AS m7,
-               MIN((h * 19 + 324024) % 2147483647) AS m8,
-               MIN((h * 21 + 364527) % 2147483647) AS m9,
-               MIN((h * 23 + 405030) % 2147483647) AS m10,
-               MIN((h * 25 + 445533) % 2147483647) AS m11,
-               MIN((h * 27 + 486036) % 2147483647) AS m12,
-               MIN((h * 29 + 526539) % 2147483647) AS m13,
-               MIN((h * 31 + 567042) % 2147483647) AS m14,
-               MIN((h * 33 + 607545) % 2147483647) AS m15
+               {mins}
         FROM hh GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR) || '|' || CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR) AS band_sig FROM sig
-        UNION ALL SELECT doc_id, 1 AS band, CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR) || '|' || CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR) AS band_sig FROM sig
-        UNION ALL SELECT doc_id, 2 AS band, CAST(m8 AS VARCHAR) || '|' || CAST(m9 AS VARCHAR) || '|' || CAST(m10 AS VARCHAR) || '|' || CAST(m11 AS VARCHAR) AS band_sig FROM sig
-        UNION ALL SELECT doc_id, 3 AS band, CAST(m12 AS VARCHAR) || '|' || CAST(m13 AS VARCHAR) || '|' || CAST(m14 AS VARCHAR) || '|' || CAST(m15 AS VARCHAR) AS band_sig FROM sig
+        {band_rows}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_sig = b.band_sig
                AND a.doc_id < b.doc_id
-    )
-    SELECT cand.doc_a, cand.doc_b,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-               / (len(sa.shingles) + len(sb.shingles)
-                  - len(list_intersect(sa.shingles, sb.shingles)))
-               AS jaccard
-    FROM cand
-    JOIN sh sa ON sa.doc_id = cand.doc_a
-    JOIN sh sb ON sb.doc_id = cand.doc_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / (len(sa.shingles) + len(sb.shingles)
-             - len(list_intersect(sa.shingles, sb.shingles))) >= 0.30
+    ),
+    mh_pairs AS (
+        SELECT cand.doc_a, cand.doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)))
+                   AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_sql_ctes('documents')}
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +321,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = track_persist(
         _doc_shingles(spark).select("doc_id", "shingles")
     )
+    return _minhash_pairs(sh)
+
+
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from a persisted (doc_id, shingles)
+    frame: signatures -> banded bucket join -> exact-jaccard check.
+    Shared by the standalone key and the e2e curation composite."""
     base = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select(
@@ -702,6 +725,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     not traversal order).
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("lab") == F.col("node")).alias("is_canonical"),
+    )
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) pair
+    frame -> (node, lab) with lab = min reachable id. Shared by the
+    standalone clustering key and the e2e curation composite."""
     fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = fwd.union(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
@@ -749,11 +784,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected-components did not converge in {max_rounds} rounds"
             f" ({n_changed} labels still changing)"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("lab").alias("cluster_id"),
-        (F.col("lab") == F.col("node")).alias("is_canonical"),
-    )
+    return labels
 
 
 @query(
@@ -1753,4 +1784,201 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of_base",
         (F.col("rn") > 1).alias("dup_within_delta"),
         (~F.col("dup_of_base") & (F.col("rn") == 1)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation composite: the chain a real 100 TB pre-training
+# run executes as ONE declarative plan — cheap dedup first (URL
+# canonicalization, map-only), then exact content fingerprints (hash
+# shuffle), then MinHash-LSH near-dup clustering (the only stage with a
+# candidate-pair term, already sub-quadratic), and finally sequence
+# packing of the survivors into 512-token training bins. Each stage
+# exists as a standalone driver-verified key (dedup_url_canonical,
+# dedup_exact, dedup_minhash_lsh, dedup_connected_components,
+# pack_sequences); this key proves they COMPOSE — the ordering is the
+# cost ladder: each stage only pays for what the cheaper stages left.
+# ---------------------------------------------------------------------------
+
+
+def _curation_e2e_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE urls AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                   WHEN 0 THEN 'example.org' WHEN 1 THEN 'www.Example.org'
+                   ELSE 'EXAMPLE.ORG:443' END
+               || '/articles/' || CAST(doc_id % 200 AS VARCHAR)
+               || CASE doc_id % 4
+                   WHEN 0 THEN '?utm_source=feed'
+                   WHEN 1 THEN '#section-2' ELSE '' END AS url
+        FROM documents
+    ),
+    canonu AS (
+        SELECT doc_id,
+               'https://' ||
+               regexp_replace(
+                   regexp_replace(
+                       lower(regexp_extract(url, '^([^/?#]+)', 1)),
+                       '^www\.', ''),
+                   ':443$', '')
+               || regexp_extract(url, '^[^/?#]+(/[^?#]*)', 1)
+                   AS canonical_url
+        FROM urls
+    ),
+    s1 AS (
+        SELECT d.* FROM documents d JOIN (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY canonical_url ORDER BY doc_id) AS rn
+            FROM canonu
+        ) r USING (doc_id) WHERE r.rn = 1
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        FROM s1
+    ),
+    s2 AS (
+        SELECT s1.* FROM s1 JOIN (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY f ORDER BY doc_id) AS rn
+            FROM fp
+        ) r USING (doc_id) WHERE r.rn = 1
+    ),
+    {_minhash_sql_ctes('s2')},
+    cc_edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+    ),
+    reach AS (
+        SELECT a, b FROM cc_edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN cc_edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    s3 AS (
+        SELECT * FROM s2
+        WHERE doc_id NOT IN
+              (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)
+    ),
+    toks3 AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM s3
+    ),
+    cum AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok
+                   AS tok_before
+        FROM toks3
+    )
+    SELECT source,
+           CAST(floor(tok_before / 512.0) AS INTEGER) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """
+
+
+@query("pipeline_curation_e2e", oracle=_curation_e2e_oracle())
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel, composed: URL-canonical dedup ->
+    exact-fingerprint dedup -> MinHash-LSH near-dup clustering (min
+    doc_id kept per transitive cluster) -> 512-token sequence-packing
+    manifest of the survivors, per source. The output is the shard
+    manifest a training data loader consumes; its token sums depend on
+    every upstream survivor decision, so the hash check verifies the
+    WHOLE chain.
+
+    Scale shape is the cost ladder every crawl pipeline uses: the
+    map-only URL normalization and the (hash, id) exact-dedup shuffle
+    run over the full corpus; the CPU-heavy shingling + LSH banding
+    only over exact-level survivors; exact-jaccard verification only
+    over band-colliding candidates; min-label propagation only over
+    verified pairs; the packing window only over final survivors. No
+    stage recomputes an earlier stage's work (the survivor frame
+    carries text forward), and no stage is quadratic in the corpus."""
+    d = spark.table("documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("example.org"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.Example.org"))
+        .otherwise(F.lit("EXAMPLE.ORG:443"))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#section-2"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        host,
+        F.lit("/articles/"),
+        (F.col("doc_id") % 200).cast("string"),
+        tail,
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract(url, r"^([^/?#]+)", 1)),
+                r"^www\.",
+                "",
+            ),
+            r":443$",
+            "",
+        ),
+        F.regexp_extract(url, r"^[^/?#]+(/[^?#]*)", 1),
+    )
+    w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
+    s1 = (
+        d.withColumn("canonical_url", canon)
+        .withColumn("rn", F.row_number().over(w_url))
+        .where(F.col("rn") == 1)
+        .drop("canonical_url", "rn")
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w_fp = Window.partitionBy("f").orderBy("doc_id")
+    s2 = (
+        s1.withColumn("f", F.md5(norm))
+        .withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .drop("f", "rn")
+    )
+    sh = track_persist(
+        spread(s2).select("doc_id", _shingle_expr().alias("shingles"))
+    )
+    pairs = _minhash_pairs(sh).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    dupes = labels.where(F.col("lab") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    s3 = s2.join(dupes, "doc_id", "left_anti")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = s3.select("source", "doc_id", n_tok.alias("n_tok")).select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(w_pack) - F.col("n_tok")).alias("tok_before"),
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("tok_before") / 512.0).cast("int").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "bin")
     )

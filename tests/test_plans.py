@@ -130,6 +130,20 @@ def test_pairwise_ops_equijoin_only(spark, sf_dir, key):
     assert "BroadcastNestedLoopJoin" not in plan, f"{key} plans a BNLJ"
 
 
+def test_curation_e2e_composes_without_quadratic_stages(spark, sf_dir):
+    """The e2e curation funnel's returned plan (packing over the
+    survivor anti-join) must be equi-joins + windows only — and the
+    LSH stage it consumed upstream is separately gated by
+    test_pairwise_ops_equijoin_only. No cartesian, no BNLJ, no
+    row-at-a-time Python anywhere in the final plan."""
+    plan = plan_of(spark, sf_dir, "pipeline_curation_e2e")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # Survivor filtering is an anti-join on the bare id, not a rescan.
+    assert "LeftAnti" in plan
+
+
 def test_contamination_benchmark_broadcasts(spark, sf_dir):
     """The benchmark n-gram set is the small side (eval suites are
     fixed-size): it must broadcast so the corpus scan stays linear with
