@@ -1944,7 +1944,12 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     w_fp = Window.partitionBy("f").orderBy("doc_id")
-    s2 = (
+    # Persisted: s2 feeds BOTH the shingle/LSH branch and the final
+    # survivor anti-join — without the persist each branch re-scans the
+    # corpus and re-runs both dedup windows. At 100 TB the equivalent
+    # move is materializing the exact-dedup survivors to parquet
+    # between pipeline phases.
+    s2 = track_persist(
         s1.withColumn("f", F.md5(norm))
         .withColumn("rn", F.row_number().over(w_fp))
         .where(F.col("rn") == 1)
