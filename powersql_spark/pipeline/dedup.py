@@ -1801,9 +1801,12 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _curation_e2e_oracle() -> str:
-    return rf"""
-    WITH RECURSIVE urls AS (
+def _curation_stage_ctes() -> str:
+    """SQL CTE chain urls -> canonu -> s1 -> fp -> s2 -> (minhash) ->
+    cc_edges -> reach -> labels -> s3: the survivor ladder both the e2e
+    composite and the funnel report replay. Must be placed inside a
+    WITH RECURSIVE (reach is recursive)."""
+    return rf"""urls AS (
         SELECT doc_id,
                CASE doc_id % 3
                    WHEN 0 THEN 'example.org' WHEN 1 THEN 'www.Example.org'
@@ -1864,7 +1867,76 @@ def _curation_e2e_oracle() -> str:
         SELECT * FROM s2
         WHERE doc_id NOT IN
               (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)
-    ),
+    )"""
+
+
+def _curation_stages(spark: SparkSession):
+    """Spark-side survivor ladder (s1, s2, s3) shared by the e2e
+    composite and the funnel report. s2 is persisted: it feeds both
+    the shingle/LSH branch and the survivor anti-join — without the
+    persist each branch re-scans the corpus and re-runs both dedup
+    windows. At 100 TB the equivalent move is materializing the
+    exact-dedup survivors to parquet between pipeline phases."""
+    d = spark.table("documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("example.org"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.Example.org"))
+        .otherwise(F.lit("EXAMPLE.ORG:443"))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#section-2"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        host,
+        F.lit("/articles/"),
+        (F.col("doc_id") % 200).cast("string"),
+        tail,
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract(url, r"^([^/?#]+)", 1)),
+                r"^www\.",
+                "",
+            ),
+            r":443$",
+            "",
+        ),
+        F.regexp_extract(url, r"^[^/?#]+(/[^?#]*)", 1),
+    )
+    w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
+    s1 = (
+        d.withColumn("canonical_url", canon)
+        .withColumn("rn", F.row_number().over(w_url))
+        .where(F.col("rn") == 1)
+        .drop("canonical_url", "rn")
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    w_fp = Window.partitionBy("f").orderBy("doc_id")
+    s2 = track_persist(
+        s1.withColumn("f", F.md5(norm))
+        .withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .drop("f", "rn")
+    )
+    sh = track_persist(
+        spread(s2).select("doc_id", _shingle_expr().alias("shingles"))
+    )
+    pairs = _minhash_pairs(sh).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    dupes = labels.where(F.col("lab") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    s3 = s2.join(dupes, "doc_id", "left_anti")
+    return s1, s2, s3
+
+
+def _curation_e2e_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE {_curation_stage_ctes()},
     toks3 AS (
         SELECT source, doc_id,
                len(string_split_regex(trim(text), '\s+')) AS n_tok
@@ -1905,65 +1977,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pairs; the packing window only over final survivors. No
     stage recomputes an earlier stage's work (the survivor frame
     carries text forward), and no stage is quadratic in the corpus."""
-    d = spark.table("documents")
-    host = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("example.org"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("www.Example.org"))
-        .otherwise(F.lit("EXAMPLE.ORG:443"))
-    )
-    tail = (
-        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
-        .when(F.col("doc_id") % 4 == 1, F.lit("#section-2"))
-        .otherwise(F.lit(""))
-    )
-    url = F.concat(
-        host,
-        F.lit("/articles/"),
-        (F.col("doc_id") % 200).cast("string"),
-        tail,
-    )
-    canon = F.concat(
-        F.lit("https://"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.lower(F.regexp_extract(url, r"^([^/?#]+)", 1)),
-                r"^www\.",
-                "",
-            ),
-            r":443$",
-            "",
-        ),
-        F.regexp_extract(url, r"^[^/?#]+(/[^?#]*)", 1),
-    )
-    w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
-    s1 = (
-        d.withColumn("canonical_url", canon)
-        .withColumn("rn", F.row_number().over(w_url))
-        .where(F.col("rn") == 1)
-        .drop("canonical_url", "rn")
-    )
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    w_fp = Window.partitionBy("f").orderBy("doc_id")
-    # Persisted: s2 feeds BOTH the shingle/LSH branch and the final
-    # survivor anti-join — without the persist each branch re-scans the
-    # corpus and re-runs both dedup windows. At 100 TB the equivalent
-    # move is materializing the exact-dedup survivors to parquet
-    # between pipeline phases.
-    s2 = track_persist(
-        s1.withColumn("f", F.md5(norm))
-        .withColumn("rn", F.row_number().over(w_fp))
-        .where(F.col("rn") == 1)
-        .drop("f", "rn")
-    )
-    sh = track_persist(
-        spread(s2).select("doc_id", _shingle_expr().alias("shingles"))
-    )
-    pairs = _minhash_pairs(sh).select("doc_a", "doc_b")
-    labels = _min_label_components(pairs)
-    dupes = labels.where(F.col("lab") != F.col("node")).select(
-        F.col("node").alias("doc_id")
-    )
-    s3 = s2.join(dupes, "doc_id", "left_anti")
+    _s1, _s2, s3 = _curation_stages(spark)
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     w_pack = (
         Window.partitionBy("source")
@@ -1986,4 +2000,70 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
         .orderBy("source", "bin")
+    )
+
+
+
+def _funnel_report_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE {_curation_stage_ctes()}
+    SELECT d.source,
+           COUNT(*) AS n_raw,
+           CAST(COUNT(*) FILTER (s1.doc_id IS NOT NULL) AS BIGINT)
+               AS n_after_url,
+           CAST(COUNT(*) FILTER (s2.doc_id IS NOT NULL) AS BIGINT)
+               AS n_after_exact,
+           CAST(COUNT(*) FILTER (s3.doc_id IS NOT NULL) AS BIGINT)
+               AS n_after_neardup,
+           round(CAST(COUNT(*) FILTER (s3.doc_id IS NOT NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_rate
+    FROM documents d
+    LEFT JOIN s1 ON s1.doc_id = d.doc_id
+    LEFT JOIN s2 ON s2.doc_id = d.doc_id
+    LEFT JOIN s3 ON s3.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@query("dedup_funnel_report", oracle=_funnel_report_oracle())
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attribution report for the curation funnel: per source,
+    how many documents survive each dedup stage (URL-canonical ->
+    exact fingerprint -> MinHash near-dup) and the final keep rate —
+    the observability table every production curation run publishes
+    next to its output (it is how you notice one crawler feeding 90%
+    duplicates). Reuses pipeline_curation_e2e's exact stage
+    definitions, so the report provably describes the shipped funnel.
+
+    Scale shape: identical to the composite's ladder, plus three
+    LEFT SEMI-shaped id joins and one per-source rollup — id-only
+    shuffles on top of work the funnel already does; at 100 TB the
+    survivor id sets are emitted as a side product of the funnel run
+    itself."""
+    d = spark.table("documents")
+    s1, s2, s3 = _curation_stages(spark)
+
+    def flag(stage: DataFrame, name: str) -> DataFrame:
+        return stage.select("doc_id", F.lit(True).alias(name))
+
+    joined = (
+        d.select("source", "doc_id")
+        .join(flag(s1, "in1"), "doc_id", "left")
+        .join(flag(s2, "in2"), "doc_id", "left")
+        .join(flag(s3, "in3"), "doc_id", "left")
+    )
+    n3 = F.count(F.when(F.col("in3"), 1))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.count(F.when(F.col("in1"), 1)).alias("n_after_url"),
+            F.count(F.when(F.col("in2"), 1)).alias("n_after_exact"),
+            n3.alias("n_after_neardup"),
+            F.round(
+                n3.cast("double") / F.count("*"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
     )

