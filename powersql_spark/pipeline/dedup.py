@@ -324,10 +324,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(sh)
 
 
-def _minhash_pairs(sh: DataFrame) -> DataFrame:
-    """Verified near-dup pairs from a persisted (doc_id, shingles)
-    frame: signatures -> banded bucket join -> exact-jaccard check.
-    Shared by the standalone key and the e2e curation composite."""
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15): k derived minhashes by affine mixing of the
+    32-bit md5 base hash mod 2^31-1 — portable integer arithmetic
+    (identical in the oracle); the products stay far below bigint
+    overflow (2^32 * 35)."""
     base = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select(
@@ -336,10 +337,7 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    # k derived hashes by affine mixing of the 32-bit base mod 2^31-1:
-    # portable integer arithmetic (identical in the oracle), and the
-    # products stay far below bigint overflow (2^32 * 35).
-    sig = base.groupBy("doc_id").agg(
+    return base.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.col("h") * (2 * i + 3) + i * 40503) % 2147483647
@@ -347,6 +345,15 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
             for i in range(_MINHASH_K)
         ]
     )
+
+
+def _minhash_pairs(sh: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+    """Verified near-dup pairs from a persisted (doc_id, shingles)
+    frame: signatures -> banded bucket join -> exact-jaccard check.
+    Shared by the standalone key, the e2e curation composite, and the
+    estimator key (which passes its own persisted signatures)."""
+    if sig is None:
+        sig = _minhash_signatures(sh)
     band_sigs = F.array(
         *[
             F.concat_ws(
@@ -2066,4 +2073,69 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
         .orderBy("source")
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_K)
+    )
+    return f"""
+    WITH {_minhash_sql_ctes('documents')}
+    SELECT p.doc_a, p.doc_b,
+           round(({eq_sum}) / {_MINHASH_K}.0, 6) AS est_jaccard,
+           round(p.jaccard, 6) AS exact_jaccard,
+           round(abs(({eq_sum}) / {_MINHASH_K}.0 - p.jaccard), 6)
+               AS abs_err
+    FROM mh_pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    """
+
+
+@query("dedup_minhash_estimate", oracle=_minhash_estimate_oracle())
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard ESTIMATION for the banded candidates:
+    est = fraction of the 16 minhash components that agree — the
+    unbiased estimator every production MinHash deployment actually
+    serves (at 100 TB you rank/threshold on the estimate and reserve
+    the exact shingle intersection for audits). Emits estimate, exact,
+    and absolute error per surviving pair, so the driver hash check
+    pins the estimator itself, not just the pair set.
+
+    Scale shape: identical to dedup_minhash_lsh up to the candidate
+    set (map-side MIN partials, banded bucket join); the estimate adds
+    only two signature-row joins on the bare doc ids — 16 longs per
+    side — where the exact path re-joins full shingle arrays. The
+    persisted shingle frame is shared with the verification join, so
+    shingling still happens once."""
+    sh = track_persist(
+        _doc_shingles(spark).select("doc_id", "shingles")
+    )
+    sig = track_persist(_minhash_signatures(sh))
+    pairs = _minhash_pairs(sh, sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    eq_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    )
+    est = eq_sum / F.lit(float(_MINHASH_K))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.col("jaccard"), 6).alias("exact_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
     )

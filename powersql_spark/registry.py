@@ -313,6 +313,7 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_curation_e2e",
     "dedup_funnel_report",
     "sketch_kmv_distinct",
+    "dedup_minhash_estimate",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -122,6 +122,7 @@ def test_column_pruning_q6(spark, sf_dir):
         "dedup_embedding_lsh",
         "sim_join_topk",
         "dedup_containment",
+        "dedup_minhash_estimate",
     ],
 )
 def test_pairwise_ops_equijoin_only(spark, sf_dir, key):

@@ -2352,3 +2352,21 @@ def test_funnel_report_is_monotone_and_matches_e2e(spark, sf_dir):
     assert sum(r["n_after_neardup"] for r in rows) == sum(
         m["n_docs"] for m in manifest
     )
+
+
+def test_minhash_estimator_tracks_exact_jaccard(spark, sf_dir):
+    """The 16-component minhash estimator: every estimate in [0,1],
+    every pair's exact jaccard >= the LSH threshold (the pairs are the
+    verified survivors), and the mean absolute error stays within the
+    estimator's statistical envelope (std ~ sqrt(J(1-J)/16) <= 0.125;
+    gate the MEAN at 2x that)."""
+    rows = SPECS["dedup_minhash_estimate"].fn(spark, sf_dir).collect()
+    assert rows, "no verified near-dup pairs at this SF"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["exact_jaccard"] >= 0.30 - 1e-9
+        assert abs(
+            r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])
+        ) < 2e-6
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 0.25, f"mean estimator error {mean_err:.3f}"

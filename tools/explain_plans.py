@@ -134,6 +134,18 @@ SHOW = {
     "text_bigram_logprob": "Bigram LM: token arrays build bigrams "
     "map-side (no positional self-join); the vocabulary model joins "
     "back broadcast.",
+    "pipeline_curation_e2e": "Curation funnel cost ladder: map-only "
+    "URL canonicalization, hash-only exact-dedup windows, LSH only "
+    "over survivors (persisted), id-keyed anti-join, packing window "
+    "over final survivors.",
+    "sketch_kmv_distinct": "KMV sketch: text dies at the scan "
+    "projection; the per-scope k-minima cut is a PARTIAL "
+    "WindowGroupLimit (partition-local bounded top-k before the "
+    "exchange); global scope is TakeOrderedAndProject.",
+    "dedup_minhash_estimate": "Sketch-served Jaccard: the estimate "
+    "joins 16-long signature rows on bare ids where exact "
+    "verification re-joins shingle arrays — the cheap path a 100 TB "
+    "run serves.",
 }
 
 
