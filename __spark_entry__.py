@@ -37,8 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twin per key (omitted for engine-specific-hash ops,
-    which get the driver's rows-only check)."""
+    """DuckDB oracle twin per key — every registered key has one as of
+    round 4 (engine-specific semantics are verified via portable hash
+    families, unrolled bounded loops, or in-query boolean gates)."""
     from powersql_spark.registry import oracle_queries
 
     return oracle_queries()
