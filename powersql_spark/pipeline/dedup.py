@@ -748,10 +748,17 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     edges = fwd.union(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     ).persist()
+    # Initialization fused with the first propagation round: label0 =
+    # min over the closed neighborhood (same aggregation that builds
+    # the node list) — one fewer shuffle round for every caller, and
+    # identical to running the loop once from identity labels.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("nb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("nb"), F.col("a")).alias("lab"),
+        )
         .persist()
     )
     max_rounds = 20  # >> any real near-dup cluster diameter
