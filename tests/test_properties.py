@@ -228,3 +228,81 @@ def test_ks_integer_formulation_matches_float_ecdf(a, b):
     g1 = np.searchsorted(np.sort(a3), vs3, side="right")
     g2 = np.searchsorted(np.sort(b3), vs3, side="right")
     assert np.abs(g1 * n2 - g2 * n1).max() == d_int
+
+
+# ---------------------------------------------------------------------------
+# Round-4 oracle-machinery properties (pure Python, no Spark):
+# the BPE oracle's wrapped-symbol replace encoding and the KMV
+# sketch's merge invariance.
+# ---------------------------------------------------------------------------
+
+
+def _greedy_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Reference greedy left-to-right fold (the F.aggregate semantics
+    in pipeline/bpe.py)."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+)
+@settings(max_examples=500, deadline=None)
+def test_wrapped_replace_equals_greedy_fold(syms, left, right):
+    """The BPE oracle's core identity: applying a merge via
+    non-overlapping string replace over the '(s1)(s2)...' encoding is
+    EXACTLY the greedy left-to-right fold — including overlapping-pair
+    cases like aaa->[aa,a] and aaaa->[aa,aa] and look-alike symbols
+    (merging (a,b) must not fire inside symbol 'ab'). This is what
+    makes the unrolled DuckDB oracle exact."""
+    encoded = "".join(f"({s})" for s in syms)
+    replaced = encoded.replace(f"({left})({right})", f"({left}{right})")
+    decoded = [
+        s for s in replaced.replace(")(", ")\x00(").split("\x00")
+    ]
+    decoded = [s[1:-1] for s in decoded]
+    assert decoded == _greedy_merge(syms, left, right)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=2**32 - 1),
+        min_size=1,
+        max_size=300,
+    ),
+    st.lists(
+        st.integers(min_value=1, max_value=2**32 - 1),
+        min_size=1,
+        max_size=300,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_sketch_merge_invariance(ha, hb):
+    """KMV mergeability (what lets a 1000-executor rollup combine
+    per-partition sketches): cutting the union of two scopes' k-minima
+    at k gives the SAME kth value and estimate as sketching the unioned
+    hash set directly."""
+    k = 16
+
+    def sketch(hashes):
+        return sorted(set(hashes))[:k]
+
+    direct = sketch(ha + hb)
+    merged = sketch(sketch(ha) + sketch(hb))
+    assert merged == direct
+    n_kept = len(direct)
+    if n_kept == k:
+        est_direct = (k - 1) * 2**32 / direct[-1]
+        est_merged = (k - 1) * 2**32 / merged[-1]
+        assert est_direct == est_merged
