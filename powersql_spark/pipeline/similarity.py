@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import track_persist
 from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
 from powersql_spark.registry import query
 
@@ -381,57 +382,71 @@ def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select("vec_id", "emb", cell_of("emb").alias("cell"))
 
     # Query batch to the driver: _LEARNED_NQ x 64 floats — model-sized,
-    # needed for probe selection (nprobe centroid cosines per query).
+    # needed for probe selection (nprobe centroid cosines per query)
+    # and for the scoring matmul literals.
     qrows = (
         emb.where(F.col("vec_id") < _LEARNED_NQ)
         .orderBy("vec_id")
         .collect()
     )
+    qids = [int(r["vec_id"]) for r in qrows]
+    qmat = np.asarray([r["emb"] for r in qrows], dtype=np.float64)
+    qunit = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + 1e-12)
     probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["emb"], dtype=np.float64)
+    for qi, qv in zip(qids, qmat):
         sims = centers @ (qv / (np.linalg.norm(qv) + 1e-12))
         for c in np.argsort(-sims)[:_LEARNED_NPROBE]:
-            probe_rows.append(
-                (int(r["vec_id"]), int(c), [float(x) for x in qv])
-            )
+            probe_rows.append((qi, int(c)))
     probes = spark.createDataFrame(
-        probe_rows, schema="query_id bigint, cell int, qemb array<double>"
-    ).withColumn("qnrm", _norm(F.col("qemb")))
+        probe_rows, schema="query_id bigint, cell int"
+    )
+
+    # All query cosines per row in ONE Arrow matmul per batch (the
+    # dedup_embedding_lsh pattern) — not a per-pair interpreted HOF
+    # fold, which costs NQ folds x 64 interpreted ops per row and made
+    # the first cut of this evaluation the scale-smoke slow outlier
+    # (18s at sf0.1 for what is a (rows x 64) @ (64 x NQ) product).
+    @pandas_udf("array<double>")
+    def cos_to_queries(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy())
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        sims = np.round(m @ qunit.T, 4)
+        return pd.Series(list(sims))
+
+    qid_lit = F.array(*[F.lit(q) for q in qids])
+    scored = track_persist(
+        assigned.select(
+            "vec_id",
+            "cell",
+            F.posexplode(cos_to_queries("emb")).alias("qidx", "cosine"),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.element_at(qid_lit, F.col("qidx") + 1).alias("query_id"),
+            "cosine",
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
 
     def _topk(cand: DataFrame) -> DataFrame:
-        scored = cand.select(
-            "query_id",
-            "vec_id",
-            F.round(
-                _dot(F.col("emb"), F.col("qemb"))
-                / (_norm(F.col("emb")) * F.col("qnrm")),
-                4,
-            ).alias("cosine"),
-        )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("vec_id").asc()
         )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
+            cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= _TOPK)
             .select("query_id", "vec_id")
         )
 
     # IVF path: only rows in a probed cell of each query.
     ivf = _topk(
-        assigned.join(F.broadcast(probes), "cell").where(
-            F.col("vec_id") != F.col("query_id")
-        )
+        scored.join(F.broadcast(probes), ["query_id", "cell"])
     )
-    # Exact path (evaluation harness): every row against every query.
-    queries = probes.dropDuplicates(["query_id"]).select(
-        "query_id", "qemb", "qnrm"
-    )
-    exact = _topk(
-        emb.crossJoin(F.broadcast(queries)).where(
-            F.col("vec_id") != F.col("query_id")
-        )
+    # Exact path (evaluation harness): every scored pair.
+    exact = _topk(scored)
+    queries = spark.createDataFrame(
+        [(q,) for q in qids], schema="query_id bigint"
     )
     # Batch-mean recall@k: total IVF/exact intersections over NQ * k.
     # A 1-row aggregate broadcast back onto the per-query rows so the
