@@ -39,3 +39,24 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def sql_jround(expr: str, n: int) -> str:
+    """DuckDB replay of Spark's round(double, n).
+
+    Spark's round is half-up on the double's SHORTEST DECIMAL
+    REPRESENTATION (BigDecimal.valueOf -> Double.toString), so a value
+    whose true decimal terminates exactly on a half boundary (common
+    with 2dp money inputs and decimal coefficients) rounds UP when the
+    double is the nearest representation of that decimal, but DOWN
+    when accumulated float error nudged it below ("...49999999"
+    shortest repr). DuckDB's numeric round() and fixed-scale decimal
+    casts each get one of those cases wrong; its VARCHAR cast is also
+    shortest-roundtrip, so string -> DECIMAL(38,18) -> round replays
+    Spark digit-for-digit. Use for rounded DOUBLE expressions whose
+    true value can terminate (ratios/folds of low-dp data); plain
+    round() is fine for genuinely continuous values."""
+    return (
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR)"
+        f" AS DECIMAL(38,18)), {n}) AS DOUBLE)"
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC
+from powersql_spark.operators.common import DEC, sql_jround
 from powersql_spark.registry import query
 
 _DIM = 64
@@ -400,12 +400,24 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_outlier_distance",
+    # Cross-engine determinism scheme: every quantity that is
+    # structurally a TERMINATING decimal (the 6dp-rounded squared
+    # deviations, their sum, dist^2) is computed in DECIMAL — exact and
+    # engine-identical — so the only doubles that get rounded are
+    # irrational (sqrt outputs, z quotients), where a half-boundary
+    # landing is measure-zero. Rounding doubles that can terminate on
+    # the boundary flips between engines (51 rows at sf0.1 before).
     oracle=f"""
     WITH cent AS (
+        -- c is NOT rounded: the decimal-sum -> double -> division
+        -- chain is bit-identical cross-engine, while rounding the
+        -- rational quotient can land exactly on a 6dp half boundary
+        -- (count | 2*sum*10^6) and flip between engines — one flipped
+        -- centroid component shifts every distance in its label.
         SELECT label, i,
-               round(CAST(SUM(CAST(CAST(list_extract(embedding, i)
+               CAST(SUM(CAST(CAST(list_extract(embedding, i)
                               AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS c
+                     / COUNT(*) AS c
         FROM embeddings, unnest(range(1, {_DIM + 1})) AS u(i)
         GROUP BY label, i
     ),
@@ -414,12 +426,13 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
         SELECT vec_id, e.label,
-               round(sqrt(list_reduce(
+               round(sqrt(CAST(list_sum(
                    list_transform(range(1, {_DIM + 1}),
-                       i -> round(pow(CAST(list_extract(e.embedding, i)
+                       i -> CAST(round(pow(
+                                CAST(list_extract(e.embedding, i)
                                      AS DOUBLE)
-                                  - list_extract(carr.c, i), 2), 6)),
-                   (acc, x) -> acc + x)), 6) AS dist
+                                - list_extract(carr.c, i), 2), 6)
+                             AS DECIMAL(18,6)))) AS DOUBLE)), 6) AS dist
         FROM embeddings e JOIN carr USING (label)
     ),
     mom AS (
@@ -427,8 +440,9 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
                    / COUNT(*) AS mu,
                sqrt(greatest(
-                   CAST(SUM(CAST(round(dist * dist, 6)
-                                 AS DECIMAL(18,6))) AS DOUBLE)
+                   CAST(SUM(round(CAST(dist AS DECIMAL(18,6))
+                                  * CAST(dist AS DECIMAL(18,6)), 6))
+                        AS DOUBLE)
                        / COUNT(*)
                    - pow(CAST(SUM(CAST(dist AS DECIMAL(18,6)))
                               AS DOUBLE) / COUNT(*), 2),
@@ -466,12 +480,11 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         expl.groupBy("label", "i")
         .agg(
-            F.round(
+            (
                 F.sum(F.col("x").cast("double").cast(DEC)).cast(
                     "double"
                 )
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("c")
         )
     )
@@ -489,24 +502,34 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
+    # The squared deviations are summed in DECIMAL (exact, identical
+    # in DuckDB's list_sum over decimals), so the only rounded doubles
+    # downstream are sqrt outputs — irrational, never ON a boundary.
     dd = F.zip_with(
         F.transform("embedding", lambda x: x.cast("double")),
         "c",
-        lambda x, c: F.round(F.pow(x - c, 2), 6),
+        lambda x, c: F.round(F.pow(x - c, 2), 6).cast(DEC),
     )
     dist = e.join(F.broadcast(carr), "label").select(
         "vec_id",
         "label",
         F.round(
             F.sqrt(
-                F.aggregate(dd, F.lit(0.0), lambda acc, x: acc + x)
+                F.aggregate(
+                    dd,
+                    F.lit(0).cast("decimal(38,6)"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
             ),
             6,
         ).alias("dist"),
     )
     mu = F.sum(F.col("dist").cast(DEC)).cast("double") / F.count("*")
+    # dist is a 6dp decimal: its square terminates at 12dp and CAN sit
+    # exactly on a 6dp half boundary — square and round in DECIMAL
+    # (half-up both engines) instead of double.
     ex2 = F.sum(
-        F.round(F.col("dist") * F.col("dist"), 6).cast(DEC)
+        F.round(F.col("dist").cast(DEC) * F.col("dist").cast(DEC), 6)
     ).cast("double") / F.count("*")
     mom = dist.groupBy("label").agg(
         mu.alias("mu"),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.catalog import track_persist
-from powersql_spark.operators.common import DEC
+from powersql_spark.operators.common import DEC, sql_jround
 from powersql_spark.registry import query
 
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -985,9 +985,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_AVG = "CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+
+
 @query(
     "text_bigram_logprob",
-    oracle=r"""
+    # avg_logprob is an exact decimal over an integer count, which CAN
+    # land exactly on a 4dp half boundary (observed: -115.8159/34 =
+    # -3.40635 at sf0.1) — sql_jround replays Spark's shortest-repr
+    # rounding where DuckDB's scaled-multiply round() flips the other
+    # way on such values.
+    oracle=rf"""
     WITH tok AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         FROM documents
@@ -1005,16 +1013,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lp AS (
         SELECT bigram,
-               round(ln(CAST(n12 AS DOUBLE) / n1), 6) AS logp
+               {sql_jround('ln(CAST(n12 AS DOUBLE) / n1)', 6)} AS logp
         FROM c12 JOIN c1 ON c1.w1 = split_part(bigram, ' ', 1)
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_logprob,
-           round(exp(-round(CAST(SUM(CAST(logp AS DECIMAL(18,6)))
-                                 AS DOUBLE) / COUNT(*), 4)), 4)
-               AS ppl_proxy
+           {sql_jround(_BIGRAM_AVG, 4)} AS avg_logprob,
+           {sql_jround(
+               "exp(-" + sql_jround(_BIGRAM_AVG, 4) + ")", 4
+           )} AS ppl_proxy
     FROM bg JOIN lp USING (bigram)
     GROUP BY doc_id
     """,

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC, dsum
+from powersql_spark.operators.common import DEC, dsum, sql_jround
 from powersql_spark.registry import query
 
 _LTTB_OUT = 24  # points kept per series
@@ -226,6 +226,12 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_FOLD = (
+    "list_reduce(vals, (acc, x) -> "
+    f"acc * {1 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x)"
+)
+
+
 @query(
     "ts_ewma",
     oracle=f"""
@@ -238,9 +244,7 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE value IS NOT NULL
     )
     SELECT user_id, ts, event_id, value,
-           round(list_reduce(vals,
-               (acc, x) -> acc * {1 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x),
-               6) AS ewma
+           {sql_jround(_EWMA_FOLD, 6)} AS ewma
     FROM ordered
     """,
 )
@@ -253,8 +257,20 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: entirely JVM-side — a running ``collect_list`` frame
     over ONE (user_id) exchange, then an ``F.aggregate`` left-fold per
-    row. Both engines fold the identical prefix in the identical order,
-    so the doubles agree bit-for-bit before the 6dp guard rounding.
+    row. Both engines fold the identical prefix in the identical
+    order, so the raw doubles agree bit-for-bit; the subtlety is the
+    FINAL 6dp rounding. With 2dp inputs and decimal coefficients the
+    true EWMA value TERMINATES and can land exactly on a 6dp half
+    boundary (e.g. 66.29137250). Spark's round() is half-up on the
+    double's SHORTEST DECIMAL REPRESENTATION (BigDecimal.valueOf goes
+    through Double.toString): it sees "66.2913725" -> ...373, but for
+    a double whose accumulated error pushed it off the exact boundary
+    it sees "74.17384249999999" -> ...842. DuckDB's numeric round()
+    or a fixed-scale decimal cast each disagree on ONE of those two
+    cases (6 and 15 flipped rows observed at sf0.1/sf0.01); the only
+    faithful replay is DuckDB's own shortest-repr path — CAST the
+    double to VARCHAR (also shortest-roundtrip), parse as
+    DECIMAL(38,18), then round half-up. Green at every SF.
 
     Scale note: the running-frame fold is O(L^2) per series in time and
     frame memory, which is the right trade while per-entity history L
@@ -1173,9 +1189,12 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z = sql_jround("0.6745 * (dev.value - dev.med) / mad.mad", 4)
+
+
 @query(
     "ts_anomaly_mad",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT user_id, ts, event_id, value FROM events
         WHERE value IS NOT NULL
@@ -1207,11 +1226,8 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(dev.med, 6) AS med,
            round(mad.mad, 6) AS mad,
            CASE WHEN mad.mad > 0 THEN
-               round(0.6745 * (dev.value - dev.med) / mad.mad, 4)
-           END AS robust_z,
-           CASE WHEN mad.mad > 0 THEN
-               abs(round(0.6745 * (dev.value - dev.med) / mad.mad, 4))
-                   > 3.5
+               {_Z} END AS robust_z,
+           CASE WHEN mad.mad > 0 THEN abs({_Z}) > 3.5
            ELSE FALSE END AS is_outlier
     FROM dev JOIN mad USING (user_id)
     """,

@@ -1463,8 +1463,9 @@ def test_snapshot_diff_statuses_consistent(spark, sf_dir):
 
 
 def test_emb_outlier_matches_numpy(spark, sf_dir):
-    """Distances and z-scores recomputed with numpy (6dp-rounded
-    centroids, population moments over 6dp distances) match."""
+    """Distances and z-scores recomputed with numpy (decimal-exact
+    unrounded centroids, population moments over 6dp distances)
+    match."""
     import numpy as np
 
     from powersql_spark.catalog import load_tables
@@ -1479,7 +1480,7 @@ def test_emb_outlier_matches_numpy(spark, sf_dir):
     assert set(out) == set(pdf["vec_id"])
     for label, g in pdf.groupby("label"):
         sub = vecs[g.index.to_numpy()]
-        cent = np.round(sub.mean(axis=0), 6)
+        cent = np.round(sub, 6).mean(axis=0)
         d = np.round(
             np.sqrt(np.round((sub - cent) ** 2, 6).sum(axis=1)), 6
         )
