@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC, davg, dsum, sql_davg, sql_dsum
+from powersql_spark.operators.common import (
+    DEC,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_jround,
+)
 from powersql_spark.registry import query
 
 
@@ -2373,3 +2380,150 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# Welch's t-test building blocks, shared between the Spark side and the
+# oracle: sample means/variances from conditional decimal power sums.
+_W_MEAN_A = "s_a / n_a"
+_W_MEAN_B = "s_b / n_b"
+_W_VAR_A = "(q_a - s_a * s_a / n_a) / (n_a - 1)"
+_W_VAR_B = "(q_b - s_b * s_b / n_b) / (n_b - 1)"
+_W_SE2 = f"(({_W_VAR_A}) / n_a + ({_W_VAR_B}) / n_b)"
+_W_T = f"(({_W_MEAN_B}) - ({_W_MEAN_A})) / sqrt({_W_SE2})"
+_W_DF = (
+    f"({_W_SE2}) * ({_W_SE2}) / "
+    f"((({_W_VAR_A}) / n_a) * (({_W_VAR_A}) / n_a) / (n_a - 1)"
+    f" + (({_W_VAR_B}) / n_b) * (({_W_VAR_B}) / n_b) / (n_b - 1))"
+)
+
+
+@query(
+    "stats_welch_ttest",
+    # Means are exact-decimal / integer-count rationals (2dp inputs),
+    # so their 6dp rounding can land exactly on a half boundary —
+    # replayed with sql_jround; t and df divide by sqrt/squared terms
+    # and are irrational, safe under plain rounding (still jround'ed
+    # for uniformity).
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type, value,
+               substr(md5(CAST(user_id AS VARCHAR) || ':welch'), 1, 1)
+                   < '8' AS is_a
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM assigned
+        GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {sql_jround(_W_MEAN_A, 6)} AS mean_a,
+           {sql_jround(_W_MEAN_B, 6)} AS mean_b,
+           {sql_jround(_W_T, 4)} AS t_stat,
+           {sql_jround(_W_DF, 2)} AS welch_df,
+           abs({sql_jround(_W_T, 4)}) > 1.96 AS significant_5pct
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per event_type: the
+    experiment readout that stays valid when variants have different
+    variances or sizes (the equal-variance pooled test silently
+    inflates false positives under variance imbalance — Welch is the
+    default in every modern A/B platform). Users hash-assigned ~50/50
+    by salted md5; emits group sizes, means, the t statistic, and the
+    Welch-Satterthwaite effective degrees of freedom; at these df the
+    normal 1.96 critical value is the 5% two-sided gate.
+
+    Scale shape: ONE scan, one aggregate per event_type producing six
+    numbers of conditional decimal power-sum state — constant memory
+    per group, bit-identical across engines and partitionings; the
+    statistic and df are post-aggregation arithmetic on those six
+    numbers. The same salted-hash assignment pattern as abtest_zscore,
+    independent salt."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":welch")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    dec = "decimal(28,6)"
+    s = (
+        e.select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).alias("n_a"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_b"),
+            F.sum(
+                F.when(
+                    F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_a"),
+            F.sum(
+                F.when(
+                    ~F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_b"),
+        )
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (
+        F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    t = (mean_b - mean_a) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        (F.abs(F.round(t, 4)) > 1.96).alias("significant_5pct"),
+    ).orderBy("event_type")

@@ -2371,3 +2371,44 @@ def test_minhash_estimator_tracks_exact_jaccard(spark, sf_dir):
         ) < 2e-6
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err <= 0.25, f"mean estimator error {mean_err:.3f}"
+
+
+def test_welch_ttest_matches_python_recomputation(spark, sf_dir):
+    """Welch per event_type recomputed in pure python from the same
+    salted assignment: t, df, and the gate must agree; df must satisfy
+    min(n_a, n_b) - 1 <= df <= n_a + n_b - 2 (the Welch-Satterthwaite
+    bracketing)."""
+    import hashlib
+    import math
+
+    from powersql_spark.catalog import load_tables
+
+    rows = SPECS["stats_welch_ttest"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("events",))
+    ev = spark.table("events").where("value IS NOT NULL").collect()
+    groups: dict = {}
+    for r in ev:
+        is_a = hashlib.md5(
+            f"{r['user_id']}:welch".encode()
+        ).hexdigest()[0] < "8"
+        groups.setdefault(r["event_type"], {True: [], False: []})[
+            is_a
+        ].append(r["value"])
+    assert {r["event_type"] for r in rows} == set(groups)
+    for r in rows:
+        a = groups[r["event_type"]][True]
+        b = groups[r["event_type"]][False]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        se2 = va / len(a) + vb / len(b)
+        t = (mb - ma) / math.sqrt(se2)
+        df = se2 * se2 / (
+            (va / len(a)) ** 2 / (len(a) - 1)
+            + (vb / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(r["t_stat"] - t) < 1e-3, (r["event_type"], r["t_stat"], t)
+        assert abs(r["welch_df"] - df) < 0.5
+        assert min(len(a), len(b)) - 1 <= r["welch_df"] <= len(a) + len(b) - 2
+        assert r["significant_5pct"] == (abs(r["t_stat"]) > 1.96)
