@@ -1292,3 +1292,65 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("mad") > 0, F.abs(z) > 3.5), F.lit(False)
         ).alias("is_outlier"),
     )
+
+
+@query(
+    "ts_derivative",
+    # The quotient divides a 2dp value delta by an integer second gap —
+    # a terminating-decimal-capable rational at 6dp — so the rounding
+    # is replayed with sql_jround (cf. README "Correctness").
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER w AS prev_v,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, event_id, value,
+           CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us,
+           {sql_jround(
+               "(value - prev_v) * 1000000.0"
+               " / (epoch_us(ts) - epoch_us(prev_ts))", 6
+           )} AS rate_per_sec
+    FROM ordered
+    WHERE prev_ts IS NOT NULL
+    """,
+)
+def ts_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series first derivative: (value - lag(value)) / elapsed
+    seconds between consecutive observations — the rate-of-change
+    primitive behind counter graphs, spike alerts, and trend features
+    (PromQL's rate/deriv, Timescale's interpolated_rate). Gaps ride
+    along in microseconds so a consumer can mask rates over
+    suspiciously long gaps.
+
+    Scale shape: one (user_id) hash exchange shared by both lag
+    windows, then pure map-side arithmetic — the minimal stateful
+    time-series plan. Division stays in microsecond integers times a
+    1e6 scale so both engines divide identical doubles."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).where(F.col("prev_ts").isNotNull())
+    gap = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return d.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        gap.alias("gap_us"),
+        F.round(
+            (F.col("value") - F.col("prev_v"))
+            * F.lit(1000000.0)
+            / gap,
+            6,
+        ).alias("rate_per_sec"),
+    )

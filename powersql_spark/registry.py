@@ -315,6 +315,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_kmv_distinct",
     "dedup_minhash_estimate",
     "stats_welch_ttest",
+    "ts_derivative",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every
