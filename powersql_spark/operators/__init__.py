@@ -6,6 +6,7 @@ Importing this package registers every query key in the registry.
 from powersql_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    analytics_ext,
     asserts,
     connectors,
     extensions,

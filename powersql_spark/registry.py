@@ -316,6 +316,12 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_estimate",
     "stats_welch_ttest",
     "ts_derivative",
+    # round-5 session additions
+    "stats_mann_whitney",
+    "analytics_rfm_segments",
+    "profile_psi_drift",
+    "window_decay_popularity",
+    "cdc_apply_changelog",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every
