@@ -344,13 +344,17 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("early").alias("cnt_e"),
         F.sum(1 - F.col("early")).alias("cnt_l"),
     )
-    tot = per_bin.groupBy("event_type").agg(
-        F.sum("cnt_e").alias("n_e"),
-        F.sum("cnt_l").alias("n_l"),
+    # Segment totals via a window over the (tiny) per-bin table — the
+    # corpus is aggregated ONCE; no second scan, no join.
+    wt = Window.partitionBy("event_type")
+    per_bin = per_bin.select(
+        "*",
+        F.sum("cnt_e").over(wt).alias("n_e"),
+        F.sum("cnt_l").over(wt).alias("n_l"),
     )
     p_e = (F.col("cnt_e") + 0.5) / (F.col("n_e") + 5.0)
     p_l = (F.col("cnt_l") + 0.5) / (F.col("n_l") + 5.0)
-    terms = per_bin.join(F.broadcast(tot), "event_type").select(
+    terms = per_bin.select(
         "event_type",
         "n_e",
         "n_l",

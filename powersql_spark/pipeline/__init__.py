@@ -14,6 +14,7 @@ from powersql_spark.pipeline import (  # noqa: F401
     linkage,
     multimodal,
     profiling,
+    retrieval,
     similarity,
     sketches,
     text,

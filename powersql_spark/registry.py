@@ -322,6 +322,10 @@ _PRIORITY: tuple[str, ...] = (
     "profile_psi_drift",
     "window_decay_popularity",
     "cdc_apply_changelog",
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "emb_knn_graph",
+    "pipeline_rag_e2e",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

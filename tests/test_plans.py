@@ -1197,3 +1197,96 @@ def test_mad_anomaly_keyed_on_series(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bm25_posting_lists_and_topk(spark, sf_dir):
+    """BM25: document frequencies and corpus stats ride as broadcasts
+    (1-row stats → a single 1-row BNLJ is the scalar-broadcast
+    pattern); the final cut is TakeOrderedAndProject, and nothing is
+    quadratic or Python."""
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row stats
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_hybrid_rrf_pool_bounded_fusion(spark, sf_dir):
+    """RRF: the fusion joins two rank-filtered pools; the only BNLJs
+    are the 1-row query-vector/stats broadcasts; final cut is top-k."""
+    plan = plan_of(spark, sf_dir, "sim_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row q + stats
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_knn_graph_equijoin_blocked(spark, sf_dir):
+    """k-NN graph: candidate pairs come from the cell equi-join — no
+    cartesian, no BNLJ at all; norms precomputed before the join (the
+    join condition carries label equality)."""
+    plan = plan_of(spark, sf_dir, "emb_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rag_e2e_probe_is_cell_pruned(spark, sf_dir):
+    """RAG e2e: chunk→embedding attach and probe are equi-joins; the
+    probed-cell and manifest sides broadcast; only the two 1-row
+    (query vector) broadcasts plan as BNLJ; final cut is top-k."""
+    plan = plan_of(spark, sf_dir, "pipeline_rag_e2e")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_mann_whitney_ranks_distinct_values(spark, sf_dir):
+    """Mann-Whitney: the rank window runs over the DISTINCT-value
+    aggregate, not per-row — the corpus collapses in the first
+    aggregation and everything after is value-cardinality-sized."""
+    plan = plan_of(spark, sf_dir, "stats_mann_whitney")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_psi_single_scan_windowed_totals(spark, sf_dir):
+    """PSI: one events scan collapsing to (event_type, bin) counts;
+    segment totals via a window on the per-bin table (no second scan,
+    no join)."""
+    plan = plan_of(spark, sf_dir, "profile_psi_drift")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rfm_windows_over_customer_aggregate(spark, sf_dir):
+    """RFM: the three NTILE windows sort the CUSTOMER aggregate, never
+    the orders fact table (same discipline as agg_gini_revenue); the
+    anchor is a pruned one-column scan + 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "analytics_rfm_segments")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row anchor
+    assert "EvalPython" not in plan
+
+
+def test_cdc_apply_single_key_exchange(spark, sf_dir):
+    """CDC apply: last-change pick and change count share ONE user_id
+    exchange; no join, no Python."""
+    plan = plan_of(spark, sf_dir, "cdc_apply_changelog")
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_decay_popularity_partial_aggregated(spark, sf_dir):
+    """Decayed popularity: per-event weights are map-side arithmetic
+    off a 1-row anchor broadcast; the only corpus shuffle carries
+    (event_type, decimal) partials."""
+    plan = plan_of(spark, sf_dir, "window_decay_popularity")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row anchor
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan

@@ -2412,3 +2412,290 @@ def test_welch_ttest_matches_python_recomputation(spark, sf_dir):
         assert abs(r["welch_df"] - df) < 0.5
         assert min(len(a), len(b)) - 1 <= r["welch_df"] <= len(a) + len(b) - 2
         assert r["significant_5pct"] == (abs(r["t_stat"]) > 1.96)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: independent NumPy/pandas recomputation of each
+# operator's definition (not a replay of the SQL) over the same inputs.
+# ---------------------------------------------------------------------------
+
+
+def _events_pdf(spark, sf_dir):
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    return spark.table("events").toPandas()
+
+
+def test_mann_whitney_matches_numpy_definition(spark, sf_dir):
+    """Recompute U and z from the textbook definition: midranks via
+    scipy-free averaging of ordinal ranks, tie-corrected variance."""
+    import hashlib
+
+    import numpy as np
+
+    rows = {r["event_type"]: r for r in
+            SPECS["stats_mann_whitney"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    is_a = pdf["user_id"].map(
+        lambda u: hashlib.md5(f"{u}:mwu".encode()).hexdigest()[0] < "8"
+    )
+    for et, g in pdf.groupby("event_type"):
+        a = g.loc[is_a[g.index], "value"].to_numpy()
+        b = g.loc[~is_a[g.index], "value"].to_numpy()
+        n_a, n_b = len(a), len(b)
+        comb = np.concatenate([a, b])
+        order = np.argsort(comb, kind="mergesort")
+        ranks = np.empty(len(comb))
+        # midranks: average ordinal ranks within tie groups
+        sorted_vals = comb[order]
+        i = 0
+        while i < len(comb):
+            j = i
+            while j < len(comb) and sorted_vals[j] == sorted_vals[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        r_a = ranks[:n_a].sum()
+        u_a = r_a - n_a * (n_a + 1) / 2
+        _, t = np.unique(comb, return_counts=True)
+        n = n_a + n_b
+        sig2 = (n_a * n_b / 12) * ((n + 1) - (t**3 - t).sum() / (n * (n - 1)))
+        z = (u_a - n_a * n_b / 2) / np.sqrt(sig2)
+        r = rows[et]
+        assert r["n_a"] == n_a and r["n_b"] == n_b
+        assert abs(r["u_a"] - u_a) < 1e-6, (et, r["u_a"], u_a)
+        assert abs(r["z_stat"] - round(z, 4)) < 1e-3, (et, r["z_stat"], z)
+        assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+
+
+def test_rfm_scores_are_quintiles_and_segments_consistent(spark, sf_dir):
+    """Quintile sanity: scores in 1..5 and near-balanced; extremes get
+    the extreme scores; the segment label replays the CASE."""
+    rows = SPECS["analytics_rfm_segments"].fn(spark, sf_dir).collect()
+    assert rows
+    for c in ("r_score", "f_score", "m_score"):
+        vals = [r[c] for r in rows]
+        assert set(vals) <= set(range(1, 6))
+        if len(rows) >= 10:
+            import collections
+
+            cnt = collections.Counter(vals)
+            assert max(cnt.values()) - min(cnt.values()) <= 1 + len(rows) // 5
+    best_m = max(rows, key=lambda r: (r["monetary"], r["o_custkey"]))
+    assert best_m["m_score"] == 5
+    for r in rows:
+        rs, fs, ms = r["r_score"], r["f_score"], r["m_score"]
+        if rs >= 4 and fs >= 4 and ms >= 4:
+            want = "champion"
+        elif fs >= 4:
+            want = "loyal"
+        elif ms == 5:
+            want = "big_spender"
+        elif rs <= 2 and fs >= 3:
+            want = "at_risk"
+        elif rs <= 2:
+            want = "hibernating"
+        else:
+            want = "regular"
+        assert r["segment"] == want, r
+
+
+def test_psi_nonnegative_and_matches_numpy(spark, sf_dir):
+    """PSI is a sum of termwise-nonnegative contributions; recompute
+    from raw events with numpy."""
+    import numpy as np
+
+    rows = {r["event_type"]: r for r in
+            SPECS["profile_psi_drift"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    early = pdf["ts"] < np.datetime64("2024-01-16")
+    for et, g in pdf.groupby("event_type"):
+        bins = np.minimum((g["value"] // 50).astype(int), 9)
+        e_g = early[g.index]
+        present = np.unique(bins)
+        n_e, n_l = int(e_g.sum()), int((~e_g).sum())
+        psi = 0.0
+        for bn in present:
+            ce = int(((bins == bn) & e_g).sum())
+            cl = int(((bins == bn) & ~e_g).sum())
+            pe = (ce + 0.5) / (n_e + 5.0)
+            pl = (cl + 0.5) / (n_l + 5.0)
+            term = (pl - pe) * np.log(pl / pe)
+            assert term >= 0 or abs(term) < 1e-12
+            psi += round(term, 8)
+        r = rows[et]
+        assert r["n_early"] == n_e and r["n_late"] == n_l
+        assert abs(r["psi"] - psi) < 1e-6, (et, r["psi"], psi)
+        assert r["psi"] >= 0
+        assert r["drifted"] == (r["psi"] > 0.1)
+
+
+def test_decay_popularity_bounds_and_numpy(spark, sf_dir):
+    """Each weight is in (0, 1]; the score is bounded by the count;
+    recompute the decayed sum with numpy."""
+    import numpy as np
+
+    rows = SPECS["window_decay_popularity"].fn(spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    anchor = pdf["ts"].max()
+    lam = 0.6931471805599453 / 7.0
+    got = {r["event_type"]: r for r in rows}
+    ranks = [r["decay_rank"] for r in rows]
+    assert sorted(ranks) == list(range(1, len(rows) + 1))
+    for et, g in pdf.groupby("event_type"):
+        age = (anchor - g["ts"]).dt.total_seconds().to_numpy() / 86400.0
+        w = np.round(np.exp(-lam * age), 8)
+        r = got[et]
+        assert r["n_events"] == len(g)
+        assert 0 < r["decayed_score"] <= r["n_events"]
+        assert abs(r["decayed_score"] - w.sum()) < 1e-5
+
+
+def test_cdc_apply_matches_pandas_replay(spark, sf_dir):
+    """Replay the changelog in pandas: last change per user wins;
+    tombstoned users are absent."""
+    rows = {r["user_id"]: r for r in
+            SPECS["cdc_apply_changelog"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir).sort_values(["ts", "event_id"])
+    for uid, g in pdf.groupby("user_id"):
+        last = g.iloc[-1]
+        if last["event_type"] == "error":
+            assert uid not in rows, uid
+        else:
+            r = rows[uid]
+            lv = last["value"]
+            assert (r["current_value"] == lv) or (
+                r["current_value"] is None and lv != lv
+            )
+            assert r["n_changes"] == len(g)
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    """Recompute BM25 for the fixed query in pure Python over the raw
+    text and compare the full top-10 (scores and order)."""
+    import re as _re
+
+    from powersql_spark.catalog import load_tables
+    from powersql_spark.pipeline.retrieval import _BM25_TERMS
+
+    got = SPECS["text_bm25_topk"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: _re.split(r"\s+", r["text"].strip()) for r in docs}
+    n = len(toks)
+    total_dl = sum(len(t) for t in toks.values())
+    tf = {
+        d: {t: ts.count(t) for t in _BM25_TERMS if t in ts}
+        for d, ts in toks.items()
+    }
+    df = {t: sum(1 for d in tf if t in tf[d]) for t in _BM25_TERMS}
+    import math
+
+    scores = {}
+    for d, ts in tf.items():
+        if not ts:
+            continue
+        s = 0.0
+        for t, f_ in ts.items():
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            w = idf * f_ * 2.2 / (
+                f_ + 1.2 * (0.25 + 0.75 * len(toks[d]) * n / total_dl)
+            )
+            s += round(w, 8)
+        scores[d] = (len(ts), s)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (d, (nt, s)) in zip(got, want):
+        assert r["n_terms_matched"] == nt
+        assert abs(r["bm25_score"] - s) < 1e-7
+
+
+def test_rrf_fuses_both_rankings(spark, sf_dir):
+    """RRF definition: score is exactly the sum of the two rank
+    reciprocals; a doc in both lists outranks one with the same single
+    rank alone."""
+    rows = SPECS["sim_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = 0.0
+        if r["kw_rank"] is not None:
+            want += 1.0 / (60 + r["kw_rank"])
+        if r["vec_rank"] is not None:
+            want += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+        assert r["kw_rank"] is not None or r["vec_rank"] is not None
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_graph_neighbors_are_true_topk(spark, sf_dir):
+    """For every source vector: its listed neighbors are the true
+    top-5 within its label by (rounded cosine, dst) — verified with a
+    numpy recomputation."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["emb_knn_graph"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    by_label = {}
+    for r in em:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    from collections import defaultdict
+
+    got_by_src = defaultdict(list)
+    for r in got:
+        got_by_src[r["src"]].append(r)
+    for label, vecs in by_label.items():
+        if len(vecs) < 2:
+            continue
+        ids = [i for i, _ in vecs]
+        mat = np.stack([v for _, v in vecs])
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        for qi, qid in enumerate(ids):
+            cos = (mat @ mat[qi]) / (nrm * nrm[qi])
+            cands = sorted(
+                ((round(c, 4), i) for c, i in zip(cos, ids) if i != qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            mine = sorted(got_by_src[qid], key=lambda r: r["nbr_rank"])
+            assert [m["dst"] for m in mine] == [i for _, i in cands], qid
+            for m, (c, _) in zip(mine, cands):
+                assert abs(m["cosine"] - c) < 2e-4
+
+
+def test_rag_e2e_probes_nearest_cells(spark, sf_dir):
+    """The returned chunks all live in the 2 centroid-nearest cells,
+    their cosines are correct vs numpy, and cell stats count the
+    actual chunks of that cell."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["pipeline_rag_e2e"].fn(spark, sf_dir).collect()
+    assert len(got) <= 5
+    load_tables(spark, sf_dir, ("embeddings", "documents"))
+    em = spark.table("embeddings").collect()
+    vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in em}
+    lab = {r["vec_id"]: r["label"] for r in em}
+    q = vec[0]
+    qn = np.sqrt((q * q).sum())
+    # centroid-nearest 2 cells (decimal-exact means approximated in
+    # float here; 6dp rounding matches the query's centroids closely)
+    cents = {}
+    for lb in set(lab.values()):
+        m = np.stack([vec[i] for i in vec if lab[i] == lb]).mean(axis=0)
+        m = np.round(m, 6)
+        cents[lb] = (m @ q) / (np.sqrt((m * m).sum()) * qn)
+    probe = sorted(cents, key=lambda lb: (-round(cents[lb], 6), lb))[:2]
+    for r in got:
+        assert r["cell"] in probe
+        v = vec[r["doc_id"]]
+        c = (v @ q) / (np.sqrt((v * v).sum()) * qn)
+        assert abs(r["cosine"] - round(c, 4)) < 2e-4
