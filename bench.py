@@ -113,6 +113,9 @@ HEADLINE = {
     "q47_m4": "ts_downsample_m4",
     "q48_window_funnel": "funnel_window_depth",
     "q49_curation_e2e": "pipeline_curation_e2e",
+    "q50_hybrid_rrf": "sim_hybrid_rrf",
+    "q51_knn_graph": "emb_knn_graph",
+    "q52_rag_e2e": "pipeline_rag_e2e",
 }
 
 

@@ -543,3 +543,128 @@ def emb_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z > 2.0).alias("is_outlier"),
         )
     )
+
+
+# Binary quantization: sign-bit packing into two 32-bit words (two
+# BIGINTs — a single 64-bit word would overflow signed arithmetic at
+# bit 63), shared expression templates for both engines.
+_BQ_RERANK = 20
+_BQ_TOPK = 10
+
+
+def _bq_word_sql(lo: int) -> str:
+    """DuckDB: pack sign bits [lo, lo+32) of `v` into a BIGINT."""
+    return (
+        f"list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+        f"v[i + {lo} + 1] >= 0 THEN (CAST(1 AS BIGINT) << i) "
+        f"ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+def _bq_word_spark(lo: int):
+    """Spark twin of :func:`_bq_word_sql` (same fold, same shifts)."""
+    return F.expr(
+        f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + IF(element_at(v, i + {lo} + 1) >= 0, "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+
+
+@query(
+    "emb_binary_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    packed AS (
+        SELECT vec_id, label, v,
+               CAST({_bq_word_sql(0)} AS BIGINT) AS w_lo,
+               CAST({_bq_word_sql(32)} AS BIGINT) AS w_hi,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    q AS (SELECT * FROM packed WHERE vec_id = 0),
+    cand AS (
+        SELECT p.vec_id, p.label, p.v, p.nrm,
+               q.v AS qv, q.nrm AS qn,
+               CAST(bit_count(xor(p.w_lo, q.w_lo))
+                    + bit_count(xor(p.w_hi, q.w_hi)) AS INTEGER)
+                   AS hamming
+        FROM packed p, q WHERE p.vec_id <> 0
+        ORDER BY hamming, p.vec_id
+        LIMIT {_BQ_RERANK}
+    )
+    SELECT vec_id, label, hamming,
+           round(list_reduce(list_transform(range(1, 65),
+                     i -> v[i] * qv[i]), (a, b) -> a + b)
+                 / (nrm * qn), 4) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT {_BQ_TOPK}
+    """,
+)
+def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantization retrieval: pack each vector's sign
+    bits into two 64-bit words (32x memory cut — the modern RAM-saving
+    ANN trick in every vector DB), shortlist by Hamming distance with
+    XOR+popcount, then rerank the top-20 shortlist by exact cosine.
+    The asymmetric two-stage design is what keeps recall high while
+    the index stays bit-packed.
+
+    Scale shape: packing is map-only (each vector collapses to 2
+    BIGINTs + a norm); the Hamming scan probes integers against a
+    1-row broadcast query — no vector math until the rerank, which
+    touches only the 20-candidate shortlist. Both cuts are
+    TakeOrderedAndProject. Bit-exact across engines: sign bits and
+    popcounts are integer arithmetic, and only the rerank cosine
+    rounds."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    packed = e.select(
+        "vec_id",
+        "label",
+        "v",
+        _bq_word_spark(0).alias("w_lo"),
+        _bq_word_spark(32).alias("w_hi"),
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    q = packed.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+        F.col("nrm").alias("qn"),
+    )
+    hamming = (
+        F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("int")
+    cand = (
+        packed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", "v", "nrm", "qv", "qn",
+                hamming.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(_BQ_RERANK)
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "hamming",
+            F.round(dot / (F.col("nrm") * F.col("qn")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(_BQ_TOPK)
+    )

@@ -523,3 +523,107 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("n_nationkey"),
         F.col("lbl").alias("community"),
     )
+
+
+_BFS_SRC = 0
+_BFS_HOPS = 3
+
+_STRONG_EDGES_CTE = """
+    raw AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ),
+    thresh AS (SELECT AVG(CAST(w AS DOUBLE)) AS t FROM raw),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw, thresh WHERE CAST(w AS DOUBLE) > thresh.t
+    )
+"""
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    sym AS (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    d0 AS (SELECT {_BFS_SRC} AS node, 0 AS dist),
+    d1 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d0
+            UNION ALL
+            SELECT s.dst AS node, d.dist + 1 AS dist
+            FROM sym s JOIN d0 d ON s.src = d.node
+        ) GROUP BY node
+    ),
+    d2 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d1
+            UNION ALL
+            SELECT s.dst AS node, d.dist + 1 AS dist
+            FROM sym s JOIN d1 d ON s.src = d.node
+        ) GROUP BY node
+    ),
+    d3 AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT s.dst AS node, d.dist + 1 AS dist
+            FROM sym s JOIN d2 d ON s.src = d.node
+        ) GROUP BY node
+    )
+    SELECT n.n_nationkey AS node, CAST(d3.dist AS INTEGER) AS hops
+    FROM nation n LEFT JOIN d3 ON d3.node = n.n_nationkey
+    ORDER BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS: hop distance from nation 0 over the
+    strong-trade graph, 3 relaxation rounds unrolled (the
+    bounded-diameter shortest-path primitive — reachability tiers,
+    blast-radius analysis, friend-of-friend queries). NULL hops =
+    unreachable within 3 hops.
+
+    Scale shape: the fact tables are touched once by the shared
+    strong-edge build (broadcast dimension tree); every relaxation is
+    a join of the CURRENT frontier (metadata-sized, broadcast) against
+    the edge table plus a min-aggregate — the classic iterative BFS
+    where per-round cost is frontier-bounded, unrolled a FIXED number
+    of rounds so it stays one declarative plan (same design stance as
+    graph_pagerank's 3 iterations vs dedup_connected_components'
+    convergence loop)."""
+    und = _strong_edges(spark)
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    dist = spark.range(1).select(
+        F.lit(_BFS_SRC).cast("bigint").alias("node"),
+        F.lit(0).alias("dist"),
+    )
+    for _ in range(_BFS_HOPS):
+        relaxed = sym.join(
+            F.broadcast(dist), sym.src == dist.node
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return (
+        nodes.join(F.broadcast(dist), "node", "left")
+        .select("node", F.col("dist").cast("int").alias("hops"))
+        .orderBy("node")
+    )

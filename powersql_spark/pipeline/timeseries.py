@@ -1354,3 +1354,142 @@ def ts_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate_per_sec"),
     )
+
+
+_MK_VAR = (
+    "(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_corr) / 18.0"
+)
+_MK_Z = (
+    "CASE WHEN s_stat > 0 THEN round((s_stat - 1) / sqrt({var}), 4)"
+    "     WHEN s_stat < 0 THEN round((s_stat + 1) / sqrt({var}), 4)"
+    "     ELSE 0.0 END"
+).format(var=_MK_VAR)
+
+
+@query(
+    "ts_mann_kendall",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    pair_s AS (
+        SELECT a.user_id,
+               SUM(CASE WHEN b.value > a.value THEN 1
+                        WHEN b.value < a.value THEN -1 ELSE 0 END)
+                   AS s_stat,
+               COUNT(*) AS n_pairs
+        FROM v a JOIN v b
+          ON b.user_id = a.user_id
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        GROUP BY a.user_id
+    ),
+    pts AS (
+        SELECT user_id, COUNT(*) AS n FROM v GROUP BY user_id
+    ),
+    ties AS (
+        SELECT user_id,
+               SUM(CAST(t * (t - 1) * (2 * t + 5) AS DOUBLE)) AS tie_corr
+        FROM (SELECT user_id, value, COUNT(*) AS t
+              FROM v GROUP BY user_id, value)
+        GROUP BY user_id
+    )
+    SELECT p.user_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           {_MK_Z} AS z_stat,
+           CASE WHEN {_MK_Z} > 1.96 THEN 'increasing'
+                WHEN {_MK_Z} < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM pair_s p
+    JOIN pts USING (user_id)
+    JOIN ties USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per user series: the nonparametric
+    monotone-trend detector (S = sum of pairwise value-order signs,
+    tie-corrected normal approximation with continuity correction) —
+    the significance companion to ts_theilsen_slope's magnitude: MK
+    says WHETHER a series trends, Theil-Sen says how fast.
+
+    Scale shape: the pairwise stage is the same EQUI-join on the
+    series key as Theil-Sen — O(L^2) only in the bounded per-entity
+    history (corpus grows in users), and it collapses to ONE integer
+    (S) per user inside the aggregate, so nothing pairwise is ever
+    shuffled. Tie counts and point counts are two more tiny per-user
+    aggregates joined on the key. S is exact-integer on both engines
+    (CASE-sign, never float signum); only z rounds."""
+    v = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sign = (
+        F.when(F.col("b.value") > F.col("a.value"), 1)
+        .when(F.col("b.value") < F.col("a.value"), -1)
+        .otherwise(0)
+    )
+    pair_s = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (
+                (F.col("a.ts") < F.col("b.ts"))
+                | (
+                    (F.col("a.ts") == F.col("b.ts"))
+                    & (F.col("a.event_id") < F.col("b.event_id"))
+                )
+            ),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(
+            F.sum(sign).alias("s_stat"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    pts = v.groupBy("user_id").agg(F.count("*").alias("n"))
+    ties = (
+        v.groupBy("user_id", "value")
+        .agg(F.count("*").alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("double")
+            ).alias("tie_corr")
+        )
+    )
+    joined = pair_s.join(pts, "user_id").join(ties, "user_id")
+    var = (
+        F.col("n").cast("double")
+        * (F.col("n") - 1)
+        * (2 * F.col("n") + 5)
+        - F.col("tie_corr")
+    ) / 18.0
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            F.round((F.col("s_stat") - 1) / F.sqrt(var), 4),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            F.round((F.col("s_stat") + 1) / F.sqrt(var), 4),
+        )
+        .otherwise(0.0)
+    )
+    return joined.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        z.alias("z_stat"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    ).orderBy("user_id")

@@ -326,6 +326,10 @@ _PRIORITY: tuple[str, ...] = (
     "sim_hybrid_rrf",
     "emb_knn_graph",
     "pipeline_rag_e2e",
+    "graph_bfs_hops",
+    "ts_mann_kendall",
+    "emb_binary_quantize",
+    "stream_late_audit",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -659,3 +659,109 @@ def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "n_events", "total_value")
     )
+
+
+@query(
+    "stream_late_audit",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, ts, event_type,
+               CAST(FLOOR(event_id / 1000) AS BIGINT) AS bkt
+        FROM events
+    ),
+    inb AS (
+        SELECT *,
+               MAX(ts) OVER (PARTITION BY bkt ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_in
+        FROM b
+    ),
+    bm AS (SELECT bkt, MAX(ts) AS bmax FROM b GROUP BY bkt),
+    pm AS (
+        SELECT bkt,
+               MAX(bmax) OVER (ORDER BY bkt
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_b
+        FROM bm
+    ),
+    j AS (
+        SELECT inb.event_type, inb.ts,
+               GREATEST(COALESCE(prev_in, TIMESTAMP '1970-01-01'),
+                        COALESCE(prev_b, TIMESTAMP '1970-01-01'))
+                   AS wm_base
+        FROM inb JOIN pm USING (bkt)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN ts < wm_base - INTERVAL 10 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(round(CAST(CAST((SUM(CASE WHEN ts < wm_base
+                        - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+                        * 100.0 / COUNT(*)) AS VARCHAR)
+                        AS DECIMAL(38,18)), 4) AS DOUBLE) AS late_pct
+    FROM j
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data audit: per event_type, how many rows a
+    10-minute watermark would DROP — each row is late iff its event
+    time is older than (max event time among all earlier-arriving
+    rows) - 10min, exactly Structured Streaming's
+    ``withWatermark("ts", "10 minutes")`` discard rule with arrival
+    order = event_id. The sizing study every streaming job needs
+    BEFORE picking its watermark delay (too short silently drops
+    data; too long bloats state).
+
+    Scale shape: the global "max ts seen so far" is a two-phase
+    distributed prefix max (same pattern as curation_token_budget's
+    prefix sum): an exclusive running max WITHIN each 1000-row arrival
+    bucket (shuffle keyed on bucket), plus an exclusive running max
+    ACROSS the bucket-level maxima (a window over the metadata-sized
+    bucket table, broadcast back). No global single-partition pass
+    over the corpus anywhere; the late flag is then map-side and the
+    summary one aggregation."""
+    b = spark.table("events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("event_id") / F.lit(1000))
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inb = b.select(
+        "event_type", "ts", "bkt", F.max("ts").over(w_in).alias("prev_in")
+    )
+    bm = b.groupBy("bkt").agg(F.max("ts").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pm = bm.select("bkt", F.max("bmax").over(w_b).alias("prev_b"))
+    epoch = F.lit("1970-01-01").cast("timestamp")
+    j = inb.join(F.broadcast(pm), "bkt").select(
+        "event_type",
+        "ts",
+        F.greatest(
+            F.coalesce(F.col("prev_in"), epoch),
+            F.coalesce(F.col("prev_b"), epoch),
+        ).alias("wm_base"),
+    )
+    late = F.when(
+        F.col("ts") < F.col("wm_base") - F.expr("INTERVAL 10 MINUTES"), 1
+    ).otherwise(0)
+    agg = j.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(late).cast("bigint").alias("n_late"),
+    )
+    return agg.select(
+        "event_type",
+        "n_total",
+        "n_late",
+        F.round(F.col("n_late") * 100.0 / F.col("n_total"), 4).alias(
+            "late_pct"
+        ),
+    ).orderBy("event_type")

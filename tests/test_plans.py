@@ -1290,3 +1290,43 @@ def test_decay_popularity_partial_aggregated(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row anchor
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_bfs_frontier_broadcasts(spark, sf_dir):
+    """BFS: every relaxation joins the metadata-sized frontier as a
+    broadcast against the edge table; no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "graph_bfs_hops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_mann_kendall_pairs_equijoin_only(spark, sf_dir):
+    """Mann-Kendall: the pairwise stage is an equi-join on the series
+    key (O(L^2) bounded per entity), and S collapses inside the
+    aggregate — nothing pairwise is shuffled onward."""
+    plan = plan_of(spark, sf_dir, "ts_mann_kendall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_binary_quantize_two_stage_topk(spark, sf_dir):
+    """Binary quantization: both the Hamming shortlist and the rerank
+    cut plan as TakeOrderedAndProject; the only BNLJ is the 1-row
+    query broadcast."""
+    plan = plan_of(spark, sf_dir, "emb_binary_quantize")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_late_audit_bucketed_prefix_max(spark, sf_dir):
+    """Late audit: the corpus-sized running max is partitioned by
+    arrival bucket — never a single-partition global window over the
+    fact table; the cross-bucket max rides the bucket-level table."""
+    plan = plan_of(spark, sf_dir, "stream_late_audit")
+    assert "hashpartitioning(bkt" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -2699,3 +2699,122 @@ def test_rag_e2e_probes_nearest_cells(spark, sf_dir):
         v = vec[r["doc_id"]]
         c = (v @ q) / (np.sqrt((v * v).sum()) * qn)
         assert abs(r["cosine"] - round(c, 4)) < 2e-4
+
+
+def test_bfs_hops_match_python_bfs(spark, sf_dir):
+    """Recompute hop distances with a plain Python BFS over the same
+    strong-edge set."""
+    from collections import deque
+
+    from powersql_spark.pipeline.graph import _strong_edges
+
+    got = {r["node"]: r["hops"] for r in
+           SPECS["graph_bfs_hops"].fn(spark, sf_dir).collect()}
+    edges = _strong_edges(spark).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r["a"], set()).add(r["b"])
+        adj.setdefault(r["b"], set()).add(r["a"])
+    dist = {0: 0}
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    for node, hops in got.items():
+        assert hops == dist.get(node), (node, hops, dist.get(node))
+
+
+def test_mann_kendall_matches_numpy(spark, sf_dir):
+    """Recompute S, the tie-corrected variance, and z from the
+    textbook definition for every user."""
+    import numpy as np
+
+    rows = {r["user_id"]: r for r in
+            SPECS["ts_mann_kendall"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()].sort_values(["ts", "event_id"])
+    for uid, g in pdf.groupby("user_id"):
+        x = g["value"].to_numpy()
+        n = len(x)
+        if n < 2:
+            assert uid not in rows
+            continue
+        s = sum(
+            np.sign(x[j] - x[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        _, t = np.unique(x, return_counts=True)
+        var = (n * (n - 1) * (2 * n + 5)
+               - (t * (t - 1) * (2 * t + 5)).sum()) / 18.0
+        if s > 0:
+            z = round((s - 1) / np.sqrt(var), 4)
+        elif s < 0:
+            z = round((s + 1) / np.sqrt(var), 4)
+        else:
+            z = 0.0
+        r = rows[uid]
+        assert r["n"] == n and r["n_pairs"] == n * (n - 1) // 2
+        assert r["s_stat"] == s, (uid, r["s_stat"], s)
+        assert abs(r["z_stat"] - z) < 1e-3
+        want = ("increasing" if r["z_stat"] > 1.96
+                else "decreasing" if r["z_stat"] < -1.96 else "no_trend")
+        assert r["trend"] == want
+
+
+def test_binary_quantize_hamming_and_rerank(spark, sf_dir):
+    """Hamming must equal the true sign-bit mismatch count vs the
+    query; the rerank cosine must match numpy; results come from the
+    true Hamming top-20 shortlist."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["emb_binary_quantize"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in em}
+    if 0 not in vec:
+        assert got == []
+        return
+    q = vec[0]
+    qbits = q >= 0
+    qn = np.sqrt((q * q).sum())
+    ham = {
+        i: int((qbits != (v >= 0)).sum())
+        for i, v in vec.items()
+        if i != 0
+    }
+    shortlist = sorted(ham, key=lambda i: (ham[i], i))[:20]
+    for r in got:
+        assert r["vec_id"] in shortlist
+        assert r["hamming"] == ham[r["vec_id"]]
+        v = vec[r["vec_id"]]
+        c = (v @ q) / (np.sqrt((v * v).sum()) * qn)
+        assert abs(r["cosine"] - round(c, 4)) < 2e-4
+    cosines = [r["cosine"] for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_late_audit_matches_pandas_replay(spark, sf_dir):
+    """Replay the watermark rule in pandas: arrival order = event_id,
+    late iff ts < (exclusive running max) - 10min."""
+    import pandas as pd
+
+    rows = {r["event_type"]: r for r in
+            SPECS["stream_late_audit"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir).sort_values("event_id")
+    run = pdf["ts"].cummax().shift(1)
+    late = pdf["ts"] < run - pd.Timedelta(minutes=10)
+    for et, g in pdf.groupby("event_type"):
+        r = rows[et]
+        assert r["n_total"] == len(g)
+        assert r["n_late"] == int(late[g.index].sum()), et
+        assert abs(
+            r["late_pct"] - round(r["n_late"] * 100.0 / r["n_total"], 4)
+        ) < 1e-9
