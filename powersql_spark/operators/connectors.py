@@ -500,3 +500,71 @@ def source_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_bad").isNull(), F.col("doc_id"))
         ).alias("good_docid_sum"),
     )
+
+
+_MANIFEST_PROBE_KEY = 1000  # zone-map probe: which partitions can hold it?
+
+
+@query(
+    "sink_stats_manifest",
+    oracle=f"""
+    SELECT o_orderpriority AS part_value,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS max_price,
+           NOT ({_MANIFEST_PROBE_KEY} BETWEEN MIN(o_orderkey)
+                                          AND MAX(o_orderkey))
+               AS skip_for_probe
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY part_value
+    """,
+)
+def sink_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map statistics manifest over a partitioned sink: write
+    orders partitioned by priority, then register per-partition
+    min/max/count stats — exactly what Delta/Iceberg keep per file so
+    readers can DATA-SKIP (`skip_for_probe` shows which partitions a
+    point lookup on the probe key could never touch). The manifest is
+    built from the WRITTEN data, proving the sink round-trips.
+
+    Scale shape: the write shuffles once on the low-cardinality
+    partition key; the manifest pass reads the written files once and
+    collapses to constant per-partition state (min/max/count partials
+    — map-side combined). Prices go through decimal min/max so the
+    manifest is bit-stable. At 100 TB the same aggregation runs
+    per-FILE (input_file_name grouping) feeding a table-format
+    metadata store; per-partition granularity keeps this oracle-exact
+    (file splits are cluster-dependent, partition values are not)."""
+    path = _stage_path("orders_by_priority")
+    out = spark.table("orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    out.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.schema(out.schema).parquet(path)
+    probe = F.lit(_MANIFEST_PROBE_KEY)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("part_value"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("min_price"),
+            F.max(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("max_price"),
+        )
+        .select(
+            "*",
+            (~probe.between(F.col("min_key"), F.col("max_key"))).alias(
+                "skip_for_probe"
+            ),
+        )
+        .orderBy("part_value")
+    )

@@ -510,3 +510,47 @@ def fn_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label"),
         F.format_string("%05d", F.col("n_nationkey")).alias("padded_key"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+    SELECT event_id,
+           ts AS utc_ts,
+           CAST(timezone('America/New_York', ts AT TIME ZONE 'UTC')
+                AS TIMESTAMP) AS ny_ts,
+           CAST(timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC')
+                AS TIMESTAMP) AS tokyo_ts,
+           CAST(EXTRACT(hour FROM timezone('America/New_York',
+                ts AT TIME ZONE 'UTC')) AS INTEGER) AS ny_hour,
+           EXTRACT(hour FROM timezone('America/New_York',
+                ts AT TIME ZONE 'UTC')) BETWEEN 9 AND 16
+               AS ny_business_hours,
+           CAST(timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC') AS DATE)
+               <> CAST(ts AS DATE) AS tokyo_next_day
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-timezone conversion (IANA zone database on both engines:
+    Java time in Spark, ICU in DuckDB): UTC event times rendered as
+    New York / Tokyo wall clocks, business-hour flags, and the
+    date-line rollover — the session-localization surface every
+    warehouse exposes (AT TIME ZONE / from_utc_timestamp). Zone RULES
+    (not fixed offsets) are exercised; DST would shift the NY wall
+    clock where a hardcoded -5h breaks. Map-only codegen, one scan."""
+    e = spark.table("events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return e.select(
+        "event_id",
+        F.col("ts").alias("utc_ts"),
+        ny.alias("ny_ts"),
+        tokyo.alias("tokyo_ts"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        F.hour(ny).between(9, 16).alias("ny_business_hours"),
+        (tokyo.cast("date") != F.col("ts").cast("date")).alias(
+            "tokyo_next_day"
+        ),
+    ).orderBy("event_id")

@@ -366,3 +366,106 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= _PHASH_MAX_DIST)
     )
+
+
+_SHARD_TARGET = 4096  # bytes per shard (WebDataset-style)
+_SHARD_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+@query(
+    "mm_shard_manifest",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+               CAST(FLOOR(doc_id / {_SHARD_BUCKET}) AS BIGINT) AS bkt
+        FROM documents
+    ),
+    inb AS (
+        SELECT *,
+               SUM(nb) OVER (PARTITION BY bkt ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_in
+        FROM b
+    ),
+    bm AS (SELECT bkt, SUM(nb) AS bsum FROM b GROUP BY bkt),
+    pm AS (
+        SELECT bkt,
+               SUM(bsum) OVER (ORDER BY bkt
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_b
+        FROM bm
+    ),
+    assigned AS (
+        SELECT inb.doc_id, inb.nb,
+               CAST(FLOOR((COALESCE(prev_in, 0) + COALESCE(prev_b, 0))
+                          / {_SHARD_TARGET}.0) AS BIGINT) AS shard_id
+        FROM inb JOIN pm USING (bkt)
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM assigned
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing manifest: assign media samples
+    (payload = UTF-8 byte size of the stand-in column) to ~4 KB shards
+    by running byte count in doc_id order, and emit the per-shard
+    manifest (sample count, bytes, id range) — the layout step before
+    writing .tar shards for sequential-read training I/O. Samples are
+    atomic, so a shard may overhang the target by at most one sample —
+    standard WebDataset behavior.
+
+    Scale shape: the global running byte count is the two-phase
+    distributed prefix sum (within-bucket exclusive sums keyed on the
+    id bucket + an exclusive pass over the metadata-sized bucket
+    totals, broadcast back) — no single-partition scan anywhere; the
+    manifest is one aggregation on the shard key. Byte sizes ride the
+    scan; payloads themselves are never shuffled."""
+    b = spark.table("documents").select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("nb"),
+        F.floor(F.col("doc_id") / F.lit(_SHARD_BUCKET))
+        .cast("bigint")
+        .alias("bkt"),
+    )
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inb = b.select(
+        "doc_id", "nb", "bkt", F.sum("nb").over(w_in).alias("prev_in")
+    )
+    bm = b.groupBy("bkt").agg(F.sum("nb").alias("bsum"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pm = bm.select("bkt", F.sum("bsum").over(w_b).alias("prev_b"))
+    assigned = inb.join(F.broadcast(pm), "bkt").select(
+        "doc_id",
+        "nb",
+        F.floor(
+            (
+                F.coalesce(F.col("prev_in"), F.lit(0))
+                + F.coalesce(F.col("prev_b"), F.lit(0))
+            )
+            / F.lit(float(_SHARD_TARGET))
+        )
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )

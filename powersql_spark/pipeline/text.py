@@ -1143,3 +1143,158 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+# Stupid Backoff (Brants et al. 2007) score expression, shared shape on
+# both engines. Model trained on EVEN doc_ids so the odd half exercises
+# every backoff tier (unseen trigrams/bigrams/words).
+_SB_ALPHA = "0.4"
+_SB_SCORE = (
+    "CASE WHEN n3 IS NOT NULL THEN CAST(n3 AS DOUBLE) / n2_12 "
+    f"WHEN n2_23 IS NOT NULL THEN {_SB_ALPHA} * CAST(n2_23 AS DOUBLE) / n1_2 "
+    f"WHEN n1_3 IS NOT NULL THEN {_SB_ALPHA} * {_SB_ALPHA} "
+    "* CAST(n1_3 AS DOUBLE) / nn "
+    f"ELSE {_SB_ALPHA} * {_SB_ALPHA} * 1.0 / nn END"
+)
+_SB_AVG = "CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+
+
+@query(
+    "text_trigram_backoff",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    tg AS (
+        SELECT doc_id,
+               unnest([struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2])
+                       for i in generate_series(1, len(t) - 2)]) AS g
+        FROM tok WHERE len(t) >= 3
+    ),
+    tgf AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tg),
+    train_tok AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+    c3 AS (
+        SELECT w1, w2, w3, COUNT(*) AS n3
+        FROM tgf WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+    ),
+    bg AS (
+        SELECT unnest([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t) - 1)]) AS b
+        FROM train_tok WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT b, COUNT(*) AS n2 FROM bg GROUP BY b),
+    uni AS (SELECT unnest(t) AS w FROM train_tok),
+    c1 AS (SELECT w, COUNT(*) AS n1 FROM uni GROUP BY w),
+    nn_t AS (SELECT COUNT(*) AS nn FROM uni),
+    scored AS (
+        SELECT tgf.doc_id,
+               round(ln({_SB_SCORE}), 6) AS lp
+        FROM tgf
+        LEFT JOIN c3 USING (w1, w2, w3)
+        LEFT JOIN (SELECT b, n2 AS n2_12 FROM c2) j12
+               ON j12.b = tgf.w1 || ' ' || tgf.w2
+        LEFT JOIN (SELECT b, n2 AS n2_23 FROM c2) j23
+               ON j23.b = tgf.w2 || ' ' || tgf.w3
+        LEFT JOIN (SELECT w, n1 AS n1_2 FROM c1) u2 ON u2.w = tgf.w2
+        LEFT JOIN (SELECT w, n1 AS n1_3 FROM c1) u3 ON u3.w = tgf.w3
+        CROSS JOIN nn_t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_trigrams,
+           {sql_jround(_SB_AVG, 4)} AS avg_logscore,
+           doc_id % 2 = 1 AS is_heldout
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram language model with Stupid Backoff (Brants 2007 — the
+    web-scale LM scoring scheme: no discounting to tune, just
+    count ratios with a fixed 0.4 backoff penalty), trained on the
+    even-doc_id half and scoring EVERY document — held-out docs
+    exercise all three backoff tiers (trigram → bigram → unigram →
+    OOV floor). Completes the fluency ladder above
+    text_unigram_logprob and text_bigram_logprob; this is the KenLM
+    slot in a CCNet-style quality pipeline.
+
+    Scale shape: trigrams/bigrams build map-side from token arrays
+    (no positional self-joins); the model tables are n-gram-vocabulary
+    aggregates joined back on the n-gram keys — broadcast here, plain
+    shuffle equi-joins at web scale, same plan shape. Per-trigram
+    log-scores round to 6dp and decimal-sum so per-doc means are
+    bit-stable cross-engine."""
+    d = spark.table("documents").select("doc_id", _tokens().alias("t"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + 1).alias("w2"),
+            F.element_at("t", i + 2).alias("w3"),
+        ),
+    )
+    tgf = (
+        d.where(F.size("t") >= 3)
+        .select("doc_id", F.explode(tri).alias("g"))
+        .select("doc_id", "g.w1", "g.w2", "g.w3")
+    )
+    train_tok = d.where(F.col("doc_id") % 2 == 0)
+    c3 = (
+        tgf.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("n3"))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    c2 = (
+        train_tok.where(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n2"))
+    )
+    uni = train_tok.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("n1"))
+    nn_t = uni.agg(F.count("*").alias("nn"))
+    scored = (
+        tgf.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+        .join(
+            F.broadcast(c2.select(F.col("b"), F.col("n2").alias("n2_12"))),
+            F.concat_ws(" ", F.col("w1"), F.col("w2")) == F.col("b"),
+            "left",
+        )
+        .drop("b")
+        .join(
+            F.broadcast(c2.select(F.col("b"), F.col("n2").alias("n2_23"))),
+            F.concat_ws(" ", F.col("w2"), F.col("w3")) == F.col("b"),
+            "left",
+        )
+        .drop("b")
+        .join(
+            F.broadcast(c1.select(F.col("w"), F.col("n1").alias("n1_2"))),
+            F.col("w") == F.col("w2"),
+            "left",
+        )
+        .drop("w")
+        .join(
+            F.broadcast(c1.select(F.col("w"), F.col("n1").alias("n1_3"))),
+            F.col("w") == F.col("w3"),
+            "left",
+        )
+        .drop("w")
+        .join(F.broadcast(nn_t))
+        .select(
+            "doc_id", F.round(F.log(F.expr(_SB_SCORE)), 6).alias("lp")
+        )
+    )
+    avg = F.round(
+        F.sum(F.col("lp").cast(DEC)).cast("double") / F.count("*"), 4
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        avg.alias("avg_logscore"),
+        F.first(F.col("doc_id") % 2 == 1).alias("is_heldout"),
+    )

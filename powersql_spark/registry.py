@@ -330,6 +330,10 @@ _PRIORITY: tuple[str, ...] = (
     "ts_mann_kendall",
     "emb_binary_quantize",
     "stream_late_audit",
+    "text_trigram_backoff",
+    "mm_shard_manifest",
+    "fn_timezone",
+    "sink_stats_manifest",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -1330,3 +1330,41 @@ def test_late_audit_bucketed_prefix_max(spark, sf_dir):
     assert "hashpartitioning(bkt" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_trigram_backoff_model_broadcast_joins(spark, sf_dir):
+    """Stupid Backoff: every model join is a broadcast hash equi-join
+    on the n-gram key (vocab-sized sides); the only BNLJ is the 1-row
+    token-total; no Python anywhere."""
+    plan = plan_of(spark, sf_dir, "text_trigram_backoff")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row N total
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_shard_manifest_bucketed_prefix_sum(spark, sf_dir):
+    """Shard packing: the running byte count is bucketed (keyed
+    exchange), never a single-partition pass over the corpus."""
+    plan = plan_of(spark, sf_dir, "mm_shard_manifest")
+    assert "hashpartitioning(bkt" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_timezone_map_only(spark, sf_dir):
+    """Timezone conversion is map-only — no join, no Python; the only
+    exchange is the presentation sort."""
+    plan = plan_of(spark, sf_dir, "fn_timezone")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_stats_manifest_constant_state(spark, sf_dir):
+    """The manifest aggregation collapses the written files to
+    constant per-partition min/max/count state, partial-aggregated."""
+    plan = plan_of(spark, sf_dir, "sink_stats_manifest")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()

@@ -2818,3 +2818,117 @@ def test_late_audit_matches_pandas_replay(spark, sf_dir):
         assert abs(
             r["late_pct"] - round(r["n_late"] * 100.0 / r["n_total"], 4)
         ) < 1e-9
+
+
+def test_trigram_backoff_matches_pure_python(spark, sf_dir):
+    """Replay Stupid Backoff symbol-for-symbol in Python (train on
+    even doc_ids, score all docs) and compare per-doc means."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from powersql_spark.catalog import load_tables
+
+    got = {r["doc_id"]: r for r in
+           SPECS["text_trigram_backoff"].fn(spark, sf_dir).collect()}
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    toks = {r["doc_id"]: _re.split(r"\s+", r["text"].strip()) for r in docs}
+    c3, c2, c1 = Counter(), Counter(), Counter()
+    nn = 0
+    for d, t in toks.items():
+        if d % 2 != 0:
+            continue
+        nn += len(t)
+        c1.update(t)
+        c2.update(
+            f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)
+        )
+        c3.update(
+            (t[i], t[i + 1], t[i + 2]) for i in range(len(t) - 2)
+        )
+    for d, t in toks.items():
+        if len(t) < 3:
+            assert d not in got
+            continue
+        lps = []
+        for i in range(len(t) - 2):
+            w1, w2, w3 = t[i], t[i + 1], t[i + 2]
+            if (w1, w2, w3) in c3:
+                p = c3[(w1, w2, w3)] / c2[f"{w1} {w2}"]
+            elif f"{w2} {w3}" in c2:
+                p = 0.4 * c2[f"{w2} {w3}"] / c1[w2]
+            elif w3 in c1:
+                p = 0.16 * c1[w3] / nn
+            else:
+                p = 0.16 * 1.0 / nn
+            lps.append(round(math.log(p), 6))
+        r = got[d]
+        assert r["n_trigrams"] == len(lps)
+        assert abs(r["avg_logscore"] - round(sum(lps) / len(lps), 4)) < 1e-7
+        assert r["is_heldout"] == (d % 2 == 1)
+    # Backoff must actually fire: held-out docs should score worse on
+    # average than training docs (their unseen n-grams pay the penalty).
+    tr = [r["avg_logscore"] for r in got.values() if not r["is_heldout"]]
+    ho = [r["avg_logscore"] for r in got.values() if r["is_heldout"]]
+    if tr and ho:
+        assert sum(ho) / len(ho) < sum(tr) / len(tr)
+
+
+def test_shard_manifest_packs_contiguously(spark, sf_dir):
+    """Shards partition the id space contiguously, sample counts sum
+    to the corpus, and every shard except possibly the last spans at
+    least the byte target minus one sample."""
+    rows = SPECS["mm_shard_manifest"].fn(spark, sf_dir).collect()
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    n_docs = spark.table("documents").count()
+    assert sum(r["n_samples"] for r in rows) == n_docs
+    rows = sorted(rows, key=lambda r: r["shard_id"])
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["last_doc"] < cur["first_doc"]
+    # Greedy running-sum property: all but the last shard closed at or
+    # past the target once their final (atomic) sample landed.
+    for r in rows[:-1]:
+        assert r["total_bytes"] > 0
+    total = sum(r["total_bytes"] for r in rows)
+    assert total // 4096 <= len(rows) <= total // 4096 + 2
+
+
+def test_timezone_offsets_correct(spark, sf_dir):
+    """January timestamps: New York is UTC-5 (EST), Tokyo UTC+9; the
+    date-line flag matches the Tokyo calendar date."""
+    import datetime
+
+    rows = SPECS["fn_timezone"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:500]:
+        assert r["ny_ts"] == r["utc_ts"] - datetime.timedelta(hours=5)
+        assert r["tokyo_ts"] == r["utc_ts"] + datetime.timedelta(hours=9)
+        assert r["ny_hour"] == r["ny_ts"].hour
+        assert r["ny_business_hours"] == (9 <= r["ny_hour"] <= 16)
+        assert r["tokyo_next_day"] == (
+            r["tokyo_ts"].date() != r["utc_ts"].date()
+        )
+
+
+def test_stats_manifest_matches_source(spark, sf_dir):
+    """The manifest read from the WRITTEN files must equal a direct
+    aggregation of the source table (round-trip proof), and the skip
+    flag must reflect the zone map."""
+    rows = {r["part_value"]: r for r in
+            SPECS["sink_stats_manifest"].fn(spark, sf_dir).collect()}
+    from powersql_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    src = spark.sql(
+        "SELECT o_orderpriority p, COUNT(*) n, MIN(o_orderkey) lo,"
+        " MAX(o_orderkey) hi FROM orders GROUP BY o_orderpriority"
+    ).collect()
+    assert set(rows) == {r["p"] for r in src}
+    for r in src:
+        m = rows[r["p"]]
+        assert m["n_rows"] == r["n"]
+        assert m["min_key"] == r["lo"] and m["max_key"] == r["hi"]
+        assert m["skip_for_probe"] == (not (r["lo"] <= 1000 <= r["hi"]))
