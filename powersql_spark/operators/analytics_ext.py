@@ -503,3 +503,308 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test on user-level conversion.
+# ---------------------------------------------------------------------------
+
+_PROP_P = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+# Degenerate pools (0% or 100% conversion) have zero pooled variance —
+# the test is undefined there; emit NULL instead of dividing by zero
+# (which ANSI Spark raises on).
+_PROP_Z = (
+    "(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b"
+    " THEN (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)"
+    f" / sqrt({_PROP_P} * (1 - {_PROP_P})"
+    " * (1.0 / n_a + 1.0 / n_b)) END)"
+)
+
+
+@query(
+    "stats_proportion_ztest",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR) || ':prop'), 1, 1)
+                   < '8' AS is_a,
+               CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > COUNT(*)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN is_a THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN NOT is_a THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM per_user
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           {sql_jround("CAST(conv_a AS DOUBLE) / n_a", 6)} AS p_a,
+           {sql_jround("CAST(conv_b AS DOUBLE) / n_b", 6)} AS p_b,
+           {sql_jround(_PROP_Z, 4)} AS z_stat,
+           abs({sql_jround(_PROP_Z, 4)}) > 1.96 AS significant_5pct
+    FROM s
+    """,
+)
+def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-level conversion (heavy
+    purchaser: >20% of the user's events are purchases — an
+    integer-exact ratio test, never a float compare): the
+    binary-metric A/B readout beside Welch (continuous) and
+    Mann-Whitney (ordinal) — pooled-variance normal approximation,
+    the formula every experimentation platform ships for rate
+    metrics. Degenerate pools (0%/100%) emit NULL z.
+
+    Scale shape: the corpus collapses to one bit per user in the
+    first aggregation (two map-side-combinable counts per user),
+    then to FOUR integers in the second;
+    everything after is scalar arithmetic. Proportions are exact
+    integer rationals; only z rounds (sql_jround — terminating
+    rationals can land on half boundaries)."""
+    per_user = spark.table("events").groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":prop")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    s = per_user.select(is_a.alias("is_a"), "converted").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    degenerate = (F.col("conv_a") + F.col("conv_b") <= 0) | (
+        F.col("conv_a") + F.col("conv_b") >= F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(
+        ~degenerate,
+        F.round(
+            (p_b - p_a)
+            / F.sqrt(
+                pool
+                * (1 - pool)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        ),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction.
+# ---------------------------------------------------------------------------
+
+_CUPED_DEC = "DECIMAL(28,6)"
+# Zero pre-period variance (all x equal) → no adjustment (theta = 0).
+_CUPED_THETA = (
+    "(CASE WHEN (sxx - sx * sx / n) > 0"
+    " THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) ELSE 0.0 END)"
+)
+
+
+@query(
+    "stats_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR) || ':cuped'), 1, 1)
+                   < '8' AS is_a,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS {_CUPED_DEC}) END), 0) AS DOUBLE)
+                   AS x,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS {_CUPED_DEC}) END), 0) AS DOUBLE)
+                   AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS {_CUPED_DEC})) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS {_CUPED_DEC})) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS {_CUPED_DEC})) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS {_CUPED_DEC})) AS DOUBLE) AS sxx
+        FROM per_user
+    ),
+    adj AS (
+        SELECT is_a, y,
+               round(y - {_CUPED_THETA} * (x - sx / n), 8) AS y_adj
+        FROM per_user, mom
+    ),
+    g AS (
+        SELECT CASE WHEN is_a THEN 'A' ELSE 'B' END AS grp,
+               COUNT(*) AS n_users,
+               CAST(SUM(CAST(y AS {_CUPED_DEC})) AS DOUBLE) AS gy,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS gyy,
+               CAST(SUM(CAST(y_adj AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+               CAST(SUM(CAST(y_adj * y_adj AS DECIMAL(38,12))) AS DOUBLE)
+                   AS gaa
+        FROM adj GROUP BY 1
+    )
+    SELECT grp, CAST(n_users AS BIGINT) AS n_users,
+           {sql_jround("gy / n_users", 6)} AS mean_y,
+           {sql_jround("ga / n_users", 6)} AS mean_y_adj,
+           {sql_jround("(SELECT " + _CUPED_THETA + " FROM mom)", 6)}
+               AS theta,
+           CASE WHEN n_users > 1 AND (gyy - gy * gy / n_users) > 0 THEN
+           {sql_jround(
+               "((gaa - ga * ga / n_users) / (n_users - 1))"
+               " / ((gyy - gy * gy / n_users) / (n_users - 1))", 4)}
+           END AS var_reduction
+    FROM g
+    ORDER BY grp
+    """,
+)
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM 2013 — the standard
+    pre-experiment covariate adjustment every large experimentation
+    platform applies): per-user pre-period spend (days 1-15) predicts
+    post-period spend (days 16-30); subtracting theta*(x - mean_x)
+    from y removes the predictable component, shrinking metric
+    variance (var_reduction < 1) without biasing the A/B delta. Theta
+    is the pooled OLS slope cov(x,y)/var(x) from decimal power sums.
+
+    Scale shape: the corpus collapses to one (x, y) pair per user in
+    a single conditional aggregation; theta/mean are a 1-row
+    broadcast back onto the USER table; adjusted values round at 8dp
+    before the decimal group sums so group means/variances are
+    bit-stable across engines and partitionings."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16").cast("timestamp")
+    dec = "decimal(28,6)"
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") < cut, F.col("value").cast(dec))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value").cast(dec))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":cuped")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    from powersql_spark.catalog import track_persist
+
+    # Persisted: the moment pass and the adjustment pass both consume
+    # the USER aggregate — without the persist, Catalyst recomputes
+    # the subtree and the corpus is scanned twice.
+    per_user = track_persist(
+        per_user.select("user_id", is_a.alias("is_a"), "x", "y")
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    theta = F.when(
+        varx > 0,
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / varx,
+    ).otherwise(0.0)
+    adj = per_user.join(F.broadcast(mom)).select(
+        "is_a",
+        "y",
+        F.round(
+            F.col("y") - theta * (F.col("x") - F.col("sx") / F.col("n")),
+            8,
+        ).alias("y_adj"),
+        theta.alias("theta_raw"),
+    )
+    big = "decimal(38,12)"
+    g = adj.groupBy(
+        F.when(F.col("is_a"), "A").otherwise("B").alias("grp")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("gy"),
+        F.sum((F.col("y") * F.col("y")).cast(big))
+        .cast("double")
+        .alias("gyy"),
+        F.sum(F.col("y_adj").cast(big)).cast("double").alias("ga"),
+        F.sum((F.col("y_adj") * F.col("y_adj")).cast(big))
+        .cast("double")
+        .alias("gaa"),
+        F.first("theta_raw").alias("theta_raw"),
+    )
+    ss_y = F.col("gyy") - F.col("gy") * F.col("gy") / F.col("n_users")
+    var_reduction = F.when(
+        (F.col("n_users") > 1) & (ss_y > 0),
+        F.round(
+            (
+                (F.col("gaa") - F.col("ga") * F.col("ga") / F.col("n_users"))
+                / (F.col("n_users") - 1)
+            )
+            / (ss_y / (F.col("n_users") - 1)),
+            4,
+        ),
+    )
+    return g.select(
+        "grp",
+        "n_users",
+        F.round(F.col("gy") / F.col("n_users"), 6).alias("mean_y"),
+        F.round(F.col("ga") / F.col("n_users"), 6).alias("mean_y_adj"),
+        F.round(F.col("theta_raw"), 6).alias("theta"),
+        var_reduction.alias("var_reduction"),
+    ).orderBy("grp")

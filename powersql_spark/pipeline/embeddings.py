@@ -25,7 +25,7 @@ half-even would diverge).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.operators.common import DEC, sql_jround
@@ -667,4 +667,196 @@ def emb_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_BQ_TOPK)
+    )
+
+
+_ADC_SHORTLIST = 20
+_ADC_TOPK = 10
+
+# Shared CTE text with emb_pq_encode's construction (same codebook:
+# the first _PQ_K corpus vectors per subspace — deterministic, no
+# training loop; cited there).
+_PQ_CODE_CTES = f"""
+    v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT vec_id AS k, m,
+               list_slice(ve, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D})
+                   AS cvec
+        FROM v, unnest(range(0, {_PQ_M})) AS u(m)
+        WHERE vec_id < {_PQ_K}
+    ),
+    sub AS (
+        SELECT vec_id, m,
+               list_slice(ve, m * {_PQ_D} + 1, m * {_PQ_D} + {_PQ_D})
+                   AS svec
+        FROM v, unnest(range(0, {_PQ_M})) AS u(m)
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.k,
+               round(list_sum(list_transform(range(1, {_PQ_D + 1}),
+                   i -> (list_extract(svec, i) - list_extract(cvec, i))
+                      * (list_extract(svec, i) - list_extract(cvec, i)))),
+                   6) AS dist
+        FROM sub s JOIN cb c USING (m)
+    ),
+    best AS (
+        SELECT vec_id, m, k
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM d)
+        WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "sim_pq_adc_search",
+    oracle=f"""
+    WITH {_PQ_CODE_CTES},
+    lut AS (
+        SELECT c.m, c.k,
+               round(list_sum(list_transform(range(1, {_PQ_D + 1}),
+                   i -> (list_extract(q.svec, i) - list_extract(c.cvec, i))
+                      * (list_extract(q.svec, i) - list_extract(c.cvec, i)))),
+                   6) AS qdist
+        FROM cb c JOIN (SELECT m, svec FROM sub WHERE vec_id = 0) q
+          USING (m)
+    ),
+    adc AS (
+        SELECT b.vec_id,
+               CAST(SUM(CAST(l.qdist AS DECIMAL(18,6))) AS DOUBLE)
+                   AS adc_dist
+        FROM best b JOIN lut l ON b.m = l.m AND b.k = l.k
+        WHERE b.vec_id <> 0
+        GROUP BY b.vec_id
+        ORDER BY adc_dist, vec_id
+        LIMIT {_ADC_SHORTLIST}
+    ),
+    q AS (
+        SELECT ve AS qv,
+               sqrt(list_sum(list_transform(ve, x -> x * x))) AS qn
+        FROM v WHERE vec_id = 0
+    )
+    SELECT a.vec_id, v.label, a.adc_dist,
+           round(list_reduce(list_transform(range(1, 65),
+                     i -> v.ve[i] * q.qv[i]), (x, y) -> x + y)
+                 / (sqrt(list_sum(list_transform(v.ve, x -> x * x)))
+                    * q.qn), 4) AS cosine
+    FROM adc a JOIN v USING (vec_id), q
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT {_ADC_TOPK}
+    """,
+)
+def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval (the FAISS IVFADC inner
+    loop): encode every vector as 8 4-bit codes against the shared
+    per-subspace codebook (emb_pq_encode's deterministic first-K
+    codebook), build the query's 8x16 distance lookup table, score
+    candidates by SUMMED LUT entries (asymmetric distance — the query
+    stays full-precision, the corpus stays 4 bytes/vector), then
+    rerank the top-20 shortlist by exact cosine. Completes the
+    quantized-retrieval ladder: float32 (bruteforce) → int8
+    (norm_quantize) → 1-bit (binary_quantize) → PQ-ADC.
+
+    Scale shape: encoding is a (corpus x M x K) equi-join on the
+    subspace index against a constant codebook (broadcast); at scale
+    codes are PRECOMPUTED at ingest and the search touches only the
+    8-entry-per-vector LUT join — integer keys, no vector math until
+    the 20-row rerank. LUT distances round to 6dp and the ADC sum is
+    decimal-exact, so shortlists are engine-identical; both cuts are
+    TakeOrderedAndProject."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ve"),
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m")
+    sub = e.select("vec_id", "ve", ms).select(
+        "vec_id",
+        "m",
+        F.slice("ve", F.col("m") * _PQ_D + 1, _PQ_D).alias("svec"),
+    )
+    cb = (
+        e.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), "ve", ms)
+        .select(
+            "k",
+            "m",
+            F.slice("ve", F.col("m") * _PQ_D + 1, _PQ_D).alias("cvec"),
+        )
+    )
+    sqdist = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        F.round(sqdist(F.col("svec"), F.col("cvec")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+    best = (
+        d.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    lut = (
+        cb.join(
+            F.broadcast(
+                sub.where(F.col("vec_id") == 0).select(
+                    "m", F.col("svec").alias("qsub")
+                )
+            ),
+            "m",
+        )
+        .select(
+            "m",
+            "k",
+            F.round(sqdist(F.col("qsub"), F.col("cvec")), 6).alias("qdist"),
+        )
+    )
+    adc = (
+        best.where(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("qdist").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_ADC_SHORTLIST)
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("ve").alias("qv"),
+        F.sqrt(
+            F.aggregate(
+                F.col("ve"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ve", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("ve"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        adc.join(e, "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "adc_dist",
+            F.round(dot / (nrm * F.col("qn")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(_ADC_TOPK)
     )

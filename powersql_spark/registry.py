@@ -334,6 +334,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_shard_manifest",
     "fn_timezone",
     "sink_stats_manifest",
+    "sim_pq_adc_search",
+    "stats_proportion_ztest",
+    "stats_cuped_adjustment",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

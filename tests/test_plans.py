@@ -1368,3 +1368,34 @@ def test_stats_manifest_constant_state(spark, sf_dir):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "partial" in plan.lower()
+
+
+def test_pq_adc_codebook_broadcast_two_topk(spark, sf_dir):
+    """PQ-ADC: codebook and LUT ride as broadcasts (integer-keyed
+    equi-joins); shortlist and rerank both plan as top-k; the only
+    BNLJ is the 1-row query broadcast."""
+    plan = plan_of(spark, sf_dir, "sim_pq_adc_search")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_proportion_ztest_two_aggregations_no_join(spark, sf_dir):
+    """Proportion z-test: corpus → per-user bit → four integers; no
+    join anywhere, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_proportion_ztest")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_cuped_single_scan_broadcast_moments(spark, sf_dir):
+    """CUPED: one events scan collapses to the PERSISTED per-user
+    (x, y) table; theta and the mean ride a 1-row broadcast back onto
+    it (a single 1-row BNLJ), never a second corpus scan — the final
+    plan reads the InMemoryRelation, not the parquet."""
+    plan = plan_of(spark, sf_dir, "stats_cuped_adjustment")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in plan

@@ -2932,3 +2932,112 @@ def test_stats_manifest_matches_source(spark, sf_dir):
         assert m["n_rows"] == r["n"]
         assert m["min_key"] == r["lo"] and m["max_key"] == r["hi"]
         assert m["skip_for_probe"] == (not (r["lo"] <= 1000 <= r["hi"]))
+
+
+def test_pq_adc_tracks_exact_search(spark, sf_dir):
+    """ADC is an approximation: assert (a) codes/LUT produce the
+    claimed adc distances vs a numpy replay, and (b) the reranked
+    head overlaps the exact brute-force top-10 (recall >= 0.5 —
+    PQ with 16 centroids is coarse but must not be random)."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["sim_pq_adc_search"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in em}
+    if 0 not in vec or len(vec) < 17:
+        return
+    q = vec[0]
+    # numpy replay of codes + LUT
+    cbs = {m: np.stack([vec[k][m * 8:(m + 1) * 8] for k in range(16)])
+           for m in range(8)}
+    luts = {
+        m: np.round(((cbs[m] - q[m * 8:(m + 1) * 8]) ** 2).sum(axis=1), 6)
+        for m in range(8)
+    }
+    adc = {}
+    for i, v in vec.items():
+        if i == 0:
+            continue
+        total = 0.0
+        for m in range(8):
+            d = np.round(((cbs[m] - v[m * 8:(m + 1) * 8]) ** 2).sum(axis=1), 6)
+            code = int(np.lexsort((np.arange(16), d))[0])
+            total += float(luts[m][code])
+        adc[i] = round(total, 6)
+    for r in got:
+        assert abs(r["adc_dist"] - adc[r["vec_id"]]) < 1e-6, r
+    qn = np.sqrt((q * q).sum())
+    cos = {
+        i: (v @ q) / (np.sqrt((v * v).sum()) * qn)
+        for i, v in vec.items() if i != 0
+    }
+    exact_top = set(sorted(cos, key=lambda i: (-round(cos[i], 4), i))[:10])
+    overlap = len(exact_top & {r["vec_id"] for r in got})
+    assert overlap >= 5, overlap
+
+
+def test_proportion_ztest_matches_formula(spark, sf_dir):
+    """Recompute the pooled z from the four emitted integers."""
+    import math
+
+    r = SPECS["stats_proportion_ztest"].fn(spark, sf_dir).collect()[0]
+    n_a, n_b, ca, cb = r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]
+    assert abs(r["p_a"] - round(ca / n_a, 6)) < 1e-9
+    assert abs(r["p_b"] - round(cb / n_b, 6)) < 1e-9
+    if 0 < ca + cb < n_a + n_b:
+        p = (ca + cb) / (n_a + n_b)
+        z = (cb / n_b - ca / n_a) / math.sqrt(
+            p * (1 - p) * (1 / n_a + 1 / n_b)
+        )
+        assert abs(r["z_stat"] - round(z, 4)) < 1e-9
+        assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+    else:
+        assert r["z_stat"] is None
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
+    """CUPED's contract: variance shrinks (or stays) in both arms when
+    pre-period correlates, and the adjustment is mean-preserving up to
+    theta * (group mean_x - pooled mean_x) — recompute with pandas."""
+    import hashlib
+
+    import numpy as np
+
+    rows = {r["grp"]: r for r in
+            SPECS["stats_cuped_adjustment"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    cut = np.datetime64("2024-01-16")
+    per = pdf.groupby("user_id").apply(
+        lambda g: (
+            round(g.loc[g["ts"] < cut, "value"].sum(), 6),
+            round(g.loc[g["ts"] >= cut, "value"].sum(), 6),
+        ),
+        include_groups=False,
+    )
+    x = np.array([v[0] for v in per])
+    y = np.array([v[1] for v in per])
+    n = len(x)
+    varx = (x * x).sum() - x.sum() ** 2 / n
+    theta = ((x * y).sum() - x.sum() * y.sum() / n) / varx if varx > 0 else 0.0
+    is_a = np.array([
+        hashlib.md5(f"{u}:cuped".encode()).hexdigest()[0] < "8"
+        for u in per.index
+    ])
+    for grp, mask in (("A", is_a), ("B", ~is_a)):
+        r = rows[grp]
+        assert r["n_users"] == int(mask.sum())
+        assert abs(r["theta"] - round(theta, 6)) < 1e-4
+        assert abs(r["mean_y"] - y[mask].mean()) < 1e-4
+        adj = y - theta * (x - x.mean())
+        assert abs(r["mean_y_adj"] - adj[mask].mean()) < 1e-4
+        if r["var_reduction"] is not None and mask.sum() > 2:
+            want = adj[mask].var(ddof=1) / y[mask].var(ddof=1)
+            assert abs(r["var_reduction"] - want) < 1e-2
+            # The reduction guarantee is asymptotic (pooled theta can
+            # slightly inflate a tiny arm); gate only at real sizes.
+            if mask.sum() >= 50:
+                assert r["var_reduction"] <= 1.05
