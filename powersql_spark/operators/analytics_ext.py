@@ -808,3 +808,281 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("theta_raw"), 6).alias("theta"),
         var_reduction.alias("var_reduction"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two metric series.
+# ---------------------------------------------------------------------------
+
+_RC_NUM = "(n * sxy - sx * sy)"
+_RC_DEN = "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))"
+_RC_CORR = (
+    f"(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0"
+    f" AND (n * syy - sy * sy) > 0"
+    f" THEN round({_RC_NUM} / {_RC_DEN}, 4) END)"
+)
+
+
+@query(
+    "ts_rolling_corr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE)
+                   AS x,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE)
+                   AS y
+        FROM events
+        WHERE value IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    win AS (
+        SELECT hour, x, y,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,12))) OVER w AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,12))) OVER w AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,12))) OVER w AS DOUBLE)
+                   AS syy
+        FROM hourly
+        WINDOW w AS (ORDER BY hour
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hour, x, y, CAST(n AS BIGINT) AS n_hours,
+           {_RC_CORR} AS rolling_corr
+    FROM win
+    ORDER BY hour
+    """,
+)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation between the hourly click
+    and purchase revenue series — the metric-coupling monitor (does
+    engagement still convert?) and the pairs-trading primitive. Spark
+    has no corr() window function, so the correlation is composed from
+    SIX power-sum windows sharing ONE frame — the mergeable-state
+    formulation that also makes it bit-stable (every sum decimal).
+
+    Scale shape: the corpus collapses to the hourly series in one
+    conditional aggregation (two series from ONE scan); the windows
+    run over the TIME-BUCKET table — bounded by the time range, not
+    the corpus (720 rows/month). Degenerate frames (constant series)
+    emit NULL rather than dividing by zero."""
+    e = spark.table("events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    dec = "decimal(28,6)"
+    big = "decimal(38,12)"
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast(dec),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(dec),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-23, Window.currentRow)
+    win = hourly.select(
+        "hour",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum(F.col("x").cast(dec)).over(w).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(w).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(big))
+        .over(w)
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(big))
+        .over(w)
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(big))
+        .over(w)
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 4),
+    )
+    return win.select(
+        "hour",
+        "x",
+        "y",
+        n.cast("bigint").alias("n_hours"),
+        corr.alias("rolling_corr"),
+    ).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# Sample Ratio Mismatch check over the experiment salts.
+# ---------------------------------------------------------------------------
+
+_SRM_CHI2 = (
+    "(CAST((n_a - (n_a + n_b) / 2.0) AS DOUBLE)"
+    " * (n_a - (n_a + n_b) / 2.0)"
+    " + CAST((n_b - (n_a + n_b) / 2.0) AS DOUBLE)"
+    " * (n_b - (n_a + n_b) / 2.0))"
+    " / ((n_a + n_b) / 2.0)"
+)
+
+
+@query(
+    "stats_srm_check",
+    oracle=f"""
+    WITH salts(salt) AS (VALUES (':welch'), (':mwu'), (':prop'),
+                                (':cuped')),
+    assigned AS (
+        SELECT s.salt, u.user_id,
+               substr(md5(CAST(u.user_id AS VARCHAR) || s.salt), 1, 1)
+                   < '8' AS is_a
+        FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN salts s
+    ),
+    cnt AS (
+        SELECT salt,
+               CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT)
+                   AS n_b
+        FROM assigned GROUP BY salt
+    )
+    SELECT salt, n_a, n_b,
+           {sql_jround(_SRM_CHI2, 6)} AS chi2,
+           {sql_jround(_SRM_CHI2, 6)} > 3.841 AS srm_detected
+    FROM cnt
+    ORDER BY salt
+    """,
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch check — THE first-line A/B sanity gate
+    (Fabijan et al. KDD 2019): for every experiment salt in use, a
+    1-df chi-square on the observed A/B user counts against the
+    designed 50/50 split; chi2 > 3.841 (p < .05) flags a broken
+    randomizer or a biased filter upstream. Runs over the SAME salted
+    md5 assignments the welch/mwu/proportion/cuped readouts use, so a
+    detected SRM invalidates exactly those keys' comparisons.
+
+    Scale shape: the corpus collapses to the distinct-user table
+    once; assignments are map-side hashes fanned out 4x by the
+    constant salt dimension (broadcast VALUES), collapsing straight
+    back to two integers per salt. Chi-square on half-integer exact
+    arithmetic; sql_jround because the statistic is a terminating
+    rational."""
+    users = (
+        spark.table("events").select("user_id").distinct()
+    )
+    salts = spark.createDataFrame(
+        [(s,) for s in (":welch", ":mwu", ":prop", ":cuped")], ["salt"]
+    )
+    assigned = users.crossJoin(F.broadcast(salts)).select(
+        "salt",
+        (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.col("salt")
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            )
+            < "8"
+        ).alias("is_a"),
+    )
+    cnt = assigned.groupBy("salt").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+    )
+    e_half = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = F.round(
+        (
+            (F.col("n_a") - e_half) * (F.col("n_a") - e_half)
+            + (F.col("n_b") - e_half) * (F.col("n_b") - e_half)
+        )
+        / e_half,
+        6,
+    )
+    return cnt.select(
+        "salt",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    ).orderBy("salt")
+
+
+# ---------------------------------------------------------------------------
+# Data freshness / ingestion lag report.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               MAX(ts) AS latest_ts
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events, latest_ts,
+           (epoch_us(MAX(latest_ts) OVER ()) - epoch_us(latest_ts))
+               // 60000000 AS lag_minutes,
+           (epoch_us(MAX(latest_ts) OVER ()) - epoch_us(latest_ts))
+               // 60000000 > 60 AS stale
+    FROM per_type
+    ORDER BY event_type
+    """,
+)
+def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness report: each event type's latest event
+    time and its lag behind the freshest stream — the
+    is-ingestion-stuck monitor every pipeline dashboard leads with
+    (a stream >60min behind its peers means a stalled producer, not
+    quiet users).
+
+    Scale shape: one scan collapsing to (type, max ts, count) —
+    constant state, map-side combined; the cross-stream max is a
+    window over the CATEGORY table. Lag is exact integer minutes."""
+    per_type = spark.table("events").groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("ts").alias("latest_ts"),
+    )
+    global_max = F.max("latest_ts").over(
+        Window.partitionBy()
+    )
+    lag = (
+        (F.unix_micros(global_max) - F.unix_micros(F.col("latest_ts")))
+        / 60000000
+    ).cast("bigint")
+    return per_type.select(
+        "event_type",
+        "n_events",
+        "latest_ts",
+        lag.alias("lag_minutes"),
+        (lag > 60).alias("stale"),
+    ).orderBy("event_type")

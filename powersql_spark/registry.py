@@ -337,6 +337,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_search",
     "stats_proportion_ztest",
     "stats_cuped_adjustment",
+    "ts_rolling_corr",
+    "stats_srm_check",
+    "profile_freshness_lag",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

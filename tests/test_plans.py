@@ -1399,3 +1399,32 @@ def test_cuped_single_scan_broadcast_moments(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "EvalPython" not in plan
+
+
+def test_rolling_corr_windows_share_frame_on_bucket_table(spark, sf_dir):
+    """Rolling correlation: six power-sum windows share ONE frame over
+    the time-bucket table; the corpus is scanned once."""
+    plan = plan_of(spark, sf_dir, "ts_rolling_corr")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    # one Window operator hosting all six aggregates, not six
+    assert plan.count("RunningWindowFunction") <= 1
+
+
+def test_srm_check_collapses_to_two_ints_per_salt(spark, sf_dir):
+    """SRM: distinct users once, fanned by the broadcast salt VALUES,
+    straight back to per-salt counts — no corpus-sized state after the
+    distinct."""
+    plan = plan_of(spark, sf_dir, "stats_srm_check")
+    assert plan.count("events.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_freshness_window_on_category_table(spark, sf_dir):
+    """Freshness: one scan to (type, max, count); the cross-stream max
+    window runs on the CATEGORY table (5 rows)."""
+    plan = plan_of(spark, sf_dir, "profile_freshness_lag")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

@@ -3041,3 +3041,68 @@ def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
             # slightly inflate a tiny arm); gate only at real sizes.
             if mask.sum() >= 50:
                 assert r["var_reduction"] <= 1.05
+
+
+def test_rolling_corr_matches_pandas(spark, sf_dir):
+    """Recompute the 24h rolling Pearson r with pandas .rolling."""
+    import numpy as np
+
+    rows = SPECS["ts_rolling_corr"].fn(spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()
+              & pdf["event_type"].isin(["click", "purchase"])]
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    hourly = pdf.pivot_table(
+        index="hour", columns="event_type", values="value", aggfunc="sum"
+    ).fillna(0.0).sort_index()
+    for c in ("click", "purchase"):
+        if c not in hourly:
+            hourly[c] = 0.0
+    x = hourly["click"].round(6)
+    y = hourly["purchase"].round(6)
+    rc = x.rolling(24, min_periods=2).corr(y)
+    got = {r["hour"]: r for r in rows}
+    assert len(rows) == len(hourly)
+    for hour, want in rc.items():
+        r = got[hour.to_pydatetime()]
+        if r["rolling_corr"] is None:
+            assert np.isnan(want) or r["n_hours"] < 2
+        else:
+            assert abs(r["rolling_corr"] - want) < 5e-3, (hour, want)
+
+
+def test_srm_matches_binomial_counts(spark, sf_dir):
+    """Recompute assignments per salt in Python; chi2 from the counts;
+    a fair md5 split must not flag SRM on these sizes."""
+    import hashlib
+
+    rows = {r["salt"]: r for r in
+            SPECS["stats_srm_check"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    users = sorted(pdf["user_id"].unique())
+    for salt, r in rows.items():
+        n_a = sum(
+            1 for u in users
+            if hashlib.md5(f"{u}{salt}".encode()).hexdigest()[0] < "8"
+        )
+        n_b = len(users) - n_a
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b), salt
+        e = (n_a + n_b) / 2
+        chi2 = round(((n_a - e) ** 2 + (n_b - e) ** 2) / e, 6)
+        assert abs(r["chi2"] - chi2) < 1e-9
+        assert r["srm_detected"] == (chi2 > 3.841)
+        assert not r["srm_detected"], f"md5 split flagged SRM for {salt}"
+
+
+def test_freshness_lag_matches_pandas(spark, sf_dir):
+    rows = {r["event_type"]: r for r in
+            SPECS["profile_freshness_lag"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    gm = pdf["ts"].max()
+    for et, g in pdf.groupby("event_type"):
+        r = rows[et]
+        assert r["n_events"] == len(g)
+        assert r["latest_ts"] == g["ts"].max().to_pydatetime()
+        lag = int((gm - g["ts"].max()).total_seconds() // 60)
+        assert r["lag_minutes"] == lag
+        assert r["stale"] == (lag > 60)
