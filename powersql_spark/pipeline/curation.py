@@ -1246,3 +1246,77 @@ def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sized AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    cap_t AS (SELECT MIN(n) AS cap FROM sized),
+    ranked AS (
+        SELECT d.doc_id, d.lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':bal'),
+                            d.doc_id) AS rn
+        FROM documents d
+    )
+    SELECT r.lang,
+           COUNT(*) AS n_kept,
+           MIN(c.cap) AS class_cap,
+           CAST(SUM(CASE WHEN r.doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_even_ids
+    FROM ranked r CROSS JOIN cap_t c
+    WHERE r.rn <= c.cap
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every language class at the
+    smallest class's size, picking members by salted-hash rank
+    (deterministic, uniform within class) — the rebalancing step
+    before training a classifier on skewed data (and the language-
+    rebalancing move multilingual corpus builders apply). Emits the
+    per-class audit (kept counts all equal to the cap) plus an id-
+    parity checksum so the oracle verifies WHICH docs were kept, not
+    just how many.
+
+    Scale shape: class sizes are one aggregation; the cap is a 1-row
+    broadcast; the per-class rank is a window on the class key whose
+    cut happens partition-locally (rank-limit pushdown) — nothing
+    beyond the class partitioning is shuffled. Hash ranking means no
+    global sort and no RNG: the same corpus always yields the same
+    sample, on any cluster."""
+    d = spark.table("documents")
+    sized = d.groupBy("lang").agg(F.count("*").alias("n"))
+    cap_t = sized.agg(F.min("n").alias("cap"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":bal")).cast(
+                "binary"
+            )
+        ),
+        "doc_id",
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    )
+    kept = ranked.join(F.broadcast(cap_t)).where(
+        F.col("rn") <= F.col("cap")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("cap").alias("class_cap"),
+            F.sum(
+                F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_even_ids"),
+        )
+        .orderBy("lang")
+    )

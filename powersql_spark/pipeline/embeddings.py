@@ -860,3 +860,94 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(_ADC_TOPK)
     )
+
+
+@query(
+    "emb_cluster_purity",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    assigned AS (
+        SELECT vec_id, label,
+               CAST(
+                 (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS cluster_id
+        FROM e
+    ),
+    cl AS (
+        SELECT cluster_id, label, COUNT(*) AS n
+        FROM assigned GROUP BY cluster_id, label
+    ),
+    dom AS (
+        SELECT cluster_id, label AS dominant_label, n AS n_dominant,
+               n_total
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY cluster_id ORDER BY n DESC, label) AS rn,
+                  SUM(n) OVER (PARTITION BY cluster_id) AS n_total
+              FROM cl)
+        WHERE rn = 1
+    )
+    SELECT cluster_id, CAST(n_total AS BIGINT) AS n_members,
+           CAST(dominant_label AS INTEGER) AS dominant_label,
+           CAST(n_dominant AS BIGINT) AS n_dominant,
+           round(CAST(n_dominant AS DOUBLE) / n_total, 4) AS purity
+    FROM dom
+    ORDER BY cluster_id
+    """,
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity evaluation: partition the corpus by a 4-bit
+    sign-hash of the leading dimensions (an unsupervised LSH
+    clustering) and score each cluster by the fraction its dominant
+    ground-truth label holds — the standard external clustering metric
+    (purity) used to validate embedding-space partitions before
+    trusting them for SemDeDup-style within-cluster dedup.
+
+    Scale shape: assignment is map-only bit arithmetic; the label
+    histogram is one (cluster, label) aggregation; dominance and
+    totals ride one window over that metadata-sized histogram.
+    Purity is an exact integer ratio rounded once."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bit = lambda i, w: F.when(  # noqa: E731
+        F.element_at("v", i) >= 0, w
+    ).otherwise(0)
+    assigned = e.select(
+        "label",
+        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1))
+        .cast("int")
+        .alias("cluster_id"),
+    )
+    cl = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n"), "label"
+    )
+    w_tot = Window.partitionBy("cluster_id")
+    dom = (
+        cl.select(
+            "*",
+            F.row_number().over(w_rank).alias("rn"),
+            F.sum("n").over(w_tot).alias("n_total"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return dom.select(
+        "cluster_id",
+        F.col("n_total").cast("bigint").alias("n_members"),
+        F.col("label").cast("int").alias("dominant_label"),
+        F.col("n").cast("bigint").alias("n_dominant"),
+        F.round(F.col("n").cast("double") / F.col("n_total"), 4).alias(
+            "purity"
+        ),
+    ).orderBy("cluster_id")

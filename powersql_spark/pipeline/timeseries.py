@@ -1493,3 +1493,141 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     ).orderBy("user_id")
+
+
+_XC_CORR = (
+    "(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0"
+    " AND (n * syy - sy * sy) > 0"
+    " THEN round((n * sxy - sx * sy)"
+    " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) END)"
+)
+
+
+@query(
+    "ts_cross_correlation_lag",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT epoch(date_trunc('hour', ts)) AS he,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE)
+                   AS x,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE)
+                   AS y
+        FROM events
+        WHERE value IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-6, 7)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x, b.y
+        FROM hourly a
+        CROSS JOIN lags l
+        JOIN hourly b ON b.he = a.he + l.lag * 3600
+    ),
+    s AS (
+        SELECT lag, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag_hours,
+           CAST(n AS BIGINT) AS n_pairs,
+           {_XC_CORR} AS xcorr,
+           ROW_NUMBER() OVER (
+               ORDER BY COALESCE({_XC_CORR}, -2) DESC, lag) = 1
+               AS is_best_lag
+    FROM s
+    ORDER BY lag_hours
+    """,
+)
+def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation scan: Pearson r between hourly click
+    revenue at t and purchase revenue at t+lag, for lags -6..+6 hours
+    — the lead-lag detector (does engagement LEAD conversion, and by
+    how much?) behind marketing-mix and metric-causality dashboards.
+    The argmax lag is flagged in-query.
+
+    Scale shape: the corpus collapses once to the hourly series; the
+    lag fan-out is a 13-row constant dimension against the TIME-BUCKET
+    table, paired by an integer epoch equi-join (never an
+    interval/inequality join); each lag collapses to six decimal power
+    sums. Everything after the first aggregation is bounded by the
+    time range, not the corpus."""
+    e = spark.table("events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    dec = "decimal(28,6)"
+    big = "decimal(38,12)"
+    hourly = e.groupBy(
+        F.unix_seconds(F.date_trunc("hour", "ts")).alias("he")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast(dec),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast(dec),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    hourly = track_persist(hourly)
+    lags = spark.range(-6, 7).select(F.col("id").alias("lag"))
+    a = hourly.alias("a")
+    b = hourly.select(
+        F.col("he").alias("bhe"), F.col("y").alias("by")
+    ).alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bhe") == F.col("a.he") + F.col("lag") * 3600)
+        .select("lag", F.col("a.x").alias("x"), F.col("by").alias("y"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(big))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(big))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(big))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        F.round((n * F.col("sxy") - sx * sy) / F.sqrt(vx * vy), 4),
+    )
+    out = s.select(
+        F.col("lag").cast("int").alias("lag_hours"),
+        n.cast("bigint").alias("n_pairs"),
+        corr.alias("xcorr"),
+    )
+    w = Window.orderBy(
+        F.coalesce(F.col("xcorr"), F.lit(-2.0)).desc(), F.col("lag_hours")
+    )
+    return out.select(
+        "*", (F.row_number().over(w) == 1).alias("is_best_lag")
+    ).orderBy("lag_hours")

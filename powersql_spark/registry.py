@@ -340,6 +340,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_rolling_corr",
     "stats_srm_check",
     "profile_freshness_lag",
+    "sample_balanced_classes",
+    "ts_cross_correlation_lag",
+    "emb_cluster_purity",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -1428,3 +1428,31 @@ def test_freshness_window_on_category_table(spark, sf_dir):
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_balanced_sample_rank_cut_partition_local(spark, sf_dir):
+    """Balanced sampling: the per-class rank rides the class-key
+    window; the cap is a 1-row broadcast (single 1-row BNLJ)."""
+    plan = plan_of(spark, sf_dir, "sample_balanced_classes")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_cross_correlation_epoch_equijoin(spark, sf_dir):
+    """Lead-lag scan: lag pairing is an INTEGER epoch equi-join on the
+    persisted hourly table — no interval/inequality join, corpus
+    scanned once."""
+    plan = plan_of(spark, sf_dir, "ts_cross_correlation_lag")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cluster_purity_metadata_sized_windows(spark, sf_dir):
+    """Purity: assignment is map-only bit arithmetic; windows run on
+    the (cluster, label) histogram; no join, no Python."""
+    plan = plan_of(spark, sf_dir, "emb_cluster_purity")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("embeddings.parquet") == 1

@@ -3106,3 +3106,103 @@ def test_freshness_lag_matches_pandas(spark, sf_dir):
         lag = int((gm - g["ts"].max()).total_seconds() // 60)
         assert r["lag_minutes"] == lag
         assert r["stale"] == (lag > 60)
+
+
+def test_balanced_sample_caps_every_class(spark, sf_dir):
+    """Every class keeps exactly min-class-size docs, and the kept set
+    matches the Python replay of the salted-hash ranking."""
+    import hashlib
+
+    from powersql_spark.catalog import load_tables
+
+    rows = SPECS["sample_balanced_classes"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("doc_id", "lang").collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    cap = min(len(v) for v in by_lang.values())
+    got = {r["lang"]: r for r in rows}
+    assert set(got) == set(by_lang)
+    for lang, ids in by_lang.items():
+        keep = sorted(
+            ids,
+            key=lambda d: (
+                hashlib.md5(f"{d}:bal".encode()).hexdigest(), d
+            ),
+        )[:cap]
+        r = got[lang]
+        assert r["n_kept"] == cap and r["class_cap"] == cap
+        assert r["n_even_ids"] == sum(1 for d in keep if d % 2 == 0)
+
+
+def test_cross_correlation_matches_pandas(spark, sf_dir):
+    """Recompute each lag's Pearson r with pandas .corr on the shifted
+    hourly series; exactly one best-lag flag."""
+    import numpy as np
+
+    rows = SPECS["ts_cross_correlation_lag"].fn(spark, sf_dir).collect()
+    assert len(rows) == 13
+    assert sum(1 for r in rows if r["is_best_lag"]) == 1
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()
+              & pdf["event_type"].isin(["click", "purchase"])]
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    hourly = pdf.pivot_table(
+        index="hour", columns="event_type", values="value", aggfunc="sum"
+    ).fillna(0.0).sort_index()
+    for c in ("click", "purchase"):
+        if c not in hourly:
+            hourly[c] = 0.0
+    hourly = hourly.round(6)
+    idx = {h: i for i, h in enumerate(hourly.index)}
+    x = hourly["click"].to_numpy()
+    y = hourly["purchase"].to_numpy()
+    for r in rows:
+        lag = r["lag_hours"]
+        xs, ys = [], []
+        for h, i in idx.items():
+            target = h + np.timedelta64(lag, "h")
+            j = idx.get(target)
+            if j is not None:
+                xs.append(x[i])
+                ys.append(y[j])
+        assert r["n_pairs"] == len(xs)
+        if r["xcorr"] is not None and len(xs) >= 2:
+            want = np.corrcoef(xs, ys)[0, 1]
+            assert abs(r["xcorr"] - want) < 5e-3, (lag, want)
+
+
+def test_cluster_purity_matches_numpy(spark, sf_dir):
+    """Recompute the 4-bit sign clusters and purity in numpy; purity
+    must be the dominant-label share and >= 1/n_labels."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    rows = {r["cluster_id"]: r for r in
+            SPECS["emb_cluster_purity"].fn(spark, sf_dir).collect()}
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    from collections import Counter, defaultdict
+
+    clusters = defaultdict(Counter)
+    for r in em:
+        v = r["embedding"]
+        cid = sum(
+            w for (i, w) in ((0, 8), (1, 4), (2, 2), (3, 1))
+            if v[i] >= 0
+        )
+        clusters[cid][r["label"]] += 1
+    assert set(rows) == set(clusters)
+    for cid, cnt in clusters.items():
+        r = rows[cid]
+        dom_label = min(
+            (lbl for lbl in cnt if cnt[lbl] == max(cnt.values()))
+        )
+        assert r["dominant_label"] == dom_label
+        assert r["n_members"] == sum(cnt.values())
+        assert r["n_dominant"] == cnt[dom_label]
+        assert abs(
+            r["purity"] - round(cnt[dom_label] / sum(cnt.values()), 4)
+        ) < 1e-9
