@@ -146,6 +146,19 @@ SHOW = {
     "joins 16-long signature rows on bare ids where exact "
     "verification re-joins shingle arrays — the cheap path a 100 TB "
     "run serves.",
+    "emb_knn_graph": "k-NN graph: candidate pairs from the cell "
+    "equi-join (norms precomputed before the join); per-source top-5 "
+    "is a rank filter on the join's own partitioning — no cartesian.",
+    "sim_pq_adc_search": "PQ-ADC: codebook + query LUT broadcast; the "
+    "corpus-side work is integer-keyed joins and a decimal sum per "
+    "vector; both the Hamming-free shortlist and rerank plan as "
+    "TakeOrderedAndProject.",
+    "stream_late_audit": "Watermark audit: two-phase distributed "
+    "prefix max — within-bucket window on hashpartitioning(bkt), "
+    "bucket maxima broadcast back; no single-partition corpus pass.",
+    "stats_mann_whitney": "Rank-sum test: corpus collapses to "
+    "(event_type, value) distinct counts before any window; the rank "
+    "prefix sum and final statistic run on the collapsed table.",
 }
 
 
