@@ -1086,3 +1086,163 @@ def profile_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_minutes"),
         (lag > 60).alias("stale"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (minimum detectable effect).
+# ---------------------------------------------------------------------------
+
+# z for alpha=.05 two-sided and power=.80 — the industry-default pair.
+_PW_ZSUM = "(1.959964 + 0.841621)"
+_PW_MDE = (
+    f"({_PW_ZSUM} * sqrt(2.0 * p_pool * (1 - p_pool) / n_min))"
+)
+
+
+@query(
+    "stats_power_analysis",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR) || ':prop'), 1, 1)
+                   < '8' AS is_a,
+               CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > COUNT(*)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(converted) AS BIGINT) AS conv,
+               COUNT(*) AS n_users
+        FROM per_user
+    ),
+    d AS (
+        SELECT n_a, n_b,
+               CAST(conv AS DOUBLE) / n_users AS p_pool,
+               LEAST(n_a, n_b) AS n_min
+        FROM s
+    )
+    SELECT n_a, n_b,
+           {sql_jround("p_pool", 6)} AS p_pool,
+           {sql_jround(_PW_MDE, 6)} AS mde_abs,
+           CASE WHEN p_pool > 0
+                THEN {sql_jround(f"{_PW_MDE} / p_pool", 4)} END
+               AS mde_rel,
+           {_PW_MDE} < 0.05 AS powered_for_5pp
+    FROM d
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: given the CURRENT sample sizes and
+    pooled conversion rate, the minimum detectable absolute/relative
+    effect at alpha=.05 (two-sided), power=.80 — the pre-readout
+    question every experimenter asks ('can this test even see a 5pp
+    lift?'). Closed form: MDE = (z_a/2 + z_b) * sqrt(2 p (1-p) / n),
+    conservative n = the smaller arm. Uses the same ':prop' salt and
+    conversion rule as stats_proportion_ztest, so the two keys read
+    the same experiment.
+
+    Scale shape: identical collapse to four integers as the z-test;
+    the MDE is scalar arithmetic on the 1-row aggregate. The z
+    constants are literals on both engines (no inverse-normal
+    function needed)."""
+    per_user = spark.table("events").groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":prop")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    s = per_user.select(is_a.alias("is_a"), "converted").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum("converted").cast("bigint").alias("conv"),
+        F.count("*").alias("n_users"),
+    )
+    p_pool = F.col("conv").cast("double") / F.col("n_users")
+    n_min = F.least("n_a", "n_b")
+    mde = F.lit(1.959964 + 0.841621) * F.sqrt(
+        2.0 * p_pool * (1 - p_pool) / n_min
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(p_pool, 6).alias("p_pool"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(p_pool > 0, F.round(mde / p_pool, 4)).alias("mde_rel"),
+        (mde < 0.05).alias("powered_for_5pp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream outage detection via inter-event gaps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_outage_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type, ts,
+               LAG(ts) OVER (PARTITION BY event_type ORDER BY ts,
+                             event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_type,
+           prev_ts AS gap_start,
+           ts AS gap_end,
+           (epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS gap_minutes
+    FROM gaps
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > 30 * 60000000
+    ORDER BY event_type, gap_start
+    """,
+)
+def ts_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream outage detection: intervals longer than 30 minutes with
+    ZERO events of a type — a silent-producer/collector-outage report
+    (the freshness lag key flags a stream that STOPPED; this one finds
+    historical holes). Emits each gap's bounds and its length in full
+    elapsed minutes.
+
+    Scale shape: one shuffle on the stream key, one LAG window on that
+    partitioning, a selective filter — the gap list is outage-sized,
+    not corpus-sized. Deterministic (ts, event_id) ordering; integer
+    microsecond arithmetic, no rounding at all."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = spark.table("events").select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    dur_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    return (
+        gaps.where(
+            F.col("prev_ts").isNotNull() & (dur_us > 30 * 60000000)
+        )
+        .select(
+            "event_type",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            (dur_us / 60000000).cast("bigint").alias("gap_minutes"),
+        )
+        .orderBy("event_type", "gap_start")
+    )

@@ -1298,3 +1298,94 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_logscore"),
         F.first(F.col("doc_id") % 2 == 1).alias("is_heldout"),
     )
+
+
+@query(
+    "text_cooccurrence_pmi",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t) - 1)]) AS bigram
+        FROM tok WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT bigram, COUNT(*) AS n12 FROM bg GROUP BY bigram),
+    nn_t AS (SELECT SUM(n12) AS nn FROM c12),
+    c1 AS (
+        SELECT split_part(bigram, ' ', 1) AS w, SUM(n12) AS n1
+        FROM c12 GROUP BY 1
+    ),
+    c2 AS (
+        SELECT split_part(bigram, ' ', 2) AS w, SUM(n12) AS n2
+        FROM c12 GROUP BY 1
+    ),
+    pmi AS (
+        SELECT bigram, n12,
+               round(ln(CAST(n12 AS DOUBLE) * nn / (n1 * n2)), 4) AS pmi
+        FROM c12
+        JOIN c1 ON c1.w = split_part(bigram, ' ', 1)
+        JOIN c2 ON c2.w = split_part(bigram, ' ', 2)
+        CROSS JOIN nn_t
+        WHERE n12 >= 5
+    )
+    SELECT bigram, CAST(n12 AS BIGINT) AS n12, pmi
+    FROM pmi ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the
+    top-20 bigrams whose words co-occur far above chance (PMI =
+    ln(p(w1,w2)/p(w1)p(w2)), min count 5 to kill the low-frequency
+    PMI bias) — the phrase-mining primitive behind tokenizer vocab
+    curation (which word pairs deserve a merged token) and phrase
+    search. Complements text_ngram_topk (raw frequency) with the
+    statistical-association ranking.
+
+    Scale shape: one corpus tokenize; PMI runs entirely on the
+    BIGRAM-VOCABULARY aggregate (marginals are two more aggregations
+    OF THAT TABLE, joined back on the word key — broadcast here,
+    shuffle equi-joins at web scale); the cut is
+    TakeOrderedAndProject on the rounded score."""
+    d = spark.table("documents").select("doc_id", _tokens().alias("t"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    bg = d.where(F.size("t") >= 2).select(
+        F.explode(bigrams).alias("bigram")
+    )
+    c12 = bg.groupBy("bigram").agg(F.count("*").alias("n12"))
+    from powersql_spark.catalog import track_persist
+
+    c12 = track_persist(c12)
+    w1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
+    c1 = c12.groupBy(w1.alias("w")).agg(F.sum("n12").alias("n1"))
+    c2 = c12.groupBy(w2.alias("w")).agg(F.sum("n12").alias("n2"))
+    nn_t = c12.agg(F.sum("n12").alias("nn"))
+    pmi = (
+        c12.where(F.col("n12") >= 5)
+        .join(F.broadcast(c1), w1 == c1.w)
+        .drop("w")
+        .join(F.broadcast(c2), w2 == c2.w)
+        .drop("w")
+        .join(F.broadcast(nn_t))
+        .select(
+            "bigram",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(
+                F.log(
+                    F.col("n12").cast("double")
+                    * F.col("nn")
+                    / (F.col("n1") * F.col("n2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), "bigram").limit(20)

@@ -343,6 +343,9 @@ _PRIORITY: tuple[str, ...] = (
     "sample_balanced_classes",
     "ts_cross_correlation_lag",
     "emb_cluster_purity",
+    "stats_power_analysis",
+    "ts_outage_gaps",
+    "text_cooccurrence_pmi",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -1456,3 +1456,29 @@ def test_cluster_purity_metadata_sized_windows(spark, sf_dir):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("embeddings.parquet") == 1
+
+
+def test_power_analysis_collapses_like_ztest(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "stats_power_analysis")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_outage_gaps_single_stream_exchange(spark, sf_dir):
+    """Outage scan: one shuffle on the stream key, LAG on that
+    partitioning, selective filter — no join, no Python."""
+    plan = plan_of(spark, sf_dir, "ts_outage_gaps")
+    assert "hashpartitioning(event_type" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pmi_runs_on_vocab_aggregate(spark, sf_dir):
+    """PMI: the corpus collapses once to the persisted bigram vocab;
+    marginals join back broadcast; cut is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "text_cooccurrence_pmi")
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -3206,3 +3206,71 @@ def test_cluster_purity_matches_numpy(spark, sf_dir):
         assert abs(
             r["purity"] - round(cnt[dom_label] / sum(cnt.values()), 4)
         ) < 1e-9
+
+
+def test_power_analysis_matches_formula(spark, sf_dir):
+    """MDE from the closed form; consistency with the z-test key's
+    counts (same salt, same conversion rule)."""
+    import math
+
+    r = SPECS["stats_power_analysis"].fn(spark, sf_dir).collect()[0]
+    zr = SPECS["stats_proportion_ztest"].fn(spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (zr["n_a"], zr["n_b"])
+    p = (zr["conv_a"] + zr["conv_b"]) / (zr["n_a"] + zr["n_b"])
+    assert abs(r["p_pool"] - round(p, 6)) < 1e-9
+    mde = (1.959964 + 0.841621) * math.sqrt(
+        2 * p * (1 - p) / min(r["n_a"], r["n_b"])
+    )
+    assert abs(r["mde_abs"] - round(mde, 6)) < 1e-9
+    if p > 0:
+        assert abs(r["mde_rel"] - round(mde / p, 4)) < 1e-9
+    assert r["powered_for_5pp"] == (mde < 0.05)
+
+
+def test_outage_gaps_match_pandas(spark, sf_dir):
+    """Replay the gap scan in pandas: every >30min inter-event gap per
+    type, and nothing else."""
+    rows = SPECS["ts_outage_gaps"].fn(spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    want = set()
+    for et, g in pdf.groupby("event_type"):
+        ts = g.sort_values(["ts", "event_id"])["ts"].to_list()
+        for a, b in zip(ts, ts[1:]):
+            dur = (b - a).total_seconds()
+            if dur > 1800:
+                want.add((et, a.to_pydatetime(), b.to_pydatetime(),
+                          int(dur // 60)))
+    got = {(r["event_type"], r["gap_start"], r["gap_end"],
+            r["gap_minutes"]) for r in rows}
+    assert got == want
+
+
+def test_pmi_matches_pure_python(spark, sf_dir):
+    """Recompute PMI from bigram/marginal counts in Python; top-20
+    ordering must match."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["text_cooccurrence_pmi"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("documents",))
+    docs = spark.table("documents").select("text").collect()
+    c12, c1, c2 = Counter(), Counter(), Counter()
+    for r in docs:
+        t = _re.split(r"\s+", r["text"].strip())
+        for a, b in zip(t, t[1:]):
+            c12[f"{a} {b}"] += 1
+            c1[a] += 1
+            c2[b] += 1
+    nn = sum(c12.values())
+    pmi = {
+        bgm: round(math.log(n * nn / (c1[bgm.split(" ")[0]]
+                                      * c2[bgm.split(" ")[1]])), 4)
+        for bgm, n in c12.items() if n >= 5
+    }
+    want = sorted(pmi.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["bigram"], r["pmi"]) for r in got] == want
+    for r in got:
+        assert r["n12"] == c12[r["bigram"]]
