@@ -708,11 +708,13 @@ def stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data audit: per event_type, how many rows a
     10-minute watermark would DROP — each row is late iff its event
     time is older than (max event time among all earlier-arriving
-    rows) - 10min, exactly Structured Streaming's
-    ``withWatermark("ts", "10 minutes")`` discard rule with arrival
-    order = event_id. The sizing study every streaming job needs
-    BEFORE picking its watermark delay (too short silently drops
-    data; too long bloats state).
+    rows) - 10min, with arrival order = event_id. This is the
+    TIGHTEST reading of Structured Streaming's ``withWatermark("ts",
+    "10 minutes")`` rule (the engine advances the watermark only at
+    micro-batch boundaries, so a real run drops a subset of these
+    rows — the audit is the safe upper bound). The sizing study every
+    streaming job needs BEFORE picking its watermark delay (too short
+    silently drops data; too long bloats state).
 
     Scale shape: the global "max ts seen so far" is a two-phase
     distributed prefix max (same pattern as curation_token_budget's
