@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
 from powersql_spark.catalog import spread, track_persist
+from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
 _JACCARD_THRESHOLD = 0.30
@@ -2146,3 +2147,78 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+# LSH S-curve tuning: every (bands, rows) factorization of the 64-hash
+# signature budget, evaluated on a fixed similarity grid.
+_LSH_CONFIGS = [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32)]
+_LSH_GRID = [round(0.1 * i, 1) for i in range(1, 10)]
+_LSH_CFG_SQL = ", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)
+_LSH_GRID_SQL = ", ".join(f"({s})" for s in _LSH_GRID)
+
+
+@query(
+    "dedup_lsh_tuning_curve",
+    oracle=f"""
+    WITH cfg(bands, rows_per_band) AS (VALUES {_LSH_CFG_SQL}),
+    grid(s) AS (VALUES {_LSH_GRID_SQL}),
+    curve AS (
+        SELECT bands, rows_per_band, s,
+               {sql_jround(
+                   "1.0 - pow(1.0 - pow(s, rows_per_band), bands)", 6)}
+                   AS p_candidate,
+               {sql_jround(
+                   "pow(1.0 / bands, 1.0 / rows_per_band)", 4)}
+                   AS threshold_est
+        FROM cfg CROSS JOIN grid
+    )
+    SELECT CAST(bands AS INTEGER) AS bands,
+           CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           CAST(s AS DOUBLE) AS s,
+           p_candidate, threshold_est,
+           p_candidate >= 0.9 AS catches,
+           p_candidate <= 0.1 AS rejects
+    FROM curve
+    ORDER BY bands DESC, s
+    """,
+)
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning advisor: the theoretical S-curve
+    P(candidate) = 1 - (1 - s^r)^b for every (b, r) factorization of
+    the 64-hash MinHash budget, over a similarity grid — plus each
+    config's threshold estimate (1/b)^(1/r). This is the table an
+    engineer reads to pick dedup_minhash_lsh's banding before a
+    100 TB run: more bands catch lower similarities but admit more
+    false candidates (every candidate pair costs a verification
+    join). The curve is the Leskovec/Rajaraman/Ullman closed form —
+    no data scan at all; the repo's production setting (16 bands x 4
+    rows, threshold ~0.5) sits on this curve.
+
+    Scale shape: a constant 6x9 VALUES grid evaluated row-locally —
+    zero I/O, zero shuffle beyond the presentation sort. The value is
+    the DECISION it encodes, not the compute."""
+    cfg = spark.createDataFrame(_LSH_CONFIGS, ["bands", "rows_per_band"])
+    grid = spark.createDataFrame(
+        [(s,) for s in _LSH_GRID], ["s"]
+    )
+    curve = cfg.crossJoin(grid).select(
+        F.col("bands").cast("int").alias("bands"),
+        F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        F.col("s").cast("double").alias("s"),
+        F.round(
+            1.0
+            - F.pow(
+                1.0 - F.pow(F.col("s"), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("p_candidate"),
+        F.round(
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 4
+        ).alias("threshold_est"),
+    )
+    return curve.select(
+        "*",
+        (F.col("p_candidate") >= 0.9).alias("catches"),
+        (F.col("p_candidate") <= 0.1).alias("rejects"),
+    ).orderBy(F.desc("bands"), "s")

@@ -346,6 +346,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_power_analysis",
     "ts_outage_gaps",
     "text_cooccurrence_pmi",
+    "dedup_lsh_tuning_curve",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -3274,3 +3274,29 @@ def test_pmi_matches_pure_python(spark, sf_dir):
     assert [(r["bigram"], r["pmi"]) for r in got] == want
     for r in got:
         assert r["n12"] == c12[r["bigram"]]
+
+
+def test_lsh_tuning_curve_properties(spark, sf_dir):
+    """The S-curve must be monotone in s for fixed (b, r), the
+    production 16x4 config's threshold must sit near 0.5, and the
+    closed form must match Python's math.pow."""
+    import math
+
+    rows = SPECS["dedup_lsh_tuning_curve"].fn(spark, sf_dir).collect()
+    assert len(rows) == 54
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r["bands"], r["rows_per_band"]), []).append(r)
+    for (b, rr), rs in by_cfg.items():
+        rs = sorted(rs, key=lambda r: r["s"])
+        ps = [r["p_candidate"] for r in rs]
+        assert ps == sorted(ps), (b, rr)
+        for r in rs:
+            want = 1.0 - math.pow(1.0 - math.pow(r["s"], rr), b)
+            assert abs(r["p_candidate"] - round(want, 6)) < 1e-9
+            t = math.pow(1.0 / b, 1.0 / rr)
+            assert abs(r["threshold_est"] - round(t, 4)) < 1e-9
+            assert r["catches"] == (r["p_candidate"] >= 0.9)
+            assert r["rejects"] == (r["p_candidate"] <= 0.1)
+    t16x4 = by_cfg[(16, 4)][0]["threshold_est"]
+    assert 0.4 <= t16x4 <= 0.6
