@@ -1246,3 +1246,290 @@ def ts_outage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "gap_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite experiment readout — the platform report page as ONE query.
+# ---------------------------------------------------------------------------
+
+_EXP_WELCH_T = (
+    "((s_b / n_b) - (s_a / n_a)) / sqrt("
+    "((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a"
+    " + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)"
+)
+
+
+@query(
+    "pipeline_experiment_e2e",
+    oracle=f"""
+    WITH prop_user AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR) || ':prop'), 1, 1)
+                   < '8' AS is_a,
+               CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > COUNT(*)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    prop_s AS (
+        SELECT CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN is_a THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN NOT is_a THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM prop_user
+    ),
+    srm AS (
+        SELECT 'srm' AS check_name, salt AS scope,
+               {sql_jround(_SRM_CHI2, 4)} AS statistic,
+               {sql_jround(_SRM_CHI2, 4)} > 3.841 AS flagged
+        FROM (
+            SELECT s.salt,
+                   CAST(COUNT(CASE WHEN substr(md5(CAST(u.user_id
+                        AS VARCHAR) || s.salt), 1, 1) < '8' THEN 1 END)
+                        AS BIGINT) AS n_a,
+                   CAST(COUNT(CASE WHEN NOT substr(md5(CAST(u.user_id
+                        AS VARCHAR) || s.salt), 1, 1) < '8' THEN 1 END)
+                        AS BIGINT) AS n_b
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (VALUES (':welch'), (':prop')) s(salt)
+            GROUP BY s.salt
+        )
+    ),
+    welch_s AS (
+        SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM (SELECT event_type, value,
+                     substr(md5(CAST(user_id AS VARCHAR) || ':welch'),
+                            1, 1) < '8' AS is_a
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type
+    ),
+    welch AS (
+        SELECT 'welch_t' AS check_name, event_type AS scope,
+               {sql_jround(_EXP_WELCH_T, 4)} AS statistic,
+               abs({sql_jround(_EXP_WELCH_T, 4)}) > 1.96 AS flagged
+        FROM welch_s
+    ),
+    prop AS (
+        SELECT 'proportion_z' AS check_name, 'conversion' AS scope,
+               {sql_jround(_PROP_Z, 4)} AS statistic,
+               COALESCE(abs({sql_jround(_PROP_Z, 4)}) > 1.96, FALSE)
+                   AS flagged
+        FROM prop_s WHERE n_a > 0 AND n_b > 0
+    ),
+    power_row AS (
+        SELECT 'power_mde' AS check_name, 'conversion' AS scope,
+               {sql_jround(_PW_MDE.replace("p_pool",
+                   "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))")
+                   .replace("n_min", "LEAST(n_a, n_b)"), 4)}
+                   AS statistic,
+               {_PW_MDE.replace("p_pool",
+                   "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))")
+                   .replace("n_min", "LEAST(n_a, n_b)")} >= 0.05
+                   AS flagged
+        FROM prop_s WHERE n_a > 0 AND n_b > 0
+    )
+    SELECT * FROM srm
+    UNION ALL SELECT * FROM welch
+    UNION ALL SELECT * FROM prop
+    UNION ALL SELECT * FROM power_row
+    ORDER BY check_name, scope
+    """,
+)
+def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout page as ONE declarative query: the SRM
+    randomization gate for both salts in play, Welch's t per
+    event_type on the continuous metric, the proportion z on
+    conversion, and the power check (flagged when the test cannot see
+    a 5pp effect) — normalized to (check, scope, statistic, flagged)
+    rows, exactly what an experimentation platform renders. Composes
+    the round-5 stats family end-to-end: a flagged SRM row means the
+    statistic rows below it are invalid, which is why they belong in
+    one result.
+
+    Scale shape: three independent collapses of the same corpus
+    (distinct users, per-type power sums, per-user conversion bits) —
+    each map-side combinable to constant state — unioned at
+    metadata size. No joins beyond the constant salt dimension."""
+    e = spark.table("events")
+
+    def assign(salt: str):
+        return (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit(salt)
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            )
+            < "8"
+        )
+
+    # SRM over both salts
+    users = e.select("user_id").distinct()
+    salts = spark.createDataFrame(
+        [(s,) for s in (":welch", ":prop")], ["salt"]
+    )
+    sa = users.crossJoin(F.broadcast(salts)).select(
+        "salt",
+        (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.col("salt")
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            )
+            < "8"
+        ).alias("is_a"),
+    )
+    cnt = sa.groupBy("salt").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+    )
+    e_half = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = F.round(
+        (
+            (F.col("n_a") - e_half) * (F.col("n_a") - e_half)
+            + (F.col("n_b") - e_half) * (F.col("n_b") - e_half)
+        )
+        / e_half,
+        4,
+    )
+    srm = cnt.select(
+        F.lit("srm").alias("check_name"),
+        F.col("salt").alias("scope"),
+        chi2.alias("statistic"),
+        (chi2 > 3.841).alias("flagged"),
+    )
+    # Welch per event_type
+    dec = "decimal(28,6)"
+    ev = e.where(F.col("value").isNotNull()).select(
+        "event_type", "value", assign(":welch").alias("is_a")
+    )
+    ws = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("value").cast(dec)))
+        .cast("double")
+        .alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("value").cast(dec)))
+        .cast("double")
+        .alias("s_b"),
+        F.sum(
+            F.when(F.col("is_a"), (F.col("value") * F.col("value")).cast(dec))
+        )
+        .cast("double")
+        .alias("q_a"),
+        F.sum(
+            F.when(
+                ~F.col("is_a"), (F.col("value") * F.col("value")).cast(dec)
+            )
+        )
+        .cast("double")
+        .alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (
+        F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t = F.round(
+        (mean_b - mean_a)
+        / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+        4,
+    )
+    welch = ws.select(
+        F.lit("welch_t").alias("check_name"),
+        F.col("event_type").alias("scope"),
+        t.alias("statistic"),
+        (F.abs(t) > 1.96).alias("flagged"),
+    )
+    # Proportion z + power on conversion
+    per_user = e.groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    ps = per_user.select(assign(":prop").alias("is_a"), "converted").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    degenerate = (F.col("conv_a") + F.col("conv_b") <= 0) | (
+        F.col("conv_a") + F.col("conv_b") >= F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(
+        ~degenerate,
+        F.round(
+            (p_b - p_a)
+            / F.sqrt(
+                pool
+                * (1 - pool)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        ),
+    )
+    ps = ps.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    prop = ps.select(
+        F.lit("proportion_z").alias("check_name"),
+        F.lit("conversion").alias("scope"),
+        z.alias("statistic"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("flagged"),
+    )
+    mde = F.lit(1.959964 + 0.841621) * F.sqrt(
+        2.0 * pool * (1 - pool) / F.least("n_a", "n_b")
+    )
+    power = ps.select(
+        F.lit("power_mde").alias("check_name"),
+        F.lit("conversion").alias("scope"),
+        F.round(mde, 4).alias("statistic"),
+        (mde >= 0.05).alias("flagged"),
+    )
+    return (
+        srm.unionAll(welch)
+        .unionAll(prop)
+        .unionAll(power)
+        .orderBy("check_name", "scope")
+    )

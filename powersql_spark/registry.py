@@ -347,6 +347,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_outage_gaps",
     "text_cooccurrence_pmi",
     "dedup_lsh_tuning_curve",
+    "pipeline_experiment_e2e",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

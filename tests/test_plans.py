@@ -1482,3 +1482,12 @@ def test_pmi_runs_on_vocab_aggregate(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_experiment_e2e_three_collapses_no_fact_joins(spark, sf_dir):
+    """Experiment readout: three independent corpus collapses unioned
+    at metadata size; the only join is the constant salt dimension."""
+    plan = plan_of(spark, sf_dir, "pipeline_experiment_e2e")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Union" in plan

@@ -3300,3 +3300,34 @@ def test_lsh_tuning_curve_properties(spark, sf_dir):
             assert r["rejects"] == (r["p_candidate"] <= 0.1)
     t16x4 = by_cfg[(16, 4)][0]["threshold_est"]
     assert 0.4 <= t16x4 <= 0.6
+
+
+def test_experiment_e2e_agrees_with_component_keys(spark, sf_dir):
+    """Every row of the composite readout must equal the standalone
+    key that computes the same statistic."""
+    rows = {(r["check_name"], r["scope"]): r for r in
+            SPECS["pipeline_experiment_e2e"].fn(spark, sf_dir).collect()}
+    srm = {r["salt"]: r for r in
+           SPECS["stats_srm_check"].fn(spark, sf_dir).collect()}
+    for salt in (":welch", ":prop"):
+        r = rows[("srm", salt)]
+        assert abs(r["statistic"] - round(srm[salt]["chi2"], 4)) < 1e-9
+        assert r["flagged"] == srm[salt]["srm_detected"]
+    welch = {r["event_type"]: r for r in
+             SPECS["stats_welch_ttest"].fn(spark, sf_dir).collect()}
+    for et, wr in welch.items():
+        r = rows[("welch_t", et)]
+        assert abs(r["statistic"] - wr["t_stat"]) < 1e-9
+        assert r["flagged"] == wr["significant_5pct"]
+    zr = SPECS["stats_proportion_ztest"].fn(spark, sf_dir).collect()
+    if zr and zr[0]["n_a"] > 0 and zr[0]["n_b"] > 0:
+        r = rows[("proportion_z", "conversion")]
+        if zr[0]["z_stat"] is None:
+            assert r["statistic"] is None and r["flagged"] is False
+        else:
+            assert abs(r["statistic"] - zr[0]["z_stat"]) < 1e-9
+            assert r["flagged"] == zr[0]["significant_5pct"]
+        pw = SPECS["stats_power_analysis"].fn(spark, sf_dir).collect()[0]
+        pr = rows[("power_mde", "conversion")]
+        assert abs(pr["statistic"] - round(pw["mde_abs"], 4)) < 1e-4
+        assert pr["flagged"] == (not pw["powered_for_5pp"])
