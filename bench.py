@@ -116,6 +116,8 @@ HEADLINE = {
     "q50_hybrid_rrf": "sim_hybrid_rrf",
     "q51_knn_graph": "emb_knn_graph",
     "q52_rag_e2e": "pipeline_rag_e2e",
+    "q53_pq_adc": "sim_pq_adc_search",
+    "q54_experiment_e2e": "pipeline_experiment_e2e",
 }
 
 
