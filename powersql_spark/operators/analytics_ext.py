@@ -1533,3 +1533,80 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(power)
         .orderBy("check_name", "scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (DAU / trailing-7-day WAU / stickiness).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (
+        SELECT day, COUNT(*) AS dau FROM du GROUP BY day
+    ),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM days d JOIN du u
+          ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT d.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY d.day
+    """,
+)
+def window_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU/WAU) per day — the
+    canonical engagement dashboard triple. Distinct users cannot ride
+    an ordinary rolling-sum window (distinct doesn't decompose), so
+    the WAU join pairs each day with its trailing week over the
+    DAY-USER distinct table — the standard rewrite.
+
+    Scale shape: the corpus collapses FIRST to (day, user) distinct
+    rows (one shuffle, map-side combinable); the trailing-week
+    pairing is a bounded range join on that metadata-sized table
+    (days x active users/day, fan-out <= 7), never on raw events. At
+    100 TB the same plan holds because the day-user table is bounded
+    by days x population, not event volume. Stickiness is an exact
+    integer ratio rounded once."""
+    e = spark.table("events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    from powersql_spark.catalog import track_persist
+
+    du = track_persist(du)
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -951,3 +951,101 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     ).orderBy("cluster_id")
+
+
+@query(
+    "sample_hard_negatives",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id, label, v,
+               CAST(
+                 (CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS cell,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    pairs AS (
+        SELECT a.vec_id AS anchor, b.vec_id AS negative,
+               a.label AS anchor_label, b.label AS negative_label,
+               round(list_reduce(list_transform(range(1, 65),
+                         i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+                     / (a.nrm * b.nrm), 4) AS cosine
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.label <> b.label
+    )
+    SELECT anchor, negative, anchor_label, negative_label, cosine,
+           CAST(neg_rank AS INTEGER) AS neg_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+              ORDER BY cosine DESC, negative) AS neg_rank
+          FROM pairs)
+    WHERE neg_rank <= 3
+    ORDER BY anchor, neg_rank
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the 3 most-similar vectors with a DIFFERENT label from within the
+    anchor's hash cell — semantically close but wrong-class examples,
+    the negatives that actually move an embedding model (random
+    negatives are trivially separable; hard ones define the margin).
+    Cells are the same 4-bit sign-hash partition emb_cluster_purity
+    evaluates, so the purity report doubles as this miner's
+    block-quality audit.
+
+    Scale shape: candidates come from the cell EQUI-join (never
+    all-pairs; cells bound the quadratic term exactly like the kNN
+    graph); norms precompute before the join; the per-anchor top-3 is
+    a rank window on the join's own partitioning. Cosines round at
+    4dp so rankings are engine-identical."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bit = lambda i, w: F.when(  # noqa: E731
+        F.element_at("v", i) >= 0, w
+    ).otherwise(0)
+    cells = e.select(
+        "vec_id",
+        "label",
+        "v",
+        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1))
+        .cast("int")
+        .alias("cell"),
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.label") != F.col("b.label")),
+    ).select(
+        F.col("a.vec_id").alias("anchor"),
+        F.col("b.vec_id").alias("negative"),
+        F.col("a.label").alias("anchor_label"),
+        F.col("b.label").alias("negative_label"),
+        F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cosine"), "negative")
+    return (
+        pairs.select(
+            "*", F.row_number().over(w).cast("int").alias("neg_rank")
+        )
+        .where(F.col("neg_rank") <= 3)
+        .orderBy("anchor", "neg_rank")
+    )

@@ -348,6 +348,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_cooccurrence_pmi",
     "dedup_lsh_tuning_curve",
     "pipeline_experiment_e2e",
+    "window_rolling_active_users",
+    "sample_hard_negatives",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

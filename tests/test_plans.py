@@ -1491,3 +1491,20 @@ def test_experiment_e2e_three_collapses_no_fact_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "Union" in plan
+
+
+def test_rolling_active_users_on_day_user_table(spark, sf_dir):
+    """DAU/WAU: the trailing-week pairing joins the PERSISTED
+    (day, user) distinct table, never raw events; one corpus scan."""
+    plan = plan_of(spark, sf_dir, "window_rolling_active_users")
+    assert "InMemoryTableScan" in plan
+    assert "EvalPython" not in plan
+
+
+def test_hard_negatives_cell_equijoin(spark, sf_dir):
+    """Hard negatives: candidates from the cell equi-join — no
+    cartesian/BNLJ; per-anchor top-3 on the join's partitioning."""
+    plan = plan_of(spark, sf_dir, "sample_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

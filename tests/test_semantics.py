@@ -3331,3 +3331,63 @@ def test_experiment_e2e_agrees_with_component_keys(spark, sf_dir):
         pr = rows[("power_mde", "conversion")]
         assert abs(pr["statistic"] - round(pw["mde_abs"], 4)) < 1e-4
         assert pr["flagged"] == (not pw["powered_for_5pp"])
+
+
+def test_rolling_active_users_matches_pandas(spark, sf_dir):
+    rows = {r["day"]: r for r in
+            SPECS["window_rolling_active_users"].fn(spark, sf_dir).collect()}
+    import pandas as pd
+
+    pdf = _events_pdf(spark, sf_dir)
+    pdf["day"] = pdf["ts"].dt.date
+    du = pdf[["day", "user_id"]].drop_duplicates()
+    for day in du["day"].unique():
+        r = rows[day]
+        assert r["dau"] == du[du["day"] == day]["user_id"].nunique()
+        lo = day - pd.Timedelta(days=6)
+        wau = du[(du["day"] >= lo) & (du["day"] <= day)][
+            "user_id"].nunique()
+        assert r["wau"] == wau
+        assert abs(r["stickiness"] - round(r["dau"] / r["wau"], 4)) < 1e-9
+        assert r["dau"] <= r["wau"]
+
+
+def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
+    """Every negative has a different label, lives in the anchor's
+    cell, and is among the true top-3 cross-label cosines there."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["sample_hard_negatives"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in em}
+    lab = {r["vec_id"]: r["label"] for r in em}
+    cell = {
+        i: sum(w for (d, w) in ((0, 8), (1, 4), (2, 2), (3, 1))
+               if v[d] >= 0)
+        for i, v in vec.items()
+    }
+    from collections import defaultdict
+
+    by_anchor = defaultdict(list)
+    for r in got:
+        assert r["anchor_label"] != r["negative_label"]
+        assert cell[r["anchor"]] == cell[r["negative"]]
+        by_anchor[r["anchor"]].append(r)
+    for anc, rs in by_anchor.items():
+        va = vec[anc]
+        na = np.sqrt((va * va).sum())
+        cands = sorted(
+            (
+                (round(float((vec[i] @ va)
+                 / (np.sqrt((vec[i] * vec[i]).sum()) * na)), 4), i)
+                for i in vec
+                if cell[i] == cell[anc] and lab[i] != lab[anc]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        mine = sorted(rs, key=lambda r: r["neg_rank"])
+        assert [m["negative"] for m in mine] == [i for _, i in cands]
