@@ -26,6 +26,12 @@ def main(argv: list[str] | None = None) -> int:
             )
     sub.choices["test"].add_argument("--fail-fast", action="store_true")
     sub.choices["run"].add_argument("--parallel", action="store_true")
+    sub.choices["run"].add_argument(
+        "--changed",
+        action="store_true",
+        help="rebuild only models whose SQL changed since the last run"
+        " (per target/manifest.json), plus their downstream closure",
+    )
     for cmd in ("check", "explain"):
         sub.choices[cmd].add_argument(
             "--sources-schema",
@@ -73,6 +79,7 @@ def _dispatch(args: argparse.Namespace, runner) -> int:
             args.sources,
             parallel=args.parallel,
             model=args.model,
+            changed=args.changed,
         )
         for name in order:
             print(f"materialized {name}")

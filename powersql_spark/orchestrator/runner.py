@@ -156,18 +156,85 @@ def _ancestor_closure(deps: dict[str, list[str]], target: str) -> set[str]:
     return keep
 
 
+def _descendant_closure(
+    deps: dict[str, list[str]], seeds: set[str]
+) -> set[str]:
+    """The seed models plus everything that transitively READS them —
+    a changed model invalidates every consumer downstream."""
+    children: dict[str, list[str]] = {n: [] for n in deps}
+    for name, parents in deps.items():
+        for p in parents:
+            if p in children:
+                children[p].append(name)
+    keep: set[str] = set()
+    stack = list(seeds)
+    while stack:
+        cur = stack.pop()
+        if cur in keep:
+            continue
+        keep.add(cur)
+        stack.extend(children.get(cur, ()))
+    return keep
+
+
+def _manifest_path(project_dir: str | Path) -> Path:
+    return Path(project_dir) / "target" / "manifest.json"
+
+
+def _model_hash(model) -> str:
+    import hashlib
+
+    return hashlib.md5(model.sql.encode()).hexdigest()
+
+
+def _load_manifest(project_dir: str | Path) -> dict[str, str]:
+    import json
+
+    path = _manifest_path(project_dir)
+    if not path.exists():
+        return {}
+    try:
+        data = json.loads(path.read_text())
+    except ValueError:
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
+def _save_manifest(
+    project_dir: str | Path, project, executed: list[str]
+) -> None:
+    """Merge the executed models' current hashes into the state file;
+    entries for models no longer in the project are dropped."""
+    import json
+
+    manifest = {
+        k: v
+        for k, v in _load_manifest(project_dir).items()
+        if k in project.models
+    }
+    for name in executed:
+        manifest[name] = _model_hash(project.models[name])
+    path = _manifest_path(project_dir)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+
+
 def run(
     spark: SparkSession,
     project_dir: str | Path,
     sources: str | None = None,
     parallel: bool = False,
     model: str | None = None,
+    changed: bool = False,
 ) -> list[str]:
     """Materialize every model in dependency order (src/main.rs:387-415).
     Idempotent: re-running overwrites views/tables in place. ``model``
-    restricts the run to one model plus its upstream closure (the
-    dbt-style selector the reference lacks — at real scale you rebuild
-    the subgraph that changed, not the whole project)."""
+    restricts the run to one model plus its upstream closure; ``changed``
+    restricts it to models whose SQL hash differs from the state
+    manifest written by the previous run, plus their DOWNSTREAM closure
+    (dbt's ``state:modified+`` — at 100 TB you rebuild the subgraph an
+    edit invalidated, not the whole project). Every run merges the
+    executed models' hashes back into ``target/manifest.json``."""
     project = load_project(project_dir)
     _register_sources(spark, sources, project)
     ex = SparkExecutor(spark, Path(project_dir) / "target")
@@ -175,9 +242,32 @@ def run(
     if model is not None:
         keep = _ancestor_closure(project.deps, model)
         order = [n for n in order if n in keep]
+    if changed:
+        manifest = _load_manifest(project_dir)
+        dirty = {
+            n
+            for n in project.models
+            if manifest.get(n) != _model_hash(project.models[n])
+        }
+        keep = _descendant_closure(project.deps, dirty)
+        order = [n for n in order if n in keep]
+        # A changed-selection run needs the UNCHANGED upstream models
+        # visible in the session (views are session-scoped): restore
+        # them without re-materializing table data.
+        for name in project.order:
+            if name not in keep:
+                m = project.models[name]
+                import os
+
+                path = os.path.join(ex.target_dir, m.name)
+                if m.kind == "table" and os.path.isdir(path):
+                    spark.read.parquet(path).createOrReplaceTempView(m.name)
+                else:
+                    ex.execute(m)
     if not parallel:
         for name in order:
             ex.execute(project.models[name])
+        _save_manifest(project_dir, project, order)
         return order
 
     # Kahn with concurrent submission of ready models.
@@ -206,6 +296,7 @@ def run(
             before = set(futures.values())
             submit_ready()
             pending |= set(futures.values()) - before
+    _save_manifest(project_dir, project, done)
     return done
 
 

@@ -407,3 +407,73 @@ def test_check_rejects_non_boolean_test_condition(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="boolean"):
         check(spark, tmp_path, sources=SOURCES)
+
+
+# ---------- incremental runs (run --changed) ----------
+
+
+def _write_chain_project(tmp_path):
+    (tmp_path / "powersql.toml").write_text(
+        '[project]\nname = "inc"\nmodels = ["models"]\n'
+    )
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "base.sql").write_text(
+        "CREATE VIEW base AS SELECT n_nationkey AS k, n_name AS v"
+        " FROM nation"
+    )
+    (tmp_path / "models" / "mid.sql").write_text(
+        "CREATE VIEW mid AS SELECT k, v FROM base WHERE k < 10"
+    )
+    (tmp_path / "models" / "leaf.sql").write_text(
+        "CREATE VIEW leaf AS SELECT COUNT(*) AS n FROM mid"
+    )
+    (tmp_path / "models" / "other.sql").write_text(
+        "CREATE VIEW other AS SELECT k FROM base WHERE k >= 10"
+    )
+
+
+def test_run_changed_selects_dirty_downstream_only(spark, tmp_path):
+    """First run materializes everything and writes the manifest; an
+    unchanged re-run with --changed selects nothing; editing `mid`
+    re-runs mid + leaf (its consumer) but NOT base or other."""
+    from powersql_spark.orchestrator.runner import run
+
+    _write_chain_project(tmp_path)
+    first = run(spark, tmp_path, sources=SOURCES)
+    assert set(first) == {"base", "mid", "leaf", "other"}
+    assert (tmp_path / "target" / "manifest.json").exists()
+
+    again = run(spark, tmp_path, sources=SOURCES, changed=True)
+    assert again == []
+
+    (tmp_path / "models" / "mid.sql").write_text(
+        "CREATE VIEW mid AS SELECT k, v FROM base WHERE k < 5"
+    )
+    inc = run(spark, tmp_path, sources=SOURCES, changed=True)
+    assert set(inc) == {"mid", "leaf"}
+    # the edit took effect through the restored upstream view
+    assert spark.table("leaf").collect()[0]["n"] == 5
+
+    # manifest updated: a further --changed run selects nothing
+    assert run(spark, tmp_path, sources=SOURCES, changed=True) == []
+
+
+def test_run_changed_new_model_runs_and_banks(spark, tmp_path):
+    """A model added after the last run counts as changed; removing it
+    drops its manifest entry on the next run."""
+    from powersql_spark.orchestrator.runner import (
+        _load_manifest,
+        run,
+    )
+
+    _write_chain_project(tmp_path)
+    run(spark, tmp_path, sources=SOURCES)
+    (tmp_path / "models" / "extra.sql").write_text(
+        "CREATE VIEW extra AS SELECT COUNT(*) AS n FROM other"
+    )
+    inc = run(spark, tmp_path, sources=SOURCES, changed=True)
+    assert inc == ["extra"]
+    assert "extra" in _load_manifest(tmp_path)
+    (tmp_path / "models" / "extra.sql").unlink()
+    run(spark, tmp_path, sources=SOURCES)
+    assert "extra" not in _load_manifest(tmp_path)
