@@ -1631,3 +1631,150 @@ def ts_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "*", (F.row_number().over(w) == 1).alias("is_best_lag")
     ).orderBy("lag_hours")
+
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+_HW_SIDX = "CAST((o.rn - 1) % 7 AS INTEGER) + 1"
+_HW_LEVEL = (
+    f"{_HW_A} * (o.x - s.s[{_HW_SIDX}]) + {1 - _HW_A} * (s.l + s.b)"
+)
+
+
+@query(
+    "ts_holt_winters",
+    # Recursive-CTE replay (the ts_holt_linear pattern, extended with a
+    # 7-slot seasonal LIST carried through the recursion) — a genuinely
+    # different evaluation strategy from Spark's array fold over the
+    # same definition.
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    xs AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS rn
+           FROM daily),
+    init AS (
+        SELECT CAST((SELECT SUM(CAST(x AS DECIMAL(28,6))) FROM xs
+                     WHERE rn <= 7) AS DOUBLE) / 7 AS l0,
+               CAST((SELECT SUM(CAST(x AS DECIMAL(28,6))) FROM xs
+                     WHERE rn BETWEEN 8 AND 14)
+                  - (SELECT SUM(CAST(x AS DECIMAL(28,6))) FROM xs
+                     WHERE rn <= 7) AS DOUBLE) / 49 AS b0
+    ),
+    state AS (
+        SELECT 7 AS rn, CAST(NULL AS DATE) AS day,
+               CAST(NULL AS DOUBLE) AS x,
+               l0 AS l, b0 AS b,
+               (SELECT list(x - i.l0 ORDER BY rn)
+                FROM xs, init i WHERE rn <= 7) AS s,
+               CAST(NULL AS DOUBLE) AS fitted
+        FROM init
+        UNION ALL
+        SELECT o.rn, o.day, o.x,
+               {_HW_LEVEL} AS l,
+               {_HW_B} * (({_HW_LEVEL}) - s.l) + {1 - _HW_B} * s.b AS b,
+               list_transform(range(1, 8), i -> CASE
+                   WHEN i = {_HW_SIDX}
+                   THEN {_HW_G} * (o.x - ({_HW_LEVEL}))
+                        + {1 - _HW_G} * s.s[{_HW_SIDX}]
+                   ELSE s.s[i] END) AS s,
+               s.l + s.b + s.s[{_HW_SIDX}] AS fitted
+        FROM state s JOIN xs o ON o.rn = s.rn + 1
+    )
+    SELECT day, x, round(fitted, 4) AS fitted,
+           round(l, 4) AS level, round(b, 4) AS trend
+    FROM state WHERE rn >= 8 ORDER BY day
+    """,
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing on the daily
+    revenue series (alpha=.3, beta=.1, gamma=.2, weekly period m=7):
+    level/trend/seasonal state with the classical first-two-weeks
+    initialization (L0 = week-1 mean, B0 = (week-2 mean - week-1
+    mean)/7, S_i = x_i - L0), one-step-ahead fit = L + B + S[dow].
+    Completes the smoothing ladder EWMA (level) → Holt (+trend) →
+    Holt-Winters (+seasonality) — the capacity-forecasting smoother
+    that tracks a weekly cycle instead of lagging it.
+
+    Spark shape: the daily series is a decimal-exact aggregation of
+    the corpus; the recursion is ONE array fold (F.aggregate) with a
+    (level, trend, 7-slot seasonal array, outputs) STRUCT accumulator
+    over the sorted day array — the ts_holt_linear pattern extended
+    with ring-buffer state; per-series generalization partitions the
+    same fold by the series key. Init sums fold through DECIMAL so
+    both engines start from identical doubles; state floats stay
+    unrounded until the 4dp output rounding."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    g = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("xs")
+    )
+    dsum7 = (
+        "CAST(aggregate(slice(xs, {start}, 7), CAST(0 AS DECIMAL(28,6)),"
+        " (acc, e) -> CAST(acc + CAST(e.x AS DECIMAL(28,6))"
+        " AS DECIMAL(28,6))) AS DOUBLE)"
+    )
+    out_t = (
+        "array<struct<day:date,x:double,fitted:double,"
+        "level:double,trend:double>>"
+    )
+    A, B, G = _HW_A, _HW_B, _HW_G
+    step = (
+        "(acc, e) -> named_struct("
+        f"'l', {A} * (e.x - element_at(acc.s, ((acc.pos - 1) % 7) + 1))"
+        f"   + {1 - A} * (acc.l + acc.b),"
+        f"'b', {B} * (({A} * (e.x - element_at(acc.s, ((acc.pos - 1) % 7) + 1))"
+        f"   + {1 - A} * (acc.l + acc.b)) - acc.l) + {1 - B} * acc.b,"
+        "'s', transform(sequence(1, 7), i -> CASE"
+        "   WHEN i = ((acc.pos - 1) % 7) + 1"
+        f"  THEN {G} * (e.x - ({A} * (e.x - element_at(acc.s,"
+        "       ((acc.pos - 1) % 7) + 1))"
+        f"      + {1 - A} * (acc.l + acc.b)))"
+        f"      + {1 - G} * element_at(acc.s, ((acc.pos - 1) % 7) + 1)"
+        "   ELSE element_at(acc.s, i) END),"
+        "'pos', acc.pos + 1,"
+        "'outs', concat(acc.outs, array(named_struct("
+        "  'day', e.day, 'x', e.x,"
+        "  'fitted', round(acc.l + acc.b"
+        "      + element_at(acc.s, ((acc.pos - 1) % 7) + 1), 4),"
+        f" 'level', round({A} * (e.x - element_at(acc.s,"
+        "      ((acc.pos - 1) % 7) + 1))"
+        f"     + {1 - A} * (acc.l + acc.b), 4),"
+        f" 'trend', round({B} * (({A} * (e.x - element_at(acc.s,"
+        "      ((acc.pos - 1) % 7) + 1))"
+        f"     + {1 - A} * (acc.l + acc.b)) - acc.l)"
+        f"     + {1 - B} * acc.b, 4)))))"
+    )
+    # The fold is built as one SQL expression so the struct
+    # accumulator stays a single codegen'd aggregate.
+    fold_sql = (
+        "aggregate(slice(xs, 8, greatest(size(xs) - 7, 0)), {init}, {step})"
+    )
+    init_sql = (
+        "named_struct('l', " + dsum7.format(start=1) + " / 7,"
+        "'b', (" + dsum7.format(start=8) + " - "
+        + dsum7.format(start=1) + ") / 49,"
+        "'s', transform(slice(xs, 1, 7), e -> e.x - ("
+        + dsum7.format(start=1) + " / 7)),"
+        "'pos', 8,"
+        f"'outs', CAST(array() AS {out_t}))"
+    )
+    acc = g.select(
+        F.expr(fold_sql.format(init=init_sql, step=step)).alias("acc")
+    )
+    return (
+        acc.select(F.explode("acc.outs").alias("o"))
+        .select(
+            F.col("o.day").alias("day"),
+            F.col("o.x").alias("x"),
+            F.col("o.fitted").alias("fitted"),
+            F.col("o.level").alias("level"),
+            F.col("o.trend").alias("trend"),
+        )
+        .orderBy("day")
+    )

