@@ -554,3 +554,65 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokyo_next_day"
         ),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_data_masking",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 1, 4) || repeat('*', GREATEST(length(c_name) - 4, 0))
+               AS name_masked,
+           'tok_' || substr(md5('cust:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+               AS key_token,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_bucket,
+           CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+                THEN c_mktsegment ELSE 'OTHER' END AS segment_coarse
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def fn_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking suite — the governance projection a warehouse
+    serves to untrusted roles: partial masking (keep a 4-char prefix,
+    star the rest), deterministic tokenization (salted md5 token —
+    joinable across tables, irreversible without the salt),
+    numeric generalization (bucket balances to 1000s), and category
+    coarsening (rare segments collapse to OTHER — k-anonymity's
+    generalization step). Every transform is deterministic so masked
+    datasets stay JOINABLE and reproducible — the property that makes
+    tokenization useful and ad-hoc scrambling useless.
+
+    Scale shape: map-only codegen over one scan; masking never
+    shuffles. FLOOR (not round) for the bucketing so both engines
+    agree bit-for-bit."""
+    c = spark.table("customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 4),
+            F.repeat(
+                F.lit("*"), F.greatest(F.length("c_name") - 4, F.lit(0))
+            ),
+        ).alias("name_masked"),
+        F.concat(
+            F.lit("tok_"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cust:"), F.col("c_custkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+        ).alias("key_token"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("double")
+        .alias("acctbal_bucket"),
+        F.when(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY"),
+            F.col("c_mktsegment"),
+        )
+        .otherwise("OTHER")
+        .alias("segment_coarse"),
+    ).orderBy("c_custkey")

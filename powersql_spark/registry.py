@@ -351,6 +351,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_rolling_active_users",
     "sample_hard_negatives",
     "ts_holt_winters",
+    "fn_data_masking",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

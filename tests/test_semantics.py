@@ -3435,3 +3435,22 @@ def test_holt_winters_matches_numpy_recursion(spark, sf_dir):
         l, b = level, trend
     errs = [abs(r["fitted"] - r["x"]) for r in rows]
     assert np.isfinite(errs).all()
+
+
+def test_data_masking_deterministic_and_joinable(spark, sf_dir):
+    """Masking invariants: tokens are deterministic and 1:1 with keys,
+    names never leak past 4 chars, buckets are coarse multiples."""
+    import hashlib
+
+    rows = SPECS["fn_data_masking"].fn(spark, sf_dir).collect()
+    toks = {}
+    for r in rows:
+        want = "tok_" + hashlib.md5(
+            f"cust:{r['c_custkey']}".encode()
+        ).hexdigest()[:12]
+        assert r["key_token"] == want
+        assert toks.setdefault(r["key_token"], r["c_custkey"]) == r["c_custkey"]
+        assert set(r["name_masked"][4:]) <= {"*"}
+        assert r["acctbal_bucket"] % 1000 == 0
+        assert r["segment_coarse"] in {"BUILDING", "MACHINERY", "OTHER"}
+    assert len(toks) == len(rows)
