@@ -894,3 +894,120 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall_at_k"),
     )
+
+
+_FANN_OVERFETCH = 30
+
+
+@query(
+    "sim_filtered_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT v AS qv, label AS qlabel,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                    (a, b) -> a + b)) AS qn
+        FROM e WHERE vec_id = {_QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, q.qlabel,
+               round(list_reduce(list_transform(range(1, 65),
+                         i -> e.v[i] * q.qv[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                             (a, b) -> a + b)) * q.qn), 4) AS cosine
+        FROM e, q WHERE e.vec_id <> {_QUERY_VEC_ID}
+    ),
+    exact AS (
+        SELECT vec_id, label, cosine,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored WHERE label <> qlabel
+        QUALIFY rank <= {_TOPK}
+    ),
+    overfetch AS (
+        SELECT vec_id FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT {_FANN_OVERFETCH}
+    )
+    SELECT ex.rank AS rank, ex.vec_id, ex.label, ex.cosine,
+           ov.vec_id IS NOT NULL AS found_by_postfilter
+    FROM exact ex LEFT JOIN overfetch ov ON ov.vec_id = ex.vec_id
+    ORDER BY ex.rank
+    """,
+)
+def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-DB hard case): exact top-10
+    among vectors whose label DIFFERS from the query's, compared
+    against the common post-filtering shortcut (take the unfiltered
+    top-30, then filter) — each exact result is flagged with whether
+    post-filtering would have found it. When the filter is selective,
+    post-filtering silently loses recall; the flags measure exactly
+    that, which is why real systems pre-filter (this query's exact
+    arm: the predicate lands BEFORE the top-k cut, so Catalyst prunes
+    the scan and the heap only sees qualifying rows).
+
+    Scale shape: one scored pass against the broadcast query serves
+    BOTH arms (exact arm = filter + TakeOrderedAndProject; overfetch
+    arm = TakeOrderedAndProject on the same pass); the comparison
+    join is 10 x 30 ids. Nothing quadratic, nothing Python."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        _to_double("embedding").alias("v"),
+    )
+    q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    scored = (
+        e.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "qlabel",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * F.col("qn")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    scored = track_persist(scored)
+    exact = (
+        scored.where(F.col("label") != F.col("qlabel"))
+        .select(
+            "vec_id",
+            "label",
+            "cosine",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+            .alias("rank"),
+        )
+        .where(F.col("rank") <= _TOPK)
+    )
+    overfetch = (
+        scored.orderBy(F.desc("cosine"), "vec_id")
+        .limit(_FANN_OVERFETCH)
+        .select(F.col("vec_id").alias("ov_id"))
+    )
+    return (
+        exact.join(
+            F.broadcast(overfetch),
+            exact.vec_id == F.col("ov_id"),
+            "left",
+        )
+        .select(
+            "rank",
+            "vec_id",
+            "label",
+            "cosine",
+            F.col("ov_id").isNotNull().alias("found_by_postfilter"),
+        )
+        .orderBy("rank")
+    )

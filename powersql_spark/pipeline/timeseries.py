@@ -1778,3 +1778,136 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_BT_HOLDOUT = 7
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    xs AS (
+        SELECT day, x,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               COUNT(*) OVER () AS n,
+               LAG(x, 1) OVER (ORDER BY day) AS naive_f,
+               LAG(x, 7) OVER (ORDER BY day) AS snaive_f,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (
+                   ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS DOUBLE) / 7 AS mean7_f
+        FROM daily
+    ),
+    holdout AS (
+        SELECT * FROM xs WHERE rn > n - {_BT_HOLDOUT} AND rn > 7
+    ),
+    m AS (
+        SELECT method, f, x, day FROM (
+            SELECT day, x, naive_f AS f, 'naive' AS method FROM holdout
+            UNION ALL
+            SELECT day, x, snaive_f, 'seasonal_naive' FROM holdout
+            UNION ALL
+            SELECT day, x, mean7_f, 'mean7' FROM holdout
+        )
+    ),
+    err AS (
+        SELECT method,
+               CAST(abs(CAST(f - x AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                   AS ae,
+               round(abs(f - x) / x, 8) AS ape
+        FROM m
+    ),
+    agg AS (
+        SELECT method, COUNT(*) AS n_days,
+               CAST(round(CAST(SUM(ae) AS DOUBLE)
+                    / COUNT(*), 4) AS DOUBLE) AS mae,
+               CAST(round(CAST(SUM(CAST(ape AS DECIMAL(28,8))) AS DOUBLE)
+                    * 100 / COUNT(*), 4) AS DOUBLE) AS mape_pct
+        FROM err GROUP BY method
+    )
+    SELECT method, CAST(n_days AS BIGINT) AS n_days, mae, mape_pct,
+           ROW_NUMBER() OVER (ORDER BY mae, method) = 1 AS is_best
+    FROM agg ORDER BY method
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest on the last week of the daily
+    revenue series: three baselines every forecasting bake-off starts
+    from — naive (yesterday), seasonal-naive (same weekday last week),
+    and the trailing-7-day mean — scored by MAE and MAPE, best model
+    flagged in-query. This is the evaluation loop that decides whether
+    the smoothing family (EWMA/Holt/Holt-Winters) actually earns its
+    complexity on a given series.
+
+    Scale shape: one corpus collapse to the daily series; forecasts
+    are LAG/rolling-window columns sharing ONE sort of the time-bucket
+    table; errors are decimal-exact (MAE) or per-day-rounded then
+    decimal-summed (MAPE). The method dimension is a 3-way union of
+    the 7-row holdout — metadata-sized throughout."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    xs = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.lag("x", 1).over(w).alias("naive_f"),
+        F.lag("x", 7).over(w).alias("snaive_f"),
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).over(w7).cast("double")
+            / 7
+        ).alias("mean7_f"),
+    )
+    holdout = xs.where(
+        (F.col("rn") > F.col("n") - _BT_HOLDOUT) & (F.col("rn") > 7)
+    )
+    parts = []
+    for method, col in (
+        ("naive", "naive_f"),
+        ("seasonal_naive", "snaive_f"),
+        ("mean7", "mean7_f"),
+    ):
+        parts.append(
+            holdout.select(
+                F.lit(method).alias("method"),
+                F.col(col).alias("f"),
+                "x",
+            )
+        )
+    m = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    err = m.select(
+        "method",
+        F.abs((F.col("f") - F.col("x")).cast("decimal(28,6)")).alias("ae"),
+        F.round(F.abs(F.col("f") - F.col("x")) / F.col("x"), 8).alias(
+            "ape"
+        ),
+    )
+    agg = err.groupBy("method").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.sum("ae").cast("double") / F.count("*"), 4).alias("mae"),
+        F.round(
+            F.sum(F.col("ape").cast("decimal(28,8)")).cast("double")
+            * 100
+            / F.count("*"),
+            4,
+        ).alias("mape_pct"),
+    )
+    return agg.select(
+        "method",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "mae",
+        "mape_pct",
+        (
+            F.row_number().over(Window.orderBy("mae", "method")) == 1
+        ).alias("is_best"),
+    ).orderBy("method")

@@ -352,6 +352,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_hard_negatives",
     "ts_holt_winters",
     "fn_data_masking",
+    "sim_filtered_ann",
+    "ts_forecast_backtest",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

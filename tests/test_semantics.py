@@ -3454,3 +3454,75 @@ def test_data_masking_deterministic_and_joinable(spark, sf_dir):
         assert r["acctbal_bucket"] % 1000 == 0
         assert r["segment_coarse"] in {"BUILDING", "MACHINERY", "OTHER"}
     assert len(toks) == len(rows)
+
+
+def test_filtered_ann_exact_and_postfilter_flags(spark, sf_dir):
+    """The exact arm really is the filtered top-10 (numpy replay), and
+    the post-filter flag matches membership in the unfiltered
+    top-30."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["sim_filtered_ann"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in em}
+    lab = {r["vec_id"]: r["label"] for r in em}
+    if 0 not in vec:
+        assert got == []
+        return
+    q, ql = vec[0], lab[0]
+    qn = np.sqrt((q * q).sum())
+    cos = {
+        i: round(float((v @ q) / (np.sqrt((v * v).sum()) * qn)), 4)
+        for i, v in vec.items() if i != 0
+    }
+    exact = sorted(
+        ((c, i) for i, c in cos.items() if lab[i] != ql),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    over = {
+        i for _, i in sorted(
+            ((c, i) for i, c in cos.items()), key=lambda t: (-t[0], t[1])
+        )[:30]
+    }
+    assert [(r["vec_id"],) for r in got] == [(i,) for _, i in exact]
+    for r, (c, i) in zip(got, exact):
+        assert abs(r["cosine"] - c) < 2e-4
+        assert r["found_by_postfilter"] == (i in over)
+
+
+def test_forecast_backtest_matches_pandas(spark, sf_dir):
+    """Replay the three baselines on the daily series and compare MAE
+    / MAPE; exactly one best flag."""
+    rows = {r["method"]: r for r in
+            SPECS["ts_forecast_backtest"].fn(spark, sf_dir).collect()}
+    assert sum(1 for r in rows.values() if r["is_best"]) == 1
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    daily = (
+        pdf.assign(day=pdf["ts"].dt.date)
+        .groupby("day")["value"].sum().round(6).sort_index()
+    )
+    x = daily.to_numpy()
+    n = len(x)
+    lo = max(n - 7, 7)
+    fc = {
+        "naive": lambda t: x[t - 1],
+        "seasonal_naive": lambda t: x[t - 7],
+        "mean7": lambda t: round(x[t - 7:t].sum(), 6) / 7,
+    }
+    for method, f in fc.items():
+        aes, apes = [], []
+        for t in range(lo, n):
+            err = abs(round(f(t) - x[t], 6))
+            aes.append(err)
+            apes.append(round(abs(f(t) - x[t]) / x[t], 8))
+        r = rows[method]
+        assert r["n_days"] == len(aes)
+        assert abs(r["mae"] - round(sum(aes) / len(aes), 4)) < 1e-3
+        assert abs(
+            r["mape_pct"] - round(sum(apes) * 100 / len(apes), 4)
+        ) < 1e-3
