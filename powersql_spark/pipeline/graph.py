@@ -627,3 +627,98 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("dist").cast("int").alias("hops"))
         .orderBy("node")
     )
+
+
+_ASSORT_R = (
+    "(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0"
+    " THEN round((n * sxy - sx * sy)"
+    " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) END)"
+)
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ),
+    ends AS (  -- both orientations: assortativity is symmetric
+        SELECT da.d AS x, db.d AS y
+        FROM und e JOIN deg da ON da.node = e.a
+                   JOIN deg db ON db.node = e.b
+        UNION ALL
+        SELECT db.d, da.d
+        FROM und e JOIN deg da ON da.node = e.a
+                   JOIN deg db ON db.node = e.b
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM ends
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           {_ASSORT_R} AS assortativity,
+           COALESCE({_ASSORT_R} > 0, FALSE) AS is_assortative
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong-trade graph (Newman 2002):
+    the Pearson correlation of endpoint degrees over all edges (both
+    orientations — the metric is symmetric). Positive = hubs trade
+    with hubs (social-network shape); negative = hub-and-spoke
+    (infrastructure shape) — the one-number structure diagnostic next
+    to pagerank (importance), triangles (clustering), and communities
+    (partition).
+
+    Scale shape: degrees are one aggregation of the metadata-sized
+    edge table; endpoint pairing is two id-keyed equi-joins; the
+    correlation collapses to six INTEGER power sums (exact — degrees
+    are integers, so no decimal needed), rounded once."""
+    und = _strong_edges(spark)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("dy"))
+    joined = und.join(
+        F.broadcast(da), F.col("a") == F.col("node_a")
+    ).join(F.broadcast(db), F.col("b") == F.col("node_b"))
+    ends = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(
+        joined.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    s = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(vx * vy),
+            4,
+        ),
+    )
+    return s.select(
+        (n / 2).cast("bigint").alias("n_edges"),
+        r.alias("assortativity"),
+        F.coalesce(r > 0, F.lit(False)).alias("is_assortative"),
+    )

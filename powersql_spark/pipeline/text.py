@@ -1389,3 +1389,92 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.desc("pmi"), "bigram").limit(20)
+
+
+_ZIPF_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH freq AS (
+        SELECT word, COUNT(*) AS f FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, word) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT round(ln(CAST(r AS DOUBLE)), 8) AS lx,
+               round(ln(CAST(f AS DOUBLE)), 8) AS ly
+        FROM ranked
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(lx AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(lx * ly AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(lx * lx AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round({_ZIPF_SLOPE}, 4) AS zipf_exponent,
+           round((sy - {_ZIPF_SLOPE} * sx) / n, 4) AS log_intercept,
+           {_ZIPF_SLOPE} BETWEEN -2.0 AND -0.5 AS zipf_like
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log-frequency against log-rank — natural text sits near exponent
+    -1; a corpus whose exponent drifts far from it is boilerplate-
+    heavy (too flat) or template-spam (too steep). The one-number
+    corpus-health diagnostic next to the per-doc quality scores;
+    machine-generated or deduplicate-starved crawls show up here
+    before any per-document filter fires.
+
+    Scale shape: the corpus collapses once to the word-frequency
+    table; the rank window sorts the VOCABULARY (not the corpus), the
+    fit collapses to four decimal power sums over per-point rounded
+    logs — order-independent and bit-identical across engines."""
+    freq = (
+        spark.table("documents")
+        .select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), "word"))
+        .alias("r"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 8).alias("lx"),
+        F.round(F.log(F.col("f").cast("double")), 8).alias("ly"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("lx").cast("decimal(28,8)")).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast("decimal(28,8)")).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_exponent"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "log_intercept"
+        ),
+        slope.between(-2.0, -0.5).alias("zipf_like"),
+    )

@@ -354,6 +354,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_data_masking",
     "sim_filtered_ann",
     "ts_forecast_backtest",
+    "graph_assortativity",
+    "text_zipf_fit",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -3526,3 +3526,57 @@ def test_forecast_backtest_matches_pandas(spark, sf_dir):
         assert abs(
             r["mape_pct"] - round(sum(apes) * 100 / len(apes), 4)
         ) < 1e-3
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    """Recompute Newman's degree assortativity from the strong-edge
+    set with numpy; value in [-1, 1]."""
+    import numpy as np
+
+    from powersql_spark.pipeline.graph import _strong_edges
+
+    rows = SPECS["graph_assortativity"].fn(spark, sf_dir).collect()
+    edges = [(r["a"], r["b"]) for r in _strong_edges(spark).collect()]
+    r = rows[0]
+    assert r["n_edges"] == len(edges)
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    if len(set(xs)) > 1:
+        want = round(float(np.corrcoef(xs, ys)[0, 1]), 4)
+        assert abs(r["assortativity"] - want) < 1e-3
+        assert -1.0 <= r["assortativity"] <= 1.0
+        assert r["is_assortative"] == (r["assortativity"] > 0)
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """Replay the log-log OLS in numpy; the synthetic near-uniform
+    vocabulary must be flagged NOT zipf-like (that's the diagnostic
+    working, not failing)."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    r = SPECS["text_zipf_fit"].fn(spark, sf_dir).collect()[0]
+    load_tables(spark, sf_dir, ("documents",))
+    import re as _re
+    from collections import Counter
+
+    freq = Counter()
+    for row in spark.table("documents").select("text").collect():
+        freq.update(_re.split(r"\s+", row["text"].strip()))
+    fs = sorted(freq.values(), reverse=True)
+    lx = np.round(np.log(np.arange(1, len(fs) + 1)), 8)
+    ly = np.round(np.log(np.array(fs, dtype=float)), 8)
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert r["vocab_size"] == len(fs)
+    assert abs(r["zipf_exponent"] - round(float(slope), 4)) < 1e-3
+    assert abs(r["log_intercept"] - round(float(intercept), 4)) < 1e-3
+    assert r["zipf_like"] == (-2.0 <= r["zipf_exponent"] <= -0.5)
