@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from powersql_spark.operators.common import DEC
 from powersql_spark.registry import query
 
+
+def _doc_tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
 _KEYS = ("l_partkey", "l_suppkey", "l_orderkey")
 
 
@@ -529,4 +533,105 @@ def stats_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b1, 6).alias("b1"),
         F.round(b2, 6).alias("b2"),
         F.round(1.0 - sse / sst, 4).alias("r2"),
+    )
+
+
+@query(
+    "profile_source_overlap",
+    oracle=r"""
+    WITH vocab AS (
+        SELECT DISTINCT source, word FROM (
+            SELECT source,
+                   unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents
+        )
+    ),
+    sizes AS (
+        SELECT source, COUNT(*) AS n FROM vocab GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.word = b.word AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS vocab_a,
+           CAST(sb.n AS BIGINT) AS vocab_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def profile_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary overlap matrix: Jaccard similarity of
+    the DISTINCT-word sets of every source pair — the corpus-level
+    provenance diagnostic (two 'different' crawls sharing 90%+
+    vocabulary are the same feed twice; mix weights built on them
+    double-count). Complements the document-level dedup family with
+    a between-SOURCE view.
+
+    Scale shape: the corpus collapses once to the (source, word)
+    distinct vocabulary (the only corpus-sized shuffle); the pair
+    intersection is a word-keyed equi-join of that vocabulary table
+    with an ordered source predicate (each unordered pair counted
+    once, no self-pairs), and set sizes broadcast back. Jaccard via
+    inclusion-exclusion on exact integers."""
+    vocab = (
+        spark.table("documents")
+        .select(
+            "source", F.explode(_doc_tokens()).alias("word")
+        )
+        .distinct()
+    )
+    from powersql_spark.catalog import track_persist
+
+    vocab = track_persist(vocab)
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("n"))
+    a = vocab.select(
+        F.col("source").alias("source_a"), F.col("word").alias("wa")
+    )
+    b = vocab.select(
+        F.col("source").alias("source_b"), F.col("word").alias("wb")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("wa") == F.col("wb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("sa_key"), F.col("n").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("sb_key"), F.col("n").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("source_a") == F.col("sa_key"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb_key"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("bigint").alias("vocab_a"),
+            F.col("vocab_b").cast("bigint").alias("vocab_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("vocab_a")
+                    + F.col("vocab_b")
+                    - F.col("n_common")
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -1478,3 +1478,73 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         slope.between(-2.0, -0.5).alias("zipf_like"),
     )
+
+
+@query(
+    "text_entropy_char",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+    ),
+    hist AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, c, ch,
+               SUM(c) OVER (PARTITION BY doc_id) AS n
+        FROM hist
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           COUNT(*) AS n_distinct_chars,
+           CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n), 8) AS DECIMAL(28,8)))
+                AS DOUBLE) AS char_entropy,
+           CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n)
+                    * ln(CAST(c AS DOUBLE) / n), 8) AS DECIMAL(28,8)))
+                AS DOUBLE) < 2.0 AS low_entropy_flag
+    FROM tot
+    GROUP BY doc_id
+    """,
+)
+def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats): the
+    cheap garbage/boilerplate detector — repeated-template and
+    single-character-spam documents score far below natural text
+    (~2.8-3.2 nats for English), binary-ish noise scores above it.
+    One of the Gopher-family quality signals that needs no language
+    model at all.
+
+    Scale shape: linear explode to characters, collapse to the
+    per-(doc, char) histogram (alphabet-bounded per doc), entropy
+    terms rounded then decimal-summed on the histogram — map-side
+    combinable everywhere, one shuffle on doc_id, bit-identical
+    across engines and partitionings."""
+    chars = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = hist.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 8).cast("decimal(28,8)")
+    ent = F.sum(term).cast("double")
+    return (
+        tot.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count("*").alias("n_distinct_chars"),
+            ent.alias("char_entropy"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            "char_entropy",
+            (F.col("char_entropy") < 2.0).alias("low_entropy_flag"),
+        )
+    )

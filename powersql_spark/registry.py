@@ -356,6 +356,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_forecast_backtest",
     "graph_assortativity",
     "text_zipf_fit",
+    "text_entropy_char",
+    "profile_source_overlap",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -3580,3 +3580,59 @@ def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(r["zipf_exponent"] - round(float(slope), 4)) < 1e-3
     assert abs(r["log_intercept"] - round(float(intercept), 4)) < 1e-3
     assert r["zipf_like"] == (-2.0 <= r["zipf_exponent"] <= -0.5)
+
+
+def test_char_entropy_matches_python(spark, sf_dir):
+    """Recompute per-doc character entropy in Python; natural-ish text
+    lands in a plausible band and never below 0."""
+    import math
+    from collections import Counter
+
+    from powersql_spark.catalog import load_tables
+
+    got = {r["doc_id"]: r for r in
+           SPECS["text_entropy_char"].fn(spark, sf_dir).collect()}
+    load_tables(spark, sf_dir, ("documents",))
+    for row in spark.table("documents").select("doc_id", "text").collect():
+        cnt = Counter(row["text"])
+        n = sum(cnt.values())
+        ent = sum(
+            round(-(c / n) * math.log(c / n), 8) for c in cnt.values()
+        )
+        r = got[row["doc_id"]]
+        assert r["n_chars"] == n
+        assert r["n_distinct_chars"] == len(cnt)
+        assert abs(r["char_entropy"] - ent) < 1e-6
+        assert r["char_entropy"] >= 0
+        assert r["low_entropy_flag"] == (r["char_entropy"] < 2.0)
+
+
+def test_source_overlap_matches_python_sets(spark, sf_dir):
+    """Replay the vocabulary Jaccard matrix with Python sets; diagonal
+    absent, each unordered pair exactly once."""
+    import re as _re
+
+    from powersql_spark.catalog import load_tables
+
+    rows = SPECS["profile_source_overlap"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("documents",))
+    vocab = {}
+    for r in spark.table("documents").select("source", "text").collect():
+        vocab.setdefault(r["source"], set()).update(
+            _re.split(r"\s+", r["text"].strip())
+        )
+    seen = set()
+    for r in rows:
+        a, b = r["source_a"], r["source_b"]
+        assert a < b and (a, b) not in seen
+        seen.add((a, b))
+        va, vb = vocab[a], vocab[b]
+        assert r["vocab_a"] == len(va) and r["vocab_b"] == len(vb)
+        assert r["n_common"] == len(va & vb)
+        assert abs(
+            r["jaccard"] - round(len(va & vb) / len(va | vb), 4)
+        ) < 1e-9
+    import itertools
+
+    srcs = sorted(vocab)
+    assert seen == set(itertools.combinations(srcs, 2))
