@@ -1911,3 +1911,95 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("mae", "method")) == 1
         ).alias("is_best"),
     ).orderBy("method")
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    w AS (
+        SELECT event_type, hour, x,
+               LAG(x) OVER win AS prev_x,
+               LEAD(x) OVER win AS next_x,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                   AS DOUBLE) AS base_sum,
+               COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_n
+        FROM hourly
+        WINDOW win AS (PARTITION BY event_type ORDER BY hour)
+    )
+    SELECT event_type, hour, x,
+           CAST(round(CAST(CAST((base_sum / base_n) AS VARCHAR)
+                AS DECIMAL(38,18)), 4) AS DOUBLE) AS baseline,
+           CAST(round(CAST(CAST((x / (base_sum / base_n)) AS VARCHAR)
+                AS DECIMAL(38,18)), 4) AS DOUBLE) AS spike_ratio
+    FROM w
+    WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
+      AND base_n >= 12
+      AND x > prev_x AND x > next_x
+      AND x > 1.5 * (base_sum / base_n)
+    ORDER BY event_type, hour
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic spike detection per stream: hours that are a LOCAL
+    maximum (above both neighbors) AND at least 1.5x their trailing
+    24-hour baseline (minimum 12 hours of history so cold starts
+    don't false-positive) — the alerting complement of
+    ts_outage_gaps: that key finds silence, this one finds surges,
+    with the spike magnitude attached.
+
+    Scale shape: the corpus collapses to the hourly series; the
+    neighbor LAG/LEAD and the trailing baseline share ONE
+    (event_type) window partitioning on the time-bucket table; the
+    output is spike-sized. Baselines are decimal-exact sums divided
+    once; ratios rounded at 4dp."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    win = Window.partitionBy("event_type").orderBy("hour")
+    base = win.rowsBetween(-24, -1)
+    w = hourly.select(
+        "event_type",
+        "hour",
+        "x",
+        F.lag("x").over(win).alias("prev_x"),
+        F.lead("x").over(win).alias("next_x"),
+        F.sum(F.col("x").cast("decimal(28,6)"))
+        .over(base)
+        .cast("double")
+        .alias("base_sum"),
+        F.count("*").over(base).alias("base_n"),
+    )
+    baseline = F.col("base_sum") / F.col("base_n")
+    return (
+        w.where(
+            F.col("prev_x").isNotNull()
+            & F.col("next_x").isNotNull()
+            & (F.col("base_n") >= 12)
+            & (F.col("x") > F.col("prev_x"))
+            & (F.col("x") > F.col("next_x"))
+            & (F.col("x") > 1.5 * baseline)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "x",
+            F.round(baseline, 4).alias("baseline"),
+            F.round(F.col("x") / baseline, 4).alias("spike_ratio"),
+        )
+        .orderBy("event_type", "hour")
+    )

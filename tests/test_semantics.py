@@ -3636,3 +3636,30 @@ def test_source_overlap_matches_python_sets(spark, sf_dir):
 
     srcs = sorted(vocab)
     assert seen == set(itertools.combinations(srcs, 2))
+
+
+def test_peak_detection_matches_pandas(spark, sf_dir):
+    """Replay the spike rule in pandas: local max + 1.5x trailing-24h
+    baseline with >= 12h of history."""
+    rows = {(r["event_type"], r["hour"]): r for r in
+            SPECS["ts_peak_detection"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    pdf["hour"] = pdf["ts"].dt.floor("h")
+    want = set()
+    for et, g in pdf.groupby("event_type"):
+        h = g.groupby("hour")["value"].sum().round(6).sort_index()
+        x = h.to_numpy()
+        idx = list(h.index)
+        for i in range(1, len(x) - 1):
+            lo = max(0, i - 24)
+            base = x[lo:i]
+            if len(base) < 12:
+                continue
+            bl = round(base.sum(), 6) / len(base)
+            if x[i] > x[i - 1] and x[i] > x[i + 1] and x[i] > 1.5 * bl:
+                want.add((et, idx[i].to_pydatetime()))
+                r = rows[(et, idx[i].to_pydatetime())]
+                assert abs(r["baseline"] - round(bl, 4)) < 1e-6
+                assert abs(r["spike_ratio"] - round(x[i] / bl, 4)) < 1e-6
+    assert set(rows) == want
