@@ -3660,6 +3660,9 @@ def test_peak_detection_matches_pandas(spark, sf_dir):
             if x[i] > x[i - 1] and x[i] > x[i + 1] and x[i] > 1.5 * bl:
                 want.add((et, idx[i].to_pydatetime()))
                 r = rows[(et, idx[i].to_pydatetime())]
-                assert abs(r["baseline"] - round(bl, 4)) < 1e-6
-                assert abs(r["spike_ratio"] - round(x[i] / bl, 4)) < 1e-6
+                # Python round is half-even, Spark's half-up on the
+                # shortest repr: boundary values differ by one 1e-4
+                # step; exact rounding is pinned by the DuckDB oracle.
+                assert abs(r["baseline"] - round(bl, 4)) <= 1.01e-4
+                assert abs(r["spike_ratio"] - round(x[i] / bl, 4)) <= 1.01e-4
     assert set(rows) == want
