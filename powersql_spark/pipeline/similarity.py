@@ -1011,3 +1011,117 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "sim_mips_transform",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+    nrm AS (
+        SELECT vec_id, label, v,
+               list_reduce(list_transform(v, x -> x * x),
+                           (a, b) -> a + b) AS sq
+        FROM e
+    ),
+    mx AS (SELECT MAX(sq) AS m2 FROM nrm),
+    scored AS (
+        SELECT n.vec_id, n.label,
+               round(list_reduce(list_transform(range(1, 65),
+                         i -> n.v[i] * q.qv[i]), (a, b) -> a + b), 4)
+                   AS inner_product,
+               -- augmented cosine: [x; sqrt(M^2 - |x|^2)] against
+               -- [q; 0] — proportional to the inner product with a
+               -- CONSTANT per-corpus norm M, so ranks must agree.
+               round(list_reduce(list_transform(range(1, 65),
+                         i -> n.v[i] * q.qv[i]), (a, b) -> a + b)
+                     / sqrt(mx.m2), 6) AS aug_cosine_scaled
+        FROM nrm n, q, mx
+        WHERE n.vec_id <> {_QUERY_VEC_ID}
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY inner_product DESC, vec_id)
+                   AS mips_rank,
+               ROW_NUMBER() OVER (ORDER BY aug_cosine_scaled DESC,
+                                  vec_id) AS aug_rank
+        FROM scored
+    )
+    SELECT CAST(mips_rank AS INTEGER) AS mips_rank, vec_id, label,
+           inner_product, aug_cosine_scaled,
+           mips_rank = aug_rank AS ranks_agree
+    FROM ranked
+    WHERE mips_rank <= {_TOPK}
+    ORDER BY mips_rank
+    """,
+)
+def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation
+    reduction (Shrivastava & Li 2014): appending sqrt(M^2 - |x|^2) to
+    every corpus vector (M = max corpus norm) and 0 to the query turns
+    MIPS into cosine search over the augmented space — every
+    cosine-only ANN index (LSH, IVF, HNSW) then serves inner-product
+    retrieval (recommender scoring) unchanged. The query emits the
+    exact MIPS top-10 with both scores and an in-query proof that the
+    two rankings agree (the reduction's guarantee: the augmented
+    cosine equals ip/(M*|q_aug|), a monotone transform).
+
+    Scale shape: norms are map-side; M is a 1-row broadcast; scoring
+    is one pass against the broadcast query; both rank windows run on
+    the scored table and the cut is rank-filtered. At index-serving
+    scale only the augmentation (map-only) touches the corpus."""
+    e = spark.table("embeddings").select(
+        "vec_id", "label", _to_double("embedding").alias("v")
+    )
+    q = e.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    sq = F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    nrm = e.select("vec_id", "label", "v", sq.alias("sq"))
+    mx = nrm.agg(F.max("sq").alias("m2"))
+    ip = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        nrm.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .join(F.broadcast(mx))
+        .select(
+            "vec_id",
+            "label",
+            F.round(ip, 4).alias("inner_product"),
+            F.round(ip / F.sqrt(F.col("m2")), 6).alias(
+                "aug_cosine_scaled"
+            ),
+        )
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("inner_product"), "vec_id"))
+        .cast("int")
+        .alias("mips_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("aug_cosine_scaled"), "vec_id"))
+        .alias("aug_rank"),
+    )
+    return (
+        ranked.where(F.col("mips_rank") <= _TOPK)
+        .select(
+            "mips_rank",
+            "vec_id",
+            "label",
+            "inner_product",
+            "aug_cosine_scaled",
+            (F.col("mips_rank") == F.col("aug_rank")).alias(
+                "ranks_agree"
+            ),
+        )
+        .orderBy("mips_rank")
+    )

@@ -2003,3 +2003,71 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "ts_week_over_week",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    w AS (
+        SELECT day, revenue,
+               LAG(revenue, 1) OVER (ORDER BY day) AS prev_day,
+               LAG(revenue, 7) OVER (ORDER BY day) AS prev_week
+        FROM daily
+    )
+    SELECT day, revenue,
+           CASE WHEN prev_day > 0 THEN
+               CAST(round(CAST(CAST(((revenue - prev_day) * 100.0
+                    / prev_day) AS VARCHAR) AS DECIMAL(38,18)), 2)
+                    AS DOUBLE) END AS dod_pct,
+           CASE WHEN prev_week > 0 THEN
+               CAST(round(CAST(CAST(((revenue - prev_week) * 100.0
+                    / prev_week) AS VARCHAR) AS DECIMAL(38,18)), 2)
+                    AS DOUBLE) END AS wow_pct
+    FROM w
+    ORDER BY day
+    """,
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week revenue change — the first
+    panel of every business dashboard. WoW (lag 7) is the
+    seasonality-free comparison: it compares Monday to Monday, so the
+    weekly cycle that whipsaws DoD cancels out.
+
+    Scale shape: one corpus collapse to the daily series; both lags
+    share one sort of the time-bucket table. Daily revenues are
+    decimal-exact; the percentage changes are terminating rationals,
+    so the oracle replays Spark's shortest-repr rounding
+    (sql_jround)."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("day")
+    wd = daily.select(
+        "day",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("prev_day"),
+        F.lag("revenue", 7).over(w).alias("prev_week"),
+    )
+    def pct(prev):
+        return F.when(
+            F.col(prev) > 0,
+            F.round(
+                (F.col("revenue") - F.col(prev)) * 100.0 / F.col(prev), 2
+            ),
+        )
+
+    return wd.select(
+        "day",
+        "revenue",
+        pct("prev_day").alias("dod_pct"),
+        pct("prev_week").alias("wow_pct"),
+    ).orderBy("day")

@@ -359,6 +359,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_entropy_char",
     "profile_source_overlap",
     "ts_peak_detection",
+    "sim_mips_transform",
+    "ts_week_over_week",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -3666,3 +3666,50 @@ def test_peak_detection_matches_pandas(spark, sf_dir):
                 assert abs(r["baseline"] - round(bl, 4)) <= 1.01e-4
                 assert abs(r["spike_ratio"] - round(x[i] / bl, 4)) <= 1.01e-4
     assert set(rows) == want
+
+
+def test_mips_reduction_ranks_agree_and_match_numpy(spark, sf_dir):
+    """The norm-augmentation guarantee: every returned row has
+    ranks_agree=True; the MIPS top-10 matches a numpy inner-product
+    argsort."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["sim_mips_transform"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    vec = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in em}
+    if 0 not in vec:
+        assert got == []
+        return
+    q = vec[0]
+    ips = {i: round(float(v @ q), 4) for i, v in vec.items() if i != 0}
+    want = sorted(ips.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r["vec_id"] for r in got] == [i for i, _ in want]
+    for r, (i, ip) in zip(got, want):
+        assert abs(r["inner_product"] - ip) < 2e-4
+        assert r["ranks_agree"] is True
+
+
+def test_week_over_week_matches_pandas(spark, sf_dir):
+    rows = {r["day"]: r for r in
+            SPECS["ts_week_over_week"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    daily = (
+        pdf.assign(day=pdf["ts"].dt.date)
+        .groupby("day")["value"].sum().round(6).sort_index()
+    )
+    days = list(daily.index)
+    x = daily.to_numpy()
+    for i, d in enumerate(days):
+        r = rows[d]
+        assert abs(r["revenue"] - x[i]) < 1e-6
+        for lagn, col in ((1, "dod_pct"), (7, "wow_pct")):
+            if i >= lagn and x[i - lagn] > 0:
+                want = round((x[i] - x[i - lagn]) * 100 / x[i - lagn], 2)
+                assert abs(r[col] - want) <= 1.01e-2
+            else:
+                assert r[col] is None
