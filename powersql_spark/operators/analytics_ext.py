@@ -1610,3 +1610,185 @@ def window_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction across the per-segment tests.
+#
+# BH rejects the top-i tests (by |z| descending == p ascending) where
+# |z|_(i) clears the two-sided critical value for alpha*i/m. With m=5
+# segments and alpha=0.05 the five critical values are constants —
+# embedded as literals so no inverse-normal function is needed in
+# either engine (Spark SQL has no erf/probit).
+# ---------------------------------------------------------------------------
+
+_BH_CRIT = (2.5758, 2.3263, 2.1701, 2.0537, 1.96)
+_BH_CRIT_SQL = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(_BH_CRIT))
+
+
+@query(
+    "stats_bh_correction",
+    oracle=f"""
+    WITH welch_s AS (
+        SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM (SELECT event_type, value,
+                     substr(md5(CAST(user_id AS VARCHAR) || ':welch'),
+                            1, 1) < '8' AS is_a
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type
+    ),
+    t AS (
+        SELECT event_type,
+               abs({sql_jround(_EXP_WELCH_T, 4)}) AS abs_t,
+               {sql_jround(_EXP_WELCH_T, 4)} AS t_stat
+        FROM welch_s
+    ),
+    ranked AS (
+        SELECT event_type, t_stat, abs_t,
+               ROW_NUMBER() OVER (ORDER BY abs_t DESC, event_type)
+                   AS bh_rank
+        FROM t
+    ),
+    crit(r, z_crit) AS (VALUES {_BH_CRIT_SQL}),
+    flags AS (
+        SELECT ranked.*, crit.z_crit,
+               ranked.abs_t >= crit.z_crit AS clears
+        FROM ranked JOIN crit ON crit.r = ranked.bh_rank
+    ),
+    cutoff AS (
+        SELECT COALESCE(MAX(bh_rank), 0) AS k
+        FROM flags WHERE clears
+    )
+    SELECT event_type, t_stat, CAST(bh_rank AS INTEGER) AS bh_rank,
+           CAST(z_crit AS DOUBLE) AS z_crit,
+           bh_rank <= cutoff.k AS significant_fdr,
+           abs_t > 1.96 AS significant_uncorrected
+    FROM flags, cutoff
+    ORDER BY bh_rank
+    """,
+)
+def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction across the
+    five per-segment Welch tests: the multiple-testing guard every
+    platform applies when one experiment reads out many metrics (at
+    alpha=.05, five uncorrected tests have a ~23% family-wise false
+    positive rate). Tests are ranked by |t| descending (= p
+    ascending); BH rejects ranks 1..k where k is the LARGEST rank
+    whose statistic clears the alpha*r/m critical value — embedded as
+    five literal z-values so neither engine needs an inverse-normal
+    function. Emits both corrected and uncorrected verdicts so the
+    difference is visible.
+
+    Scale shape: the same single-scan constant-state collapse as
+    stats_welch_ttest; ranking, the critical-value join (5x5), and
+    the cutoff scalar all run on the five-row test table."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":welch")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    dec = "decimal(28,6)"
+    ws = (
+        e.select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_b"),
+            F.sum(
+                F.when(
+                    F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_a"),
+            F.sum(
+                F.when(
+                    ~F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_b"),
+        )
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (
+        F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t = F.round(
+        (mean_b - mean_a)
+        / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+        4,
+    )
+    tt = ws.select(
+        "event_type", t.alias("t_stat"), F.abs(t).alias("abs_t")
+    )
+    ranked = tt.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("abs_t"), "event_type"))
+        .alias("bh_rank"),
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_BH_CRIT)], ["r", "z_crit"]
+    )
+    flags = ranked.join(
+        F.broadcast(crit), ranked.bh_rank == F.col("r")
+    ).select(
+        "event_type",
+        "t_stat",
+        "abs_t",
+        "bh_rank",
+        "z_crit",
+        (F.col("abs_t") >= F.col("z_crit")).alias("clears"),
+    )
+    cutoff = flags.agg(
+        F.coalesce(
+            F.max(F.when(F.col("clears"), F.col("bh_rank"))), F.lit(0)
+        ).alias("k")
+    )
+    return (
+        flags.join(F.broadcast(cutoff))
+        .select(
+            "event_type",
+            "t_stat",
+            F.col("bh_rank").cast("int").alias("bh_rank"),
+            "z_crit",
+            (F.col("bh_rank") <= F.col("k")).alias("significant_fdr"),
+            (F.col("abs_t") > 1.96).alias("significant_uncorrected"),
+        )
+        .orderBy("bh_rank")
+    )

@@ -361,6 +361,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_peak_detection",
     "sim_mips_transform",
     "ts_week_over_week",
+    "stats_bh_correction",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

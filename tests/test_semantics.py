@@ -3713,3 +3713,28 @@ def test_week_over_week_matches_pandas(spark, sf_dir):
                 assert abs(r[col] - want) <= 1.01e-2
             else:
                 assert r[col] is None
+
+
+def test_bh_correction_replays_procedure(spark, sf_dir):
+    """Replay BH in Python from the welch t-stats: ranks by |t|, the
+    max clearing rank is the cutoff, and FDR-significant implies
+    uncorrected-significant (BH thresholds are >= 1.96 here)."""
+    rows = SPECS["stats_bh_correction"].fn(spark, sf_dir).collect()
+    welch = {r["event_type"]: r["t_stat"] for r in
+             SPECS["stats_welch_ttest"].fn(spark, sf_dir).collect()}
+    crit = [2.5758, 2.3263, 2.1701, 2.0537, 1.96]
+    order = sorted(
+        welch, key=lambda et: (-abs(welch[et]), et)
+    )
+    k = 0
+    for i, et in enumerate(order, 1):
+        if abs(welch[et]) >= crit[i - 1]:
+            k = i
+    by_rank = sorted(rows, key=lambda r: r["bh_rank"])
+    assert [r["event_type"] for r in by_rank] == order
+    for i, r in enumerate(by_rank, 1):
+        assert abs(r["t_stat"] - welch[r["event_type"]]) < 1e-9
+        assert r["z_crit"] == crit[i - 1]
+        assert r["significant_fdr"] == (i <= k)
+        if r["significant_fdr"]:
+            assert r["significant_uncorrected"]
