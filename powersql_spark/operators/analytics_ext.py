@@ -1792,3 +1792,240 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bh_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite pipeline-observability readout — the ops dashboard as ONE
+# query, each row hash-agreeing with its standalone key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_observability_e2e",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, MAX(ts) AS latest_ts FROM events
+        GROUP BY event_type
+    ),
+    fresh AS (
+        SELECT event_type AS stream, 'freshness_lag_min' AS check_name,
+               CAST((epoch_us(MAX(latest_ts) OVER ()) - epoch_us(latest_ts))
+                    // 60000000 AS DOUBLE) AS value
+        FROM per_type
+    ),
+    gaps AS (
+        SELECT event_type, ts,
+               LAG(ts) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    outage AS (
+        SELECT event_type AS stream, 'outage_count' AS check_name,
+               CAST(COUNT(CASE WHEN prev_ts IS NOT NULL
+                    AND epoch_us(ts) - epoch_us(prev_ts) > 30 * 60000000
+                    THEN 1 END) AS DOUBLE) AS value
+        FROM gaps GROUP BY event_type
+    ),
+    b AS (
+        SELECT event_id, ts, event_type,
+               CAST(FLOOR(event_id / 1000) AS BIGINT) AS bkt
+        FROM events
+    ),
+    inb AS (
+        SELECT *, MAX(ts) OVER (PARTITION BY bkt ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_in
+        FROM b
+    ),
+    bm AS (SELECT bkt, MAX(ts) AS bmax FROM b GROUP BY bkt),
+    pm AS (
+        SELECT bkt, MAX(bmax) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_b
+        FROM bm
+    ),
+    late AS (
+        SELECT event_type AS stream, 'late_pct' AS check_name,
+               CAST(round(CAST(CAST((SUM(CASE WHEN ts <
+                    GREATEST(COALESCE(prev_in, TIMESTAMP '1970-01-01'),
+                             COALESCE(prev_b, TIMESTAMP '1970-01-01'))
+                    - INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+                    * 100.0 / COUNT(*)) AS VARCHAR) AS DECIMAL(38,18)),
+                    4) AS DOUBLE) AS value
+        FROM inb JOIN pm USING (bkt)
+        GROUP BY event_type
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    pw AS (
+        SELECT event_type, x,
+               LAG(x) OVER win AS prev_x, LEAD(x) OVER win AS next_x,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (
+                    PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+                    AS DOUBLE) AS base_sum,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS base_n
+        FROM hourly
+        WINDOW win AS (PARTITION BY event_type ORDER BY hour)
+    ),
+    spikes AS (
+        SELECT event_type AS stream, 'spike_count' AS check_name,
+               CAST(COUNT(CASE WHEN prev_x IS NOT NULL
+                    AND next_x IS NOT NULL AND base_n >= 12
+                    AND x > prev_x AND x > next_x
+                    AND x > 1.5 * (base_sum / base_n) THEN 1 END)
+                    AS DOUBLE) AS value
+        FROM pw GROUP BY event_type
+    ),
+    unioned AS (
+        SELECT * FROM fresh
+        UNION ALL SELECT * FROM outage
+        UNION ALL SELECT * FROM late
+        UNION ALL SELECT * FROM spikes
+    )
+    SELECT stream, check_name, value,
+           CASE check_name
+                WHEN 'freshness_lag_min' THEN value > 60
+                WHEN 'outage_count' THEN value > 1000
+                WHEN 'late_pct' THEN value > 1.0
+                ELSE value > 10 END AS flagged
+    FROM unioned
+    ORDER BY stream, check_name
+    """,
+)
+def pipeline_observability_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-health dashboard as ONE declarative query: per
+    stream, its freshness lag, outage-hole count, watermark late-data
+    percentage, and traffic-spike count — normalized to (stream,
+    check, value, flagged) rows, each agreeing with its standalone
+    key (profile_freshness_lag / ts_outage_gaps / stream_late_audit /
+    ts_peak_detection). One result set = one pager view; a flagged
+    freshness row explains a flagged outage row next to it, which is
+    why they belong together.
+
+    Scale shape: four independent collapses of the corpus — each the
+    same plan as its standalone key (keyed windows, bucketed prefix
+    max, hourly buckets) — unioned at category size. Nothing new is
+    computed; the composition is the deliverable."""
+    e = spark.table("events")
+    # freshness
+    per_type = e.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    gm = F.max("latest_ts").over(Window.partitionBy())
+    fresh = per_type.select(
+        F.col("event_type").alias("stream"),
+        F.lit("freshness_lag_min").alias("check_name"),
+        (
+            (F.unix_micros(gm) - F.unix_micros(F.col("latest_ts")))
+            / 60000000
+        )
+        .cast("bigint")
+        .cast("double")
+        .alias("value"),
+    )
+    # outages
+    wg = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", "ts", F.lag("ts").over(wg).alias("prev_ts")
+    )
+    dur = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    outage = gaps.groupBy(
+        F.col("event_type").alias("stream")
+    ).agg(
+        F.count(
+            F.when(F.col("prev_ts").isNotNull() & (dur > 30 * 60000000), 1)
+        )
+        .cast("double")
+        .alias("value")
+    ).select("stream", F.lit("outage_count").alias("check_name"), "value")
+    # late pct (two-phase prefix max)
+    b = e.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("event_id") / F.lit(1000)).cast("bigint").alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inb = b.select(
+        "event_type", "ts", "bkt", F.max("ts").over(w_in).alias("prev_in")
+    )
+    bm = b.groupBy("bkt").agg(F.max("ts").alias("bmax"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pm = bm.select("bkt", F.max("bmax").over(w_b).alias("prev_b"))
+    epoch = F.lit("1970-01-01").cast("timestamp")
+    wm = F.greatest(
+        F.coalesce(F.col("prev_in"), epoch),
+        F.coalesce(F.col("prev_b"), epoch),
+    )
+    is_late = F.when(
+        F.col("ts") < wm - F.expr("INTERVAL 10 MINUTES"), 1
+    ).otherwise(0)
+    late = (
+        inb.join(F.broadcast(pm), "bkt")
+        .groupBy(F.col("event_type").alias("stream"))
+        .agg(
+            F.round(
+                F.sum(is_late) * 100.0 / F.count("*"), 4
+            ).alias("value")
+        )
+        .select("stream", F.lit("late_pct").alias("check_name"), "value")
+    )
+    # spikes
+    ev = e.where(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    win = Window.partitionBy("event_type").orderBy("hour")
+    base = win.rowsBetween(-24, -1)
+    pwd = hourly.select(
+        "event_type",
+        "x",
+        F.lag("x").over(win).alias("prev_x"),
+        F.lead("x").over(win).alias("next_x"),
+        F.sum(F.col("x").cast("decimal(28,6)"))
+        .over(base)
+        .cast("double")
+        .alias("base_sum"),
+        F.count("*").over(base).alias("base_n"),
+    )
+    spike_cond = (
+        F.col("prev_x").isNotNull()
+        & F.col("next_x").isNotNull()
+        & (F.col("base_n") >= 12)
+        & (F.col("x") > F.col("prev_x"))
+        & (F.col("x") > F.col("next_x"))
+        & (F.col("x") > 1.5 * (F.col("base_sum") / F.col("base_n")))
+    )
+    spikes = (
+        pwd.groupBy(F.col("event_type").alias("stream"))
+        .agg(
+            F.count(F.when(spike_cond, 1)).cast("double").alias("value")
+        )
+        .select(
+            "stream", F.lit("spike_count").alias("check_name"), "value"
+        )
+    )
+    unioned = fresh.unionAll(outage).unionAll(late).unionAll(spikes)
+    flagged = (
+        F.when(
+            F.col("check_name") == "freshness_lag_min", F.col("value") > 60
+        )
+        .when(F.col("check_name") == "outage_count", F.col("value") > 1000)
+        .when(F.col("check_name") == "late_pct", F.col("value") > 1.0)
+        .otherwise(F.col("value") > 10)
+    )
+    return unioned.select(
+        "stream", "check_name", "value", flagged.alias("flagged")
+    ).orderBy("stream", "check_name")

@@ -3738,3 +3738,36 @@ def test_bh_correction_replays_procedure(spark, sf_dir):
         assert r["significant_fdr"] == (i <= k)
         if r["significant_fdr"]:
             assert r["significant_uncorrected"]
+
+
+def test_observability_e2e_agrees_with_component_keys(spark, sf_dir):
+    """Every dashboard row equals the standalone key computing the
+    same quantity."""
+    rows = {(r["stream"], r["check_name"]): r for r in
+            SPECS["pipeline_observability_e2e"].fn(spark, sf_dir).collect()}
+    fresh = {r["event_type"]: r for r in
+             SPECS["profile_freshness_lag"].fn(spark, sf_dir).collect()}
+    for et, fr in fresh.items():
+        r = rows[(et, "freshness_lag_min")]
+        assert r["value"] == float(fr["lag_minutes"])
+        assert r["flagged"] == fr["stale"]
+    from collections import Counter
+
+    gaps = Counter(
+        r["event_type"]
+        for r in SPECS["ts_outage_gaps"].fn(spark, sf_dir).collect()
+    )
+    for et in fresh:
+        assert rows[(et, "outage_count")]["value"] == float(gaps.get(et, 0))
+    late = {r["event_type"]: r for r in
+            SPECS["stream_late_audit"].fn(spark, sf_dir).collect()}
+    for et, lr in late.items():
+        assert abs(rows[(et, "late_pct")]["value"] - lr["late_pct"]) < 1e-9
+    spikes = Counter(
+        r["event_type"]
+        for r in SPECS["ts_peak_detection"].fn(spark, sf_dir).collect()
+    )
+    for et in fresh:
+        assert rows[(et, "spike_count")]["value"] == float(
+            spikes.get(et, 0)
+        )
