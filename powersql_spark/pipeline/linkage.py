@@ -89,3 +89,113 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_b"),
         )
     )
+
+
+# Geospatial: deterministic synthetic coordinates from the customer key
+# (integer-derived, exact doubles on both engines), 1-degree grid cells.
+_GEO_R_KM = 6371.0088
+_GEO_LAT = "(30.0 + (c_custkey * 7919 % 2000) / 100.0)"
+_GEO_LON = "(-100.0 + (c_custkey * 104729 % 4000) / 100.0)"
+_GEO_RADIUS_KM = 100.0
+
+_HAVERSINE = (
+    f"(2 * {_GEO_R_KM} * asin(sqrt("
+    "pow(sin(radians(lat_b - lat_a) / 2), 2)"
+    " + cos(radians(lat_a)) * cos(radians(lat_b))"
+    " * pow(sin(radians(lon_b - lon_a) / 2), 2))))"
+)
+
+
+@query(
+    "join_geo_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               {_GEO_LAT} AS lat, {_GEO_LON} AS lon,
+               CAST(FLOOR({_GEO_LAT}) AS BIGINT) AS cy,
+               CAST(FLOOR({_GEO_LON}) AS BIGINT) AS cx
+        FROM customer
+    ),
+    probe AS (
+        SELECT id, lat, lon, cy + dy AS cy, cx + dx AS cx
+        FROM pts,
+             unnest([-1, 0, 1]) AS u(dy),
+             unnest([-1, 0, 1]) AS v(dx)
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               round({_HAVERSINE.replace("lat_a", "a.lat")
+                                .replace("lon_a", "a.lon")
+                                .replace("lat_b", "b.lat")
+                                .replace("lon_b", "b.lon")}, 3) AS km
+        FROM probe a JOIN pts b
+          ON a.cy = b.cy AND a.cx = b.cx AND a.id < b.id
+    )
+    SELECT id_a, id_b, km
+    FROM pairs WHERE km < {_GEO_RADIUS_KM}
+    ORDER BY id_a, id_b
+    """,
+)
+def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius join via grid-cell blocking: all point pairs
+    within 100 km by haversine distance, where candidates come from a
+    1-degree grid — one side probes its 3x3 cell neighborhood (a
+    9-way constant fan-out), the other stays put, and the pairing is
+    an EQUI-join on the cell key with the exact distance as a
+    post-filter. This is THE scale pattern for spatial joins (the
+    same block-then-verify shape as dedup blocking): a naive
+    distance join is all-pairs, the grid bounds candidates to
+    neighbor cells. Coordinates are integer-derived from the customer
+    key, so both engines see identical doubles.
+
+    Scale shape: map-only cell assignment, constant 9x fan-out on the
+    probe side, cell-keyed equi-join (never cartesian), distance math
+    on candidates only; at 100 TB the cell size trades fan-out
+    against per-cell density exactly like LSH band tuning. Distances
+    round at 3dp before the radius compare so the kept set is
+    engine-identical."""
+    c = spark.table("customer")
+    lat = F.expr(_GEO_LAT)
+    lon = F.expr(_GEO_LON)
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor(lat).cast("bigint").alias("cy"),
+        F.floor(lon).cast("bigint").alias("cx"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    pts = track_persist(pts)
+    offsets = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        ["dy", "dx"],
+    )
+    probe = pts.crossJoin(F.broadcast(offsets)).select(
+        "id",
+        "lat",
+        "lon",
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+    )
+    a = probe.alias("a")
+    b = pts.alias("b")
+    hav = F.expr(
+        _HAVERSINE.replace("lat_a", "a.lat")
+        .replace("lon_a", "a.lon")
+        .replace("lat_b", "b.lat")
+        .replace("lon_b", "b.lon")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cy") == F.col("b.cy"))
+        & (F.col("a.cx") == F.col("b.cx"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(hav, 3).alias("km"),
+    )
+    return pairs.where(F.col("km") < _GEO_RADIUS_KM).orderBy(
+        "id_a", "id_b"
+    )

@@ -363,6 +363,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_week_over_week",
     "stats_bh_correction",
     "pipeline_observability_e2e",
+    "join_geo_grid",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

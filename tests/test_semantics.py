@@ -3771,3 +3771,38 @@ def test_observability_e2e_agrees_with_component_keys(spark, sf_dir):
         assert rows[(et, "spike_count")]["value"] == float(
             spikes.get(et, 0)
         )
+
+
+def test_geo_grid_join_matches_numpy_haversine(spark, sf_dir):
+    """Recompute all within-100km pairs with numpy haversine over the
+    same synthetic coordinates — grid blocking must be LOSSLESS (a
+    1-degree cell is ~111km at this latitude band, so the 3x3
+    neighborhood covers the 100km radius)."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    got = {(r["id_a"], r["id_b"]): r["km"] for r in
+           SPECS["join_geo_grid"].fn(spark, sf_dir).collect()}
+    load_tables(spark, sf_dir, ("customer",))
+    keys = [r["c_custkey"] for r in
+            spark.table("customer").select("c_custkey").collect()]
+    keys = np.array(sorted(keys))
+    lat = 30.0 + (keys * 7919 % 2000) / 100.0
+    lon = -100.0 + (keys * 104729 % 4000) / 100.0
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    want = {}
+    R = 6371.0088
+    for i in range(len(keys)):
+        dphi = phi - phi[i]
+        dlam = lam - lam[i]
+        d = 2 * R * np.arcsin(np.sqrt(
+            np.sin(dphi / 2) ** 2
+            + np.cos(phi[i]) * np.cos(phi) * np.sin(dlam / 2) ** 2
+        ))
+        for j in np.nonzero((np.round(d, 3) < 100.0) & (keys > keys[i]))[0]:
+            want[(int(keys[i]), int(keys[j]))] = round(float(d[j]), 3)
+    assert set(got) == set(want)
+    for k, km in got.items():
+        assert abs(km - want[k]) < 2e-3
