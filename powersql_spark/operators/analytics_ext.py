@@ -2029,3 +2029,95 @@ def pipeline_observability_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unioned.select(
         "stream", "check_name", "value", flagged.alias("flagged")
     ).orderBy("stream", "check_name")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across event types.
+# ---------------------------------------------------------------------------
+
+_ANOVA_F = (
+    "((ss_between / (k - 1)) / (ss_within / (n - k)))"
+)
+
+
+@query(
+    "stats_anova_oneway",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               COUNT(*) AS n_g,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s_g,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS q_g
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    tot AS (
+        SELECT COUNT(*) AS k, SUM(n_g) AS n,
+               CAST(SUM(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE) AS s,
+               SUM(s_g * s_g / n_g) AS group_sq,
+               CAST(SUM(CAST(q_g AS DECIMAL(28,6))) AS DOUBLE) AS q
+        FROM g
+    ),
+    f AS (
+        SELECT k, n,
+               group_sq - s * s / n AS ss_between,
+               q - group_sq AS ss_within
+        FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_obs,
+           {{jr_between}} AS ss_between,
+           {{jr_within}} AS ss_within,
+           round({_ANOVA_F}, 4) AS f_stat,
+           round({_ANOVA_F}, 4) > 2.372 AS significant_5pct
+    FROM f
+    """.format(
+        jr_between=sql_jround("ss_between", 4),
+        jr_within=sql_jround("ss_within", 4),
+    ),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five event types: does mean event
+    value differ by type at all? (the k-group generalization of the
+    two-sample t — run this BEFORE five pairwise comparisons).
+    F = (between-group SS / (k-1)) / (within-group SS / (n-k)); at
+    df (4, large) the 5% critical value is the literal 2.372, so no
+    F-distribution function is needed in either engine.
+
+    Scale shape: one scan collapsing to three decimal power sums per
+    group (map-side combinable), then scalar arithmetic on the
+    five-row group table. The sums-of-squares are terminating
+    rationals (2dp inputs) — sql_jround; F divides two of them and
+    rounds plainly."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    dec = "decimal(28,6)"
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("s_g"),
+        F.sum((F.col("value") * F.col("value")).cast(dec))
+        .cast("double")
+        .alias("q_g"),
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("s_g").cast(dec)).cast("double").alias("s"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias(
+            "group_sq"
+        ),
+        F.sum(F.col("q_g").cast(dec)).cast("double").alias("q"),
+    )
+    ssb = F.col("group_sq") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("group_sq")
+    fstat = F.round(
+        (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+    )
+    return tot.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        fstat.alias("f_stat"),
+        (fstat > 2.372).alias("significant_5pct"),
+    )

@@ -1548,3 +1548,71 @@ def text_entropy_char(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("char_entropy") < 2.0).alias("low_entropy_flag"),
         )
     )
+
+
+@query(
+    "text_readability",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syll,
+               CAST(len(regexp_extract_all(text, '[.!?]')) + 1 AS BIGINT)
+                   AS n_sents
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_syll, n_sents,
+           CAST(round(CAST(CAST((206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                - 84.6 * (CAST(n_syll AS DOUBLE) / n_words))
+                AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE)
+               AS flesch_score
+    FROM t WHERE n_words > 0
+    ORDER BY doc_id
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with the standard
+    syllable proxy (vowel-group count — exact syllabification needs
+    a dictionary; the proxy tracks it closely enough for FILTERING,
+    which is all a data pipeline needs): 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words). The readability band is a
+    common curation feature next to the entropy/stopword signals —
+    legalese and OCR junk both fall out of range.
+
+    Scale shape: map-only regexp counting (codegen, no Python), one
+    scan, no shuffle. The score is a terminating rational of three
+    integers — sql_jround replays Spark's rounding."""
+    d = spark.table("documents")
+    n_words = F.size(_tokens()).cast("bigint")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    n_sents = (
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")) + 1
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+        n_sents.alias("n_sents"),
+    )
+    score = F.round(
+        206.835
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+        2,
+    )
+    return (
+        t.where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_syll",
+            "n_sents",
+            score.alias("flesch_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -364,6 +364,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_bh_correction",
     "pipeline_observability_e2e",
     "join_geo_grid",
+    "stats_anova_oneway",
+    "text_readability",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -3806,3 +3806,47 @@ def test_geo_grid_join_matches_numpy_haversine(spark, sf_dir):
     assert set(got) == set(want)
     for k, km in got.items():
         assert abs(km - want[k]) < 2e-3
+
+
+def test_anova_matches_numpy(spark, sf_dir):
+    """Recompute one-way ANOVA F with numpy group sums."""
+    import numpy as np
+
+    r = SPECS["stats_anova_oneway"].fn(spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    groups = [g["value"].to_numpy() for _, g in pdf.groupby("event_type")]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.concatenate(groups).sum()
+    ssb = sum(g.sum() ** 2 / len(g) for g in groups) - grand**2 / n
+    ssw = sum((g**2).sum() for g in groups) - sum(
+        g.sum() ** 2 / len(g) for g in groups
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["n_groups"] == k and r["n_obs"] == n
+    assert abs(r["ss_between"] - ssb) / max(abs(ssb), 1) < 1e-6
+    assert abs(r["ss_within"] - ssw) / max(abs(ssw), 1) < 1e-6
+    assert abs(r["f_stat"] - round(float(f), 4)) < 1e-3
+    assert r["significant_5pct"] == (r["f_stat"] > 2.372)
+
+
+def test_readability_matches_python(spark, sf_dir):
+    """Recompute the Flesch proxy with Python regexes."""
+    import re as _re
+
+    from powersql_spark.catalog import load_tables
+
+    got = {r["doc_id"]: r for r in
+           SPECS["text_readability"].fn(spark, sf_dir).collect()}
+    load_tables(spark, sf_dir, ("documents",))
+    for row in spark.table("documents").select("doc_id", "text").collect():
+        words = len(_re.split(r"\s+", row["text"].strip()))
+        syll = len(_re.findall(r"[aeiouy]+", row["text"].lower()))
+        sents = len(_re.findall(r"[.!?]", row["text"])) + 1
+        r = got[row["doc_id"]]
+        assert (r["n_words"], r["n_syll"], r["n_sents"]) == (
+            words, syll, sents,
+        )
+        want = round(206.835 - 1.015 * words / sents - 84.6 * syll / words, 2)
+        assert abs(r["flesch_score"] - want) <= 1.01e-2
