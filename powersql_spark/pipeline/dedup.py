@@ -2222,3 +2222,135 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_candidate") >= 0.9).alias("catches"),
         (F.col("p_candidate") <= 0.1).alias("rejects"),
     ).orderBy(F.desc("bands"), "s")
+
+
+_SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+_SWEEP_SQL = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+
+
+@query(
+    "curation_dedup_threshold_sweep",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               CAST(n_chars // 64 AS INTEGER) AS len_bucket,
+               string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, source, len_bucket,
+               CASE WHEN len(t) >= 2 THEN
+                   list_distinct(
+                       list_transform(
+                           range(1, len(t)),
+                           i -> list_extract(t, i) || ' '
+                                || list_extract(t, i + 1)
+                       )
+                   )
+               ELSE list_distinct(t) END AS shingles
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles))
+                     AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
+                   AS jaccard
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles)))
+              >= {_JACCARD_THRESHOLD}
+    ),
+    n_t AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sweep(threshold) AS (VALUES {_SWEEP_SQL})
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST(COUNT(CASE WHEN jaccard >= threshold THEN 1 END)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN jaccard >= threshold
+                THEN doc_b END) AS BIGINT) AS n_docs_removed,
+           CASE WHEN MAX(n_t.n_docs) > 0 THEN
+           CAST(round(CAST(CAST((COUNT(DISTINCT CASE WHEN jaccard >=
+                threshold THEN doc_b END) * 100.0 / MAX(n_t.n_docs))
+                AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)
+           END AS pct_removed
+    FROM sweep CROSS JOIN n_t LEFT JOIN pairs ON TRUE
+    GROUP BY threshold
+    ORDER BY threshold
+    """,
+)
+def curation_dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup threshold planning table: for each candidate Jaccard
+    threshold, how many near-dup pairs exist and how many documents a
+    min-id-keep pass would remove (plus the corpus percentage) — the
+    what-will-this-cost-me readout an engineer studies BEFORE
+    committing a 100 TB dedup run to one threshold (pair with
+    dedup_lsh_tuning_curve, which prices the LSH side of the same
+    decision). Sweep floors at 0.3 — the prefix filter's losslessness
+    bound — so every row is exact.
+
+    Scale shape: the blocked pair stage is computed ONCE (the same
+    sub-quadratic prefix-filtered candidates as dedup_ngram_jaccard)
+    and the sweep is conditional aggregation over a 4-row threshold
+    dimension — thresholds share the pair scan instead of re-running
+    it. Jaccards round at 6dp before every compare."""
+    sh = track_persist(_doc_shingles(spark))
+    candidates = _prefix_filtered_candidates(sh, _JACCARD_THRESHOLD)
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    pairs = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(common.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(
+            (common.cast("double") / union) >= _JACCARD_THRESHOLD
+        )
+    )
+    n_t = spark.table("documents").agg(F.count("*").alias("n_docs"))
+    sweep = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], ["threshold"]
+    )
+    joined = sweep.crossJoin(F.broadcast(n_t)).join(
+        F.broadcast(pairs), F.lit(True), "left"
+    )
+    hit = F.col("jaccard") >= F.col("threshold")
+    return (
+        joined.groupBy("threshold")
+        .agg(
+            F.count(F.when(hit, 1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("doc_b")))
+            .cast("bigint")
+            .alias("n_docs_removed"),
+            F.when(
+                F.max("n_docs") > 0,
+                F.round(
+                    F.countDistinct(F.when(hit, F.col("doc_b")))
+                    * 100.0
+                    / F.max("n_docs"),
+                    4,
+                ),
+            ).alias("pct_removed"),
+        )
+        .select(
+            F.col("threshold").cast("double").alias("threshold"),
+            "n_pairs",
+            "n_docs_removed",
+            "pct_removed",
+        )
+        .orderBy("threshold")
+    )

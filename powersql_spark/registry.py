@@ -366,6 +366,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_geo_grid",
     "stats_anova_oneway",
     "text_readability",
+    "curation_dedup_threshold_sweep",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

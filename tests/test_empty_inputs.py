@@ -60,6 +60,9 @@ def test_runs_on_empty_input(spark, key):
         # closed-form advisor over a constant VALUES grid — reads no
         # tables at all, so its output is input-independent.
         "dedup_lsh_tuning_curve",
+        # threshold-dimension report: an empty corpus still yields one
+        # zero-count row per candidate threshold, the correct answer.
+        "curation_dedup_threshold_sweep",
     }
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"

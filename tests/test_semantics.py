@@ -3850,3 +3850,20 @@ def test_readability_matches_python(spark, sf_dir):
         )
         want = round(206.835 - 1.015 * words / sents - 84.6 * syll / words, 2)
         assert abs(r["flesch_score"] - want) <= 1.01e-2
+
+
+def test_dedup_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    """Counts must be non-increasing in the threshold, and the 0.3 row
+    must equal the dedup_ngram_jaccard pair count."""
+    rows = sorted(
+        SPECS["curation_dedup_threshold_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.3, 0.5, 0.7, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs_removed"] >= b["n_docs_removed"]
+    base_pairs = SPECS["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    assert rows[0]["n_pairs"] == len(base_pairs)
+    removed = {r["doc_b"] for r in base_pairs}
+    assert rows[0]["n_docs_removed"] == len(removed)
