@@ -2121,3 +2121,132 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         fstat.alias("f_stat"),
         (fstat > 2.372).alias("significant_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence testing per event segment.
+# ---------------------------------------------------------------------------
+
+_TOST_DELTA = 5.0
+_TOST_SE = (
+    "sqrt(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a"
+    " + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)"
+)
+_TOST_DIFF = "((s_b / n_b) - (s_a / n_a))"
+
+
+@query(
+    "stats_tost_equivalence",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM (SELECT event_type, value,
+                     substr(md5(CAST(user_id AS VARCHAR) || ':welch'),
+                            1, 1) < '8' AS is_a
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {sql_jround(_TOST_DIFF, 4)} AS mean_diff,
+           round(({_TOST_DIFF} + {_TOST_DELTA}) / {_TOST_SE}, 4)
+               AS t_lower,
+           round(({_TOST_DELTA} - {_TOST_DIFF}) / {_TOST_SE}, 4)
+               AS t_upper,
+           LEAST(round(({_TOST_DIFF} + {_TOST_DELTA}) / {_TOST_SE}, 4),
+                 round(({_TOST_DELTA} - {_TOST_DIFF}) / {_TOST_SE}, 4))
+               > 1.645 AS equivalent_5pct
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test per event_type (two one-sided t tests,
+    margin ±5 units): the readout that can POSITIVELY conclude "the
+    arms are the same" — a non-significant difference test never can
+    (absence of evidence). This is how platforms sign off
+    no-regression launches and infra migrations; the margin is the
+    largest difference considered practically irrelevant. Equivalent
+    at 5% iff BOTH one-sided statistics clear 1.645.
+
+    Scale shape: the identical single-scan six-number collapse as
+    stats_welch_ttest (same salt, so the SRM gate covers this key
+    too); both t's are scalar arithmetic on the per-segment row.
+    The mean difference is a terminating rational (sql_jround); the
+    t's divide by an irrational SE and round plainly."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":welch")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    dec = "decimal(28,6)"
+    s = (
+        e.select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_b"),
+            F.sum(
+                F.when(
+                    F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_a"),
+            F.sum(
+                F.when(
+                    ~F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_b"),
+        )
+    )
+    diff = F.col("s_b") / F.col("n_b") - F.col("s_a") / F.col("n_a")
+    var_a = (
+        F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    t_lo = F.round((diff + _TOST_DELTA) / se, 4)
+    t_hi = F.round((_TOST_DELTA - diff) / se, 4)
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(diff, 4).alias("mean_diff"),
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        (F.least(t_lo, t_hi) > 1.645).alias("equivalent_5pct"),
+    ).orderBy("event_type")

@@ -367,6 +367,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_anova_oneway",
     "text_readability",
     "curation_dedup_threshold_sweep",
+    "stats_tost_equivalence",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -3867,3 +3867,25 @@ def test_dedup_threshold_sweep_monotone_and_consistent(spark, sf_dir):
     assert rows[0]["n_pairs"] == len(base_pairs)
     removed = {r["doc_b"] for r in base_pairs}
     assert rows[0]["n_docs_removed"] == len(removed)
+
+
+def test_tost_consistent_with_welch(spark, sf_dir):
+    """TOST shares the welch power sums: the mean difference must
+    match welch's means; equivalence logic replays from the emitted
+    statistics; an arm pair showing a SIGNIFICANT welch difference
+    larger than the margin must not be declared equivalent."""
+    rows = {r["event_type"]: r for r in
+            SPECS["stats_tost_equivalence"].fn(spark, sf_dir).collect()}
+    welch = {r["event_type"]: r for r in
+             SPECS["stats_welch_ttest"].fn(spark, sf_dir).collect()}
+    for et, w in welch.items():
+        r = rows[et]
+        assert (r["n_a"], r["n_b"]) == (w["n_a"], w["n_b"])
+        assert abs(
+            r["mean_diff"] - round(w["mean_b"] - w["mean_a"], 4)
+        ) <= 1.01e-4
+        assert r["equivalent_5pct"] == (
+            min(r["t_lower"], r["t_upper"]) > 1.645
+        )
+        if abs(r["mean_diff"]) > 5.0 and w["significant_5pct"]:
+            assert not r["equivalent_5pct"]
