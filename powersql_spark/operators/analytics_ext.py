@@ -2250,3 +2250,108 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_hi.alias("t_upper"),
         (F.least(t_lo, t_hi) > 1.645).alias("equivalent_5pct"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV (cumulative value per user by cohort age).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_day, COUNT(*) AS cohort_users
+        FROM firsts GROUP BY cohort_day
+    ),
+    aged AS (
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age,
+               CAST(COALESCE(SUM(CAST(e.value AS DECIMAL(28,6))), 0)
+                    AS DECIMAL(28,6)) AS rev
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.value IS NOT NULL
+        GROUP BY f.cohort_day,
+                 date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+    ),
+    cum AS (
+        SELECT cohort_day, age,
+               CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY age
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+        FROM aged
+    )
+    SELECT c.cohort_day, CAST(c.age AS INTEGER) AS age_days,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(round(CAST(CAST((c.cum_rev / s.cohort_users) AS VARCHAR)
+                AS DECIMAL(38,18)), 4) AS DOUBLE) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_day)
+    ORDER BY cohort_day, age_days
+    """,
+)
+def window_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue PER USER by days since
+    the cohort's first activity — the payback-period readout (which
+    acquisition day's users monetize, and how fast) that
+    cohort_retention's presence/absence matrix cannot show. Rows are
+    (cohort, age) points on each cohort's LTV curve.
+
+    Scale shape: first-activity per user is one aggregation; the age
+    attribution is an id-keyed equi-join collapsing straight to
+    (cohort, age) decimal sums — the cumulative window then runs on
+    that bounded grid (days x ages), never on events. Cumulative sums
+    stay DECIMAL until one final division (terminating rational —
+    sql_jround)."""
+    e = spark.table("events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    from powersql_spark.catalog import track_persist
+
+    firsts = track_persist(firsts)
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    aged = (
+        e.where(F.col("value").isNotNull())
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(
+                F.col("ts").cast("date"), F.col("cohort_day")
+            ).alias("age"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(28,6)")),
+                F.lit(0).cast("decimal(28,6)"),
+            )
+            .cast("decimal(28,6)")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = aged.select(
+        "cohort_day",
+        "age",
+        F.sum("rev").over(w).cast("double").alias("cum_rev"),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("age").cast("int").alias("age_days"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.round(
+                F.col("cum_rev") / F.col("cohort_users"), 4
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "age_days")
+    )

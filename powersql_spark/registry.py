@@ -368,6 +368,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_readability",
     "curation_dedup_threshold_sweep",
     "stats_tost_equivalence",
+    "window_cohort_ltv_curve",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

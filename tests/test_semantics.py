@@ -3889,3 +3889,33 @@ def test_tost_consistent_with_welch(spark, sf_dir):
         )
         if abs(r["mean_diff"]) > 5.0 and w["significant_5pct"]:
             assert not r["equivalent_5pct"]
+
+
+def test_cohort_ltv_matches_pandas(spark, sf_dir):
+    """Replay the LTV grid in pandas: per-cohort cumulative revenue
+    over age divided by cohort size; curves are non-decreasing."""
+    rows = SPECS["window_cohort_ltv_curve"].fn(spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    firsts = pdf.groupby("user_id")["ts"].min().dt.date
+    sizes = firsts.value_counts()
+    ev = pdf[pdf["value"].notna()].copy()
+    ev["cohort"] = ev["user_id"].map(firsts)
+    ev["age"] = (ev["ts"].dt.date - ev["cohort"]).map(lambda d: d.days)
+    grid = (
+        ev.groupby(["cohort", "age"])["value"].sum().round(6).reset_index()
+    )
+    got = {(r["cohort_day"], r["age_days"]): r for r in rows}
+    assert len(got) == len(grid)
+    for cohort, g in grid.groupby("cohort"):
+        g = g.sort_values("age")
+        cum = 0.0
+        prev = None
+        for _, row in g.iterrows():
+            cum = round(cum + row["value"], 6)
+            r = got[(cohort, int(row["age"]))]
+            assert r["cohort_users"] == int(sizes[cohort])
+            want = round(cum / sizes[cohort], 4)
+            assert abs(r["ltv_per_user"] - want) <= 1.01e-4
+            if prev is not None:
+                assert r["ltv_per_user"] >= prev - 1e-9
+            prev = r["ltv_per_user"]
