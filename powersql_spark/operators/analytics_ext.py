@@ -2355,3 +2355,108 @@ def window_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "age_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate (30-min-gap sessions with a single event).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_bounce_rate",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, CAST(ts AS DATE) AS day,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                        > 30 * 60000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id,
+               day
+        FROM marked
+    ),
+    per_sess AS (
+        SELECT user_id, session_id, MIN(day) AS day,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(round(CAST(CAST((SUM(CASE WHEN n_events = 1 THEN 1
+                ELSE 0 END) * 100.0 / COUNT(*)) AS VARCHAR)
+                AS DECIMAL(38,18)), 2) AS DOUBLE) AS bounce_pct
+    FROM per_sess
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def window_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-minute-gap sessions that
+    contain exactly ONE event — the engagement-quality headline next
+    to raw session counts (window_session gives volume; bounce rate
+    says whether visits go anywhere). Sessions are attributed to the
+    day they start.
+
+    Scale shape: the gaps-and-islands sessionization runs on ONE
+    user-key exchange (LAG + running sum share the partitioning);
+    sessions collapse to one row each, then one day-level
+    aggregation. The bounce share is a terminating rational
+    (sql_jround)."""
+    e = spark.table("events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    new_session = F.when(
+        prev.isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+            > 30 * 60000000
+        ),
+        1,
+    ).otherwise(0)
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.col("ts").cast("date").alias("day"),
+        new_session.alias("new_session"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id",
+        "day",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min("day").alias("day"), F.count("*").alias("n_events")
+    )
+    bounces = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)
+    )
+    return (
+        per_sess.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            bounces.cast("bigint").alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            F.round(
+                F.col("n_bounces") * 100.0 / F.col("n_sessions"), 2
+            ).alias("bounce_pct"),
+        )
+        .orderBy("day")
+    )

@@ -722,3 +722,70 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("assortativity"),
         F.coalesce(r > 0, F.lit(False)).alias("is_assortative"),
     )
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    proj AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               COUNT(*) AS n_shared
+        FROM pairs a JOIN pairs b
+          ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY a.supp, b.supp
+    )
+    SELECT supp_a, supp_b, CAST(n_shared AS BIGINT) AS n_shared
+    FROM proj
+    ORDER BY n_shared DESC, supp_a, supp_b
+    LIMIT 50
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the customer-supplier graph: suppliers
+    linked by the number of customers they share (top-50 pairs) —
+    the item-item co-occurrence primitive behind collaborative
+    filtering ('suppliers bought together') and substitution
+    analysis. The projection of a bipartite graph is how every
+    co-view/co-purchase recommender's candidate graph is built.
+
+    Scale shape: the fact tables collapse ONCE to the distinct
+    (customer, supplier) incidence list; the projection is a
+    self-equi-join on the CUSTOMER key — quadratic only in per-
+    customer supplier degree (bounded by order breadth, the classic
+    co-occurrence bound), with an ordered pair predicate killing the
+    symmetry. The top-50 cut is TakeOrderedAndProject on the
+    aggregate."""
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    from powersql_spark.catalog import track_persist
+
+    pairs = track_persist(pairs)
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(
+            F.col("a.supp").alias("supp_a"),
+            F.col("b.supp").alias("supp_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return proj.orderBy(
+        F.desc("n_shared"), "supp_a", "supp_b"
+    ).limit(50)

@@ -369,6 +369,8 @@ _PRIORITY: tuple[str, ...] = (
     "curation_dedup_threshold_sweep",
     "stats_tost_equivalence",
     "window_cohort_ltv_curve",
+    "graph_bipartite_projection",
+    "window_bounce_rate",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -3919,3 +3919,65 @@ def test_cohort_ltv_matches_pandas(spark, sf_dir):
             if prev is not None:
                 assert r["ltv_per_user"] >= prev - 1e-9
             prev = r["ltv_per_user"]
+
+
+def test_bipartite_projection_matches_python(spark, sf_dir):
+    """Replay the co-occurrence projection with Python sets: shared
+    customer counts for the emitted top pairs must be exact, and the
+    emitted list must be the true top-50 under the total order."""
+    from collections import Counter, defaultdict
+
+    from powersql_spark.catalog import load_tables
+
+    got = SPECS["graph_bipartite_projection"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    inc = spark.sql(
+        "SELECT DISTINCT o.o_custkey c, l.l_suppkey s FROM orders o"
+        " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+    ).collect()
+    by_cust = defaultdict(set)
+    for r in inc:
+        by_cust[r["c"]].add(r["s"])
+    cnt = Counter()
+    for supps in by_cust.values():
+        ss = sorted(supps)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                cnt[(ss[i], ss[j])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [(r["supp_a"], r["supp_b"], r["n_shared"]) for r in got] == [
+        (a, b, n) for (a, b), n in want
+    ]
+
+
+def test_bounce_rate_matches_pandas_sessionization(spark, sf_dir):
+    """Replay 30-min-gap sessionization in pandas and compare daily
+    session/bounce counts."""
+    import pandas as pd
+
+    rows = {r["day"]: r for r in
+            SPECS["window_bounce_rate"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir).sort_values(["user_id", "ts",
+                                                  "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    daily = {}
+    for _, g in pdf.groupby("user_id"):
+        start, n, cur_day = None, 0, None
+        for ts in g["ts"]:
+            if start is None or ts - start > gap:
+                if start is not None:
+                    d = daily.setdefault(cur_day, [0, 0])
+                    d[0] += 1
+                    d[1] += 1 if n == 1 else 0
+                cur_day, n = ts.date(), 0
+            start = ts
+            n += 1
+        if start is not None:
+            d = daily.setdefault(cur_day, [0, 0])
+            d[0] += 1
+            d[1] += 1 if n == 1 else 0
+    assert set(rows) == set(daily)
+    for day, (ns, nb) in daily.items():
+        r = rows[day]
+        assert (r["n_sessions"], r["n_bounces"]) == (ns, nb), day
+        assert abs(r["bounce_pct"] - round(nb * 100 / ns, 2)) <= 1.01e-2
