@@ -2460,3 +2460,73 @@ def window_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning daily actives.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT du.day,
+           CAST(COUNT(CASE WHEN du.day = f.first_day THEN 1 END)
+                AS BIGINT) AS new_users,
+           CAST(COUNT(CASE WHEN du.day <> f.first_day THEN 1 END)
+                AS BIGINT) AS returning_users,
+           CAST(round(CAST(CAST((COUNT(CASE WHEN du.day <> f.first_day
+                THEN 1 END) * 100.0 / COUNT(*)) AS VARCHAR)
+                AS DECIMAL(38,18)), 2) AS DOUBLE) AS returning_pct
+    FROM du JOIN firsts f USING (user_id)
+    GROUP BY du.day
+    ORDER BY du.day
+    """,
+)
+def window_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into new (first ever seen today) vs
+    returning users — the acquisition-vs-retention decomposition on
+    every growth dashboard's first page (a flat DAU line means
+    opposite things when it's all-new churn-through vs all-returning
+    stagnation).
+
+    Scale shape: first-seen dates are one user aggregation (broadcast
+    back); actives collapse to the (day, user) distinct table; the
+    split is conditional aggregation on their id-keyed join — bounded
+    by population x days, never event volume."""
+    e = spark.table("events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    joined = du.join(F.broadcast(firsts), "user_id")
+    new_u = F.count(F.when(F.col("day") == F.col("first_day"), 1))
+    ret_u = F.count(F.when(F.col("day") != F.col("first_day"), 1))
+    return (
+        joined.groupBy("day")
+        .agg(
+            new_u.cast("bigint").alias("new_users"),
+            ret_u.cast("bigint").alias("returning_users"),
+        )
+        .select(
+            "day",
+            "new_users",
+            "returning_users",
+            F.round(
+                F.col("returning_users")
+                * 100.0
+                / (F.col("new_users") + F.col("returning_users")),
+                2,
+            ).alias("returning_pct"),
+        )
+        .orderBy("day")
+    )

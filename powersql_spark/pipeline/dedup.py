@@ -2354,3 +2354,76 @@ def curation_dedup_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "dedup_cluster_census",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+        UNION
+        SELECT doc_id AS a, doc_id AS b
+        FROM documents
+        WHERE doc_id IN (SELECT doc_a FROM pairs
+                         UNION SELECT doc_b FROM pairs)
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+        SELECT a AS doc_id, MIN(b) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size) - COUNT(*) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster census: the size distribution of the
+    connected-components clusters (how many pairs, triples, ...,
+    giant clusters) plus the removable-doc count per size — the
+    post-clustering report every dedup run ships (a handful of huge
+    clusters usually means boilerplate, not true duplication, and
+    deserves different handling than long-tail pairs).
+
+    Scale shape: reuses the min-label components (the same bounded
+    propagation as dedup_connected_components); everything after is
+    two aggregations over the cluster-id table. n_removable =
+    cluster_size - 1 per cluster — the exact doc count a
+    min-id-keep pass deletes."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    sizes = labels.groupBy(F.col("lab").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            (F.sum("cluster_size") - F.count("*"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+        )
+        .orderBy("cluster_size")
+    )

@@ -371,6 +371,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_cohort_ltv_curve",
     "graph_bipartite_projection",
     "window_bounce_rate",
+    "dedup_cluster_census",
+    "window_new_vs_returning",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

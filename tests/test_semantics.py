@@ -3981,3 +3981,41 @@ def test_bounce_rate_matches_pandas_sessionization(spark, sf_dir):
         r = rows[day]
         assert (r["n_sessions"], r["n_bounces"]) == (ns, nb), day
         assert abs(r["bounce_pct"] - round(nb * 100 / ns, 2)) <= 1.01e-2
+
+
+def test_cluster_census_consistent_with_components(spark, sf_dir):
+    """The census must reproduce the CC clusters' size histogram, and
+    total removable docs must equal docs minus clusters."""
+    from collections import Counter
+
+    rows = SPECS["dedup_cluster_census"].fn(spark, sf_dir).collect()
+    cc = SPECS["dedup_connected_components"].fn(spark, sf_dir).collect()
+    sizes = Counter()
+    clusters = Counter(r["cluster_id"] for r in cc)
+    for _, n in clusters.items():
+        sizes[n] += 1
+    got = {r["cluster_size"]: r for r in rows}
+    assert {k: v["n_clusters"] for k, v in got.items()} == dict(sizes)
+    for size, r in got.items():
+        assert r["n_docs"] == size * r["n_clusters"]
+        assert r["n_removable"] == (size - 1) * r["n_clusters"]
+    assert sum(r["n_removable"] for r in rows) == len(cc) - len(clusters)
+
+
+def test_new_vs_returning_matches_pandas(spark, sf_dir):
+    rows = {r["day"]: r for r in
+            SPECS["window_new_vs_returning"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    firsts = pdf.groupby("user_id")["ts"].min().dt.date
+    du = pdf.assign(day=pdf["ts"].dt.date)[
+        ["day", "user_id"]].drop_duplicates()
+    for day, g in du.groupby("day"):
+        new = sum(1 for u in g["user_id"] if firsts[u] == day)
+        ret = len(g) - new
+        r = rows[day]
+        assert (r["new_users"], r["returning_users"]) == (new, ret)
+        assert abs(
+            r["returning_pct"] - round(ret * 100 / len(g), 2)
+        ) <= 1.01e-2
+    first_day = min(rows)
+    assert rows[first_day]["returning_users"] == 0
