@@ -2530,3 +2530,81 @@ def window_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Required sample size for a target effect (inverse power analysis).
+# ---------------------------------------------------------------------------
+
+_SSC_MDE = 0.05  # target: detect a 5pp conversion change
+
+
+@query(
+    "stats_sample_size_calc",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > COUNT(*)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS conv
+        FROM per_user
+    )
+    SELECT CAST(n_users AS BIGINT) AS current_n,
+           {sql_jround("CAST(conv AS DOUBLE) / n_users", 6)} AS p_base,
+           CAST(CEIL(2.0 * (CAST(conv AS DOUBLE) / n_users)
+                * (1 - CAST(conv AS DOUBLE) / n_users)
+                * {_PW_ZSUM} * {_PW_ZSUM}
+                / ({_SSC_MDE} * {_SSC_MDE})) AS BIGINT)
+               AS required_n_per_arm,
+           CAST(CEIL(2.0 * (CAST(conv AS DOUBLE) / n_users)
+                * (1 - CAST(conv AS DOUBLE) / n_users)
+                * {_PW_ZSUM} * {_PW_ZSUM}
+                / ({_SSC_MDE} * {_SSC_MDE})) AS BIGINT) * 2 <= n_users
+               AS currently_powered
+    FROM s
+    """,
+)
+def stats_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required sample size per arm to detect a 5pp conversion change
+    at alpha=.05 / power=.80 — the inverse of stats_power_analysis
+    (that key answers 'what can I see NOW'; this one answers 'how
+    long must I run'): n = 2 p(1-p)(z_a/2 + z_b)^2 / MDE^2, with the
+    z constants as literals. currently_powered compares 2n against
+    the observed population.
+
+    Scale shape: the same one-bit-per-user collapse as the z-test
+    family; the formula is scalar arithmetic on two integers. CEIL
+    is exact on both engines (the argument is a rational whose
+    ceiling is unambiguous at these magnitudes)."""
+    per_user = spark.table("events").groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    s = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    p = F.col("conv").cast("double") / F.col("n_users")
+    zsum = 1.959964 + 0.841621
+    req = F.ceil(
+        2.0 * p * (1 - p) * zsum * zsum / (_SSC_MDE * _SSC_MDE)
+    ).cast("bigint")
+    return s.select(
+        F.col("n_users").cast("bigint").alias("current_n"),
+        F.round(p, 6).alias("p_base"),
+        req.alias("required_n_per_arm"),
+        (req * 2 <= F.col("n_users")).alias("currently_powered"),
+    )

@@ -4019,3 +4019,20 @@ def test_new_vs_returning_matches_pandas(spark, sf_dir):
         ) <= 1.01e-2
     first_day = min(rows)
     assert rows[first_day]["returning_users"] == 0
+
+
+def test_sample_size_calc_matches_formula(spark, sf_dir):
+    import math
+
+    r = SPECS["stats_sample_size_calc"].fn(spark, sf_dir).collect()[0]
+    p = r["p_base"]
+    want = math.ceil(
+        2 * p * (1 - p) * (1.959964 + 0.841621) ** 2 / 0.05**2
+    )
+    assert r["required_n_per_arm"] == want
+    assert r["currently_powered"] == (want * 2 <= r["current_n"])
+    # consistency with the forward power key: if currently powered for
+    # 5pp then the forward MDE must be <= ~5pp (and vice versa).
+    pw = SPECS["stats_power_analysis"].fn(spark, sf_dir).collect()[0]
+    if r["currently_powered"]:
+        assert pw["mde_abs"] <= 0.0505
