@@ -2608,3 +2608,152 @@ def stats_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         req.alias("required_n_per_arm"),
         (req * 2 <= F.col("n_users")).alias("currently_powered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (pre/post x A/B).
+# ---------------------------------------------------------------------------
+
+_DID_CELL = (
+    "CAST(SUM(CASE WHEN is_a = {a} AND is_post = {p} "
+    "THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)"
+)
+_DID_N = (
+    "CAST(COUNT(CASE WHEN is_a = {a} AND is_post = {p} THEN 1 END)"
+    " AS BIGINT)"
+)
+_DID_Q = (
+    "CAST(SUM(CASE WHEN is_a = {a} AND is_post = {p} "
+    "THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE)"
+)
+
+
+@query(
+    "stats_diff_in_diff",
+    oracle=f"""
+    WITH base AS (
+        SELECT value,
+               substr(md5(CAST(user_id AS VARCHAR) || ':welch'), 1, 1)
+                   < '8' AS is_a,
+               ts >= TIMESTAMP '2024-01-16' AS is_post
+        FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+        SELECT
+            {_DID_N.format(a="TRUE", p="FALSE")} AS n_a0,
+            {_DID_N.format(a="TRUE", p="TRUE")} AS n_a1,
+            {_DID_N.format(a="FALSE", p="FALSE")} AS n_b0,
+            {_DID_N.format(a="FALSE", p="TRUE")} AS n_b1,
+            {_DID_CELL.format(a="TRUE", p="FALSE")} AS s_a0,
+            {_DID_CELL.format(a="TRUE", p="TRUE")} AS s_a1,
+            {_DID_CELL.format(a="FALSE", p="FALSE")} AS s_b0,
+            {_DID_CELL.format(a="FALSE", p="TRUE")} AS s_b1,
+            {_DID_Q.format(a="TRUE", p="FALSE")} AS q_a0,
+            {_DID_Q.format(a="TRUE", p="TRUE")} AS q_a1,
+            {_DID_Q.format(a="FALSE", p="FALSE")} AS q_b0,
+            {_DID_Q.format(a="FALSE", p="TRUE")} AS q_b1
+        FROM base
+    )
+    SELECT n_a0, n_a1, n_b0, n_b1,
+           {sql_jround("(s_b1 / n_b1 - s_b0 / n_b0)"
+                       " - (s_a1 / n_a1 - s_a0 / n_a0)", 4)} AS did,
+           round(((s_b1 / n_b1 - s_b0 / n_b0)
+                  - (s_a1 / n_a1 - s_a0 / n_a0))
+                 / sqrt(
+                   ((q_a0 - s_a0 * s_a0 / n_a0) / (n_a0 - 1)) / n_a0
+                 + ((q_a1 - s_a1 * s_a1 / n_a1) / (n_a1 - 1)) / n_a1
+                 + ((q_b0 - s_b0 * s_b0 / n_b0) / (n_b0 - 1)) / n_b0
+                 + ((q_b1 - s_b1 * s_b1 / n_b1) / (n_b1 - 1)) / n_b1),
+                 4) AS z_stat,
+           abs(round(((s_b1 / n_b1 - s_b0 / n_b0)
+                  - (s_a1 / n_a1 - s_a0 / n_a0))
+                 / sqrt(
+                   ((q_a0 - s_a0 * s_a0 / n_a0) / (n_a0 - 1)) / n_a0
+                 + ((q_a1 - s_a1 * s_a1 / n_a1) / (n_a1 - 1)) / n_a1
+                 + ((q_b0 - s_b0 * s_b0 / n_b0) / (n_b0 - 1)) / n_b0
+                 + ((q_b1 - s_b1 * s_b1 / n_b1) / (n_b1 - 1)) / n_b1),
+                 4)) > 1.96 AS significant_5pct
+    FROM cells
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-inference staple when
+    randomization is imperfect or the change hit everyone at a known
+    time — (B_post - B_pre) - (A_post - A_pre) nets out both the
+    group baseline AND the shared time trend (the two confounders a
+    naive pre/post or A/B-only comparison absorbs). Groups from the
+    ':welch' salt, periods split at mid-month; z from the four-cell
+    variance sum.
+
+    Scale shape: one scan collapsing to TWELVE numbers (count/sum/
+    sum-of-squares per 2x2 cell, all map-side-combinable decimal
+    state); the estimator and its SE are scalar arithmetic on that
+    single row."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":welch")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    is_post = F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    dec = "decimal(28,6)"
+    base = e.select(
+        "value", is_a.alias("is_a"), is_post.alias("is_post")
+    )
+
+    def cell(a, p):
+        cond = (F.col("is_a") == a) & (F.col("is_post") == p)
+        return (
+            F.count(F.when(cond, 1)).cast("bigint"),
+            F.sum(F.when(cond, F.col("value").cast(dec))).cast("double"),
+            F.sum(
+                F.when(cond, (F.col("value") * F.col("value")).cast(dec))
+            ).cast("double"),
+        )
+
+    aggs = []
+    names = []
+    for tag, a, p in (
+        ("a0", True, False),
+        ("a1", True, True),
+        ("b0", False, False),
+        ("b1", False, True),
+    ):
+        n, s, q = cell(a, p)
+        aggs += [n.alias(f"n_{tag}"), s.alias(f"s_{tag}"), q.alias(f"q_{tag}")]
+        names.append(tag)
+    cells = base.agg(*aggs)
+
+    def m(tag):
+        return F.col(f"s_{tag}") / F.col(f"n_{tag}")
+
+    def v(tag):
+        return (
+            F.col(f"q_{tag}")
+            - F.col(f"s_{tag}") * F.col(f"s_{tag}") / F.col(f"n_{tag}")
+        ) / (F.col(f"n_{tag}") - 1)
+
+    did = (m("b1") - m("b0")) - (m("a1") - m("a0"))
+    se = F.sqrt(
+        v("a0") / F.col("n_a0")
+        + v("a1") / F.col("n_a1")
+        + v("b0") / F.col("n_b0")
+        + v("b1") / F.col("n_b1")
+    )
+    z = F.round(did / se, 4)
+    return cells.select(
+        "n_a0",
+        "n_a1",
+        "n_b0",
+        "n_b1",
+        F.round(did, 4).alias("did"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_5pct"),
+    )

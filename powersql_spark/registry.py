@@ -374,6 +374,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_census",
     "window_new_vs_returning",
     "stats_sample_size_calc",
+    "stats_diff_in_diff",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

@@ -4036,3 +4036,34 @@ def test_sample_size_calc_matches_formula(spark, sf_dir):
     pw = SPECS["stats_power_analysis"].fn(spark, sf_dir).collect()[0]
     if r["currently_powered"]:
         assert pw["mde_abs"] <= 0.0505
+
+
+def test_diff_in_diff_matches_numpy(spark, sf_dir):
+    """Recompute the 2x2 DiD estimate and z with numpy cell stats."""
+    import hashlib
+
+    import numpy as np
+
+    r = SPECS["stats_diff_in_diff"].fn(spark, sf_dir).collect()[0]
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    is_a = pdf["user_id"].map(
+        lambda u: hashlib.md5(f"{u}:welch".encode()).hexdigest()[0] < "8"
+    )
+    is_post = pdf["ts"] >= np.datetime64("2024-01-16")
+    cells = {}
+    for tag, ma, mp in (
+        ("a0", is_a, ~is_post),
+        ("a1", is_a, is_post),
+        ("b0", ~is_a, ~is_post),
+        ("b1", ~is_a, is_post),
+    ):
+        x = pdf.loc[ma & mp, "value"].to_numpy()
+        cells[tag] = x
+        assert r[f"n_{tag}"] == len(x)
+    m = {t: x.mean() for t, x in cells.items()}
+    did = (m["b1"] - m["b0"]) - (m["a1"] - m["a0"])
+    se = np.sqrt(sum(x.var(ddof=1) / len(x) for x in cells.values()))
+    assert abs(r["did"] - round(did, 4)) <= 1.01e-4
+    assert abs(r["z_stat"] - round(did / se, 4)) < 1e-3
+    assert r["significant_5pct"] == (abs(r["z_stat"]) > 1.96)
