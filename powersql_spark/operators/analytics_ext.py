@@ -2757,3 +2757,101 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward rolling retention (share of day-D actives active again in
+# the next 7 days).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_forward_retention",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    horizon AS (SELECT MAX(day) AS max_day FROM du),
+    ret AS (
+        SELECT a.day, a.user_id,
+               MAX(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS came_back
+        FROM du a
+        LEFT JOIN du b
+          ON b.user_id = a.user_id
+         AND b.day BETWEEN a.day + INTERVAL 1 DAY
+                       AND a.day + INTERVAL 7 DAY
+        GROUP BY a.day, a.user_id
+    )
+    SELECT r.day,
+           COUNT(*) AS n_active,
+           CAST(SUM(came_back) AS BIGINT) AS n_retained,
+           CAST(round(CAST(CAST((SUM(came_back) * 100.0 / COUNT(*))
+                AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE)
+               AS retention_pct,
+           r.day + INTERVAL 7 DAY > h.max_day AS window_truncated
+    FROM ret r CROSS JOIN horizon h
+    GROUP BY r.day, h.max_day
+    ORDER BY r.day
+    """,
+)
+def window_forward_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward 7-day rolling retention: of the users active on day D,
+    how many return within the next week — the day-quality signal
+    (unlike cohort retention, which only ever scores a user's FIRST
+    day, this scores every active day, catching retention decay in
+    the existing base). Days whose 7-day window runs past the corpus
+    edge are flagged truncated rather than silently understated.
+
+    Scale shape: the corpus collapses to the (day, user) distinct
+    table; the return lookup is a bounded forward range join ON THAT
+    TABLE (fan-out <= 7 days per row, user-keyed) — never raw
+    events; one aggregation per day after. Exact integer ratio
+    rounded once (sql_jround — terminating)."""
+    e = spark.table("events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    from powersql_spark.catalog import track_persist
+
+    du = track_persist(du)
+    horizon = du.agg(F.max("day").alias("max_day"))
+    a = du.alias("a")
+    b = du.select(
+        F.col("user_id").alias("b_user"), F.col("day").alias("b_day")
+    )
+    ret = (
+        a.join(
+            b,
+            (F.col("b_user") == F.col("a.user_id"))
+            & (F.col("b_day") > F.col("a.day"))
+            & (F.col("b_day") <= F.date_add(F.col("a.day"), 7)),
+            "left",
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.user_id"))
+        .agg(
+            F.max(
+                F.when(F.col("b_user").isNotNull(), 1).otherwise(0)
+            ).alias("came_back")
+        )
+    )
+    return (
+        ret.crossJoin(F.broadcast(horizon))
+        .groupBy("day", "max_day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum("came_back").cast("bigint").alias("n_retained"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_retained",
+            F.round(
+                F.col("n_retained") * 100.0 / F.col("n_active"), 2
+            ).alias("retention_pct"),
+            (F.date_add(F.col("day"), 7) > F.col("max_day")).alias(
+                "window_truncated"
+            ),
+        )
+        .orderBy("day")
+    )

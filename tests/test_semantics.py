@@ -4067,3 +4067,32 @@ def test_diff_in_diff_matches_numpy(spark, sf_dir):
     assert abs(r["did"] - round(did, 4)) <= 1.01e-4
     assert abs(r["z_stat"] - round(did / se, 4)) < 1e-3
     assert r["significant_5pct"] == (abs(r["z_stat"]) > 1.96)
+
+
+def test_forward_retention_matches_pandas(spark, sf_dir):
+    rows = {r["day"]: r for r in
+            SPECS["window_forward_retention"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    du = pdf.assign(day=pdf["ts"].dt.date)[
+        ["day", "user_id"]].drop_duplicates()
+    by_user = du.groupby("user_id")["day"].apply(set)
+    max_day = du["day"].max()
+    import datetime
+
+    for day, g in du.groupby("day"):
+        back = sum(
+            1 for u in g["user_id"]
+            if any(
+                day < d <= day + datetime.timedelta(days=7)
+                for d in by_user[u]
+            )
+        )
+        r = rows[day]
+        assert r["n_active"] == len(g)
+        assert r["n_retained"] == back
+        assert abs(
+            r["retention_pct"] - round(back * 100 / len(g), 2)
+        ) <= 1.01e-2
+        assert r["window_truncated"] == (
+            day + datetime.timedelta(days=7) > max_day
+        )
