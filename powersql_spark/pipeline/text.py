@@ -1616,3 +1616,101 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BP_DF = 5  # chunks appearing in >= 5 docs are boilerplate
+
+
+@query(
+    "text_boilerplate_fraction",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(t[start : start + 63], ' ')) AS fp
+        FROM toks,
+             unnest(range(1, GREATEST(len(t), 1) + 1, 48)) AS u(start)
+    ),
+    df AS (
+        SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM chunks
+        GROUP BY fp
+    ),
+    flagged AS (
+        SELECT c.doc_id,
+               CASE WHEN df.n_docs >= {_BP_DF} THEN 1 ELSE 0 END
+                   AS is_boiler
+        FROM chunks c JOIN df USING (fp)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(is_boiler) AS BIGINT) AS n_boiler,
+           CAST(round(CAST(CAST((SUM(is_boiler) * 1.0 / COUNT(*))
+                AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)
+               AS boiler_frac,
+           SUM(is_boiler) * 2 > COUNT(*) AS mostly_boilerplate
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by chunk document-frequency: a 64-token
+    chunk appearing in >= 5 distinct documents is boilerplate
+    (headers, footers, navigation, license text — content that
+    repeats ACROSS pages); each document gets its boilerplate
+    fraction and a mostly-boilerplate flag. This is the C4/CCNet
+    boilerplate-removal MEASUREMENT step — dedup_chunk_crosscorpus
+    keeps first occurrences, this key quantifies how much of each
+    doc is template before any removal decision.
+
+    Scale shape: chunking is map-only; the shuffle carries
+    (doc_id, 16-byte fingerprint) pairs, never text; chunk document
+    frequency is one aggregation on the fingerprint key joined back
+    on the same key (vocabulary-sized at any scale); per-doc
+    fractions are exact integer ratios (sql_jround)."""
+    d = spark.table("documents").select("doc_id", _tokens().alias("t"))
+    n = F.size("t")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(48))
+    chunks = (
+        d.select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("t", F.col("s") + 1, 64), " ").cast(
+                    "binary"
+                )
+            ).alias("fp"),
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    chunks = track_persist(chunks)
+    df = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = chunks.join(df, "fp").select(
+        "doc_id",
+        F.when(F.col("n_docs") >= _BP_DF, 1).otherwise(0).alias(
+            "is_boiler"
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("is_boiler").cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler") * 1.0 / F.col("n_chunks"), 4
+            ).alias("boiler_frac"),
+            (F.col("n_boiler") * 2 > F.col("n_chunks")).alias(
+                "mostly_boilerplate"
+            ),
+        )
+    )

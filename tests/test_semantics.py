@@ -4096,3 +4096,34 @@ def test_forward_retention_matches_pandas(spark, sf_dir):
         assert r["window_truncated"] == (
             day + datetime.timedelta(days=7) > max_day
         )
+
+
+def test_boilerplate_fraction_matches_python(spark, sf_dir):
+    """Replay chunk fingerprinting + df>=5 flagging in Python."""
+    import re as _re
+    from collections import defaultdict
+
+    from powersql_spark.catalog import load_tables
+
+    got = {r["doc_id"]: r for r in
+           SPECS["text_boilerplate_fraction"].fn(spark, sf_dir).collect()}
+    load_tables(spark, sf_dir, ("documents",))
+    per_doc = {}
+    docs_by_fp = defaultdict(set)
+    for row in spark.table("documents").select("doc_id", "text").collect():
+        t = _re.split(r"\s+", row["text"].strip())
+        fps = []
+        for s in range(0, max(len(t), 1), 48):
+            fps.append(" ".join(t[s:s + 64]))
+        per_doc[row["doc_id"]] = fps
+        for fp in fps:
+            docs_by_fp[fp].add(row["doc_id"])
+    for doc_id, fps in per_doc.items():
+        boiler = sum(1 for fp in fps if len(docs_by_fp[fp]) >= 5)
+        r = got[doc_id]
+        assert r["n_chunks"] == len(fps)
+        assert r["n_boiler"] == boiler
+        assert abs(
+            r["boiler_frac"] - round(boiler / len(fps), 4)
+        ) <= 1.01e-4
+        assert r["mostly_boilerplate"] == (boiler * 2 > len(fps))
