@@ -2855,3 +2855,105 @@ def window_forward_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                   ORDER BY e.ts, e.event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY e.user_id) AS n_touch
+        FROM events e JOIN firsts f
+          ON e.user_id = f.user_id AND e.ts < f.conv_ts
+        WHERE e.event_type <> 'purchase'
+    ),
+    credited AS (
+        SELECT event_type,
+               round(CASE
+                   WHEN n_touch = 1 THEN 1.0
+                   WHEN n_touch = 2 THEN 0.5
+                   WHEN pos = 1 OR pos = n_touch THEN 0.4
+                   ELSE 0.2 / (n_touch - 2) END, 8) AS credit
+        FROM touches
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           CAST(SUM(CAST(credit AS DECIMAL(28,8))) AS DOUBLE)
+               AS total_credit
+    FROM credited
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    each converting user's pre-purchase touchpoints share the
+    conversion credit — 40% to the first touch, 40% to the last, 20%
+    split across the middle — the standard middle ground between
+    last-touch (attribution_last_touch) which starves discovery
+    channels and linear which over-credits noise. Credits per
+    channel sum to the number of conversions.
+
+    Scale shape: conversion times are one aggregation joined back on
+    the user key; position and touch counts share ONE user-key
+    window; credits are per-row rationals rounded then
+    decimal-summed per channel — bit-identical across engines and
+    partitionings."""
+    e = spark.table("events")
+    firsts = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        e.join(firsts, "user_id")
+        .where(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+        )
+    )
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    positioned = touches.select(
+        "event_type",
+        F.row_number().over(wp).alias("pos"),
+        F.count("*").over(wn).alias("n_touch"),
+    )
+    credit = F.round(
+        F.when(F.col("n_touch") == 1, 1.0)
+        .when(F.col("n_touch") == 2, 0.5)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touch")), 0.4
+        )
+        .otherwise(0.2 / (F.col("n_touch") - 2)),
+        8,
+    )
+    return (
+        positioned.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(F.col("credit").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("total_credit"),
+        )
+        .orderBy("event_type")
+    )

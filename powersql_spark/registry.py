@@ -377,6 +377,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_diff_in_diff",
     "window_forward_retention",
     "text_boilerplate_fraction",
+    "attribution_position_based",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

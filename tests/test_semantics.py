@@ -4127,3 +4127,46 @@ def test_boilerplate_fraction_matches_python(spark, sf_dir):
             r["boiler_frac"] - round(boiler / len(fps), 4)
         ) <= 1.01e-4
         assert r["mostly_boilerplate"] == (boiler * 2 > len(fps))
+
+
+def test_position_attribution_credits_sum_to_conversions(spark, sf_dir):
+    """Total credit across channels must equal the number of
+    converting users WITH at least one pre-purchase touch (each such
+    journey distributes exactly 1.0, up to per-touch rounding);
+    replay the U-shaped rule in pandas."""
+    rows = SPECS["attribution_position_based"].fn(spark, sf_dir).collect()
+    pdf = _events_pdf(spark, sf_dir)
+    firsts = (
+        pdf[pdf["event_type"] == "purchase"]
+        .groupby("user_id")["ts"].min()
+    )
+    from collections import defaultdict
+
+    credit = defaultdict(float)
+    n_touches = defaultdict(int)
+    n_journeys = 0
+    for uid, conv in firsts.items():
+        g = pdf[(pdf["user_id"] == uid) & (pdf["ts"] < conv)
+                & (pdf["event_type"] != "purchase")]
+        g = g.sort_values(["ts", "event_id"])
+        n = len(g)
+        if n == 0:
+            continue
+        n_journeys += 1
+        for pos, et in enumerate(g["event_type"], 1):
+            if n == 1:
+                c = 1.0
+            elif n == 2:
+                c = 0.5
+            elif pos in (1, n):
+                c = 0.4
+            else:
+                c = 0.2 / (n - 2)
+            credit[et] += round(c, 8)
+            n_touches[et] += 1
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(credit)
+    for et, r in got.items():
+        assert r["n_touches"] == n_touches[et]
+        assert abs(r["total_credit"] - credit[et]) < 1e-6
+    assert abs(sum(r["total_credit"] for r in rows) - n_journeys) < 1e-4
