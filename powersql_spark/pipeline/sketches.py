@@ -487,3 +487,102 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "scope", "n_kept", "kth_hash", est.alias("est_distinct")
     ).orderBy("scope")
+
+
+# Mergeable histogram-quantile sketch: fixed equi-width grid (literal
+# bins — the same scheme as profile_psi_drift's binning), bin counts
+# are the mergeable state, quantiles read off the CDF.
+_HQ_WIDTH = 10.0
+_HQ_BINS = 60  # covers [0, 600) — value observed 0..561 at all SFs
+
+
+@query(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value / {_HQ_WIDTH}) AS INTEGER),
+                     {_HQ_BINS - 1}) AS bin,
+               COUNT(*) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cdf AS (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM binned
+    ),
+    qs AS (
+        SELECT event_type, n,
+               MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN bin END) AS b50,
+               MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN bin END) AS b95,
+               MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN bin END) AS b99
+        FROM cdf GROUP BY event_type, n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(b50 * {_HQ_WIDTH} AS DOUBLE) AS p50_lo,
+           CAST(b95 * {_HQ_WIDTH} AS DOUBLE) AS p95_lo,
+           CAST(b99 * {_HQ_WIDTH} AS DOUBLE) AS p99_lo,
+           CAST({_HQ_WIDTH} AS DOUBLE) AS max_error
+    FROM qs
+    ORDER BY event_type
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: p50/p95/p99 per event_type from a
+    fixed equi-width histogram — bin counts are the sketch state
+    (trivially mergeable across partitions/days/clusters by adding
+    counts; the property t-digest/KLL also buy, here with a
+    DETERMINISTIC, oracle-replayable structure), and every quantile
+    is exact to within one bin width (emitted as max_error). The
+    quantile slot in the sketch family beside count-min (frequency),
+    HLL/KMV (distinct), and Bloom (membership).
+
+    Scale shape: the corpus collapses to (type, bin) counts —
+    constant state per type, map-side combinable, which IS the merge
+    operation; the CDF walk runs on the 60-bin table. Integer
+    arithmetic end-to-end: quantiles report the bin lower bound, no
+    interpolation to diverge on."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    binned = e.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _HQ_WIDTH).cast("int"),
+            F.lit(_HQ_BINS - 1),
+        ).alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cdf = binned.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+
+    def q_bin(p):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(p * F.col("n")), F.col("bin")
+            )
+        )
+
+    qs = cdf.groupBy("event_type", "n").agg(
+        q_bin(0.5).alias("b50"),
+        q_bin(0.95).alias("b95"),
+        q_bin(0.99).alias("b99"),
+    )
+    return qs.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("b50") * _HQ_WIDTH).cast("double").alias("p50_lo"),
+        (F.col("b95") * _HQ_WIDTH).cast("double").alias("p95_lo"),
+        (F.col("b99") * _HQ_WIDTH).cast("double").alias("p99_lo"),
+        F.lit(_HQ_WIDTH).cast("double").alias("max_error"),
+    ).orderBy("event_type")

@@ -378,6 +378,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_forward_retention",
     "text_boilerplate_fraction",
     "attribution_position_based",
+    "sketch_histogram_quantiles",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

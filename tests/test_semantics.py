@@ -4170,3 +4170,23 @@ def test_position_attribution_credits_sum_to_conversions(spark, sf_dir):
         assert r["n_touches"] == n_touches[et]
         assert abs(r["total_credit"] - credit[et]) < 1e-6
     assert abs(sum(r["total_credit"] for r in rows) - n_journeys) < 1e-4
+
+
+def test_histogram_quantiles_bracket_exact(spark, sf_dir):
+    """Each reported bin lower bound must bracket the EXACT quantile
+    within one bin width (the sketch's accuracy claim)."""
+    import numpy as np
+
+    rows = {r["event_type"]: r for r in
+            SPECS["sketch_histogram_quantiles"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    for et, g in pdf.groupby("event_type"):
+        x = np.sort(np.minimum(g["value"].to_numpy(), 599.999))
+        r = rows[et]
+        assert r["n"] == len(x)
+        for p, col in ((0.5, "p50_lo"), (0.95, "p95_lo"),
+                       (0.99, "p99_lo")):
+            exact = x[int(np.ceil(p * len(x))) - 1]
+            lo = r[col]
+            assert lo <= exact < lo + r["max_error"] + 1e-9, (et, p)
