@@ -1049,3 +1049,100 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neg_rank") <= 3)
         .orderBy("anchor", "neg_rank")
     )
+
+
+@query(
+    "emb_dim_variance",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(list_extract(embedding, i) AS DOUBLE)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(CAST(list_extract(embedding, i) AS DOUBLE)
+                    * CAST(list_extract(embedding, i) AS DOUBLE)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS q
+        FROM embeddings, unnest(range(1, {_DIM + 1})) AS u(i)
+        GROUP BY i
+    ),
+    v AS (
+        SELECT dim, round((q - s * s / n) / (n - 1), 8) AS variance
+        FROM d WHERE n > 1
+    ),
+    ranked AS (
+        SELECT dim, variance,
+               ROW_NUMBER() OVER (ORDER BY variance DESC, dim)
+                   AS var_rank,
+               CAST(SUM(CAST(variance AS DECIMAL(28,8))) OVER (
+                    ORDER BY variance DESC, dim
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_var,
+               CAST(SUM(CAST(variance AS DECIMAL(28,8))) OVER ()
+                    AS DOUBLE) AS tot_var
+        FROM v
+    )
+    SELECT dim, variance, CAST(var_rank AS INTEGER) AS var_rank,
+           round(cum_var / tot_var, 4) AS cum_var_share
+    FROM ranked
+    ORDER BY var_rank
+    """,
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking of the embedding space, with
+    the cumulative variance share along the ranking — the diagnostic
+    BEFORE dimension-reduction decisions (how many dims carry the
+    signal?) and the axis-aligned precursor to PCA/whitening
+    (emb_whitening rotates; this key just measures). If the top-16
+    dims hold most of the variance, Matryoshka-style truncation
+    (sim_matryoshka_recall) is nearly free.
+
+    Scale shape: the distributed columnar reduce (posexplode to
+    (dim, value), decimal power sums per dim — ncells x dim partial
+    state, map-side combined); ranking and the cumulative share run
+    on the 64-row variance table, decimal-summed so shares are
+    bit-stable."""
+    e = spark.table("embeddings")
+    dec = "decimal(28,8)"
+    d = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .select("dim", F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("double").alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast(dec))
+            .cast("double")
+            .alias("q"),
+        )
+    )
+    v = d.where(F.col("n") > 1).select(
+        "dim",
+        F.round(
+            (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1),
+            8,
+        ).alias("variance"),
+    )
+    w_rank = Window.orderBy(F.desc("variance"), "dim")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = v.select(
+        "dim",
+        "variance",
+        F.row_number().over(w_rank).cast("int").alias("var_rank"),
+        F.sum(F.col("variance").cast(dec))
+        .over(w_cum)
+        .cast("double")
+        .alias("cum_var"),
+        F.sum(F.col("variance").cast(dec))
+        .over(w_all)
+        .cast("double")
+        .alias("tot_var"),
+    )
+    return ranked.select(
+        "dim",
+        "variance",
+        "var_rank",
+        F.round(F.col("cum_var") / F.col("tot_var"), 4).alias(
+            "cum_var_share"
+        ),
+    ).orderBy("var_rank")

@@ -379,6 +379,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_boilerplate_fraction",
     "attribution_position_based",
     "sketch_histogram_quantiles",
+    "emb_dim_variance",
     # -- round-1 greens: banked since r1, ranked here so the curated
     # manifest covers the registry exactly; they sit at the back anyway
     # via the banked-green rotation, this order only matters if every

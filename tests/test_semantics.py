@@ -4190,3 +4190,31 @@ def test_histogram_quantiles_bracket_exact(spark, sf_dir):
             exact = x[int(np.ceil(p * len(x))) - 1]
             lo = r[col]
             assert lo <= exact < lo + r["max_error"] + 1e-9, (et, p)
+
+
+def test_dim_variance_matches_numpy(spark, sf_dir):
+    """Recompute per-dimension variances and the cumulative share
+    with numpy; the share must be monotone ending at 1."""
+    import numpy as np
+
+    from powersql_spark.catalog import load_tables
+
+    rows = SPECS["emb_dim_variance"].fn(spark, sf_dir).collect()
+    load_tables(spark, sf_dir, ("embeddings",))
+    em = spark.table("embeddings").collect()
+    if len(em) < 2:
+        assert rows == []
+        return
+    mat = np.array([r["embedding"] for r in em], dtype=np.float64)
+    var = np.round(mat.var(axis=0, ddof=1), 8)
+    got = {r["dim"]: r for r in rows}
+    assert set(got) == set(range(mat.shape[1]))
+    for dim, r in got.items():
+        assert abs(r["variance"] - var[dim]) < 1e-6
+    order = sorted(range(len(var)), key=lambda d: (-var[d], d))
+    assert [r["dim"] for r in sorted(rows, key=lambda r: r["var_rank"])] \
+        == order
+    shares = [r["cum_var_share"] for r in
+              sorted(rows, key=lambda r: r["var_rank"])]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-6
