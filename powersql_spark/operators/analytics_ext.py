@@ -2957,3 +2957,464 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multiplier bootstrap for the mean.
+#
+# Online/Poisson bootstrap (Owen & Eckles 2012) reshaped for a driver-
+# hashable oracle: replicate b gives each row weight 0 or 2 from
+# md5(key ':boot' b) — mean 1, variance 1, matching Poisson(1)'s first
+# two moments — so all B replicates accumulate in ONE scan as 2B
+# map-side-combinable sufficient statistics (no data replication, no
+# rand()). The percentile CI then reads 32 constant rows.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+
+def _boot_w_sql(b: int) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)"
+        f" || ':boot{b}'), 1, 1) >= '8' THEN 2 ELSE 0 END"
+    )
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH s AS (
+        SELECT
+            COUNT(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                AS total,
+            {", ".join(
+                f"CAST(SUM(CAST(o_totalprice * ({_boot_w_sql(b)})"
+                f" AS DECIMAL(28,6))) AS DOUBLE) AS s{b},"
+                f" SUM({_boot_w_sql(b)}) AS c{b}"
+                for b in range(_BOOT_B)
+            )}
+        FROM orders
+    ),
+    reps AS (
+        {" UNION ALL ".join(
+            f"SELECT {b} AS b, s{b} / c{b} AS m FROM s WHERE c{b} > 0"
+            for b in range(_BOOT_B)
+        )}
+    ),
+    q AS (
+        SELECT quantile_cont(m, 0.025) AS lo,
+               quantile_cont(m, 0.975) AS hi
+        FROM reps
+    )
+    SELECT s.n AS n,
+           {sql_jround("s.total / s.n", 4)} AS mean_price,
+           {sql_jround("q.lo", 4)} AS ci_lo,
+           {sql_jround("q.hi", 4)} AS ci_hi,
+           s.total / s.n BETWEEN q.lo AND q.hi AS mean_in_ci
+    FROM s, q
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for mean order price, via a
+    deterministic multiplier bootstrap: replicate b weights each row
+    0 or 2 by a salted md5 bit (mean 1, variance 1 — Poisson(1)'s
+    moments without rand(), so the driver can hash it).
+
+    Scale shape: ALL 32 replicates ride one fact scan as 64 map-side-
+    combinable sufficient statistics (decimal sums + integer weight
+    counts) — the Poisson-bootstrap trick that makes resampling
+    feasible at 100 TB, where materializing B resamples is a non-
+    starter. The replicate means then live in a 32-row constant table;
+    the percentile is interpolated over those 32 values."""
+    w_exprs = []
+    for b in range(_BOOT_B):
+        w = F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(f":boot{b}"),
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            )
+            >= "8",
+            2,
+        ).otherwise(0)
+        w_exprs.append(
+            F.sum((F.col("o_totalprice") * w).cast("decimal(28,6)"))
+            .cast("double")
+            .alias(f"s{b}")
+        )
+        w_exprs.append(F.sum(w).alias(f"c{b}"))
+    s = spark.table("orders").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total"),
+        *w_exprs,
+    )
+    means = F.array(
+        *[
+            F.when(
+                F.col(f"c{b}") > 0, F.col(f"s{b}") / F.col(f"c{b}")
+            )
+            for b in range(_BOOT_B)
+        ]
+    )
+    reps = s.select(
+        "n", "total", F.explode(means).alias("m")
+    ).where(F.col("m").isNotNull())
+    q = reps.groupBy("n", "total").agg(
+        F.percentile("m", 0.025).alias("lo"),
+        F.percentile("m", 0.975).alias("hi"),
+    )
+    mean = F.col("total") / F.col("n")
+    return q.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 4).alias("mean_price"),
+        F.round(F.col("lo"), 4).alias("ci_lo"),
+        F.round(F.col("hi"), 4).alias("ci_hi"),
+        mean.between(F.col("lo"), F.col("hi")).alias("mean_in_ci"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bayesian A/B on a binary metric: Beta(1,1)-prior posteriors, normal
+# approximation for P(B > A). No erf in either engine, so the 95%
+# claim is the one-sided z critical value as a literal (same device as
+# the BH critical values above).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_bayesian_ab",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR) || ':bayes'), 1, 1)
+                   < '8' AS is_a,
+               CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > COUNT(*)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_a,
+            CAST(SUM(CASE WHEN NOT is_a THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_b
+        FROM per_user
+    ),
+    post AS (
+        SELECT n_a, n_b, conv_a, conv_b,
+               (1.0 + conv_a) / (2.0 + n_a) AS mu_a,
+               (1.0 + conv_b) / (2.0 + n_b) AS mu_b,
+               ((1.0 + conv_a) / (2.0 + n_a))
+                   * (1 - (1.0 + conv_a) / (2.0 + n_a)) / (3.0 + n_a)
+                   AS var_a,
+               ((1.0 + conv_b) / (2.0 + n_b))
+                   * (1 - (1.0 + conv_b) / (2.0 + n_b)) / (3.0 + n_b)
+                   AS var_b
+        FROM s
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           {sql_jround("mu_a", 6)} AS post_mean_a,
+           {sql_jround("mu_b", 6)} AS post_mean_b,
+           {sql_jround("(mu_b - mu_a) / sqrt(var_a + var_b)", 4)}
+               AS z_stat,
+           (mu_b - mu_a) / sqrt(var_a + var_b) > 1.6449
+               AS b_beats_a_95
+    FROM post
+    """,
+)
+def stats_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout on user-level conversion: Beta(1,1) prior,
+    posterior Beta(1+c, 1+n-c) per arm, and P(B > A) summarized by
+    the normal approximation of the posterior difference — 'ship B'
+    when the one-sided z clears 95%. The decision-theoretic twin of
+    the frequentist proportion z-test (same sufficient statistics,
+    prior-regularized estimates that never hit 0/100% degeneracy).
+
+    Scale shape: identical to stats_proportion_ztest — one bit per
+    user from the first map-side-combinable aggregation, FOUR
+    integers from the second, scalar arithmetic after; the posterior
+    means/variances are exact rationals until the final z."""
+    per_user = spark.table("events").groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":bayes")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    s = per_user.select(is_a.alias("is_a"), "converted").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    mu_a = (1.0 + F.col("conv_a")) / (2.0 + F.col("n_a"))
+    mu_b = (1.0 + F.col("conv_b")) / (2.0 + F.col("n_b"))
+    var_a = mu_a * (1 - mu_a) / (3.0 + F.col("n_a"))
+    var_b = mu_b * (1 - mu_b) / (3.0 + F.col("n_b"))
+    z = (mu_b - mu_a) / F.sqrt(var_a + var_b)
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(mu_a, 6).alias("post_mean_a"),
+        F.round(mu_b, 6).alias("post_mean_b"),
+        F.round(z, 4).alias("z_stat"),
+        (z > 1.6449).alias("b_beats_a_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald 1945) over the conversion
+# stream. The LLR after n trials is an integer combination of two ln
+# constants — cum_conv * ln(p1/p0) + cum_miss * ln((1-p1)/(1-p0)) —
+# computed from windowed integer counts, so both engines evaluate the
+# identical float expression (no accumulated float cumsum). The ln
+# constants are Python-evaluated shortest-roundtrip literals: an
+# in-SQL ln(0.15/0.10) is DECIMAL division whose result SCALE (and so
+# its rounding of the repeating quotient) differs between engines.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_C1 = repr(_math.log(0.15 / 0.10))     # per conversion
+_SPRT_C0 = repr(_math.log(0.85 / 0.90))     # per miss
+_SPRT_LLR = f"(cum_conv * {_SPRT_C1} + (seq - cum_conv) * {_SPRT_C0})"
+_SPRT_UPPER = repr(_math.log(0.80 / 0.05))  # accept H1 (alpha=.05, beta=.20)
+_SPRT_LOWER = repr(_math.log(0.20 / 0.95))  # accept H0
+
+
+@query(
+    "stats_sprt_sequential",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, MIN(ts) AS first_ts,
+               CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > COUNT(*)
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ),
+    seqd AS (
+        SELECT converted,
+               ROW_NUMBER() OVER (ORDER BY first_ts, user_id) AS seq,
+               SUM(converted) OVER (ORDER BY first_ts, user_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_conv
+        FROM per_user
+    ),
+    llr AS (
+        SELECT seq, cum_conv, {_SPRT_LLR} AS llr FROM seqd
+    ),
+    crossing AS (
+        SELECT MIN(CASE WHEN llr >= {_SPRT_UPPER} THEN seq END)
+                   AS first_h1,
+               MIN(CASE WHEN llr <= {_SPRT_LOWER} THEN seq END)
+                   AS first_h0,
+               MAX(seq) AS n_trials,
+               MAX(cum_conv) AS n_conv
+        FROM llr
+    )
+    SELECT CAST(n_trials AS BIGINT) AS n_trials,
+           CAST(n_conv AS BIGINT) AS n_conv,
+           CAST(first_h1 AS BIGINT) AS first_h1_crossing,
+           CAST(first_h0 AS BIGINT) AS first_h0_crossing,
+           {sql_jround(
+               f"(n_conv * {_SPRT_C1}"
+               f" + (n_trials - n_conv) * {_SPRT_C0})", 6)}
+               AS final_llr,
+           CASE
+               WHEN first_h1 IS NOT NULL
+                    AND (first_h0 IS NULL OR first_h1 < first_h0)
+                   THEN 'accept_h1'
+               WHEN first_h0 IS NOT NULL THEN 'accept_h0'
+               ELSE 'continue'
+           END AS decision
+    FROM crossing
+    """,
+)
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the user-conversion stream (H0: p=10% vs H1:
+    p=15%, alpha=5%, beta=20%): walk users in first-seen order,
+    accumulate the log-likelihood ratio, report the first boundary
+    crossing and the decision — the always-valid sequential
+    monitoring primitive that lets an experiment stop early without
+    peeking bias.
+
+    Scale shape: one map-side aggregation to a bit per user; the
+    ordered walk is a single window cumsum over INTEGER counts (the
+    LLR is reconstructed per row as count * ln-constant, so no float
+    accumulates); the readout is one conditional aggregate. The
+    global ORDER BY is the point of the operator (a sequential test
+    is inherently ordered) and costs one sort of user-grain rows."""
+    per_user = spark.table("events").groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count("*"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    w = Window.orderBy("first_ts", "user_id")
+    seqd = per_user.select(
+        "converted",
+        F.row_number().over(w).alias("seq"),
+        F.sum("converted")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_conv"),
+    )
+    llr = seqd.select(
+        "seq",
+        "cum_conv",
+        F.expr(_SPRT_LLR).alias("llr"),
+    )
+    crossing = llr.agg(
+        F.min(
+            F.when(F.col("llr") >= F.expr(_SPRT_UPPER), F.col("seq"))
+        ).alias("first_h1"),
+        F.min(
+            F.when(F.col("llr") <= F.expr(_SPRT_LOWER), F.col("seq"))
+        ).alias("first_h0"),
+        F.max("seq").alias("n_trials"),
+        F.max("cum_conv").alias("n_conv"),
+    )
+    decision = (
+        F.when(
+            F.col("first_h1").isNotNull()
+            & (
+                F.col("first_h0").isNull()
+                | (F.col("first_h1") < F.col("first_h0"))
+            ),
+            "accept_h1",
+        )
+        .when(F.col("first_h0").isNotNull(), "accept_h0")
+        .otherwise("continue")
+    )
+    final_llr = F.round(
+        F.col("n_conv") * F.lit(float(_SPRT_C1))
+        + (F.col("n_trials") - F.col("n_conv"))
+        * F.lit(float(_SPRT_C0)),
+        6,
+    )
+    return crossing.select(
+        F.col("n_trials").cast("bigint").alias("n_trials"),
+        F.col("n_conv").cast("bigint").alias("n_conv"),
+        F.col("first_h1").cast("bigint").alias("first_h1_crossing"),
+        F.col("first_h0").cast("bigint").alias("first_h0_crossing"),
+        final_llr.alias("final_llr"),
+        decision.alias("decision"),
+    )
+
+
+@query(
+    "stats_iqr_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3,
+               COUNT(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    flagged AS (
+        SELECT e.event_type,
+               COUNT(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                          OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1 END) AS n_outliers
+        FROM events e JOIN q ON q.event_type = e.event_type
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type
+    )
+    SELECT q.event_type,
+           {sql_jround("q.q1", 4)} AS q1,
+           {sql_jround("q.q3", 4)} AS q3,
+           CAST(q.n AS BIGINT) AS n,
+           CAST(flagged.n_outliers AS BIGINT) AS n_outliers,
+           {sql_jround("CAST(flagged.n_outliers AS DOUBLE) / q.n", 6)}
+               AS outlier_share
+    FROM q JOIN flagged ON flagged.event_type = q.event_type
+    ORDER BY q.event_type
+    """,
+)
+def stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per event segment: flag values
+    outside [q1 - 1.5 IQR, q3 + 1.5 IQR] and report the per-segment
+    outlier share — the robust screen (quartiles don't move when the
+    outliers do, unlike the z-score's mean/stddev) that fronts every
+    metric-quality monitor.
+
+    Scale shape: pass 1 computes exact interpolated quartiles per
+    segment; pass 2 re-scans with the segment fences joined back
+    BROADCAST (segment count is tiny) and counts violations — two
+    scans, no sort of the full column beyond the percentile's own
+    partial state. Fences are compared unrounded; only the report
+    rounds."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+        F.count("*").alias("n"),
+    )
+    iqr = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    flagged = (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("value") < iqr) | (F.col("value") > hi), 1
+                )
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        q.join(flagged, "event_type")
+        .select(
+            "event_type",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n"), 6
+            ).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -11,6 +11,7 @@ the free orchestration-level win the reference leaves on the table
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -251,14 +252,18 @@ def run(
         }
         keep = _descendant_closure(project.deps, dirty)
         order = [n for n in order if n in keep]
-        # A changed-selection run needs the UNCHANGED upstream models
-        # visible in the session (views are session-scoped): restore
-        # them without re-materializing table data.
+        # A changed-selection run needs the UNCHANGED upstream models the
+        # selection actually reads visible in the session (views are
+        # session-scoped): restore those — and only those; models outside
+        # the selected subgraph's ancestry (including ones a combined
+        # --model filter deliberately excluded) stay untouched — without
+        # re-materializing table data.
+        needed: set[str] = set()
+        for name in order:
+            needed |= _ancestor_closure(project.deps, name)
         for name in project.order:
-            if name not in keep:
+            if name in needed and name not in keep:
                 m = project.models[name]
-                import os
-
                 path = os.path.join(ex.target_dir, m.name)
                 if m.kind == "table" and os.path.isdir(path):
                     spark.read.parquet(path).createOrReplaceTempView(m.name)
@@ -270,8 +275,14 @@ def run(
         _save_manifest(project_dir, project, order)
         return order
 
-    # Kahn with concurrent submission of ready models.
-    sub_deps = {n: project.deps[n] for n in order}
+    # Kahn with concurrent submission of ready models. Parents outside
+    # the selection (possible under --changed: an unchanged upstream is
+    # restored above, not scheduled) are pruned from the subgraph edges,
+    # else build_graph KeyErrors on the missing node.
+    kept = set(order)
+    sub_deps = {
+        n: [p for p in project.deps[n] if p in kept] for n in order
+    }
     graph = build_graph(sub_deps)
     done: list[str] = []
     with ThreadPoolExecutor(max_workers=8) as pool:

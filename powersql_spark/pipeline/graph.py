@@ -16,7 +16,7 @@ DuckDB oracle can mirror CTE-for-CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.registry import query
@@ -789,3 +789,325 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.orderBy(
         F.desc("n_shared"), "supp_a", "supp_b"
     ).limit(50)
+
+
+_KCORE_K = 3
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    n0 AS (
+        SELECT node FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e1 AS (
+        SELECT e.a, e.b FROM und e
+        JOIN n0 x ON x.node = e.a JOIN n0 y ON y.node = e.b
+    ),
+    n1 AS (
+        SELECT node FROM (
+            SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1
+        ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e2 AS (
+        SELECT e.a, e.b FROM e1 e
+        JOIN n1 x ON x.node = e.a JOIN n1 y ON y.node = e.b
+    ),
+    n2 AS (
+        SELECT node, COUNT(*) AS core_degree FROM (
+            SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+        ) GROUP BY node HAVING COUNT(*) >= {_KCORE_K}
+    )
+    SELECT node, CAST(core_degree AS BIGINT) AS core_degree
+    FROM n2 ORDER BY node
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the strong-trade graph via two unrolled peel rounds:
+    repeatedly drop nodes with degree < k and restrict the edge set to
+    survivors (the community-density primitive — a k-core is the
+    maximal subgraph where everyone keeps >= k ties after the
+    hangers-on leave; spam rings and dense trade blocs surface as
+    high-k cores). Two peels suffice on the 25-node dimension graph;
+    like pagerank's fixed damping rounds, the iteration count is part
+    of the declared semantics so the oracle unrolls CTE-for-CTE.
+
+    Scale shape: the fact tables are touched once by the shared
+    strong-edge build; each peel is one degree aggregation of the
+    current edge set plus two semi-joins back — no driver loop state,
+    and on a real graph the edge table shrinks monotonically so later
+    rounds get cheaper, the classic peel behavior."""
+    und = _strong_edges(spark)
+
+    def survivors(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("core_degree"))
+            .where(F.col("core_degree") >= _KCORE_K)
+        )
+
+    edges = und
+    nodes = survivors(edges)
+    for _ in range(2):  # unrolled peels (count is declared semantics)
+        keep = F.broadcast(nodes.select("node"))
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+        )
+        nodes = survivors(edges)
+    return nodes.select(
+        "node", F.col("core_degree").cast("bigint")
+    ).orderBy("node")
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pertri AS (
+        SELECT node, COUNT(*) AS t FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    )
+    SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(pertri.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+               CAST(round(CAST(CAST(2.0 * COALESCE(pertri.t, 0)
+                    / (deg.d * (deg.d - 1)) AS VARCHAR)
+                    AS DECIMAL(38,18)), 4) AS DOUBLE)
+           ELSE 0.0 END AS local_cc
+    FROM deg LEFT JOIN pertri ON pertri.node = deg.node
+    ORDER BY deg.node
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2T(v) / d(v)(d(v)-1) —
+    what fraction of a node's neighbor pairs are themselves linked
+    (Watts-Strogatz 1998). The per-node refinement of
+    graph_triangle_count: a hub with cc~1 sits in a clique, a hub
+    with cc~0 is a broker bridging otherwise-disconnected partners.
+
+    Scale shape: identical join skeleton to the triangle count (one
+    fact-table pass for edges, ordered 3-way equi-join for triangles,
+    one aggregation for degrees); the coefficient itself is arithmetic
+    on two integer columns. Ratios of small integers terminate in
+    decimal, so the oracle replays Spark's shortest-repr rounding."""
+    und = _strong_edges(spark)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    pertri = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    d = F.col("d")
+    cc = F.when(
+        d >= 2, F.round(2.0 * t / (d * (d - 1)), 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(pertri, "node", "left")
+        .select(
+            "node",
+            d.cast("bigint").alias("degree"),
+            t.cast("bigint").alias("n_triangles"),
+            cc.alias("local_cc"),
+        )
+        .orderBy("node")
+    )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    sym AS (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+        SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src
+    ),
+    cand AS (  -- pairs (u < v) sharing neighbor z, scored 1/ln(deg z)
+        SELECT s1.dst AS u, s2.dst AS v, s1.src AS z
+        FROM sym s1 JOIN sym s2
+          ON s1.src = s2.src AND s1.dst < s2.dst
+    ),
+    scored AS (
+        SELECT u, v,
+               COUNT(*) AS n_common,
+               SUM(1.0 / ln(deg.d)) AS aa
+        FROM cand JOIN deg ON deg.node = cand.z
+        WHERE deg.d >= 2
+        GROUP BY u, v
+    ),
+    nonadj AS (
+        SELECT s.u, s.v, s.n_common, s.aa FROM scored s
+        LEFT JOIN und e ON e.a = s.u AND e.b = s.v
+        WHERE e.a IS NULL
+    )
+    SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+           CAST(round(CAST(CAST(aa AS VARCHAR)
+                AS DECIMAL(38,18)), 4) AS DOUBLE) AS adamic_adar
+    FROM nonadj
+    ORDER BY adamic_adar DESC, u, v
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the strong-trade graph: for
+    every NON-adjacent pair, sum 1/ln(degree) over their common
+    neighbors — rare shared neighbors count more than promiscuous
+    hubs (Adamic & Adar 2003). Top-20 pairs = 'edges most likely to
+    form next', the standard link-prediction baseline recommenders
+    and fraud-ring detectors start from.
+
+    Scale shape: candidate pairs come from a self-equi-join of the
+    adjacency on the SHARED-NEIGHBOR key — quadratic only in per-node
+    degree (the wedge bound, same as bipartite projection), never
+    all-pairs. Degrees join in broadcast-sized; the non-adjacency
+    check is one anti-join against the edge list; the top-20 cut is
+    TakeOrderedAndProject."""
+    und = _strong_edges(spark)
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b"), F.col("a")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    cand = s1.join(
+        s2,
+        (F.col("s1.src") == F.col("s2.src"))
+        & (F.col("s1.dst") < F.col("s2.dst")),
+    ).select(
+        F.col("s1.dst").alias("u"),
+        F.col("s2.dst").alias("v"),
+        F.col("s1.src").alias("z"),
+    )
+    scored = (
+        cand.join(
+            F.broadcast(deg), F.col("z") == F.col("node")
+        )
+        .where(F.col("d") >= 2)
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("d"))).alias("aa"),
+        )
+    )
+    nonadj = scored.join(
+        und,
+        (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")),
+        "anti",
+    )
+    return (
+        nonadj.select(
+            "u",
+            "v",
+            F.col("n_common").cast("bigint"),
+            F.round("aa", 4).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "u", "v")
+        .limit(20)
+    )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ),
+    hist AS (SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+    tot AS (SELECT CAST(SUM(n_nodes) AS DOUBLE) AS n FROM hist)
+    SELECT degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(round(CAST(CAST(n_nodes / tot.n AS VARCHAR)
+                AS DECIMAL(38,18)), 4) AS DOUBLE) AS share,
+           CAST(round(CAST(CAST(
+                SUM(n_nodes) OVER (ORDER BY degree DESC) / tot.n
+                AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS ccdf
+    FROM hist, tot
+    ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the strong-trade graph: node count,
+    share, and complementary-CDF per degree (P(D >= d), the curve
+    whose log-log slope diagnoses power-law vs exponential topology
+    — the first plot of every network analysis, and the skew early-
+    warning for joins keyed on the graph).
+
+    Scale shape: degrees are one aggregation of the edge table, the
+    histogram a second, node-count-sized aggregation; the total joins
+    back as a one-row broadcast and the CCDF is a running sum over
+    the histogram (degree-distinct-sized window). Shares are ratios
+    of integers, so the oracle replays shortest-repr rounding."""
+    und = _strong_edges(spark)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    tot = hist.agg(F.sum("n_nodes").cast("double").alias("n"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            "degree",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.round(F.col("n_nodes") / F.col("n"), 4).alias("share"),
+            F.round(
+                F.sum("n_nodes").over(w) / F.col("n"), 4
+            ).alias("ccdf"),
+        )
+        .orderBy("degree")
+    )

@@ -466,6 +466,18 @@ _PRIORITY: tuple[str, ...] = (
     "window_cume_dist",
     "stats_ols_multi",
     "ts_anomaly_mad",
+    # -- round-6 session additions (append-only: slots 131+ of the
+    # unchecked queue, so the curated r7 window — the four pipeline_*
+    # composites, sim_pq_adc_search, sketch_histogram_quantiles — is
+    # undisturbed; these rotate in at r8+).
+    "graph_kcore",
+    "graph_clustering_coefficient",
+    "graph_adamic_adar",
+    "graph_degree_distribution",
+    "stats_bootstrap_ci",
+    "stats_bayesian_ab",
+    "stats_sprt_sequential",
+    "stats_iqr_outliers",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -458,6 +458,46 @@ def test_run_changed_selects_dirty_downstream_only(spark, tmp_path):
     assert run(spark, tmp_path, sources=SOURCES, changed=True) == []
 
 
+def test_run_changed_parallel_prunes_out_of_selection_parents(
+    spark, tmp_path
+):
+    """--changed + --parallel: the Kahn subgraph must prune edges to
+    unchanged parents that were restored (not scheduled), else
+    build_graph KeyErrors on the missing node. Editing `mid` selects
+    {mid, leaf}; mid's parent `base` is outside the selection."""
+    from powersql_spark.orchestrator.runner import run
+
+    _write_chain_project(tmp_path)
+    run(spark, tmp_path, sources=SOURCES)
+    (tmp_path / "models" / "mid.sql").write_text(
+        "CREATE VIEW mid AS SELECT k, v FROM base WHERE k < 3"
+    )
+    inc = run(spark, tmp_path, sources=SOURCES, changed=True, parallel=True)
+    assert set(inc) == {"mid", "leaf"}
+    assert spark.table("leaf").collect()[0]["n"] == 3
+    # manifest banked: nothing further to do, serial or parallel
+    assert run(spark, tmp_path, sources=SOURCES, changed=True, parallel=True) == []
+
+
+def test_run_changed_restores_only_ancestors_of_selection(spark, tmp_path):
+    """The restore loop touches only the selected subgraph's upstream
+    closure: editing `leaf` (reads mid -> base) must not re-register
+    `other`, which no selected model reads."""
+    from powersql_spark.orchestrator.runner import run
+
+    _write_chain_project(tmp_path)
+    run(spark, tmp_path, sources=SOURCES)
+    (tmp_path / "models" / "leaf.sql").write_text(
+        "CREATE VIEW leaf AS SELECT COUNT(*) + 0 AS n FROM mid"
+    )
+    spark.catalog.dropTempView("other")
+    inc = run(spark, tmp_path, sources=SOURCES, changed=True)
+    assert inc == ["leaf"]
+    # ancestors restored, sibling untouched
+    assert spark.table("leaf").collect()[0]["n"] == 10
+    assert not spark.catalog.tableExists("other")
+
+
 def test_run_changed_new_model_runs_and_banks(spark, tmp_path):
     """A model added after the last run counts as changed; removing it
     drops its manifest entry on the next run."""

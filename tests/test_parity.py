@@ -99,9 +99,15 @@ def _rows_close(a, b) -> bool:
     return True
 
 
-@pytest.mark.parametrize(
-    "key", [k for k, s in SPECS.items() if s.oracle is None]
-)
+_ROWS_ONLY = [k for k, s in SPECS.items() if s.oracle is None]
+
+
+# NOTE: every registered key currently HAS a DuckDB oracle, so this
+# parameter set is empty and pytest reports the test as 1 SKIPPED —
+# that skip is the desired state (it means the weaker rows-only
+# correctness tier is unused), not a blind spot. It self-arms if a
+# future key registers with oracle=None.
+@pytest.mark.parametrize("key", _ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, key):
     """Keys without an oracle still must run and return a stable schema."""
     spec = SPECS[key]

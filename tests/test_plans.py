@@ -1518,3 +1518,99 @@ def test_holt_winters_single_fold_no_python(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("events.parquet") == 1
+
+
+# ---------- round-6 additions ----------
+
+
+def test_kcore_fact_tables_once_broadcast_dims(spark, sf_dir):
+    """k-core: the fact tables feed the shared strong-edge build once;
+    peels are semi-joins + aggregations on the metadata-sized edge
+    table — no cartesian/BNLJ, no Python."""
+    plan = plan_of(spark, sf_dir, "graph_kcore")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_clustering_coefficient_equijoin_triangles(spark, sf_dir):
+    """Local CC reuses the ordered 3-way EQUI-join triangle skeleton on
+    the CACHED edge table — no cartesian; the one-row-threshold BNLJ
+    repeats only inside printed cached lineage (one per
+    InMemoryTableScan, same accounting as the triangle-count gate)."""
+    plan = plan_of(spark, sf_dir, "graph_clustering_coefficient")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    )
+    assert "EvalPython" not in plan
+
+
+def test_adamic_adar_wedge_join_topk(spark, sf_dir):
+    """Adamic-Adar: candidates via the shared-neighbor equi-join
+    (wedge bound) over the cached edge table, non-adjacency as an
+    anti-join, top-20 as TakeOrderedAndProject. BNLJ only inside
+    printed cached lineage (the one-row threshold)."""
+    plan = plan_of(spark, sf_dir, "graph_adamic_adar")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_degree_distribution_single_row_total_broadcast(spark, sf_dir):
+    """Degree histogram: the grand total joins back as a one-row
+    broadcast (constant work); the edge build is cached, so the
+    threshold BNLJ repeats only inside printed cached lineage, plus
+    the one live total-row join."""
+    plan = plan_of(spark, sf_dir, "graph_degree_distribution")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+    assert "EvalPython" not in plan
+
+
+def test_bootstrap_ci_single_fact_scan(spark, sf_dir):
+    """Multiplier bootstrap: ALL 32 replicates ride ONE orders scan as
+    map-side-combinable sufficient statistics — the scan appears once;
+    no Python; the only join pairs two one-row aggregates."""
+    plan = plan_of(spark, sf_dir, "stats_bootstrap_ci")
+    assert plan.count("orders.parquet") == 1
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bayesian_ab_two_collapses_scalar_tail(spark, sf_dir):
+    """Bayesian A/B: per-user collapse then a four-integer global
+    aggregate; everything after is scalar arithmetic — no joins of
+    fact-sized tables, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_bayesian_ab")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_sprt_single_ordered_window(spark, sf_dir):
+    """SPRT: one corpus collapse to user grain, ONE global-ordered
+    window (the sequential semantics), one conditional aggregate —
+    no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_sprt_sequential")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_iqr_outliers_fences_broadcast_back(spark, sf_dir):
+    """IQR screen: quartiles per segment (pass 1) join back BROADCAST
+    onto the re-scan (pass 2) — segment-count-sized build side, no
+    shuffle of the fences, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_iqr_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -4218,3 +4218,154 @@ def test_dim_variance_matches_numpy(spark, sf_dir):
               sorted(rows, key=lambda r: r["var_rank"])]
     assert shares == sorted(shares)
     assert abs(shares[-1] - 1.0) < 1e-6
+
+
+# ---------- round-6 additions ----------
+
+
+def test_kcore_every_member_keeps_k_neighbors_inside(spark, sf_dir):
+    """Every reported core member's IN-CORE degree must be >= k=3 (the
+    defining property after the declared two peel rounds)."""
+    rows = SPECS["graph_kcore"].fn(spark, sf_dir).collect()
+    core = {r["node"] for r in rows}
+    deg = {r["node"]: r["core_degree"] for r in rows}
+    assert all(d >= 3 for d in deg.values())
+    # recompute in-core degrees from the strong-edge graph directly
+    # (the SPECS call above registered the sf_dir views this reads)
+    from powersql_spark.pipeline.graph import _strong_edges
+
+    edges = [(r["a"], r["b"]) for r in _strong_edges(spark).collect()]
+    incore = {n: 0 for n in core}
+    for a, b in edges:
+        if a in core and b in core:
+            incore[a] += 1
+            incore[b] += 1
+    for n in core:
+        assert incore[n] >= 3, (n, incore[n])
+
+
+def test_clustering_coefficient_bounds_and_closed_form(spark, sf_dir):
+    """0 <= cc <= 1 everywhere; cc == 2T/(d(d-1)) recomputed from the
+    returned integers."""
+    rows = SPECS["graph_clustering_coefficient"].fn(spark, sf_dir).collect()
+    assert rows, "strong-trade graph unexpectedly empty"
+    for r in rows:
+        assert 0.0 <= r["local_cc"] <= 1.0
+        if r["degree"] >= 2:
+            expect = round(
+                2.0 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1)), 4
+            )
+            assert abs(r["local_cc"] - expect) < 1e-9
+        else:
+            assert r["local_cc"] == 0.0
+
+
+def test_adamic_adar_pairs_nonadjacent_and_scored(spark, sf_dir):
+    """Reported pairs must NOT be edges, must share >= 1 common
+    neighbor, and the score must equal the direct recomputation."""
+    import math as m
+
+    rows = SPECS["graph_adamic_adar"].fn(spark, sf_dir).collect()
+    from powersql_spark.pipeline.graph import _strong_edges
+
+    edges = {(r["a"], r["b"]) for r in _strong_edges(spark).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in rows:
+        u, v = r["u"], r["v"]
+        assert u < v
+        assert (u, v) not in edges
+        common = adj.get(u, set()) & adj.get(v, set())
+        common = {z for z in common if len(adj[z]) >= 2}
+        assert len(common) == r["n_common"] > 0
+        aa = sum(1.0 / m.log(len(adj[z])) for z in common)
+        assert abs(r["adamic_adar"] - round(aa, 4)) < 1e-6
+
+
+def test_degree_distribution_shares_sum_and_ccdf_monotone(spark, sf_dir):
+    """Shares sum to 1; CCDF is monotone non-increasing in degree and
+    starts at 1 for the smallest degree."""
+    rows = sorted(
+        SPECS["graph_degree_distribution"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["degree"],
+    )
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    ccdf = [r["ccdf"] for r in rows]
+    assert abs(ccdf[0] - 1.0) < 1e-9
+    assert all(x >= y - 1e-9 for x, y in zip(ccdf, ccdf[1:]))
+    assert sum(r["n_nodes"] for r in rows) >= len(rows)
+
+
+def test_bootstrap_ci_brackets_mean_with_sane_width(spark, sf_dir):
+    """The CI must contain the point estimate (percentile bootstrap on
+    mean-1 multipliers), be ordered, and be narrower than +-50% of the
+    mean at any test SF."""
+    r = SPECS["stats_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert r["ci_lo"] <= r["ci_hi"]
+    assert r["mean_in_ci"]
+    assert r["ci_lo"] <= r["mean_price"] <= r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < r["mean_price"]
+
+
+def test_bayesian_ab_posteriors_regularized(spark, sf_dir):
+    """Posterior means sit strictly inside (0,1) (prior regularization
+    kills 0/100% degeneracy) and between the MLE and 1/2."""
+    r = SPECS["stats_bayesian_ab"].fn(spark, sf_dir).collect()[0]
+    for arm in ("a", "b"):
+        mu = r[f"post_mean_{arm}"]
+        n, c = r[f"n_{arm}"], r[f"conv_{arm}"]
+        assert 0.0 < mu < 1.0
+        if n > 0:
+            mle = c / n
+            lo, hi = sorted((mle, 0.5))
+            assert lo - 1e-6 <= mu <= hi + 1e-6
+    assert isinstance(r["b_beats_a_95"], bool)
+
+
+def test_sprt_decision_consistent_with_final_llr(spark, sf_dir):
+    """Decision must match the crossing columns; a reported crossing
+    index must be within [1, n_trials]; final LLR equals the closed
+    form from the returned counts."""
+    import math as m
+
+    r = SPECS["stats_sprt_sequential"].fn(spark, sf_dir).collect()[0]
+    n, c = r["n_trials"], r["n_conv"]
+    expect = round(
+        c * m.log(0.15 / 0.10) + (n - c) * m.log(0.85 / 0.90), 6
+    )
+    assert abs(r["final_llr"] - expect) < 1e-9
+    h1, h0 = r["first_h1_crossing"], r["first_h0_crossing"]
+    for x in (h1, h0):
+        if x is not None:
+            assert 1 <= x <= n
+    if r["decision"] == "accept_h1":
+        assert h1 is not None and (h0 is None or h1 < h0)
+    elif r["decision"] == "accept_h0":
+        assert h0 is not None and (h1 is None or h0 <= h1)
+    else:
+        assert h1 is None and h0 is None
+
+
+def test_iqr_outlier_share_matches_direct_recount(spark, sf_dir):
+    """Recompute quartile fences per segment with numpy's linear
+    interpolation and recount violations."""
+    import numpy as np
+
+    rows = {r["event_type"]: r for r in
+            SPECS["stats_iqr_outliers"].fn(spark, sf_dir).collect()}
+    pdf = _events_pdf(spark, sf_dir)
+    pdf = pdf[pdf["value"].notna()]
+    for et, g in pdf.groupby("event_type"):
+        x = g["value"].to_numpy()
+        q1 = np.quantile(x, 0.25)
+        q3 = np.quantile(x, 0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        n_out = int(((x < lo) | (x > hi)).sum())
+        r = rows[et]
+        assert r["n"] == len(x)
+        assert abs(r["q1"] - round(q1, 4)) < 1e-6
+        assert abs(r["q3"] - round(q3, 4)) < 1e-6
+        assert r["n_outliers"] == n_out
