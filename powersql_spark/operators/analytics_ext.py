@@ -3418,3 +3418,335 @@ def stats_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "analytics_market_basket",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+        FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+    item_n AS (SELECT part, COUNT(*) AS n_item FROM items GROUP BY part),
+    pair_n AS (
+        SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.ok = b.ok AND a.part < b.part
+        GROUP BY a.part, b.part
+    ),
+    scored AS (
+        SELECT p.part_a, p.part_b, p.n_ab,
+               ia.n_item AS n_a, ib.n_item AS n_b, o.n AS n_orders,
+               CAST(p.n_ab AS DOUBLE) / ia.n_item AS conf,
+               (CAST(p.n_ab AS DOUBLE) / o.n)
+                   / ((CAST(ia.n_item AS DOUBLE) / o.n)
+                      * (CAST(ib.n_item AS DOUBLE) / o.n)) AS lift
+        FROM pair_n p
+        JOIN item_n ia ON ia.part = p.part_a
+        JOIN item_n ib ON ib.part = p.part_b
+        CROSS JOIN n_orders o
+        WHERE p.n_ab >= 2
+    )
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           {sql_jround("conf", 6)} AS confidence,
+           {sql_jround("lift", 4)} AS lift
+    FROM scored
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support / confidence /
+    lift for part pairs bought in the same order (min support 2,
+    top-20 by lift) — the 'frequently bought together' primitive.
+    Lift > 1 = the pair co-occurs beyond what its marginals predict.
+
+    Scale shape: the basket table collapses to DISTINCT (order, part)
+    once; candidate pairs come from a self-EQUI-join on the order key,
+    quadratic only in per-order basket size (TPC-H baskets are <= 7
+    items — the classic market-basket bound). Item marginals join
+    back id-keyed; the order total is a one-row broadcast; top-20 is
+    TakeOrderedAndProject. Confidence/lift are integer rationals
+    (jround replays)."""
+    items = (
+        spark.table("lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    from powersql_spark.catalog import track_persist
+
+    items = track_persist(items)
+    n_orders = items.agg(F.countDistinct("ok").alias("n"))
+    item_n = items.groupBy("part").agg(F.count("*").alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"),
+            F.col("b.part").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ia = item_n.select(
+        F.col("part").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item_n.select(
+        F.col("part").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    scored = (
+        pair_n.join(ia, "part_a")
+        .join(ib, "part_b")
+        .join(F.broadcast(n_orders))
+    )
+    conf = F.col("n_ab").cast("double") / F.col("n_a")
+    lift = (F.col("n_ab").cast("double") / F.col("n")) / (
+        (F.col("n_a").cast("double") / F.col("n"))
+        * (F.col("n_b").cast("double") / F.col("n"))
+    )
+    return (
+        scored.select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "analytics_pareto_concentration",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    AS DECIMAL(28,6)) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev,
+               NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        FROM per_cust
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS DOUBLE) AS t FROM per_cust)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           {sql_jround("CAST(SUM(rev) AS DOUBLE) / ANY_VALUE(tot.t)", 6)}
+               AS rev_share,
+           {sql_jround(
+               "SUM(CAST(SUM(rev) AS DOUBLE)) OVER "
+               "(ORDER BY decile ROWS UNBOUNDED PRECEDING)"
+               " / ANY_VALUE(tot.t)", 6)} AS cum_share
+    FROM ranked, tot
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def analytics_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/ABC analysis): customers ranked
+    by lifetime revenue, bucketed into deciles, with each decile's
+    revenue share and the cumulative share — 'do 20% of customers
+    carry 80% of revenue?'. The distribution companion to
+    agg_gini_revenue's single coefficient.
+
+    Scale shape: one fact collapse to customer grain (decimal-exact),
+    one NTILE window over customer-grain rows (tie-broken on the
+    key), a ten-row aggregate; the grand total rides along as a
+    one-row broadcast. Shares are decimal-over-decimal rationals
+    (jround replays)."""
+    per_cust = spark.table("orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("rev")
+    )
+    from powersql_spark.catalog import track_persist
+
+    per_cust = track_persist(per_cust)
+    w = Window.orderBy(F.desc("rev"), "o_custkey")
+    ranked = per_cust.select(
+        "o_custkey", "rev", F.ntile(10).over(w).alias("decile")
+    )
+    tot = per_cust.agg(F.sum("rev").cast("double").alias("t"))
+    per_dec = (
+        ranked.join(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.first("t").alias("t"),
+        )
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_dec.select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("t"), 6).alias("rev_share"),
+            F.round(
+                F.sum("revenue").over(cum) / F.col("t"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "analytics_markov_transitions",
+    oracle=f"""
+    WITH seqd AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seqd WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    marg AS (
+        SELECT prev_type, SUM(n) AS n_from FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           {sql_jround("CAST(t.n AS DOUBLE) / m.n_from", 6)} AS prob
+    FROM trans t JOIN marg m ON m.prev_type = t.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current event type), estimated from every
+    adjacent pair in per-user time order (event_id tie-break) — the
+    behavioral model behind next-action prediction, funnel synthesis,
+    and anomalous-session scoring (low-probability transition chains).
+
+    Scale shape: ONE window pass partitioned by user (sessions sort
+    locally within the user partition — no global sort), then two
+    aggregations of the type-pair table (|types|^2 rows, metadata-
+    sized). Probabilities are integer rationals (jround replays)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = spark.table("events").select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seqd.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    marg = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(marg), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_from"), 6
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "window_streak_longest",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+        SELECT user_id, day,
+               CAST(day AS DATE) - CAST(
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, COUNT(*) AS len, MIN(day) AS start_day
+        FROM islands GROUP BY user_id, island
+    ),
+    best AS (
+        SELECT user_id, len, start_day,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY len DESC, start_day
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+        FROM streaks
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+           start_day AS streak_start,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+    FROM best WHERE rn = 1
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 20
+    """,
+)
+def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (top 20): the
+    gap-islands recipe applied to engagement — day minus its per-user
+    row number is constant exactly while days are consecutive, so
+    each island is one streak. The retention-mechanics metric behind
+    'N-day streak' product features.
+
+    Scale shape: the corpus collapses to DISTINCT (user, day) first
+    (map-side combinable); the island id is ONE user-partitioned
+    window (local sort per user); streaks and the per-user argmax are
+    narrow aggregations of day-grain rows. Top-20 rides
+    TakeOrderedAndProject with a total tie-break."""
+    days = (
+        spark.table("events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "start_day"
+    )
+    best = streaks.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.row_number().over(wb).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("user_id"))
+        .alias("n_streaks"),
+    )
+    return (
+        best.where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("longest_streak"),
+            F.col("start_day").alias("streak_start"),
+            F.col("n_streaks").cast("bigint").alias("n_streaks"),
+        )
+        .orderBy(F.desc("longest_streak"), "user_id")
+        .limit(20)
+    )

@@ -478,6 +478,10 @@ _PRIORITY: tuple[str, ...] = (
     "stats_bayesian_ab",
     "stats_sprt_sequential",
     "stats_iqr_outliers",
+    "analytics_market_basket",
+    "analytics_pareto_concentration",
+    "analytics_markov_transitions",
+    "window_streak_longest",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

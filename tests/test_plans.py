@@ -1614,3 +1614,53 @@ def test_iqr_outliers_fences_broadcast_back(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_market_basket_order_equijoin_topk(spark, sf_dir):
+    """Market basket: pairs via the order-key self-EQUI-join of the
+    CACHED basket table (quadratic only in basket size); marginals
+    id-keyed; the order total a one-row broadcast; top-20 as
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "analytics_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "basket table not cached"
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1  # + the live one-row n_orders join
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_pareto_single_collapse_one_row_total(spark, sf_dir):
+    """Pareto deciles: one fact collapse to customer grain (cached —
+    it feeds both the NTILE and the total), one-row total broadcast,
+    ten-row tail."""
+    plan = plan_of(spark, sf_dir, "analytics_pareto_concentration")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+    assert "EvalPython" not in plan
+
+
+def test_markov_user_partitioned_window_no_global_sort(spark, sf_dir):
+    """Markov transitions: the LAG window partitions by user (local
+    sorts only); the marginal joins back BROADCAST onto the
+    metadata-sized pair table."""
+    plan = plan_of(spark, sf_dir, "analytics_markov_transitions")
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_streak_user_partitioned_islands_topk(spark, sf_dir):
+    """Streaks: gap-islands via user-partitioned windows (no global
+    sort until the 20-row cut), distinct-day collapse first, top-20
+    as TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "window_streak_longest")
+    assert "hashpartitioning(user_id" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

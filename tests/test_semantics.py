@@ -4369,3 +4369,107 @@ def test_iqr_outlier_share_matches_direct_recount(spark, sf_dir):
         assert abs(r["q1"] - round(q1, 4)) < 1e-6
         assert abs(r["q3"] - round(q3, 4)) < 1e-6
         assert r["n_outliers"] == n_out
+
+
+def test_market_basket_scores_recomputed(spark, sf_dir):
+    """Recompute support/confidence/lift for every reported pair from
+    the raw baskets."""
+    rows = SPECS["analytics_market_basket"].fn(spark, sf_dir).collect()
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey").collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n_orders = len(baskets)
+    from collections import Counter
+
+    item_n, pair_n = Counter(), Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item_n[p] += 1
+        for a in parts:
+            for b in parts:
+                if a < b:
+                    pair_n[(a, b)] += 1
+    lifts = []
+    for r in rows:
+        a, b, n_ab = r["part_a"], r["part_b"], r["n_ab"]
+        assert pair_n[(a, b)] == n_ab >= 2
+        conf = n_ab / item_n[a]
+        lift = (n_ab / n_orders) / (
+            (item_n[a] / n_orders) * (item_n[b] / n_orders)
+        )
+        assert abs(r["confidence"] - round(conf, 6)) < 1e-9
+        assert abs(r["lift"] - round(lift, 4)) < 1e-9
+        lifts.append(r["lift"])
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_pareto_deciles_partition_and_concentrate(spark, sf_dir):
+    """Deciles partition the customers, shares sum to 1, cum_share is
+    monotone increasing and ends at 1, and decile 1 (top spenders)
+    holds the largest share."""
+    rows = sorted(
+        SPECS["analytics_pareto_concentration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_cust = spark.table("orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert abs(sum(r["rev_share"] for r in rows) - 1.0) < 1e-4
+    cum = [r["cum_share"] for r in rows]
+    assert all(x < y + 1e-9 for x, y in zip(cum, cum[1:]))
+    assert abs(cum[-1] - 1.0) < 1e-4
+    assert rows[0]["rev_share"] == max(r["rev_share"] for r in rows)
+
+
+def test_markov_rows_normalize_to_one(spark, sf_dir):
+    """Per prev_type, transition probabilities sum to 1; counts match
+    a direct pandas recount of adjacent pairs."""
+    from collections import Counter, defaultdict
+
+    rows = SPECS["analytics_markov_transitions"].fn(spark, sf_dir).collect()
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["prob"]
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+    ev = (
+        spark.table("events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pairs = Counter()
+    for u, es in seqs.items():
+        es.sort()
+        for (_, _, a), (_, _, b) in zip(es, es[1:]):
+            pairs[(a, b)] += 1
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in rows}
+    assert got == dict(pairs)
+
+
+def test_streak_lengths_match_direct_scan(spark, sf_dir):
+    """Recompute each reported user's longest run of consecutive
+    active days directly."""
+    import datetime
+    from collections import defaultdict
+
+    rows = SPECS["window_streak_longest"].fn(spark, sf_dir).collect()
+    ev = spark.table("events").select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    for r in rows:
+        ds = sorted(days[r["user_id"]])
+        best, best_start, cur, cur_start = 1, ds[0], 1, ds[0]
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                cur, cur_start = 1, b
+            if cur > best:
+                best, best_start = cur, cur_start
+        assert r["longest_streak"] == best
+        assert r["streak_start"] == best_start
