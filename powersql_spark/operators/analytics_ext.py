@@ -3750,3 +3750,112 @@ def window_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("longest_streak"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "cdc_deletion_vectors",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+               l_orderkey % 16 AS file_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey % 16
+                   ORDER BY l_orderkey, l_linenumber, l_partkey,
+                            l_suppkey, l_extendedprice
+               ) AS pos
+        FROM lineitem
+    ),
+    dv AS (
+        SELECT file_id, pos FROM base
+        WHERE substr(md5(CAST(file_id AS VARCHAR) || ':'
+                     || CAST(pos AS VARCHAR) || ':dv'), 1, 1) < '2'
+    )
+    SELECT b.file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(dv.pos) AS BIGINT) AS n_deleted,
+           CAST(COUNT(*) - COUNT(dv.pos) AS BIGINT) AS n_visible,
+           CAST(SUM(CASE WHEN dv.pos IS NULL THEN
+                CAST(b.l_extendedprice AS DECIMAL(28,6)) END)
+                AS DOUBLE) AS visible_revenue
+    FROM base b
+    LEFT JOIN dv ON dv.file_id = b.file_id AND dv.pos = b.pos
+    GROUP BY b.file_id
+    ORDER BY b.file_id
+    """,
+)
+def cdc_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read with deletion vectors: the base file rows are
+    never rewritten; a side table of (file_id, position) tombstones
+    is anti-joined at read time — the lakehouse delete path (Delta /
+    Iceberg v2 DVs) that makes GDPR deletes O(deleted) instead of
+    O(table rewrite). Positions are assigned by a deterministic
+    within-file ordering; the DV marks ~1/8 of positions via a salted
+    hash (standing in for an upstream delete feed).
+
+    Scale shape: position assignment is one file-partitioned window
+    (local sort per file — matches how positions are implicit in real
+    file layouts); the DV is a small filtered projection that joins
+    back BROADCAST; the per-file report is one aggregation. No
+    rewrite of base data anywhere."""
+    # (orderkey, linenumber) is NOT unique in the synthetic data —
+    # extend the within-file ordering until it totally orders rows,
+    # else the position assignment is nondeterministic.
+    w = Window.partitionBy("file_id").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+    )
+    base = (
+        spark.table("lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            (F.col("l_orderkey") % 16).alias("file_id"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+    )
+    from powersql_spark.catalog import track_persist
+
+    base = track_persist(base)
+    dv = base.where(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("file_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                    F.lit(":dv"),
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "2"
+    ).select("file_id", "pos")
+    visible = base.join(F.broadcast(dv), ["file_id", "pos"], "anti")
+    per_file_v = visible.groupBy("file_id").agg(
+        F.count("*").alias("n_visible"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("visible_revenue"),
+    )
+    per_file = base.groupBy("file_id").agg(
+        F.count("*").alias("n_rows")
+    )
+    return (
+        per_file.join(per_file_v, "file_id", "left")
+        .select(
+            "file_id",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows") - F.coalesce(F.col("n_visible"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_deleted"),
+            F.coalesce(F.col("n_visible"), F.lit(0))
+            .cast("bigint")
+            .alias("n_visible"),
+            F.col("visible_revenue"),
+        )
+        .orderBy("file_id")
+    )

@@ -1146,3 +1146,236 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_var_share"
         ),
     ).orderBy("var_rank")
+
+
+_RP_OUT_DIMS = 32
+_RP_IN_DIMS = 64
+_RP_PAIRS = 10
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """±1 from md5("rp:i:j") — reproducible in SQL as
+    substr(md5(...),1,1) < '8'."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+    return 1 if h[0] < "8" else -1
+
+
+@query(
+    "emb_random_projection",
+    oracle=f"""
+    WITH picked AS (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM (SELECT * FROM embeddings ORDER BY vec_id
+              LIMIT {2 * _RP_PAIRS})
+    ),
+    expl AS (
+        SELECT vec_id, rn,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM picked
+    ),
+    signs AS (
+        SELECT i.range AS i, j.range AS j,
+               CASE WHEN substr(md5('rp:' || CAST(i.range AS VARCHAR)
+                    || ':' || CAST(j.range AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS s
+        FROM range({_RP_IN_DIMS}) i, range({_RP_OUT_DIMS}) j
+    ),
+    proj AS (
+        SELECT e.vec_id, e.rn, s.j,
+               CAST(SUM(CAST(e.x * s.s AS DECIMAL(28,12)))
+                    AS DOUBLE) AS c
+        FROM expl e JOIN signs s ON s.i = e.i
+        GROUP BY e.vec_id, e.rn, s.j
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               (a.rn + 1) // 2 AS pair_id
+        FROM picked a JOIN picked b
+          ON b.rn = a.rn + 1 AND a.rn % 2 = 1
+    ),
+    exact AS (
+        SELECT p.pair_id,
+               CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS dot,
+               CAST(SUM(CAST(ea.x * ea.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS na,
+               CAST(SUM(CAST(eb.x * eb.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS nb
+        FROM pairs p
+        JOIN expl ea ON ea.vec_id = p.vec_a
+        JOIN expl eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+        GROUP BY p.pair_id
+    ),
+    projc AS (
+        SELECT p.pair_id,
+               CAST(SUM(CAST(pa.c * pb.c AS DECIMAL(28,6)))
+                    AS DOUBLE) AS dot,
+               CAST(SUM(CAST(pa.c * pa.c AS DECIMAL(28,6)))
+                    AS DOUBLE) AS na,
+               CAST(SUM(CAST(pb.c * pb.c AS DECIMAL(28,6)))
+                    AS DOUBLE) AS nb
+        FROM pairs p
+        JOIN proj pa ON pa.vec_id = p.vec_a
+        JOIN proj pb ON pb.vec_id = p.vec_b AND pb.j = pa.j
+        GROUP BY p.pair_id
+    )
+    SELECT p.pair_id, p.vec_a, p.vec_b,
+           {sql_jround("e.dot / sqrt(e.na * e.nb)", 6)} AS cos_exact,
+           {sql_jround("pc.dot / sqrt(pc.na * pc.nb)", 6)} AS cos_proj,
+           {sql_jround(
+               "abs(e.dot / sqrt(e.na * e.nb)"
+               " - pc.dot / sqrt(pc.na * pc.nb))", 6)} AS abs_err,
+           abs(e.dot / sqrt(e.na * e.nb)
+               - pc.dot / sqrt(pc.na * pc.nb)) <= 0.5 AS within_tol
+    FROM pairs p
+    JOIN exact e ON e.pair_id = p.pair_id
+    JOIN projc pc ON pc.pair_id = p.pair_id
+    ORDER BY p.pair_id
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 32 dims with a
+    deterministic ±1 (Achlioptas) sign matrix derived from md5, and
+    the distortion audit that justifies it: for ten fixed vector
+    pairs, exact 64-d cosine vs projected 32-d cosine and their
+    absolute error — the dimensionality-reduction step that cuts ANN
+    index cost 2x while bounding similarity distortion.
+
+    Scale shape: the projection is a posexplode + broadcast join
+    against the 2048-row sign matrix + a decimal partial-aggregate
+    per (vector, output-dim) — map-side combinable, one pass over
+    the embedding corpus, no driver-side matrix state (the signs are
+    plan literals, like the learned-IVF centroids). The audit pairs
+    are a 20-row rank pick. Decimal sums make both cosines
+    order-independent, so the oracle replays them exactly."""
+    em = spark.table("embeddings")
+    picked = (
+        em.orderBy("vec_id")
+        .limit(2 * _RP_PAIRS)
+        .select(
+            "vec_id",
+            "embedding",
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("rn"),
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    picked = track_persist(picked)
+    expl = picked.select(
+        "vec_id",
+        "rn",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select("vec_id", "rn", "i", F.col("x").cast("double").alias("x"))
+    signs = spark.createDataFrame(
+        [
+            (i, j, _rp_sign(i, j))
+            for i in range(_RP_IN_DIMS)
+            for j in range(_RP_OUT_DIMS)
+        ],
+        "i int, j int, s int",
+    )
+    proj = (
+        expl.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "rn", "j")
+        .agg(
+            F.sum((F.col("x") * F.col("s")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("c")
+        )
+    )
+    a = picked.select(
+        F.col("vec_id").alias("vec_a"), F.col("rn").alias("rn_a")
+    )
+    b = picked.select(
+        F.col("vec_id").alias("vec_b"), F.col("rn").alias("rn_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("rn_b") == F.col("rn_a") + 1)
+            & (F.col("rn_a") % 2 == 1),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            ((F.col("rn_a") + 1) / 2).cast("long").alias("pair_id"),
+        )
+    )
+    ea = expl.select(
+        F.col("vec_id").alias("vec_a"), F.col("i").alias("ia"),
+        F.col("x").alias("xa"),
+    )
+    eb = expl.select(
+        F.col("vec_id").alias("eb_vec"), F.col("i").alias("ib"),
+        F.col("x").alias("xb"),
+    )
+    exact = (
+        pairs.join(ea, "vec_a")
+        .join(
+            eb,
+            (F.col("vec_b") == F.col("eb_vec"))
+            & (F.col("ib") == F.col("ia")),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("xa") * F.col("xa")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("xb") * F.col("xb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("nb"),
+        )
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("vec_a"), F.col("j").alias("ja"),
+        F.col("c").alias("ca"),
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("pb_vec"), F.col("j").alias("jb"),
+        F.col("c").alias("cb"),
+    )
+    projc = (
+        pairs.join(pa, "vec_a")
+        .join(
+            pb,
+            (F.col("vec_b") == F.col("pb_vec"))
+            & (F.col("jb") == F.col("ja")),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("pdot"),
+            F.sum((F.col("ca") * F.col("ca")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("pna"),
+            F.sum((F.col("cb") * F.col("cb")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("pnb"),
+        )
+    )
+    ce = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    cp = F.col("pdot") / F.sqrt(F.col("pna") * F.col("pnb"))
+    return (
+        pairs.join(exact, "pair_id")
+        .join(projc, "pair_id")
+        .select(
+            "pair_id",
+            "vec_a",
+            "vec_b",
+            F.round(ce, 6).alias("cos_exact"),
+            F.round(cp, 6).alias("cos_proj"),
+            F.round(F.abs(ce - cp), 6).alias("abs_err"),
+            (F.abs(ce - cp) <= 0.5).alias("within_tol"),
+        )
+        .orderBy("pair_id")
+    )

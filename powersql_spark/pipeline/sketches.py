@@ -586,3 +586,206 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b99") * _HQ_WIDTH).cast("double").alias("p99_lo"),
         F.lit(_HQ_WIDTH).cast("double").alias("max_error"),
     ).orderBy("event_type")
+
+
+_THETA_SRCS = ("src0", "src1", "src10", "src11")
+_THETA_SRC_SQL = ", ".join(f"'{s}'" for s in _THETA_SRCS)
+
+
+@query(
+    "sketch_theta_intersection",
+    # Like KMV above, the whole sketch is a pure function of md5
+    # hashes, so the oracle replays minima, thetas, and estimates
+    # bit-for-bit — set OPERATIONS included (no tolerance gate).
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        FROM documents WHERE source IN ({_THETA_SRC_SQL})
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h)
+                       AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}
+    ),
+    stats AS (
+        SELECT source, MAX(h) AS kth, COUNT(*) AS n_kept
+        FROM sk GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.kth AS kth_a, b.kth AS kth_b,
+               a.n_kept AS k_a, b.n_kept AS k_b,
+               LEAST(CASE WHEN a.n_kept < {_KMV_K}
+                          THEN 4294967296 ELSE a.kth END,
+                     CASE WHEN b.n_kept < {_KMV_K}
+                          THEN 4294967296 ELSE b.kth END) AS theta_h
+        FROM stats a JOIN stats b ON a.source < b.source
+    ),
+    common AS (
+        SELECT p.src_a, p.src_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sk sa ON sa.source = p.src_a
+        JOIN sk sb ON sb.source = p.src_b AND sb.h = sa.h
+        WHERE sa.h <= p.theta_h
+        GROUP BY p.src_a, p.src_b
+    ),
+    uni AS (
+        SELECT src_a, src_b, MAX(h) AS kth_u, COUNT(*) AS k_u FROM (
+            SELECT src_a, src_b, h,
+                   row_number() OVER (
+                       PARTITION BY src_a, src_b ORDER BY h
+                   ) AS rn
+            FROM (
+                SELECT DISTINCT p.src_a, p.src_b, m.h
+                FROM pairs p
+                JOIN sk m
+                  ON m.source = p.src_a OR m.source = p.src_b
+            )
+        ) WHERE rn <= {_KMV_K}
+        GROUP BY src_a, src_b
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           CASE WHEN p.k_a < {_KMV_K} THEN CAST(p.k_a AS DOUBLE)
+                ELSE round(({_KMV_K} - 1) * 4294967296.0 / p.kth_a, 4)
+           END AS est_a,
+           CASE WHEN p.k_b < {_KMV_K} THEN CAST(p.k_b AS DOUBLE)
+                ELSE round(({_KMV_K} - 1) * 4294967296.0 / p.kth_b, 4)
+           END AS est_b,
+           round(COALESCE(c.n_common, 0) * 4294967296.0
+                 / p.theta_h, 4) AS est_intersection,
+           CASE WHEN u.k_u < {_KMV_K} THEN CAST(u.k_u AS DOUBLE)
+                ELSE round((u.k_u - 1) * 4294967296.0 / u.kth_u, 4)
+           END AS est_union
+    FROM pairs p
+    LEFT JOIN common c ON c.src_a = p.src_a AND c.src_b = p.src_b
+    JOIN uni u ON u.src_a = p.src_a AND u.src_b = p.src_b
+    ORDER BY p.src_a, p.src_b
+    """,
+)
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS between source corpora: from each
+    source's bottom-k (KMV) sketch alone, estimate per-pair distinct
+    counts, |A∩B| (common sketch hashes below theta = min of the two
+    kth-minima, scaled by 1/theta), and |A∪B| (merge + re-cut at k) —
+    the Datasketches workflow that answers overlap questions across
+    100 TB corpora from kilobyte summaries, without ever co-scanning
+    the raw sets.
+
+    Scale shape: ONE corpus scan builds all per-source sketches
+    (rank-limit window = partition-local bounded top-k, same as
+    sketch_kmv_distinct); everything downstream — pair enumeration,
+    hash-equi intersection, merge/re-cut — runs on k-row sketches
+    (metadata-sized). Deterministic md5 base hash, so the driver
+    hash-verifies the estimates bit-for-bit."""
+    d = spark.table("documents").where(
+        F.col("source").isin(*_THETA_SRCS)
+    )
+    h = d.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = track_persist(
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    stats = sk.groupBy("source").agg(
+        F.max("h").alias("kth"), F.count("*").alias("n_kept")
+    )
+    a = stats.select(
+        F.col("source").alias("src_a"),
+        F.col("kth").alias("kth_a"),
+        F.col("n_kept").alias("k_a"),
+    )
+    b = stats.select(
+        F.col("source").alias("src_b"),
+        F.col("kth").alias("kth_b"),
+        F.col("n_kept").alias("k_b"),
+    )
+    sat = float(2**32)
+
+    def _theta(kth, k_kept):
+        return F.when(k_kept < _KMV_K, F.lit(sat)).otherwise(kth)
+
+    pairs = a.join(b, F.col("src_a") < F.col("src_b")).withColumn(
+        "theta_h",
+        F.least(
+            _theta(F.col("kth_a"), F.col("k_a")),
+            _theta(F.col("kth_b"), F.col("k_b")),
+        ),
+    )
+    sa = sk.select(F.col("source").alias("src_a"), "h")
+    sb = sk.select(
+        F.col("source").alias("sb_src"), F.col("h").alias("hb")
+    )
+    common = (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(
+            F.broadcast(sb),
+            (F.col("src_b") == F.col("sb_src"))
+            & (F.col("h") == F.col("hb")),
+        )
+        .where(F.col("h") <= F.col("theta_h"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    members = sk.select(F.col("source").alias("m_src"), "h")
+    p0 = pairs.select("src_a", "src_b")
+    uni = (
+        p0.join(
+            F.broadcast(members), F.col("m_src") == F.col("src_a")
+        )
+        .select("src_a", "src_b", "h")
+        .unionAll(
+            p0.join(
+                F.broadcast(members), F.col("m_src") == F.col("src_b")
+            ).select("src_a", "src_b", "h")
+        )
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src_a", "src_b").orderBy("h")
+            ),
+        )
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(F.max("h").alias("kth_u"), F.count("*").alias("k_u"))
+    )
+    scale = float(2**32)
+
+    def est(kth, k_kept):
+        # Exhaustive sketch (< k minima kept) IS the exact set.
+        return F.when(
+            k_kept < _KMV_K, k_kept.cast("double")
+        ).otherwise(F.round(F.lit(_KMV_K - 1) * scale / kth, 4))
+
+    return (
+        pairs.join(common, ["src_a", "src_b"], "left")
+        .join(uni, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+            est(F.col("kth_a"), F.col("k_a")).alias("est_a"),
+            est(F.col("kth_b"), F.col("k_b")).alias("est_b"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                * scale
+                / F.col("theta_h"),
+                4,
+            ).alias("est_intersection"),
+            est(F.col("kth_u"), F.col("k_u")).alias("est_union"),
+        )
+        .orderBy("src_a", "src_b")
+    )

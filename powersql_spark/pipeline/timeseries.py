@@ -2071,3 +2071,152 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct("prev_day").alias("dod_pct"),
         pct("prev_week").alias("wow_pct"),
     ).orderBy("day")
+
+
+_SESSION_GAP_MIN = 30
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL {_SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, sess, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM numbered GROUP BY user_id, sess
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    thresh AS (
+        SELECT event_type, AVG(CAST(n AS DOUBLE)) AS avg_n
+        FROM hourly GROUP BY event_type
+    ),
+    spikes AS (
+        SELECT h.event_type, h.hr AS w_start,
+               h.hr + INTERVAL 1 HOUR AS w_end
+        FROM hourly h JOIN thresh t ON t.event_type = h.event_type
+        WHERE CAST(h.n AS DOUBLE) > 1.5 * t.avg_n
+    ),
+    ovl AS (
+        SELECT DISTINCT s.user_id, s.sess,
+               sp.event_type, sp.w_start
+        FROM sessions s JOIN spikes sp
+          ON s.s_start < sp.w_end AND sp.w_start <= s.s_end
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spike_overlaps,
+           CAST(COUNT(DISTINCT sess) AS BIGINT) AS n_sessions_hit
+    FROM ovl
+    GROUP BY user_id
+    ORDER BY n_spike_overlaps DESC, user_id
+    LIMIT 20
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user activity sessions (30-min-gap
+    islands) joined against traffic-spike windows (hours where an
+    event type ran >1.5x its average hourly rate) — 'which users were
+    on during the storm', the canonical interval x interval workload
+    (conflict detection, incident attribution, ad-flight matching).
+
+    Scale shape: the naive form is an all-pairs theta-join; this
+    implementation GRID-BUCKETS it — sessions explode to the hour
+    buckets they span (bounded: sessions are gap-capped), spike
+    windows are exactly one bucket wide, and candidates come from an
+    hour-bucket EQUI-join, with the true overlap predicate applied
+    only to grid-collocated pairs and duplicates removed by the
+    distinct. The oracle states the same semantics as the naive
+    predicate join — same answer, quadratic plan — which is exactly
+    the point of the grid rewrite."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull()
+            | (
+                F.col("ts").cast("long") - prev.cast("long")
+                > _SESSION_GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = (
+        marked.withColumn("sess", F.sum("brk").over(ws))
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    thresh = hourly.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("avg_n")
+    )
+    spikes = (
+        hourly.join(F.broadcast(thresh), "event_type")
+        .where(F.col("n").cast("double") > 1.5 * F.col("avg_n"))
+        .select(
+            "event_type",
+            F.col("hr").alias("w_start"),
+            (F.col("hr") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    # Grid: explode each session to the hour buckets it spans; a
+    # spike window occupies exactly its own bucket.
+    cand = sessions.select(
+        "user_id",
+        "sess",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    overlaps = (
+        cand.join(
+            F.broadcast(spikes), F.col("bucket") == F.col("w_start")
+        )
+        .where(
+            (F.col("s_start") < F.col("w_end"))
+            & (F.col("w_start") <= F.col("s_end"))
+        )
+        .select("user_id", "sess", "event_type", "w_start")
+        .distinct()
+    )
+    return (
+        overlaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spike_overlaps"),
+            F.countDistinct("sess").cast("bigint").alias("n_sessions_hit"),
+        )
+        .orderBy(F.desc("n_spike_overlaps"), "user_id")
+        .limit(20)
+    )

@@ -482,6 +482,10 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_pareto_concentration",
     "analytics_markov_transitions",
     "window_streak_longest",
+    "sketch_theta_intersection",
+    "join_interval_overlap",
+    "cdc_deletion_vectors",
+    "emb_random_projection",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

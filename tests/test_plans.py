@@ -1664,3 +1664,51 @@ def test_streak_user_partitioned_islands_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_theta_sketch_downstream_on_k_rows(spark, sf_dir):
+    """Theta set ops: one corpus scan builds the cached sketches; the
+    rank-limit window plans a partial WindowGroupLimit (partition-
+    local bounded top-k); intersection/union joins run on broadcast
+    k-row sketch sides."""
+    plan = plan_of(spark, sf_dir, "sketch_theta_intersection")
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan, "sketch not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_interval_overlap_grid_equijoin(spark, sf_dir):
+    """Interval overlap: candidates from the hour-bucket EQUI-join
+    (never the naive all-pairs theta join); spike windows broadcast;
+    top-20 as TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_deletion_vectors_broadcast_antijoin(spark, sf_dir):
+    """DV merge-on-read: the tombstone side anti-joins BROADCAST; the
+    base positions come from a file-partitioned window (local sorts);
+    base is cached (it feeds DV derivation, totals, and the visible
+    aggregate)."""
+    plan = plan_of(spark, sf_dir, "cdc_deletion_vectors")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "InMemoryTableScan" in plan, "base positions not cached"
+    assert "hashpartitioning(file_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_random_projection_broadcast_signs_decimal_partials(spark, sf_dir):
+    """JL projection: the 2048-row sign matrix joins BROADCAST onto
+    the exploded vectors; projection components come from a partial
+    decimal aggregate; no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "emb_random_projection")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()

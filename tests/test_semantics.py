@@ -4473,3 +4473,102 @@ def test_streak_lengths_match_direct_scan(spark, sf_dir):
                 best, best_start = cur, cur_start
         assert r["longest_streak"] == best
         assert r["streak_start"] == best_start
+
+
+def test_theta_estimates_consistent_and_exactish(spark, sf_dir):
+    """Set algebra sanity on the sketch estimates: est_intersection
+    <= min(est_a, est_b) + slack, est_union >= max(est_a, est_b) -
+    slack, and inclusion-exclusion holds within sketch error. With
+    25-doc sources (< k=64) the sketches are EXHAUSTIVE, so the
+    estimates must equal the true distinct counts exactly."""
+    rows = SPECS["sketch_theta_intersection"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents").select("source", "text").collect()
+    from collections import defaultdict
+
+    sets = defaultdict(set)
+    for r in docs:
+        sets[r["source"]].add(r["text"])
+    for r in rows:
+        A, B = sets[r["src_a"]], sets[r["src_b"]]
+        if len(A) < 64 and len(B) < 64:
+            assert r["est_a"] == len(A)
+            assert r["est_b"] == len(B)
+            assert r["n_common"] == len(A & B)
+        assert r["est_intersection"] <= min(r["est_a"], r["est_b"]) * 1.5 + 1
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.5
+
+
+def test_interval_overlap_matches_naive_join(spark, sf_dir):
+    """Recompute the overlap counts with a naive python double loop
+    over sessions and spike windows."""
+    import datetime
+    from collections import defaultdict
+
+    rows = SPECS["join_interval_overlap"].fn(spark, sf_dir).collect()
+    ev = spark.table("events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    sessions = defaultdict(list)  # user -> [(start, end)]
+    for u, es in per_user.items():
+        es.sort()
+        start = end = es[0][0]
+        for ts, _ in es[1:]:
+            if (ts - end).total_seconds() > 30 * 60:
+                sessions[u].append((start, end))
+                start = ts
+            end = ts
+        sessions[u].append((start, end))
+    hourly = defaultdict(int)
+    for r in ev:
+        hourly[(r["event_type"], r["ts"].replace(
+            minute=0, second=0, microsecond=0))] += 1
+    by_type = defaultdict(list)
+    for (et, hr), n in hourly.items():
+        by_type[et].append(n)
+    spikes = []
+    for (et, hr), n in hourly.items():
+        if n > 1.5 * (sum(by_type[et]) / len(by_type[et])):
+            spikes.append((hr, hr + datetime.timedelta(hours=1)))
+    expect = {}
+    for u, ss in sessions.items():
+        hits = 0
+        sess_hit = 0
+        for s0, s1 in ss:
+            h = sum(1 for w0, w1 in spikes if s0 < w1 and w0 <= s1)
+            hits += h
+            sess_hit += 1 if h else 0
+        if hits:
+            expect[u] = (hits, sess_hit)
+    top = sorted(expect.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    got = [(r["user_id"], (r["n_spike_overlaps"], r["n_sessions_hit"]))
+           for r in rows]
+    assert got == top
+
+
+def test_deletion_vectors_conservation_and_rate(spark, sf_dir):
+    """n_deleted + n_visible == n_rows per file; the global delete
+    rate sits near the hash design point (2/16) and total rows match
+    the table."""
+    rows = SPECS["cdc_deletion_vectors"].fn(spark, sf_dir).collect()
+    total = spark.table("lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert r["n_deleted"] + r["n_visible"] == r["n_rows"]
+    del_rate = sum(r["n_deleted"] for r in rows) / total
+    assert 0.06 < del_rate < 0.20
+
+
+def test_random_projection_preserves_cosine_coarsely(spark, sf_dir):
+    """The audit itself: every pair within the declared tolerance,
+    abs_err consistent with the two cosines, both cosines in
+    [-1, 1]."""
+    rows = SPECS["emb_random_projection"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cos_exact"] <= 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r["cos_proj"] <= 1.0 + 1e-9
+        assert abs(abs(r["cos_exact"] - r["cos_proj"]) - r["abs_err"]) < 2e-6
+        assert r["within_tol"]
