@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
 _META_SCHEMA = (
@@ -469,3 +470,131 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+_VAD_FRAME = 64  # bytes per analysis frame (stub for 25 ms PCM)
+
+
+@query(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE n_chars >= 100
+    ),
+    by AS (
+        SELECT doc_id, n, (i - 1) // {_VAD_FRAME} AS frame,
+               ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS byte
+        FROM d, unnest(range(1, n + 1)) AS u(i)
+    ),
+    doc_tot AS (
+        SELECT doc_id, SUM(byte) AS total, COUNT(*) AS len
+        FROM by GROUP BY doc_id
+    ),
+    frames AS (
+        SELECT by.doc_id, by.frame, SUM(byte) AS fsum,
+               COUNT(*) AS flen
+        FROM by GROUP BY by.doc_id, by.frame
+    ),
+    speech AS (  -- frame avg > doc avg, integer cross-multiplied
+        SELECT f.doc_id, f.frame
+        FROM frames f JOIN doc_tot t ON t.doc_id = f.doc_id
+        WHERE f.fsum * t.len > t.total * f.flen
+    ),
+    isl AS (
+        SELECT doc_id, frame,
+               frame - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY frame
+               ) AS island
+        FROM speech
+    ),
+    segs AS (
+        SELECT doc_id, island, COUNT(*) AS seg_len
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_segments,
+               MAX(seg_len) AS longest_run,
+               SUM(seg_len) AS n_speech
+        FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST((t.len + {_VAD_FRAME} - 1) // {_VAD_FRAME} AS BIGINT)
+               AS n_frames,
+           CAST(COALESCE(p.n_speech, 0) AS BIGINT) AS n_speech,
+           CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(p.longest_run, 0) AS BIGINT) AS longest_run,
+           {sql_jround(
+               "CAST(COALESCE(p.n_speech, 0) AS DOUBLE)"
+               " / ((t.len + {F}  - 1) // {F})".replace(
+                   "{F}", str(_VAD_FRAME)), 6)} AS speech_ratio
+    FROM doc_tot t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection plumbing over opaque audio payloads:
+    frame the byte stream (64-byte frames standing in for 25 ms PCM
+    windows), mark frames whose mean energy exceeds the clip mean
+    (integer cross-multiplied — no float ratio), and coalesce
+    consecutive speech frames into segments (gap-islands on the frame
+    index). Emits per clip: frame/speech counts, segment count,
+    longest run, speech ratio — the trim/segment step every audio
+    curation pipeline runs before transcription. A real
+    energy/zero-crossing VAD over decoded PCM drops into the same
+    Arrow mapInPandas slot.
+
+    Scale shape: map-only — ONE Arrow stage computes all per-clip
+    outputs locally (frames never leave the worker); no shuffle, no
+    join, output is one row per clip. The oracle replays the exact
+    integer arithmetic byte-for-byte from the hex expansion."""
+    d = spark.table("documents").where(F.col("n_chars") >= 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "n_speech": [],
+                "n_segments": [], "longest_run": [], "speech_ratio": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                nf = (n + _VAD_FRAME - 1) // _VAD_FRAME
+                total = int(a.sum())
+                speech = []
+                for f in range(nf):
+                    fr = a[f * _VAD_FRAME : (f + 1) * _VAD_FRAME]
+                    if int(fr.sum()) * n > total * len(fr):
+                        speech.append(f)
+                n_seg = longest = cur = 0
+                prev = None
+                for f in speech:
+                    if prev is None or f != prev + 1:
+                        n_seg += 1
+                        cur = 1
+                    else:
+                        cur += 1
+                    longest = max(longest, cur)
+                    prev = f
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_speech"].append(len(speech))
+                out["n_segments"].append(n_seg)
+                out["longest_run"].append(longest)
+                out["speech_ratio"].append(
+                    round(len(speech) / nf, 6) if nf else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        vad,
+        schema=(
+            "doc_id bigint, n_frames bigint, n_speech bigint,"
+            " n_segments bigint, longest_run bigint, speech_ratio double"
+        ),
+    ).orderBy("doc_id")

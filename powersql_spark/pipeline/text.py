@@ -1714,3 +1714,162 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RAKE_STOP = (
+    "the a an and or of to in on for with is are was were be been "
+    "this that it as at by from not has have had"
+).split()
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+_RAKE_MAX_PHRASE = 4
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                   unnest(ts) AS tok,
+                   generate_subscripts(ts, 1) AS pos
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '[^a-z]+') AS ts
+                FROM documents WHERE lang = 'en'
+            )
+        ) WHERE tok <> ''
+    ),
+    content AS (
+        SELECT doc_id, pos, tok,
+               pos - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS island
+        FROM toks WHERE tok NOT IN ({_RAKE_STOP_SQL})
+    ),
+    phrases AS (
+        SELECT doc_id, island,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS plen
+        FROM content GROUP BY doc_id, island
+        HAVING COUNT(*) <= {_RAKE_MAX_PHRASE}
+    ),
+    word_stats AS (
+        SELECT c.tok,
+               COUNT(*) AS freq,
+               SUM(p.plen) AS degree
+        FROM content c
+        JOIN phrases p
+          ON p.doc_id = c.doc_id AND p.island = c.island
+        GROUP BY c.tok
+    ),
+    word_score AS (
+        SELECT tok,
+               CAST(FLOOR(1000000.0 * degree / freq) AS BIGINT)
+                   AS micro
+        FROM word_stats
+    ),
+    phrase_scored AS (
+        SELECT p.phrase, p.plen, SUM(ws.micro) AS score_micro
+        FROM phrases p
+        JOIN content c ON c.doc_id = p.doc_id AND c.island = p.island
+        JOIN word_score ws ON ws.tok = c.tok
+        GROUP BY p.doc_id, p.island, p.phrase, p.plen
+    ),
+    agg AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(ANY_VALUE(plen) AS BIGINT) AS n_words,
+               ANY_VALUE(score_micro) AS score_micro
+        FROM phrase_scored GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occurrences,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS rake_score
+    FROM agg
+    ORDER BY rake_score DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the English
+    corpus: candidate phrases are maximal runs of non-stopword tokens
+    (gap-islands over token positions — no fragile multi-pass regex
+    deletion), each word scores degree/frequency across all phrase
+    occurrences, a phrase scores the sum of its word scores; top-20
+    phrases corpus-wide. The unsupervised keyword baseline for
+    tagging, search boosting, and topic seeding.
+
+    Scale shape: one tokenize+explode pass; phrase assembly is a
+    doc-partitioned window plus a per-island ordered string_agg (all
+    local to the doc's partition); word stats and phrase scores are
+    two aggregations of the token-grain table joined id-keyed. Word
+    scores are held in integer micro-units (floor of an identical
+    double division) so the per-phrase sum is order-independent and
+    the oracle replays it exactly; top-20 is TakeOrderedAndProject."""
+    toks = (
+        spark.table("documents")
+        .where(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    content = track_persist(
+        toks.where(~F.col("tok").isin(*_RAKE_STOP)).withColumn(
+            "island", F.col("pos") - F.row_number().over(w)
+        )
+    )
+    phrases = (
+        content.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    phrases = track_persist(phrases)
+    ct = content.select("doc_id", "island", "tok")
+    word_stats = (
+        ct.join(phrases, ["doc_id", "island"])
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("degree"))
+    )
+    word_score = word_stats.select(
+        "tok",
+        F.floor(1000000.0 * F.col("degree") / F.col("freq"))
+        .cast("bigint")
+        .alias("micro"),
+    )
+    phrase_scored = (
+        phrases.join(ct, ["doc_id", "island"])
+        .join(word_score, "tok")
+        .groupBy("doc_id", "island", "phrase", "plen")
+        .agg(F.sum("micro").alias("score_micro"))
+    )
+    agg = phrase_scored.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.first("plen").cast("bigint").alias("n_words"),
+        F.first("score_micro").alias("score_micro"),
+    )
+    return (
+        agg.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("score_micro").cast("double") / 1000000.0).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(20)
+    )

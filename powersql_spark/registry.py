@@ -486,6 +486,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_interval_overlap",
     "cdc_deletion_vectors",
     "emb_random_projection",
+    "mm_audio_vad",
+    "text_rake_keywords",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1712,3 +1712,25 @@ def test_random_projection_broadcast_signs_decimal_partials(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "partial" in plan.lower()
+
+
+def test_audio_vad_map_only_single_python_stage(spark, sf_dir):
+    """VAD: ONE Arrow mapInPandas stage, map-only — no join, no
+    shuffle beyond the final presentation sort."""
+    plan = plan_of(spark, sf_dir, "mm_audio_vad")
+    assert "MapInPandas" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rake_doc_partitioned_windows_topk(spark, sf_dir):
+    """RAKE: phrase assembly windows partition by doc (local sorts);
+    token/phrase tables cached for their multiple join legs; top-20 as
+    TakeOrderedAndProject; no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "text_rake_keywords")
+    assert "hashpartitioning(doc_id" in plan
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -4572,3 +4572,74 @@ def test_random_projection_preserves_cosine_coarsely(spark, sf_dir):
         assert -1.0 - 1e-9 <= r["cos_proj"] <= 1.0 + 1e-9
         assert abs(abs(r["cos_exact"] - r["cos_proj"]) - r["abs_err"]) < 2e-6
         assert r["within_tol"]
+
+
+def test_vad_conservation_and_bounds(spark, sf_dir):
+    """Speech frames distribute over segments (sum of runs == speech
+    count), longest run <= speech count <= frame count, and the ratio
+    matches the counts."""
+    rows = SPECS["mm_audio_vad"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_speech"] <= r["n_frames"]
+        assert r["longest_run"] <= r["n_speech"]
+        if r["n_speech"]:
+            assert 1 <= r["n_segments"] <= r["n_speech"]
+            assert r["longest_run"] >= 1
+        else:
+            assert r["n_segments"] == 0 == r["longest_run"]
+        assert abs(
+            r["speech_ratio"] - round(r["n_speech"] / r["n_frames"], 6)
+        ) < 1e-9
+    # at least SOME docs must contain above-average frames
+    assert any(r["n_speech"] > 0 for r in rows)
+
+
+def test_rake_scores_recomputed_from_raw_text(spark, sf_dir):
+    """Recompute RAKE end-to-end in pure python (tokenize, stopword
+    islands, degree/freq micro-scores) and compare the top-20."""
+    import re
+    from collections import Counter, defaultdict
+    from math import floor
+
+    from powersql_spark.pipeline.text import _RAKE_MAX_PHRASE, _RAKE_STOP
+
+    rows = SPECS["text_rake_keywords"].fn(spark, sf_dir).collect()
+    docs = (
+        spark.table("documents")
+        .where("lang = 'en'")
+        .select("text")
+        .collect()
+    )
+    stop = set(_RAKE_STOP)
+    phrases = []
+    for d in docs:
+        toks = [t for t in re.split("[^a-z]+", d["text"].lower()) if t]
+        run = []
+        for t in toks + ["the"]:  # sentinel stopword flushes the tail
+            if t in stop:
+                if run and len(run) <= _RAKE_MAX_PHRASE:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    freq, degree = Counter(), Counter()
+    for p in phrases:
+        for t in p:
+            freq[t] += 1
+            degree[t] += len(p)
+    micro = {t: floor(1000000.0 * degree[t] / freq[t]) for t in freq}
+    scored = defaultdict(int)
+    occ = Counter()
+    for p in phrases:
+        scored[" ".join(p)] = sum(micro[t] for t in p)
+        occ[" ".join(p)] += 1
+    top = sorted(
+        ((v / 1000000.0, k) for k, v in scored.items()),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:20]
+    got = [(r["rake_score"], r["phrase"]) for r in rows]
+    assert got == top
+    for r in rows:
+        assert r["n_occurrences"] == occ[r["phrase"]]
+        assert r["n_words"] == len(r["phrase"].split())
