@@ -517,3 +517,26 @@ def test_run_changed_new_model_runs_and_banks(spark, tmp_path):
     (tmp_path / "models" / "extra.sql").unlink()
     run(spark, tmp_path, sources=SOURCES)
     assert "extra" not in _load_manifest(tmp_path)
+
+
+def test_wide_example_runs_parallel_and_serial(spark):
+    """The examples/wide DAG (orchestrator bench fixture: 8 independent
+    table models + fan-in summary) must produce identical results in
+    both modes."""
+    import os
+
+    from powersql_spark.orchestrator.runner import run
+
+    project = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "wide",
+    )
+    serial = run(spark, project)
+    n_serial = spark.table("summary").collect()[0]
+    parallel = run(spark, project, parallel=True)
+    n_parallel = spark.table("summary").collect()[0]
+    assert sorted(serial) == sorted(parallel)
+    assert len(serial) == 9
+    assert serial[-1] == "summary" == parallel[-1]
+    assert n_serial == n_parallel
