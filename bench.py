@@ -118,6 +118,10 @@ HEADLINE = {
     "q52_rag_e2e": "pipeline_rag_e2e",
     "q53_pq_adc": "sim_pq_adc_search",
     "q54_experiment_e2e": "pipeline_experiment_e2e",
+    # round-6 additions
+    "q55_rake_keywords": "text_rake_keywords",
+    "q56_market_basket": "analytics_market_basket",
+    "q57_interval_overlap": "join_interval_overlap",
 }
 
 
