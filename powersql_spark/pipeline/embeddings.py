@@ -1379,3 +1379,189 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair_id")
     )
+
+
+_TRIPLET_ANCHORS = 20
+
+
+@query(
+    "emb_triplet_accuracy",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS a_id, label AS a_label
+        FROM embeddings ORDER BY vec_id LIMIT {_TRIPLET_ANCHORS}
+    ),
+    cand AS (
+        SELECT an.a_id, an.a_label, e.vec_id, e.label
+        FROM anchors an JOIN embeddings e ON e.vec_id > an.a_id
+    ),
+    picks AS (
+        SELECT a_id, a_label,
+               MIN(CASE WHEN label = a_label THEN vec_id END) AS pos_id,
+               MIN(CASE WHEN label <> a_label THEN vec_id END) AS neg_id
+        FROM cand GROUP BY a_id, a_label
+    ),
+    trip AS (
+        SELECT a_id, pos_id, neg_id FROM picks
+        WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+    ),
+    expl AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+        WHERE vec_id IN (SELECT a_id FROM trip)
+           OR vec_id IN (SELECT pos_id FROM trip)
+           OR vec_id IN (SELECT neg_id FROM trip)
+    ),
+    dots AS (
+        SELECT t.a_id,
+               CAST(SUM(CAST(ea.x * ep.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS dot_p,
+               CAST(SUM(CAST(ea.x * en.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS dot_n,
+               CAST(SUM(CAST(ea.x * ea.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS na,
+               CAST(SUM(CAST(ep.x * ep.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS np,
+               CAST(SUM(CAST(en.x * en.x AS DECIMAL(28,12)))
+                    AS DOUBLE) AS nn
+        FROM trip t
+        JOIN expl ea ON ea.vec_id = t.a_id
+        JOIN expl ep ON ep.vec_id = t.pos_id AND ep.i = ea.i
+        JOIN expl en ON en.vec_id = t.neg_id AND en.i = ea.i
+        GROUP BY t.a_id
+    ),
+    verdicts AS (
+        SELECT a_id,
+               dot_p / sqrt(na * np) > dot_n / sqrt(na * nn)
+                   AS correct
+        FROM dots
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets,
+           CAST(COUNT(CASE WHEN correct THEN 1 END) AS BIGINT)
+               AS n_correct,
+           CAST(round(CAST(CAST(
+                CAST(COUNT(CASE WHEN correct THEN 1 END) AS DOUBLE)
+                / COUNT(*) AS VARCHAR) AS DECIMAL(38,18)), 4)
+                AS DOUBLE) AS accuracy,
+           2 * COUNT(CASE WHEN correct THEN 1 END) > COUNT(*)
+               AS majority_correct
+    FROM verdicts
+    """,
+)
+def emb_triplet_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet accuracy of the embedding space against its labels:
+    for 20 fixed anchors, pick the next same-label vector (positive)
+    and next different-label vector (negative) by id, and score the
+    fraction of triplets where cos(anchor, positive) >
+    cos(anchor, negative) — the representation-quality gate run
+    before trusting embeddings for dedup/retrieval (random vectors
+    score ~0.5; a usable space scores well above).
+
+    Scale shape: candidate selection joins the 20 BROADCAST anchors
+    against the corpus with partial MIN aggregation (map-side
+    combinable — per partition at most 2 ids per anchor shuffle);
+    cosines run on the <= 60 selected vectors via the decimal
+    posexplode pattern (order-independent, oracle replays exactly).
+    The verdict is one four-integer row."""
+    em = spark.table("embeddings")
+    anchors = (
+        em.orderBy("vec_id")
+        .limit(_TRIPLET_ANCHORS)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("a_label"),
+        )
+    )
+    cand = em.select("vec_id", "label", "embedding").join(
+        F.broadcast(anchors), F.col("vec_id") > F.col("a_id")
+    )
+    picks = cand.groupBy("a_id", "a_label").agg(
+        F.min(
+            F.when(F.col("label") == F.col("a_label"), F.col("vec_id"))
+        ).alias("pos_id"),
+        F.min(
+            F.when(F.col("label") != F.col("a_label"), F.col("vec_id"))
+        ).alias("neg_id"),
+    )
+    trip = picks.where(
+        F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+    ).select("a_id", "pos_id", "neg_id")
+    from powersql_spark.catalog import track_persist
+
+    trip = track_persist(trip)
+    ids = (
+        trip.select(F.col("a_id").alias("vec_id"))
+        .unionAll(trip.select(F.col("pos_id")))
+        .unionAll(trip.select(F.col("neg_id")))
+        .distinct()
+    )
+    expl = (
+        em.join(F.broadcast(ids), "vec_id", "semi")
+        .select(
+            "vec_id", F.posexplode("embedding").alias("i", "x")
+        )
+        .select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    )
+    expl = track_persist(expl)
+
+    def leg(alias_id, alias_x):
+        return expl.select(
+            F.col("vec_id").alias(alias_id),
+            F.col("i").alias(f"i_{alias_x}"),
+            F.col("x").alias(alias_x),
+        )
+
+    dots = (
+        trip.join(leg("ja", "xa"), F.col("a_id") == F.col("ja"))
+        .join(
+            leg("jp", "xp"),
+            (F.col("pos_id") == F.col("jp"))
+            & (F.col("i_xp") == F.col("i_xa")),
+        )
+        .join(
+            leg("jn", "xn"),
+            (F.col("neg_id") == F.col("jn"))
+            & (F.col("i_xn") == F.col("i_xa")),
+        )
+        .groupBy("a_id")
+        .agg(
+            F.sum((F.col("xa") * F.col("xp")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot_p"),
+            F.sum((F.col("xa") * F.col("xn")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot_n"),
+            F.sum((F.col("xa") * F.col("xa")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("xp") * F.col("xp")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("np"),
+            F.sum((F.col("xn") * F.col("xn")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("nn"),
+        )
+    )
+    correct = (
+        F.col("dot_p") / F.sqrt(F.col("na") * F.col("np"))
+        > F.col("dot_n") / F.sqrt(F.col("na") * F.col("nn"))
+    )
+    return dots.select(correct.alias("correct")).agg(
+        F.count("*").cast("bigint").alias("n_triplets"),
+        F.count(F.when(F.col("correct"), 1))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.when(
+            F.count("*") > 0,
+            F.round(
+                F.count(F.when(F.col("correct"), 1)).cast("double")
+                / F.count("*"),
+                4,
+            ),
+        ).alias("accuracy"),
+        (
+            2 * F.count(F.when(F.col("correct"), 1)) > F.count("*")
+        ).alias("majority_correct"),
+    )

@@ -1111,3 +1111,199 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+_HITS_DIRECTED_CTE = """
+    raw AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ),
+    thresh AS (SELECT AVG(CAST(w AS DOUBLE)) AS t FROM raw),
+    de AS (
+        SELECT src, dst FROM raw, thresh
+        WHERE CAST(w AS DOUBLE) > thresh.t
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation)
+"""
+
+_HITS_NORM = (
+    "CAST(SUM(CAST({col} AS DECIMAL(28,12))) AS DOUBLE)"
+)
+
+
+@query(
+    "graph_hits",
+    oracle=f"""
+    WITH {_HITS_DIRECTED_CTE},
+    n AS (SELECT COUNT(*) AS cnt FROM nodes),
+    h0 AS (SELECT node, 1.0 / n.cnt AS h FROM nodes, n),
+    a1r AS (
+        SELECT nodes.node,
+               COALESCE(SUM(CAST(h0.h AS DECIMAL(28,12))), 0) AS a
+        FROM nodes
+        LEFT JOIN de ON de.dst = nodes.node
+        LEFT JOIN h0 ON h0.node = de.src
+        GROUP BY nodes.node
+    ),
+    a1n AS (SELECT {_HITS_NORM.format(col="a")} AS s FROM a1r),
+    a1 AS (
+        SELECT node, CASE WHEN s > 0
+                          THEN CAST(a AS DOUBLE) / s ELSE 0 END AS a
+        FROM a1r, a1n
+    ),
+    h1r AS (
+        SELECT nodes.node,
+               COALESCE(SUM(CAST(a1.a AS DECIMAL(28,12))), 0) AS h
+        FROM nodes
+        LEFT JOIN de ON de.src = nodes.node
+        LEFT JOIN a1 ON a1.node = de.dst
+        GROUP BY nodes.node
+    ),
+    h1n AS (SELECT {_HITS_NORM.format(col="h")} AS s FROM h1r),
+    h1 AS (
+        SELECT node, CASE WHEN s > 0
+                          THEN CAST(h AS DOUBLE) / s ELSE 0 END AS h
+        FROM h1r, h1n
+    ),
+    a2r AS (
+        SELECT nodes.node,
+               COALESCE(SUM(CAST(h1.h AS DECIMAL(28,12))), 0) AS a
+        FROM nodes
+        LEFT JOIN de ON de.dst = nodes.node
+        LEFT JOIN h1 ON h1.node = de.src
+        GROUP BY nodes.node
+    ),
+    a2n AS (SELECT {_HITS_NORM.format(col="a")} AS s FROM a2r),
+    a2 AS (
+        SELECT node, CASE WHEN s > 0
+                          THEN CAST(a AS DOUBLE) / s ELSE 0 END AS a
+        FROM a2r, a2n
+    ),
+    h2r AS (
+        SELECT nodes.node,
+               COALESCE(SUM(CAST(a2.a AS DECIMAL(28,12))), 0) AS h
+        FROM nodes
+        LEFT JOIN de ON de.src = nodes.node
+        LEFT JOIN a2 ON a2.node = de.dst
+        GROUP BY nodes.node
+    ),
+    h2n AS (SELECT {_HITS_NORM.format(col="h")} AS s FROM h2r),
+    h2 AS (
+        SELECT node, CASE WHEN s > 0
+                          THEN CAST(h AS DOUBLE) / s ELSE 0 END AS h
+        FROM h2r, h2n
+    )
+    SELECT h2.node,
+           CAST(round(CAST(CAST(h2.h AS VARCHAR)
+                AS DECIMAL(38,18)), 6) AS DOUBLE) AS hub,
+           CAST(round(CAST(CAST(a2.a AS VARCHAR)
+                AS DECIMAL(38,18)), 6) AS DOUBLE) AS authority
+    FROM h2 JOIN a2 ON a2.node = h2.node
+    ORDER BY h2.node
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+    strong-trade graph (customer nation -> supplier nation), two
+    unrolled iterations with L1 normalization: authorities are nations
+    everyone buys FROM, hubs are nations that buy from the good
+    authorities — the directed complement of pagerank's single score
+    (pagerank ranks endorsement flow; HITS separates the two roles).
+    L1 (sum) normalization instead of the classical L2 keeps every
+    intermediate a ratio of decimal-exact sums, so the oracle replays
+    the run digit-for-digit; the ranking is identical either way.
+
+    Scale shape: same one-pass fact collapse as pagerank; every
+    half-iteration is one id-keyed join + one decimal aggregation on
+    the metadata-sized edge list, and the normalizer is a one-row
+    broadcast. No driver-side state."""
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        spark.table("customer").select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        spark.table("supplier").select("s_suppkey", "s_nationkey")
+    )
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thresh = raw.agg(F.avg(F.col("w").cast("double")).alias("t"))
+    from powersql_spark.catalog import track_persist
+
+    de = track_persist(
+        raw.join(F.broadcast(thresh))
+        .where(F.col("w").cast("double") > F.col("t"))
+        .select("src", "dst")
+    )
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    n = nodes.count() or 1  # 25-row dimension table; constant
+    cur_h = nodes.select("node", F.lit(1.0 / n).alias("v"))
+
+    def half_step(scores: DataFrame, inbound: bool) -> DataFrame:
+        """One HITS half-iteration + L1 normalization."""
+        key, other = ("dst", "src") if inbound else ("src", "dst")
+        r = (
+            nodes.join(de, nodes.node == de[key], "left")
+            .join(
+                scores.withColumnRenamed("node", "peer"),
+                de[other] == F.col("peer"),
+                "left",
+            )
+            .groupBy(nodes.node)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("v").cast("decimal(28,12)")), F.lit(0)
+                ).alias("r")
+            )
+        )
+        tot = r.agg(
+            F.sum(F.col("r").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("s")
+        )
+        return r.join(F.broadcast(tot)).select(
+            "node",
+            F.when(
+                F.col("s") > 0, F.col("r").cast("double") / F.col("s")
+            )
+            .otherwise(0.0)
+            .alias("v"),
+        )
+
+    for _ in range(2):  # two declared iterations
+        cur_a = half_step(cur_h, inbound=True)
+        cur_h = half_step(cur_a, inbound=False)
+    return (
+        cur_h.withColumnRenamed("v", "hub")
+        .join(
+            cur_a.withColumnRenamed("v", "authority").withColumnRenamed(
+                "node", "anode"
+            ),
+            F.col("node") == F.col("anode"),
+        )
+        .select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy("node")
+    )

@@ -1873,3 +1873,80 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(20)
     )
+
+
+@query(
+    "text_langid_eval",
+    oracle="""
+    WITH pred AS (
+        SELECT lang AS lang_true,
+               (CASE
+                    WHEN (' ' || text || ' ') LIKE '% the %'
+                      OR (' ' || text || ' ') LIKE '% and %' THEN 'en'
+                    WHEN (' ' || text || ' ') LIKE '% der %'
+                      OR (' ' || text || ' ') LIKE '% und %' THEN 'de'
+                    WHEN (' ' || text || ' ') LIKE '% el %'
+                      OR (' ' || text || ' ') LIKE '% los %' THEN 'es'
+                    ELSE 'unk'
+                END) AS lang_pred
+        FROM documents
+    ),
+    cm AS (
+        SELECT lang_true, lang_pred, COUNT(*) AS n
+        FROM pred GROUP BY lang_true, lang_pred
+    ),
+    marg AS (
+        SELECT lang_true, SUM(n) AS n_true FROM cm GROUP BY lang_true
+    )
+    SELECT cm.lang_true, cm.lang_pred, CAST(cm.n AS BIGINT) AS n,
+           CAST(round(CAST(CAST(CAST(cm.n AS DOUBLE) / marg.n_true
+                AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
+               AS recall_share,
+           cm.lang_true = cm.lang_pred AS is_correct
+    FROM cm JOIN marg ON marg.lang_true = cm.lang_true
+    ORDER BY cm.lang_true, cm.lang_pred
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the
+    corpus's ground-truth lang labels (the rule under test is
+    text_lang_id's marker-word CASE, replicated verbatim): per
+    (true, predicted) cell, count and within-true-language share —
+    the evaluation loop every production langid model ships with,
+    and the quality gate before lang-filtered training mixes trust
+    the classifier.
+
+    Scale shape: map-only prediction fused into the scan, one
+    aggregation to the |langs|^2-cell matrix, marginals joined back
+    broadcast. Shares are integer rationals (jround replays)."""
+    d = spark.table("documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(padded.like("% the %") | padded.like("% and %"), "en")
+        .when(padded.like("% der %") | padded.like("% und %"), "de")
+        .when(padded.like("% el %") | padded.like("% los %"), "es")
+        .otherwise("unk")
+    )
+    cm = track_persist(
+        d.select(
+            F.col("lang").alias("lang_true"), pred.alias("lang_pred")
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = cm.groupBy("lang_true").agg(F.sum("n").alias("n_true"))
+    return (
+        cm.join(F.broadcast(marg), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_true"), 6
+            ).alias("recall_share"),
+            (F.col("lang_true") == F.col("lang_pred")).alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )

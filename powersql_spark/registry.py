@@ -488,6 +488,9 @@ _PRIORITY: tuple[str, ...] = (
     "emb_random_projection",
     "mm_audio_vad",
     "text_rake_keywords",
+    "graph_hits",
+    "text_langid_eval",
+    "emb_triplet_accuracy",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

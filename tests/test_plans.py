@@ -1734,3 +1734,38 @@ def test_rake_doc_partitioned_windows_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_hits_iterations_on_cached_edges(spark, sf_dir):
+    """HITS: the fact tables collapse once into the cached directed
+    edge list; every half-iteration is an id-keyed join + decimal
+    aggregation with one-row normalizer broadcasts."""
+    plan = plan_of(spark, sf_dir, "graph_hits")
+    assert "InMemoryTableScan" in plan, "edge list not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_langid_eval_map_only_matrix(spark, sf_dir):
+    """LangID eval: prediction fused into the scan (map-only), one
+    aggregation to the cell matrix, marginals broadcast back."""
+    plan = plan_of(spark, sf_dir, "text_langid_eval")
+    assert "InMemoryTableScan" in plan  # matrix cached for its 2 readers
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the scan string repeats once inside the printed cached lineage
+    assert plan.count("documents.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+
+
+def test_triplet_anchors_broadcast_partial_min(spark, sf_dir):
+    """Triplet accuracy: candidate selection joins the 20 broadcast
+    anchors with partial MIN aggregation; cosine legs run on the
+    cached explode of <= 60 vectors."""
+    plan = plan_of(spark, sf_dir, "emb_triplet_accuracy")
+    assert "InMemoryTableScan" in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

