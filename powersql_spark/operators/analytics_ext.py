@@ -3859,3 +3859,287 @@ def cdc_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation test via deterministic label reshuffles. Same one-scan
+# engineering as the multiplier bootstrap: each of the 32 pseudo-
+# permutations is a salted md5 re-assignment, so ALL replicates ride
+# one aggregation as paired decimal sufficient statistics, and the
+# p-value is a rank among deterministic replicates the oracle replays.
+# ---------------------------------------------------------------------------
+
+_PERM_B = 32
+
+
+def _perm_assign_sql(salt: str) -> str:
+    return (
+        f"substr(md5(CAST(user_id AS VARCHAR) || '{salt}'), 1, 1) < '8'"
+    )
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                   AS x
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            {", ".join(
+                f"CAST(SUM(CASE WHEN {_perm_assign_sql(':perm' + str(b))}"
+                f" THEN x END) AS DOUBLE) AS s{b},"
+                f" COUNT(CASE WHEN {_perm_assign_sql(':perm' + str(b))}"
+                f" THEN 1 END) AS c{b}"
+                for b in range(_PERM_B + 1)
+            )},
+            CAST(SUM(x) AS DOUBLE) AS tot, COUNT(*) AS n
+        FROM per_user
+    ),
+    diffs AS (
+        {" UNION ALL ".join(
+            f"SELECT {b} AS b,"
+            f" abs(s{b} / c{b} - (tot - s{b}) / (n - c{b})) AS d"
+            f" FROM s WHERE c{b} > 0 AND c{b} < n"
+            for b in range(_PERM_B + 1)
+        )}
+    ),
+    obs AS (SELECT d AS observed FROM diffs WHERE b = 0),
+    perm AS (SELECT d FROM diffs WHERE b > 0)
+    SELECT CAST((SELECT COUNT(*) FROM perm) AS BIGINT) AS n_perms,
+           {sql_jround("(SELECT observed FROM obs)", 4)} AS observed_diff,
+           CAST((SELECT COUNT(*) FROM perm, obs
+                 WHERE perm.d >= obs.observed) AS BIGINT)
+               AS n_geq,
+           {sql_jround(
+               "CAST((SELECT COUNT(*) FROM perm, obs"
+               " WHERE perm.d >= obs.observed) + 1 AS DOUBLE)"
+               " / ((SELECT COUNT(*) FROM perm) + 1)", 4)} AS p_value
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for a difference in mean user spend between
+    two hash-assigned arms: the observed |mean A - mean B| (salt 0)
+    is ranked against 32 deterministic label reshuffles (salts 1..32),
+    p = (1 + #{perm >= obs}) / (1 + B) — the assumption-free
+    significance test that works on any metric distribution, where
+    t-tests need normality or large n.
+
+    Scale shape: the corpus collapses once to user grain; ALL 33
+    assignments (observed + permutations) ride that single aggregate
+    as 66 map-side-combinable sufficient statistics — the permutation
+    loop costs one scan, the 100 TB-viable form of a resampling test.
+    Everything downstream is a 33-row constant table."""
+    per_user = spark.table("events").where(
+        F.col("value").isNotNull()
+    ).groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("x")
+    )
+
+    def assign(b: int):
+        return (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(f":perm{b}"),
+                    ).cast("binary")
+                ),
+                1,
+                1,
+            )
+            < "8"
+        )
+
+    aggs = [
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("tot"),
+        F.count("*").alias("n"),
+    ]
+    for b in range(_PERM_B + 1):
+        aggs.append(
+            F.sum(F.when(assign(b), F.col("x")))
+            .cast("double")
+            .alias(f"s{b}")
+        )
+        aggs.append(
+            F.count(F.when(assign(b), 1)).alias(f"c{b}")
+        )
+    s = per_user.agg(*aggs)
+    diff_cols = F.array(
+        *[
+            F.when(
+                (F.col(f"c{b}") > 0) & (F.col(f"c{b}") < F.col("n")),
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.abs(
+                        F.col(f"s{b}") / F.col(f"c{b}")
+                        - (F.col("tot") - F.col(f"s{b}"))
+                        / (F.col("n") - F.col(f"c{b}"))
+                    ).alias("d"),
+                ),
+            )
+            for b in range(_PERM_B + 1)
+        ]
+    )
+    diffs = (
+        s.select(F.explode(diff_cols).alias("r"))
+        .where(F.col("r").isNotNull())
+        .select(F.col("r.b").alias("b"), F.col("r.d").alias("d"))
+    )
+    from powersql_spark.catalog import track_persist
+
+    diffs = track_persist(diffs)
+    obs = diffs.where(F.col("b") == 0).select(
+        F.col("d").alias("observed")
+    )
+    perm = diffs.where(F.col("b") > 0)
+    return (
+        perm.join(F.broadcast(obs))
+        .agg(
+            F.count("*").cast("bigint").alias("n_perms"),
+            F.round(F.first("observed"), 4).alias("observed_diff"),
+            F.count(F.when(F.col("d") >= F.col("observed"), 1))
+            .cast("bigint")
+            .alias("n_geq"),
+            F.round(
+                (
+                    F.count(
+                        F.when(F.col("d") >= F.col("observed"), 1)
+                    )
+                    + 1
+                ).cast("double")
+                / (F.count("*") + 1),
+                4,
+            ).alias("p_value"),
+        )
+    )
+
+
+@query(
+    "stats_cohens_d",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM (SELECT event_type, value,
+                     substr(md5(CAST(user_id AS VARCHAR) || ':cohd'),
+                            1, 1) < '8' AS is_a
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type
+    ),
+    eff AS (
+        SELECT event_type, n_a, n_b,
+               s_a / n_a AS mu_a, s_b / n_b AS mu_b,
+               ((q_a - s_a * s_a / n_a) + (q_b - s_b * s_b / n_b))
+                   / (n_a + n_b - 2) AS sp2
+        FROM s WHERE n_a >= 2 AND n_b >= 2
+    )
+    SELECT event_type, n_a, n_b,
+           {sql_jround("mu_a", 4)} AS mean_a,
+           {sql_jround("mu_b", 4)} AS mean_b,
+           CASE WHEN sp2 > 0 THEN
+               {sql_jround("(mu_b - mu_a) / sqrt(sp2)", 4)} END
+               AS cohens_d,
+           CASE WHEN sp2 > 0 THEN
+               abs((mu_b - mu_a) / sqrt(sp2)) >= 0.2 END
+               AS at_least_small_effect
+    FROM eff
+    ORDER BY event_type
+    """,
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size per event segment: mean
+    difference over the pooled standard deviation — the
+    practical-significance companion to Welch's t (a tiny p-value on
+    100 TB of data can be a negligible effect; d >= 0.2/0.5/0.8 is
+    the small/medium/large language experiment reviews speak).
+
+    Scale shape: identical sufficient-statistics collapse as the
+    Welch key — six decimal-exact numbers per segment from ONE scan;
+    everything after is scalar arithmetic. Degenerate segments
+    (either arm < 2, zero pooled variance) emit NULL."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":cohd")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    s = e.select("event_type", "value", is_a.alias("is_a")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.sum(
+            F.when(F.col("is_a"), F.col("value").cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("s_a"),
+        F.sum(
+            F.when(~F.col("is_a"), F.col("value").cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("s_b"),
+        F.sum(
+            F.when(
+                F.col("is_a"),
+                (F.col("value") * F.col("value")).cast("decimal(28,6)"),
+            )
+        )
+        .cast("double")
+        .alias("q_a"),
+        F.sum(
+            F.when(
+                ~F.col("is_a"),
+                (F.col("value") * F.col("value")).cast("decimal(28,6)"),
+            )
+        )
+        .cast("double")
+        .alias("q_b"),
+    )
+    mu_a = F.col("s_a") / F.col("n_a")
+    mu_b = F.col("s_b") / F.col("n_b")
+    sp2 = (
+        (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+        + (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+    ) / (F.col("n_a") + F.col("n_b") - 2)
+    d = (mu_b - mu_a) / F.sqrt(sp2)
+    return (
+        s.where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(mu_a, 4).alias("mean_a"),
+            F.round(mu_b, 4).alias("mean_b"),
+            F.when(sp2 > 0, F.round(d, 4)).alias("cohens_d"),
+            F.when(sp2 > 0, F.abs(d) >= 0.2).alias(
+                "at_least_small_effect"
+            ),
+        )
+        .orderBy("event_type")
+    )

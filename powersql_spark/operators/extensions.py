@@ -560,3 +560,77 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("event_id").isNotNull())
     )
+
+
+_KEYSET_PAGE = 25
+
+
+@query(
+    "window_keyset_pagination",
+    oracle=f"""
+    WITH page1 AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        FROM orders
+        ORDER BY o_orderdate, o_orderkey LIMIT {_KEYSET_PAGE}
+    ),
+    cursor1 AS (
+        SELECT o_orderdate AS c_date, o_orderkey AS c_key FROM page1
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ),
+    page2 AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+        FROM orders o, cursor1 c
+        WHERE (o.o_orderdate, o.o_orderkey) > (c.c_date, c.c_key)
+        ORDER BY o.o_orderdate, o.o_orderkey LIMIT {_KEYSET_PAGE}
+    )
+    SELECT 2 AS page, o_orderkey, o_custkey, o_orderdate,
+           o_totalprice
+    FROM page2
+    ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def window_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: fetch page 2 of the order feed by
+    filtering PAST the last (date, key) cursor of page 1, never by
+    OFFSET — the API-pagination pattern that stays O(page) at any
+    depth, where OFFSET n scans-and-discards n rows (limit_offset
+    shows the anti-pattern this replaces; at page 10^6 of a 100 TB
+    feed, offset pagination is a full-scan per request, keyset is a
+    pushed-down range predicate + top-k).
+
+    Scale shape: the cursor is a one-row broadcast; the page-2 fetch
+    is a tuple-compare filter that Catalyst pushes toward the scan
+    plus a TakeOrderedAndProject — no global sort, no offset
+    discard. The composite tuple compare keys the seek on the full
+    ORDER BY, so ties on the date column page correctly."""
+    o = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    page1 = o.orderBy("o_orderdate", "o_orderkey").limit(_KEYSET_PAGE)
+    cursor = (
+        page1.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("c_date"),
+            F.col("o_orderkey").alias("c_key"),
+        )
+    )
+    page2 = (
+        o.join(F.broadcast(cursor))
+        .where(
+            (F.col("o_orderdate") > F.col("c_date"))
+            | (
+                (F.col("o_orderdate") == F.col("c_date"))
+                & (F.col("o_orderkey") > F.col("c_key"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_KEYSET_PAGE)
+    )
+    return page2.select(
+        F.lit(2).alias("page"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+    ).orderBy("o_orderdate", "o_orderkey")

@@ -2220,3 +2220,129 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_spike_overlaps"), "user_id")
         .limit(20)
     )
+
+
+_DP_MAX_LAG = 24
+
+
+@query(
+    "ts_dominant_period",
+    oracle=f"""
+    WITH hours AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY hr) AS t FROM hours
+    ),
+    m AS (
+        SELECT CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS mu, COUNT(*) AS n
+        FROM idx
+    ),
+    lags AS (SELECT unnest(range(1, {_DP_MAX_LAG} + 1)) AS lag),
+    acf AS (
+        SELECT l.lag,
+               CAST(SUM(CAST((a.y - m.mu) * (b.y - m.mu)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS num,
+               COUNT(*) AS n_pairs
+        FROM lags l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.t = a.t + l.lag
+        CROSS JOIN m
+        GROUP BY l.lag
+    ),
+    den AS (
+        SELECT CAST(SUM(CAST((y - m.mu) * (y - m.mu)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS d
+        FROM idx CROSS JOIN m
+    )
+    SELECT acf.lag,
+           CAST(acf.n_pairs AS BIGINT) AS n_pairs,
+           CAST(round(CAST(CAST(acf.num / den.d AS VARCHAR)
+                AS DECIMAL(38,18)), 4) AS DOUBLE) AS acf
+    FROM acf, den
+    WHERE acf.n_pairs >= 8 AND den.d > 0
+    ORDER BY acf DESC, lag
+    LIMIT 3
+    """,
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant seasonality of the global hourly traffic series: the
+    autocorrelation function at lags 1..24 hours, top-3 lags by ACF —
+    'is this series daily-periodic, 12-hourly, or trending?' The
+    periodicity probe run before choosing a seasonal window for
+    Holt-Winters / anomaly baselines (ts_autocorr answers per-USER
+    momentum at fixed lags; this scans the lag axis on the corpus
+    series and ranks it).
+
+    Scale shape: the corpus collapses to the hourly series once;
+    every lag's products come from ONE self-equi-join on the shifted
+    index against the 24-row lag spine; numerators/denominator are
+    decimal-exact so the oracle replays the ACF digit-for-digit.
+    Short overlaps (< 8 pairs) are excluded in both engines."""
+    hours = (
+        spark.table("events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    idx = hours.select(
+        "y", F.row_number().over(Window.orderBy("hr")).alias("t")
+    )
+    from powersql_spark.catalog import track_persist
+
+    idx = track_persist(idx)
+    m = idx.agg(
+        (
+            F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    lags = spark.range(1, _DP_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    acf = (
+        F.broadcast(lags)
+        .join(a)
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .join(F.broadcast(m))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                (
+                    (F.col("ya") - F.col("mu"))
+                    * (F.col("yb") - F.col("mu"))
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("num"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    den = (
+        idx.join(F.broadcast(m))
+        .agg(
+            F.sum(
+                (
+                    (F.col("y") - F.col("mu"))
+                    * (F.col("y") - F.col("mu"))
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("d")
+        )
+    )
+    return (
+        acf.join(F.broadcast(den))
+        .where((F.col("n_pairs") >= 8) & (F.col("d") > 0))
+        .select(
+            "lag",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.col("num") / F.col("d"), 4).alias("acf"),
+        )
+        .orderBy(F.desc("acf"), "lag")
+        .limit(3)
+    )

@@ -491,6 +491,11 @@ _PRIORITY: tuple[str, ...] = (
     "graph_hits",
     "text_langid_eval",
     "emb_triplet_accuracy",
+    "ts_dominant_period",
+    "stats_permutation_test",
+    "stats_cohens_d",
+    "profile_pk_candidate",
+    "window_keyset_pagination",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -63,6 +63,9 @@ def test_runs_on_empty_input(spark, key):
         # threshold-dimension report: an empty corpus still yields one
         # zero-count row per candidate threshold, the correct answer.
         "curation_dedup_threshold_sweep",
+        # candidate-lattice profile: an empty table still yields one
+        # (vacuously unique) row per declared candidate key.
+        "profile_pk_candidate",
     }
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"

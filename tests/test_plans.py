@@ -1769,3 +1769,56 @@ def test_triplet_anchors_broadcast_partial_min(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_dominant_period_one_series_collapse(spark, sf_dir):
+    """Dominant period: one corpus collapse to the cached hourly
+    series; all 24 lags share one shifted-index equi-join against the
+    24-row broadcast lag spine; top-3 via TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "ts_dominant_period")
+    assert "InMemoryTableScan" in plan, "hourly series not cached"
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_permutation_test_single_fact_scan(spark, sf_dir):
+    """Permutation test: all 33 assignments ride ONE events scan as
+    paired sufficient statistics (the live scan, plus at most one
+    repeat inside printed cached lineage); downstream is a 33-row
+    constant table."""
+    plan = plan_of(spark, sf_dir, "stats_permutation_test")
+    assert plan.count("events.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohens_d_one_collapse_no_joins(spark, sf_dir):
+    """Cohen's d: one scan to six sufficient statistics per segment,
+    scalar arithmetic after — no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_cohens_d")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_pk_candidates_partial_distinct_aggregates(spark, sf_dir):
+    """PK profiling: each candidate collapses via partial distinct
+    aggregation; the total joins back as a one-row broadcast."""
+    plan = plan_of(spark, sf_dir, "profile_pk_candidate")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_keyset_page_is_topk_with_pushed_cursor(spark, sf_dir):
+    """Keyset pagination: page 2 plans as TakeOrderedAndProject (no
+    global sort, no offset discard) under the one-row cursor
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "window_keyset_pagination")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row cursor
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -4709,3 +4709,112 @@ def test_triplet_accuracy_recomputed_with_numpy(spark, sf_dir):
     assert r["n_triplets"] == n_trip
     assert r["n_correct"] == n_ok
     assert r["majority_correct"] == (2 * n_ok > n_trip)
+
+
+def test_dominant_period_acf_recomputed(spark, sf_dir):
+    """Recompute the hourly-series ACF with numpy over all lags and
+    confirm the reported top-3 ordering and values."""
+    import numpy as np
+    import pandas as pd
+
+    rows = SPECS["ts_dominant_period"].fn(spark, sf_dir).collect()
+    ev = spark.table("events").select("ts").toPandas()
+    hours = (
+        ev["ts"].dt.floor("h").value_counts().sort_index().astype(float)
+    )
+    y = hours.to_numpy()
+    mu = y.mean()
+    den = ((y - mu) ** 2).sum()
+    expect = []
+    for lag in range(1, 25):
+        if len(y) - lag < 8:
+            continue
+        num = ((y[:-lag] - mu) * (y[lag:] - mu)).sum()
+        expect.append((round(num / den, 4), lag, len(y) - lag))
+    top = sorted(expect, key=lambda t: (-t[0], t[1]))[:3]
+    got = [(r["acf"], r["lag"], r["n_pairs"]) for r in rows]
+    for (ea, el, en), (ga, gl, gn) in zip(top, got):
+        assert el == gl and en == gn
+        assert abs(ea - ga) < 1e-3
+
+
+def test_permutation_pvalue_valid_and_consistent(spark, sf_dir):
+    """p = (n_geq + 1) / (n_perms + 1), within (0, 1]; observed diff
+    nonnegative."""
+    r = SPECS["stats_permutation_test"].fn(spark, sf_dir).collect()[0]
+    assert r["n_perms"] > 0
+    assert 0 <= r["n_geq"] <= r["n_perms"]
+    assert abs(
+        r["p_value"]
+        - round((r["n_geq"] + 1) / (r["n_perms"] + 1), 4)
+    ) < 1e-9
+    assert r["observed_diff"] >= 0
+
+
+def test_cohens_d_matches_direct_computation(spark, sf_dir):
+    """Recompute d per segment from raw values with the same hash
+    assignment."""
+    import hashlib
+
+    import numpy as np
+
+    rows = {r["event_type"]: r for r in
+            SPECS["stats_cohens_d"].fn(spark, sf_dir).collect()}
+    ev = spark.table("events").where("value IS NOT NULL").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    from collections import defaultdict
+
+    arms = defaultdict(lambda: ([], []))
+    for e in ev:
+        h = hashlib.md5(f"{e['user_id']}:cohd".encode()).hexdigest()
+        arms[e["event_type"]][0 if h[0] < "8" else 1].append(e["value"])
+    for et, (a, b) in arms.items():
+        if len(a) < 2 or len(b) < 2:
+            assert et not in rows
+            continue
+        a, b = np.array(a), np.array(b)
+        sp2 = (
+            (a.var(ddof=0) * len(a)) + (b.var(ddof=0) * len(b))
+        ) / (len(a) + len(b) - 2)
+        d = (b.mean() - a.mean()) / np.sqrt(sp2)
+        r = rows[et]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert abs(r["cohens_d"] - round(d, 4)) < 1e-3
+        assert r["at_least_small_effect"] == (abs(round(d, 4)) >= 0.2)
+
+
+def test_pk_candidates_verified_against_direct_counts(spark, sf_dir):
+    """Recount distincts per candidate and confirm verdicts."""
+    rows = {r["candidate"]: r for r in
+            SPECS["profile_pk_candidate"].fn(spark, sf_dir).collect()}
+    orders = spark.table("orders")
+    n = orders.count()
+    from powersql_spark.pipeline.profiling import _PK_CANDIDATES
+
+    for cols in _PK_CANDIDATES:
+        nd = orders.select(*cols).distinct().count()
+        r = rows[",".join(cols)]
+        assert r["n_rows"] == n
+        assert r["n_distinct"] == nd
+        assert r["is_unique"] == (nd == n)
+    assert rows["o_orderkey"]["is_unique"]
+    assert not rows["o_custkey"]["is_unique"]
+
+
+def test_keyset_page2_follows_page1_contiguously(spark, sf_dir):
+    """Page 2 must be exactly rows 26..50 of the globally ordered
+    feed (keyset == offset result, without the offset scan)."""
+    rows = SPECS["window_keyset_pagination"].fn(spark, sf_dir).collect()
+    ordered = (
+        spark.table("orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .collect()
+    )
+    expect = ordered[25:50]
+    assert len(rows) == len(expect) == 25
+    for got, want in zip(rows, expect):
+        assert got["o_orderkey"] == want["o_orderkey"]
+        assert got["o_orderdate"] == want["o_orderdate"]
+        assert got["page"] == 2
