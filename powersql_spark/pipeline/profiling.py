@@ -715,3 +715,85 @@ def profile_pk_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("candidate")
     )
+
+
+_SIR_M = 100  # target sample size
+
+
+@query(
+    "sample_importance_systematic",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, n_chars AS weight,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents WHERE n_chars > 0
+    ),
+    tot AS (SELECT MAX(cum) AS W FROM w),
+    copies AS (
+        SELECT w.doc_id, w.weight,
+               (w.cum * {_SIR_M}) // tot.W
+               - ((w.cum - w.weight) * {_SIR_M}) // tot.W AS n_copies
+        FROM w, tot
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM copies WHERE n_copies > 0
+    ORDER BY doc_id
+    """,
+)
+def sample_importance_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic importance resampling: draw exactly m=100 slots
+    from the corpus with probability proportional to an integer
+    quality weight (n_chars standing in for a curation score), by
+    counting how many of the m evenly-spaced thresholds land in each
+    document's cumulative-weight interval — floor(cum·m/W) -
+    floor(prev·m/W), all INTEGER arithmetic, zero variance beyond
+    the systematic grid and bit-replayable by the oracle. The
+    weighted-mix sampling step that up-samples high-quality documents
+    without rand() (sample_weighted_reservoir is the per-key
+    streaming cousin; this is the exact-total batch form).
+
+    Scale shape: one window cumsum in a declared total order (at
+    100 TB: the classic two-phase prefix sum — per-partition totals
+    first, broadcast offsets back, same as pack_sequences); copy
+    counts are a map-side integer expression; only sampled docs are
+    emitted. Multiplicities sum to exactly m by construction."""
+    from pyspark.sql import Window
+
+    w = (
+        spark.table("documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.sum("n_chars")
+            .over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cum"),
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    w = track_persist(w)
+    tot = w.agg(F.max("cum").alias("W"))
+    copies = w.join(F.broadcast(tot)).select(
+        "doc_id",
+        "weight",
+        (
+            F.expr(f"(cum * {_SIR_M}) div W")
+            - F.expr(f"((cum - weight) * {_SIR_M}) div W")
+        ).alias("n_copies"),
+    )
+    return (
+        copies.where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )

@@ -496,6 +496,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_cohens_d",
     "profile_pk_candidate",
     "window_keyset_pagination",
+    "graph_modularity",
+    "sample_importance_systematic",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

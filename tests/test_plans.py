@@ -1822,3 +1822,25 @@ def test_keyset_page_is_topk_with_pushed_cursor(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row cursor
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_modularity_integer_census_on_cached_labels(spark, sf_dir):
+    """Modularity: propagation rounds and censuses run on the cached
+    edge/label tables; all quantities integer until the final ratio."""
+    plan = plan_of(spark, sf_dir, "graph_modularity")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_importance_sampling_windowed_prefix_integer_copies(spark, sf_dir):
+    """Systematic resampling: one ordered window cumsum on the cached
+    weight table; copy counts are a map-side integer expression under
+    a one-row total broadcast; no Python."""
+    plan = plan_of(spark, sf_dir, "sample_importance_systematic")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

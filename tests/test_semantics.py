@@ -4818,3 +4818,57 @@ def test_keyset_page2_follows_page1_contiguously(spark, sf_dir):
         assert got["o_orderkey"] == want["o_orderkey"]
         assert got["o_orderdate"] == want["o_orderdate"]
         assert got["page"] == 2
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Members partition the node set; internal edges <= m; degree
+    sums total 2m; contributions replay from the integer columns."""
+    rows = SPECS["graph_modularity"].fn(spark, sf_dir).collect()
+    from powersql_spark.pipeline.graph import _strong_edges
+
+    edges = [(r["a"], r["b"]) for r in _strong_edges(spark).collect()]
+    m = len(edges)
+    nodes = {n for e in edges for n in e}
+    assert sum(r["n_nodes"] for r in rows) == len(nodes)
+    assert sum(r["degree_sum"] for r in rows) == 2 * m
+    assert sum(r["internal_edges"] for r in rows) <= m
+    for r in rows:
+        expect = round(
+            r["internal_edges"] / m
+            - (r["degree_sum"] / (2 * m)) ** 2,
+            6,
+        )
+        assert abs(r["q_contribution"] - expect) < 1e-9
+    # a connected low-diameter dimension graph usually collapses to
+    # few communities; just require a valid partition-quality number
+    q = sum(r["q_contribution"] for r in rows)
+    assert -1.0 <= q <= 1.0
+
+
+def test_importance_sampling_exact_total_and_proportionality(spark, sf_dir):
+    """Copy counts sum to exactly m; every sampled doc's multiplicity
+    is within 1 slot of its proportional share; recompute the grid
+    walk directly."""
+    rows = SPECS["sample_importance_systematic"].fn(spark, sf_dir).collect()
+    docs = sorted(
+        spark.table("documents")
+        .where("n_chars > 0")
+        .select("doc_id", "n_chars")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    W = sum(d["n_chars"] for d in docs)
+    m = 100
+    assert sum(r["n_copies"] for r in rows) == m
+    got = {r["doc_id"]: r["n_copies"] for r in rows}
+    cum = 0
+    for d in docs:
+        prev = cum
+        cum += d["n_chars"]
+        copies = (cum * m) // W - (prev * m) // W
+        if copies:
+            assert got.get(d["doc_id"]) == copies
+            share = d["n_chars"] * m / W
+            assert abs(copies - share) <= 1.0 + 1e-9
+        else:
+            assert d["doc_id"] not in got
