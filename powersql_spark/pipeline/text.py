@@ -1950,3 +1950,99 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_true", "lang_pred")
     )
+
+
+_COV_GRID = (1, 10, 100, 1000, 10000)
+
+
+@query(
+    "text_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+            AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    counts AS (
+        SELECT tok, COUNT(*) AS c FROM toks
+        WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+               SUM(c) OVER (ORDER BY c DESC, tok
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+    ),
+    tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM counts),
+    grid AS (SELECT unnest(ARRAY{list(_COV_GRID)}) AS k)
+    SELECT grid.k,
+           CAST(LEAST(grid.k, tot.v) AS BIGINT) AS vocab_used,
+           CAST(MAX(r.cum) AS BIGINT) AS occurrences_covered,
+           CAST(round(CAST(CAST(CAST(MAX(r.cum) AS DOUBLE) / tot.t
+                AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
+               AS coverage
+    FROM grid
+    JOIN tot ON TRUE
+    JOIN ranked r ON r.rnk <= grid.k
+    GROUP BY grid.k, tot.v, tot.t
+    ORDER BY grid.k
+    """,
+)
+def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences the top-k most frequent tokens cover, at k = 1, 10,
+    100, 1k, 10k — the sizing curve for tokenizer vocabularies and
+    stopword lists (the Zipf companion to text_zipf_fit: that key
+    fits the exponent, this one answers 'how big must the vocab be
+    for 99% coverage').
+
+    Scale shape: one tokenize pass collapses to the vocab-sized
+    count table (map-side combinable); the rank/cumsum window runs
+    over vocab-grain rows in one declared total order; the k-grid is
+    a 5-row broadcast whose rank-threshold join aggregates straight
+    back down. All integers until the final rounded share."""
+    toks = (
+        spark.table("documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    counts = track_persist(counts)
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    tot = counts.agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    )
+    grid = spark.createDataFrame(
+        [(k,) for k in _COV_GRID], "k int"
+    )
+    return (
+        F.broadcast(grid)
+        .join(F.broadcast(tot))
+        .join(ranked, F.col("rnk") <= F.col("k"))
+        .groupBy("k", "v", "t")
+        .agg(F.max("cum").alias("cov"))
+        .select(
+            "k",
+            F.least(F.col("k").cast("bigint"), F.col("v"))
+            .cast("bigint")
+            .alias("vocab_used"),
+            F.col("cov").cast("bigint").alias("occurrences_covered"),
+            F.round(
+                F.col("cov").cast("double") / F.col("t"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -2346,3 +2346,72 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("acf"), "lag")
         .limit(3)
     )
+
+
+@query(
+    "ts_traffic_profile",
+    oracle=f"""
+    WITH base AS (
+        SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') + 3) % 7 + 1
+                   AS dow,
+               EXTRACT(hour FROM ts) AS hod
+        FROM events
+    ),
+    cells AS (
+        SELECT dow, hod, COUNT(*) AS n FROM base GROUP BY dow, hod
+    ),
+    tot AS (SELECT SUM(n) AS t FROM cells)
+    SELECT CAST(cells.dow AS INTEGER) AS dow,
+           CAST(cells.hod AS INTEGER) AS hour,
+           CAST(cells.n AS BIGINT) AS n_events,
+           CAST(round(CAST(CAST(CAST(cells.n AS DOUBLE) / tot.t
+                AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE)
+               AS share,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cells.dow
+                ORDER BY cells.n DESC, cells.hod) AS INTEGER)
+               AS rank_in_dow
+    FROM cells, tot
+    ORDER BY dow, hour
+    """,
+)
+def ts_traffic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly traffic fingerprint: event volume per (day-of-week,
+    hour-of-day) cell with global share and within-day hour ranking —
+    the seasonal profile behind capacity planning, anomaly baselines,
+    and maintenance-window selection. Day-of-week is computed as
+    integer epoch-day arithmetic ((days + 3) % 7 + 1, Monday = 1)
+    because the engines' dayofweek() builtins disagree on both origin
+    and range — a classic cross-engine portability trap this repo
+    resolves by construction.
+
+    Scale shape: one corpus collapse to the 168-cell matrix
+    (map-side combinable); share and ranking run on the constant-
+    sized cell table under a one-row total broadcast."""
+    days = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    base = spark.table("events").select(
+        ((days + 3) % 7 + 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    # 168-row cell matrix feeds both the total and the report.
+    cells = track_persist(
+        base.groupBy("dow", "hod").agg(F.count("*").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("t"))
+    w = Window.partitionBy("dow").orderBy(F.desc("n"), "hod")
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(
+                F.col("n").cast("double") / F.col("t"), 6
+            ).alias("share"),
+            F.row_number().over(w).cast("int").alias("rank_in_dow"),
+        )
+        .orderBy("dow", "hour")
+    )

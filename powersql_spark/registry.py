@@ -498,6 +498,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_keyset_pagination",
     "graph_modularity",
     "sample_importance_systematic",
+    "text_ngram_coverage",
+    "ts_traffic_profile",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1844,3 +1844,27 @@ def test_importance_sampling_windowed_prefix_integer_copies(spark, sf_dir):
     ) + 1
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_coverage_curve_vocab_grain_windows(spark, sf_dir):
+    """Coverage curve: one tokenize collapse to the cached vocab
+    table; the k-grid joins broadcast against the ranked cumsum; no
+    Python, no cartesian beyond the constant grid pairing."""
+    plan = plan_of(spark, sf_dir, "text_ngram_coverage")
+    assert "InMemoryTableScan" in plan, "vocab counts not cached"
+    assert "EvalPython" not in plan
+    assert plan.count("documents.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+
+
+def test_traffic_profile_constant_matrix(spark, sf_dir):
+    """Traffic profile: one corpus collapse to the 168-cell matrix;
+    ranking and share run on constant-sized rows; single scan."""
+    plan = plan_of(spark, sf_dir, "ts_traffic_profile")
+    assert "InMemoryTableScan" in plan, "cell matrix not cached"
+    assert plan.count("events.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

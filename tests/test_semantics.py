@@ -4872,3 +4872,56 @@ def test_importance_sampling_exact_total_and_proportionality(spark, sf_dir):
             assert abs(copies - share) <= 1.0 + 1e-9
         else:
             assert d["doc_id"] not in got
+
+
+def test_coverage_curve_monotone_and_recomputed(spark, sf_dir):
+    """Coverage is monotone in k, ends at 1.0 when k >= vocab, and
+    matches a direct python recount."""
+    from collections import Counter
+
+    rows = sorted(
+        SPECS["text_ngram_coverage"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    docs = spark.table("documents").select("text").collect()
+    cnt = Counter()
+    for d in docs:
+        t = d["text"].strip().lower()
+        if t:
+            for tok in t.split():
+                cnt[tok] += 1
+    total = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
+    for r in rows:
+        k = min(r["k"], len(ordered))
+        occ = sum(c for _, c in ordered[:k])
+        assert r["vocab_used"] == k
+        assert r["occurrences_covered"] == occ
+        assert abs(r["coverage"] - round(occ / total, 6)) < 1e-9
+    if rows[-1]["k"] >= len(ordered):
+        assert abs(rows[-1]["coverage"] - 1.0) < 1e-9
+
+
+def test_traffic_profile_partitions_and_ranks(spark, sf_dir):
+    """Cells sum to the corpus; shares sum to 1; rank_in_dow is a
+    permutation of 1..n per day; dow matches python weekday."""
+    from collections import defaultdict
+
+    rows = SPECS["ts_traffic_profile"].fn(spark, sf_dir).collect()
+    n_events = spark.table("events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    by_dow = defaultdict(list)
+    for r in rows:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23
+        by_dow[r["dow"]].append(r["rank_in_dow"])
+    for d, ranks in by_dow.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # spot-check dow against python: sample some events
+    ev = spark.table("events").select("ts").limit(100).collect()
+    cells = {(r["dow"], r["hour"]) for r in rows}
+    for e in ev:
+        dow = e["ts"].date().isoweekday()
+        assert (dow, e["ts"].hour) in cells
