@@ -1565,3 +1565,121 @@ def emb_triplet_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.count(F.when(F.col("correct"), 1)) > F.count("*")
         ).alias("majority_correct"),
     )
+
+
+@query(
+    "emb_centroid_drift",
+    oracle=f"""
+    WITH halves AS (
+        SELECT label, vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, half, dim,
+               CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS c,
+               COUNT(*) AS n
+        FROM halves GROUP BY label, half, dim
+    ),
+    paired AS (
+        SELECT a.label, a.dim, a.c AS c0, b.c AS c1,
+               a.n AS n0, b.n AS n1
+        FROM cent a JOIN cent b
+          ON b.label = a.label AND b.dim = a.dim
+         AND a.half = 0 AND b.half = 1
+    ),
+    drift AS (
+        SELECT label,
+               CAST(SUM(CAST((c1 - c0) * (c1 - c0)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS d2,
+               CAST(SUM(CAST(c0 * c0 AS DECIMAL(28,12)))
+                    AS DOUBLE) AS m0,
+               ANY_VALUE(n0) AS n0_vecs,
+               ANY_VALUE(n1) AS n1_vecs
+        FROM paired GROUP BY label
+    )
+    SELECT label,
+           CAST(n0_vecs AS BIGINT) AS n_half0,
+           CAST(n1_vecs AS BIGINT) AS n_half1,
+           {sql_jround("sqrt(d2)", 6)} AS centroid_l2_drift,
+           CASE WHEN m0 > 0 THEN
+               {sql_jround("sqrt(d2) / sqrt(m0)", 6)} END
+               AS relative_drift
+    FROM drift
+    ORDER BY label
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two deterministic halves of
+    the embedding corpus (vec_id parity standing in for
+    batch-1 vs batch-2): L2 distance between the half-centroids,
+    absolute and relative to the centroid norm — the embedding-space
+    counterpart of profile_psi_drift's scalar screen, and the check
+    run before merging a new embedding batch into an ANN index built
+    on the old distribution (re-train centroids when drift is
+    material).
+
+    Scale shape: ONE posexplode pass collapses to (label, half, dim)
+    decimal-mean cells — map-side combinable, cell count = labels ×
+    2 × 64 regardless of corpus size; the pairing and drift rollup
+    run on that constant-sized table. Decimal sums keep the
+    centroids order-independent so the oracle replays exactly."""
+    halves = spark.table("embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label", "half", "dim", F.col("x").cast("double").alias("x")
+    )
+    from powersql_spark.catalog import track_persist
+
+    # labels x 2 x 64 cells feed both half-filters below.
+    cent = track_persist(
+        halves.groupBy("label", "half", "dim").agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("c"),
+            F.count("*").alias("n"),
+        )
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label",
+        "dim",
+        F.col("c").alias("c0"),
+        F.col("n").alias("n0"),
+    )
+    b = cent.where(F.col("half") == 1).select(
+        F.col("label").alias("lb"),
+        F.col("dim").alias("db"),
+        F.col("c").alias("c1"),
+        F.col("n").alias("n1"),
+    )
+    paired = a.join(
+        b, (F.col("lb") == F.col("label")) & (F.col("db") == F.col("dim"))
+    )
+    drift = paired.groupBy("label").agg(
+        F.sum(
+            ((F.col("c1") - F.col("c0")) * (F.col("c1") - F.col("c0")))
+            .cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("d2"),
+        F.sum((F.col("c0") * F.col("c0")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("m0"),
+        F.first("n0").alias("n0_vecs"),
+        F.first("n1").alias("n1_vecs"),
+    )
+    return drift.select(
+        "label",
+        F.col("n0_vecs").cast("bigint").alias("n_half0"),
+        F.col("n1_vecs").cast("bigint").alias("n_half1"),
+        F.round(F.sqrt(F.col("d2")), 6).alias("centroid_l2_drift"),
+        F.when(
+            F.col("m0") > 0,
+            F.round(F.sqrt(F.col("d2")) / F.sqrt(F.col("m0")), 6),
+        ).alias("relative_drift"),
+    ).orderBy("label")

@@ -2415,3 +2415,84 @@ def ts_traffic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "ts_seasonal_anomaly",
+    oracle=f"""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               ((CAST(ts AS DATE) - DATE '1970-01-01') + 3) % 7 + 1
+                   AS dow,
+               EXTRACT(hour FROM ts) AS hod,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    prof AS (
+        SELECT dow, hod,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+               COUNT(*) AS n_obs,
+               CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS var
+        FROM base GROUP BY dow, hod
+    )
+    SELECT b.hr AS hour_ts, CAST(b.n AS BIGINT) AS n_events,
+           {sql_jround("p.mu", 4)} AS baseline,
+           {sql_jround("(b.n - p.mu) / sqrt(p.var)", 4)} AS z,
+           abs((b.n - p.mu) / sqrt(p.var)) > 3 AS is_anomaly
+    FROM base b JOIN prof p ON p.dow = b.dow AND p.hod = b.hod
+    WHERE p.n_obs >= 3 AND p.var > 0
+    ORDER BY hour_ts
+    """,
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly screen: each hour's event count is
+    z-scored against the distribution of the SAME (day-of-week,
+    hour-of-day) cell across the history — Monday 9am compares to
+    other Monday 9ams, so the weekly cycle that fools a trailing
+    z-score (ts_anomaly_zscore) is baked into the baseline. |z| > 3
+    with >= 3 observations flags the anomaly.
+
+    Scale shape: one corpus collapse to the hourly series; the
+    seasonal profile is a 168-cell aggregate that joins back
+    BROADCAST; the z is scalar arithmetic per hourly row. Integer
+    sums keep mu/var exact rationals (jround replays); weekday uses
+    the engine-portable epoch-day arithmetic."""
+    days = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    base = (
+        spark.table("events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hr"),
+            ((days + 3) % 7 + 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from powersql_spark.catalog import track_persist
+
+    base = track_persist(base)
+    mu = F.sum("n").cast("double") / F.count("*")
+    prof = base.groupBy("dow", "hod").agg(
+        mu.alias("mu"),
+        F.count("*").alias("n_obs"),
+        (
+            F.sum(F.col("n") * F.col("n")).cast("double") / F.count("*")
+            - mu * mu
+        ).alias("var"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.sqrt(F.col("var"))
+    return (
+        base.join(F.broadcast(prof), ["dow", "hod"])
+        .where((F.col("n_obs") >= 3) & (F.col("var") > 0))
+        .select(
+            F.col("hr").alias("hour_ts"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("mu", 4).alias("baseline"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 3).alias("is_anomaly"),
+        )
+        .orderBy("hour_ts")
+    )

@@ -500,6 +500,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_importance_systematic",
     "text_ngram_coverage",
     "ts_traffic_profile",
+    "ts_seasonal_anomaly",
+    "emb_centroid_drift",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1868,3 +1868,27 @@ def test_traffic_profile_constant_matrix(spark, sf_dir):
     ) + 1
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomaly_profile_broadcast_back(spark, sf_dir):
+    """Seasonal anomaly: hourly collapse cached; the 168-cell profile
+    joins back BROADCAST; z is scalar per hourly row."""
+    plan = plan_of(spark, sf_dir, "ts_seasonal_anomaly")
+    assert "InMemoryTableScan" in plan, "hourly series not cached"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_centroid_drift_constant_cell_rollup(spark, sf_dir):
+    """Centroid drift: one posexplode pass to (label, half, dim)
+    decimal cells with partial aggregation; pairing and rollup on the
+    constant-sized cell table."""
+    plan = plan_of(spark, sf_dir, "emb_centroid_drift")
+    assert "partial" in plan.lower()
+    assert "InMemoryTableScan" in plan, "cell table not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("embeddings.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1

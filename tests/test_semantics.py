@@ -4925,3 +4925,63 @@ def test_traffic_profile_partitions_and_ranks(spark, sf_dir):
     for e in ev:
         dow = e["ts"].date().isoweekday()
         assert (dow, e["ts"].hour) in cells
+
+
+def test_seasonal_anomaly_z_recomputed(spark, sf_dir):
+    """Recompute the per-(dow,hod) population baseline and z-scores
+    directly from the hourly counts."""
+    from collections import defaultdict
+
+    rows = SPECS["ts_seasonal_anomaly"].fn(spark, sf_dir).collect()
+    ev = spark.table("events").select("ts").collect()
+    hourly = defaultdict(int)
+    for e in ev:
+        hr = e["ts"].replace(minute=0, second=0, microsecond=0)
+        hourly[hr] += 1
+    cells = defaultdict(list)
+    for hr, n in hourly.items():
+        cells[(hr.date().isoweekday(), hr.hour)].append(n)
+    got = {r["hour_ts"]: r for r in rows}
+    import math
+
+    n_checked = 0
+    for hr, n in hourly.items():
+        xs = cells[(hr.date().isoweekday(), hr.hour)]
+        mu = sum(xs) / len(xs)
+        var = sum(x * x for x in xs) / len(xs) - mu * mu
+        if len(xs) < 3 or var <= 0:
+            assert hr not in got
+            continue
+        r = got[hr]
+        n_checked += 1
+        assert r["n_events"] == n
+        assert abs(r["baseline"] - round(mu, 4)) < 1e-9
+        z = (n - mu) / math.sqrt(var)
+        assert abs(r["z"] - round(z, 4)) < 1e-6
+        assert r["is_anomaly"] == (abs(z) > 3)
+    assert n_checked == len(rows)
+
+
+def test_centroid_drift_matches_numpy(spark, sf_dir):
+    """Recompute half-centroids and L2 drift per label with numpy."""
+    import numpy as np
+    from collections import defaultdict
+
+    rows = {r["label"]: r for r in
+            SPECS["emb_centroid_drift"].fn(spark, sf_dir).collect()}
+    em = spark.table("embeddings").collect()
+    halves = defaultdict(lambda: ([], []))
+    for e in em:
+        halves[e["label"]][e["vec_id"] % 2].append(e["embedding"])
+    for label, (h0, h1) in halves.items():
+        if not h0 or not h1:
+            assert label not in rows
+            continue
+        c0 = np.array(h0, dtype=np.float64).mean(axis=0)
+        c1 = np.array(h1, dtype=np.float64).mean(axis=0)
+        r = rows[label]
+        assert r["n_half0"] == len(h0) and r["n_half1"] == len(h1)
+        d = float(np.sqrt(((c1 - c0) ** 2).sum()))
+        assert abs(r["centroid_l2_drift"] - round(d, 6)) < 1e-4
+        rel = d / float(np.sqrt((c0 ** 2).sum()))
+        assert abs(r["relative_drift"] - round(rel, 6)) < 1e-4
