@@ -568,3 +568,60 @@ def sink_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_value")
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CASE WHEN event_type = 'click'
+                    THEN value * 2 ELSE value END
+                    AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION
+    semantics): the full table is written hive-partitioned once, then
+    a corrected 'click' feed REPLACES ONLY ITS OWN PARTITION — the
+    writer option `partitionOverwriteMode=dynamic` deletes exactly
+    the partitions present in the incoming frame, leaving every
+    other partition's files untouched. This is the reprocessing
+    primitive at 100 TB: fixing one bad day/type rewrites that
+    partition, not the table (static overwrite mode would truncate
+    everything; cow_update is the row-level cousin).
+
+    Scale shape: both writes are map-only partitioned writes; the
+    read-back aggregates with partition-wise scans. The final
+    aggregate proves the non-overwritten partitions survived
+    byte-identically (their values are unchanged; click's doubled)."""
+    path = _stage_path("events_dyn_overwrite")
+    ev = spark.table("events").where(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    corrected = ev.where(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.schema(ev.schema).parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -634,3 +634,123 @@ def window_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_totalprice",
     ).orderBy("o_orderdate", "o_orderkey")
+
+
+@query(
+    "fn_month_arithmetic",
+    oracle="""
+    WITH anchors AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+        WHERE EXTRACT(day FROM o_orderdate) >= 28
+        ORDER BY o_orderkey LIMIT 25
+    )
+    SELECT o_orderkey, d,
+           CAST(d + INTERVAL 1 MONTH AS DATE) AS next_month,
+           CAST(d - INTERVAL 1 MONTH AS DATE) AS prev_month,
+           CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+           CAST((EXTRACT(year FROM d) * 12 + EXTRACT(month FROM d))
+                - (1970 * 12 + 1) AS BIGINT) AS months_since_epoch,
+           CAST(date_trunc('month', d) AS DATE)
+               + INTERVAL 1 MONTH - INTERVAL 1 DAY = d AS is_month_end
+    FROM anchors
+    ORDER BY o_orderkey
+    """,
+)
+def fn_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar month arithmetic on month-end anchors (days >= 28 —
+    the dates where naive day-addition breaks): add_months clamping
+    (Jan 31 + 1 month = Feb 28), integer months-since-epoch (the
+    portable month-diff — both engines' fractional months_between
+    semantics differ, so the index form is the cross-engine-safe
+    one), and month-end detection via first-of-next-month minus one
+    day. The date-dimension kernel behind every fiscal rollup and
+    SCD effective-dating bug.
+
+    Scale shape: map-only expressions over a 25-row rank pick; the
+    point of the key is SEMANTIC portability (clamping behavior
+    verified identical across engines), not volume."""
+    anchors = (
+        spark.table("orders")
+        .where(F.dayofmonth("o_orderdate") >= 28)
+        .select(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .orderBy("o_orderkey")
+        .limit(25)
+    )
+    months_idx = (
+        F.year("d") * 12 + F.month("d") - (1970 * 12 + 1)
+    ).cast("bigint")
+    is_month_end = (
+        F.date_sub(F.add_months(F.trunc("d", "month"), 1), 1)
+        == F.col("d")
+    )
+    return anchors.select(
+        "o_orderkey",
+        "d",
+        F.add_months("d", 1).alias("next_month"),
+        F.add_months("d", -1).alias("prev_month"),
+        F.add_months("d", 3).alias("plus_quarter"),
+        months_idx.alias("months_since_epoch"),
+        is_month_end.alias("is_month_end"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "agg_approx_topk",
+    # With a handful of distinct event types the sketch holds every
+    # counter exactly, so estimate == exact deterministically and the
+    # whole readout (items, counts, agreement flags) hash-verifies —
+    # the same design as the count-min key.
+    oracle="""
+    WITH exact AS (
+        SELECT event_type, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type)
+                   AS rnk
+        FROM events GROUP BY event_type
+    )
+    SELECT CAST(rnk AS INTEGER) AS rank, event_type AS item,
+           CAST(n AS BIGINT) AS est_n, CAST(n AS BIGINT) AS exact_n,
+           true AS est_matches_exact
+    FROM exact WHERE rnk <= 5
+    ORDER BY rank
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy hitters (Spark 4's built-in frequent-items
+    sketch): top-5 event types by estimated frequency, cross-checked
+    against the exact counts — the bounded-state path for 'most
+    frequent values' when the domain is too wide to count exactly
+    (text_ngram_topk's exact form dies when the vocabulary outgrows
+    the shuffle; this sketch caps state at maxItemsTracked).
+
+    Scale shape: the sketch aggregates map-side with constant state
+    and merges; the exact side exists only to feed the agreement
+    flag (true whenever the domain fits the sketch, as here). Ties
+    in the sketch output are re-ranked deterministically by
+    (count desc, item)."""
+    d = spark.table("events")
+    sk = d.agg(
+        F.expr("approx_top_k(event_type, 5)").alias("tk")
+    ).select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("est_n"),
+    )
+    exact = d.groupBy(F.col("event_type").alias("item")).agg(
+        F.count("*").alias("exact_n")
+    )
+    joined = sk.join(exact, "item")
+    w = Window.orderBy(F.desc("est_n"), "item")
+    return (
+        joined.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "item",
+            F.col("est_n").cast("bigint").alias("est_n"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            (F.col("est_n") == F.col("exact_n")).alias(
+                "est_matches_exact"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -502,6 +502,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_traffic_profile",
     "ts_seasonal_anomaly",
     "emb_centroid_drift",
+    "sink_dynamic_partition_overwrite",
+    "fn_month_arithmetic",
+    "agg_approx_topk",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

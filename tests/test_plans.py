@@ -1892,3 +1892,30 @@ def test_centroid_drift_constant_cell_rollup(spark, sf_dir):
     assert plan.count("embeddings.parquet") <= plan.count(
         "InMemoryTableScan"
     ) + 1
+
+
+def test_dynamic_overwrite_reads_partitioned(spark, sf_dir):
+    """Dynamic partition overwrite: the read-back is a partitioned
+    scan (partition column recovered from directory layout), the
+    report a partial-aggregated group-by; no Python."""
+    plan = plan_of(spark, sf_dir, "sink_dynamic_partition_overwrite")
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_month_arithmetic_map_only_pick(spark, sf_dir):
+    """Month arithmetic: a rank pick plus map-only date expressions —
+    no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "fn_month_arithmetic")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_approx_topk_sketch_then_tiny_join(spark, sf_dir):
+    """approx_top_k: one sketch aggregation over the corpus; the
+    exact side joins on the 5-row sketch output."""
+    plan = plan_of(spark, sf_dir, "agg_approx_topk")
+    assert "approx_top_k" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -4985,3 +4985,75 @@ def test_centroid_drift_matches_numpy(spark, sf_dir):
         assert abs(r["centroid_l2_drift"] - round(d, 6)) < 1e-4
         rel = d / float(np.sqrt((c0 ** 2).sum()))
         assert abs(r["relative_drift"] - round(rel, 6)) < 1e-4
+
+
+def test_dynamic_overwrite_only_click_changed(spark, sf_dir):
+    """Click totals doubled, every other partition untouched — the
+    dynamic-overwrite guarantee."""
+    rows = {r["event_type"]: r for r in
+            SPECS["sink_dynamic_partition_overwrite"].fn(
+                spark, sf_dir).collect()}
+    import pyspark.sql.functions as F
+
+    base = (
+        spark.table("events")
+        .where("value IS NOT NULL")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    )
+    for b in base:
+        r = rows[b["event_type"]]
+        assert r["n"] == b["n"]
+        if b["event_type"] == "click":
+            assert abs(r["total_value"] - 2 * b["s"]) < 1e-4
+        else:
+            assert abs(r["total_value"] - b["s"]) < 1e-9
+
+
+def test_month_arithmetic_clamps_correctly(spark, sf_dir):
+    """Recompute the clamped month adds with python's calendar."""
+    import calendar
+    import datetime
+
+    rows = SPECS["fn_month_arithmetic"].fn(spark, sf_dir).collect()
+    assert rows
+
+    def add_months(d, k):
+        y, m = divmod(d.month - 1 + k, 12)
+        y, m = d.year + y, m + 1
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        return datetime.date(y, m, day)
+
+    for r in rows:
+        d = r["d"]
+        assert d.day >= 28
+        assert r["next_month"] == add_months(d, 1)
+        assert r["prev_month"] == add_months(d, -1)
+        assert r["plus_quarter"] == add_months(d, 3)
+        assert r["months_since_epoch"] == (
+            (d.year * 12 + d.month) - (1970 * 12 + 1)
+        )
+        assert r["is_month_end"] == (
+            d.day == calendar.monthrange(d.year, d.month)[1]
+        )
+
+
+def test_approx_topk_agrees_with_exact(spark, sf_dir):
+    """On a small domain the sketch is exact: items, counts, and
+    ranking must equal the exact top-5."""
+    rows = SPECS["agg_approx_topk"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    ev = spark.table("events").select("event_type").collect()
+    cnt = Counter(e["event_type"] for e in ev)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["item"], r["exact_n"]) for r in rows] == top
+    for r in rows:
+        assert r["est_matches_exact"]
+        assert r["est_n"] == r["exact_n"]
