@@ -4143,3 +4143,206 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "window_growth_accounting",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY user_id
+    ),
+    labeled AS (
+        SELECT c.user_id, c.wk,
+               c.wk = f.first_wk AS is_new,
+               p.user_id IS NOT NULL AS was_prev
+        FROM uw c
+        JOIN firsts f ON f.user_id = c.user_id
+        LEFT JOIN uw p ON p.user_id = c.user_id
+                      AND p.wk = c.wk - INTERVAL 7 DAY
+    ),
+    churn AS (
+        SELECT CAST(p.wk + INTERVAL 7 DAY AS DATE) AS wk,
+               COUNT(*) AS n_churned
+        FROM uw p
+        LEFT JOIN uw c ON c.user_id = p.user_id
+                      AND c.wk = p.wk + INTERVAL 7 DAY
+        WHERE c.user_id IS NULL
+        GROUP BY p.wk
+    ),
+    weekly AS (
+        SELECT wk,
+               COUNT(*) AS n_active,
+               COUNT(CASE WHEN is_new THEN 1 END) AS n_new,
+               COUNT(CASE WHEN was_prev THEN 1 END) AS n_retained,
+               COUNT(CASE WHEN NOT is_new AND NOT was_prev THEN 1 END)
+                   AS n_resurrected
+        FROM labeled GROUP BY wk
+    )
+    SELECT w.wk AS week,
+           CAST(w.n_active AS BIGINT) AS n_active,
+           CAST(w.n_new AS BIGINT) AS n_new,
+           CAST(w.n_retained AS BIGINT) AS n_retained,
+           CAST(w.n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+           CASE WHEN COALESCE(ch.n_churned, 0) > 0 THEN
+               {sql_jround(
+                   "CAST(w.n_new + w.n_resurrected AS DOUBLE)"
+                   " / ch.n_churned", 4)} END AS quick_ratio
+    FROM weekly w LEFT JOIN churn ch ON ch.wk = w.wk
+    ORDER BY week
+    """,
+)
+def window_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the Social-Capital framework): every
+    active user classified new / retained / resurrected, churn
+    attributed to the week after last activity, and the quick ratio
+    (new + resurrected) / churned — the decomposition that tells you
+    WHERE week-over-week growth comes from, not just its net.
+    Identity: n_active = n_new + n_retained + n_resurrected.
+
+    Scale shape: the corpus collapses once to the distinct
+    (user, week) activity table; first-weeks are one aggregate; the
+    prev-week and churn probes are self-equi-joins on (user, shifted
+    week) — id-keyed, never windowed over the full history; the
+    readout is week-grain."""
+    uw = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    from powersql_spark.catalog import track_persist
+
+    uw = track_persist(uw)
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = uw.select(
+        F.col("user_id").alias("p_user"), F.col("wk").alias("p_wk")
+    )
+    labeled = (
+        uw.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_wk") == F.date_sub(F.col("wk"), 7)),
+            "left",
+        )
+        .select(
+            "wk",
+            (F.col("wk") == F.col("first_wk")).alias("is_new"),
+            F.col("p_user").isNotNull().alias("was_prev"),
+        )
+    )
+    nxt = uw.select(
+        F.col("user_id").alias("c_user"), F.col("wk").alias("c_wk")
+    )
+    churn = (
+        uw.join(
+            nxt,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_wk") == F.date_add(F.col("wk"), 7)),
+            "left",
+        )
+        .where(F.col("c_user").isNull())
+        .groupBy(F.date_add(F.col("wk"), 7).alias("wk"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    weekly = labeled.groupBy("wk").agg(
+        F.count("*").alias("n_active"),
+        F.count(F.when(F.col("is_new"), 1)).alias("n_new"),
+        F.count(F.when(F.col("was_prev"), 1)).alias("n_retained"),
+        F.count(
+            F.when(~F.col("is_new") & ~F.col("was_prev"), 1)
+        ).alias("n_resurrected"),
+    )
+    churned = F.coalesce(F.col("n_churned"), F.lit(0))
+    return (
+        weekly.join(churn, "wk", "left")
+        .select(
+            F.col("wk").alias("week"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.col("n_retained").cast("bigint").alias("n_retained"),
+            F.col("n_resurrected").cast("bigint").alias("n_resurrected"),
+            churned.cast("bigint").alias("n_churned"),
+            F.when(
+                churned > 0,
+                F.round(
+                    (F.col("n_new") + F.col("n_resurrected")).cast(
+                        "double"
+                    )
+                    / F.col("n_churned"),
+                    4,
+                ),
+            ).alias("quick_ratio"),
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "analytics_power_user_curve",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT n_days, COUNT(*) AS n_users FROM per_user GROUP BY n_days
+    ),
+    tot AS (SELECT CAST(SUM(n_users) AS DOUBLE) AS t FROM hist)
+    SELECT CAST(hist.n_days AS BIGINT) AS n_active_days,
+           CAST(hist.n_users AS BIGINT) AS n_users,
+           {sql_jround("hist.n_users / tot.t", 6)} AS user_share,
+           {sql_jround(
+               "SUM(hist.n_users) OVER (ORDER BY hist.n_days DESC"
+               " ROWS UNBOUNDED PRECEDING) / tot.t", 6)}
+               AS share_at_least
+    FROM hist, tot
+    ORDER BY n_active_days
+    """,
+)
+def analytics_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the L28/Lness histogram): users bucketed by
+    how many distinct days they were active, with the share curve
+    P(days >= d) — the engagement-depth fingerprint whose right-hump
+    (many maximally-active users) vs left-skew (drive-by users)
+    shape diagnoses product stickiness; the distribution behind the
+    DAU/MAU single number.
+
+    Scale shape: one corpus collapse to per-user distinct-day counts
+    (map-side combinable), a day-count-sized histogram, and a
+    constant-window CCDF under a one-row total broadcast."""
+    per_user = spark.table("events").groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days")
+    )
+    hist = per_user.groupBy("n_days").agg(
+        F.count("*").alias("n_users")
+    )
+    from powersql_spark.catalog import track_persist
+
+    hist = track_persist(hist)
+    tot = hist.agg(F.sum("n_users").cast("double").alias("t"))
+    w = Window.orderBy(F.desc("n_days")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_active_days"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.round(F.col("n_users") / F.col("t"), 6).alias(
+                "user_share"
+            ),
+            F.round(
+                F.sum("n_users").over(w) / F.col("t"), 6
+            ).alias("share_at_least"),
+        )
+        .orderBy("n_active_days")
+    )

@@ -505,6 +505,8 @@ _PRIORITY: tuple[str, ...] = (
     "sink_dynamic_partition_overwrite",
     "fn_month_arithmetic",
     "agg_approx_topk",
+    "window_growth_accounting",
+    "analytics_power_user_curve",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1919,3 +1919,24 @@ def test_approx_topk_sketch_then_tiny_join(spark, sf_dir):
     assert "approx_top_k" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_growth_accounting_id_keyed_probes(spark, sf_dir):
+    """Growth accounting: one collapse to the cached (user, week)
+    table; prev-week and churn probes are id-keyed equi-joins, never
+    full-history windows."""
+    plan = plan_of(spark, sf_dir, "window_growth_accounting")
+    assert "InMemoryTableScan" in plan, "(user, week) table not cached"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_power_user_curve_histogram_grain(spark, sf_dir):
+    """Power-user curve: per-user distinct-day collapse, cached
+    day-count histogram, one-row total broadcast."""
+    plan = plan_of(spark, sf_dir, "analytics_power_user_curve")
+    assert "InMemoryTableScan" in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

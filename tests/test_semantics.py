@@ -5057,3 +5057,70 @@ def test_approx_topk_agrees_with_exact(spark, sf_dir):
     for r in rows:
         assert r["est_matches_exact"]
         assert r["est_n"] == r["exact_n"]
+
+
+def test_growth_accounting_identity_and_recount(spark, sf_dir):
+    """active = new + retained + resurrected each week; churn and
+    classes match a direct python recount."""
+    import datetime
+    from collections import defaultdict
+
+    rows = SPECS["window_growth_accounting"].fn(spark, sf_dir).collect()
+    ev = spark.table("events").select("user_id", "ts").collect()
+    weeks = defaultdict(set)
+    for e in ev:
+        d = e["ts"].date()
+        wk = d - datetime.timedelta(days=d.isoweekday() - 1)
+        weeks[wk].add(e["user_id"])
+    first = {}
+    for wk in sorted(weeks):
+        for u in weeks[wk]:
+            first.setdefault(u, wk)
+    got = {r["week"]: r for r in rows}
+    assert set(got) == set(weeks)
+    for wk, users in weeks.items():
+        prev = weeks.get(wk - datetime.timedelta(days=7), set())
+        n_new = sum(1 for u in users if first[u] == wk)
+        n_ret = len(users & prev)
+        n_res = sum(
+            1 for u in users if first[u] != wk and u not in prev
+        )
+        n_churn = len(
+            prev - users
+        ) if (wk - datetime.timedelta(days=7)) in weeks else 0
+        r = got[wk]
+        assert r["n_active"] == len(users)
+        assert r["n_new"] == n_new
+        assert r["n_retained"] == n_ret
+        assert r["n_resurrected"] == n_res
+        assert r["n_active"] == (
+            r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        )
+        assert r["n_churned"] == n_churn
+        if n_churn > 0:
+            assert abs(
+                r["quick_ratio"]
+                - round((n_new + n_res) / n_churn, 4)
+            ) < 1e-9
+
+
+def test_power_user_curve_recounted(spark, sf_dir):
+    """Histogram matches per-user distinct-day recount; shares sum to
+    1; CCDF monotone non-increasing starting at 1."""
+    from collections import Counter, defaultdict
+
+    rows = sorted(
+        SPECS["analytics_power_user_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["n_active_days"],
+    )
+    ev = spark.table("events").select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for e in ev:
+        days[e["user_id"]].add(e["ts"].date())
+    hist = Counter(len(v) for v in days.values())
+    assert {r["n_active_days"]: r["n_users"] for r in rows} == dict(hist)
+    assert abs(sum(r["user_share"] for r in rows) - 1.0) < 1e-3
+    ccdf = [r["share_at_least"] for r in
+            sorted(rows, key=lambda r: r["n_active_days"])]
+    assert abs(ccdf[0] - 1.0) < 1e-9
+    assert all(x >= y - 1e-9 for x, y in zip(ccdf, ccdf[1:]))
