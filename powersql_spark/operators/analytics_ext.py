@@ -4346,3 +4346,276 @@ def analytics_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_active_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation + Kruskal-Wallis: the remaining two classic
+# rank statistics after Mann-Whitney. Both reuse the same engineering:
+# ranks are NEVER computed by sorting rows — the corpus collapses to
+# bounded-cardinality value histograms and average ranks come from
+# cumulative counts, so the "sort" is a window over a few dozen rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_spearman_corr",
+    oracle=f"""
+    WITH cells AS (
+        SELECT l_returnflag AS grp, l_quantity AS x, l_discount AS y,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2, 3
+    ),
+    xr AS (
+        SELECT grp, x,
+               SUM(t) OVER (PARTITION BY grp ORDER BY x
+                            ROWS UNBOUNDED PRECEDING)
+                   - t + (t + 1) / 2.0 AS rx
+        FROM (SELECT grp, x, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+    ),
+    yr AS (
+        SELECT grp, y,
+               SUM(t) OVER (PARTITION BY grp ORDER BY y
+                            ROWS UNBOUNDED PRECEDING)
+                   - t + (t + 1) / 2.0 AS ry
+        FROM (SELECT grp, y, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+    ),
+    s AS (
+        SELECT c.grp,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(CAST(cnt * rx AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(cnt * ry AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(cnt * rx * ry AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(cnt * rx * rx AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(cnt * ry * ry AS DECIMAL(28,6)))
+                    AS DOUBLE) AS syy
+        FROM cells c
+        JOIN xr ON xr.grp = c.grp AND xr.x = c.x
+        JOIN yr ON yr.grp = c.grp AND yr.y = c.y
+        GROUP BY c.grp
+    ),
+    rho AS (
+        SELECT grp, n,
+               (sxy - sx * sy / n)
+                   / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+                   AS r
+        FROM s
+        WHERE (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+    )
+    SELECT grp AS l_returnflag, n,
+           {sql_jround("r", 4)} AS spearman_rho,
+           {sql_jround("r * sqrt((n - 2) / (1 - r * r))", 4)}
+               AS t_stat
+    FROM rho
+    ORDER BY l_returnflag
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount per
+    return flag: Pearson correlation of midrank-transformed values,
+    the monotonic-association measure that survives outliers and
+    nonlinear (but monotone) relationships where agg_corr's Pearson
+    reads noise. Ties get average ranks (midranks), the textbook
+    treatment.
+
+    Scale shape: the corpus collapses ONCE to (group, quantity,
+    discount) cells — bounded by value-cardinality product (50x11 per
+    group), not row count. Each variable's midranks come from
+    cumulative counts over its own tiny histogram; the rank windows
+    and joins touch only cell tables, and the sufficient statistics
+    are decimal-exact half-integer sums, so the result is
+    bit-identical across engines and partition counts. One corpus
+    shuffle total; everything downstream is constant-sized."""
+    from powersql_spark.catalog import track_persist
+
+    cells = track_persist(
+        spark.table("lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_quantity").alias("x"),
+            F.col("l_discount").alias("y"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def midranks(col: str, alias: str) -> DataFrame:
+        hist = cells.groupBy("grp", col).agg(F.sum("cnt").alias("t"))
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return hist.select(
+            "grp",
+            col,
+            (
+                F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0
+            ).alias(alias),
+        )
+
+    joined = cells.join(midranks("x", "rx"), ["grp", "x"]).join(
+        midranks("y", "ry"), ["grp", "y"]
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")
+    s = joined.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        dec(F.col("cnt") * F.col("rx")).alias("sx"),
+        dec(F.col("cnt") * F.col("ry")).alias("sy"),
+        dec(F.col("cnt") * F.col("rx") * F.col("ry")).alias("sxy"),
+        dec(F.col("cnt") * F.col("rx") * F.col("rx")).alias("sxx"),
+        dec(F.col("cnt") * F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.sqrt(
+        vx * vy
+    )
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n",
+            F.round(r, 4).alias("spearman_rho"),
+            F.round(
+                r * F.sqrt((F.col("n") - 2) / (1 - r * r)), 4
+            ).alias("t_stat"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH cells AS (
+        SELECT l_returnflag AS grp, l_discount AS x, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    vals AS (
+        SELECT x, SUM(cnt) AS t FROM cells GROUP BY x
+    ),
+    ranked AS (
+        SELECT x,
+               SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                   - t + (t + 1) / 2.0 AS frank,
+               t
+        FROM vals
+    ),
+    per_grp AS (
+        SELECT grp,
+               CAST(SUM(cnt) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(cnt * frank AS DECIMAL(28,6)))
+                    AS DOUBLE) AS r_g
+        FROM cells c JOIN ranked rk ON rk.x = c.x
+        GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(r_g * r_g / n_g AS DECIMAL(38,6)))
+                    AS DOUBLE) AS srn
+        FROM per_grp
+    ),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS DOUBLE) AS tie_t FROM vals
+    ),
+    h AS (
+        SELECT n, k,
+               12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srn - 3.0 * (n + 1)
+                   AS h_raw,
+               1.0 - tie_t
+                   / (CAST(n AS DOUBLE) * n * n - n) AS tie_c
+        FROM tot, ties
+        WHERE n > 0
+    )
+    SELECT n, k,
+           {sql_jround("h_raw", 4)} AS h_stat,
+           {sql_jround("tie_c", 6)} AS tie_correction,
+           {sql_jround("h_raw / tie_c", 4)} AS h_adj,
+           h_raw / tie_c > 5.9915 AS significant_5pct
+    FROM h
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does discount's distribution differ
+    across the three return-flag groups? The k-sample generalization
+    of Mann-Whitney — one-way ANOVA on midranks, with the standard
+    tie correction (essential here: only ~11 distinct discounts, so
+    ties dominate). Significance against the chi-square df=2 critical
+    value 5.9915.
+
+    Scale shape: one corpus collapse to (group, value) cells (33
+    rows); global midranks from cumulative counts over the 11-row
+    value histogram; rank sums decimal-exact half-integers. The
+    cross-group sum of R_g^2/n_g is decimal-cast so the 3-term sum is
+    order-independent. No row ever gets individually ranked — the
+    100 TB form of a rank test over low-cardinality measures."""
+    from powersql_spark.catalog import track_persist
+
+    cells = track_persist(
+        spark.table("lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_discount").alias("x"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    vals = cells.groupBy("x").agg(F.sum("cnt").alias("t"))
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vals.select(
+        "x",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias(
+            "frank"
+        ),
+        "t",
+    )
+    per_grp = (
+        cells.join(ranked, "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum((F.col("cnt") * F.col("frank")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("r_g"),
+        )
+    )
+    tot = per_grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(
+            (F.col("r_g") * F.col("r_g") / F.col("n_g")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("srn"),
+    )
+    ties = vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie_t")
+    )
+    h_raw = (
+        12.0 / (F.col("n").cast("double") * (F.col("n") + 1)) * F.col("srn")
+        - 3.0 * (F.col("n") + 1)
+    )
+    tie_c = 1.0 - F.col("tie_t") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return (
+        tot.join(F.broadcast(ties))
+        .where(F.col("n") > 0)
+        .select(
+            "n",
+            "k",
+            F.round(h_raw, 4).alias("h_stat"),
+            F.round(tie_c, 6).alias("tie_correction"),
+            F.round(h_raw / tie_c, 4).alias("h_adj"),
+            (h_raw / tie_c > 5.9915).alias("significant_5pct"),
+        )
+    )

@@ -507,6 +507,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_approx_topk",
     "window_growth_accounting",
     "analytics_power_user_curve",
+    "stats_spearman_corr",
+    "stats_kruskal_wallis",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

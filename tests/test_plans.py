@@ -1940,3 +1940,25 @@ def test_power_user_curve_histogram_grain(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_spearman_cell_collapse(spark, sf_dir):
+    """Spearman: corpus collapses once to the cached cell table;
+    midrank windows and joins run on tiny histograms — no cartesian,
+    no Python, partial aggregation on the corpus collapse."""
+    plan = plan_of(spark, sf_dir, "stats_spearman_corr")
+    assert "InMemoryTableScan" in plan, "cell table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kruskal_wallis_histogram_ranks(spark, sf_dir):
+    """Kruskal-Wallis: one corpus collapse to (group, value) cells;
+    ranks from the cached value histogram; the only row-free join is
+    the one-row ties broadcast."""
+    plan = plan_of(spark, sf_dir, "stats_kruskal_wallis")
+    assert "InMemoryTableScan" in plan, "cell table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

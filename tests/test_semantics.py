@@ -5124,3 +5124,83 @@ def test_power_user_curve_recounted(spark, sf_dir):
             sorted(rows, key=lambda r: r["n_active_days"])]
     assert abs(ccdf[0] - 1.0) < 1e-9
     assert all(x >= y - 1e-9 for x, y in zip(ccdf, ccdf[1:]))
+
+
+def test_spearman_recomputed(spark, sf_dir):
+    """Spearman rho matches a from-scratch midrank computation, and
+    per-group midrank sums obey n(n+1)/2."""
+    rows = SPECS["stats_spearman_corr"].fn(spark, sf_dir).collect()
+    li = spark.table("lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (r["l_quantity"], r["l_discount"])
+        )
+
+    def midranks(vals):
+        srt = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(srt):
+            j = i
+            while j < len(srt) and vals[srt[j]] == vals[srt[i]]:
+                j += 1
+            mr = (i + 1 + j) / 2.0
+            for k2 in range(i, j):
+                ranks[srt[k2]] = mr
+            i = j
+        return ranks
+
+    got = {r["l_returnflag"]: r for r in rows}
+    for g, pairs in groups.items():
+        n = len(pairs)
+        rx = midranks([p[0] for p in pairs])
+        ry = midranks([p[1] for p in pairs])
+        assert abs(sum(rx) - n * (n + 1) / 2) < 1e-6
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+        if vx <= 0 or vy <= 0:
+            assert g not in got
+            continue
+        rho = (sxy - sx * sy / n) / (vx * vy) ** 0.5
+        assert got[g]["n"] == n
+        assert abs(got[g]["spearman_rho"] - round(rho, 4)) < 1e-3
+
+
+def test_kruskal_wallis_recomputed(spark, sf_dir):
+    """H statistic matches the textbook formula computed from scratch
+    with global midranks and tie correction."""
+    row = SPECS["stats_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    li = spark.table("lineitem").select(
+        "l_returnflag", "l_discount"
+    ).collect()
+    vals = [r["l_discount"] for r in li]
+    grps = [r["l_returnflag"] for r in li]
+    from collections import Counter, defaultdict
+
+    n = len(vals)
+    cnt = Counter(vals)
+    cum, frank = 0, {}
+    for v in sorted(cnt):
+        frank[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    rg = defaultdict(float)
+    ng = Counter(grps)
+    for g, v in zip(grps, vals):
+        rg[g] += frank[v]
+    srn = sum(rg[g] ** 2 / ng[g] for g in ng)
+    h = 12.0 / (n * (n + 1)) * srn - 3.0 * (n + 1)
+    tie_c = 1.0 - sum(t**3 - t for t in cnt.values()) / (
+        float(n) ** 3 - n
+    )
+    assert row["n"] == n and row["k"] == len(ng)
+    assert abs(row["h_stat"] - round(h, 4)) < 1e-3
+    assert abs(row["h_adj"] - round(h / tie_c, 4)) < 1e-3
+    assert row["significant_5pct"] == (h / tie_c > 5.9915)
