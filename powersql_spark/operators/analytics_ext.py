@@ -4619,3 +4619,298 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (h_raw / tie_c > 5.9915).alias("significant_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival + ABC-XYZ inventory classification.
+#
+# KM's cumulative product is the engineering nugget: both engines fold
+# the per-step factors (1 - d/n) LEFT-TO-RIGHT in ascending step order
+# (Spark: F.aggregate over an ordered window collect_list; DuckDB:
+# list_product over an ordered window list — verified a left fold), so
+# the survival curve is bit-identical without ln/exp round-trips whose
+# libm ulps differ across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_survival_km",
+    oracle=f"""
+    WITH horizon AS (
+        SELECT MAX(o_orderdate) AS h FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey,
+               MIN(o_orderdate) AS first_o, MAX(o_orderdate) AS last_o
+        FROM orders GROUP BY o_custkey
+    ),
+    durs AS (
+        SELECT (year(last_o) - year(first_o)) * 12
+                   + (month(last_o) - month(first_o)) AS t,
+               date_diff('day', CAST(last_o AS DATE), CAST(h AS DATE))
+                   > 90 AS churned
+        FROM cust, horizon
+    ),
+    steps AS (
+        SELECT t,
+               CAST(COUNT(CASE WHEN churned THEN 1 END) AS BIGINT)
+                   AS n_churned,
+               CAST(COUNT(CASE WHEN NOT churned THEN 1 END) AS BIGINT)
+                   AS n_censored
+        FROM durs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_churned, n_censored,
+               CAST(SUM(n_churned + n_censored)
+                        OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_at_risk
+        FROM steps
+    ),
+    surv AS (
+        SELECT t, n_at_risk, n_churned, n_censored,
+               list_product(
+                   list(1.0 - CAST(n_churned AS DOUBLE) / n_at_risk)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                   AS s
+        FROM risk
+    )
+    SELECT t AS month, n_at_risk, n_churned, n_censored,
+           {sql_jround("s", 4)} AS survival
+    FROM surv
+    ORDER BY month
+    """,
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (months from
+    first to last order), right-censoring customers still active
+    within 90 days of the data horizon — the estimator that reads
+    churn correctly where a naive 'average lifetime' is biased low by
+    customers who simply haven't churned yet. S(t) = prod_{u<=t}
+    (1 - d_u/n_u) over death/censor steps.
+
+    Scale shape: the corpus collapses once to customer grain, then to
+    the ~bounded month-duration step table; the risk window, the
+    ordered factor fold, and everything after run on that tiny cached
+    table. The cumulative product is an explicit left fold in
+    ascending step order on BOTH engines — deterministic IEEE
+    sequence, no exp/ln — so the curve is bit-identical."""
+    from powersql_spark.catalog import track_persist
+
+    horizon = spark.table("orders").agg(
+        F.max("o_orderdate").alias("h")
+    )
+    cust = spark.table("orders").groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"),
+        F.max("o_orderdate").alias("last_o"),
+    )
+    durs = cust.join(F.broadcast(horizon)).select(
+        (
+            (F.year("last_o") - F.year("first_o")) * 12
+            + (F.month("last_o") - F.month("first_o"))
+        ).alias("t"),
+        (F.datediff(F.col("h"), F.col("last_o")) > 90).alias("churned"),
+    )
+    steps = track_persist(
+        durs.groupBy("t").agg(
+            F.count(F.when(F.col("churned"), 1))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.count(F.when(~F.col("churned"), 1))
+            .cast("bigint")
+            .alias("n_censored"),
+        )
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = steps.select(
+        "t",
+        "n_churned",
+        "n_censored",
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .over(w_desc)
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = risk.select(
+        "t",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.aggregate(
+            F.collect_list(
+                F.lit(1.0)
+                - F.col("n_churned").cast("double") / F.col("n_at_risk")
+            ).over(w_asc),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("s"),
+    )
+    return surv.select(
+        F.col("t").alias("month"),
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.round(F.col("s"), 4).alias("survival"),
+    ).orderBy("month")
+
+
+@query(
+    "analytics_abc_xyz",
+    oracle=f"""
+    WITH months AS (
+        SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate))
+                    AS BIGINT) AS m
+        FROM lineitem
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                   AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    abc AS (
+        SELECT l_partkey, revenue,
+               CASE WHEN CAST(SUM(revenue) OVER
+                        (ORDER BY revenue DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                        / CAST((SELECT SUM(revenue) FROM per_part)
+                               AS DOUBLE) <= 0.80 THEN 'A'
+                    WHEN CAST(SUM(revenue) OVER
+                        (ORDER BY revenue DESC, l_partkey
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                        / CAST((SELECT SUM(revenue) FROM per_part)
+                               AS DOUBLE) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM per_part
+    ),
+    monthly AS (
+        SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                    AS DECIMAL(28,6)) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+        SELECT l_partkey,
+               CASE WHEN cv < 0.5 THEN 'X'
+                    WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        FROM (
+            SELECT l_partkey,
+                   sqrt(GREATEST(
+                       (qq - s * s / m) / (m - 1), 0.0)) / (s / m)
+                       AS cv
+            FROM (SELECT l_partkey,
+                         CAST(SUM(q) AS DOUBLE) AS s,
+                         CAST(SUM(CAST(q * q AS DECIMAL(38,6)))
+                              AS DOUBLE) AS qq
+                  FROM monthly GROUP BY l_partkey), months
+            WHERE s > 0 AND m > 1
+        )
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(a.revenue) AS DOUBLE) AS revenue,
+           {sql_jround(
+               "CAST(SUM(a.revenue) AS DOUBLE)"
+               " / CAST((SELECT SUM(revenue) FROM per_part)"
+               "        AS DOUBLE)", 4)} AS revenue_share
+    FROM abc a JOIN xyz USING (l_partkey)
+    GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def analytics_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: parts classed by cumulative revenue
+    share (A = first 80%, B = next 15%, C = tail) crossed with demand
+    variability (coefficient of variation of monthly quantity over
+    the full month spine: X < 0.5, Y < 1.0, Z otherwise) — the
+    planner's 9-cell map of where revenue concentrates vs how
+    forecastable it is.
+
+    Scale shape: two collapses of the fact table (part grain, part x
+    month grain) — both map-side-combinable; the ABC ranking window
+    runs over the PART dimension (orders of magnitude smaller than
+    the fact table), cached and reused for the total-revenue scalar;
+    zero-demand months enter the CV exactly (sums over present months
+    against the global month count M), so no spine join is needed."""
+    from powersql_spark.catalog import track_persist
+
+    li = spark.table("lineitem")
+    months = li.agg(
+        F.countDistinct(F.date_trunc("month", "l_shipdate"))
+        .cast("bigint")
+        .alias("m")
+    )
+    per_part = track_persist(
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("decimal(28,6)")
+            .alias("revenue")
+        )
+    )
+    total = per_part.agg(
+        F.sum("revenue").cast("double").alias("tot")
+    )
+    w = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    share = F.sum("revenue").over(w).cast("double") / F.col("tot")
+    abc = per_part.join(F.broadcast(total)).select(
+        "l_partkey",
+        "revenue",
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mo")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("q")
+    )
+    stats = monthly.groupBy("l_partkey").agg(
+        F.sum("q").cast("double").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("qq"),
+    )
+    cv = F.sqrt(
+        F.greatest(
+            (F.col("qq") - F.col("s") * F.col("s") / F.col("m"))
+            / (F.col("m") - 1),
+            F.lit(0.0),
+        )
+    ) / (F.col("s") / F.col("m"))
+    xyz = (
+        stats.join(F.broadcast(months))
+        .where((F.col("s") > 0) & (F.col("m") > 1))
+        .select(
+            "l_partkey",
+            F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+                "xyz_class"
+            ),
+        )
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .join(F.broadcast(total))
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.sum("revenue").cast("double") / F.first("tot"), 4
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

@@ -509,6 +509,8 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_power_user_curve",
     "stats_spearman_corr",
     "stats_kruskal_wallis",
+    "analytics_survival_km",
+    "analytics_abc_xyz",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -1962,3 +1962,25 @@ def test_kruskal_wallis_histogram_ranks(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_survival_km_step_table_fold(spark, sf_dir):
+    """Kaplan-Meier: corpus collapses to customer grain then to the
+    cached month-step table; windows and the factor fold run on that
+    constant table. Horizon is a one-row broadcast."""
+    plan = plan_of(spark, sf_dir, "analytics_survival_km")
+    assert "InMemoryTableScan" in plan, "step table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_abc_xyz_part_dim_windows(spark, sf_dir):
+    """ABC-XYZ: two map-side-combinable fact collapses; the ranking
+    window runs over the cached part-grain table; month count and
+    total revenue are one-row broadcasts."""
+    plan = plan_of(spark, sf_dir, "analytics_abc_xyz")
+    assert "InMemoryTableScan" in plan, "part table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -5204,3 +5204,94 @@ def test_kruskal_wallis_recomputed(spark, sf_dir):
     assert abs(row["h_stat"] - round(h, 4)) < 1e-3
     assert abs(row["h_adj"] - round(h / tie_c, 4)) < 1e-3
     assert row["significant_5pct"] == (h / tie_c > 5.9915)
+
+
+def test_survival_km_recomputed(spark, sf_dir):
+    """KM curve matches a from-scratch estimator: correct at-risk
+    counts, survival = running product of (1 - d/n), monotone
+    non-increasing from 1."""
+    rows = sorted(
+        SPECS["analytics_survival_km"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    orders = spark.table("orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    from collections import defaultdict
+
+    span = defaultdict(list)
+    for o in orders:
+        span[o["o_custkey"]].append(o["o_orderdate"])
+    horizon = max(o["o_orderdate"] for o in orders)
+    steps = defaultdict(lambda: [0, 0])  # t -> [churned, censored]
+    for dates in span.values():
+        f, l = min(dates), max(dates)
+        t = (l.year - f.year) * 12 + (l.month - f.month)
+        churned = (horizon.date() - l.date()).days > 90
+        steps[t][0 if churned else 1] += 1
+    at_risk = sum(c + z for c, z in steps.values())
+    assert at_risk == len(span)
+    s, got_i = 1.0, {r["month"]: r for r in rows}
+    assert set(got_i) == set(steps)
+    prev = 1.0 + 1e-12
+    for t in sorted(steps):
+        d, c = steps[t]
+        r = got_i[t]
+        assert r["n_at_risk"] == at_risk
+        assert r["n_churned"] == d and r["n_censored"] == c
+        s *= 1.0 - d / at_risk
+        assert abs(r["survival"] - round(s, 4)) < 1e-3
+        assert r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+        at_risk -= d + c
+    assert at_risk == 0
+
+
+def test_abc_xyz_recomputed(spark, sf_dir):
+    """The 9-cell matrix matches a from-scratch classification:
+    revenue-ranked cumulative ABC classes and fixed-threshold CV
+    classes over the full month spine."""
+    rows = SPECS["analytics_abc_xyz"].fn(spark, sf_dir).collect()
+    li = spark.table("lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_quantity",
+        F.date_trunc("month", "l_shipdate").alias("mo"),
+    ).collect()
+    from collections import defaultdict
+
+    rev, monthly, months = defaultdict(float), defaultdict(float), set()
+    for r in li:
+        rev[r["l_partkey"]] += r["l_extendedprice"] * (
+            1 - r["l_discount"]
+        )
+        monthly[(r["l_partkey"], r["mo"])] += r["l_quantity"]
+        months.add(r["mo"])
+    m = len(months)
+    total = sum(rev.values())
+    abc, cum = {}, 0.0
+    for pk in sorted(rev, key=lambda p: (-rev[p], p)):
+        cum += rev[pk]
+        share = cum / total
+        abc[pk] = "A" if share <= 0.80 else ("B" if share <= 0.95 else "C")
+    cells = defaultdict(lambda: [0, 0.0])
+    per_part_q = defaultdict(list)
+    for (pk, _), q in monthly.items():
+        per_part_q[pk].append(q)
+    for pk, qs in per_part_q.items():
+        s, qq = sum(qs), sum(q * q for q in qs)
+        if s <= 0 or m <= 1:
+            continue
+        var = max((qq - s * s / m) / (m - 1), 0.0)
+        cv = var**0.5 / (s / m)
+        xyz = "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+        cell = cells[(abc[pk], xyz)]
+        cell[0] += 1
+        cell[1] += rev[pk]
+    got = {(r["abc_class"], r["xyz_class"]): r for r in rows}
+    assert set(got) == set(cells)
+    for k2, (n, rv) in cells.items():
+        assert got[k2]["n_parts"] == n
+        assert abs(got[k2]["revenue"] - rv) / max(rv, 1) < 1e-6
+        assert abs(got[k2]["revenue_share"] - round(rv / total, 4)) < 1e-3
+    assert (
+        abs(sum(r["revenue_share"] for r in rows) - 1.0) < 5e-3
+    )
