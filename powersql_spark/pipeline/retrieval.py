@@ -523,3 +523,118 @@ def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_id", "chunk_start")
         .limit(5)
     )
+
+
+@query(
+    "emb_hubness",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               round(list_reduce(list_transform(range(1, 65),
+                         i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+                     / (a.nrm * b.nrm), 4) AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT dst
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS r
+              FROM pairs)
+        WHERE r <= 10
+    ),
+    indeg AS (
+        SELECT e.vec_id,
+               COALESCE(k.d, 0) AS in_degree
+        FROM e LEFT JOIN (SELECT dst, COUNT(*) AS d
+                          FROM knn GROUP BY dst) k
+               ON k.dst = e.vec_id
+    )
+    SELECT CAST(in_degree AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM e)
+                                      AS DOUBLE), 6) AS DOUBLE)
+               AS vec_share
+    FROM indeg
+    GROUP BY in_degree
+    ORDER BY in_degree
+    """,
+)
+def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic over the k=10 NN graph: the in-degree
+    histogram — how often each vector appears in OTHER vectors'
+    top-10. High-dimensional corpora grow 'hubs' (points that are
+    everyone's neighbor) and 'anti-hubs' (in-degree 0, unreachable by
+    similarity search); a heavy right tail here predicts degraded
+    recall for ANN indexes and biased dedup clusters, which is why
+    index tuning starts with this histogram.
+
+    Scale shape: identical candidate discipline to emb_knn_graph —
+    cell equi-join (never cartesian), per-pair work bounded by cell
+    population, k-bounded rank window on the join's own partitioning.
+    The in-degree count is a map-side-combinable groupBy on dst; the
+    histogram is a second tiny aggregation; N is a one-row broadcast."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    knn = pairs.select(
+        "dst", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= 10)
+    indeg = (
+        e.select("vec_id")
+        .join(
+            knn.groupBy("dst").agg(F.count("*").alias("d")),
+            e.vec_id == F.col("dst"),
+            "left",
+        )
+        .select(F.coalesce(F.col("d"), F.lit(0)).alias("in_degree"))
+    )
+    n = e.agg(F.count("*").cast("double").alias("n"))
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count("*").alias("n_vectors"))
+        .join(F.broadcast(n))
+        .select(
+            F.col("in_degree").cast("bigint").alias("in_degree"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.round(F.col("n_vectors") / F.col("n"), 6).alias(
+                "vec_share"
+            ),
+        )
+        .orderBy("in_degree")
+    )

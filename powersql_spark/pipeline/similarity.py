@@ -1125,3 +1125,241 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mips_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve: recall@10 and scanned-fraction vs nprobe,
+# the cost/quality frontier an index operator actually tunes. Sibling
+# of dedup_lsh_tuning_curve — ONE scored candidate scan feeds every
+# sweep point.
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 4, 8)
+_NPROBE_NQ = 5  # evaluation queries (vec_id 0..4)
+
+
+@query(
+    "sim_ivf_nprobe_curve",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e
+        WHERE vec_id < {_NPROBE_NQ}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id AS dst, e.label,
+               round(list_reduce(list_transform(range(1, 65),
+                         i -> e.v[i] * q.qv[i]), (x, y) -> x + y)
+                     / (e.nrm * q.qn), 4) AS cosine
+        FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    truth AS (
+        SELECT qid, dst
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, dst) AS r
+              FROM scored)
+        WHERE r <= 10
+    ),
+    cent AS (
+        SELECT label, i,
+               round(CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS m
+        FROM e, unnest(range(1, 65)) AS u(i)
+        GROUP BY label, i
+    ),
+    carr AS (
+        SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY label
+    ),
+    cell_rank AS (
+        SELECT qid, label,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                   round(list_reduce(list_transform(range(1, 65),
+                             i -> c[i] * qv[i]), (x, y) -> x + y)
+                         / (sqrt(list_sum(list_transform(c,
+                                x -> x * x))) * qn), 6) DESC, label)
+                   AS cr
+        FROM carr, q
+    ),
+    cand AS (
+        SELECT s.qid, s.dst, s.cosine, cr.cr, p.nprobe
+        FROM scored s
+        JOIN cell_rank cr ON cr.qid = s.qid AND cr.label = s.label
+        JOIN (SELECT unnest([{", ".join(map(str, _NPROBE_SWEEP))}])
+                  AS nprobe) p ON cr.cr <= p.nprobe
+    ),
+    hits AS (
+        SELECT c.nprobe,
+               COUNT(t.dst) AS n_hits
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY nprobe, qid
+                  ORDER BY cosine DESC, dst) AS r
+              FROM cand) c
+        LEFT JOIN truth t ON t.qid = c.qid AND t.dst = c.dst
+        WHERE c.r <= 10
+        GROUP BY c.nprobe
+    ),
+    scanned AS (
+        SELECT nprobe, COUNT(*) AS n_scanned FROM cand GROUP BY nprobe
+    )
+    SELECT CAST(s.nprobe AS INTEGER) AS nprobe,
+           CAST({_NPROBE_NQ} AS BIGINT) AS n_queries,
+           CAST(ROUND(CAST(h.n_hits AS DOUBLE)
+                      / (10.0 * {_NPROBE_NQ}), 4) AS DOUBLE)
+               AS mean_recall_at_10,
+           CAST(ROUND(CAST(s.n_scanned AS DOUBLE)
+                      / ({_NPROBE_NQ} * ((SELECT COUNT(*) FROM e) - 1)),
+                      4) AS DOUBLE) AS mean_scanned_frac
+    FROM scanned s JOIN hits h USING (nprobe)
+    ORDER BY nprobe
+    """,
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve: recall@10 against exact search and
+    mean scanned fraction of the corpus for nprobe in {1,2,4,8} over
+    a 5-query evaluation batch — the cost/quality frontier that
+    decides an ANN index's operating point (every probed cell costs a
+    proportional scan; the curve shows where recall saturates).
+
+    Scale shape: ONE scored candidate pass (queries are a 5-row
+    broadcast against the corpus — the exact baseline any recall
+    evaluation must pay on a sample) feeds truth, every sweep point,
+    and the scanned-cost axis; centroids are decimal-exact per-cell
+    means (constant-size), cell ranks a 10-row-per-query window. The
+    sweep multiplies only the CANDIDATE rows (cell-pruned), never the
+    corpus. Cosines at 4dp, centroid scores at 6dp, id tiebreaks —
+    fully order-deterministic."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    e = track_persist(e)
+    q = e.where(F.col("vec_id") < _NPROBE_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = track_persist(
+        e.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("dst"),
+            "label",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (F.col("nrm") * F.col("qn")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), "dst")
+    truth = (
+        scored.select("qid", "dst", F.row_number().over(wq).alias("r"))
+        .where(F.col("r") <= 10)
+        .drop("r")
+    )
+    cent = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+        .select(
+            "label",
+            F.transform("s", lambda st: st.getField("m")).alias("c"),
+        )
+    )
+    cnorm = F.sqrt(
+        F.aggregate(F.col("c"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("cs"), "label")
+    cell_rank = (
+        cent.join(F.broadcast(q))
+        .select(
+            "qid",
+            "label",
+            F.round(
+                dot(F.col("c"), F.col("qv")) / (cnorm * F.col("qn")), 6
+            ).alias("cs"),
+        )
+        .select("qid", "label", F.row_number().over(wc).alias("cr"))
+    )
+    sweep = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in _NPROBE_SWEEP])
+        ).alias("nprobe")
+    )
+    cand = track_persist(
+        scored.join(cell_rank, ["qid", "label"])
+        .join(F.broadcast(sweep), F.col("cr") <= F.col("nprobe"))
+        .select("nprobe", "qid", "dst", "cosine")
+    )
+    wp = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("cosine"), "dst"
+    )
+    hits = (
+        cand.select(
+            "nprobe", "qid", "dst", F.row_number().over(wp).alias("r")
+        )
+        .where(F.col("r") <= 10)
+        .join(
+            truth.select(
+                F.col("qid").alias("tqid"), F.col("dst").alias("tdst")
+            ),
+            (F.col("qid") == F.col("tqid"))
+            & (F.col("dst") == F.col("tdst")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(F.count("tdst").alias("n_hits"))
+    )
+    n_tot = e.agg((F.count("*") - 1).cast("double").alias("nm1"))
+    scanned = cand.groupBy("nprobe").agg(
+        F.count("*").alias("n_scanned")
+    )
+    return (
+        scanned.join(hits, "nprobe")
+        .join(F.broadcast(n_tot))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.lit(_NPROBE_NQ).cast("bigint").alias("n_queries"),
+            F.round(
+                F.col("n_hits").cast("double") / (10.0 * _NPROBE_NQ), 4
+            ).alias("mean_recall_at_10"),
+            F.round(
+                F.col("n_scanned").cast("double")
+                / (_NPROBE_NQ * F.col("nm1")),
+                4,
+            ).alias("mean_scanned_frac"),
+        )
+        .orderBy("nprobe")
+    )

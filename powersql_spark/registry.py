@@ -511,6 +511,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_kruskal_wallis",
     "analytics_survival_km",
     "analytics_abc_xyz",
+    "emb_hubness",
+    "sim_ivf_nprobe_curve",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

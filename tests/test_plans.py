@@ -1984,3 +1984,24 @@ def test_abc_xyz_part_dim_windows(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_hubness_cell_join_bounded(spark, sf_dir):
+    """Hubness: candidates from the cell equi-join (no cartesian, no
+    BNLJ beyond the one-row N broadcast), k-bounded rank window,
+    map-side-combinable in-degree count."""
+    plan = plan_of(spark, sf_dir, "emb_hubness")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row N
+    assert "partial" in plan.lower()
+
+
+def test_nprobe_curve_one_candidate_scan(spark, sf_dir):
+    """nprobe sweep: the scored candidate table is cached and feeds
+    truth, every sweep point, and the cost axis; the sweep join
+    multiplies candidates only. No cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "sim_ivf_nprobe_curve")
+    assert "InMemoryTableScan" in plan, "candidate table not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

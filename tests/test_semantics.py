@@ -5295,3 +5295,59 @@ def test_abc_xyz_recomputed(spark, sf_dir):
     assert (
         abs(sum(r["revenue_share"] for r in rows) - 1.0) < 5e-3
     )
+
+
+def test_hubness_recounted(spark, sf_dir):
+    """In-degree histogram matches a from-scratch k=10 NN graph
+    recount; shares sum to 1; total vectors preserved."""
+    import numpy as np
+
+    rows = SPECS["emb_hubness"].fn(spark, sf_dir).collect()
+    emb = spark.table("embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    from collections import Counter
+
+    indeg = Counter()
+    for label, vecs in by_label.items():
+        ids = [v[0] for v in vecs]
+        M = np.stack([v[1] for v in vecs])
+        nrm = np.sqrt((M * M).sum(axis=1))
+        cos = np.round((M @ M.T) / np.outer(nrm, nrm), 4)
+        for i in range(len(ids)):
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (-cos[i, j], ids[j]),
+            )[:10]
+            for j in order:
+                indeg[ids[j]] += 1
+    hist = Counter(indeg.get(r["vec_id"], 0) for r in emb)
+    got = {r["in_degree"]: r["n_vectors"] for r in rows}
+    assert got == dict(hist)
+    assert sum(r["n_vectors"] for r in rows) == len(emb)
+    assert abs(sum(r["vec_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_nprobe_curve_monotone_and_saturates(spark, sf_dir):
+    """Recall and scanned fraction are monotone non-decreasing in
+    nprobe; recall at the largest nprobe is high (most cells probed);
+    scanned fraction is within (0, 1]."""
+    rows = sorted(
+        SPECS["sim_ivf_nprobe_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    rec = [r["mean_recall_at_10"] for r in rows]
+    sc = [r["mean_scanned_frac"] for r in rows]
+    assert all(x <= y + 1e-9 for x, y in zip(rec, rec[1:]))
+    assert all(x <= y + 1e-9 for x, y in zip(sc, sc[1:]))
+    # Saturation: probing 8/10 cells must recover most of exact
+    # recall and strictly beat the 1-cell point (synthetic labels
+    # are only loosely cosine-aligned, so 1.0 is not expected).
+    assert rec[-1] >= 0.6
+    assert rec[-1] > rec[0]
+    assert 0 < sc[0] and sc[-1] <= 1.0
+    assert all(0.0 <= r2 <= 1.0 for r2 in rec)
