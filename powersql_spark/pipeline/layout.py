@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
 _BITS = 8  # bits per dimension: 2 dims -> 16-bit z-value
@@ -328,4 +329,142 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("qb").alias("min_price_cell"),
             F.max("qb").alias("max_price_cell"),
         )
+    )
+
+
+_ZM_FILES = 32
+_ZM_LO = "1997-03-01"
+_ZM_HI = "1997-03-31"
+
+
+@query(
+    "layout_zone_map_pruning",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT l_shipdate,
+               l_shipdate >= TIMESTAMP '{_ZM_LO} 00:00:00'
+                   AND l_shipdate < TIMESTAMP '{_ZM_HI} 00:00:00'
+                       + INTERVAL 1 DAY AS hit,
+               NTILE({_ZM_FILES}) OVER (ORDER BY l_shipdate,
+                   l_orderkey, l_linenumber) AS f_clustered,
+               l_orderkey % {_ZM_FILES} AS f_unclustered
+        FROM lineitem
+    ),
+    files AS (
+        SELECT layout, file_id,
+               MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN hit THEN 1 END) AS n_hits
+        FROM (
+            SELECT 'clustered' AS layout, f_clustered AS file_id, *
+            FROM assigned
+            UNION ALL
+            SELECT 'unclustered' AS layout, f_unclustered AS file_id, *
+            FROM assigned
+        )
+        GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(COUNT(CASE WHEN hi < TIMESTAMP '{_ZM_LO} 00:00:00'
+                    OR lo >= TIMESTAMP '{_ZM_HI} 00:00:00'
+                        + INTERVAL 1 DAY
+                    THEN 1 END) AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN NOT (hi < TIMESTAMP '{_ZM_LO} 00:00:00'
+                    OR lo >= TIMESTAMP '{_ZM_HI} 00:00:00'
+                        + INTERVAL 1 DAY)
+                    THEN n_rows ELSE 0 END) AS BIGINT) AS scanned_rows,
+           CAST(SUM(n_hits) AS BIGINT) AS matching_rows,
+           {sql_jround(
+               f"COUNT(CASE WHEN hi < TIMESTAMP '{_ZM_LO} 00:00:00'"
+               f" OR lo >= TIMESTAMP '{_ZM_HI} 00:00:00'"
+               f" + INTERVAL 1 DAY THEN 1 END)"
+               f" / CAST(COUNT(*) AS DOUBLE)", 4)} AS prune_frac,
+           CASE WHEN SUM(n_hits) > 0 THEN
+               {sql_jround(
+                   f"SUM(CASE WHEN NOT (hi <"
+                   f" TIMESTAMP '{_ZM_LO} 00:00:00'"
+                   f" OR lo >= TIMESTAMP '{_ZM_HI} 00:00:00'"
+                   f" + INTERVAL 1 DAY)"
+                   f" THEN n_rows ELSE 0 END)"
+                   f" / CAST(SUM(n_hits) AS DOUBLE)", 4)} END
+               AS scan_amplification
+    FROM files
+    GROUP BY layout
+    ORDER BY layout
+    """,
+)
+def layout_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer) pruning effectiveness, clustered vs
+    unclustered: assign rows to 32 simulated files under (a) a
+    shipdate-sorted layout — what ``repartitionByRange(32, shipdate)
+    .sortWithinPartitions`` writes — and (b) an orderkey-hash layout,
+    build each file's shipdate zone map, and report how many files a
+    one-month predicate can skip, the rows actually scanned, and the
+    scan amplification (scanned / matching). THE quantified argument
+    for sort-on-write at 100 TB: the clustered layout prunes ~97% of
+    files, the hash layout ~0%.
+
+    Scale shape: one pass computes both assignments; per-(layout,
+    file) zone maps are map-side-combinable min/max/count partials
+    (64 groups); the verdict is arithmetic over that constant table.
+    The NTILE models the sorted writer's range partitioner — the
+    production write pays that range shuffle once, every subsequent
+    scan collects the pruning dividend."""
+    li = spark.table("lineitem")
+    lo = F.lit(_ZM_LO).cast("timestamp")
+    hi_excl = F.date_add(F.lit(_ZM_HI).cast("date"), 1).cast("timestamp")
+    assigned = li.select(
+        "l_shipdate",
+        (
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi_excl)
+        ).alias("hit"),
+        F.ntile(_ZM_FILES)
+        .over(Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+        .alias("f_clustered"),
+        (F.col("l_orderkey") % _ZM_FILES).alias("f_unclustered"),
+    )
+    both = assigned.select(
+        F.lit("clustered").alias("layout"),
+        F.col("f_clustered").alias("file_id"),
+        "l_shipdate",
+        "hit",
+    ).unionAll(
+        assigned.select(
+            F.lit("unclustered").alias("layout"),
+            F.col("f_unclustered").alias("file_id"),
+            "l_shipdate",
+            "hit",
+        )
+    )
+    files = both.groupBy("layout", "file_id").agg(
+        F.min("l_shipdate").alias("lo"),
+        F.max("l_shipdate").alias("hi"),
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("hit"), 1)).alias("n_hits"),
+    )
+    pruned = (F.col("hi") < lo) | (F.col("lo") >= hi_excl)
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.count(F.when(pruned, 1)).cast("bigint").alias("n_pruned"),
+            F.sum(F.when(~pruned, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("scanned_rows"),
+            F.sum("n_hits").cast("bigint").alias("matching_rows"),
+            F.round(
+                F.count(F.when(pruned, 1)) / F.count("*").cast("double"),
+                4,
+            ).alias("prune_frac"),
+            F.when(
+                F.sum("n_hits") > 0,
+                F.round(
+                    F.sum(F.when(~pruned, F.col("n_rows")).otherwise(0))
+                    / F.sum("n_hits").cast("double"),
+                    4,
+                ),
+            ).alias("scan_amplification"),
+        )
+        .orderBy("layout")
     )

@@ -797,3 +797,75 @@ def sample_importance_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_FK_EDGES = (
+    # (child table, child key, parent table, parent key)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "profile_fk_orphan_report",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}.{ck}' AS fk_edge, '{p}.{pk}' AS parent,
+               CAST((SELECT COUNT(*) FROM {c}
+                     WHERE {ck} IS NOT NULL) AS BIGINT) AS n_child_rows,
+               CAST((SELECT COUNT(*) FROM {c}
+                     WHERE {ck} IS NOT NULL
+                       AND {ck} NOT IN (SELECT {pk} FROM {p})) AS BIGINT)
+                   AS n_orphan_rows,
+               CAST((SELECT COUNT(DISTINCT {ck}) FROM {c}
+                     WHERE {ck} IS NOT NULL
+                       AND {ck} NOT IN (SELECT {pk} FROM {p})) AS BIGINT)
+                   AS n_orphan_keys
+        FROM (SELECT 1)
+        """
+        for c, ck, p, pk in _FK_EDGES
+    )
+    + " ORDER BY fk_edge, parent",
+)
+def profile_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the whole star schema: every
+    declared FK edge gets one row with its orphan count (child keys
+    with no parent) and distinct orphan keys — the report a warehouse
+    runs after each load, generalizing assert_not_exists from one
+    edge to the full constellation. NULL child keys pass (SQL FK
+    semantics).
+
+    Scale shape: each edge is one LEFT ANTI join on the key — the
+    parent side is the (broadcastable) dimension for 6 of 7 edges;
+    the lineitem->orders edge shuffles both sides on orderkey, the
+    same co-partitioning every fact join already pays. Counts are
+    map-side-combinable; the 7-row report unions constant rows."""
+    out = []
+    for c, ck, p, pk in _FK_EDGES:
+        child = spark.table(c).where(F.col(ck).isNotNull())
+        parent = spark.table(p).select(F.col(pk).alias("__pk"))
+        orphans = child.join(
+            parent, child[ck] == F.col("__pk"), "left_anti"
+        )
+        out.append(
+            child.agg(F.count("*").alias("n_child_rows"))
+            .join(
+                orphans.agg(
+                    F.count("*").alias("n_orphan_rows"),
+                    F.countDistinct(ck).alias("n_orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(f"{c}.{ck}").alias("fk_edge"),
+                F.lit(f"{p}.{pk}").alias("parent"),
+                F.col("n_child_rows").cast("bigint"),
+                F.col("n_orphan_rows").cast("bigint"),
+                F.col("n_orphan_keys").cast("bigint"),
+            )
+        )
+    return reduce(DataFrame.unionAll, out).orderBy("fk_edge", "parent")

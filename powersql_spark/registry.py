@@ -513,6 +513,8 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_abc_xyz",
     "emb_hubness",
     "sim_ivf_nprobe_curve",
+    "layout_zone_map_pruning",
+    "profile_fk_orphan_report",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

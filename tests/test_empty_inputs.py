@@ -66,6 +66,9 @@ def test_runs_on_empty_input(spark, key):
         # candidate-lattice profile: an empty table still yields one
         # (vacuously unique) row per declared candidate key.
         "profile_pk_candidate",
+        # FK-edge report: an empty schema still yields one zero-count
+        # row per declared edge, the correct answer.
+        "profile_fk_orphan_report",
     }
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"

@@ -2005,3 +2005,22 @@ def test_nprobe_curve_one_candidate_scan(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "candidate table not cached"
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zone_map_pruning_partial_rollup(spark, sf_dir):
+    """Zone-map report: per-(layout, file) min/max/count partials
+    before one exchange; no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "layout_zone_map_pruning")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fk_orphan_report_anti_joins(spark, sf_dir):
+    """FK sweep: every edge is a broadcast/shuffled LEFT ANTI join on
+    the key — no cartesian beyond the 1-row count pairings, no
+    Python."""
+    plan = plan_of(spark, sf_dir, "profile_fk_orphan_report")
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -5351,3 +5351,75 @@ def test_nprobe_curve_monotone_and_saturates(spark, sf_dir):
     assert rec[-1] > rec[0]
     assert 0 < sc[0] and sc[-1] <= 1.0
     assert all(0.0 <= r2 <= 1.0 for r2 in rec)
+
+
+def test_zone_map_pruning_recomputed(spark, sf_dir):
+    """Clustered layout prunes most files and never loses a matching
+    row; unclustered prunes ~nothing; counts match a from-scratch
+    simulation."""
+    import datetime
+
+    rows = {
+        r["layout"]: r
+        for r in SPECS["layout_zone_map_pruning"].fn(spark, sf_dir).collect()
+    }
+    li = spark.table("lineitem").select(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).collect()
+    lo = datetime.datetime(1997, 3, 1)
+    hi = datetime.datetime(1997, 4, 1)
+    n_match = sum(1 for r in li if lo <= r["l_shipdate"] < hi)
+    for layout in ("clustered", "unclustered"):
+        r = rows[layout]
+        assert r["n_files"] == 32
+        assert r["matching_rows"] == n_match
+        # no false pruning: scanned rows always cover every match
+        assert r["scanned_rows"] >= n_match
+        assert 0 <= r["n_pruned"] < 32
+    # the whole point: sorting buys pruning
+    assert rows["clustered"]["n_pruned"] >= 24
+    assert rows["unclustered"]["n_pruned"] == 0
+    assert (
+        rows["clustered"]["scanned_rows"]
+        < rows["unclustered"]["scanned_rows"]
+    )
+    # clustered NTILE assignment recomputed: file boundaries respect
+    # the (shipdate, orderkey, linenumber) total order
+    srt = sorted(
+        li, key=lambda x: (x["l_shipdate"], x["l_orderkey"],
+                           x["l_linenumber"])
+    )
+    n = len(srt)
+    base, rem = divmod(n, 32)
+    sizes = [base + (1 if i < rem else 0) for i in range(32)]
+    idx, scanned = 0, 0
+    for sz in sizes:
+        chunk = srt[idx : idx + sz]
+        idx += sz
+        fl, fh = chunk[0]["l_shipdate"], chunk[-1]["l_shipdate"]
+        if not (fh < lo or fl >= hi):
+            scanned += sz
+    assert rows["clustered"]["scanned_rows"] == scanned
+
+
+def test_fk_orphan_report_clean_schema(spark, sf_dir):
+    """TPC-H generated data is referentially intact: all 7 edges
+    report zero orphans with correct child-row counts."""
+    rows = SPECS["profile_fk_orphan_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7
+    counts = {
+        t: spark.table(t).count()
+        for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    }
+    per_child = {
+        "lineitem.l_orderkey": counts["lineitem"],
+        "lineitem.l_partkey": counts["lineitem"],
+        "lineitem.l_suppkey": counts["lineitem"],
+        "orders.o_custkey": counts["orders"],
+        "customer.c_nationkey": counts["customer"],
+        "supplier.s_nationkey": counts["supplier"],
+        "nation.n_regionkey": counts["nation"],
+    }
+    for r in rows:
+        assert r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
+        assert r["n_child_rows"] == per_child[r["fk_edge"]]
