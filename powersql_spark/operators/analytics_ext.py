@@ -4914,3 +4914,210 @@ def analytics_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature assembly (the feature-store join) + rolling
+# OLS. PIT correctness is THE correctness property of training-data
+# assembly: every feature must be computable strictly BEFORE the label
+# row's timestamp, or the model trains on leaked future. Both engines
+# use RANGE frames keyed on an integer day index, so same-day rows are
+# excluded deterministically (no ROWS-frame tie ambiguity).
+# ---------------------------------------------------------------------------
+
+_FS_EPOCH = "1995-01-01"
+
+
+@query(
+    "pipeline_feature_store_e2e",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               date_diff('day', DATE '{_FS_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS d
+        FROM orders
+    ),
+    feat AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, d,
+               COUNT(*) OVER w90 AS f_trailing90_cnt,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                   OVER w90, 0) AS DOUBLE) AS f_trailing90_spend,
+               COUNT(*) OVER wall AS f_prior_cnt,
+               d - MAX(d) OVER wall AS f_days_since_prev
+        FROM o
+        WINDOW w90 AS (PARTITION BY o_custkey ORDER BY d
+                       RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING),
+               wall AS (PARTITION BY o_custkey ORDER BY d
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+    )
+    SELECT f.o_orderkey, f.o_custkey,
+           CAST(f.o_totalprice AS DOUBLE) AS label_totalprice,
+           CAST(f.f_trailing90_cnt AS BIGINT) AS f_trailing90_cnt,
+           f.f_trailing90_spend,
+           CAST(f.f_prior_cnt AS BIGINT) AS f_prior_cnt,
+           CAST(f.f_days_since_prev AS BIGINT) AS f_days_since_prev,
+           CAST(c.c_acctbal AS DOUBLE) AS f_acctbal,
+           c.c_mktsegment AS f_mktsegment
+    FROM feat f JOIN customer c ON c.c_custkey = f.o_custkey
+    ORDER BY f.o_orderkey
+    """,
+)
+def pipeline_feature_store_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end feature-store assembly: for every order (the label
+    row), compute point-in-time-correct customer features — trailing
+    90-day order count and spend, lifetime prior orders, days since
+    previous order — plus static dimension features, yielding the
+    training table a churn/LTV model consumes. Every behavioral
+    feature uses a RANGE frame ending at 1 PRECEDING on an integer
+    day index, so nothing from the label's own day (or later) leaks
+    in, and same-day ties resolve identically on both engines.
+
+    Scale shape: ONE shuffle on custkey serves every window frame
+    (all four features share the same partitioning and sort); the
+    customer dimension joins broadcast; spend is decimal-summed.
+    This is the canonical feature-backfill plan: fact scan + one
+    window family + dim broadcast — no self-join explosion, no
+    per-entity loop."""
+    o = spark.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(
+            F.col("o_orderdate"), F.lit(_FS_EPOCH).cast("date")
+        ).alias("d"),
+    )
+    w90 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-90, -1)
+    )
+    wall = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    feat = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "d",
+        F.count("*").over(w90).cast("bigint").alias("f_trailing90_cnt"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w90),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("f_trailing90_spend"),
+        F.count("*").over(wall).cast("bigint").alias("f_prior_cnt"),
+        (F.col("d") - F.max("d").over(wall))
+        .cast("bigint")
+        .alias("f_days_since_prev"),
+    )
+    c = spark.table("customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("f_acctbal"),
+        F.col("c_mktsegment").alias("f_mktsegment"),
+    )
+    return (
+        feat.join(
+            F.broadcast(c), feat.o_custkey == c.c_custkey
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("label_totalprice"),
+            "f_trailing90_cnt",
+            "f_trailing90_spend",
+            "f_prior_cnt",
+            "f_days_since_prev",
+            "f_acctbal",
+            "f_mktsegment",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "window_rolling_regression",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               date_diff('day', DATE '{_FS_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS d,
+               o_totalprice AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT o_custkey, o_orderkey,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(CAST(d AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(d * y AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(CAST(d * d AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   AS sxx
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 0 THEN
+               {sql_jround(
+                   "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)} END
+               AS slope_per_day
+    FROM s
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS: per customer, the least-squares slope of order
+    value against time over the trailing 5 orders — the windowed
+    trend feature ('is this customer's spend accelerating?') that a
+    plain rolling mean can't express. Emitted only when the window
+    holds >= 3 points with time variance.
+
+    Scale shape: the four sufficient statistics (sum x, y, xy, xx)
+    ride ONE ROWS frame on one shuffle of (custkey, day, orderkey) —
+    deterministic total order, decimal-exact sums — and the slope is
+    closed-form arithmetic per row. No self-join, no per-entity
+    fitting loop; the same plan at 100 TB is a single window stage."""
+    o = spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit(_FS_EPOCH).cast("date")
+        ).alias("d"),
+        F.col("o_totalprice").alias("y"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,6)")).over(w).cast("double")
+    s = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n"),
+        dec(F.col("d")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("d") * F.col("y")).alias("sxy"),
+        dec(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("n").cast("bigint").alias("n_window"),
+        F.when(
+            (F.col("n") >= 3) & (den > 0),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / den,
+                4,
+            ),
+        ).alias("slope_per_day"),
+    ).orderBy("o_custkey", "o_orderkey")

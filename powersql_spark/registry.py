@@ -515,6 +515,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ivf_nprobe_curve",
     "layout_zone_map_pruning",
     "profile_fk_orphan_report",
+    "pipeline_feature_store_e2e",
+    "window_rolling_regression",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

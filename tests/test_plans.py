@@ -2024,3 +2024,23 @@ def test_fk_orphan_report_anti_joins(spark, sf_dir):
     assert "LeftAnti" in plan or "left_anti" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_feature_store_one_window_shuffle(spark, sf_dir):
+    """Feature assembly: all four PIT features share one custkey
+    window family (single sort order); customer dim broadcasts; no
+    cartesian, no Python, no self-join of the fact table."""
+    plan = plan_of(spark, sf_dir, "pipeline_feature_store_e2e")
+    assert "BroadcastHashJoin" in plan, "customer dim not broadcast"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("orders.parquet") == 1, "fact scanned once"
+
+
+def test_rolling_regression_single_window(spark, sf_dir):
+    """Rolling OLS: sufficient statistics ride one ROWS frame — no
+    joins at all, no Python."""
+    plan = plan_of(spark, sf_dir, "window_rolling_regression")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Window") >= 1

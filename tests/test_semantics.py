@@ -5423,3 +5423,88 @@ def test_fk_orphan_report_clean_schema(spark, sf_dir):
     for r in rows:
         assert r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
         assert r["n_child_rows"] == per_child[r["fk_edge"]]
+
+
+def test_feature_store_point_in_time_correct(spark, sf_dir):
+    """No leakage: every feature value matches a recount over orders
+    STRICTLY before the label's day; same-day orders never counted."""
+    rows = SPECS["pipeline_feature_store_e2e"].fn(spark, sf_dir).collect()
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append(o)
+    got = {r["o_orderkey"]: r for r in rows}
+    assert len(got) == len(orders)
+    import random
+
+    rng = random.Random(7)
+    for o in rng.sample(orders, min(300, len(orders))):
+        d0 = o["o_orderdate"]
+        prior = [
+            p for p in by_cust[o["o_custkey"]]
+            if p["o_orderdate"].date() < d0.date()
+        ]
+        in90 = [
+            p for p in prior
+            if (d0.date() - p["o_orderdate"].date()).days <= 90
+        ]
+        r = got[o["o_orderkey"]]
+        assert r["f_prior_cnt"] == len(prior)
+        assert r["f_trailing90_cnt"] == len(in90)
+        assert (
+            abs(r["f_trailing90_spend"]
+                - sum(p["o_totalprice"] for p in in90)) < 1e-4
+        )
+        if prior:
+            gap = (
+                d0.date() - max(p["o_orderdate"] for p in prior).date()
+            ).days
+            assert r["f_days_since_prev"] == gap
+        else:
+            assert r["f_days_since_prev"] is None
+
+
+def test_rolling_regression_recomputed(spark, sf_dir):
+    """Trailing-5 OLS slopes match a from-scratch fit on sampled
+    customers; windows shorter than 3 or with no time variance emit
+    NULL."""
+    rows = SPECS["window_rolling_regression"].fn(spark, sf_dir).collect()
+    orders = spark.table("orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    import datetime
+    from collections import defaultdict
+
+    epoch = datetime.date(1995, 1, 1)
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append(
+            ((o["o_orderdate"].date() - epoch).days, o["o_orderkey"],
+             o["o_totalprice"])
+        )
+    got = {(r["o_custkey"], r["o_orderkey"]): r for r in rows}
+    import random
+
+    rng = random.Random(11)
+    custs = rng.sample(sorted(by_cust), min(50, len(by_cust)))
+    for ck in custs:
+        hist = sorted(by_cust[ck])
+        for i in range(len(hist)):
+            frame = hist[max(0, i - 4) : i + 1]
+            n = len(frame)
+            r = got[(ck, hist[i][1])]
+            assert r["n_window"] == n
+            sx = sum(f[0] for f in frame)
+            sy = sum(f[2] for f in frame)
+            sxy = sum(f[0] * f[2] for f in frame)
+            sxx = sum(f[0] * f[0] for f in frame)
+            den = n * sxx - sx * sx
+            if n >= 3 and den > 0:
+                slope = (n * sxy - sx * sy) / den
+                assert abs(r["slope_per_day"] - round(slope, 4)) < 1e-3
+            else:
+                assert r["slope_per_day"] is None
