@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import sql_jround
 from powersql_spark.pipeline.text import _SW_SQL
 from powersql_spark.registry import query
 
@@ -1319,4 +1320,162 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_even_ids"),
         )
         .orderBy("lang")
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH strata AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pop,
+               sqrt(GREATEST(
+                   (CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                         AS DOUBLE)
+                    - CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      * CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                             AS DOUBLE) / COUNT(*))
+                   / COUNT(*), 0.0)) AS sigma
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+    ),
+    weighted AS (
+        SELECT event_type, n_pop, sigma,
+               CAST(n_pop * sigma AS DECIMAL(38,6)) AS w,
+               CAST(n_pop AS DECIMAL(38,6)) AS pw
+        FROM strata
+    ),
+    alloc AS (
+        SELECT event_type, n_pop, sigma,
+               {_NEYMAN_BUDGET} * CAST(w AS DOUBLE)
+                   / CAST((SELECT SUM(w) FROM weighted) AS DOUBLE)
+                   AS exact_ney,
+               {_NEYMAN_BUDGET} * CAST(pw AS DOUBLE)
+                   / CAST((SELECT SUM(pw) FROM weighted) AS DOUBLE)
+                   AS exact_prop
+        FROM weighted
+    ),
+    floored AS (
+        SELECT *,
+               CAST(FLOOR(exact_ney) AS BIGINT) AS fl_n,
+               exact_ney - FLOOR(exact_ney) AS rem_n,
+               CAST(FLOOR(exact_prop) AS BIGINT) AS fl_p,
+               exact_prop - FLOOR(exact_prop) AS rem_p
+        FROM alloc
+    )
+    SELECT event_type, n_pop,
+           {sql_jround("sigma", 4)} AS sigma_value,
+           CAST(fl_n + CASE WHEN ROW_NUMBER() OVER
+                    (ORDER BY rem_n DESC, event_type)
+                    <= {_NEYMAN_BUDGET}
+                        - (SELECT SUM(fl_n) FROM floored)
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman,
+           CAST(fl_p + CASE WHEN ROW_NUMBER() OVER
+                    (ORDER BY rem_p DESC, event_type)
+                    <= {_NEYMAN_BUDGET}
+                        - (SELECT SUM(fl_p) FROM floored)
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc_proportional
+    FROM floored
+    ORDER BY event_type
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sampling allocation for a
+    1000-row budget: n_h proportional to N_h * sigma_h — strata with
+    more internal variance get more of the budget, minimizing the
+    estimator's variance at fixed cost (vs sample_stratified's
+    proportional allocation, also emitted for comparison). Integer
+    allocations via the largest-remainder method with a deterministic
+    stratum-name tiebreak, so each column sums exactly to the budget.
+
+    Scale shape: one map-side-combinable pass computes every
+    stratum's decimal-exact sufficient statistics; everything after
+    runs on the 3-row stratum table (windows, scalar totals). The
+    N*sigma weights are decimal-cast before the cross-stratum sum so
+    the shares are order-independent."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    strata = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.sum(
+                        (F.col("value") * F.col("value")).cast(
+                            "decimal(38,6)"
+                        )
+                    ).cast("double")
+                    - F.sum(F.col("value").cast("decimal(28,6)"))
+                    .cast("double")
+                    * F.sum(F.col("value").cast("decimal(28,6)"))
+                    .cast("double")
+                    / F.count("*")
+                )
+                / F.count("*"),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    weighted = strata.select(
+        "*",
+        (F.col("n_pop") * F.col("sigma")).cast("decimal(38,6)").alias("w"),
+        F.col("n_pop").cast("decimal(38,6)").alias("pw"),
+    )
+    tot = weighted.agg(
+        F.sum("w").cast("double").alias("tw"),
+        F.sum("pw").cast("double").alias("tp"),
+    )
+    alloc = weighted.join(F.broadcast(tot)).select(
+        "event_type",
+        "n_pop",
+        "sigma",
+        (
+            _NEYMAN_BUDGET * F.col("w").cast("double") / F.col("tw")
+        ).alias("exact_ney"),
+        (
+            _NEYMAN_BUDGET * F.col("pw").cast("double") / F.col("tp")
+        ).alias("exact_prop"),
+    )
+    floored = alloc.select(
+        "*",
+        F.floor("exact_ney").cast("bigint").alias("fl_n"),
+        (F.col("exact_ney") - F.floor("exact_ney")).alias("rem_n"),
+        F.floor("exact_prop").cast("bigint").alias("fl_p"),
+        (F.col("exact_prop") - F.floor("exact_prop")).alias("rem_p"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    floored = track_persist(floored)
+    deficits = floored.agg(
+        (_NEYMAN_BUDGET - F.sum("fl_n")).alias("def_n"),
+        (_NEYMAN_BUDGET - F.sum("fl_p")).alias("def_p"),
+    )
+    wn = Window.orderBy(F.desc("rem_n"), "event_type")
+    wp = Window.orderBy(F.desc("rem_p"), "event_type")
+    return (
+        floored.join(F.broadcast(deficits))
+        .select(
+            "event_type",
+            "n_pop",
+            F.round("sigma", 4).alias("sigma_value"),
+            (
+                F.col("fl_n")
+                + F.when(
+                    F.row_number().over(wn) <= F.col("def_n"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_neyman"),
+            (
+                F.col("fl_p")
+                + F.when(
+                    F.row_number().over(wp) <= F.col("def_p"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_proportional"),
+        )
+        .orderBy("event_type")
     )

@@ -2496,3 +2496,153 @@ def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Western Electric SPC rules — the classic control-chart screen. The
+# existing anomaly keys flag single points (zscore/MAD) or level
+# shifts (CUSUM); WE rules add the RUN-based detections (trends and
+# sustained shifts smaller than 3-sigma) via rolling rule windows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_spc_western_electric",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               sqrt((CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*))
+                    / COUNT(*)) AS sigma
+        FROM daily
+    ),
+    z AS (
+        SELECT day, x, (x - mu) / sigma AS z
+        FROM daily, stats WHERE sigma > 0
+    ),
+    rules AS (
+        SELECT day, x, z,
+               abs(z) > 3 AS r1,
+               COUNT(CASE WHEN z > 2 THEN 1 END) OVER w3 >= 2
+                   OR COUNT(CASE WHEN z < -2 THEN 1 END) OVER w3 >= 2
+                   AS r2,
+               COUNT(CASE WHEN z > 1 THEN 1 END) OVER w5 >= 4
+                   OR COUNT(CASE WHEN z < -1 THEN 1 END) OVER w5 >= 4
+                   AS r3,
+               COUNT(CASE WHEN z > 0 THEN 1 END) OVER w8 = 8
+                   OR COUNT(CASE WHEN z < 0 THEN 1 END) OVER w8 = 8
+                   AS r4
+        FROM z
+        WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                      AND CURRENT ROW),
+               w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                      AND CURRENT ROW),
+               w8 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT day, {sql_jround("z", 4)} AS z,
+           r1, r2, r3, r4,
+           CAST(CAST(r1 AS INTEGER) + CAST(r2 AS INTEGER)
+                + CAST(r3 AS INTEGER) + CAST(r4 AS INTEGER)
+                AS INTEGER) AS n_rules_fired
+    FROM rules
+    ORDER BY day
+    """,
+)
+def ts_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rules over the daily value
+    series: R1 point beyond 3-sigma, R2 two-of-three beyond 2-sigma
+    same side, R3 four-of-five beyond 1-sigma same side, R4 eight
+    consecutive same side of center. The run-based rules catch
+    sustained small shifts and drifts that single-point screens
+    (ts_anomaly_zscore/mad) structurally miss.
+
+    Scale shape: the corpus collapses once to the daily grain
+    (map-side combinable decimal sums); center/sigma are one
+    broadcast row of decimal-exact sufficient statistics; all four
+    rules ride rolling COUNT frames on the same day ordering of the
+    tiny daily table. z is an identical double ratio on both engines,
+    compared against integer thresholds — no libm divergence. The
+    full scored series is emitted (alarm days carry n_rules_fired >
+    0) so every day's rule evaluation is hash-verified."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(dsum("value", "x"))
+    )
+    stats = daily.agg(
+        (
+            F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")
+        ).alias("mu"),
+        F.sqrt(
+            (
+                F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+                .cast("double")
+                - F.sum(F.col("x").cast(DEC)).cast("double")
+                * F.sum(F.col("x").cast(DEC)).cast("double")
+                / F.count("*")
+            )
+            / F.count("*")
+        ).alias("sigma"),
+    )
+    z = (
+        daily.join(F.broadcast(stats))
+        .where(F.col("sigma") > 0)
+        .select(
+            "day",
+            "x",
+            ((F.col("x") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+    )
+    w3 = Window.orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.orderBy("day").rowsBetween(-7, 0)
+
+    def cnt(w, cond):
+        return F.count(F.when(cond, 1)).over(w)
+
+    rules = z.select(
+        "day",
+        "z",
+        (F.abs(F.col("z")) > 3).alias("r1"),
+        (
+            (cnt(w3, F.col("z") > 2) >= 2)
+            | (cnt(w3, F.col("z") < -2) >= 2)
+        ).alias("r2"),
+        (
+            (cnt(w5, F.col("z") > 1) >= 4)
+            | (cnt(w5, F.col("z") < -1) >= 4)
+        ).alias("r3"),
+        (
+            (cnt(w8, F.col("z") > 0) == 8)
+            | (cnt(w8, F.col("z") < 0) == 8)
+        ).alias("r4"),
+    )
+    return (
+        rules.select(
+            "day",
+            F.round("z", 4).alias("z"),
+            "r1",
+            "r2",
+            "r3",
+            "r4",
+            (
+                F.col("r1").cast("int")
+                + F.col("r2").cast("int")
+                + F.col("r3").cast("int")
+                + F.col("r4").cast("int")
+            )
+            .cast("int")
+            .alias("n_rules_fired"),
+        )
+        .orderBy("day")
+    )

@@ -517,6 +517,8 @@ _PRIORITY: tuple[str, ...] = (
     "profile_fk_orphan_report",
     "pipeline_feature_store_e2e",
     "window_rolling_regression",
+    "ts_spc_western_electric",
+    "sample_stratified_neyman",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2044,3 +2044,23 @@ def test_rolling_regression_single_window(spark, sf_dir):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_spc_rules_daily_collapse(spark, sf_dir):
+    """SPC rules: one map-combinable daily collapse; stats are a
+    one-row broadcast; rule frames ride the tiny daily table."""
+    plan = plan_of(spark, sf_dir, "ts_spc_western_electric")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") <= 2  # daily + stats reuse
+
+
+def test_neyman_stratum_table_only(spark, sf_dir):
+    """Neyman allocation: one stratum-stats pass; allocation windows
+    and totals run on the cached 5-row stratum table."""
+    plan = plan_of(spark, sf_dir, "sample_stratified_neyman")
+    assert "InMemoryTableScan" in plan, "stratum table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -5508,3 +5508,89 @@ def test_rolling_regression_recomputed(spark, sf_dir):
                 assert abs(r["slope_per_day"] - round(slope, 4)) < 1e-3
             else:
                 assert r["slope_per_day"] is None
+
+
+def test_spc_rules_recomputed(spark, sf_dir):
+    """Every day's rule flags match a from-scratch evaluation of the
+    four Western Electric rules on the daily series."""
+    rows = sorted(
+        SPECS["ts_spc_western_electric"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    ev = spark.table("events").where(
+        F.col("value").isNotNull()
+    ).select(F.date_trunc("day", "ts").cast("date").alias("d"),
+             "value").collect()
+    from collections import defaultdict
+
+    daily = defaultdict(float)
+    for e in ev:
+        daily[e["d"]] += e["value"]
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    mu = sum(xs) / n
+    sigma = (sum(x * x for x in xs) / n - mu * mu) ** 0.5
+    zs = [(x - mu) / sigma for x in xs]
+    assert len(rows) == n
+    for i, (d, r) in enumerate(zip(days, rows)):
+        assert r["day"] == d
+        assert abs(r["z"] - round(zs[i], 4)) < 1e-3
+        w3 = zs[max(0, i - 2) : i + 1]
+        w5 = zs[max(0, i - 4) : i + 1]
+        w8 = zs[max(0, i - 7) : i + 1]
+        assert r["r1"] == (abs(zs[i]) > 3)
+        assert r["r2"] == (
+            sum(1 for z in w3 if z > 2) >= 2
+            or sum(1 for z in w3 if z < -2) >= 2
+        )
+        assert r["r3"] == (
+            sum(1 for z in w5 if z > 1) >= 4
+            or sum(1 for z in w5 if z < -1) >= 4
+        )
+        assert r["r4"] == (
+            sum(1 for z in w8 if z > 0) == 8
+            or sum(1 for z in w8 if z < 0) == 8
+        )
+        assert r["n_rules_fired"] == sum(
+            (r["r1"], r["r2"], r["r3"], r["r4"])
+        )
+
+
+def test_neyman_allocation_identities(spark, sf_dir):
+    """Both allocations sum exactly to the budget; Neyman shifts
+    budget toward high-N*sigma strata relative to proportional; a
+    from-scratch largest-remainder recompute matches."""
+    rows = SPECS["sample_stratified_neyman"].fn(spark, sf_dir).collect()
+    assert sum(r["alloc_neyman"] for r in rows) == 1000
+    assert sum(r["alloc_proportional"] for r in rows) == 1000
+    ev = spark.table("events").where(
+        F.col("value").isNotNull()
+    ).select("event_type", "value").collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for e in ev:
+        vals[e["event_type"]].append(e["value"])
+
+    def lr_alloc(weights):
+        exact = {k: 1000 * w / sum(weights.values())
+                 for k, w in weights.items()}
+        fl = {k: int(exact[k] // 1) for k in exact}
+        deficit = 1000 - sum(fl.values())
+        for k in sorted(exact,
+                        key=lambda k2: (-(exact[k2] - fl[k2]), k2))[:deficit]:
+            fl[k] += 1
+        return fl
+
+    sig = {}
+    for k, v in vals.items():
+        m = sum(v) / len(v)
+        sig[k] = max(sum(x * x for x in v) / len(v) - m * m, 0.0) ** 0.5
+    ney = lr_alloc({k: len(v) * sig[k] for k, v in vals.items()})
+    prop = lr_alloc({k: float(len(v)) for k, v in vals.items()})
+    for r in rows:
+        assert r["n_pop"] == len(vals[r["event_type"]])
+        assert abs(r["sigma_value"] - round(sig[r["event_type"]], 4)) < 1e-3
+        assert r["alloc_neyman"] == ney[r["event_type"]]
+        assert r["alloc_proportional"] == prop[r["event_type"]]
