@@ -869,3 +869,145 @@ def profile_fk_orphan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionAll, out).orderBy("fk_edge", "parent")
+
+
+@query(
+    "profile_snapshot_recon",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 83 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,2))
+                              AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderkey % 101 = 0 THEN '9-RESTATED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    recon AS (
+        SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+               a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                   AS d_price,
+               a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                   AS d_prio
+        FROM snap_a a FULL OUTER JOIN snap_b b
+          ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT category, n_rows FROM (
+        SELECT 'added' AS category,
+               CAST(COUNT(CASE WHEN ka IS NULL THEN 1 END) AS BIGINT)
+                   AS n_rows FROM recon
+        UNION ALL
+        SELECT 'removed',
+               CAST(COUNT(CASE WHEN kb IS NULL THEN 1 END) AS BIGINT)
+        FROM recon
+        UNION ALL
+        SELECT 'changed',
+               CAST(COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                    AND (d_price OR d_prio) THEN 1 END) AS BIGINT)
+        FROM recon
+        UNION ALL
+        SELECT 'unchanged',
+               CAST(COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                    AND NOT (d_price OR d_prio) THEN 1 END) AS BIGINT)
+        FROM recon
+        UNION ALL
+        SELECT 'col_o_totalprice',
+               CAST(COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                    AND d_price THEN 1 END) AS BIGINT)
+        FROM recon
+        UNION ALL
+        SELECT 'col_o_orderpriority',
+               CAST(COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                    AND d_prio THEN 1 END) AS BIGINT)
+        FROM recon
+    )
+    ORDER BY category
+    """,
+)
+def profile_snapshot_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation: FULL OUTER join two table
+    versions on the key and classify every row added / removed /
+    changed / unchanged, plus per-column change counts — the recon a
+    CDC pipeline runs to certify a replica before cutover (where
+    diff_metric_snapshots compares aggregates, this attributes the
+    drift to rows and columns). Snapshots are derived
+    deterministically from orders: version B restates price (+10% on
+    1/97 of keys) and priority (1/101), drops 1/89, and A lacks 1/83
+    (B's adds). Null-safe comparison via IS DISTINCT FROM.
+
+    Scale shape: ONE co-partitioned full-outer join on the key (the
+    same shuffle a MERGE pays), with every classification and column
+    diff folded into map-side-combinable conditional counts — no
+    per-column joins, no second pass. The report is 6 constant rows."""
+    o = spark.table("orders")
+    snap_a = o.where(F.col("o_orderkey") % 83 != 0).select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_totalprice").alias("pa"),
+        F.col("o_orderpriority").alias("ra"),
+    )
+    snap_b = o.where(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("kb"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            (F.col("o_totalprice") * 1.1)
+            .cast("decimal(18,2)")
+            .cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("pb"),
+        F.when(F.col("o_orderkey") % 101 == 0, "9-RESTATED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("rb"),
+    )
+    recon = snap_a.join(
+        snap_b, snap_a.ka == snap_b.kb, "full_outer"
+    ).select(
+        "ka",
+        "kb",
+        (~F.col("pa").eqNullSafe(F.col("pb"))).alias("d_price"),
+        (~F.col("ra").eqNullSafe(F.col("rb"))).alias("d_prio"),
+    )
+    both = F.col("ka").isNotNull() & F.col("kb").isNotNull()
+    agg = recon.agg(
+        F.count(F.when(F.col("ka").isNull(), 1)).alias("added"),
+        F.count(F.when(F.col("kb").isNull(), 1)).alias("removed"),
+        F.count(
+            F.when(both & (F.col("d_price") | F.col("d_prio")), 1)
+        ).alias("changed"),
+        F.count(
+            F.when(both & ~(F.col("d_price") | F.col("d_prio")), 1)
+        ).alias("unchanged"),
+        F.count(F.when(both & F.col("d_price"), 1)).alias(
+            "col_o_totalprice"
+        ),
+        F.count(F.when(both & F.col("d_prio"), 1)).alias(
+            "col_o_orderpriority"
+        ),
+    )
+    cats = (
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+        "col_o_totalprice",
+        "col_o_orderpriority",
+    )
+    unp = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("category"),
+                        F.col(c).cast("bigint").alias("n_rows"),
+                    )
+                    for c in cats
+                ]
+            )
+        ).alias("r")
+    )
+    return unp.select("r.category", "r.n_rows").orderBy("category")

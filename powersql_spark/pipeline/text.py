@@ -2046,3 +2046,164 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: PageRank on the word co-occurrence graph — the
+# graph-centrality sibling of RAKE (degree-scored) and PMI
+# (association-scored). Fixed 3-iteration unroll, same engineering as
+# graph_pagerank: the corpus-sized step is ONE adjacency build; the
+# iterations run on the vocabulary-sized edge table.
+# ---------------------------------------------------------------------------
+
+_TR_D = 0.85
+_TR_TOPK = 20
+
+_TR_ITER_SQL = """
+    tr{k} AS (
+        SELECT v.word,
+               (1 - {d}) + {d} * COALESCE(SUM(p.pr * t.p), 0) AS pr
+        FROM vocab v
+        LEFT JOIN trans t ON t.dst = v.word
+        LEFT JOIN tr{j} p ON p.word = t.src
+        GROUP BY v.word
+    )"""
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, t[u.pos] AS word, u.pos
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+             unnest(range(1, len(t) + 1)) AS u(pos)
+    ),
+    adj AS (
+        SELECT word AS a,
+               LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM tok
+    ),
+    und AS (
+        SELECT a, b FROM adj WHERE b IS NOT NULL AND a <> b
+            AND a NOT IN (__SW__) AND b NOT IN (__SW__)
+        UNION ALL
+        SELECT b, a FROM adj WHERE b IS NOT NULL AND a <> b
+            AND a NOT IN (__SW__) AND b NOT IN (__SW__)
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst, COUNT(*) AS w FROM und GROUP BY a, b
+    ),
+    vocab AS (SELECT DISTINCT src AS word FROM edges),
+    trans AS (
+        SELECT src, dst,
+               CAST(w AS DOUBLE)
+                   / SUM(CAST(w AS DOUBLE)) OVER (PARTITION BY src) AS p
+        FROM edges
+    ),
+    tr0 AS (SELECT word, 1.0 AS pr FROM vocab),__ITERS__
+    SELECT word, round(pr, 6) AS textrank,
+           CAST(ROW_NUMBER() OVER (ORDER BY round(pr, 6) DESC, word)
+                AS INTEGER) AS kw_rank
+    FROM tr3
+    ORDER BY kw_rank
+    LIMIT __TOPK__
+    """.replace("__SW__", _SW_SQL)
+    .replace(
+        "__ITERS__",
+        ",".join(
+            _TR_ITER_SQL.format(k=k, j=k - 1, d=_TR_D)
+            for k in (1, 2, 3)
+        ),
+    )
+    .replace("__TOPK__", str(_TR_TOPK)),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank (3 unrolled iterations,
+    damping 0.85) over the undirected word co-occurrence graph built
+    from adjacent non-stopword token pairs — the centrality-based
+    keyword scorer that surfaces words holding the graph together,
+    where RAKE scores local degree and PMI scores pairwise surprise.
+    Top-20 by 6dp-rounded score, word tiebreak.
+
+    Scale shape: the corpus-sized work is one posexplode + one LEAD
+    window per document partition + one edge aggregation — after
+    that, every iteration is a vocabulary-sized join + grouped sum
+    (the graph_pagerank discipline). No driver loop; the whole
+    computation is one Catalyst plan the oracle mirrors CTE-for-CTE.
+    6dp rounding absorbs cross-engine inbound-sum ordering."""
+    d = spark.table("documents")
+    tok = d.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "word")
+    )
+    adj = tok.select(
+        "word",
+        F.lead("word")
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("b"),
+    ).where(
+        F.col("b").isNotNull()
+        & (F.col("word") != F.col("b"))
+        & ~F.col("word").isin(*_STOPWORDS)
+        & ~F.col("b").isin(*_STOPWORDS)
+    )
+    und = adj.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("word").alias("a"), F.col("b").alias("b")
+                ),
+                F.struct(
+                    F.col("b").alias("a"), F.col("word").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    edges = und.groupBy(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).agg(F.count("*").alias("w"))
+    from powersql_spark.catalog import track_persist
+
+    edges = track_persist(edges)
+    vocab = edges.select(F.col("src").alias("word")).distinct()
+    trans = edges.select(
+        "src",
+        "dst",
+        (
+            F.col("w").cast("double")
+            / F.sum(F.col("w").cast("double")).over(
+                Window.partitionBy("src")
+            )
+        ).alias("p"),
+    )
+    tr = vocab.select("word", F.lit(1.0).alias("pr"))
+    for _ in range(3):
+        contrib = trans.join(
+            tr.withColumnRenamed("word", "src"), "src"
+        ).select(F.col("dst").alias("word"), (F.col("pr") * F.col("p")).alias("c"))
+        tr = (
+            vocab.join(
+                contrib.groupBy("word").agg(F.sum("c").alias("s")),
+                "word",
+                "left",
+            )
+            .select(
+                "word",
+                (
+                    F.lit(1 - _TR_D)
+                    + _TR_D * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    wr = Window.orderBy(F.desc("textrank"), "word")
+    return (
+        tr.select("word", F.round("pr", 6).alias("textrank"))
+        .select(
+            "word",
+            "textrank",
+            F.row_number().over(wr).cast("int").alias("kw_rank"),
+        )
+        .where(F.col("kw_rank") <= _TR_TOPK)
+        .orderBy("kw_rank")
+    )

@@ -519,6 +519,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_rolling_regression",
     "ts_spc_western_electric",
     "sample_stratified_neyman",
+    "text_textrank_keywords",
+    "profile_snapshot_recon",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

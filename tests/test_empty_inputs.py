@@ -69,6 +69,9 @@ def test_runs_on_empty_input(spark, key):
         # FK-edge report: an empty schema still yields one zero-count
         # row per declared edge, the correct answer.
         "profile_fk_orphan_report",
+        # recon report: empty snapshots still yield one zero-count
+        # row per category (nothing added/removed/changed), correct.
+        "profile_snapshot_recon",
     }
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"

@@ -2064,3 +2064,29 @@ def test_neyman_stratum_table_only(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_textrank_edge_table_iterations(spark, sf_dir):
+    """TextRank: one corpus tokenize + LEAD pass builds the cached
+    edge table; all three iterations join vocabulary-sized tables.
+    No cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "text_textrank_keywords")
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # every remaining corpus-scan reference sits inside a cached
+    # (InMemoryTableScan) subtree reprint, not a live re-scan
+    assert plan.count("documents.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+
+
+def test_snapshot_recon_single_join(spark, sf_dir):
+    """Snapshot recon: one co-partitioned full-outer join; every
+    category folds into conditional counts of a single aggregation —
+    no per-column joins."""
+    plan = plan_of(spark, sf_dir, "profile_snapshot_recon")
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("orders.parquet") <= 2  # two snapshot scans

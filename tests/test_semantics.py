@@ -5594,3 +5594,65 @@ def test_neyman_allocation_identities(spark, sf_dir):
         assert abs(r["sigma_value"] - round(sig[r["event_type"]], 4)) < 1e-3
         assert r["alloc_neyman"] == ney[r["event_type"]]
         assert r["alloc_proportional"] == prop[r["event_type"]]
+
+
+def test_textrank_recomputed(spark, sf_dir):
+    """Top-20 TextRank scores match a from-scratch 3-iteration power
+    run on the recounted co-occurrence graph."""
+    rows = SPECS["text_textrank_keywords"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents").select("text").collect()
+    from collections import defaultdict
+
+    sw = {"the", "a", "and", "of", "to", "in", "is", "it"}
+    w = defaultdict(int)
+    for d in docs:
+        toks = d["text"].strip().split()
+        for x, y in zip(toks, toks[1:]):
+            if x != y and x not in sw and y not in sw:
+                w[(x, y)] += 1
+                w[(y, x)] += 1
+    out = defaultdict(int)
+    for (a, b), c in w.items():
+        out[a] += c
+    vocab = sorted(out)
+    tr = {v: 1.0 for v in vocab}
+    for _ in range(3):
+        nxt = {}
+        for v in vocab:
+            s = sum(
+                tr[a] * w[(a, v)] / out[a]
+                for (a, b) in w
+                if b == v
+            )
+            nxt[v] = 0.15 + 0.85 * s
+        tr = nxt
+    top = sorted(vocab, key=lambda v: (-round(tr[v], 6), v))[:20]
+    assert [r["word"] for r in rows] == top
+    for r in rows:
+        assert abs(r["textrank"] - round(tr[r["word"]], 6)) < 1e-4
+    assert [r["kw_rank"] for r in rows] == list(range(1, 21))
+
+
+def test_snapshot_recon_identities(spark, sf_dir):
+    """Category counts match direct recounts of the derived
+    snapshots; changed >= each per-column count; changed <= their
+    sum; A/B populations reconcile."""
+    rows = {
+        r["category"]: r["n_rows"]
+        for r in SPECS["profile_snapshot_recon"].fn(spark, sf_dir).collect()
+    }
+    keys = [
+        r["o_orderkey"]
+        for r in spark.table("orders").select("o_orderkey").collect()
+    ]
+    in_a = {k for k in keys if k % 83 != 0}
+    in_b = {k for k in keys if k % 89 != 0}
+    assert rows["added"] == len(in_b - in_a)
+    assert rows["removed"] == len(in_a - in_b)
+    both = in_a & in_b
+    chg_p = {k for k in both if k % 97 == 0}
+    chg_r = {k for k in both if k % 101 == 0}
+    assert rows["col_o_totalprice"] == len(chg_p)
+    assert rows["col_o_orderpriority"] == len(chg_r)
+    assert rows["changed"] == len(chg_p | chg_r)
+    assert rows["unchanged"] == len(both) - len(chg_p | chg_r)
