@@ -5121,3 +5121,119 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("slope_per_day"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "stats_levene",
+    oracle=f"""
+    WITH means AS (
+        SELECT l_returnflag AS g,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                    AS DOUBLE) / COUNT(*) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    z AS (
+        SELECT m.g, m.n_g,
+               abs(l.l_extendedprice - m.mu) AS zv
+        FROM lineitem l JOIN means m ON m.g = l.l_returnflag
+    ),
+    zg AS (
+        SELECT g, n_g,
+               CAST(SUM(CAST(zv AS DECIMAL(28,6))) AS DOUBLE) AS sz,
+               CAST(SUM(CAST(zv * zv AS DECIMAL(38,6))) AS DOUBLE)
+                   AS szz
+        FROM z GROUP BY g, n_g
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(sz AS DECIMAL(38,6))) AS DOUBLE) AS stot,
+               CAST(SUM(CAST(n_g * (sz / n_g) * (sz / n_g)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS between_ss,
+               CAST(SUM(CAST(szz - sz * sz / n_g AS DECIMAL(38,6)))
+                    AS DOUBLE) AS within_ss
+        FROM zg
+    )
+    SELECT n, k,
+           {sql_jround(
+               "((between_ss - stot * stot / n) / (k - 1))"
+               " / (within_ss / (n - k))", 4)} AS w_stat,
+           ((between_ss - stot * stot / n) / (k - 1))
+               / (within_ss / (n - k)) > 2.9957 AS reject_05
+    FROM tot
+    WHERE k > 1 AND within_ss > 0
+    """,
+)
+def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test for homogeneity of variance across the three
+    return-flag groups on extended price: a one-way ANOVA on the
+    absolute deviations z = |x - group mean| — the gate you run
+    BEFORE trusting stats_anova_oneway's equal-variance assumption.
+    Decision against F(k-1, inf) at alpha=0.05 (2.9957 for k=3; n-k
+    is ~1e5+, so the infinite-denominator critical value is exact to
+    4dp).
+
+    Scale shape: two passes — group means (map-side-combinable, 3
+    broadcast rows) then one aggregation of decimal-exact |deviation|
+    sufficient statistics; the F ratio is closed-form arithmetic on
+    the 3-row group table. Cross-group sums are decimal-cast for
+    order independence."""
+    li = spark.table("lineitem")
+    means = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.count("*").cast("bigint").alias("n_g"),
+    )
+    z = li.join(
+        F.broadcast(means), li.l_returnflag == means.g
+    ).select(
+        "g",
+        "n_g",
+        F.abs(F.col("l_extendedprice") - F.col("mu")).alias("zv"),
+    )
+    zg = z.groupBy("g", "n_g").agg(
+        F.sum(F.col("zv").cast("decimal(28,6)")).cast("double").alias("sz"),
+        F.sum((F.col("zv") * F.col("zv")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("szz"),
+    )
+    tot = zg.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("sz").cast("decimal(38,6)")).cast("double").alias(
+            "stot"
+        ),
+        F.sum(
+            (
+                F.col("n_g")
+                * (F.col("sz") / F.col("n_g"))
+                * (F.col("sz") / F.col("n_g"))
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("between_ss"),
+        F.sum(
+            (
+                F.col("szz") - F.col("sz") * F.col("sz") / F.col("n_g")
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("within_ss"),
+    )
+    w = (
+        (F.col("between_ss") - F.col("stot") * F.col("stot") / F.col("n"))
+        / (F.col("k") - 1)
+    ) / (F.col("within_ss") / (F.col("n") - F.col("k")))
+    return (
+        tot.where((F.col("k") > 1) & (F.col("within_ss") > 0))
+        .select(
+            "n",
+            "k",
+            F.round(w, 4).alias("w_stat"),
+            (w > 2.9957).alias("reject_05"),
+        )
+    )

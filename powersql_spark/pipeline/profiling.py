@@ -1011,3 +1011,141 @@ def profile_snapshot_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return unp.select("r.category", "r.n_rows").orderBy("category")
+
+
+_CRAMER_PAIRS = (
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+)
+
+_CRAMER_CLASS = (
+    "CASE WHEN v < 0.1 THEN 'negligible' WHEN v < 0.3 THEN 'weak' "
+    "WHEN v < 0.5 THEN 'moderate' ELSE 'strong' END"
+)
+
+
+def _cramer_sql(tbl: str, a: str, b: str) -> str:
+    return f"""
+    SELECT '{tbl}.{a} x {b}' AS pair,
+           CAST(n AS BIGINT) AS n,
+           CAST(dof AS BIGINT) AS dof,
+           round(chi2, 4) AS chi2,
+           round(v, 4) AS cramers_v,
+           {_CRAMER_CLASS} AS strength
+    FROM (
+        SELECT n, dof, chi2,
+               CASE WHEN n * mindim > 0
+                    THEN sqrt(chi2 / (n * mindim)) ELSE 0 END AS v
+        FROM (
+            WITH cont AS (
+                SELECT {a} AS ra, {b} AS cb, COUNT(*) AS obs
+                FROM {tbl} GROUP BY {a}, {b}
+            ),
+            rt AS (SELECT ra, SUM(obs) AS r FROM cont GROUP BY ra),
+            ct AS (SELECT cb, SUM(obs) AS c FROM cont GROUP BY cb),
+            nn AS (
+                SELECT SUM(obs) AS n,
+                       (COUNT(DISTINCT ra) - 1)
+                           * (COUNT(DISTINCT cb) - 1) AS dof,
+                       LEAST(COUNT(DISTINCT ra) - 1,
+                             COUNT(DISTINCT cb) - 1) AS mindim
+                FROM cont
+            ),
+            terms AS (
+                SELECT round(
+                    pow(cont.obs - CAST(rt.r * ct.c AS DOUBLE) / nn.n, 2)
+                    / (CAST(rt.r * ct.c AS DOUBLE) / nn.n), 6) AS t
+                FROM cont
+                JOIN rt USING (ra) JOIN ct USING (cb), nn
+            )
+            SELECT nn.n, nn.dof, nn.mindim,
+                   CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+            FROM terms, nn GROUP BY nn.n, nn.dof, nn.mindim
+        )
+    )
+    """
+
+
+@query(
+    "stats_cramers_v",
+    oracle=" UNION ALL ".join(
+        _cramer_sql(t, a, b) for t, a, b in _CRAMER_PAIRS
+    )
+    + " ORDER BY pair",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect-size sweep over three categorical pairs
+    (order status x priority, return flag x line status, market
+    segment x nation): chi-squared normalized to [0, 1] by
+    n*min(r-1, c-1), making association strength COMPARABLE across
+    tables of different sizes and shapes — the screen that tells you
+    which categorical dependencies are real structure vs big-n
+    significance noise, with the conventional strength labels.
+
+    Scale shape: per pair, ONE exchange collapses the table to its
+    contingency cells; marginals/expected/statistic live on that
+    metadata-sized table. The three reports union constant rows.
+    Terms round 6dp and decimal-sum exactly as
+    stats_chi2_independence (shared discipline)."""
+    out = []
+    for tbl, a, b in _CRAMER_PAIRS:
+        cont = (
+            spark.table(tbl)
+            .groupBy(F.col(a).alias("ra"), F.col(b).alias("cb"))
+            .agg(F.count("*").alias("obs"))
+        )
+        from powersql_spark.catalog import track_persist
+
+        cont = track_persist(cont)
+        rt = cont.groupBy("ra").agg(F.sum("obs").alias("r"))
+        ct = cont.groupBy("cb").agg(F.sum("obs").alias("c"))
+        nn = cont.agg(
+            F.sum("obs").alias("n"),
+            (
+                (F.countDistinct("ra") - 1) * (F.countDistinct("cb") - 1)
+            ).alias("dof"),
+            F.least(
+                F.countDistinct("ra") - 1, F.countDistinct("cb") - 1
+            ).alias("mindim"),
+        )
+        exp = F.col("r") * F.col("c") / F.col("n")
+        terms = (
+            cont.join(rt, "ra")
+            .join(ct, "cb")
+            .join(F.broadcast(nn))
+            .select(
+                F.round(
+                    F.pow(F.col("obs") - exp.cast("double"), 2)
+                    / exp.cast("double"),
+                    6,
+                ).alias("t"),
+                "n",
+                "dof",
+                "mindim",
+            )
+        )
+        stats = terms.groupBy("n", "dof", "mindim").agg(
+            F.sum(F.col("t").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("chi2")
+        )
+        v = F.when(
+            F.col("n") * F.col("mindim") > 0,
+            F.sqrt(F.col("chi2") / (F.col("n") * F.col("mindim"))),
+        ).otherwise(0.0)
+        out.append(
+            stats.select(
+                F.lit(f"{tbl}.{a} x {b}").alias("pair"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("dof").cast("bigint").alias("dof"),
+                F.round("chi2", 4).alias("chi2"),
+                F.round(v, 4).alias("cramers_v"),
+                F.when(v < 0.1, "negligible")
+                .when(v < 0.3, "weak")
+                .when(v < 0.5, "moderate")
+                .otherwise("strong")
+                .alias("strength"),
+            )
+        )
+    return reduce(DataFrame.unionAll, out).orderBy("pair")

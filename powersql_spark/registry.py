@@ -521,6 +521,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified_neyman",
     "text_textrank_keywords",
     "profile_snapshot_recon",
+    "stats_cramers_v",
+    "stats_levene",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

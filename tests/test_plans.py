@@ -2090,3 +2090,24 @@ def test_snapshot_recon_single_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert plan.count("orders.parquet") <= 2  # two snapshot scans
+
+
+def test_cramers_v_contingency_collapse(spark, sf_dir):
+    """Cramér's V sweep: per pair one collapse to cached contingency
+    cells; marginals/statistic on the tiny cell table; no cartesian
+    beyond one-row broadcasts, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_cramers_v")
+    assert "InMemoryTableScan" in plan, "contingency cells not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_levene_two_pass_broadcast_means(spark, sf_dir):
+    """Levene: group means broadcast back into one deviation
+    aggregation — two corpus passes, no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "stats_levene")
+    assert "BroadcastHashJoin" in plan, "group means not broadcast"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

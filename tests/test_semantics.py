@@ -5656,3 +5656,68 @@ def test_snapshot_recon_identities(spark, sf_dir):
     assert rows["col_o_orderpriority"] == len(chg_r)
     assert rows["changed"] == len(chg_p | chg_r)
     assert rows["unchanged"] == len(both) - len(chg_p | chg_r)
+
+
+def test_cramers_v_recomputed(spark, sf_dir):
+    """V for the lineitem pair matches a from-scratch chi2/V; values
+    in [0,1]; strength labels consistent with V."""
+    rows = SPECS["stats_cramers_v"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    li = spark.table("lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).collect()
+    from collections import Counter
+
+    cont = Counter((r["l_returnflag"], r["l_linestatus"]) for r in li)
+    rt = Counter()
+    ct = Counter()
+    for (a, b), c in cont.items():
+        rt[a] += c
+        ct[b] += c
+    n = sum(cont.values())
+    chi2 = sum(
+        round((c - rt[a] * ct[b] / n) ** 2 / (rt[a] * ct[b] / n), 6)
+        for (a, b), c in cont.items()
+    )
+    mindim = min(len(rt) - 1, len(ct) - 1)
+    v = (chi2 / (n * mindim)) ** 0.5 if n * mindim > 0 else 0.0
+    got = {r["pair"]: r for r in rows}
+    r = got["lineitem.l_returnflag x l_linestatus"]
+    assert r["n"] == n
+    assert r["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert abs(r["chi2"] - round(chi2, 4)) < 1e-2
+    assert abs(r["cramers_v"] - round(v, 4)) < 1e-3
+    for r2 in rows:
+        assert 0.0 <= r2["cramers_v"] <= 1.0
+        lab = ("negligible" if r2["cramers_v"] < 0.1 else
+               "weak" if r2["cramers_v"] < 0.3 else
+               "moderate" if r2["cramers_v"] < 0.5 else "strong")
+        assert r2["strength"] == lab
+
+
+def test_levene_recomputed(spark, sf_dir):
+    """W matches the textbook two-pass computation on |x - mean_g|."""
+    row = SPECS["stats_levene"].fn(spark, sf_dir).collect()[0]
+    li = spark.table("lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for r in li:
+        g[r["l_returnflag"]].append(r["l_extendedprice"])
+    mu = {k: sum(v) / len(v) for k, v in g.items()}
+    z = {k: [abs(x - mu[k]) for x in v] for k, v in g.items()}
+    n = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = sum(sum(v) for v in z.values()) / n
+    between = sum(
+        len(v) * (sum(v) / len(v) - zbar) ** 2 for v in z.values()
+    )
+    within = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values()
+    )
+    w = (between / (k - 1)) / (within / (n - k))
+    assert row["n"] == n and row["k"] == k
+    assert abs(row["w_stat"] - round(w, 4)) < 1e-2
+    assert row["reject_05"] == (w > 2.9957)
