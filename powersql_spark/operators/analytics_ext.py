@@ -5237,3 +5237,147 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             (w > 2.9957).alias("reject_05"),
         )
     )
+
+
+@query(
+    "analytics_net_revenue_retention",
+    oracle=f"""
+    WITH cm AS (
+        SELECT o_custkey AS c,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    AS DECIMAL(28,6)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT COALESCE(cur.m, prev.m + INTERVAL 1 MONTH) AS m,
+               cur.rev AS cur_rev, prev.rev AS prev_rev
+        FROM cm cur FULL OUTER JOIN cm prev
+          ON cur.c = prev.c AND cur.m = prev.m + INTERVAL 1 MONTH
+    ),
+    agg AS (
+        SELECT CAST(m AS DATE) AS month,
+               CAST(SUM(COALESCE(prev_rev, 0)) AS DOUBLE)
+                   AS starting_mrr,
+               CAST(SUM(CASE WHEN prev_rev IS NULL
+                        THEN cur_rev ELSE 0 END) AS DOUBLE) AS new_rev,
+               CAST(SUM(CASE WHEN prev_rev IS NOT NULL
+                             AND cur_rev IS NOT NULL
+                             AND cur_rev > prev_rev
+                        THEN cur_rev - prev_rev ELSE 0 END) AS DOUBLE)
+                   AS expansion,
+               CAST(SUM(CASE WHEN prev_rev IS NOT NULL
+                             AND cur_rev IS NOT NULL
+                             AND cur_rev < prev_rev
+                        THEN prev_rev - cur_rev ELSE 0 END) AS DOUBLE)
+                   AS contraction,
+               CAST(SUM(CASE WHEN cur_rev IS NULL
+                        THEN prev_rev ELSE 0 END) AS DOUBLE)
+                   AS churned_rev,
+               CAST(SUM(COALESCE(cur_rev, 0)) AS DOUBLE) AS ending_mrr
+        FROM paired GROUP BY m
+    )
+    SELECT month, starting_mrr, new_rev, expansion, contraction,
+           churned_rev, ending_mrr,
+           CASE WHEN starting_mrr > 0 THEN
+               {sql_jround(
+                   "(starting_mrr + expansion - contraction"
+                   " - churned_rev) / starting_mrr", 4)} END AS nrr
+    FROM agg
+    ORDER BY month
+    """,
+)
+def analytics_net_revenue_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Net revenue retention by month: the revenue-weighted sibling of
+    window_growth_accounting — each month's revenue decomposed into
+    carry-over base, new-customer revenue, expansion, contraction,
+    and churned revenue, with NRR = (base + expansion - contraction -
+    churn) / base, the single number that says whether the existing
+    book grows without new logos. Identity: ending = base + new +
+    expansion - contraction - churn.
+
+    Scale shape: one collapse to the cached (customer, month) decimal
+    revenue grain; the month-over-month pairing is an id-keyed
+    equi-join of that table against its one-month shift (never a
+    window over full history); the decomposition is one
+    map-side-combinable aggregation per month."""
+    from powersql_spark.catalog import track_persist
+
+    cm = track_persist(
+        spark.table("orders")
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("rev")
+        )
+    )
+    cur, prev = cm.alias("cur"), cm.alias("prev")
+    paired = cur.join(
+        prev,
+        (F.col("cur.c") == F.col("prev.c"))
+        & (
+            F.col("cur.m")
+            == F.add_months(F.col("prev.m"), 1)
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(
+            F.col("cur.m"), F.add_months(F.col("prev.m"), 1)
+        ).alias("m"),
+        F.col("cur.rev").alias("cur_rev"),
+        F.col("prev.rev").alias("prev_rev"),
+    )
+    has_prev = F.col("prev_rev").isNotNull()
+    has_cur = F.col("cur_rev").isNotNull()
+    agg = paired.groupBy(F.col("m").alias("month")).agg(
+        F.sum(F.coalesce(F.col("prev_rev"), F.lit(0)))
+        .cast("double")
+        .alias("starting_mrr"),
+        F.sum(F.when(~has_prev, F.col("cur_rev")).otherwise(0))
+        .cast("double")
+        .alias("new_rev"),
+        F.sum(
+            F.when(
+                has_prev & has_cur & (F.col("cur_rev") > F.col("prev_rev")),
+                F.col("cur_rev") - F.col("prev_rev"),
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("expansion"),
+        F.sum(
+            F.when(
+                has_prev & has_cur & (F.col("cur_rev") < F.col("prev_rev")),
+                F.col("prev_rev") - F.col("cur_rev"),
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("contraction"),
+        F.sum(F.when(~has_cur, F.col("prev_rev")).otherwise(0))
+        .cast("double")
+        .alias("churned_rev"),
+        F.sum(F.coalesce(F.col("cur_rev"), F.lit(0)))
+        .cast("double")
+        .alias("ending_mrr"),
+    )
+    nrr = (
+        F.col("starting_mrr")
+        + F.col("expansion")
+        - F.col("contraction")
+        - F.col("churned_rev")
+    ) / F.col("starting_mrr")
+    return agg.select(
+        "month",
+        "starting_mrr",
+        "new_rev",
+        "expansion",
+        "contraction",
+        "churned_rev",
+        "ending_mrr",
+        F.when(F.col("starting_mrr") > 0, F.round(nrr, 4)).alias("nrr"),
+    ).orderBy("month")

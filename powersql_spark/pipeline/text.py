@@ -2207,3 +2207,104 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("kw_rank") <= _TR_TOPK)
         .orderBy("kw_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling distribution (word2vec's unigram^0.75). The 3/4
+# power is computed as sqrt(f * sqrt(f)) — two IEEE-correctly-rounded
+# sqrts and one multiply — so both engines produce bit-identical
+# weights with NO libm pow/exp/ln divergence risk.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_negative_sampling_table",
+    oracle=r"""
+    WITH freq AS (
+        SELECT word, COUNT(*) AS f
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                  AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    wt AS (
+        SELECT word, f,
+               sqrt(CAST(f AS DOUBLE) * sqrt(CAST(f AS DOUBLE))) AS w
+        FROM freq
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS tw
+        FROM wt
+    ),
+    ranked AS (
+        SELECT word, f, w,
+               ROW_NUMBER() OVER (ORDER BY w DESC, word) AS rnk,
+               CAST(SUM(CAST(w AS DECIMAL(38,12))) OVER
+                   (ORDER BY w DESC, word ROWS UNBOUNDED PRECEDING)
+                   AS DOUBLE) AS cw
+        FROM wt
+    )
+    SELECT word, CAST(f AS BIGINT) AS freq,
+           CAST(rnk AS INTEGER) AS rank,
+           round(w / tw, 6) AS prob,
+           round(cw / tw, 6) AS cum_prob
+    FROM ranked, tot
+    ORDER BY rank
+    """,
+)
+def text_negative_sampling_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """word2vec-style negative-sampling table: P(w) proportional to
+    freq^0.75 — the smoothing that up-weights rare words relative to
+    raw frequency (the standard trick for embedding training), with
+    the cumulative distribution column a sampler binary-searches.
+    The 3/4 power is sqrt(f*sqrt(f)): IEEE-exact on both engines.
+
+    Scale shape: one explode + one vocabulary-sized count (map-side
+    combinable); weights, total, rank, and the cumulative column all
+    live on the vocabulary table (decimal-cast sums for order
+    independence). The output IS the sampler's input at any corpus
+    size — vocabulary-bounded, not corpus-bounded."""
+    freq = (
+        spark.table("documents")
+        .select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+    wt = freq.select(
+        "word",
+        "f",
+        F.sqrt(
+            F.col("f").cast("double") * F.sqrt(F.col("f").cast("double"))
+        ).alias("w"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    wt = track_persist(wt)
+    tot = wt.agg(
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("tw")
+    )
+    wr = Window.orderBy(F.desc("w"), "word")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = wt.select(
+        "word",
+        "f",
+        "w",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum(F.col("w").cast("decimal(38,12)"))
+        .over(wcum)
+        .cast("double")
+        .alias("cw"),
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .select(
+            "word",
+            F.col("f").cast("bigint").alias("freq"),
+            F.col("rnk").cast("int").alias("rank"),
+            F.round(F.col("w") / F.col("tw"), 6).alias("prob"),
+            F.round(F.col("cw") / F.col("tw"), 6).alias("cum_prob"),
+        )
+        .orderBy("rank")
+    )

@@ -523,6 +523,8 @@ _PRIORITY: tuple[str, ...] = (
     "profile_snapshot_recon",
     "stats_cramers_v",
     "stats_levene",
+    "analytics_net_revenue_retention",
+    "text_negative_sampling_table",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2111,3 +2111,26 @@ def test_levene_two_pass_broadcast_means(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_nrr_shifted_equi_join(spark, sf_dir):
+    """NRR: one collapse to the cached (customer, month) grain;
+    month-over-month pairing is an id-keyed equi-join (never BNLJ /
+    cartesian); decomposition map-side-combinable."""
+    plan = plan_of(spark, sf_dir, "analytics_net_revenue_retention")
+    assert "InMemoryTableScan" in plan, "(cust, month) grain not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_negative_sampling_vocab_table(spark, sf_dir):
+    """Negative sampling: one explode + vocabulary count; rank and
+    cumulative windows on the cached vocab table; one-row total
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "text_negative_sampling_table")
+    assert "InMemoryTableScan" in plan, "vocab weights not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -5721,3 +5721,99 @@ def test_levene_recomputed(spark, sf_dir):
     assert row["n"] == n and row["k"] == k
     assert abs(row["w_stat"] - round(w, 4)) < 1e-2
     assert row["reject_05"] == (w > 2.9957)
+
+
+def test_nrr_identities(spark, sf_dir):
+    """Per month: ending = starting + new + expansion - contraction -
+    churned; starting(m) = ending-of-prev-month's retained base
+    recount; NRR matches the decomposition."""
+    rows = sorted(
+        SPECS["analytics_net_revenue_retention"].fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["month"],
+    )
+    from collections import defaultdict
+
+    orders = spark.table("orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    cm = defaultdict(float)
+    for o in orders:
+        cm[(o["o_custkey"], o["o_orderdate"].date().replace(day=1))] += o[
+            "o_totalprice"
+        ]
+    months = sorted({m for _, m in cm})
+    by_month = defaultdict(dict)
+    for (c, m), v in cm.items():
+        by_month[m][c] = v
+
+    def next_month(m):
+        return (m.replace(day=28) + __import__("datetime").timedelta(
+            days=4)).replace(day=1)
+
+    got = {r["month"]: r for r in rows}
+    for m in months[1:]:
+        prev = by_month.get(
+            [x for x in months if next_month(x) == m][0]
+            if any(next_month(x) == m for x in months) else None, {}
+        )
+        curm = by_month.get(m, {})
+        r = got[m]
+        starting = sum(prev.values())
+        new = sum(v for c, v in curm.items() if c not in prev)
+        exp = sum(
+            curm[c] - prev[c] for c in curm
+            if c in prev and curm[c] > prev[c]
+        )
+        con = sum(
+            prev[c] - curm[c] for c in curm
+            if c in prev and curm[c] < prev[c]
+        )
+        churn = sum(v for c, v in prev.items() if c not in curm)
+        assert abs(r["starting_mrr"] - starting) < 1e-3
+        assert abs(r["new_rev"] - new) < 1e-3
+        assert abs(r["expansion"] - exp) < 1e-3
+        assert abs(r["contraction"] - con) < 1e-3
+        assert abs(r["churned_rev"] - churn) < 1e-3
+        assert (
+            abs(
+                r["ending_mrr"]
+                - (starting + new + exp - con - churn)
+            )
+            < 1e-3
+        )
+        if starting > 0:
+            assert abs(
+                r["nrr"]
+                - round((starting + exp - con - churn) / starting, 4)
+            ) < 1e-3
+
+
+def test_negative_sampling_distribution(spark, sf_dir):
+    """Probs match freq^0.75 normalization, sum to 1, rare words get
+    boosted relative share vs raw frequency, cum_prob ends at 1."""
+    rows = sorted(
+        SPECS["text_negative_sampling_table"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    docs = spark.table("documents").select("text").collect()
+    from collections import Counter
+
+    f = Counter()
+    for d in docs:
+        f.update(d["text"].strip().split())
+    tw = sum(c**0.75 for c in f.values())
+    got = {r["word"]: r for r in rows}
+    assert set(got) == set(f)
+    for w, c in f.items():
+        assert abs(got[w]["prob"] - round(c**0.75 / tw, 6)) < 1e-4
+        assert got[w]["freq"] == c
+    assert abs(sum(r["prob"] for r in rows) - 1.0) < 1e-3
+    assert abs(rows[-1]["cum_prob"] - 1.0) < 1e-5
+    # smoothing property: the rarest word's sampling share exceeds
+    # its raw frequency share; the commonest word's is reduced
+    tot_f = sum(f.values())
+    rare = min(f, key=lambda w: (f[w], w))
+    common = max(f, key=lambda w: (f[w], w))
+    assert got[rare]["prob"] >= f[rare] / tot_f
+    assert got[common]["prob"] <= f[common] / tot_f
