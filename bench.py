@@ -122,6 +122,10 @@ HEADLINE = {
     "q55_rake_keywords": "text_rake_keywords",
     "q56_market_basket": "analytics_market_basket",
     "q57_interval_overlap": "join_interval_overlap",
+    # round-6 session additions
+    "q58_feature_store": "pipeline_feature_store_e2e",
+    "q59_textrank": "text_textrank_keywords",
+    "q60_nprobe_curve": "sim_ivf_nprobe_curve",
 }
 
 

@@ -2427,3 +2427,64 @@ def dedup_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    clusters AS (
+        SELECT fingerprint, COUNT(*) AS csize
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.source,
+           CAST(c.csize AS BIGINT) AS cluster_size,
+           round(1.0 / c.csize, 6) AS sample_weight,
+           c.csize = 1 AS is_unique
+    FROM fp f JOIN clusters c USING (fingerprint)
+    ORDER BY f.doc_id
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates (dedup_exact
+    keeps min-id), every document stays in the corpus carrying weight
+    1/cluster_size — the training-data treatment that preserves
+    coverage while making each distinct content unit contribute equal
+    expected mass to the loss (sum of weights = number of distinct
+    contents, the 'effective corpus size'). The sampler consumes this
+    column directly (mix_sources_weighted / sample_weighted_reservoir
+    shapes).
+
+    Scale shape: identical cost to hard dedup — one shuffle of
+    (16-byte fingerprint, id) pairs to count clusters, then one
+    fingerprint equi-join to attach sizes back (at 100 TB the
+    cluster table is duplicate-bounded and usually broadcastable;
+    expressed as an equi-join so the planner picks broadcast when
+    stats allow). No document text ever moves twice."""
+    d = spark.table("documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = d.select(
+        "doc_id", "source", F.md5(norm).alias("fingerprint")
+    )
+    fp = track_persist(fp)
+    clusters = fp.groupBy("fingerprint").agg(
+        F.count("*").alias("csize")
+    )
+    return (
+        fp.join(clusters, "fingerprint")
+        .select(
+            "doc_id",
+            "source",
+            F.col("csize").cast("bigint").alias("cluster_size"),
+            F.round(F.lit(1.0) / F.col("csize"), 6).alias(
+                "sample_weight"
+            ),
+            (F.col("csize") == 1).alias("is_unique"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1458,3 +1458,125 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+_KATZ_ALPHA = 0.1
+_KATZ_ITER_SQL = """
+    x{k} AS (
+        SELECT nodes.node,
+               1.0 + {a} * COALESCE(SUM(p.x * CAST(e.w AS DOUBLE)), 0)
+                   AS x
+        FROM nodes
+        LEFT JOIN bedges e ON e.dst = nodes.node
+        LEFT JOIN x{j} p ON p.node = e.src
+        GROUP BY nodes.node
+    )"""
+
+
+@query(
+    "graph_katz_centrality",
+    oracle="""
+    WITH edges AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               COUNT(*) AS cnt
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ),
+    bedges AS (
+        SELECT src, dst, 1 AS w FROM edges WHERE src <> dst
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    x0 AS (SELECT node, 1.0 AS x FROM nodes),__ITERS__
+    SELECT node AS n_nationkey, round(x, 6) AS katz,
+           CAST(ROW_NUMBER() OVER (ORDER BY round(x, 6) DESC, node)
+                AS INTEGER) AS katz_rank
+    FROM x3
+    ORDER BY katz_rank
+    """.replace(
+        "__ITERS__",
+        ",".join(
+            _KATZ_ITER_SQL.format(k=k, j=k - 1, a=_KATZ_ALPHA)
+            for k in (1, 2, 3)
+        ),
+    ),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (truncated at path length 3, attenuation 0.1)
+    over the BINARY nation trade graph: x = sum_k alpha^k (A^T)^k 1 —
+    counts attenuated walks INTO each node, rewarding reachability
+    from many places where PageRank divides influence by out-degree
+    and HITS couples hubs to authorities. Self-loops dropped so the
+    score reflects cross-border structure.
+
+    Scale shape: the graph_pagerank discipline — the fact-sized work
+    is the one edge-build join tree + aggregation; each unrolled
+    iteration is a join of the 25-row score vector against the binary
+    edge table + a grouped sum. 6dp rounding absorbs cross-engine
+    inbound-sum ordering; ranking ties break on node id."""
+    edges = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.table("supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    from powersql_spark.catalog import track_persist
+
+    bedges = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit(1).alias("w"))
+    )
+    bedges = track_persist(bedges)
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    for _ in range(3):
+        contrib = bedges.join(
+            x.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("x") * F.col("w").cast("double")).alias("c"),
+        )
+        x = nodes.join(
+            contrib.groupBy("node").agg(F.sum("c").alias("s")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            (
+                F.lit(1.0)
+                + _KATZ_ALPHA * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("x"),
+        )
+    wr = Window.orderBy(F.desc("katz"), "n_nationkey")
+    return (
+        x.select(
+            F.col("node").alias("n_nationkey"),
+            F.round("x", 6).alias("katz"),
+        )
+        .select(
+            "n_nationkey",
+            "katz",
+            F.row_number().over(wr).cast("int").alias("katz_rank"),
+        )
+        .orderBy("katz_rank")
+    )

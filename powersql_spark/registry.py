@@ -525,6 +525,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_levene",
     "analytics_net_revenue_retention",
     "text_negative_sampling_table",
+    "dedup_soft_weights",
+    "graph_katz_centrality",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2134,3 +2134,24 @@ def test_negative_sampling_vocab_table(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_soft_weights_fingerprint_join(spark, sf_dir):
+    """Soft dedup: one fingerprint shuffle to count clusters, one
+    equi-join to attach sizes back to the cached fingerprint table —
+    document text never moves twice."""
+    plan = plan_of(spark, sf_dir, "dedup_soft_weights")
+    assert "InMemoryTableScan" in plan, "fingerprint table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_katz_edge_table_iterations(spark, sf_dir):
+    """Katz: fact-sized work is the one edge build; the three
+    unrolled iterations join the 25-row score vector against the
+    cached binary edge table. No cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "graph_katz_centrality")
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

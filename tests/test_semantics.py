@@ -5817,3 +5817,64 @@ def test_negative_sampling_distribution(spark, sf_dir):
     common = max(f, key=lambda w: (f[w], w))
     assert got[rare]["prob"] >= f[rare] / tot_f
     assert got[common]["prob"] <= f[common] / tot_f
+
+
+def test_soft_weights_identities(spark, sf_dir):
+    """Every doc appears once; weights are 1/cluster_size; the sum of
+    weights equals the number of distinct normalized contents
+    (effective corpus size); agreement with dedup_exact's clusters."""
+    rows = SPECS["dedup_soft_weights"].fn(spark, sf_dir).collect()
+    import re
+
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    norm = {
+        d["doc_id"]: re.sub(r"\s+", " ", d["text"].strip()).lower()
+        for d in docs
+    }
+    from collections import Counter
+
+    csize = Counter(norm.values())
+    assert len(rows) == len(docs)
+    for r in rows:
+        cs = csize[norm[r["doc_id"]]]
+        assert r["cluster_size"] == cs
+        assert abs(r["sample_weight"] - round(1.0 / cs, 6)) < 1e-9
+        assert r["is_unique"] == (cs == 1)
+    eff = sum(r["sample_weight"] for r in rows)
+    assert abs(eff - len(csize)) < 0.01
+
+
+def test_katz_recomputed(spark, sf_dir):
+    """Truncated Katz matches x3 = 1 + a*A'(1 + a*A'(1 + a*A'*1))
+    recomputed from the rebuilt binary trade graph."""
+    rows = SPECS["graph_katz_centrality"].fn(spark, sf_dir).collect()
+    li = (
+        spark.table("lineitem")
+        .join(spark.table("orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(spark.table("customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(spark.table("supplier"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"))
+        .collect()
+    )
+    edges = {(r["src"], r["dst"]) for r in li if r["src"] != r["dst"]}
+    nodes = [
+        r["n_nationkey"]
+        for r in spark.table("nation").select("n_nationkey").collect()
+    ]
+    x = {v: 1.0 for v in nodes}
+    for _ in range(3):
+        x = {
+            v: 1.0 + 0.1 * sum(x[s] for (s, d) in edges if d == v)
+            for v in nodes
+        }
+    got = {r["n_nationkey"]: r for r in rows}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v]["katz"] - round(x[v], 6)) < 1e-4
+    order = sorted(nodes, key=lambda v: (-round(x[v], 6), v))
+    assert [r["n_nationkey"] for r in
+            sorted(rows, key=lambda r: r["katz_rank"])] == order
