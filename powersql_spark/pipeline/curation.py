@@ -1479,3 +1479,113 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "curation_source_report",
+    oracle=r"""
+    WITH base AS (
+        SELECT source, doc_id, lang, n_chars,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT fingerprint) AS BIGINT)
+                   AS n_distinct,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base GROUP BY source
+    ),
+    lang_mix AS (
+        SELECT source,
+               round(CAST(SUM(CAST(
+                   -(cnt / CAST(tot AS DOUBLE))
+                       * ln(cnt / CAST(tot AS DOUBLE))
+                   AS DECIMAL(18,12))) AS DOUBLE), 4) AS lang_entropy
+        FROM (
+            SELECT source, lang, COUNT(*) AS cnt,
+                   SUM(COUNT(*)) OVER (PARTITION BY source) AS tot
+            FROM base GROUP BY source, lang
+        )
+        GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.total_tokens, p.total_chars,
+           p.n_langs, l.lang_entropy,
+           CAST(ROUND(1.0 - p.n_distinct / CAST(p.n_docs AS DOUBLE), 4)
+                AS DOUBLE) AS dup_rate
+    FROM per_source p JOIN lang_mix l USING (source)
+    ORDER BY p.source
+    """,
+)
+def curation_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard in one query: document and token
+    volumes, exact-duplicate rate (1 - distinct fingerprints / docs),
+    language count and language-mix entropy — the table a data-mix
+    owner reads before setting per-source sampling weights
+    (curation_mix_temperature / curation_domain_cap consume exactly
+    these volumes and quality signals).
+
+    Scale shape: ONE corpus pass derives tokens + fingerprint
+    map-side; the per-source rollup carries a distinct-aggregate on
+    the 16-byte fingerprint (exact-dedup cost); the language-entropy
+    branch collapses to (source, lang) cells first — all shuffles are
+    key-bounded, and entropy terms are decimal-summed for order
+    independence."""
+    base = spark.table("documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.md5(
+            F.lower(
+                F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+            )
+        ).alias("fingerprint"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("fingerprint").cast("bigint").alias("n_distinct"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    cells = base.groupBy("source", "lang").agg(
+        F.count("*").alias("cnt")
+    )
+    p = F.col("cnt") / F.col("tot").cast("double")
+    lang_mix = (
+        cells.withColumn(
+            "tot",
+            F.sum("cnt").over(Window.partitionBy("source")),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(18,12)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("lang_entropy")
+        )
+    )
+    return (
+        per_source.join(lang_mix, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            "lang_entropy",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -2646,3 +2646,110 @@ def ts_spc_western_electric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_alert_episodes",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               sqrt((CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*))
+                    / COUNT(*)) AS sigma
+        FROM daily
+    ),
+    alerts AS (
+        SELECT day, (x - mu) / sigma AS z
+        FROM daily, stats
+        WHERE sigma > 0 AND abs((x - mu) / sigma) > 1
+    ),
+    grp AS (
+        SELECT day, z,
+               day - CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER)
+                   * INTERVAL 1 DAY AS anchor
+        FROM alerts
+    )
+    SELECT MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {sql_jround("MAX(abs(z))", 4)} AS peak_abs_z,
+           CASE WHEN MAX(z) >= -MIN(z) THEN 'high' ELSE 'low' END
+               AS direction
+    FROM grp
+    GROUP BY anchor
+    ORDER BY start_day
+    """,
+)
+def ts_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert EPISODES, not alert points: consecutive |z| > 1 days of
+    the daily series collapsed into incidents (gaps-and-islands on
+    the alert-day sequence) with start/end, duration, peak |z|, and
+    direction — what an on-call pages on ('a 4-day high-traffic
+    incident peaking at 2.3 sigma'), turning per-day screens like
+    ts_anomaly_zscore into deduplicated alerts with hysteresis.
+
+    Scale shape: one daily collapse + one broadcast stats row; the
+    island grouping (day minus row_number) and episode rollup run on
+    the alert-day subset of the tiny daily table. Everything after
+    the collapse is constant-sized."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(dsum("value", "x"))
+    )
+    stats = daily.agg(
+        (
+            F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")
+        ).alias("mu"),
+        F.sqrt(
+            (
+                F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+                .cast("double")
+                - F.sum(F.col("x").cast(DEC)).cast("double")
+                * F.sum(F.col("x").cast(DEC)).cast("double")
+                / F.count("*")
+            )
+            / F.count("*")
+        ).alias("sigma"),
+    )
+    z = (
+        daily.join(F.broadcast(stats))
+        .where(F.col("sigma") > 0)
+        .select(
+            "day",
+            ((F.col("x") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+        .where(F.abs(F.col("z")) > 1)
+    )
+    grp = z.select(
+        "day",
+        "z",
+        F.date_sub(
+            F.col("day"),
+            F.row_number().over(Window.orderBy("day")),
+        ).alias("anchor"),
+    )
+    return (
+        grp.groupBy("anchor")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.max(F.abs(F.col("z"))), 4).alias("peak_abs_z"),
+            F.when(
+                F.max("z") >= -F.min("z"), "high"
+            )
+            .otherwise("low")
+            .alias("direction"),
+        )
+        .drop("anchor")
+        .orderBy("start_day")
+    )

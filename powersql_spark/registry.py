@@ -527,6 +527,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_negative_sampling_table",
     "dedup_soft_weights",
     "graph_katz_centrality",
+    "ts_alert_episodes",
+    "curation_source_report",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

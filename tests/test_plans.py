@@ -2155,3 +2155,22 @@ def test_katz_edge_table_iterations(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "edge table not cached"
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_alert_episodes_daily_collapse(spark, sf_dir):
+    """Alert episodes: one daily collapse, one-row stats broadcast,
+    islands grouping on the tiny alert subset."""
+    plan = plan_of(spark, sf_dir, "ts_alert_episodes")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_source_report_single_corpus_pass(spark, sf_dir):
+    """Source report: tokens + fingerprint derived map-side in one
+    pass; rollups key-bounded; entropy on (source, lang) cells."""
+    plan = plan_of(spark, sf_dir, "curation_source_report")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("documents.parquet") <= 2

@@ -5878,3 +5878,90 @@ def test_katz_recomputed(spark, sf_dir):
     order = sorted(nodes, key=lambda v: (-round(x[v], 6), v))
     assert [r["n_nationkey"] for r in
             sorted(rows, key=lambda r: r["katz_rank"])] == order
+
+
+def test_alert_episodes_recomputed(spark, sf_dir):
+    """Episodes match a from-scratch gaps-and-islands pass: maximal
+    consecutive-day runs of |z| > 1, correct peaks and directions;
+    episode day-counts sum to the alert-day total."""
+    import datetime
+
+    rows = sorted(
+        SPECS["ts_alert_episodes"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["start_day"],
+    )
+    ev = spark.table("events").where(
+        F.col("value").isNotNull()
+    ).select(F.date_trunc("day", "ts").cast("date").alias("d"),
+             "value").collect()
+    from collections import defaultdict
+
+    daily = defaultdict(float)
+    for e in ev:
+        daily[e["d"]] += e["value"]
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    mu = sum(xs) / n
+    sd = (sum(x * x for x in xs) / n - mu * mu) ** 0.5
+    alerts = [
+        (d, (daily[d] - mu) / sd)
+        for d in days
+        if abs((daily[d] - mu) / sd) > 1
+    ]
+    episodes = []
+    for d, z in alerts:
+        if episodes and (d - episodes[-1][-1][0]).days == 1:
+            episodes[-1].append((d, z))
+        else:
+            episodes.append([(d, z)])
+    assert len(rows) == len(episodes)
+    for r, ep in zip(rows, episodes):
+        assert r["start_day"] == ep[0][0]
+        assert r["end_day"] == ep[-1][0]
+        assert r["n_days"] == len(ep)
+        zs = [z for _, z in ep]
+        assert abs(r["peak_abs_z"] - round(max(abs(z) for z in zs), 4)) \
+            < 1e-3
+        assert r["direction"] == (
+            "high" if max(zs) >= -min(zs) else "low"
+        )
+    assert sum(r["n_days"] for r in rows) == len(alerts)
+
+
+def test_source_report_recomputed(spark, sf_dir):
+    """Volumes, duplicate rates, and language entropy match a direct
+    recount per source."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    rows = SPECS["curation_source_report"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents").select(
+        "source", "lang", "n_chars", "text"
+    ).collect()
+    per = defaultdict(lambda: {"n": 0, "tok": 0, "ch": 0,
+                               "fps": set(), "langs": Counter()})
+    for d in docs:
+        s = per[d["source"]]
+        s["n"] += 1
+        s["tok"] += len(d["text"].strip().split())
+        s["ch"] += d["n_chars"]
+        s["fps"].add(re.sub(r"\s+", " ", d["text"].strip()).lower())
+        s["langs"][d["lang"]] += 1
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(per)
+    for src, s in per.items():
+        r = got[src]
+        assert r["n_docs"] == s["n"]
+        assert r["total_tokens"] == s["tok"]
+        assert r["total_chars"] == s["ch"]
+        assert r["n_langs"] == len(s["langs"])
+        assert abs(
+            r["dup_rate"] - round(1 - len(s["fps"]) / s["n"], 4)
+        ) < 1e-3
+        ent = -sum(
+            (c / s["n"]) * math.log(c / s["n"])
+            for c in s["langs"].values()
+        )
+        assert abs(r["lang_entropy"] - round(ent, 4)) < 1e-3
