@@ -5381,3 +5381,117 @@ def analytics_net_revenue_retention(
         "ending_mrr",
         F.when(F.col("starting_mrr") > 0, F.round(nrr, 4)).alias("nrr"),
     ).orderBy("month")
+
+
+@query(
+    "stats_jackknife_ratio",
+    oracle=f"""
+    WITH per_day AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    AS DOUBLE) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS trev,
+               CAST(SUM(cnt) AS BIGINT) AS tcnt,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM per_day
+    ),
+    loo AS (
+        SELECT (trev - rev) / (tcnt - cnt) AS theta_i, n
+        FROM per_day, tot
+        WHERE tcnt - cnt > 0
+    ),
+    jk AS (
+        SELECT n,
+               CAST(SUM(CAST(theta_i AS DECIMAL(28,12))) AS DOUBLE) / n
+                   AS theta_bar,
+               CAST(SUM(CAST(theta_i * theta_i AS DECIMAL(38,12)))
+                    AS DOUBLE) AS sq
+        FROM loo GROUP BY n
+    )
+    SELECT tot.n AS n_blocks,
+           {sql_jround("tot.trev / tot.tcnt", 4)} AS ratio_estimate,
+           {sql_jround(
+               "sqrt((CAST(tot.n - 1 AS DOUBLE) / tot.n)"
+               " * (jk.sq - tot.n * jk.theta_bar * jk.theta_bar))",
+               4)} AS jackknife_se
+    FROM jk, tot
+    """,
+)
+def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife standard error for a ratio metric
+    (revenue per order, blocks = days): each leave-one-day-out
+    estimate theta_i = (T_rev - rev_i)/(T_cnt - cnt_i), SE =
+    sqrt((n-1)/n * sum (theta_i - theta_bar)^2) — the honest
+    uncertainty for ratios, where the naive per-row variance is wrong
+    because numerator and denominator co-vary (the deterministic
+    sibling of sample_poisson_bootstrap's multiplier resampling).
+
+    Scale shape: ONE collapse to day grain; every leave-one-out
+    estimate is closed-form arithmetic from the broadcast totals row
+    against the tiny day table — the n resamples cost zero extra
+    passes. Decimal sufficient statistics keep the SE bit-identical
+    across engines and partitionings."""
+    from powersql_spark.catalog import track_persist
+
+    per_day = track_persist(
+        spark.table("orders")
+        .groupBy(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("rev"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+    )
+    tot = per_day.agg(
+        F.sum(F.col("rev").cast("decimal(28,6)")).cast("double").alias(
+            "trev"
+        ),
+        F.sum("cnt").cast("bigint").alias("tcnt"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    loo = (
+        per_day.join(F.broadcast(tot))
+        .where(F.col("tcnt") - F.col("cnt") > 0)
+        .select(
+            (
+                (F.col("trev") - F.col("rev"))
+                / (F.col("tcnt") - F.col("cnt"))
+            ).alias("theta_i"),
+            "n",
+        )
+    )
+    jk = loo.groupBy("n").agg(
+        (
+            F.sum(F.col("theta_i").cast("decimal(28,12)")).cast("double")
+            / F.col("n")
+        ).alias("theta_bar"),
+        F.sum(
+            (F.col("theta_i") * F.col("theta_i")).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    se = F.sqrt(
+        ((F.col("n") - 1).cast("double") / F.col("n"))
+        * (
+            F.col("sq")
+            - F.col("n") * F.col("theta_bar") * F.col("theta_bar")
+        )
+    )
+    return (
+        jk.join(F.broadcast(tot.select("trev", "tcnt")))
+        .select(
+            F.col("n").alias("n_blocks"),
+            F.round(F.col("trev") / F.col("tcnt"), 4).alias(
+                "ratio_estimate"
+            ),
+            F.round(se, 4).alias("jackknife_se"),
+        )
+    )

@@ -1683,3 +1683,128 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.col("d2")) / F.sqrt(F.col("m0")), 6),
         ).alias("relative_drift"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic dimension (Facco et al. 2017): d = n / sum ln(r2/r1)
+# over each point's two nearest neighbors. THE geometry diagnostic for
+# embedding spaces — if the intrinsic dimension is far below the
+# ambient 64, aggressive PQ/dim-reduction is safe; if close, it isn't.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_intrinsic_dimension",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS src, a.label,
+               round(sqrt(list_sum(list_transform(range(1, 65),
+                         i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))),
+                     4) AS dist,
+               b.vec_id AS dst
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    nn2 AS (
+        SELECT src, label,
+               MIN(CASE WHEN r = 1 THEN dist END) AS r1,
+               MIN(CASE WHEN r = 2 THEN dist END) AS r2
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY dist, dst) AS r
+              FROM pairs)
+        WHERE r <= 2
+        GROUP BY src, label
+    ),
+    terms AS (
+        SELECT label, round(ln(r2 / r1), 6) AS t
+        FROM nn2 WHERE r1 > 0 AND r2 > r1
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(ROUND(COUNT(*) / CAST(SUM(CAST(t AS DECIMAL(18,12)))
+                                      AS DOUBLE), 4) AS DOUBLE)
+               AS intrinsic_dim
+    FROM terms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate per embedding cell:
+    d = n / sum ln(r2/r1) from each point's nearest and second-nearest
+    Euclidean neighbors — the manifold-dimension diagnostic that says
+    how much of the ambient 64 dimensions the data actually uses
+    (low intrinsic dim => PQ codes and aggressive projections are
+    safe; near-ambient => they aren't). Points with tied rounded
+    neighbor distances (r2 = r1) are excluded per the estimator.
+
+    Scale shape: the same cell equi-join candidate discipline as
+    emb_knn_graph (quadratic only within cells), a rank-2 cut on the
+    join's own partitioning, and a per-cell aggregation of
+    6dp-rounded log-ratio terms decimal-summed for order
+    independence. Distances round at 4dp so neighbor order is
+    engine-independent."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.v"),
+                    F.col("b.v"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("a.label").alias("label"),
+        dist.alias("dist"),
+        F.col("b.vec_id").alias("dst"),
+    )
+    w = Window.partitionBy("src").orderBy("dist", "dst")
+    nn2 = (
+        pairs.select(
+            "src", "label", "dist", F.row_number().over(w).alias("r")
+        )
+        .where(F.col("r") <= 2)
+        .groupBy("src", "label")
+        .agg(
+            F.min(F.when(F.col("r") == 1, F.col("dist"))).alias("r1"),
+            F.min(F.when(F.col("r") == 2, F.col("dist"))).alias("r2"),
+        )
+    )
+    terms = nn2.where(
+        (F.col("r1") > 0) & (F.col("r2") > F.col("r1"))
+    ).select(
+        "label", F.round(F.log(F.col("r2") / F.col("r1")), 6).alias("t")
+    )
+    return (
+        terms.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.round(
+                F.count("*")
+                / F.sum(F.col("t").cast("decimal(18,12)")).cast("double"),
+                4,
+            ).alias("intrinsic_dim"),
+        )
+        .orderBy("label")
+    )

@@ -529,6 +529,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_katz_centrality",
     "ts_alert_episodes",
     "curation_source_report",
+    "emb_intrinsic_dimension",
+    "stats_jackknife_ratio",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2174,3 +2174,24 @@ def test_source_report_single_corpus_pass(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert plan.count("documents.parquet") <= 2
+
+
+def test_intrinsic_dim_cell_join(spark, sf_dir):
+    """TwoNN: candidates from the cell equi-join, rank-2 cut on the
+    join's partitioning, per-cell decimal term sums. No cartesian,
+    no Python."""
+    plan = plan_of(spark, sf_dir, "emb_intrinsic_dimension")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_jackknife_day_table_only(spark, sf_dir):
+    """Jackknife: one day-grain collapse cached; every leave-one-out
+    estimate is arithmetic against the broadcast totals row — no
+    resampling passes."""
+    plan = plan_of(spark, sf_dir, "stats_jackknife_ratio")
+    assert "InMemoryTableScan" in plan, "day table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -5965,3 +5965,73 @@ def test_source_report_recomputed(spark, sf_dir):
             for c in s["langs"].values()
         )
         assert abs(r["lang_entropy"] - round(ent, 4)) < 1e-3
+
+
+def test_intrinsic_dim_recomputed(spark, sf_dir):
+    """Per-cell TwoNN estimates match a from-scratch recount with the
+    same rounding; estimates are positive and below the ambient 64."""
+    import math
+
+    import numpy as np
+
+    rows = SPECS["emb_intrinsic_dimension"].fn(spark, sf_dir).collect()
+    emb = spark.table("embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    got = {r["label"]: r for r in rows}
+    for label, vecs in by_label.items():
+        ids = [v[0] for v in vecs]
+        M = np.stack([v[1] for v in vecs])
+        terms = []
+        for i in range(len(ids)):
+            d = np.round(
+                np.sqrt(((M - M[i]) ** 2).sum(axis=1)), 4
+            )
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (d[j], ids[j]),
+            )
+            r1, r2 = d[order[0]], d[order[1]]
+            if r1 > 0 and r2 > r1:
+                terms.append(round(math.log(r2 / r1), 6))
+        if not terms:
+            assert label not in got
+            continue
+        est = round(len(terms) / sum(terms), 4)
+        assert got[label]["n_points"] == len(terms)
+        assert abs(got[label]["intrinsic_dim"] - est) < 1e-2
+        assert 0 < got[label]["intrinsic_dim"] < 64
+
+
+def test_jackknife_recomputed(spark, sf_dir):
+    """SE matches the textbook delete-one-day jackknife; the ratio
+    estimate matches the plain totals ratio."""
+    row = SPECS["stats_jackknife_ratio"].fn(spark, sf_dir).collect()[0]
+    orders = spark.table("orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0.0, 0])
+    for o in orders:
+        d = o["o_orderdate"].date()
+        per[d][0] += o["o_totalprice"]
+        per[d][1] += 1
+    trev = sum(v[0] for v in per.values())
+    tcnt = sum(v[1] for v in per.values())
+    n = len(per)
+    thetas = [
+        (trev - rev) / (tcnt - cnt)
+        for rev, cnt in per.values()
+        if tcnt - cnt > 0
+    ]
+    tbar = sum(thetas) / n
+    se = (
+        (n - 1) / n * sum((t - tbar) ** 2 for t in thetas)
+    ) ** 0.5
+    assert row["n_blocks"] == n
+    assert abs(row["ratio_estimate"] - round(trev / tcnt, 4)) < 1e-3
+    assert abs(row["jackknife_se"] - round(se, 4)) < 1e-3
