@@ -625,3 +625,67 @@ def sink_dynamic_partition_overwrite(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sink_merge_schema",
+    oracle="""
+    SELECT batch,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+                AS BIGINT) AS n_null_priority,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+               AS n_priorities
+    FROM (
+        SELECT 'v1' AS batch, o_orderkey,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT 'v2', o_orderkey, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 2
+    )
+    GROUP BY batch
+    ORDER BY batch
+    """,
+)
+def sink_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side schema evolution: batch v1 lands (o_orderkey only +
+    batch tag), batch v2 appends with a NEW column; the read-back
+    uses mergeSchema so v1 rows surface the added column as NULL —
+    the parquet-native widening path (the read-side twin is
+    source_schema_evolution). The report proves both batches and the
+    null-fill are correct.
+
+    At scale: mergeSchema pays a footer read per file at planning
+    time — acceptable for occasional evolution; production tables
+    record the unified schema in a catalog/manifest instead
+    (sink_stats_manifest) so the planner never re-infers."""
+    import shutil
+
+    path = _stage_path("orders_merge_schema")
+    shutil.rmtree(path, ignore_errors=True)
+    o = spark.table("orders")
+    v1 = o.where(F.col("o_orderkey") % 10 == 1).select(
+        F.lit("v1").alias("batch"), "o_orderkey"
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2 = o.where(F.col("o_orderkey") % 10 == 2).select(
+        F.lit("v2").alias("batch"), "o_orderkey", "o_orderpriority"
+    )
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("batch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(
+                F.when(F.col("o_orderpriority").isNull(), 1)
+            )
+            .cast("bigint")
+            .alias("n_null_priority"),
+            F.countDistinct("o_orderpriority")
+            .cast("bigint")
+            .alias("n_priorities"),
+        )
+        .orderBy("batch")
+    )

@@ -2308,3 +2308,86 @@ def text_negative_sampling_table(
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): tokens -> 16 hash buckets with
+# collision accounting. The bucket key is the first hex char of
+# md5(token) — a string key both engines compute identically, no
+# integer hex parsing needed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_feature_hashing",
+    oracle=r"""
+    WITH tok AS (
+        SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                  AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    bucketed AS (
+        SELECT substr(md5(word), 1, 1) AS bucket, word, cnt
+        FROM tok
+    ),
+    ranked AS (
+        SELECT bucket, word, cnt,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                   ORDER BY cnt DESC, word) AS r
+        FROM bucketed
+    )
+    SELECT b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(b.cnt) AS BIGINT) AS total_count,
+           MIN(CASE WHEN rk.r = 1 THEN rk.word END) AS top_token,
+           COUNT(*) > 1 AS has_collision
+    FROM bucketed b
+    JOIN ranked rk ON rk.bucket = b.bucket AND rk.word = b.word
+    GROUP BY b.bucket
+    ORDER BY b.bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick audited: tokens hashed into 16 buckets (first
+    md5 hex char) with per-bucket distinct-token count, total mass,
+    dominant token, and a collision flag — the table that tells you
+    whether a hashing vectorizer of this width is safe (collisions
+    merge unrelated features) before you train on it. Fixed-width
+    hashing is the standard way to featurize unbounded vocabularies
+    without a vocabulary build.
+
+    Scale shape: one explode + vocabulary-sized count, then bucket
+    assignment and rollup on the vocabulary table (16-group
+    aggregation); dominant tokens from a rank window on the same
+    partitioning. Corpus text is scanned once."""
+    tok = (
+        spark.table("documents")
+        .select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bucketed = tok.select(
+        F.substring(F.md5("word"), 1, 1).alias("bucket"), "word", "cnt"
+    )
+    from powersql_spark.catalog import track_persist
+
+    bucketed = track_persist(bucketed)
+    w = Window.partitionBy("bucket").orderBy(F.desc("cnt"), "word")
+    ranked = bucketed.select(
+        "bucket", "word", F.row_number().over(w).alias("r")
+    )
+    return (
+        bucketed.join(ranked, ["bucket", "word"])
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.sum("cnt").cast("bigint").alias("total_count"),
+            F.min(F.when(F.col("r") == 1, F.col("word"))).alias(
+                "top_token"
+            ),
+            (F.count("*") > 1).alias("has_collision"),
+        )
+        .orderBy("bucket")
+    )

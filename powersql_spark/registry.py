@@ -531,6 +531,8 @@ _PRIORITY: tuple[str, ...] = (
     "curation_source_report",
     "emb_intrinsic_dimension",
     "stats_jackknife_ratio",
+    "text_feature_hashing",
+    "sink_merge_schema",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2195,3 +2195,22 @@ def test_jackknife_day_table_only(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_feature_hashing_vocab_rollup(spark, sf_dir):
+    """Hashing trick: one explode + vocab count; bucket rollup and
+    dominant-token window on the cached vocab table."""
+    plan = plan_of(spark, sf_dir, "text_feature_hashing")
+    assert "InMemoryTableScan" in plan, "bucketed vocab not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_sink_merge_schema_readback(spark, sf_dir):
+    """Schema-merge sink: the read-back plan scans the staged parquet
+    (both batches) with a partial-aggregated report."""
+    plan = plan_of(spark, sf_dir, "sink_merge_schema")
+    assert "orders_merge_schema" in plan, "not reading staged files"
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan

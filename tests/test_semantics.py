@@ -6035,3 +6035,49 @@ def test_jackknife_recomputed(spark, sf_dir):
     assert row["n_blocks"] == n
     assert abs(row["ratio_estimate"] - round(trev / tcnt, 4)) < 1e-3
     assert abs(row["jackknife_se"] - round(se, 4)) < 1e-3
+
+
+def test_feature_hashing_recomputed(spark, sf_dir):
+    """Bucket table matches a from-scratch hashing pass; token mass
+    conserved; dominant tokens correct with tiebreak."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    rows = SPECS["text_feature_hashing"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents").select("text").collect()
+    cnt = Counter()
+    for d in docs:
+        cnt.update(d["text"].strip().split())
+    buckets = defaultdict(dict)
+    for w2, c in cnt.items():
+        b = hashlib.md5(w2.encode()).hexdigest()[0]
+        buckets[b][w2] = c
+    got = {r["bucket"]: r for r in rows}
+    assert set(got) == set(buckets)
+    for b, toks in buckets.items():
+        r = got[b]
+        assert r["n_distinct_tokens"] == len(toks)
+        assert r["total_count"] == sum(toks.values())
+        top = min(toks, key=lambda w3: (-toks[w3], w3))
+        assert r["top_token"] == top
+        assert r["has_collision"] == (len(toks) > 1)
+    assert sum(r["total_count"] for r in rows) == sum(cnt.values())
+
+
+def test_sink_merge_schema_null_fill(spark, sf_dir):
+    """v1 rows (written without the column) read back all-NULL; v2
+    rows carry real priorities; batch row counts match the filters."""
+    rows = {
+        r["batch"]: r
+        for r in SPECS["sink_merge_schema"].fn(spark, sf_dir).collect()
+    }
+    keys = [
+        r["o_orderkey"]
+        for r in spark.table("orders").select("o_orderkey").collect()
+    ]
+    assert rows["v1"]["n_rows"] == sum(1 for k in keys if k % 10 == 1)
+    assert rows["v2"]["n_rows"] == sum(1 for k in keys if k % 10 == 2)
+    assert rows["v1"]["n_null_priority"] == rows["v1"]["n_rows"]
+    assert rows["v1"]["n_priorities"] == 0
+    assert rows["v2"]["n_null_priority"] == 0
+    assert rows["v2"]["n_priorities"] >= 1
