@@ -5495,3 +5495,141 @@ def stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(se, 4).alias("jackknife_se"),
         )
     )
+
+
+_LN2 = 0.6931471806  # 10dp literal — no engine calls ln(2)
+
+
+@query(
+    "ts_retention_halflife",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+                   AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT f.o_custkey, f.cohort,
+               (year(o.o_orderdate) - year(f.cohort)) * 12
+                   + (month(o.o_orderdate) - month(f.cohort)) AS k
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    cohort_size AS (
+        SELECT cohort, COUNT(*) AS n_users FROM firsts GROUP BY cohort
+    ),
+    frac AS (
+        SELECT a.cohort, a.k,
+               round(ln(COUNT(*) / CAST(s.n_users AS DOUBLE)), 6)
+                   AS y
+        FROM activity a JOIN cohort_size s ON s.cohort = a.cohort
+        WHERE a.k >= 1
+        GROUP BY a.cohort, a.k, s.n_users
+    ),
+    fit AS (
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_offsets,
+               CAST(SUM(CAST(k AS DECIMAL(18,6))) AS DOUBLE) AS sk,
+               CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(k * y AS DECIMAL(18,6))) AS DOUBLE) AS sky,
+               CAST(SUM(CAST(k * k AS DECIMAL(18,6))) AS DOUBLE) AS skk
+        FROM frac GROUP BY cohort
+    )
+    SELECT f.cohort AS cohort_month,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           f.n_offsets,
+           {sql_jround(
+               "(f.n_offsets * f.sky - f.sk * f.sy)"
+               " / (f.n_offsets * f.skk - f.sk * f.sk)", 4)} AS slope,
+           CASE WHEN (f.n_offsets * f.sky - f.sk * f.sy)
+                     / (f.n_offsets * f.skk - f.sk * f.sk) < 0 THEN
+               {sql_jround(
+                   f"-{_LN2} / ((f.n_offsets * f.sky - f.sk * f.sy)"
+                   " / (f.n_offsets * f.skk - f.sk * f.sk))", 4)} END
+               AS half_life_months
+    FROM fit f JOIN cohort_size s ON s.cohort = f.cohort
+    WHERE f.n_offsets >= 3
+      AND f.n_offsets * f.skk - f.sk * f.sk > 0
+    ORDER BY cohort_month
+    """,
+)
+def ts_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life per signup cohort: fit ln(retained
+    fraction) = a + b*k over month offsets k >= 1 (log-linear OLS,
+    the exponential-decay model), and report the half-life
+    -ln(2)/b — one number per cohort that summarizes the whole decay
+    curve and makes cohorts comparable (where cohort_retention shows
+    the raw curve). Cohorts need >= 3 populated offsets with time
+    variance; half-life only when decay is actually negative.
+
+    Scale shape: first-order months and the distinct (customer,
+    offset) activity collapse are the corpus-sized steps (two
+    key-bounded shuffles); the fit consumes decimal sufficient
+    statistics per cohort over 6dp-rounded log terms — closed-form,
+    no iteration. ln(2) is a baked literal."""
+    o = spark.table("orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort")
+    )
+    from powersql_spark.catalog import track_persist
+
+    firsts = track_persist(firsts)
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).alias("k"),
+        )
+        .distinct()
+    )
+    cohort_size = firsts.groupBy("cohort").agg(
+        F.count("*").alias("n_users")
+    )
+    frac = (
+        activity.where(F.col("k") >= 1)
+        .groupBy("cohort", "k")
+        .agg(F.count("*").alias("n_active"))
+        .join(cohort_size, "cohort")
+        .select(
+            "cohort",
+            "k",
+            F.round(
+                F.log(
+                    F.col("n_active") / F.col("n_users").cast("double")
+                ),
+                6,
+            ).alias("y"),
+            "n_users",
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")
+    fit = frac.groupBy("cohort", "n_users").agg(
+        F.count("*").cast("bigint").alias("n_offsets"),
+        dec(F.col("k")).alias("sk"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("k") * F.col("y")).alias("sky"),
+        dec(F.col("k") * F.col("k")).alias("skk"),
+    )
+    den = F.col("n_offsets") * F.col("skk") - F.col("sk") * F.col("sk")
+    slope = (
+        F.col("n_offsets") * F.col("sky") - F.col("sk") * F.col("sy")
+    ) / den
+    return (
+        fit.where((F.col("n_offsets") >= 3) & (den > 0))
+        .select(
+            F.col("cohort").alias("cohort_month"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            "n_offsets",
+            F.round(slope, 4).alias("slope"),
+            F.when(slope < 0, F.round(-_LN2 / slope, 4)).alias(
+                "half_life_months"
+            ),
+        )
+        .orderBy("cohort_month")
+    )

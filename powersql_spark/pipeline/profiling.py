@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.operators.common import DEC
@@ -1149,3 +1149,102 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionAll, out).orderBy("pair")
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), baked as
+# 10dp literals so neither engine ever calls log10 (no libm risk).
+_BENFORD_P = (
+    0.3010299957, 0.1760912591, 0.1249387366, 0.0969100130,
+    0.0791812460, 0.0669467896, 0.0579919470, 0.0511525224,
+    0.0457574906,
+)
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_P, start=1)
+) + " END"
+
+
+@query(
+    "profile_benford_law",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER)
+                   AS first_digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT first_digit, COUNT(*) AS n_obs,
+               SUM(COUNT(*)) OVER () AS n_total
+        FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(ROUND(n_obs / CAST(n_total AS DOUBLE), 6) AS DOUBLE)
+               AS observed_p,
+           CAST({_BENFORD_CASE} AS DOUBLE) AS expected_p,
+           CAST(ROUND(abs(n_obs / CAST(n_total AS DOUBLE)
+                          - {_BENFORD_CASE}), 6) AS DOUBLE)
+               AS abs_deviation,
+           CAST(ROUND(pow(n_obs - n_total * {_BENFORD_CASE}, 2)
+                      / (n_total * {_BENFORD_CASE}), 4) AS DOUBLE)
+               AS chi2_term
+    FROM obs
+    ORDER BY first_digit
+    """,
+)
+def profile_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order totals: observed vs
+    expected log10(1 + 1/d) digit distribution with per-digit
+    deviation and chi-squared terms — the classic fabricated-data /
+    unit-mix-error detector for financial columns (TPC-H's uniform
+    price generator deliberately FAILS Benford, which the semantics
+    test asserts — a synthetic-data tell, exactly what the screen is
+    for). Expected probabilities are baked as 10dp literals so no
+    engine ever calls log10.
+
+    Scale shape: the digit extract is map-side string arithmetic; the
+    whole profile is one 9-group aggregation with a window total —
+    constant-sized after the collapse."""
+    digits = (
+        spark.table("orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice"))
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("first_digit")
+        )
+    )
+    obs = (
+        digits.groupBy("first_digit")
+        .agg(F.count("*").alias("n_obs"))
+        .withColumn("n_total", F.sum("n_obs").over(Window.partitionBy()))
+    )
+    expected = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("first_digit")
+    )
+    return obs.select(
+        "first_digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(F.col("n_obs") / F.col("n_total").cast("double"), 6).alias(
+            "observed_p"
+        ),
+        expected.alias("expected_p"),
+        F.round(
+            F.abs(
+                F.col("n_obs") / F.col("n_total").cast("double") - expected
+            ),
+            6,
+        ).alias("abs_deviation"),
+        F.round(
+            F.pow(F.col("n_obs") - F.col("n_total") * expected, 2)
+            / (F.col("n_total") * expected),
+            4,
+        ).alias("chi2_term"),
+    ).orderBy("first_digit")

@@ -533,6 +533,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_jackknife_ratio",
     "text_feature_hashing",
     "sink_merge_schema",
+    "profile_benford_law",
+    "ts_retention_halflife",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2214,3 +2214,22 @@ def test_sink_merge_schema_readback(spark, sf_dir):
     assert "orders_merge_schema" in plan, "not reading staged files"
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_benford_map_side_digits(spark, sf_dir):
+    """Benford: digit extraction map-side; one 9-group aggregation
+    with a window total — no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "profile_benford_law")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_halflife_cohort_fit(spark, sf_dir):
+    """Half-life: cached first-order table, key-bounded activity
+    collapse, closed-form fit on decimal sufficient statistics."""
+    plan = plan_of(spark, sf_dir, "ts_retention_halflife")
+    assert "InMemoryTableScan" in plan, "firsts table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -6081,3 +6081,94 @@ def test_sink_merge_schema_null_fill(spark, sf_dir):
     assert rows["v1"]["n_priorities"] == 0
     assert rows["v2"]["n_null_priority"] == 0
     assert rows["v2"]["n_priorities"] >= 1
+
+
+def test_benford_recomputed(spark, sf_dir):
+    """Digit counts match a recount; probabilities sum to 1; TPC-H's
+    uniform price generator fails Benford (big chi2) — the screen
+    detects synthetic data as designed."""
+    import math
+
+    rows = sorted(
+        SPECS["profile_benford_law"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["first_digit"],
+    )
+    prices = [
+        r["o_totalprice"]
+        for r in spark.table("orders").select("o_totalprice").collect()
+        if r["o_totalprice"] >= 1
+    ]
+    from collections import Counter
+
+    cnt = Counter(int(str(int(math.floor(p)))[0]) for p in prices)
+    got = {r["first_digit"]: r for r in rows}
+    n = len(prices)
+    for d, c in cnt.items():
+        assert got[d]["n_obs"] == c
+        assert abs(got[d]["observed_p"] - round(c / n, 6)) < 1e-5
+        assert abs(
+            got[d]["expected_p"] - math.log10(1 + 1 / d)
+        ) < 1e-9
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-3
+    # uniform generator != Benford: chi2 far above the df=8 critical
+    assert sum(r["chi2_term"] for r in rows) > 15.51
+
+
+def test_halflife_recomputed(spark, sf_dir):
+    """Sampled cohorts: slope matches a from-scratch log-linear OLS on
+    the recounted retention curve; half-life = -ln(2)/slope for
+    decaying cohorts."""
+    import math
+    from collections import defaultdict
+
+    rows = SPECS["ts_retention_halflife"].fn(spark, sf_dir).collect()
+    orders = spark.table("orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    first = {}
+    for o in orders:
+        m = o["o_orderdate"].date().replace(day=1)
+        if o["o_custkey"] not in first or m < first[o["o_custkey"]]:
+            first[o["o_custkey"]] = m
+    active = defaultdict(set)
+    for o in orders:
+        f = first[o["o_custkey"]]
+        m = o["o_orderdate"].date().replace(day=1)
+        k = (m.year - f.year) * 12 + (m.month - f.month)
+        active[(f, k)].add(o["o_custkey"])
+    sizes = defaultdict(int)
+    for c, f in first.items():
+        sizes[f] += 1
+    got = {r["cohort_month"]: r for r in rows}
+    import random
+
+    rng = random.Random(3)
+    for cohort in rng.sample(sorted(sizes), min(10, len(sizes))):
+        pts = [
+            (k, round(math.log(len(active[(f, k)]) / sizes[cohort]), 6))
+            for (f, k) in active
+            if f == cohort and k >= 1
+        ]
+        n2 = len(pts)
+        if n2 < 3:
+            assert cohort not in got
+            continue
+        sk = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sky = sum(p[0] * p[1] for p in pts)
+        skk = sum(p[0] * p[0] for p in pts)
+        den = n2 * skk - sk * sk
+        if den <= 0:
+            assert cohort not in got
+            continue
+        b = (n2 * sky - sk * sy) / den
+        r = got[cohort]
+        assert r["n_users"] == sizes[cohort]
+        assert r["n_offsets"] == n2
+        assert abs(r["slope"] - round(b, 4)) < 1e-3
+        if b < 0:
+            assert abs(
+                r["half_life_months"] - round(-0.6931471806 / b, 4)
+            ) < 1e-2
+        else:
+            assert r["half_life_months"] is None
