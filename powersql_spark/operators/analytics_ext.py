@@ -5633,3 +5633,183 @@ def ts_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month")
     )
+
+
+@query(
+    "analytics_interpurchase_time",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT date_diff('day',
+                   CAST(LAG(o_orderdate) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    ),
+    hist AS (
+        SELECT CAST(gap_days // 30 AS BIGINT) AS gap_bucket_months,
+               COUNT(*) AS n_gaps
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_gaps) AS t FROM hist)
+    SELECT gap_bucket_months,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           {sql_jround("n_gaps / CAST(t AS DOUBLE)", 6)} AS share,
+           {sql_jround(
+               "SUM(n_gaps) OVER (ORDER BY gap_bucket_months"
+               " ROWS UNBOUNDED PRECEDING) / CAST(t AS DOUBLE)",
+               6)} AS cum_share
+    FROM hist, tot
+    ORDER BY gap_bucket_months
+    """,
+)
+def analytics_interpurchase_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-purchase time distribution: days between each customer's
+    consecutive orders, bucketed into 30-day months, with shares and
+    the cumulative curve — the distribution that sets replenishment
+    reminders and defines when 'dormant' starts (the population-wide
+    complement of funnel_time_to_convert's one-shot latency).
+
+    Scale shape: one LAG window on the (custkey, date, orderkey)
+    shuffle produces every gap; the histogram is a bucket-bounded
+    aggregation and the cumulative curve a window over that constant
+    table. Integer day arithmetic end-to-end."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        spark.table("orders")
+        .select(
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days")
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    hist = gaps.groupBy(
+        F.floor(F.col("gap_days") / 30)
+        .cast("bigint")
+        .alias("gap_bucket_months")
+    ).agg(F.count("*").alias("n_gaps"))
+    from powersql_spark.catalog import track_persist
+
+    hist = track_persist(hist)
+    tot = hist.agg(F.sum("n_gaps").cast("double").alias("t"))
+    wc = Window.orderBy("gap_bucket_months").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            "gap_bucket_months",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.round(F.col("n_gaps") / F.col("t"), 6).alias("share"),
+            F.round(F.sum("n_gaps").over(wc) / F.col("t"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("gap_bucket_months")
+    )
+
+
+_SEG_SPLIT = "1998-07-01"
+
+
+@query(
+    "analytics_segment_migration",
+    oracle=f"""
+    WITH h1 AS (
+        SELECT o_custkey,
+               NTILE(5) OVER (ORDER BY
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE) DESC, o_custkey) AS tier
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_SEG_SPLIT} 00:00:00'
+        GROUP BY o_custkey
+    ),
+    h2 AS (
+        SELECT o_custkey,
+               NTILE(5) OVER (ORDER BY
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE) DESC, o_custkey) AS tier
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_SEG_SPLIT} 00:00:00'
+        GROUP BY o_custkey
+    ),
+    paired AS (
+        SELECT COALESCE(CAST(h1.tier AS VARCHAR), 'absent') AS from_tier,
+               COALESCE(CAST(h2.tier AS VARCHAR), 'absent') AS to_tier
+        FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+    ),
+    cells AS (
+        SELECT from_tier, to_tier, COUNT(*) AS n_customers,
+               SUM(COUNT(*)) OVER (PARTITION BY from_tier) AS row_tot
+        FROM paired GROUP BY from_tier, to_tier
+    )
+    SELECT from_tier, to_tier,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           {sql_jround("n_customers / CAST(row_tot AS DOUBLE)", 4)}
+               AS row_share
+    FROM cells
+    ORDER BY from_tier, to_tier
+    """,
+)
+def analytics_segment_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer segment-migration matrix: spend-quintile tier in the
+    first half of the data vs the second half (plus 'absent'), with
+    counts and row shares — the churn/upgrade flows behind every
+    'where did our VIPs go' question. Tier 1 = top spenders;
+    deterministic NTILE tiebreak on customer id.
+
+    Scale shape: two half-period collapses to customer grain; the
+    quintile windows rank the CUSTOMER table (dimension-sized, not
+    fact-sized); the migration matrix is a full-outer key join of the
+    two tier tables plus a 36-cell-max aggregation."""
+    o = spark.table("orders")
+    split = F.lit(_SEG_SPLIT).cast("timestamp")
+
+    def tiers(df):
+        spend = df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("spend")
+        )
+        return spend.select(
+            "o_custkey",
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("spend"), "o_custkey"))
+            .alias("tier"),
+        )
+
+    h1 = tiers(o.where(F.col("o_orderdate") < split)).withColumnRenamed(
+        "tier", "t1"
+    )
+    h2 = tiers(o.where(F.col("o_orderdate") >= split)).withColumnRenamed(
+        "tier", "t2"
+    )
+    paired = h1.join(h2, "o_custkey", "full_outer").select(
+        F.coalesce(F.col("t1").cast("string"), F.lit("absent")).alias(
+            "from_tier"
+        ),
+        F.coalesce(F.col("t2").cast("string"), F.lit("absent")).alias(
+            "to_tier"
+        ),
+    )
+    cells = paired.groupBy("from_tier", "to_tier").agg(
+        F.count("*").alias("n_customers")
+    )
+    return cells.select(
+        "from_tier",
+        "to_tier",
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.round(
+            F.col("n_customers")
+            / F.sum("n_customers")
+            .over(Window.partitionBy("from_tier"))
+            .cast("double"),
+            4,
+        ).alias("row_share"),
+    ).orderBy("from_tier", "to_tier")

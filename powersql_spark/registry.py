@@ -535,6 +535,8 @@ _PRIORITY: tuple[str, ...] = (
     "sink_merge_schema",
     "profile_benford_law",
     "ts_retention_halflife",
+    "analytics_interpurchase_time",
+    "analytics_segment_migration",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

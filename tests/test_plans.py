@@ -2233,3 +2233,24 @@ def test_halflife_cohort_fit(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_interpurchase_single_lag_window(spark, sf_dir):
+    """Interpurchase gaps: one LAG window on the custkey shuffle;
+    histogram + cumulative on the cached bucket table."""
+    plan = plan_of(spark, sf_dir, "analytics_interpurchase_time")
+    assert "InMemoryTableScan" in plan, "bucket histogram not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_segment_migration_customer_grain(spark, sf_dir):
+    """Segment migration: both halves collapse to customer grain
+    before the quintile windows; matrix from one full-outer key
+    join."""
+    plan = plan_of(spark, sf_dir, "analytics_segment_migration")
+    assert "partial" in plan.lower()
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

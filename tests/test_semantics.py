@@ -6172,3 +6172,62 @@ def test_halflife_recomputed(spark, sf_dir):
             ) < 1e-2
         else:
             assert r["half_life_months"] is None
+
+
+def test_interpurchase_recomputed(spark, sf_dir):
+    """Gap histogram matches a per-customer recount; shares sum to 1;
+    cumulative curve monotone ending at 1."""
+    from collections import Counter, defaultdict
+
+    rows = sorted(
+        SPECS["analytics_interpurchase_time"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["gap_bucket_months"],
+    )
+    orders = spark.table("orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect()
+    per = defaultdict(list)
+    for o in orders:
+        per[o["o_custkey"]].append(
+            (o["o_orderdate"].date(), o["o_orderkey"])
+        )
+    hist = Counter()
+    for v in per.values():
+        v.sort()
+        for (d1, _), (d2, _) in zip(v, v[1:]):
+            hist[(d2 - d1).days // 30] += 1
+    got = {r["gap_bucket_months"]: r for r in rows}
+    assert {k: v["n_gaps"] for k, v in got.items()} == dict(hist)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    cums = [r["cum_share"] for r in rows]
+    assert all(x <= y + 1e-9 for x, y in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-5
+
+
+def test_segment_migration_identities(spark, sf_dir):
+    """Matrix covers every customer exactly once; row shares sum to 1
+    per from-tier; tier populations are NTILE-balanced per half."""
+    from collections import defaultdict
+
+    rows = SPECS["analytics_segment_migration"].fn(spark, sf_dir).collect()
+    n_matrix = sum(r["n_customers"] for r in rows)
+    custs = {
+        r["o_custkey"]
+        for r in spark.table("orders").select("o_custkey").collect()
+    }
+    assert n_matrix == len(custs)
+    by_from = defaultdict(float)
+    for r in rows:
+        by_from[r["from_tier"]] += r["row_share"]
+    for s in by_from.values():
+        assert abs(s - 1.0) < 5e-3
+    # NTILE balance: per half, tier sizes differ by at most 1
+    for axis, absent_key in (("from_tier", "to_tier"),
+                             ("to_tier", "from_tier")):
+        sizes = defaultdict(int)
+        for r in rows:
+            if r[axis] != "absent":
+                sizes[r[axis]] += r["n_customers"]
+        vals = sorted(sizes.values())
+        assert len(vals) == 5
+        assert vals[-1] - vals[0] <= 1
