@@ -2488,3 +2488,78 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle=r"""
+    WITH fp AS (
+        SELECT source,
+               md5(array_to_string(
+                   string_split_regex(trim(text), '\s+')[1:8], ' '))
+                   AS fingerprint,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY source, fingerprint
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_contents,
+           CAST(SUM(a.n_docs) AS BIGINT) AS n_docs_a,
+           CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_b
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: for every source pair,
+    how many distinct leading 8-token shingles they SHARE (plus the
+    doc counts each side contributes) — the mirror-site /
+    scraped-twice detector that tells a crawl operator which source
+    pairs to dedup against each other first. The leading-shingle
+    fingerprint is the standard cheap prefix heuristic (mirrors keep
+    openings intact while tails diverge with boilerplate); swap in
+    the MinHash signature for full near-dup semantics at the same
+    plan shape.
+
+    Scale shape: one collapse to (source, fingerprint) grain (the
+    16-byte-key shuffle hard dedup already pays), then a
+    fingerprint equi-join of that collapsed table with itself —
+    candidate volume bounded by per-fingerprint source counts
+    (bounded by the source count, not corpus size), never an
+    all-pairs. The a.source < b.source guard halves the matrix."""
+    fp = (
+        spark.table("documents")
+        .groupBy(
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.split(F.trim(F.col("text")), r"\s+"), 1, 8
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    fp = track_persist(fp)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_shared_contents"),
+            F.sum("a.n_docs").cast("bigint").alias("n_docs_a"),
+            F.sum("b.n_docs").cast("bigint").alias("n_docs_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1580,3 +1580,102 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("katz_rank")
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT cn.n_nationkey AS src, sn.n_nationkey AS dst
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+    ),
+    marked AS (
+        SELECT e.src, e.dst,
+               r.src IS NOT NULL AS reciprocated
+        FROM edges e
+        LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    )
+    SELECT src AS n_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS out_degree,
+           CAST(COUNT(CASE WHEN reciprocated THEN 1 END) AS BIGINT)
+               AS n_reciprocated,
+           CAST(ROUND(COUNT(CASE WHEN reciprocated THEN 1 END)
+                      / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)
+               AS reciprocity
+    FROM marked
+    GROUP BY src
+    ORDER BY n_nationkey
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node edge reciprocity on the directed trade graph: of each
+    nation's distinct outgoing buy-from edges, what fraction is
+    matched by the reverse edge — the two-way-relationship measure
+    that separates hub-and-spoke structure from mutual trade (the
+    directed complement of graph_assortativity's degree mixing).
+    Self-loops excluded.
+
+    Scale shape: the fact-sized work is the one distinct-edge build;
+    the reciprocity probe is an equi-join of the O(nodes^2) edge
+    table against its own transpose — metadata-sized for any real
+    dimension graph — and the rollup is a per-source count."""
+    from powersql_spark.catalog import track_persist
+
+    edges = track_persist(
+        spark.table("lineitem")
+        .join(
+            spark.table("orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.table("supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    e, r = edges.alias("e"), edges.alias("r")
+    marked = e.join(
+        r,
+        (F.col("r.src") == F.col("e.dst"))
+        & (F.col("r.dst") == F.col("e.src")),
+        "left",
+    ).select(
+        F.col("e.src").alias("src"),
+        F.col("r.src").isNotNull().alias("reciprocated"),
+    )
+    return (
+        marked.groupBy("src")
+        .agg(
+            F.count("*").cast("bigint").alias("out_degree"),
+            F.count(F.when(F.col("reciprocated"), 1))
+            .cast("bigint")
+            .alias("n_reciprocated"),
+            F.round(
+                F.count(F.when(F.col("reciprocated"), 1))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("reciprocity"),
+        )
+        .select(
+            F.col("src").alias("n_nationkey"),
+            "out_degree",
+            "n_reciprocated",
+            "reciprocity",
+        )
+        .orderBy("n_nationkey")
+    )

@@ -537,6 +537,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_retention_halflife",
     "analytics_interpurchase_time",
     "analytics_segment_migration",
+    "dedup_cross_source_matrix",
+    "graph_reciprocity",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2254,3 +2254,24 @@ def test_segment_migration_customer_grain(spark, sf_dir):
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_cross_source_matrix_collapsed_join(spark, sf_dir):
+    """Cross-source matrix: the fingerprint equi-join runs on the
+    cached (source, fingerprint) collapsed table, never on raw
+    documents; no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "dedup_cross_source_matrix")
+    assert "InMemoryTableScan" in plan, "collapsed grain not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_reciprocity_transpose_equi_join(spark, sf_dir):
+    """Reciprocity: distinct-edge build cached; the probe is an
+    equi-join of the edge table against its transpose."""
+    plan = plan_of(spark, sf_dir, "graph_reciprocity")
+    assert "InMemoryTableScan" in plan, "edge table not cached"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -6231,3 +6231,65 @@ def test_segment_migration_identities(spark, sf_dir):
         vals = sorted(sizes.values())
         assert len(vals) == 5
         assert vals[-1] - vals[0] <= 1
+
+
+def test_cross_source_matrix_recomputed(spark, sf_dir):
+    """Shared-shingle counts per source pair match a from-scratch
+    recount; matrix is upper-triangular; doc counts consistent."""
+    from collections import defaultdict
+
+    rows = SPECS["dedup_cross_source_matrix"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents").select("source", "text").collect()
+    per = defaultdict(lambda: defaultdict(int))
+    for d in docs:
+        fp = " ".join(d["text"].strip().split()[:8])
+        per[fp][d["source"]] += 1
+    matrix = defaultdict(lambda: [0, 0, 0])
+    for fp, srcs in per.items():
+        names = sorted(srcs)
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                cell = matrix[(a, b)]
+                cell[0] += 1
+                cell[1] += srcs[a]
+                cell[2] += srcs[b]
+    got = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert set(got) == set(matrix)
+    for k2, (n, da, db) in matrix.items():
+        assert got[k2]["n_shared_contents"] == n
+        assert got[k2]["n_docs_a"] == da
+        assert got[k2]["n_docs_b"] == db
+        assert k2[0] < k2[1]
+
+
+def test_reciprocity_recomputed(spark, sf_dir):
+    """Per-nation reciprocity matches a recount of the distinct edge
+    set and its transpose; ratios in [0, 1]."""
+    rows = SPECS["graph_reciprocity"].fn(spark, sf_dir).collect()
+    li = (
+        spark.table("lineitem")
+        .join(spark.table("orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(spark.table("customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(spark.table("supplier"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"))
+        .collect()
+    )
+    edges = {(r["src"], r["dst"]) for r in li if r["src"] != r["dst"]}
+    from collections import defaultdict
+
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+    got = {r["n_nationkey"]: r for r in rows}
+    assert set(got) == set(out)
+    for s, ds in out.items():
+        rec = sum(1 for d in ds if (d, s) in edges)
+        r = got[s]
+        assert r["out_degree"] == len(ds)
+        assert r["n_reciprocated"] == rec
+        assert abs(r["reciprocity"] - round(rec / len(ds), 4)) < 1e-9
+        assert 0.0 <= r["reciprocity"] <= 1.0
