@@ -1808,3 +1808,133 @@ def emb_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Alignment / uniformity (Wang & Isola 2020): the two-number quality
+# readout for contrastive embedding spaces. Alignment over same-label
+# (positive) pairs from the cell equi-join; uniformity over a
+# deterministic 50x50 sampled cross-pair panel (documented bounded
+# product — sampling is how the estimator is defined at any scale).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_alignment_uniformity",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)
+                        / sqrt(list_sum(list_transform(embedding,
+                              y -> CAST(y AS DOUBLE)
+                                   * CAST(y AS DOUBLE))))) AS v
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT list_sum(list_transform(range(1, 65),
+                   i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d2
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    unif AS (
+        SELECT round(exp(-2 * list_sum(list_transform(range(1, 65),
+                   i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))), 10)
+                   AS t
+        FROM e a JOIN e b
+          ON a.vec_id % 10 = 0 AND b.vec_id % 10 = 3
+    ),
+    astat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+               CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS alignment
+        FROM pos
+    ),
+    ustat AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_unif,
+               ln(CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*)) AS uniformity
+        FROM unif
+    )
+    SELECT n_pos AS n_pos_pairs, n_unif AS n_unif_pairs,
+           round(alignment, 4) AS alignment,
+           round(uniformity, 4) AS uniformity
+    FROM astat, ustat
+    """,
+)
+def emb_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wang-Isola embedding-quality readout on the L2-normalized
+    corpus: ALIGNMENT = mean squared distance over same-label
+    (positive) pairs — lower means positives cluster — and
+    UNIFORMITY = ln mean exp(-2 d^2) over a sampled cross panel —
+    lower means the space spreads over the hypersphere instead of
+    collapsing. Together they predict contrastive-retrieval quality
+    before any downstream eval.
+
+    Scale shape: positives come from the cell equi-join (bounded per
+    cell, never all-pairs); uniformity uses a DETERMINISTIC 50x50
+    id-sampled pair panel (a broadcast product of two 1/10 subsets —
+    bounded by construction; the estimator is defined on sampled
+    pairs at any corpus size). exp terms round at 10dp and
+    decimal-sum, so the single ln is taken of an identical double."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    e = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("v"), lambda x: x / nrm).alias("v"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    e = track_persist(e)
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a, b = e.alias("a"), e.alias("b")
+    pos = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(d2(F.col("a.v"), F.col("b.v")).alias("d2"))
+    astat = pos.agg(
+        F.count("*").cast("bigint").alias("n_pos"),
+        (
+            F.sum(F.col("d2").cast("decimal(38,12)")).cast("double")
+            / F.count("*")
+        ).alias("alignment"),
+    )
+    ua = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("v").alias("va")
+    )
+    ub = e.where(F.col("vec_id") % 10 == 3).select(
+        F.col("v").alias("vb")
+    )
+    unif = ua.join(F.broadcast(ub)).select(
+        F.round(
+            F.exp(-2 * d2(F.col("va"), F.col("vb"))), 10
+        ).alias("t")
+    )
+    ustat = unif.agg(
+        F.count("*").cast("bigint").alias("n_unif"),
+        F.log(
+            F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("uniformity"),
+    )
+    return astat.join(F.broadcast(ustat)).select(
+        F.col("n_pos").alias("n_pos_pairs"),
+        F.col("n_unif").alias("n_unif_pairs"),
+        F.round("alignment", 4).alias("alignment"),
+        F.round("uniformity", 4).alias("uniformity"),
+    )

@@ -2753,3 +2753,161 @@ def ts_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("anchor")
         .orderBy("start_day")
     )
+
+
+@query(
+    "ts_strength_measures",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               isodow(ts) AS dow,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT day, dow, x,
+               CAST(SUM(CAST(x AS DECIMAL(28,6)))
+                    OVER w AS DOUBLE) / 7 AS trend,
+               COUNT(*) OVER w AS wn
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ),
+    valid AS (
+        SELECT day, dow, x, trend, x - trend AS detr
+        FROM tr WHERE wn = 7
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(SUM(CAST(detr AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS s
+        FROM valid GROUP BY dow
+    ),
+    comp AS (
+        SELECT v.day, v.x, v.trend, v.detr, s.s,
+               v.detr - s.s AS rem,
+               v.x - s.s AS deseas
+        FROM valid v JOIN seas s ON s.dow = v.dow
+    ),
+    vars AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(rem * rem AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*)
+                   - POW(CAST(SUM(CAST(rem AS DECIMAL(28,12)))
+                              AS DOUBLE) / COUNT(*), 2) AS v_rem,
+               CAST(SUM(CAST(detr * detr AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*)
+                   - POW(CAST(SUM(CAST(detr AS DECIMAL(28,12)))
+                              AS DOUBLE) / COUNT(*), 2) AS v_detr,
+               CAST(SUM(CAST(deseas * deseas AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*)
+                   - POW(CAST(SUM(CAST(deseas AS DECIMAL(28,12)))
+                              AS DOUBLE) / COUNT(*), 2) AS v_deseas
+        FROM comp
+    )
+    SELECT n AS n_days_used,
+           CASE WHEN v_detr > 0 THEN
+               {sql_jround("GREATEST(0.0, 1.0 - v_rem / v_detr)", 4)}
+               ELSE 0.0 END AS f_seasonal,
+           CASE WHEN v_deseas > 0 THEN
+               {sql_jround("GREATEST(0.0, 1.0 - v_rem / v_deseas)", 4)}
+               ELSE 0.0 END AS f_trend
+    FROM vars
+    WHERE n > 0
+    """,
+)
+def ts_strength_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman trend/seasonality STRENGTH measures on the daily
+    series: decompose x = trend (centered 7-day MA) + day-of-week
+    seasonal + remainder, then F_seasonal = 1 - var(rem)/var(detrended)
+    and F_trend = 1 - var(rem)/var(deseasonalized), clamped to [0,1]
+    — the two numbers that say whether ts_seasonal_decompose's
+    components are real structure or noise, comparable across any set
+    of series (the feature 'should I seasonally adjust?' keys off).
+
+    Scale shape: one daily collapse; the MA window, DOW means, and
+    variance sufficient statistics all live on the tiny daily table
+    with decimal-exact sums. POW(x, 2) only (exact squaring)."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(dsum("value", "x"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "dow",
+        "x",
+        (F.sum(F.col("x").cast(DEC)).over(w).cast("double") / 7).alias(
+            "trend"
+        ),
+        F.count("*").over(w).alias("wn"),
+    )
+    valid = tr.where(F.col("wn") == 7).select(
+        "day", "dow", "x", "trend", (F.col("x") - F.col("trend")).alias("detr")
+    )
+    from powersql_spark.catalog import track_persist
+
+    valid = track_persist(valid)
+    seas = valid.groupBy("dow").agg(
+        (
+            F.sum(F.col("detr").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("s")
+    )
+    comp = valid.join(F.broadcast(seas), "dow").select(
+        "x",
+        "detr",
+        (F.col("detr") - F.col("s")).alias("rem"),
+        (F.col("x") - F.col("s")).alias("deseas"),
+    )
+
+    def popvar(c: str):
+        return (
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count("*")
+            - F.pow(
+                F.sum(F.col(c).cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                2,
+            )
+        )
+
+    vars_ = comp.agg(
+        F.count("*").cast("bigint").alias("n"),
+        popvar("rem").alias("v_rem"),
+        popvar("detr").alias("v_detr"),
+        popvar("deseas").alias("v_deseas"),
+    )
+    return vars_.where(F.col("n") > 0).select(
+        F.col("n").alias("n_days_used"),
+        F.when(
+            F.col("v_detr") > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0), 1.0 - F.col("v_rem") / F.col("v_detr")
+                ),
+                4,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("f_seasonal"),
+        F.when(
+            F.col("v_deseas") > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0), 1.0 - F.col("v_rem") / F.col("v_deseas")
+                ),
+                4,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("f_trend"),
+    )

@@ -539,6 +539,8 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_segment_migration",
     "dedup_cross_source_matrix",
     "graph_reciprocity",
+    "ts_strength_measures",
+    "emb_alignment_uniformity",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2275,3 +2275,23 @@ def test_reciprocity_transpose_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_strength_measures_daily_table(spark, sf_dir):
+    """Strength measures: one daily collapse; MA window, DOW means,
+    and variance stats on the cached valid-day table."""
+    plan = plan_of(spark, sf_dir, "ts_strength_measures")
+    assert "InMemoryTableScan" in plan, "valid-day table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_alignment_uniformity_bounded_pairs(spark, sf_dir):
+    """Alignment from the cell equi-join; uniformity from the bounded
+    50x50 sampled panel (broadcast product of two 1/10 subsets) —
+    no unbounded cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "emb_alignment_uniformity")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "normalized corpus not cached"

@@ -6293,3 +6293,83 @@ def test_reciprocity_recomputed(spark, sf_dir):
         assert r["n_reciprocated"] == rec
         assert abs(r["reciprocity"] - round(rec / len(ds), 4)) < 1e-9
         assert 0.0 <= r["reciprocity"] <= 1.0
+
+
+def test_strength_measures_recomputed(spark, sf_dir):
+    """F_trend / F_seasonal match a from-scratch decomposition and
+    land in [0, 1]."""
+    from collections import defaultdict
+
+    row = SPECS["ts_strength_measures"].fn(spark, sf_dir).collect()[0]
+    ev = spark.table("events").where(
+        F.col("value").isNotNull()
+    ).select(F.date_trunc("day", "ts").cast("date").alias("d"),
+             "value").collect()
+    daily = defaultdict(float)
+    for e in ev:
+        daily[e["d"]] += e["value"]
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    rows2 = []
+    for i in range(3, n - 3):
+        trend = sum(xs[i - 3 : i + 4]) / 7
+        rows2.append((days[i], xs[i], trend, xs[i] - trend))
+    dow_groups = defaultdict(list)
+    for d, x, t, de in rows2:
+        dow_groups[d.isoweekday()].append(de)
+    s = {k: sum(v) / len(v) for k, v in dow_groups.items()}
+    rem = [de - s[d.isoweekday()] for d, x, t, de in rows2]
+    detr = [de for _, _, _, de in rows2]
+    des = [x - s[d.isoweekday()] for d, x, t, de in rows2]
+
+    def pv(v):
+        m = sum(v) / len(v)
+        return sum(x * x for x in v) / len(v) - m * m
+
+    f_seas = max(0.0, 1 - pv(rem) / pv(detr)) if pv(detr) > 0 else 0.0
+    f_tr = max(0.0, 1 - pv(rem) / pv(des)) if pv(des) > 0 else 0.0
+    assert row["n_days_used"] == len(rows2)
+    assert abs(row["f_seasonal"] - round(f_seas, 4)) < 1e-2
+    assert abs(row["f_trend"] - round(f_tr, 4)) < 1e-2
+    assert 0.0 <= row["f_seasonal"] <= 1.0
+    assert 0.0 <= row["f_trend"] <= 1.0
+
+
+def test_alignment_uniformity_recomputed(spark, sf_dir):
+    """Both metrics match a numpy recount on normalized vectors;
+    uniformity is negative (spread space), alignment positive."""
+    import math
+
+    import numpy as np
+
+    row = SPECS["emb_alignment_uniformity"].fn(spark, sf_dir).collect()[0]
+    emb = spark.table("embeddings").collect()
+    vecs = {}
+    labels = {}
+    for r in emb:
+        v = np.array(r["embedding"], dtype=np.float64)
+        vecs[r["vec_id"]] = v / np.sqrt((v * v).sum())
+        labels[r["vec_id"]] = r["label"]
+    ids = sorted(vecs)
+    pos = [
+        ((vecs[i] - vecs[j]) ** 2).sum()
+        for i in ids
+        for j in ids
+        if i < j and labels[i] == labels[j]
+    ]
+    ua = [i for i in ids if i % 10 == 0]
+    ub = [i for i in ids if i % 10 == 3]
+    terms = [
+        round(math.exp(-2 * ((vecs[i] - vecs[j]) ** 2).sum()), 10)
+        for i in ua
+        for j in ub
+    ]
+    assert row["n_pos_pairs"] == len(pos)
+    assert row["n_unif_pairs"] == len(ua) * len(ub)
+    assert abs(row["alignment"] - round(sum(pos) / len(pos), 4)) < 1e-3
+    assert abs(
+        row["uniformity"] - round(math.log(sum(terms) / len(terms)), 4)
+    ) < 1e-3
+    assert row["alignment"] > 0
+    assert row["uniformity"] < 0
