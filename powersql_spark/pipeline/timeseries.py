@@ -2911,3 +2911,196 @@ def ts_strength_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("f_trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PACF via Durbin-Levinson, unrolled. The recursion has a FIXED depth
+# (4 lags), so it flattens into one arithmetic expression DAG over the
+# one-row ACF table — identical IEEE operations on both engines, the
+# same trick as the unrolled pagerank/Katz iterations but for a
+# sequential scalar recursion.
+# ---------------------------------------------------------------------------
+
+_PACF_UNROLL_SQL = """
+    u1 AS (SELECT *, r1 AS p11 FROM r),
+    u2 AS (
+        SELECT *,
+               (r2 - p11 * r1) / (1 - p11 * r1) AS p22
+        FROM u1
+    ),
+    u2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM u2),
+    u3 AS (
+        SELECT *,
+               (r3 - p21 * r2 - p22 * r1)
+                   / (1 - p21 * r1 - p22 * r2) AS p33
+        FROM u2b
+    ),
+    u3b AS (
+        SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32
+        FROM u3
+    ),
+    u4 AS (
+        SELECT *,
+               (r4 - p31 * r3 - p32 * r2 - p33 * r1)
+                   / (1 - p31 * r1 - p32 * r2 - p33 * r3) AS p44
+        FROM u3b
+    )"""
+
+
+@query(
+    "ts_pacf_durbin",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM daily
+    ),
+    lagged AS (
+        SELECT x - mu AS d,
+               lag(x, 1) OVER (ORDER BY day) - mu AS d1,
+               lag(x, 2) OVER (ORDER BY day) - mu AS d2,
+               lag(x, 3) OVER (ORDER BY day) - mu AS d3,
+               lag(x, 4) OVER (ORDER BY day) - mu AS d4
+        FROM daily, m
+    ),
+    r AS (
+        SELECT
+            CAST(SUM(CAST(d * d1 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r1,
+            CAST(SUM(CAST(d * d2 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r2,
+            CAST(SUM(CAST(d * d3 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r3,
+            CAST(SUM(CAST(d * d4 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r4
+        FROM lagged
+    ),{_PACF_UNROLL_SQL}
+    SELECT lag,
+           {sql_jround("acf", 4)} AS acf,
+           {sql_jround("pacf", 4)} AS pacf
+    FROM (
+        SELECT 1 AS lag, r1 AS acf, p11 AS pacf FROM u4
+        UNION ALL SELECT 2, r2, p22 FROM u4
+        UNION ALL SELECT 3, r3, p33 FROM u4
+        UNION ALL SELECT 4, r4, p44 FROM u4
+    )
+    WHERE acf IS NOT NULL
+    ORDER BY lag
+    """,
+)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF and PACF (lags 1-4) of the daily series, the PACF via the
+    Durbin-Levinson recursion UNROLLED into a fixed arithmetic DAG —
+    the AR-order diagnostic (PACF cuts off after lag p for an AR(p)
+    process) that ts_autocorr's raw ACF can't give you, because ACF
+    confounds direct and propagated correlation.
+
+    Scale shape: one daily collapse; demeaned lag products
+    decimal-summed into a ONE-ROW ACF table; the recursion is pure
+    scalar arithmetic on that row (identical IEEE ops both engines —
+    the unrolled-iteration trick applied to a sequential recursion).
+    Output reshaped to 4 (lag, acf, pacf) rows."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(dsum("value", "x"))
+    )
+    m = daily.agg(
+        (
+            F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")
+        ).alias("mu")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.join(F.broadcast(m)).select(
+        (F.col("x") - F.col("mu")).alias("d"),
+        *[
+            (F.lag("x", k).over(w) - F.col("mu")).alias(f"d{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    dsum12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    r = lagged.agg(
+        *[
+            (
+                dsum12(F.col("d") * F.col(f"d{k}"))
+                / dsum12(F.col("d") * F.col("d"))
+            ).alias(f"r{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    u = r.withColumn("p11", F.col("r1"))
+    u = u.withColumn(
+        "p22",
+        (F.col("r2") - F.col("p11") * F.col("r1"))
+        / (1 - F.col("p11") * F.col("r1")),
+    )
+    u = u.withColumn("p21", F.col("p11") - F.col("p22") * F.col("p11"))
+    u = u.withColumn(
+        "p33",
+        (
+            F.col("r3")
+            - F.col("p21") * F.col("r2")
+            - F.col("p22") * F.col("r1")
+        )
+        / (
+            1
+            - F.col("p21") * F.col("r1")
+            - F.col("p22") * F.col("r2")
+        ),
+    )
+    u = u.withColumn(
+        "p31", F.col("p21") - F.col("p33") * F.col("p22")
+    ).withColumn("p32", F.col("p22") - F.col("p33") * F.col("p21"))
+    u = u.withColumn(
+        "p44",
+        (
+            F.col("r4")
+            - F.col("p31") * F.col("r3")
+            - F.col("p32") * F.col("r2")
+            - F.col("p33") * F.col("r1")
+        )
+        / (
+            1
+            - F.col("p31") * F.col("r1")
+            - F.col("p32") * F.col("r2")
+            - F.col("p33") * F.col("r3")
+        ),
+    )
+    rows = u.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"r{k}").alias("acf"),
+                        F.col(p).alias("pacf"),
+                    )
+                    for k, p in (
+                        (1, "p11"),
+                        (2, "p22"),
+                        (3, "p33"),
+                        (4, "p44"),
+                    )
+                ]
+            )
+        ).alias("s")
+    )
+    return (
+        rows.where(F.col("s.acf").isNotNull())
+        .select(
+            F.col("s.lag").alias("lag"),
+            F.round("s.acf", 4).alias("acf"),
+            F.round("s.pacf", 4).alias("pacf"),
+        )
+        .orderBy("lag")
+    )

@@ -541,6 +541,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_reciprocity",
     "ts_strength_measures",
     "emb_alignment_uniformity",
+    "ts_pacf_durbin",
+    "agg_theil_inequality",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

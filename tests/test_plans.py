@@ -2295,3 +2295,23 @@ def test_alignment_uniformity_bounded_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "InMemoryTableScan" in plan, "normalized corpus not cached"
+
+
+def test_pacf_one_row_recursion(spark, sf_dir):
+    """PACF: one daily collapse, demeaned lag products decimal-summed
+    to a one-row ACF table; the recursion is scalar arithmetic (no
+    joins beyond the stats broadcast)."""
+    plan = plan_of(spark, sf_dir, "ts_pacf_durbin")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_theil_segment_decomposition_shape(spark, sf_dir):
+    """Theil: one (segment, customer) collapse cached; segment means
+    broadcast back; rollups on the 5-row segment table."""
+    plan = plan_of(spark, sf_dir, "agg_theil_inequality")
+    assert "InMemoryTableScan" in plan, "spend grain not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -6373,3 +6373,86 @@ def test_alignment_uniformity_recomputed(spark, sf_dir):
     ) < 1e-3
     assert row["alignment"] > 0
     assert row["uniformity"] < 0
+
+
+def test_pacf_recomputed(spark, sf_dir):
+    """ACF/PACF match a from-scratch Durbin-Levinson run; PACF lag 1
+    equals ACF lag 1; all values in [-1, 1]."""
+    from collections import defaultdict
+
+    rows = sorted(
+        SPECS["ts_pacf_durbin"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["lag"],
+    )
+    ev = spark.table("events").where(
+        F.col("value").isNotNull()
+    ).select(F.date_trunc("day", "ts").cast("date").alias("d"),
+             "value").collect()
+    daily = defaultdict(float)
+    for e in ev:
+        daily[e["d"]] += e["value"]
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    mu = sum(xs) / n
+    d = [x - mu for x in xs]
+    c0 = sum(v * v for v in d)
+    r = [
+        sum(d[t] * d[t - k] for t in range(k, n)) / c0
+        for k in range(1, 5)
+    ]
+    # Durbin-Levinson
+    phi = {1: {1: r[0]}}
+    for k in range(2, 5):
+        num = r[k - 1] - sum(
+            phi[k - 1][j] * r[k - 1 - j] for j in range(1, k)
+        )
+        den = 1 - sum(phi[k - 1][j] * r[j - 1] for j in range(1, k))
+        pkk = num / den
+        phi[k] = {
+            j: phi[k - 1][j] - pkk * phi[k - 1][k - j]
+            for j in range(1, k)
+        }
+        phi[k][k] = pkk
+    for i, row in enumerate(rows, start=1):
+        assert row["lag"] == i
+        assert abs(row["acf"] - round(r[i - 1], 4)) < 1e-3
+        assert abs(row["pacf"] - round(phi[i][i], 4)) < 1e-3
+        assert -1.001 <= row["acf"] <= 1.001
+        assert -1.001 <= row["pacf"] <= 1.001
+    assert abs(rows[0]["acf"] - rows[0]["pacf"]) < 1e-9
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """sum(w_g * T_g) + sum(between_g) ~= the direct whole-population
+    Theil index; all within indices non-negative."""
+    import math
+    from collections import defaultdict
+
+    rows = SPECS["agg_theil_inequality"].fn(spark, sf_dir).collect()
+    orders = spark.table("orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.table("customer").select(
+            "c_custkey", "c_mktsegment"
+        ).collect()
+    }
+    spend = defaultdict(float)
+    for o in orders:
+        spend[o["o_custkey"]] += o["o_totalprice"]
+    xs = list(spend.values())
+    mu = sum(xs) / len(xs)
+    t_direct = sum(
+        (x / mu) * math.log(x / mu) for x in xs if x > 0
+    ) / len(xs)
+    t_decomp = sum(
+        r["weight"] * r["theil_within"] + r["between_term"]
+        for r in rows
+    )
+    assert abs(t_decomp - t_direct) < 5e-3
+    segs = {seg_of[c] for c in spend}
+    assert {r["segment"] for r in rows} == segs
+    for r in rows:
+        assert r["theil_within"] >= -1e-6
+    assert sum(r["n_customers"] for r in rows) == len(spend)
