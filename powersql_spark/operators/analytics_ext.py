@@ -5950,3 +5950,131 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "analytics_revenue_bridge",
+    oracle=f"""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(SUM(CASE WHEN o.o_orderdate
+                        < TIMESTAMP '{_SEG_SPLIT} 00:00:00'
+                        THEN CAST(o.o_totalprice AS DECIMAL(28,6))
+                        ELSE 0 END) AS DOUBLE) AS rev_h1,
+               CAST(SUM(CASE WHEN o.o_orderdate
+                        >= TIMESTAMP '{_SEG_SPLIT} 00:00:00'
+                        THEN CAST(o.o_totalprice AS DECIMAL(28,6))
+                        ELSE 0 END) AS DOUBLE) AS rev_h2
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(rev_h1 AS DECIMAL(28,6))) AS DOUBLE)
+                   AS t1,
+               CAST(SUM(CAST(rev_h2 - rev_h1 AS DECIMAL(28,6)))
+                    AS DOUBLE) AS td
+        FROM seg
+    ),
+    wf AS (
+        SELECT segment, rev_h1, rev_h2, rev_h2 - rev_h1 AS delta,
+               t1, td,
+               t1 + CAST(COALESCE(SUM(CAST(rev_h2 - rev_h1
+                        AS DECIMAL(28,6))) OVER (ORDER BY segment
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS DOUBLE) AS wf_start
+        FROM seg, tot
+    )
+    SELECT segment, rev_h1, rev_h2, delta,
+           CASE WHEN td <> 0 THEN
+               {sql_jround("delta / td", 4)} END AS share_of_delta,
+           wf_start AS waterfall_start,
+           wf_start + delta AS waterfall_end
+    FROM wf
+    ORDER BY segment
+    """,
+)
+def analytics_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue bridge (waterfall) by market
+    segment: each segment's H1 -> H2 revenue delta, its share of the
+    total movement, and the cumulative waterfall start/end positions
+    (starting from total H1 revenue, segments in name order) — the
+    exec-review decomposition of 'why did revenue move'. Identity:
+    the last segment's waterfall_end equals total H2 revenue.
+
+    Scale shape: ONE fact pass computes both period sums as
+    conditional decimal aggregates (no second scan, no period
+    self-join); the waterfall window runs over the 5-row segment
+    table with decimal-cast running deltas."""
+    from powersql_spark.catalog import track_persist
+
+    split = F.lit(_SEG_SPLIT).cast("timestamp")
+    seg = track_persist(
+        spark.table("orders")
+        .join(
+            F.broadcast(
+                spark.table("customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < split,
+                    F.col("o_totalprice").cast("decimal(28,6)"),
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("rev_h1"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= split,
+                    F.col("o_totalprice").cast("decimal(28,6)"),
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("rev_h2"),
+        )
+    )
+    tot = seg.agg(
+        F.sum(F.col("rev_h1").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("t1"),
+        F.sum((F.col("rev_h2") - F.col("rev_h1")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("td"),
+    )
+    wprev = Window.orderBy("segment").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wf = seg.join(F.broadcast(tot)).select(
+        "segment",
+        "rev_h1",
+        "rev_h2",
+        (F.col("rev_h2") - F.col("rev_h1")).alias("delta"),
+        "td",
+        (
+            F.col("t1")
+            + F.coalesce(
+                F.sum(
+                    (F.col("rev_h2") - F.col("rev_h1")).cast(
+                        "decimal(28,6)"
+                    )
+                ).over(wprev),
+                F.lit(0),
+            ).cast("double")
+        ).alias("wf_start"),
+    )
+    return wf.select(
+        "segment",
+        "rev_h1",
+        "rev_h2",
+        "delta",
+        F.when(
+            F.col("td") != 0, F.round(F.col("delta") / F.col("td"), 4)
+        ).alias("share_of_delta"),
+        F.col("wf_start").alias("waterfall_start"),
+        (F.col("wf_start") + F.col("delta")).alias("waterfall_end"),
+    ).orderBy("segment")

@@ -2391,3 +2391,80 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "text_word_burstiness",
+    oracle=r"""
+    WITH dc AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word
+              FROM documents)
+        GROUP BY doc_id, word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    stats AS (
+        SELECT word,
+               CAST(SUM(c) AS BIGINT) AS total_count,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_present,
+               CAST(SUM(CAST(c * c AS DECIMAL(38,6))) AS DOUBLE) AS sq
+        FROM dc GROUP BY word
+    )
+    SELECT word, total_count, n_docs_present,
+           CAST(ROUND(
+               (sq / n_docs
+                - POW(CAST(total_count AS DOUBLE) / n_docs, 2))
+               / (CAST(total_count AS DOUBLE) / n_docs), 4)
+               AS DOUBLE) AS vmr,
+           (sq / n_docs
+               - POW(CAST(total_count AS DOUBLE) / n_docs, 2))
+               / (CAST(total_count AS DOUBLE) / n_docs) > 1.5
+               AS is_bursty
+    FROM stats, n
+    ORDER BY total_count DESC, word
+    LIMIT 20
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church-Gale): the variance-to-mean ratio of
+    per-document counts over the WHOLE corpus (absent docs count as
+    zero) for the top-20 words — VMR ~ 1 means Poisson scatter
+    (function words), VMR >> 1 means the word clumps into few
+    documents (content/topic words). The signal topic-modeling
+    feature selection and stopword induction key off, orthogonal to
+    raw frequency.
+
+    Scale shape: one explode to (doc, word) counts (the same grain
+    TF-IDF pays), one vocabulary rollup of decimal-exact sufficient
+    statistics; zero-docs enter the moments exactly via the global
+    doc count (one-row broadcast) — no spine join. POW(x,2) only."""
+    dc = (
+        spark.table("documents")
+        .select("doc_id", F.explode(_tokens()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    n = spark.table("documents").agg(F.count("*").alias("n_docs"))
+    stats = dc.groupBy("word").agg(
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.count("*").cast("bigint").alias("n_docs_present"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("total_count").cast("double") / F.col("n_docs")
+    vmr = (F.col("sq") / F.col("n_docs") - F.pow(mean, 2)) / mean
+    return (
+        stats.join(F.broadcast(n))
+        .select(
+            "word",
+            "total_count",
+            "n_docs_present",
+            F.round(vmr, 4).alias("vmr"),
+            (vmr > 1.5).alias("is_bursty"),
+        )
+        .orderBy(F.desc("total_count"), "word")
+        .limit(20)
+    )

@@ -543,6 +543,8 @@ _PRIORITY: tuple[str, ...] = (
     "emb_alignment_uniformity",
     "ts_pacf_durbin",
     "agg_theil_inequality",
+    "analytics_revenue_bridge",
+    "text_word_burstiness",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2315,3 +2315,28 @@ def test_theil_segment_decomposition_shape(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_revenue_bridge_one_fact_pass(spark, sf_dir):
+    """Revenue bridge: both period sums as conditional aggregates in
+    ONE fact pass (no period self-join); waterfall window on the
+    cached 5-row segment table."""
+    plan = plan_of(spark, sf_dir, "analytics_revenue_bridge")
+    assert "InMemoryTableScan" in plan, "segment table not cached"
+    assert "partial" in plan.lower()
+    assert plan.count("orders.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_burstiness_vocab_rollup(spark, sf_dir):
+    """Burstiness: (doc, word) collapse then vocabulary rollup;
+    doc count is a one-row broadcast; top-k via
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "text_word_burstiness")
+    assert "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -6456,3 +6456,71 @@ def test_theil_decomposition_identity(spark, sf_dir):
     for r in rows:
         assert r["theil_within"] >= -1e-6
     assert sum(r["n_customers"] for r in rows) == len(spend)
+
+
+def test_revenue_bridge_identities(spark, sf_dir):
+    """Waterfall chains: each start = previous end, first start =
+    total H1, last end = total H2; deltas and shares recomputed."""
+    import datetime
+
+    rows = sorted(
+        SPECS["analytics_revenue_bridge"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["segment"],
+    )
+    orders = spark.table("orders").join(
+        spark.table("customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", "o_orderdate", "o_totalprice").collect()
+    from collections import defaultdict
+
+    split = datetime.datetime(1998, 7, 1)
+    h1, h2 = defaultdict(float), defaultdict(float)
+    for o in orders:
+        tgt = h1 if o["o_orderdate"] < split else h2
+        tgt[o["c_mktsegment"]] += o["o_totalprice"]
+    t1 = sum(h1.values())
+    t2 = sum(h2.values())
+    td = t2 - t1
+    pos = t1
+    for r in rows:
+        seg = r["segment"]
+        assert abs(r["rev_h1"] - h1[seg]) < 1e-2
+        assert abs(r["rev_h2"] - h2[seg]) < 1e-2
+        assert abs(r["delta"] - (h2[seg] - h1[seg])) < 1e-2
+        assert abs(r["waterfall_start"] - pos) < 1e-2
+        pos += h2[seg] - h1[seg]
+        assert abs(r["waterfall_end"] - pos) < 1e-2
+        if td != 0:
+            assert abs(
+                r["share_of_delta"] - round((h2[seg] - h1[seg]) / td, 4)
+            ) < 1e-3
+    assert abs(rows[-1]["waterfall_end"] - t2) < 1e-2
+    assert abs(sum(r["share_of_delta"] for r in rows) - 1.0) < 5e-3
+
+
+def test_burstiness_recomputed(spark, sf_dir):
+    """VMR matches a from-scratch moment computation with zero-docs
+    included; VMR >= 0; Poisson-like words are not flagged."""
+    from collections import Counter, defaultdict
+
+    rows = SPECS["text_word_burstiness"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    n_docs = len(docs)
+    per = defaultdict(Counter)
+    for d in docs:
+        per[d["doc_id"]].update(d["text"].strip().split())
+    counts = defaultdict(list)
+    for c in per.values():
+        for w2, k in c.items():
+            counts[w2].append(k)
+    for r in rows:
+        ks = counts[r["word"]]
+        tot = sum(ks)
+        mean = tot / n_docs
+        var = sum(k * k for k in ks) / n_docs - mean * mean
+        vmr = var / mean
+        assert r["total_count"] == tot
+        assert r["n_docs_present"] == len(ks)
+        assert abs(r["vmr"] - round(vmr, 4)) < 1e-3
+        assert r["vmr"] >= -1e-9
+        assert r["is_bursty"] == (vmr > 1.5)
