@@ -789,3 +789,184 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+_CMW_WIDTHS = (64, 256, 1024)
+_CMW_TOPK = 20
+
+
+def _cm_base(gram: Column, seed: int) -> Column:
+    """Top 32 bits of md5(gram#seed) as a long — ONE base hash from
+    which every sweep width derives its bucket (base % w)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(gram, F.lit(f"#{seed}")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+_CM_BASE_SQL = "('0x' || substr(md5({g} || '#' || {s}), 1, 8))::BIGINT"
+
+
+@query(
+    "sketch_countmin_width_curve",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                   i -> list_extract(t, i) || ' '
+                        || list_extract(t, i + 1))) AS gram
+        FROM toks WHERE len(t) >= 2
+    ),
+    seeds AS (SELECT unnest(range(0, {_D})) AS s),
+    widths AS (SELECT unnest([{", ".join(map(str, _CMW_WIDTHS))}]) AS w),
+    sketch AS (
+        SELECT w, s, {_CM_BASE_SQL.format(g="gram", s="s")} % w AS b,
+               COUNT(*) AS c
+        FROM bg CROSS JOIN seeds CROSS JOIN widths
+        GROUP BY w, s, b
+    ),
+    exact AS (
+        SELECT gram, COUNT(*) AS n_exact
+        FROM bg GROUP BY gram
+        ORDER BY n_exact DESC, gram LIMIT {_CMW_TOPK}
+    ),
+    est AS (
+        SELECT wd.w, e.gram, e.n_exact, MIN(sk.c) AS n_est
+        FROM exact e
+        CROSS JOIN seeds js CROSS JOIN widths wd
+        JOIN sketch sk
+          ON sk.w = wd.w AND sk.s = js.s
+         AND sk.b = {_CM_BASE_SQL.format(g="e.gram", s="js.s")} % wd.w
+        GROUP BY wd.w, e.gram, e.n_exact
+    )
+    SELECT w AS width,
+           CAST({_D} * w AS BIGINT) AS n_counters,
+           CAST(ROUND(CAST(SUM(CAST(n_est - n_exact AS DECIMAL(18,6)))
+                           AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+               AS mean_overestimate,
+           CAST(MAX(n_est - n_exact) AS BIGINT) AS max_overestimate,
+           CAST(ROUND(COUNT(CASE WHEN n_est = n_exact THEN 1 END)
+                      / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE)
+               AS frac_exact
+    FROM est
+    GROUP BY w
+    ORDER BY width
+    """,
+)
+def sketch_countmin_width_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min accuracy/cost frontier: the SAME bigram stream
+    sketched at widths 64/256/1024 (buckets derived from one shared
+    32-bit base hash per seed), each width scored against the exact
+    top-20 — mean/max overestimate and the fraction answered exactly
+    vs the counter budget. The tuning curve that picks a sketch width
+    the same way sim_ivf_nprobe_curve picks nprobe and
+    dedup_lsh_tuning_curve picks bands.
+
+    Scale shape: one explode produces (gram, seed, base) pairs; the
+    width sweep multiplies only those pairs (x3) and
+    partial-aggregates to at most d*sum(w) counters per partition —
+    constant state at any corpus size. The probe side joins 240
+    candidate rows against the finished sketches."""
+    d = spark.table("documents")
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bg = track_persist(
+        d.where(n >= 2).select(F.explode(_bigrams()).alias("gram"))
+    )
+    pairs = bg.select(
+        "gram",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        _cm_base(F.col("gram"), s).alias("base"),
+                    )
+                    for s in range(_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("gram", "p.s", "p.base")
+    widths = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(w).cast("long") for w in _CMW_WIDTHS])
+        ).alias("w")
+    )
+    sketch = (
+        pairs.join(F.broadcast(widths))
+        .groupBy("w", "s", (F.col("base") % F.col("w")).alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        bg.groupBy("gram")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "gram")
+        .limit(_CMW_TOPK)
+    )
+    cand = (
+        exact.select(
+            "gram",
+            "n_exact",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("long").alias("s"),
+                            _cm_base(F.col("gram"), s).alias("base"),
+                        )
+                        for s in range(_D)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("gram", "n_exact", "p.s", "p.base")
+        .join(F.broadcast(widths))
+        .select(
+            "gram",
+            "n_exact",
+            "s",
+            "w",
+            (F.col("base") % F.col("w")).alias("b"),
+        )
+    )
+    est = (
+        cand.join(sketch, ["w", "s", "b"])
+        .groupBy("w", "gram", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return (
+        est.groupBy("w")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n_est") - F.col("n_exact")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_overestimate"),
+            F.max(F.col("n_est") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("max_overestimate"),
+            F.round(
+                F.count(F.when(F.col("n_est") == F.col("n_exact"), 1))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("frac_exact"),
+        )
+        .select(
+            F.col("w").alias("width"),
+            (F.lit(_D) * F.col("w")).cast("bigint").alias("n_counters"),
+            "mean_overestimate",
+            "max_overestimate",
+            "frac_exact",
+        )
+        .orderBy("width")
+    )

@@ -545,6 +545,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_theil_inequality",
     "analytics_revenue_bridge",
     "text_word_burstiness",
+    "sketch_countmin_width_curve",
+    "ts_concurrency_sweepline",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2340,3 +2340,24 @@ def test_burstiness_vocab_rollup(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_countmin_width_curve_shared_stream(spark, sf_dir):
+    """Width curve: one cached gram stream feeds the sketch build,
+    exact truth, and candidates; the width sweep multiplies only
+    (gram, seed) pairs; no cartesian beyond 1-row/3-row broadcasts."""
+    plan = plan_of(spark, sf_dir, "sketch_countmin_width_curve")
+    assert "InMemoryTableScan" in plan, "gram stream not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_concurrency_sweep_on_session_grain(spark, sf_dir):
+    """Sweep-line: sessionization on the per-user window; the prefix
+    sum runs over cached SESSION endpoints, not events."""
+    plan = plan_of(spark, sf_dir, "ts_concurrency_sweepline")
+    assert "InMemoryTableScan" in plan, "session table not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -6524,3 +6524,71 @@ def test_burstiness_recomputed(spark, sf_dir):
         assert abs(r["vmr"] - round(vmr, 4)) < 1e-3
         assert r["vmr"] >= -1e-9
         assert r["is_bursty"] == (vmr > 1.5)
+
+
+def test_countmin_width_curve_properties(spark, sf_dir):
+    """Wider sketches are never less accurate: mean overestimate
+    non-increasing in width, frac_exact non-decreasing; estimates
+    one-sided (overestimate >= 0); counter budget scales with w."""
+    rows = sorted(
+        SPECS["sketch_countmin_width_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["width"],
+    )
+    assert [r["width"] for r in rows] == [64, 256, 1024]
+    means = [r["mean_overestimate"] for r in rows]
+    fracs = [r["frac_exact"] for r in rows]
+    assert all(x >= y - 1e-9 for x, y in zip(means, means[1:]))
+    assert all(x <= y + 1e-9 for x, y in zip(fracs, fracs[1:]))
+    for r in rows:
+        assert r["mean_overestimate"] >= -1e-9
+        assert r["max_overestimate"] >= 0
+        assert r["n_counters"] == 4 * r["width"]
+        assert 0.0 <= r["frac_exact"] <= 1.0
+
+
+def test_concurrency_recomputed(spark, sf_dir):
+    """Daily peaks match a from-scratch sessionize + sweep; peak >= 1
+    on active days; session starts match the session count."""
+    from collections import defaultdict
+
+    rows = sorted(
+        SPECS["ts_concurrency_sweepline"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    ev = spark.table("events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    per = defaultdict(list)
+    for e in ev:
+        per[e["user_id"]].append((e["ts"], e["event_id"]))
+    sessions = []
+    for u, es in per.items():
+        es.sort()
+        start = prev = es[0][0]
+        for t, _ in es[1:]:
+            if (t - prev).total_seconds() > 1800:
+                sessions.append((u, start, prev))
+                start = t
+            prev = t
+        sessions.append((u, start, prev))
+    points = []
+    for i, (u, s, e2) in enumerate(sessions):
+        points.append((s, 1, u, i))
+        points.append((e2, -1, u, i))
+    points.sort(key=lambda p: (p[0], p[1]))
+    conc, daily_peak, daily_starts = 0, defaultdict(int), defaultdict(int)
+    for t, d, _, _ in points:
+        conc += d
+        day = t.date()
+        daily_peak[day] = max(daily_peak[day], conc)
+        if d == 1:
+            daily_starts[day] += 1
+    got = {r["day"]: r for r in rows}
+    assert set(got) == set(daily_peak)
+    for day, r in got.items():
+        assert r["peak_concurrency"] == daily_peak[day]
+        assert r["n_sessions_started"] == daily_starts[day]
+        # a day whose only sweep point is a session END reports the
+        # post-decrement concurrency, which can be 0
+        assert r["peak_concurrency"] >= 0
+    assert sum(r["n_sessions_started"] for r in rows) == len(sessions)
