@@ -6078,3 +6078,95 @@ def analytics_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wf_start").alias("waterfall_start"),
         (F.col("wf_start") + F.col("delta")).alias("waterfall_end"),
     ).orderBy("segment")
+
+
+@query(
+    "analytics_basket_size_curve",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                   AS basket_rev
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+        SELECT n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(basket_rev) AS DOUBLE) AS revenue
+        FROM baskets GROUP BY n_lines
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS t_orders,
+               CAST(SUM(CAST(revenue AS DECIMAL(28,6))) AS DOUBLE)
+                   AS t_rev
+        FROM hist
+    )
+    SELECT n_lines AS basket_size, n_orders,
+           {sql_jround("n_orders / CAST(t_orders AS DOUBLE)", 6)}
+               AS order_share,
+           {sql_jround("revenue / n_orders", 4)} AS avg_basket_value,
+           {sql_jround("revenue / t_rev", 6)} AS revenue_share
+    FROM hist, tot
+    ORDER BY basket_size
+    """,
+)
+def analytics_basket_size_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution: orders histogrammed by line count,
+    with order share, average basket value, and revenue share per
+    size — the merchandising curve behind free-shipping thresholds
+    and bundle design ('do big baskets carry the revenue?'), the
+    size-marginal that analytics_market_basket's item co-occurrence
+    doesn't show.
+
+    Scale shape: one collapse to order grain (count + decimal revenue
+    ride the same aggregate), a size-bounded histogram rollup, and a
+    one-row totals broadcast."""
+    from powersql_spark.catalog import track_persist
+
+    baskets = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(28,6)")
+            )
+            .cast("decimal(28,6)")
+            .alias("basket_rev"),
+        )
+    )
+    hist = track_persist(
+        baskets.groupBy("n_lines").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("basket_rev").cast("double").alias("revenue"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("n_orders").cast("bigint").alias("t_orders"),
+        F.sum(F.col("revenue").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("t_rev"),
+    )
+    return (
+        hist.join(F.broadcast(tot))
+        .select(
+            F.col("n_lines").alias("basket_size"),
+            "n_orders",
+            F.round(
+                F.col("n_orders") / F.col("t_orders").cast("double"), 6
+            ).alias("order_share"),
+            F.round(F.col("revenue") / F.col("n_orders"), 4).alias(
+                "avg_basket_value"
+            ),
+            F.round(F.col("revenue") / F.col("t_rev"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("basket_size")
+    )

@@ -3227,3 +3227,83 @@ def ts_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_year_over_year",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    shifted AS (
+        SELECT month, revenue,
+               lag(revenue, 12) OVER (ORDER BY month) AS prev_year,
+               lag(month, 12) OVER (ORDER BY month) AS prev_month
+        FROM monthly
+    )
+    SELECT month, revenue, prev_year AS revenue_prior_year,
+           CASE WHEN prev_year > 0 THEN
+               {sql_jround(
+                   "(revenue - prev_year) / prev_year", 4)} END
+               AS yoy_growth
+    FROM shifted
+    WHERE prev_year IS NOT NULL
+      AND prev_month = month - INTERVAL 12 MONTH
+    ORDER BY month
+    """,
+)
+def ts_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: each month compared to
+    the SAME month last year — the seasonality-immune growth readout
+    (ts_week_over_week compares adjacent periods and confounds
+    seasonal swings with real growth). The lag-12 row is only used
+    when it really is 12 calendar months back (gap-safe: a missing
+    month shifts the lag and the guard drops the row rather than
+    comparing wrong months).
+
+    Scale shape: one month-grain collapse (map-side-combinable
+    decimal sums); the lag and guard ride one window over the tiny
+    monthly table."""
+    monthly = (
+        spark.table("orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    shifted = monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue", 12).over(w).alias("prev_year"),
+        F.lag("month", 12).over(w).alias("prev_month"),
+    )
+    return (
+        shifted.where(
+            F.col("prev_year").isNotNull()
+            & (F.col("prev_month") == F.add_months(F.col("month"), -12))
+        )
+        .select(
+            "month",
+            "revenue",
+            F.col("prev_year").alias("revenue_prior_year"),
+            F.when(
+                F.col("prev_year") > 0,
+                F.round(
+                    (F.col("revenue") - F.col("prev_year"))
+                    / F.col("prev_year"),
+                    4,
+                ),
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )

@@ -547,6 +547,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_word_burstiness",
     "sketch_countmin_width_curve",
     "ts_concurrency_sweepline",
+    "ts_year_over_year",
+    "analytics_basket_size_curve",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2361,3 +2361,26 @@ def test_concurrency_sweep_on_session_grain(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_yoy_monthly_window(spark, sf_dir):
+    """YoY: one month-grain collapse; lag-12 and the gap guard ride
+    one window on the tiny monthly table — no joins."""
+    plan = plan_of(spark, sf_dir, "ts_year_over_year")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_basket_size_order_grain(spark, sf_dir):
+    """Basket curve: one order-grain collapse (count + revenue in the
+    same aggregate), size-bounded histogram, one-row totals
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "analytics_basket_size_curve")
+    assert "InMemoryTableScan" in plan, "histogram not cached"
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("lineitem.parquet") <= plan.count(
+        "InMemoryTableScan"
+    ) + 1

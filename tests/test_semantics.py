@@ -6592,3 +6592,66 @@ def test_concurrency_recomputed(spark, sf_dir):
         # post-decrement concurrency, which can be 0
         assert r["peak_concurrency"] >= 0
     assert sum(r["n_sessions_started"] for r in rows) == len(sessions)
+
+
+def test_yoy_recomputed(spark, sf_dir):
+    """YoY ratios match a recount on the monthly series; only true
+    12-month-back comparisons are emitted."""
+    from collections import defaultdict
+
+    rows = SPECS["ts_year_over_year"].fn(spark, sf_dir).collect()
+    orders = spark.table("orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    monthly = defaultdict(float)
+    for o in orders:
+        monthly[o["o_orderdate"].date().replace(day=1)] += o[
+            "o_totalprice"
+        ]
+    got = {r["month"]: r for r in rows}
+    for m, r in got.items():
+        prev = m.replace(year=m.year - 1)
+        assert prev in monthly, "guard must drop non-12-month lags"
+        assert abs(r["revenue"] - monthly[m]) < 1e-2
+        assert abs(r["revenue_prior_year"] - monthly[prev]) < 1e-2
+        assert abs(
+            r["yoy_growth"]
+            - round((monthly[m] - monthly[prev]) / monthly[prev], 4)
+        ) < 1e-3
+    # every month with a true prior-year month present is emitted
+    for m in monthly:
+        prev = m.replace(year=m.year - 1)
+        if prev in monthly:
+            assert m in got
+
+
+def test_basket_size_recomputed(spark, sf_dir):
+    """Histogram matches an order-grain recount; shares sum to 1;
+    order total conserved."""
+    from collections import defaultdict
+
+    rows = SPECS["analytics_basket_size_curve"].fn(spark, sf_dir).collect()
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect()
+    per = defaultdict(lambda: [0, 0.0])
+    for r in li:
+        per[r["l_orderkey"]][0] += 1
+        per[r["l_orderkey"]][1] += r["l_extendedprice"] * (
+            1 - r["l_discount"]
+        )
+    hist = defaultdict(lambda: [0, 0.0])
+    for n, rev in per.values():
+        hist[n][0] += 1
+        hist[n][1] += rev
+    got = {r["basket_size"]: r for r in rows}
+    assert set(got) == set(hist)
+    t_orders = len(per)
+    for n, (cnt, rev) in hist.items():
+        r = got[n]
+        assert r["n_orders"] == cnt
+        assert abs(r["order_share"] - round(cnt / t_orders, 6)) < 1e-5
+        assert abs(r["avg_basket_value"] - round(rev / cnt, 4)) < 1e-2
+    assert abs(sum(r["order_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-3
+    assert sum(r["n_orders"] for r in rows) == t_orders
