@@ -1938,3 +1938,136 @@ def emb_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alignment", 4).alias("alignment"),
         F.round("uniformity", 4).alias("uniformity"),
     )
+
+
+@query(
+    "emb_separation_histogram",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    within AS (
+        SELECT 'within_label' AS pair_type,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4)
+                   AS cos
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    cross_s AS (
+        SELECT 'cross_label' AS pair_type,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4)
+                   AS cos
+        FROM e a JOIN e b
+          ON a.vec_id % 10 = 0 AND b.vec_id % 10 = 3
+             AND a.label <> b.label
+    ),
+    pairs AS (
+        SELECT * FROM within UNION ALL SELECT * FROM cross_s
+    ),
+    hist AS (
+        SELECT pair_type,
+               CAST(FLOOR(cos * 10) AS BIGINT) AS cos_bucket,
+               COUNT(*) AS n_pairs,
+               SUM(COUNT(*)) OVER (PARTITION BY pair_type) AS tot
+        FROM pairs GROUP BY pair_type, FLOOR(cos * 10)
+    )
+    SELECT pair_type, cos_bucket,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(ROUND(n_pairs / CAST(tot AS DOUBLE), 6) AS DOUBLE)
+               AS pair_share
+    FROM hist
+    ORDER BY pair_type, cos_bucket
+    """,
+)
+def emb_separation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability histogram: the distribution of pairwise
+    cosines for SAME-label pairs vs a sampled CROSS-label panel,
+    bucketed at 0.1 — if the two histograms overlap heavily, no
+    similarity threshold separates classes and both SemDeDup-style
+    dedup and label-cell ANN will bleed across labels (the
+    distributional view behind emb_cluster_purity's single number).
+
+    Scale shape: within-label pairs from the cell equi-join (bounded
+    per cell); cross-label pairs from the deterministic 1/10 x 1/10
+    id-sampled panel (the emb_alignment_uniformity discipline);
+    histogram is a bucket-bounded rollup with per-type window
+    totals. Cosines at 4dp, FLOOR bucketing (no rounding-mode
+    divergence)."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(
+            F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    e = track_persist(e)
+
+    def cos(a, b, an, bn):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (an * bn),
+            4,
+        )
+
+    a, b = e.alias("a"), e.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.lit("within_label").alias("pair_type"),
+        cos(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ).alias("cos"),
+    )
+    ua = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("label").alias("la"), F.col("v").alias("va"),
+        F.col("nrm").alias("na")
+    )
+    ub = e.where(F.col("vec_id") % 10 == 3).select(
+        F.col("label").alias("lb"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb")
+    )
+    cross = (
+        ua.join(F.broadcast(ub))
+        .where(F.col("la") != F.col("lb"))
+        .select(
+            F.lit("cross_label").alias("pair_type"),
+            cos(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+    )
+    pairs = within.unionAll(cross)
+    hist = pairs.groupBy(
+        "pair_type",
+        F.floor(F.col("cos") * 10).cast("bigint").alias("cos_bucket"),
+    ).agg(F.count("*").alias("n_pairs"))
+    wt = Window.partitionBy("pair_type")
+    return hist.select(
+        "pair_type",
+        "cos_bucket",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.col("n_pairs") / F.sum("n_pairs").over(wt).cast("double"),
+            6,
+        ).alias("pair_share"),
+    ).orderBy("pair_type", "cos_bucket")

@@ -2468,3 +2468,87 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), "word")
         .limit(20)
     )
+
+
+@query(
+    "text_lexical_diversity",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, word, COUNT(*) AS c
+        FROM (SELECT source,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word
+              FROM documents)
+        GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT)
+               AS n_hapax,
+           CAST(ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE)
+               AS type_token_ratio,
+           CAST(ROUND(COUNT(CASE WHEN c = 1 THEN 1 END)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+               AS hapax_ratio,
+           CASE WHEN SUM(c) > 1 THEN
+               CAST(ROUND(round(ln(CAST(COUNT(*) AS DOUBLE)), 8)
+                          / round(ln(CAST(SUM(c) AS DOUBLE)), 8), 4)
+                    AS DOUBLE) END AS herdan_c
+    FROM tok
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity dashboard per source: type-token ratio,
+    hapax-legomena fraction, and Herdan's C (ln V / ln N — the
+    length-robust diversity index TTR isn't) — the screen that
+    separates template-generated or boilerplate-heavy sources
+    (few types, no hapaxes) from genuinely diverse text before
+    sampling weights are set. Complements text_zipf_fit (shape of
+    the frequency curve) with its summary statistics.
+
+    Scale shape: one explode to (source, word) counts — the same
+    vocabulary-bounded grain every text key pays — then a per-source
+    rollup of conditional counts. ln values round at 8dp before the
+    ratio so both engines divide identical doubles."""
+    tok = (
+        spark.table("documents")
+        .select("source", F.explode(_tokens()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.count(F.when(F.col("c") == 1, 1))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(
+                F.col("n_types") / F.col("n_tokens").cast("double"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("n_hapax") / F.col("n_types").cast("double"), 6
+            ).alias("hapax_ratio"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.round(
+                    F.round(F.log(F.col("n_types").cast("double")), 8)
+                    / F.round(
+                        F.log(F.col("n_tokens").cast("double")), 8
+                    ),
+                    4,
+                ),
+            ).alias("herdan_c"),
+        )
+        .orderBy("source")
+    )

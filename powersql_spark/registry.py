@@ -549,6 +549,8 @@ _PRIORITY: tuple[str, ...] = (
     "ts_concurrency_sweepline",
     "ts_year_over_year",
     "analytics_basket_size_curve",
+    "text_lexical_diversity",
+    "emb_separation_histogram",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

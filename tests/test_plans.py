@@ -2384,3 +2384,22 @@ def test_basket_size_order_grain(spark, sf_dir):
     assert plan.count("lineitem.parquet") <= plan.count(
         "InMemoryTableScan"
     ) + 1
+
+
+def test_lexical_diversity_vocab_rollup(spark, sf_dir):
+    """Lexical diversity: one explode to (source, word) counts, then
+    a per-source rollup — no joins, no Python."""
+    plan = plan_of(spark, sf_dir, "text_lexical_diversity")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_separation_histogram_bounded_pairs(spark, sf_dir):
+    """Separation histogram: within pairs from the cell equi-join,
+    cross pairs from the bounded sampled panel; bucket rollup with
+    per-type window totals. No unbounded cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "emb_separation_histogram")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "normalized corpus not cached"

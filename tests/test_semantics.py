@@ -6655,3 +6655,82 @@ def test_basket_size_recomputed(spark, sf_dir):
     assert abs(sum(r["order_share"] for r in rows) - 1.0) < 1e-3
     assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-3
     assert sum(r["n_orders"] for r in rows) == t_orders
+
+
+def test_lexical_diversity_recomputed(spark, sf_dir):
+    """TTR / hapax / Herdan's C match a per-source recount; ratios in
+    (0, 1]; Herdan's C positive."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = SPECS["text_lexical_diversity"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents").select("source", "text").collect()
+    per = defaultdict(Counter)
+    for d in docs:
+        per[d["source"]].update(d["text"].strip().split())
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        r = got[src]
+        n_tok = sum(cnt.values())
+        n_typ = len(cnt)
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        assert r["n_tokens"] == n_tok
+        assert r["n_types"] == n_typ
+        assert r["n_hapax"] == hapax
+        assert abs(r["type_token_ratio"] - round(n_typ / n_tok, 6)) < 1e-5
+        assert abs(r["hapax_ratio"] - round(hapax / n_typ, 6)) < 1e-5
+        assert abs(
+            r["herdan_c"]
+            - round(
+                round(math.log(n_typ), 8) / round(math.log(n_tok), 8), 4
+            )
+        ) < 1e-3
+        assert 0 < r["type_token_ratio"] <= 1
+        assert r["herdan_c"] > 0
+
+
+def test_separation_histogram_recomputed(spark, sf_dir):
+    """Bucket counts match a numpy recount for both pair types;
+    shares sum to 1 per type; within-label mass sits at higher
+    cosine than cross-label mass (separability)."""
+    from collections import Counter
+
+    import numpy as np
+
+    rows = SPECS["emb_separation_histogram"].fn(spark, sf_dir).collect()
+    emb = spark.table("embeddings").collect()
+    vecs, labels = {}, {}
+    for r in emb:
+        v = np.array(r["embedding"], dtype=np.float64)
+        vecs[r["vec_id"]] = v
+        labels[r["vec_id"]] = r["label"]
+    nrm = {i: np.sqrt((v * v).sum()) for i, v in vecs.items()}
+    ids = sorted(vecs)
+    hist = Counter()
+    for i in ids:
+        for j in ids:
+            if i < j and labels[i] == labels[j]:
+                c = round(
+                    float(vecs[i] @ vecs[j]) / (nrm[i] * nrm[j]), 4
+                )
+                hist[("within_label", int(np.floor(c * 10)))] += 1
+    for i in [k for k in ids if k % 10 == 0]:
+        for j in [k for k in ids if k % 10 == 3]:
+            if labels[i] != labels[j]:
+                c = round(
+                    float(vecs[i] @ vecs[j]) / (nrm[i] * nrm[j]), 4
+                )
+                hist[("cross_label", int(np.floor(c * 10)))] += 1
+    got = {(r["pair_type"], r["cos_bucket"]): r["n_pairs"] for r in rows}
+    assert got == dict(hist)
+    for pt in ("within_label", "cross_label"):
+        share = sum(
+            r["pair_share"] for r in rows if r["pair_type"] == pt
+        )
+        assert abs(share - 1.0) < 1e-3
+    mean_b = lambda pt: sum(
+        r["cos_bucket"] * r["n_pairs"] for r in rows
+        if r["pair_type"] == pt
+    ) / sum(r["n_pairs"] for r in rows if r["pair_type"] == pt)
+    assert mean_b("within_label") > mean_b("cross_label")
