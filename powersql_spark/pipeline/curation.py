@@ -1589,3 +1589,89 @@ def curation_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_seed_independence",
+    oracle=f"""
+    WITH flags AS (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR) || ':seedA'), 1, 2)
+                   < '80' AS in_a,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':seedB'), 1, 2)
+                   < '80' AS in_b
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN in_a AND in_b THEN 1 END) AS BIGINT)
+               AS n_both,
+           CAST(COUNT(CASE WHEN in_a AND NOT in_b THEN 1 END)
+                AS BIGINT) AS n_only_a,
+           CAST(COUNT(CASE WHEN NOT in_a AND in_b THEN 1 END)
+                AS BIGINT) AS n_only_b,
+           CAST(COUNT(CASE WHEN NOT in_a AND NOT in_b THEN 1 END)
+                AS BIGINT) AS n_neither,
+           {sql_jround(
+               "COUNT(CASE WHEN in_a AND in_b THEN 1 END)"
+               " / CAST(COUNT(*) AS DOUBLE)", 4)} AS joint_rate,
+           {sql_jround(
+               "(COUNT(CASE WHEN in_a THEN 1 END)"
+               " / CAST(COUNT(*) AS DOUBLE))"
+               " * (COUNT(CASE WHEN in_b THEN 1 END)"
+               " / CAST(COUNT(*) AS DOUBLE))", 4)} AS expected_joint,
+           abs(COUNT(CASE WHEN in_a AND in_b THEN 1 END)
+                   / CAST(COUNT(*) AS DOUBLE)
+               - (COUNT(CASE WHEN in_a THEN 1 END)
+                      / CAST(COUNT(*) AS DOUBLE))
+                 * (COUNT(CASE WHEN in_b THEN 1 END)
+                      / CAST(COUNT(*) AS DOUBLE))) < 0.05
+               AS independent_ok
+    FROM flags
+    """,
+)
+def sample_seed_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-independence audit for hash sampling: two ~50% samples
+    drawn with DIFFERENT salts must overlap at ~p*q, not p (the
+    correlated-salt failure this module's header warns about: with a
+    shared hash, a downsample and a split reuse the same coin and
+    compose wrong). Emits the 2x2 membership table, observed vs
+    expected joint rate, and an in-plan independence gate the oracle
+    replays.
+
+    Scale shape: pure map-side hashing folded into ONE conditional
+    aggregate — the audit costs a single scan, no shuffle beyond the
+    one-row rollup."""
+    a = _bucket(F.col("doc_id"), ":seedA") < "80"
+    b = _bucket(F.col("doc_id"), ":seedB") < "80"
+    flags = spark.table("documents").select(
+        a.alias("in_a"), b.alias("in_b")
+    )
+    counts = flags.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("in_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("in_b"), 1)).cast("bigint").alias("n_b"),
+        F.count(F.when(F.col("in_a") & F.col("in_b"), 1))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.when(F.col("in_a") & ~F.col("in_b"), 1))
+        .cast("bigint")
+        .alias("n_only_a"),
+        F.count(F.when(~F.col("in_a") & F.col("in_b"), 1))
+        .cast("bigint")
+        .alias("n_only_b"),
+        F.count(F.when(~F.col("in_a") & ~F.col("in_b"), 1))
+        .cast("bigint")
+        .alias("n_neither"),
+    ).where(F.col("n_docs") > 0)
+    nd = F.col("n_docs").cast("double")
+    joint = F.col("n_both") / nd
+    expected = (F.col("n_a") / nd) * (F.col("n_b") / nd)
+    return counts.select(
+        "n_docs",
+        "n_both",
+        "n_only_a",
+        "n_only_b",
+        "n_neither",
+        F.round(joint, 4).alias("joint_rate"),
+        F.round(expected, 4).alias("expected_joint"),
+        (F.abs(joint - expected) < 0.05).alias("independent_ok"),
+    )

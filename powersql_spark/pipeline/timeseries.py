@@ -3307,3 +3307,115 @@ def ts_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "stats_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    lagged AS (
+        SELECT x - mu AS d,
+               lag(x, 1) OVER (ORDER BY day) - mu AS d1,
+               lag(x, 2) OVER (ORDER BY day) - mu AS d2,
+               lag(x, 3) OVER (ORDER BY day) - mu AS d3,
+               lag(x, 4) OVER (ORDER BY day) - mu AS d4,
+               n
+        FROM daily, m
+    ),
+    r AS (
+        SELECT ANY_VALUE(n) AS n,
+            CAST(SUM(CAST(d * d1 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r1,
+            CAST(SUM(CAST(d * d2 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r2,
+            CAST(SUM(CAST(d * d3 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r3,
+            CAST(SUM(CAST(d * d4 AS DECIMAL(38,12))) AS DOUBLE)
+                / CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)
+                AS r4
+        FROM lagged
+    )
+    SELECT n,
+           {sql_jround(
+               "n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)"
+               " + r3 * r3 / (n - 3) + r4 * r4 / (n - 4))", 4)}
+               AS q_stat,
+           n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+               + r3 * r3 / (n - 3) + r4 * r4 / (n - 4)) > 9.4877
+               AS reject_white_noise_05
+    FROM r
+    WHERE n > 5
+    """,
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (lags 1-4) on the daily series:
+    Q = n(n+2) sum r_k^2/(n-k) against chi-square df=4 (9.4877 at
+    alpha=0.05) — the 'is ANY autocorrelation left' gate run on
+    forecaster residuals (ts_forecast_backtest) and before trusting
+    i.i.d.-assuming tests, where ts_pacf_durbin diagnoses WHICH lag
+    carries the structure.
+
+    Scale shape: identical cost to the PACF key — one daily collapse,
+    decimal-exact ACF sufficient statistics on one row, closed-form
+    statistic."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(dsum("value", "x"))
+    )
+    m = daily.agg(
+        (
+            F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")
+        ).alias("mu"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.join(F.broadcast(m)).select(
+        (F.col("x") - F.col("mu")).alias("d"),
+        *[
+            (F.lag("x", k).over(w) - F.col("mu")).alias(f"d{k}")
+            for k in (1, 2, 3, 4)
+        ],
+        "n",
+    )
+    ds12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    r = lagged.agg(
+        F.first("n").alias("n"),
+        *[
+            (
+                ds12(F.col("d") * F.col(f"d{k}"))
+                / ds12(F.col("d") * F.col("d"))
+            ).alias(f"r{k}")
+            for k in (1, 2, 3, 4)
+        ],
+    )
+    q = (
+        F.col("n")
+        * (F.col("n") + 2.0)
+        * sum(
+            F.col(f"r{k}") * F.col(f"r{k}") / (F.col("n") - k)
+            for k in (1, 2, 3, 4)
+        )
+    )
+    return (
+        r.where(F.col("n") > 5)
+        .select(
+            "n",
+            F.round(q, 4).alias("q_stat"),
+            (q > 9.4877).alias("reject_white_noise_05"),
+        )
+    )

@@ -551,6 +551,8 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_basket_size_curve",
     "text_lexical_diversity",
     "emb_separation_histogram",
+    "sample_seed_independence",
+    "stats_ljung_box",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

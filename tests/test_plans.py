@@ -2403,3 +2403,22 @@ def test_separation_histogram_bounded_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "InMemoryTableScan" in plan, "normalized corpus not cached"
+
+
+def test_seed_independence_single_scan(spark, sf_dir):
+    """Seed audit: pure map-side hashing into one conditional
+    aggregate — no joins, no Python, one corpus scan."""
+    plan = plan_of(spark, sf_dir, "sample_seed_independence")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_ljung_box_one_row_acf(spark, sf_dir):
+    """Ljung-Box: one daily collapse, decimal ACF sufficient
+    statistics on one row, closed-form Q."""
+    plan = plan_of(spark, sf_dir, "stats_ljung_box")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -6734,3 +6734,60 @@ def test_separation_histogram_recomputed(spark, sf_dir):
         if r["pair_type"] == pt
     ) / sum(r["n_pairs"] for r in rows if r["pair_type"] == pt)
     assert mean_b("within_label") > mean_b("cross_label")
+
+
+def test_seed_independence_recomputed(spark, sf_dir):
+    """2x2 membership table matches a hashlib recount; cells sum to
+    n; the independence gate holds (salts really are independent)."""
+    import hashlib
+
+    row = SPECS["sample_seed_independence"].fn(spark, sf_dir).collect()[0]
+    ids = [
+        r["doc_id"]
+        for r in spark.table("documents").select("doc_id").collect()
+    ]
+    h = lambda i, s: hashlib.md5(f"{i}{s}".encode()).hexdigest()[:2] < "80"
+    both = sum(1 for i in ids if h(i, ":seedA") and h(i, ":seedB"))
+    only_a = sum(1 for i in ids if h(i, ":seedA") and not h(i, ":seedB"))
+    only_b = sum(1 for i in ids if not h(i, ":seedA") and h(i, ":seedB"))
+    assert row["n_docs"] == len(ids)
+    assert row["n_both"] == both
+    assert row["n_only_a"] == only_a
+    assert row["n_only_b"] == only_b
+    assert (
+        row["n_both"] + row["n_only_a"] + row["n_only_b"]
+        + row["n_neither"] == len(ids)
+    )
+    assert row["independent_ok"] is True
+    assert abs(row["joint_rate"] - row["expected_joint"]) < 0.05
+
+
+def test_ljung_box_recomputed(spark, sf_dir):
+    """Q matches a from-scratch ACF + portmanteau computation; Q is
+    non-negative."""
+    from collections import defaultdict
+
+    row = SPECS["stats_ljung_box"].fn(spark, sf_dir).collect()[0]
+    ev = spark.table("events").where(
+        F.col("value").isNotNull()
+    ).select(F.date_trunc("day", "ts").cast("date").alias("d"),
+             "value").collect()
+    daily = defaultdict(float)
+    for e in ev:
+        daily[e["d"]] += e["value"]
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    mu = sum(xs) / n
+    d = [x - mu for x in xs]
+    c0 = sum(v * v for v in d)
+    r = [
+        sum(d[t] * d[t - k] for t in range(k, n)) / c0
+        for k in range(1, 5)
+    ]
+    q = n * (n + 2.0) * sum(
+        r[k - 1] ** 2 / (n - k) for k in range(1, 5)
+    )
+    assert row["n"] == n
+    assert abs(row["q_stat"] - round(q, 4)) < 1e-2
+    assert row["q_stat"] >= 0
+    assert row["reject_white_noise_05"] == (q > 9.4877)
