@@ -6170,3 +6170,132 @@ def analytics_basket_size_curve(
         )
         .orderBy("basket_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric.
+#
+# Ratio metrics (revenue per event, clicks per session) have a
+# randomization unit (user) coarser than the denominator unit, so the
+# naive SE is wrong; the delta method on the per-user (x, y) pairs is
+# the standard fix (Deng et al., KDD 2018 "Applying the Delta Method in
+# Metric Analytics"). Shared formula templates keep both engines
+# bit-identical: decimal sufficient sums, one final rounding.
+# ---------------------------------------------------------------------------
+
+_DM_DEC = "DECIMAL(38,12)"
+_DM_VAR = (
+    "((syy - sy * sy / n) / (n - 1)"
+    " - 2 * (sy / sx) * ((sxy - sx * sy / n) / (n - 1))"
+    " + (sy / sx) * (sy / sx) * ((sxx - sx * sx / n) / (n - 1)))"
+    " / (n * (sx / n) * (sx / n))"
+)
+
+
+@query(
+    "stats_delta_method_ratio",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR) || ':delta'), 1, 1)
+                   < '8' AS is_a,
+               CAST(COUNT(*) AS DOUBLE) AS x,
+               CAST(COALESCE(SUM(CAST(value AS DECIMAL(28,6))), 0)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CASE WHEN is_a THEN 'A' ELSE 'B' END AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS {_DM_DEC})) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS {_DM_DEC})) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS {_DM_DEC})) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS {_DM_DEC})) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS {_DM_DEC})) AS DOUBLE) AS sxy
+        FROM per_user GROUP BY 1
+    )
+    SELECT arm, n,
+           {sql_jround("sy / sx", 6)} AS ratio,
+           CASE WHEN n > 1 AND {_DM_VAR} > 0 THEN
+               {sql_jround(f"sqrt({_DM_VAR})", 6)} END AS se,
+           CASE WHEN n > 1 AND {_DM_VAR} > 0 THEN
+               {sql_jround(f"sy / sx - 1.96 * sqrt({_DM_VAR})", 6)}
+           END AS ci_lo,
+           CASE WHEN n > 1 AND {_DM_VAR} > 0 THEN
+               {sql_jround(f"sy / sx + 1.96 * sqrt({_DM_VAR})", 6)}
+           END AS ci_hi
+    FROM mom
+    ORDER BY arm
+    """,
+)
+def stats_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (value per
+    event) randomized at the USER level, per experiment arm: with
+    per-user pairs (x_i = events, y_i = summed value),
+    R = sum(y)/sum(x) and
+    Var(R) ~= (s_yy - 2R s_xy + R^2 s_xx) / (n * xbar^2) — the
+    correct CI where a per-event t-test is wrong because events
+    within a user are correlated (Deng et al. KDD 2018). Completes
+    the experimentation suite's metric coverage: continuous (Welch),
+    binary (proportion z), ordinal (Mann-Whitney), ratio (this key).
+
+    Scale shape: the corpus collapses to one (x, y) pair per user in
+    the first aggregation, then to SIX decimal-exact sufficient sums
+    per arm; everything after is scalar arithmetic on two rows. Both
+    engines evaluate the same formula template on the same doubles,
+    so only the final values round (sql_jround)."""
+    per_user = spark.table("events").groupBy("user_id").agg(
+        F.count("*").cast("double").alias("x"),
+        F.coalesce(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":delta")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    dec = "decimal(38,12)"
+    mom = per_user.groupBy(
+        F.when(is_a, "A").otherwise("B").alias("arm")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r = sy / sx
+    var = (
+        (syy - sy * sy / n) / (n - 1)
+        - 2 * r * ((sxy - sx * sy / n) / (n - 1))
+        + r * r * ((sxx - sx * sx / n) / (n - 1))
+    ) / (n * (sx / n) * (sx / n))
+    ok = (n > 1) & (var > 0)
+    se = F.sqrt(var)
+    return mom.select(
+        "arm",
+        "n",
+        F.round(r, 6).alias("ratio"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok, F.round(r - 1.96 * se, 6)).alias("ci_lo"),
+        F.when(ok, F.round(r + 1.96 * se, 6)).alias("ci_hi"),
+    ).orderBy("arm")

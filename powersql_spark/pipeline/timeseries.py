@@ -3419,3 +3419,115 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             (q > 9.4877).alias("reject_white_noise_05"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kalman filter (local-level model) per user series.
+# ---------------------------------------------------------------------------
+
+_KF_Q = 0.05  # process (state drift) variance
+_KF_R = 1.0  # observation noise variance
+
+
+@query(
+    "ts_kalman_filter",
+    # Recursive-CTE oracle (same per-step strategy as ts_holt_linear:
+    # DuckDB list_reduce mis-evaluates struct accumulators, and a
+    # per-step CTE is an independent evaluation of the recursion).
+    # NULL p marks the first observation (p_prev = R exactly), folded
+    # identically on both engines via COALESCE.
+    oracle=f"""
+    WITH RECURSIVE obs AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ),
+    state AS (
+        SELECT user_id, rn, ts, event_id, value,
+               value AS x, CAST(NULL AS DOUBLE) AS p,
+               CAST(NULL AS DOUBLE) AS iv
+        FROM obs WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn, o.ts, o.event_id, o.value,
+               s.x + ((COALESCE(s.p, {_KF_R}) + {_KF_Q})
+                      / (COALESCE(s.p, {_KF_R}) + {_KF_Q} + {_KF_R}))
+                   * (o.value - s.x) AS x,
+               (1.0 - (COALESCE(s.p, {_KF_R}) + {_KF_Q})
+                      / (COALESCE(s.p, {_KF_R}) + {_KF_Q} + {_KF_R}))
+                   * (COALESCE(s.p, {_KF_R}) + {_KF_Q}) AS p,
+               o.value - s.x AS iv
+        FROM state s JOIN obs o
+          ON o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT user_id, ts, event_id, value,
+           floor(x * 10000) / 10000 AS filtered,
+           floor(COALESCE(p, {_KF_R}) * 10000) / 10000 AS p_var,
+           floor(iv * 10000) / 10000 AS innovation
+    FROM state
+    """,
+)
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level / random-walk-plus-noise model)
+    per user series: predict p_pred = p + Q, gain
+    k = p_pred / (p_pred + R), update x += k * (z - x),
+    p = (1 - k) * p_pred; initialized x_1 = z_1, p_1 = R. The
+    uncertainty-aware smoother completing the EWMA -> Holt ->
+    Holt-Winters ladder: the gain ADAPTS (high while uncertain, then
+    converges to the steady state), and the innovation stream
+    (z - x_pred) is the whitened residual monitoring feeds on
+    (stats_ljung_box tests exactly these for leftover structure).
+
+    Spark shape: the established running-frame left-fold — a
+    (x, p, iv) STRUCT accumulator over a collect_list frame, pure JVM
+    expressions, one (user_id) exchange shared with every other
+    per-series key. Both engines fold bit-identical doubles in
+    identical order; the FLOOR guard (not round) removes decimal
+    half-boundary disagreement, exactly as ts_holt_linear documents.
+    Same O(L^2)-per-series bound and the same mapInPandas escape
+    hatch as EWMA for unbounded histories."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    elem = F.struct(
+        F.col("value").alias("x"),
+        F.lit(None).cast("double").alias("p"),
+        F.lit(None).cast("double").alias("iv"),
+    )
+    obs = F.collect_list(elem).over(w)
+    q_c = F.lit(_KF_Q)
+    r_c = F.lit(_KF_R)
+
+    def step(acc, el):
+        pp = F.coalesce(acc.getField("p"), r_c) + q_c
+        k = pp / (pp + r_c)
+        return F.struct(
+            (
+                acc.getField("x")
+                + k * (el.getField("x") - acc.getField("x"))
+            ).alias("x"),
+            ((F.lit(1.0) - k) * pp).alias("p"),
+            (el.getField("x") - acc.getField("x")).alias("iv"),
+        )
+
+    st = F.aggregate(
+        F.slice(obs, 2, F.greatest(F.size(obs) - 1, F.lit(0))),
+        F.element_at(obs, 1),
+        step,
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.floor(st.getField("x") * 10000) / 10000).alias("filtered"),
+        (
+            F.floor(F.coalesce(st.getField("p"), r_c) * 10000) / 10000
+        ).alias("p_var"),
+        (F.floor(st.getField("iv") * 10000) / 10000).alias(
+            "innovation"
+        ),
+    )

@@ -553,6 +553,8 @@ _PRIORITY: tuple[str, ...] = (
     "emb_separation_histogram",
     "sample_seed_independence",
     "stats_ljung_box",
+    "ts_kalman_filter",
+    "stats_delta_method_ratio",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2422,3 +2422,22 @@ def test_ljung_box_one_row_acf(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_kalman_filter_single_window_fold(spark, sf_dir):
+    """Kalman: one (user_id) window fold, no joins, pure JVM."""
+    plan = plan_of(spark, sf_dir, "ts_kalman_filter")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_delta_method_two_aggregations_no_join(spark, sf_dir):
+    """Delta-method ratio: user collapse then six sufficient sums per
+    arm — two chained aggregates, no join, one corpus scan."""
+    plan = plan_of(spark, sf_dir, "stats_delta_method_ratio")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1

@@ -6791,3 +6791,83 @@ def test_ljung_box_recomputed(spark, sf_dir):
     assert abs(row["q_stat"] - round(q, 4)) < 1e-2
     assert row["q_stat"] >= 0
     assert row["reject_white_noise_05"] == (q > 9.4877)
+
+
+def test_kalman_filter_recursion_and_convergence(spark, sf_dir):
+    """Kalman output matches the textbook recursion replayed in pure
+    Python for the busiest user; p starts at R, decreases
+    monotonically, and converges to the steady-state variance
+    p* = (-Q + sqrt(Q^2 + 4 Q R)) / 2 = 0.2."""
+    import math
+
+    rows = (
+        SPECS["ts_kalman_filter"].fn(spark, sf_dir)
+        .orderBy("user_id", "ts", "event_id").collect()
+    )
+    by_user = {}
+    for row in rows:
+        by_user.setdefault(row["user_id"], []).append(row)
+    uid, series = max(by_user.items(), key=lambda kv: len(kv[1]))
+    assert len(series) >= 20
+    q, r = 0.05, 1.0
+    x, p = series[0]["value"], r
+    assert series[0]["filtered"] == math.floor(x * 10000) / 10000
+    assert series[0]["p_var"] == 1.0
+    assert series[0]["innovation"] is None
+    prev_p = p
+    for row in series[1:]:
+        pp = p + q
+        k = pp / (pp + r)
+        iv = row["value"] - x
+        x = x + k * (row["value"] - x)
+        p = (1 - k) * pp
+        assert abs(row["filtered"] - math.floor(x * 1e4) / 1e4) < 1e-9
+        assert abs(row["p_var"] - math.floor(p * 1e4) / 1e4) < 1e-9
+        assert abs(row["innovation"] - math.floor(iv * 1e4) / 1e4) < 1e-9
+        # variance shrinks toward p* (non-strict once the fixed
+        # point is reached in float)
+        assert p <= prev_p + 1e-15
+        prev_p = p
+    p_star = (-q + math.sqrt(q * q + 4 * q * r)) / 2
+    assert abs(p_star - 0.2) < 1e-12
+    assert abs(series[-1]["p_var"] - p_star) < 0.01
+
+
+def test_delta_method_matches_python_and_brackets_ratio(spark, sf_dir):
+    """Per-arm ratio/SE match a from-scratch delta-method computation
+    on the collected per-user pairs; the CI brackets the ratio."""
+    import hashlib
+    import math
+
+    out = {
+        r["arm"]: r
+        for r in SPECS["stats_delta_method_ratio"].fn(spark, sf_dir).collect()
+    }
+    assert set(out) == {"A", "B"}
+    ev = spark.table("events").select("user_id", "value").collect()
+    per = {}
+    for e in ev:
+        x, y = per.get(e["user_id"], (0, 0.0))
+        per[e["user_id"]] = (x + 1, y + (e["value"] or 0.0))
+    arms = {"A": [], "B": []}
+    for uid, (x, y) in per.items():
+        h = hashlib.md5(f"{uid}:delta".encode()).hexdigest()
+        arms["A" if h[0] < "8" else "B"].append((float(x), y))
+    for arm, pairs in arms.items():
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        ratio = sy / sx
+        var = (
+            (syy - sy * sy / n) / (n - 1)
+            - 2 * ratio * ((sxy - sx * sy / n) / (n - 1))
+            + ratio**2 * ((sxx - sx * sx / n) / (n - 1))
+        ) / (n * (sx / n) ** 2)
+        row = out[arm]
+        assert row["n"] == n
+        assert abs(row["ratio"] - ratio) < 1e-4
+        assert abs(row["se"] - math.sqrt(var)) < 1e-4
+        assert row["ci_lo"] < row["ratio"] < row["ci_hi"]
