@@ -616,3 +616,150 @@ def fn_data_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("OTHER")
         .alias("segment_coarse"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# IPv4 parse + CIDR longest-prefix-match enrichment.
+#
+# The log-pipeline classic (IP -> network/geo/ASN lookup). IPs are
+# md5-planted per user (the testdata has no IP column — same
+# plant-and-verify pattern as text_pii_redact); the CIDR table is a
+# VALUES dim with OVERLAPPING blocks so longest-prefix actually
+# decides. The match is one broadcast hash equi-join per DISTINCT
+# prefix length (here 4) on the truncated network key — never a range
+# or nested-loop join — and longest-prefix is a COALESCE down the
+# length-sorted match columns: the whole key is map-only on the fact
+# side.
+# ---------------------------------------------------------------------------
+
+# (name, first-octet base, prefix_len). Net key = ip DIV 2^(32-len).
+_CIDR_BLOCKS = (
+    ("half-low", 0, 1),  # 0.0.0.0/1
+    ("quarter-2", 64, 2),  # 64.0.0.0/2
+    ("eighth-5", 160, 3),  # 160.0.0.0/3
+    ("corp-10", 10, 8),  # 10.0.0.0/8
+    ("corp-192", 192, 8),  # 192.0.0.0/8
+)
+_CIDR_LENS = sorted({b[2] for b in _CIDR_BLOCKS}, reverse=True)
+
+
+def _ip_octet_sql(k: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ip'),"
+        f" {2 * k - 1}, 2))::BIGINT"
+    )
+
+
+@query(
+    "fn_ip_cidr",
+    oracle=f"""
+    WITH ips AS (
+        SELECT event_id,
+               {_ip_octet_sql(1)} * 16777216 + {_ip_octet_sql(2)} * 65536
+                   + {_ip_octet_sql(3)} * 256 + {_ip_octet_sql(4)} AS ip,
+               CAST({_ip_octet_sql(1)} AS VARCHAR) || '.' ||
+               CAST({_ip_octet_sql(2)} AS VARCHAR) || '.' ||
+               CAST({_ip_octet_sql(3)} AS VARCHAR) || '.' ||
+               CAST({_ip_octet_sql(4)} AS VARCHAR) AS ip_str
+        FROM events
+    ),
+    cidr(block, base, len) AS (VALUES {", ".join(
+        f"('{n}', {b}, {l})" for n, b, l in _CIDR_BLOCKS)})
+    SELECT i.event_id, i.ip_str,
+           COALESCE({", ".join(
+               f"m{l}.block" for l in _CIDR_LENS)}, 'unrouted') AS block,
+           CAST(COALESCE({", ".join(
+               f"CASE WHEN m{l}.block IS NOT NULL THEN {l} END"
+               for l in _CIDR_LENS)}, 0) AS BIGINT) AS prefix_len
+    FROM ips i
+    {" ".join(
+        f"LEFT JOIN (SELECT block, CAST(base AS BIGINT) * 16777216"
+        f" // {2 ** (32 - l)}"
+        f" AS net, len FROM cidr WHERE len = {l}) m{l}"
+        f" ON i.ip // {2 ** (32 - l)} = m{l}.net"
+        for l in _CIDR_LENS)}
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parsing + CIDR longest-prefix-match enrichment: each
+    event's (md5-planted) source IP is routed to the most specific of
+    5 OVERLAPPING network blocks (/1 /2 /3 /8) — the network/geo/ASN
+    lookup every access-log pipeline runs. LPM over a bounded set of
+    prefix lengths decomposes into one broadcast hash EQUI-join per
+    distinct length on the truncated key ip DIV 2^(32-len) (the
+    standard trick — never a BETWEEN range join), then a COALESCE
+    down the length-descending match columns.
+
+    Scale shape: the fact side is map-only — 4 chained broadcast
+    joins against 1-5-row dims, no exchange, no row multiplication,
+    no explode; at 100 TB with a real routing table the same plan
+    holds (one dim partition per prefix length, each broadcast).
+    All-integer arithmetic; the md5-derived octets replay
+    bit-for-bit in DuckDB."""
+    o = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit(":ip")
+                    ).cast("binary")
+                ),
+                2 * k - 1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        for k in (1, 2, 3, 4)
+    ]
+    ips = spark.table("events").select(
+        "event_id",
+        (
+            o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+        ).alias("ip"),
+        F.concat_ws(
+            ".", *[x.cast("string") for x in o]
+        ).alias("ip_str"),
+    )
+    cidr = spark.createDataFrame(
+        list(_CIDR_BLOCKS), "block string, base long, len int"
+    )
+    out = ips
+    for l in _CIDR_LENS:
+        dim = (
+            cidr.where(F.col("len") == l)
+            .select(
+                F.col("block").alias(f"block_{l}"),
+                (
+                    F.col("base")
+                    * 16777216
+                    / F.lit(2 ** (32 - l)).cast("long")
+                )
+                .cast("bigint")
+                .alias(f"net_{l}"),
+            )
+        )
+        out = out.join(
+            F.broadcast(dim),
+            (F.col("ip") / F.lit(2 ** (32 - l)).cast("long")).cast(
+                "bigint"
+            )
+            == F.col(f"net_{l}"),
+            "left",
+        )
+    return out.select(
+        "event_id",
+        "ip_str",
+        F.coalesce(
+            *[F.col(f"block_{l}") for l in _CIDR_LENS], F.lit("unrouted")
+        ).alias("block"),
+        F.coalesce(
+            *[
+                F.when(F.col(f"block_{l}").isNotNull(), F.lit(l))
+                for l in _CIDR_LENS
+            ],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prefix_len"),
+    )

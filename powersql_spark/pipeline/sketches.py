@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.catalog import track_persist
+from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
 _D = 4  # hash rows (seeds)
@@ -969,4 +970,148 @@ def sketch_countmin_width_curve(
             "frac_exact",
         )
         .orderBy("width")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch — self-join size estimation.
+#
+# F2 = sum_k c_k^2 is the size of a self-equi-join, the quantity a
+# query planner needs before choosing a join strategy; the AMS sketch
+# estimates it from 64 random-sign counters S_j = sum_u c_u * sign_j(u)
+# (E[S^2] = F2), mean-of-16 within each of 4 groups, lower-median
+# across groups. Signs are md5-derived, so the DuckDB oracle replays
+# every counter bit-for-bit — integer arithmetic end to end, one final
+# division.
+# ---------------------------------------------------------------------------
+
+_AMS_GROUPS = 4
+_AMS_PER_GROUP = 16
+
+
+def _ams_sign_sql(j: int) -> str:
+    return (
+        f"(1 - 2 * (('0x' || substr(md5(CAST(user_id AS VARCHAR)"
+        f" || '#ams{j}'), 1, 1))::BIGINT % 2))"
+    )
+
+
+@query(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+               {", ".join(
+                   f"CAST(SUM(c * {_ams_sign_sql(j)}) AS BIGINT) AS s{j}"
+                   for j in range(_AMS_GROUPS * _AMS_PER_GROUP))}
+        FROM per_key
+    ),
+    est AS (
+        SELECT n_rows, n_keys, f2_exact,
+               list_sort([{", ".join(
+                   "CAST((" + " + ".join(
+                       f"s{g * _AMS_PER_GROUP + i} * s{g * _AMS_PER_GROUP + i}"
+                       for i in range(_AMS_PER_GROUP)) +
+                   f") AS DOUBLE) / {_AMS_PER_GROUP}"
+                   for g in range(_AMS_GROUPS))}])[2] AS f2_estimate
+        FROM s
+    )
+    SELECT n_rows, n_keys, f2_exact, f2_estimate,
+           {sql_jround("(f2_estimate - f2_exact) / f2_exact", 4)} AS rel_err,
+           f2_estimate > 0.5 * f2_exact
+               AND f2_estimate < 2.0 * f2_exact AS within_2x
+    FROM est
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch over the events user_id key:
+    estimates the SELF-JOIN SIZE sum(c_u^2) — what a planner wants
+    before picking a strategy for events JOIN events ON user_id —
+    from 64 md5-derived +/-1 counters, mean-of-16 within each of 4
+    groups, LOWER median across groups (no interpolation). Joins the
+    mergeable-sketch family (count-min: point frequency; KMV/HLL/
+    theta: distinct; Bloom: membership; this: join size).
+
+    Scale shape: the corpus collapses once to the per-key count table
+    (one exchange, map-side combinable); the 64 sign counters and the
+    exact F2 ride ONE single-row aggregate over that key table, so
+    the sketch costs one pass and constant state — and the counters
+    are linearly mergeable across partitions/days by construction.
+    All integer arithmetic (signs, counters, squares) until the
+    /16 group means (exact dyadic rationals) and one final rel_err
+    rounding; the estimate replays bit-for-bit in DuckDB."""
+    per_key = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+    def sign(j: int):
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(f"#ams{j}"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        return 1 - 2 * bit
+
+    s = per_key.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+        *[
+            F.sum(F.col("c") * sign(j)).cast("bigint").alias(f"s{j}")
+            for j in range(_AMS_GROUPS * _AMS_PER_GROUP)
+        ],
+    )
+    group_means = [
+        (
+            sum(
+                F.col(f"s{g * _AMS_PER_GROUP + i}")
+                * F.col(f"s{g * _AMS_PER_GROUP + i}")
+                for i in range(_AMS_PER_GROUP)
+            ).cast("double")
+            / _AMS_PER_GROUP
+        )
+        for g in range(_AMS_GROUPS)
+    ]
+    est = s.select(
+        "n_rows",
+        "n_keys",
+        "f2_exact",
+        F.element_at(F.array_sort(F.array(*group_means)), 2).alias(
+            "f2_estimate"
+        ),
+    )
+    return est.select(
+        "n_rows",
+        "n_keys",
+        "f2_exact",
+        "f2_estimate",
+        F.round(
+            (F.col("f2_estimate") - F.col("f2_exact"))
+            / F.col("f2_exact"),
+            4,
+        ).alias("rel_err"),
+        (
+            (F.col("f2_estimate") > 0.5 * F.col("f2_exact"))
+            & (F.col("f2_estimate") < 2.0 * F.col("f2_exact"))
+        ).alias("within_2x"),
     )

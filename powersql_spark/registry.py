@@ -555,6 +555,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_ljung_box",
     "ts_kalman_filter",
     "stats_delta_method_ratio",
+    "sketch_ams_f2",
+    "fn_ip_cidr",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

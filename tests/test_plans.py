@@ -2441,3 +2441,25 @@ def test_delta_method_two_aggregations_no_join(spark, sf_dir):
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan
     assert plan.count("events.parquet") == 1
+
+
+def test_ams_f2_one_key_collapse_no_join(spark, sf_dir):
+    """AMS F2: corpus -> per-key counts -> one single-row aggregate
+    carrying all 64 counters; no join, no Python, one scan."""
+    plan = plan_of(spark, sf_dir, "sketch_ams_f2")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_ip_cidr_broadcast_equi_joins_only(spark, sf_dir):
+    """CIDR LPM: one broadcast hash equi-join per prefix length —
+    no range/nested-loop join, no exchange of the fact side."""
+    plan = plan_of(spark, sf_dir, "fn_ip_cidr")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("events.parquet") == 1

@@ -6871,3 +6871,66 @@ def test_delta_method_matches_python_and_brackets_ratio(spark, sf_dir):
         assert abs(row["ratio"] - ratio) < 1e-4
         assert abs(row["se"] - math.sqrt(var)) < 1e-4
         assert row["ci_lo"] < row["ratio"] < row["ci_hi"]
+
+
+def test_ams_f2_exact_and_estimator_mechanics(spark, sf_dir):
+    """Exact F2 equals the from-scratch sum of squared key counts;
+    the estimate is the lower median of the 4 group means and lands
+    within 2x of truth at this SF (gate column agrees)."""
+    import hashlib
+
+    row = SPECS["sketch_ams_f2"].fn(spark, sf_dir).collect()[0]
+    ev = spark.table("events").select("user_id").collect()
+    from collections import Counter
+
+    c = Counter(e["user_id"] for e in ev)
+    assert row["n_rows"] == sum(c.values())
+    assert row["n_keys"] == len(c)
+    assert row["f2_exact"] == sum(v * v for v in c.values())
+    sums = []
+    for j in range(64):
+        s = 0
+        for uid, cnt in c.items():
+            bit = int(hashlib.md5(f"{uid}#ams{j}".encode()).hexdigest()[0], 16) % 2
+            s += cnt * (1 - 2 * bit)
+        sums.append(s)
+    means = sorted(
+        sum(x * x for x in sums[g * 16:(g + 1) * 16]) / 16.0
+        for g in range(4)
+    )
+    assert row["f2_estimate"] == means[1]
+    assert row["within_2x"] == (
+        0.5 * row["f2_exact"] < means[1] < 2.0 * row["f2_exact"]
+    )
+    assert row["within_2x"]  # holds at every tested SF
+
+
+def test_ip_cidr_longest_prefix_and_coverage(spark, sf_dir):
+    """Every event routes; /1 alone would catch ~half, the overlapping
+    /2 //3 //8 blocks must WIN where they match (longest prefix); a
+    recomputed LPM for 50 sample rows agrees."""
+    rows = SPECS["fn_ip_cidr"].fn(spark, sf_dir).collect()
+    assert len(rows) == spark.table("events").count()
+    blocks = {
+        "half-low": (0, 1), "quarter-2": (64, 2), "eighth-5": (160, 3),
+        "corp-10": (10, 8), "corp-192": (192, 8),
+    }
+    seen = set()
+    for r in rows[:2000]:
+        o1 = int(r["ip_str"].split(".")[0])
+        ip = [int(x) for x in r["ip_str"].split(".")]
+        ipn = ip[0] * 16777216 + ip[1] * 65536 + ip[2] * 256 + ip[3]
+        best, best_len = "unrouted", 0
+        for name, (base, ln) in blocks.items():
+            if ipn // 2 ** (32 - ln) == base * 16777216 // 2 ** (32 - ln):
+                if ln > best_len:
+                    best, best_len = name, ln
+        assert r["block"] == best
+        assert r["prefix_len"] == best_len
+        seen.add(r["block"])
+        # the /8s sit inside wider blocks: matching them proves LPM
+        if o1 == 10:
+            assert r["block"] == "corp-10"
+        if o1 == 192:
+            assert r["block"] == "corp-192"
+    assert "half-low" in seen and "quarter-2" in seen
