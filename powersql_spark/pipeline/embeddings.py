@@ -2071,3 +2071,159 @@ def emb_separation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pair_share"),
     ).orderBy("pair_type", "cos_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette over sign-hash cells.
+#
+# The INTERNAL clustering-quality metric beside emb_cluster_purity's
+# external one: a(i) = distance to own cell centroid, b(i) = distance
+# to the nearest OTHER cell centroid, s = (b - a) / max(a, b). The
+# "simplified silhouette" (centroid distances instead of all-pairs
+# mean distances) is the form that scales — O(n * k) instead of
+# O(n^2) — and is what production clustering evaluation actually runs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_silhouette_simplified",
+    # Same determinism scheme as emb_outlier_distance: decimal-exact
+    # centroid sums, 6dp-rounded squared deviations folded in DECIMAL,
+    # sqrt outputs rounded at 6dp (irrational — never on a boundary),
+    # final ratio jrounded. The oracle evaluates via an explicit
+    # (vector x cell) join — a different strategy from Spark's
+    # map-only array fold, same rounded arithmetic.
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    asg AS (
+        SELECT vec_id, v,
+               CAST((CASE WHEN v[1] >= 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN v[2] >= 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN v[3] >= 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN v[4] >= 0 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS cell
+        FROM e
+    ),
+    cent AS (
+        SELECT cell, i,
+               CAST(SUM(CAST(list_extract(v, i) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS c
+        FROM asg, unnest(range(1, {_DIM + 1})) AS u(i)
+        GROUP BY cell, i
+    ),
+    carr AS (
+        SELECT cell, list(c ORDER BY i) AS c FROM cent GROUP BY cell
+    ),
+    dist AS (
+        SELECT a.vec_id, a.cell, r.cell AS other_cell,
+               round(sqrt(CAST(list_sum(
+                   list_transform(range(1, {_DIM + 1}),
+                       i -> CAST(round(pow(
+                                list_extract(a.v, i)
+                                - list_extract(r.c, i), 2), 6)
+                             AS DECIMAL(18,6)))) AS DOUBLE)), 6) AS d
+        FROM asg a CROSS JOIN carr r
+    ),
+    ab AS (
+        SELECT vec_id, cell,
+               MIN(CASE WHEN other_cell = cell THEN d END) AS a_dist,
+               MIN(CASE WHEN other_cell <> cell THEN d END) AS b_dist
+        FROM dist GROUP BY vec_id, cell
+    )
+    SELECT vec_id, cell, a_dist, b_dist,
+           CASE WHEN b_dist IS NOT NULL
+                     AND greatest(a_dist, b_dist) > 0 THEN
+               {sql_jround(
+                   "(b_dist - a_dist) / greatest(a_dist, b_dist)", 4)}
+               WHEN b_dist IS NOT NULL THEN 0.0 END AS silhouette
+    FROM ab
+    """,
+)
+def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score per vector over the 16 sign-hash
+    cells: a = L2 distance to the OWN cell centroid, b = distance to
+    the nearest OTHER populated cell's centroid,
+    s = (b - a) / max(a, b) in [-1, 1] (negative = probably
+    mis-clustered; the within-cell-dedup trust gate beside
+    emb_cluster_purity's label-based purity). Centroid distances
+    instead of all-pairs — the O(n*k) form that scales.
+
+    Spark shape: cell assignment is map-only bit arithmetic; the
+    centroid reduce ships scalar partials (posexplode, never whole
+    vectors); the 16 centroid arrays collapse to ONE row broadcast
+    against the corpus, so the scoring pass is map-only higher-order
+    folds — no row multiplication, no second exchange. The oracle
+    replays via an explicit vector-x-cell join: same rounded
+    arithmetic, independently different plan."""
+    e = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bit = lambda i, w: F.when(  # noqa: E731
+        F.element_at("v", i) >= 0, w
+    ).otherwise(0)
+    asg = e.select(
+        "vec_id",
+        "v",
+        (bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1))
+        .cast("int")
+        .alias("cell"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    asg = track_persist(asg)
+    cent = (
+        asg.select("cell", F.posexplode("v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast(DEC)).cast("double") / F.count("*")
+            ).alias("c")
+        )
+    )
+    carr = cent.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s.c,
+        ).alias("c")
+    )
+    allc = carr.agg(
+        F.collect_list(F.struct("cell", "c")).alias("cents")
+    )
+    d_of = lambda cv: F.round(  # noqa: E731
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    cv,
+                    lambda x, c: F.round(F.pow(x - c, 2), 6).cast(DEC),
+                ),
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        ),
+        6,
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(s.cell.alias("cell"), d_of(s.c).alias("d")),
+    )
+    own = F.filter(dists, lambda s: s.cell == F.col("cell"))
+    others = F.filter(dists, lambda s: s.cell != F.col("cell"))
+    a_d = F.element_at(own, 1).d
+    b_d = F.array_min(F.transform(others, lambda s: s.d))
+    s_val = F.when(
+        b_d.isNotNull() & (F.greatest(a_d, b_d) > 0),
+        F.round((b_d - a_d) / F.greatest(a_d, b_d), 4),
+    ).when(b_d.isNotNull(), F.lit(0.0))
+    return asg.crossJoin(F.broadcast(allc)).select(
+        "vec_id",
+        "cell",
+        a_d.alias("a_dist"),
+        b_d.alias("b_dist"),
+        s_val.alias("silhouette"),
+    )

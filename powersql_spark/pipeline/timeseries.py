@@ -3531,3 +3531,136 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "innovation"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic discretization (Lin et al. 2003).
+# ---------------------------------------------------------------------------
+
+_SAX_W = 8  # PAA segments per series (word length)
+# Gaussian breakpoints for alphabet size 4: P(Z < -0.6745) = 0.25 etc.
+_SAX_B1, _SAX_B2 = -0.6745, 0.6745
+
+
+@query(
+    "ts_sax_symbolic",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id, value,
+               ntile({_SAX_W}) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS seg
+        FROM events WHERE value IS NOT NULL
+    ),
+    mom AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               sqrt(greatest(
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))
+                            * CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE) / COUNT(*)
+                   - pow(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*), 2),
+                   0.0)) AS sd
+        FROM obs GROUP BY user_id HAVING COUNT(*) >= {2 * _SAX_W}
+    ),
+    paa AS (
+        SELECT user_id, seg,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM obs GROUP BY user_id, seg
+    ),
+    letters AS (
+        SELECT p.user_id, p.seg, o.n_obs,
+               CASE WHEN o.sd = 0 THEN 'c'
+                    WHEN (p.m - o.mu) / o.sd < {_SAX_B1} THEN 'a'
+                    WHEN (p.m - o.mu) / o.sd < 0 THEN 'b'
+                    WHEN (p.m - o.mu) / o.sd < {_SAX_B2} THEN 'c'
+                    ELSE 'd' END AS letter
+        FROM paa p JOIN mom o USING (user_id)
+    )
+    SELECT user_id, ANY_VALUE(n_obs) AS n_obs,
+           string_agg(letter, '' ORDER BY seg) AS sax_word
+    FROM letters GROUP BY user_id
+    """,
+)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. 2003) per
+    user series: z-normalize, Piecewise Aggregate Approximation into
+    8 equal-count segments (NTILE over the tie-broken order),
+    then map each segment mean to a 4-letter alphabet by the Gaussian
+    quartile breakpoints (+-0.6745) — every series becomes an 8-char
+    word. THE discretization behind motif discovery, series indexing,
+    and symbolic anomaly screens: words equal => series similar, and
+    downstream the word is a GROUP BY key, not a vector.
+
+    Scale shape: one (user_id) exchange shared by the NTILE window
+    and both aggregates; decimal-exact moment and segment sums; z is
+    only ever COMPARED (never rounded/emitted), and both engines
+    build it from identical doubles, so the letters — and the word,
+    assembled in segment order — hash-match without any rounding
+    guard. Constant state per series; series length never
+    materializes as width."""
+    obs = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            F.ntile(_SAX_W)
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("seg"),
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    obs = track_persist(obs)
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    mom = (
+        obs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            (F.sum(dec("value")).cast("double") / F.count("*")).alias(
+                "mu"
+            ),
+            F.sqrt(
+                F.greatest(
+                    F.sum(dec("value") * dec("value")).cast("double")
+                    / F.count("*")
+                    - F.pow(
+                        F.sum(dec("value")).cast("double")
+                        / F.count("*"),
+                        2,
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("sd"),
+        )
+        .where(F.col("n_obs") >= 2 * _SAX_W)
+    )
+    paa = obs.groupBy("user_id", "seg").agg(
+        (F.sum(dec("value")).cast("double") / F.count("*")).alias("m")
+    )
+    z = (F.col("m") - F.col("mu")) / F.col("sd")
+    letter = (
+        F.when(F.col("sd") == 0, "c")
+        .when(z < _SAX_B1, "a")
+        .when(z < 0, "b")
+        .when(z < _SAX_B2, "c")
+        .otherwise("d")
+    )
+    letters = paa.join(mom, "user_id").select(
+        "user_id", "seg", "n_obs", letter.alias("letter")
+    )
+    return letters.groupBy("user_id").agg(
+        F.first("n_obs").alias("n_obs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg", "letter"))
+                ),
+                lambda s: s.letter,
+            ),
+            "",
+        ).alias("sax_word"),
+    )

@@ -557,6 +557,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_delta_method_ratio",
     "sketch_ams_f2",
     "fn_ip_cidr",
+    "ts_sax_symbolic",
+    "emb_silhouette_simplified",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

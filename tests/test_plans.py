@@ -2463,3 +2463,22 @@ def test_ip_cidr_broadcast_equi_joins_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert plan.count("events.parquet") == 1
+
+
+def test_sax_one_exchange_no_python(spark, sf_dir):
+    """SAX: NTILE window + both aggregates share the (user_id)
+    exchange; no Python, one corpus scan."""
+    plan = plan_of(spark, sf_dir, "ts_sax_symbolic")
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_one_row_broadcast_scoring(spark, sf_dir):
+    """Silhouette: the 16 centroid arrays collapse to ONE broadcast
+    row; the scoring pass is a map-only fold (the only nested-loop
+    join is that 1-row broadcast), no vector shuffle."""
+    plan = plan_of(spark, sf_dir, "emb_silhouette_simplified")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

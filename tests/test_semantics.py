@@ -6934,3 +6934,86 @@ def test_ip_cidr_longest_prefix_and_coverage(spark, sf_dir):
         if o1 == 192:
             assert r["block"] == "corp-192"
     assert "half-low" in seen and "quarter-2" in seen
+
+
+def test_sax_words_recomputed(spark, sf_dir):
+    """SAX words match a pure-Python PAA + breakpoint replay for
+    every series; alphabet is {a,b,c,d}; word length == 8."""
+    rows = SPECS["ts_sax_symbolic"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        spark.table("events").where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value").collect()
+    )
+    series = {}
+    for e in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        series.setdefault(e["user_id"], []).append(e["value"])
+    import math
+
+    expected = {}
+    for uid, xs in series.items():
+        n = len(xs)
+        if n < 16:
+            continue
+        mu = sum(xs) / n
+        sd = math.sqrt(max(sum(x * x for x in xs) / n - mu * mu, 0.0))
+        # ntile: first (n % 8) segments get one extra row
+        base, extra = divmod(n, 8)
+        word = []
+        pos = 0
+        for seg in range(8):
+            size = base + (1 if seg < extra else 0)
+            m = sum(xs[pos:pos + size]) / size
+            pos += size
+            if sd == 0:
+                word.append("c")
+            else:
+                z = (m - mu) / sd
+                word.append(
+                    "a" if z < -0.6745 else
+                    "b" if z < 0 else "c" if z < 0.6745 else "d"
+                )
+        expected[uid] = ("".join(word), n)
+    assert len(rows) == len(expected)
+    for r in rows:
+        w, n = expected[r["user_id"]]
+        assert r["n_obs"] == n
+        assert len(r["sax_word"]) == 8
+        assert set(r["sax_word"]) <= set("abcd")
+        assert r["sax_word"] == w
+
+
+def test_silhouette_range_and_recomputation(spark, sf_dir):
+    """Silhouette in [-1, 1]; a/b distances match a numpy replay of
+    the centroid geometry for every vector; majority of vectors
+    score positive (sign-hash cells do separate the space)."""
+    import numpy as np
+
+    rows = SPECS["emb_silhouette_simplified"].fn(spark, sf_dir).collect()
+    emb = spark.table("embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb}
+    assert len(rows) == len(vecs)
+    cells = {}
+    for vid, v in vecs.items():
+        c = (8 * (v[0] >= 0) + 4 * (v[1] >= 0) + 2 * (v[2] >= 0)
+             + (v[3] >= 0))
+        cells.setdefault(int(c), []).append(vid)
+    cents = {c: np.mean([vecs[i] for i in ids], axis=0)
+             for c, ids in cells.items()}
+    pos = 0
+    for r in rows:
+        v = vecs[r["vec_id"]]
+        dists = {c: float(np.sqrt(np.sum((v - ce) ** 2)))
+                 for c, ce in cents.items()}
+        a = dists[r["cell"]]
+        others = [d for c, d in dists.items() if c != r["cell"]]
+        assert abs(r["a_dist"] - a) < 1e-3
+        if others:
+            b = min(others)
+            assert abs(r["b_dist"] - b) < 1e-3
+            s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+            assert abs(r["silhouette"] - s) < 1e-3
+            assert -1.0 <= r["silhouette"] <= 1.0
+            pos += r["silhouette"] > 0
+    assert pos > len(rows) // 2
