@@ -6299,3 +6299,195 @@ def stats_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(r - 1.96 * se, 6)).alias("ci_lo"),
         F.when(ok, F.round(r + 1.96 * se, 6)).alias("ci_hi"),
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# Fisher's exact test (2x2, one-sided) — lang vs document length.
+#
+# The exact-inference sibling of stats_chi2_independence: valid at ANY
+# cell count (chi-square needs expected counts >= 5). The
+# hypergeometric tail is computed WITHOUT factorials via the pmf
+# ratio recurrence p(k+1)/p(k) = (K-k)(n-k) / ((k+1)(N-K-n+k+1)):
+# a cumulative-sum window over ln-ratios along the support spine,
+# max-shifted exp (log-sum-exp), terms rounded to 18dp DECIMAL before
+# the order-independent sum. Cross-engine ln/exp ulp differences stay
+# ~1e-15 and wash out at the driver's 6dp float hash.
+# ---------------------------------------------------------------------------
+
+_FE_LONG = 500  # n_chars >= threshold -> "long" document
+
+
+@query(
+    "stats_fisher_exact",
+    oracle=f"""
+    WITH ct AS (
+        SELECT
+            CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= {_FE_LONG}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN lang = 'en' AND n_chars < {_FE_LONG}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= {_FE_LONG}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN lang <> 'en' AND n_chars < {_FE_LONG}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM documents
+        HAVING COUNT(*) > 0
+    ),
+    marg AS (
+        SELECT a, b, c, d, a + b + c + d AS nn,
+               a + b AS kk, a + c AS nc,
+               greatest(0, (a + c) + (a + b) - (a + b + c + d)) AS kmin,
+               least(a + b, a + c) AS kmax
+        FROM ct
+    ),
+    spine AS (
+        SELECT m.*, u.k,
+               CASE WHEN u.k = m.kmin THEN 0.0
+                    ELSE ln(CAST(m.kk - u.k + 1 AS DOUBLE))
+                       + ln(CAST(m.nc - u.k + 1 AS DOUBLE))
+                       - ln(CAST(u.k AS DOUBLE))
+                       - ln(CAST(m.nn - m.kk - m.nc + u.k AS DOUBLE))
+               END AS lnr
+        FROM marg m, unnest(range(m.kmin, m.kmax + 1)) AS u(k)
+    ),
+    lnq AS (
+        SELECT *, SUM(lnr) OVER (ORDER BY k) AS q
+        FROM spine
+    ),
+    shifted AS (
+        SELECT *, MAX(q) OVER () AS mx FROM lnq
+    ),
+    sums AS (
+        SELECT ANY_VALUE(a) AS a, ANY_VALUE(b) AS b,
+               ANY_VALUE(c) AS c, ANY_VALUE(d) AS d,
+               ANY_VALUE(nn) AS n_total,
+               ANY_VALUE(kk) AS kk, ANY_VALUE(nc) AS nc,
+               CAST(SUM(CAST(round(exp(q - mx), 18)
+                             AS DECIMAL(38,18))) AS DOUBLE) AS z_all,
+               CAST(SUM(CASE WHEN k >= a
+                    THEN CAST(round(exp(q - mx), 18)
+                              AS DECIMAL(38,18))
+                    ELSE CAST(0 AS DECIMAL(38,18)) END)
+                    AS DOUBLE) AS z_tail
+        FROM shifted
+    )
+    SELECT a, b, c, d, n_total,
+           CASE WHEN b * c > 0 THEN
+               {sql_jround("CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)", 4)}
+           END AS odds_ratio,
+           {sql_jround("CAST(kk AS DOUBLE) * nc / n_total", 4)}
+               AS expected_a,
+           {sql_jround("z_tail / z_all", 6)} AS p_one_sided,
+           CAST(a AS DOUBLE) > CAST(kk AS DOUBLE) * nc / n_total
+               AS enriched
+    FROM sums
+    """,
+)
+def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (one-sided, enrichment direction) on the
+    2x2 table lang=='en' x long-document (n_chars >= 500): the exact
+    hypergeometric tail P(X >= a | margins) — valid at ANY cell
+    count, where stats_chi2_independence's asymptotics need expected
+    counts >= 5. No factorials: the pmf ratio recurrence turns the
+    support into a ln-ratio spine, one ordered cumulative-sum window
+    builds ln q(k), and a max-shifted (log-sum-exp) pair of
+    decimal-rounded sums forms the tail ratio — numerically stable
+    at any N and order-independent under partitioning.
+
+    Scale shape: ONE corpus scan collapses to four integers; the
+    support spine is at most min(row, column) margin rows —
+    metadata-sized, windowed on one ordered pass; everything after
+    is scalar arithmetic on one row."""
+    d = spark.table("documents")
+    en = F.col("lang") == "en"
+    lng = F.col("n_chars") >= _FE_LONG
+    cell = lambda p: F.sum(p.cast("int")).cast("bigint")  # noqa: E731
+    ct = (
+        d.agg(
+            cell(en & lng).alias("a"),
+            cell(en & ~lng).alias("b"),
+            cell(~en & lng).alias("c"),
+            cell(~en & ~lng).alias("d"),
+            F.count("*").alias("n_rows"),
+        )
+        .where(F.col("n_rows") > 0)
+        .drop("n_rows")
+    )
+    marg = ct.select(
+        "a", "b", "c", "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("nn"),
+        (F.col("a") + F.col("b")).alias("kk"),
+        (F.col("a") + F.col("c")).alias("nc"),
+    ).select(
+        "*",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("nc") + F.col("kk") - F.col("nn"),
+        ).alias("kmin"),
+        F.least(F.col("kk"), F.col("nc")).alias("kmax"),
+    )
+    spine = marg.select(
+        "*",
+        F.explode(F.sequence(F.col("kmin"), F.col("kmax"))).alias("k"),
+    ).select(
+        "*",
+        F.when(F.col("k") == F.col("kmin"), 0.0)
+        .otherwise(
+            F.log((F.col("kk") - F.col("k") + 1).cast("double"))
+            + F.log((F.col("nc") - F.col("k") + 1).cast("double"))
+            - F.log(F.col("k").cast("double"))
+            - F.log(
+                (
+                    F.col("nn") - F.col("kk") - F.col("nc") + F.col("k")
+                ).cast("double")
+            )
+        )
+        .alias("lnr"),
+    )
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lnq = spine.select("*", F.sum("lnr").over(w).alias("q"))
+    shifted = lnq.select(
+        "*", F.max("q").over(Window.partitionBy()).alias("mx")
+    )
+    term = F.round(F.exp(F.col("q") - F.col("mx")), 18).cast(
+        "decimal(38,18)"
+    )
+    sums = shifted.agg(
+        F.first("a").alias("a"),
+        F.first("b").alias("b"),
+        F.first("c").alias("c"),
+        F.first("d").alias("d"),
+        F.first("nn").alias("n_total"),
+        F.first("kk").alias("kk"),
+        F.first("nc").alias("nc"),
+        F.sum(term).cast("double").alias("z_all"),
+        F.sum(
+            F.when(F.col("k") >= F.col("a"), term).otherwise(
+                F.lit(0).cast("decimal(38,18)")
+            )
+        )
+        .cast("double")
+        .alias("z_tail"),
+    )
+    expected = F.col("kk").cast("double") * F.col("nc") / F.col(
+        "n_total"
+    )
+    return sums.select(
+        "a", "b", "c", "d", "n_total",
+        F.when(
+            F.col("b") * F.col("c") > 0,
+            F.round(
+                F.col("a").cast("double")
+                * F.col("d")
+                / (F.col("b").cast("double") * F.col("c")),
+                4,
+            ),
+        ).alias("odds_ratio"),
+        F.round(expected, 4).alias("expected_a"),
+        F.round(F.col("z_tail") / F.col("z_all"), 6).alias(
+            "p_one_sided"
+        ),
+        (F.col("a").cast("double") > expected).alias("enriched"),
+    )

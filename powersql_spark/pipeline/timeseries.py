@@ -3664,3 +3664,169 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("sax_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per event-type daily series.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_runs_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, day, x,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY x, day) AS rx,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type, MIN(CASE WHEN rx = (n_days + 1) // 2
+                                    THEN x END) AS median_x
+        FROM ranked GROUP BY event_type
+    ),
+    signs AS (
+        SELECT r.event_type, r.day, r.n_days,
+               CASE WHEN r.x > m.median_x THEN 1 ELSE -1 END AS sgn
+        FROM ranked r JOIN med m USING (event_type)
+        WHERE r.x <> m.median_x
+    ),
+    runs AS (
+        SELECT event_type, ANY_VALUE(n_days) AS n_days,
+               CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_below,
+               CAST(1 + SUM(CASE WHEN sgn <> prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_runs
+        FROM (SELECT *, lag(sgn) OVER (
+                  PARTITION BY event_type ORDER BY day) AS prev
+              FROM signs)
+        GROUP BY event_type
+    )
+    SELECT event_type, n_days, n_above, n_below, n_runs,
+           CASE WHEN n_above > 0 AND n_below > 0
+                     AND n_above + n_below > 1 THEN
+               {sql_jround(
+                   "(n_runs - (2.0 * n_above * n_below"
+                   " / (n_above + n_below) + 1))"
+                   " / sqrt(2.0 * n_above * n_below"
+                   " * (2.0 * n_above * n_below - n_above - n_below)"
+                   " / ((n_above + n_below) * (n_above + n_below)"
+                   "    * (n_above + n_below - 1.0)))", 4)}
+           END AS z_stat,
+           CASE WHEN n_above > 0 AND n_below > 0
+                     AND n_above + n_below > 1 THEN
+               abs((n_runs - (2.0 * n_above * n_below
+                    / (n_above + n_below) + 1))
+                   / sqrt(2.0 * n_above * n_below
+                   * (2.0 * n_above * n_below - n_above - n_below)
+                   / ((n_above + n_below) * (n_above + n_below)
+                      * (n_above + n_below - 1.0)))) < 1.96
+           END AS random_ok_05
+    FROM runs
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event-type daily series: values
+    above/below the series LOWER median (median-equal days excluded,
+    standard practice) form a +/- sequence; too FEW runs means
+    clustering/trend, too MANY means oscillation. The nonparametric
+    randomness gate beside stats_ljung_box's parametric ACF test —
+    distribution-free, so it survives the heavy-tailed metrics that
+    break Gaussian assumptions.
+
+    Scale shape: one (event_type, day) collapse, then every window
+    (rank for the median, lag for the run boundaries) shares the
+    event_type exchange on the metadata-sized daily table. R, n1, n2
+    stay INTEGER; the median compare is decimal-exact; only the
+    final z rounds (sql_jround)."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    )
+    wet = Window.partitionBy("event_type")
+    from powersql_spark.catalog import track_persist
+
+    # Both the median aggregate and the sign join consume `ranked`;
+    # persist the metadata-sized daily table so the corpus collapse
+    # runs once.
+    ranked = track_persist(
+        daily.select(
+            "*",
+            F.row_number().over(wet.orderBy("x", "day")).alias("rx"),
+            F.count("*").over(wet).alias("n_days"),
+        )
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rx") == ((F.col("n_days") + 1) / 2).cast("long"),
+                F.col("x"),
+            )
+        ).alias("median_x")
+    )
+    signs = (
+        ranked.join(med, "event_type")
+        .where(F.col("x") != F.col("median_x"))
+        .select(
+            "event_type",
+            "day",
+            "n_days",
+            F.when(F.col("x") > F.col("median_x"), 1)
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    lagged = signs.select(
+        "*", F.lag("sgn").over(wet.orderBy("day")).alias("prev")
+    )
+    runs = lagged.groupBy("event_type").agg(
+        F.first("n_days").alias("n_days"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("sgn") != F.col("prev"), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    ok = (n1 > 0) & (n2 > 0) & (n1 + n2 > 1)
+    z = (F.col("n_runs") - mu) / sig
+    return runs.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(ok, F.round(z, 4)).alias("z_stat"),
+        F.when(ok, F.abs(z) < 1.96).alias("random_ok_05"),
+    )

@@ -559,6 +559,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_ip_cidr",
     "ts_sax_symbolic",
     "emb_silhouette_simplified",
+    "stats_fisher_exact",
+    "stats_runs_test",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

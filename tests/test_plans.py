@@ -2482,3 +2482,25 @@ def test_silhouette_one_row_broadcast_scoring(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_fisher_exact_one_scan_metadata_spine(spark, sf_dir):
+    """Fisher: one documents scan collapses to four integers; the
+    support spine is metadata-sized; no Python."""
+    plan = plan_of(spark, sf_dir, "stats_fisher_exact")
+    assert plan.count("documents.parquet") == 1
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runs_test_shared_exchange(spark, sf_dir):
+    """Runs test: rank/count/lag windows all ride the event_type
+    exchange over the daily table; integers until the final z."""
+    plan = plan_of(spark, sf_dir, "stats_runs_test")
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+    # The daily table is cached; the raw scan appears only inside
+    # printed cached lineage (one per InMemoryTableScan), never as an
+    # extra physical read.
+    assert "InMemoryTableScan" in plan, "daily table not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")

@@ -7017,3 +7017,78 @@ def test_silhouette_range_and_recomputation(spark, sf_dir):
             assert -1.0 <= r["silhouette"] <= 1.0
             pos += r["silhouette"] > 0
     assert pos > len(rows) // 2
+
+
+def test_fisher_exact_matches_hypergeom(spark, sf_dir):
+    """p matches an exact from-scratch hypergeometric tail (Python
+    fractions over factorials); cells sum to N; p in (0, 1]."""
+    import math
+
+    row = SPECS["stats_fisher_exact"].fn(spark, sf_dir).collect()[0]
+    a, b, c, d = row["a"], row["b"], row["c"], row["d"]
+    nn = row["n_total"]
+    assert a + b + c + d == nn
+    kk, nc = a + b, a + c
+
+    def pmf(k):
+        return (
+            math.comb(kk, k) * math.comb(nn - kk, nc - k)
+        ) / math.comb(nn, nc)
+
+    kmin = max(0, nc + kk - nn)
+    kmax = min(kk, nc)
+    p_tail = sum(pmf(k) for k in range(a, kmax + 1))
+    total = sum(pmf(k) for k in range(kmin, kmax + 1))
+    assert abs(total - 1.0) < 1e-9
+    assert abs(row["p_one_sided"] - p_tail) < 1e-6
+    assert 0 < row["p_one_sided"] <= 1
+    assert row["enriched"] == (a > kk * nc / nn)
+    assert abs(row["expected_a"] - round(kk * nc / nn, 4)) < 1e-9
+
+
+def test_runs_test_recomputed(spark, sf_dir):
+    """R / n1 / n2 / z match a pure-Python replay of the
+    median-split runs construction for every event type."""
+    import math
+    from collections import defaultdict
+
+    rows = {
+        r["event_type"]: r
+        for r in SPECS["stats_runs_test"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.table("events").where(F.col("value").isNotNull())
+        .select("event_type",
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+                "value").collect()
+    )
+    daily = defaultdict(float)
+    for e in ev:
+        daily[(e["event_type"], e["day"])] += e["value"]
+    series = defaultdict(dict)
+    for (et, day), x in daily.items():
+        series[et][day] = round(x, 6)  # decimal(18,6) sums
+    assert set(rows) == set(series)
+    for et, by_day in series.items():
+        xs = sorted(by_day.values())
+        med = xs[(len(xs) + 1) // 2 - 1]
+        sgns = [
+            1 if by_day[d] > med else -1
+            for d in sorted(by_day)
+            if by_day[d] != med
+        ]
+        n1 = sum(1 for s in sgns if s == 1)
+        n2 = len(sgns) - n1
+        runs = 1 + sum(
+            1 for i in range(1, len(sgns)) if sgns[i] != sgns[i - 1]
+        )
+        r = rows[et]
+        assert r["n_above"] == n1 and r["n_below"] == n2
+        assert r["n_runs"] == runs
+        mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+        sig = math.sqrt(
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+        )
+        assert abs(r["z_stat"] - (runs - mu) / sig) < 1e-3
+        assert r["random_ok_05"] == (abs((runs - mu) / sig) < 1.96)
