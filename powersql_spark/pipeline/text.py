@@ -2552,3 +2552,170 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source vs the global corpus.
+# ---------------------------------------------------------------------------
+
+_JS_VOCAB = 200  # global top-K tokens define the comparison support
+
+
+@query(
+    "text_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+'))
+            AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS g_cnt
+        FROM toks GROUP BY tok
+        ORDER BY g_cnt DESC, tok LIMIT {_JS_VOCAB}
+    ),
+    g_tot AS (SELECT SUM(g_cnt) AS gt FROM vocab),
+    src AS (
+        SELECT t.source, t.tok, CAST(COUNT(*) AS BIGINT) AS s_cnt
+        FROM toks t JOIN vocab v USING (tok)
+        GROUP BY t.source, t.tok
+    ),
+    s_tot AS (
+        SELECT source, SUM(s_cnt) AS st FROM src GROUP BY source
+    ),
+    terms AS (
+        SELECT s.source,
+               CAST(s.s_cnt AS DOUBLE) / st.st AS p,
+               CAST(v.g_cnt AS DOUBLE) / g.gt AS q
+        FROM src s
+        JOIN vocab v USING (tok)
+        JOIN s_tot st USING (source), g_tot g
+    ),
+    qonly AS (
+        -- vocab tokens ABSENT from a source: p=0, the q*ln(q/m)
+        -- term still contributes with m = q/2.
+        SELECT st.source,
+               CAST(v.g_cnt AS DOUBLE) / g.gt AS q
+        FROM s_tot st CROSS JOIN vocab v, g_tot g
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.source = st.source
+                            AND s.tok = v.tok)
+    ),
+    kl AS (
+        SELECT source,
+               CAST(SUM(CAST(round(
+                   0.5 * (p * ln(p / ((p + q) / 2))
+                          + q * ln(q / ((p + q) / 2))), 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS js_present,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM terms GROUP BY source
+    ),
+    kl0 AS (
+        SELECT source,
+               CAST(SUM(CAST(round(0.5 * q * ln(2.0), 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS js_absent
+        FROM qonly GROUP BY source
+    )
+    SELECT k.source, k.n_shared,
+           {sql_jround("k.js_present + COALESCE(z.js_absent, 0.0)", 6)}
+               AS js_divergence,
+           {sql_jround(
+               "(k.js_present + COALESCE(z.js_absent, 0.0)) / ln(2.0)",
+               6)} AS js_normalized,
+           k.js_present + COALESCE(z.js_absent, 0.0) >= 0
+               AND (k.js_present + COALESCE(z.js_absent, 0.0))
+                   / ln(2.0) <= 1.0 AS in_unit_range
+    FROM kl k LEFT JOIN kl0 z USING (source)
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each SOURCE's unigram
+    distribution and the GLOBAL corpus distribution over the top-200
+    vocabulary: the symmetric, bounded ([0, ln 2]) drift measure that
+    ranks sources by how far their language deviates from the mix —
+    the corpus-composition screen beside profile_psi_drift's binned
+    numeric PSI (JS handles zero bins where KL blows up: absent
+    tokens contribute the finite q*ln(2)/2).
+
+    Scale shape: ONE corpus explode feeds both the global vocabulary
+    cut and the per-source counts (persisted, the text_tfidf_topk
+    idiom); everything downstream joins against the vocabulary-sized
+    (200-row) or source-sized tables. Terms are 8dp-rounded before
+    the order-independent decimal sum; p, q are exact integer
+    rationals in double."""
+    toks = track_persist(
+        spark.table("documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+    )
+    vocab = track_persist(
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("g_cnt"))
+        .orderBy(F.desc("g_cnt"), "tok")
+        .limit(_JS_VOCAB)
+    )
+    g_tot = vocab.agg(F.sum("g_cnt").alias("gt"))
+    src = track_persist(
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("s_cnt"))
+    )
+    s_tot = src.groupBy("source").agg(F.sum("s_cnt").alias("st"))
+    terms = (
+        src.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            "source",
+            (F.col("s_cnt").cast("double") / F.col("st")).alias("p"),
+            (F.col("g_cnt").cast("double") / F.col("gt")).alias("q"),
+        )
+    )
+    qonly = (
+        s_tot.crossJoin(F.broadcast(vocab))
+        .join(
+            src.select("source", "tok"),
+            ["source", "tok"],
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(g_tot))
+        .select(
+            "source",
+            (F.col("g_cnt").cast("double") / F.col("gt")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.round(
+        0.5
+        * (
+            F.col("p") * F.log(F.col("p") / m)
+            + F.col("q") * F.log(F.col("q") / m)
+        ),
+        8,
+    ).cast("decimal(38,8)")
+    kl = terms.groupBy("source").agg(
+        F.sum(term).cast("double").alias("js_present"),
+        F.count("*").cast("bigint").alias("n_shared"),
+    )
+    kl0 = qonly.groupBy("source").agg(
+        F.sum(
+            F.round(0.5 * F.col("q") * F.log(F.lit(2.0)), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("js_absent")
+    )
+    js = F.col("js_present") + F.coalesce(F.col("js_absent"), F.lit(0.0))
+    return kl.join(kl0, "source", "left").select(
+        "source",
+        "n_shared",
+        F.round(js, 6).alias("js_divergence"),
+        F.round(js / F.log(F.lit(2.0)), 6).alias("js_normalized"),
+        ((js >= 0) & (js / F.log(F.lit(2.0)) <= 1.0)).alias(
+            "in_unit_range"
+        ),
+    )

@@ -3830,3 +3830,170 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 4)).alias("z_stat"),
         F.when(ok, F.abs(z) < 1.96).alias("random_ok_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic Time Warping between hourly-of-day profiles.
+# ---------------------------------------------------------------------------
+
+_DTW_W = 24  # profile length (hours of day)
+_DTW_INF = 1.0e18
+
+
+@query(
+    "ts_dtw_distance",
+    # The DP recursion dp(i,j) = |a_i-b_j| + min(dp(i-1,j),
+    # dp(i,j-1), dp(i-1,j-1)) is evaluated ONE CELL PER RECURSION in
+    # a recursive CTE (j has a same-row dependency, so a row cannot
+    # be built by an independent list_transform): state carries the
+    # previous DP row and the growing current row as LISTs, exactly
+    # like ts_holt_winters carries its seasonal list. Same double
+    # arithmetic tree as Spark's nested fold -> bit-identical values.
+    oracle=f"""
+    WITH RECURSIVE prof AS (
+        SELECT event_type,
+               list(m ORDER BY hr) AS v
+        FROM (
+            SELECT event_type, hour(ts) AS hr,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) AS m
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        )
+        GROUP BY event_type
+        HAVING COUNT(*) = {_DTW_W}
+    ),
+    pairs AS (
+        SELECT p1.event_type AS type_a, p2.event_type AS type_b,
+               p1.v AS a, p2.v AS b
+        FROM prof p1 JOIN prof p2 ON p1.event_type < p2.event_type
+    ),
+    dp AS (
+        SELECT type_a, type_b, a, b, 1 AS i, 1 AS j,
+               [0.0] || list_transform(range({_DTW_W}),
+                                       x -> {_DTW_INF}) AS prev,
+               [{_DTW_INF}] AS cur
+        FROM pairs
+        UNION ALL
+        SELECT type_a, type_b, a, b,
+               CASE WHEN j < {_DTW_W} THEN i ELSE i + 1 END,
+               CASE WHEN j < {_DTW_W} THEN j + 1 ELSE 1 END,
+               CASE WHEN j < {_DTW_W} THEN prev
+                    ELSE list_append(cur,
+                         abs(a[i] - b[j]) + least(prev[j], prev[j + 1],
+                                                  cur[j])) END,
+               CASE WHEN j < {_DTW_W} THEN
+                   list_append(cur,
+                       abs(a[i] - b[j]) + least(prev[j], prev[j + 1],
+                                                cur[j]))
+                    ELSE [{_DTW_INF}] END
+        FROM dp WHERE i <= {_DTW_W}
+    )
+    SELECT type_a, type_b,
+           round(prev[{_DTW_W + 1}], 4) AS dtw_distance,
+           round(list_sum(list_transform(range(1, {_DTW_W + 1}),
+               k -> abs(a[k] - b[k]))), 4) AS diag_distance,
+           prev[{_DTW_W + 1}] <= list_sum(list_transform(
+               range(1, {_DTW_W + 1}), k -> abs(a[k] - b[k])))
+               AS dtw_le_diag
+    FROM dp WHERE i = {_DTW_W + 1} AND j = 1
+    """,
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping distance between every pair of
+    event-type hourly-of-day profiles (24-point decimal-exact mean
+    curves): the elastic similarity measure that aligns shifted /
+    stretched shapes where Euclidean punishes any phase offset —
+    THE series-similarity primitive behind shape clustering and
+    pattern search (SAX words index it, DTW refines it). The
+    L1-diagonal path bounds it from above (dtw_le_diag gates the
+    admissibility invariant in-query).
+
+    Spark shape: the corpus collapses once to O(types x 24) profile
+    rows; pairs are a tiny self-join; the O(w^2) DP runs as a nested
+    JVM higher-order fold — outer over a's elements carrying the
+    previous DP ROW as the accumulator array, inner over b's
+    elements appending cells (dp(i,j-1) = last element of the
+    growing row, dp(i-1,*) = captured outer accumulator). No UDF, no
+    driver loop; per-pair cost is constant (24x24), independent of
+    corpus size."""
+    prof = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hr", "m"))),
+                lambda s: s.m,
+            ).alias("v"),
+            F.count("*").alias("n_hr"),
+        )
+        .where(F.col("n_hr") == _DTW_W)
+        .drop("n_hr")
+    )
+    from powersql_spark.catalog import track_persist
+
+    # Both sides of the pair self-join read `prof`; persist the
+    # O(types) profile table so the corpus collapse runs once.
+    prof = track_persist(prof)
+    pairs = (
+        prof.alias("p1")
+        .join(
+            prof.alias("p2"),
+            F.col("p1.event_type") < F.col("p2.event_type"),
+        )
+        .select(
+            F.col("p1.event_type").alias("type_a"),
+            F.col("p2.event_type").alias("type_b"),
+            F.col("p1.v").alias("a"),
+            F.col("p2.v").alias("b"),
+        )
+    )
+    inf = F.lit(_DTW_INF)
+    prev0 = F.concat(
+        F.array(F.lit(0.0)), F.array_repeat(inf, _DTW_W)
+    )
+
+    def outer_step(prev, ai):
+        # Build DP row i: cur starts at [inf] (dp(i,0)); computing
+        # cell j reads dp(i-1,j-1)=prev[j], dp(i-1,j)=prev[j+1],
+        # dp(i,j-1)=cur[-1], with j == size(cur).
+        return F.aggregate(
+            F.col("b"),
+            F.array(inf),
+            lambda cur, bj: F.concat(
+                cur,
+                F.array(
+                    F.abs(ai - bj)
+                    + F.least(
+                        F.element_at(prev, F.size(cur)),
+                        F.element_at(prev, F.size(cur) + 1),
+                        F.element_at(cur, -1),
+                    )
+                ),
+            ),
+        )
+
+    final_row = F.aggregate(F.col("a"), prev0, outer_step)
+    diag = F.aggregate(
+        F.zip_with(F.col("a"), F.col("b"), lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtw = F.element_at(final_row, _DTW_W + 1)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round(dtw, 4).alias("dtw_distance"),
+        F.round(diag, 4).alias("diag_distance"),
+        (dtw <= diag).alias("dtw_le_diag"),
+    )

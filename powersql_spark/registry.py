@@ -561,6 +561,8 @@ _PRIORITY: tuple[str, ...] = (
     "emb_silhouette_simplified",
     "stats_fisher_exact",
     "stats_runs_test",
+    "ts_dtw_distance",
+    "text_js_divergence",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2504,3 +2504,23 @@ def test_runs_test_shared_exchange(spark, sf_dir):
     # extra physical read.
     assert "InMemoryTableScan" in plan, "daily table not cached"
     assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+
+
+def test_dtw_profile_cached_no_python(spark, sf_dir):
+    """DTW: the O(types) profile table is cached (one corpus
+    collapse) and the DP is a pure JVM fold — no UDF, no cartesian
+    beyond the tiny pair self-join."""
+    plan = plan_of(spark, sf_dir, "ts_dtw_distance")
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "profile table not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+
+
+def test_js_divergence_one_explode_broadcast_vocab(spark, sf_dir):
+    """JS divergence: one persisted corpus explode; vocabulary and
+    totals join back as broadcasts; no Python."""
+    plan = plan_of(spark, sf_dir, "text_js_divergence")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("documents.parquet") <= plan.count("InMemoryTableScan")

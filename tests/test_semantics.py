@@ -7092,3 +7092,86 @@ def test_runs_test_recomputed(spark, sf_dir):
         )
         assert abs(r["z_stat"] - (runs - mu) / sig) < 1e-3
         assert r["random_ok_05"] == (abs((runs - mu) / sig) < 1.96)
+
+
+def test_dtw_matches_classic_dp_and_bounds(spark, sf_dir):
+    """DTW equals a textbook O(w^2) Python DP on the same profiles;
+    symmetric pairs only once; dtw <= diagonal path cost."""
+    rows = SPECS["ts_dtw_distance"].fn(spark, sf_dir).collect()
+    assert rows
+    prof_rows = (
+        spark.table("events").where(F.col("value").isNotNull())
+        .groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+              / F.count("*")).alias("m"))
+        .collect()
+    )
+    prof = {}
+    for r in prof_rows:
+        prof.setdefault(r["event_type"], {})[r["hr"]] = r["m"]
+    prof = {k: [v[h] for h in range(24)]
+            for k, v in prof.items() if len(v) == 24}
+
+    def dtw(a, b):
+        inf = float("inf")
+        prev = [0.0] + [inf] * 24
+        for i in range(24):
+            cur = [inf]
+            for j in range(24):
+                cur.append(abs(a[i] - b[j])
+                           + min(prev[j], prev[j + 1], cur[j]))
+            prev = cur
+        return prev[24]
+
+    seen = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert (r["type_a"], r["type_b"]) not in seen
+        seen.add((r["type_a"], r["type_b"]))
+        a, b = prof[r["type_a"]], prof[r["type_b"]]
+        assert abs(r["dtw_distance"] - dtw(a, b)) < 1e-3
+        diag = sum(abs(x - y) for x, y in zip(a, b))
+        assert abs(r["diag_distance"] - diag) < 1e-3
+        assert r["dtw_le_diag"] is True
+        assert r["dtw_distance"] >= 0
+    n_types = len(prof)
+    assert len(rows) == n_types * (n_types - 1) // 2
+
+
+def test_js_divergence_recomputed_and_bounded(spark, sf_dir):
+    """JS per source matches a pure-Python replay over the top-200
+    vocabulary; values in [0, ln 2]; normalized in [0, 1]."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = {r["source"]: r for r in
+            SPECS["text_js_divergence"].fn(spark, sf_dir).collect()}
+    docs = spark.table("documents").where(
+        F.length(F.trim("text")) > 0
+    ).select("source", "text").collect()
+    g_cnt, s_cnt = Counter(), defaultdict(Counter)
+    for d in docs:
+        for t in d["text"].strip().split():
+            g_cnt[t] += 1
+            s_cnt[d["source"]][t] += 1
+    vocab = sorted(g_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    vset = {t for t, _ in vocab}
+    gt = sum(c for _, c in vocab)
+    for source, r in rows.items():
+        sc = {t: c for t, c in s_cnt[source].items() if t in vset}
+        st = sum(sc.values())
+        js = 0.0
+        for t, gc in vocab:
+            q = gc / gt
+            p = sc.get(t, 0) / st if st else 0.0
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * (p * math.log(p / m) + q * math.log(q / m))
+            else:
+                js += 0.5 * q * math.log(2.0)
+        assert abs(r["js_divergence"] - js) < 1e-4
+        assert 0 <= r["js_divergence"] <= math.log(2.0) + 1e-9
+        assert abs(r["js_normalized"] - js / math.log(2.0)) < 1e-4
+        assert r["in_unit_range"] is True
+        assert r["n_shared"] == len(sc)
+    assert set(rows) == set(s_cnt)
