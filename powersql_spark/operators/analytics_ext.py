@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import sql_jround
+from powersql_spark.operators.common import dsum, sql_jround
 from powersql_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -6490,4 +6490,350 @@ def stats_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_one_sided"
         ),
         (F.col("a").cast("double") > expected).alias("enriched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holm-Bonferroni step-down correction (FWER control).
+#
+# The family-wise sibling of stats_bh_correction's FDR: Holm rejects
+# the r-th smallest p only if EVERY smaller p cleared its
+# alpha/(m-r+1) threshold — uniformly more powerful than plain
+# Bonferroni, strictly controlling FWER. Same literal-z-critical-value
+# scheme as BH (no inverse-normal needed); the step-down "all
+# predecessors rejected" is a running MIN over the rank order.
+# ---------------------------------------------------------------------------
+
+# Two-sided z criticals for alpha/(m-r+1), m=5, r=1..5:
+# 0.01, 0.0125, 0.0166.., 0.025, 0.05.
+_HOLM_CRIT = (2.5758, 2.4977, 2.394, 2.2414, 1.96)
+_HOLM_CRIT_SQL = ", ".join(
+    f"({i + 1}, {c})" for i, c in enumerate(_HOLM_CRIT)
+)
+_BONF_CRIT = 2.5758  # alpha/m for all
+
+
+@query(
+    "stats_holm_bonferroni",
+    oracle=f"""
+    WITH welch_s AS (
+        SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM (SELECT event_type, value,
+                     substr(md5(CAST(user_id AS VARCHAR) || ':welch'),
+                            1, 1) < '8' AS is_a
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type
+    ),
+    t AS (
+        SELECT event_type,
+               abs({sql_jround(_EXP_WELCH_T, 4)}) AS abs_t,
+               {sql_jround(_EXP_WELCH_T, 4)} AS t_stat
+        FROM welch_s
+    ),
+    ranked AS (
+        SELECT event_type, t_stat, abs_t,
+               ROW_NUMBER() OVER (ORDER BY abs_t DESC, event_type)
+                   AS holm_rank
+        FROM t
+    ),
+    crit(r, z_crit) AS (VALUES {_HOLM_CRIT_SQL}),
+    flags AS (
+        SELECT ranked.*, crit.z_crit,
+               CASE WHEN ranked.abs_t >= crit.z_crit
+                    THEN 1 ELSE 0 END AS clears
+        FROM ranked JOIN crit ON crit.r = ranked.holm_rank
+    )
+    SELECT event_type, t_stat,
+           CAST(holm_rank AS INTEGER) AS holm_rank,
+           CAST(z_crit AS DOUBLE) AS z_crit,
+           MIN(clears) OVER (ORDER BY holm_rank) = 1
+               AS significant_holm,
+           abs_t >= {_BONF_CRIT} AS significant_bonferroni,
+           abs_t > 1.96 AS significant_uncorrected
+    FROM flags
+    ORDER BY holm_rank
+    """,
+)
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-down correction across the five
+    per-segment Welch tests: rank by |t| descending (= p ascending),
+    compare rank r against the alpha/(m-r+1) critical value, and
+    reject ONLY while every smaller-p test also rejected (the
+    running-MIN step-down). Strict FWER control, uniformly more
+    powerful than plain Bonferroni (also emitted for contrast) —
+    completing the multiple-testing pair with stats_bh_correction's
+    FDR view.
+
+    Scale shape: identical single-scan constant-state collapse to
+    BH; the step-down is one window over the five-row rank table."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":welch")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    dec = "decimal(28,6)"
+    ws = (
+        e.select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_b"),
+            F.sum(
+                F.when(
+                    F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_a"),
+            F.sum(
+                F.when(
+                    ~F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_b"),
+        )
+    )
+    t = F.round(F.expr(_EXP_WELCH_T), 4)
+    tt = ws.select(
+        "event_type", t.alias("t_stat"), F.abs(t).alias("abs_t")
+    )
+    ranked = tt.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("abs_t"), "event_type"))
+        .alias("holm_rank"),
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_HOLM_CRIT)], ["r", "z_crit"]
+    )
+    flags = ranked.join(
+        F.broadcast(crit), ranked.holm_rank == F.col("r")
+    ).select(
+        "event_type",
+        "t_stat",
+        "abs_t",
+        "holm_rank",
+        F.col("z_crit").cast("double").alias("z_crit"),
+        F.when(F.col("abs_t") >= F.col("z_crit"), 1)
+        .otherwise(0)
+        .alias("clears"),
+    )
+    wmin = Window.orderBy("holm_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flags.select(
+            "event_type",
+            "t_stat",
+            F.col("holm_rank").cast("int").alias("holm_rank"),
+            "z_crit",
+            (F.min("clears").over(wmin) == 1).alias(
+                "significant_holm"
+            ),
+            (F.col("abs_t") >= _BONF_CRIT).alias(
+                "significant_bonferroni"
+            ),
+            (F.col("abs_t") > 1.96).alias("significant_uncorrected"),
+        )
+        .orderBy("holm_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling normality test per event-type daily series.
+#
+# Phi is the Abramowitz-Stegun 7.1.26 erf polynomial (|err| <=
+# 1.5e-7), written ONCE as a SQL template evaluated verbatim by both
+# engines — identical fp trees, so the statistic and the verdict
+# agree without an erf builtin on either side.
+# ---------------------------------------------------------------------------
+
+_AD_SQRT2 = "1.4142135623730951"
+
+
+def _ad_phi(z: str) -> str:
+    """SQL template: standard normal CDF of expression `z` via the
+    A&S 7.1.26 erf polynomial on x = |z|/sqrt(2), mirrored for
+    negative z (no sign() — its return type differs cross-engine),
+    floored at 1e-12 so ln() stays finite in the far tail."""
+    x = f"(abs({z}) / {_AD_SQRT2})"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741)"
+        f" * {t} - 0.284496736) * {t} + 0.254829592) * {t}"
+    )
+    erf = f"(1.0 - {poly} * exp(-({x} * {x})))"
+    return (
+        f"greatest(CASE WHEN {z} >= 0 THEN 0.5 * (1.0 + {erf})"
+        f" ELSE 0.5 * (1.0 - {erf}) END, 1e-12)"
+    )
+
+
+_AD_TERM = (
+    f"(2.0 * i - 1.0) * ln({_ad_phi('z')})"
+    f" + (2.0 * n - 2.0 * i + 1.0) * ln(1.0 - {_ad_phi('z')} + 1e-12)"
+)
+_AD_CRIT = 0.752  # 5% critical value, case 3 (mu, sd estimated)
+
+
+@query(
+    "stats_anderson_darling",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               sqrt((CAST(SUM(CAST(x AS DECIMAL(28,6))
+                              * CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                     - COUNT(*) * pow(CAST(SUM(CAST(x AS DECIMAL(28,6)))
+                                     AS DOUBLE) / COUNT(*), 2))
+                    / (COUNT(*) - 1)) AS sd
+        FROM daily GROUP BY event_type HAVING COUNT(*) > 7
+    ),
+    zr AS (
+        SELECT d.event_type, m.n,
+               (d.x - m.mu) / m.sd AS z,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY d.event_type ORDER BY d.x, d.day)
+                   AS DOUBLE) AS i
+        FROM daily d JOIN mom m USING (event_type)
+    ),
+    a2 AS (
+        SELECT event_type, CAST(ANY_VALUE(n) AS BIGINT) AS n_days,
+               -ANY_VALUE(n) - CAST(SUM(CAST(round({_AD_TERM}, 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) / ANY_VALUE(n)
+                   AS a2_raw
+        FROM zr GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           {sql_jround("a2_raw", 4)} AS a2_stat,
+           {sql_jround(
+               "a2_raw * (1.0 + 0.75 / n_days"
+               " + 2.25 / (n_days * n_days))", 4)} AS a2_star,
+           a2_raw * (1.0 + 0.75 / n_days
+               + 2.25 / (n_days * n_days)) < {_AD_CRIT}
+               AS normal_ok_05
+    FROM a2
+    """,
+)
+def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling one-sample normality test per event-type
+    daily series (mu, sd estimated — case 3, 5% critical 0.752):
+    A2 = -n - (1/n) sum (2i-1)[ln Phi(z_(i)) + ln(1-Phi(z_(n+1-i)))],
+    folded to one term per sorted observation. The tail-weighted
+    normality gate that decides whether Welch/OLS-style Gaussian
+    machinery is trustworthy, completing the GoF family
+    (stats_ks_two_sample: two-sample; this: one-sample-vs-normal).
+    Phi comes from one shared A&S erf-polynomial template evaluated
+    verbatim by both engines.
+
+    Scale shape: one (event_type, day) collapse; moments from
+    decimal sufficient sums; the rank window and term aggregate ride
+    the metadata-sized daily table; terms are 8dp-decimal summed
+    (order-independent)."""
+    daily = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(dsum("value", "x"))
+    )
+    from powersql_spark.catalog import track_persist
+
+    daily = track_persist(daily)
+    dec28 = "decimal(28,6)"
+    mom = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (
+                F.sum(F.col("x").cast(dec28)).cast("double")
+                / F.count("*")
+            ).alias("mu"),
+            F.sqrt(
+                (
+                    F.sum(
+                        F.col("x").cast(dec28) * F.col("x").cast(dec28)
+                    ).cast("double")
+                    - F.count("*")
+                    * F.pow(
+                        F.sum(F.col("x").cast(dec28)).cast("double")
+                        / F.count("*"),
+                        2,
+                    )
+                )
+                / (F.count("*") - 1)
+            ).alias("sd"),
+        )
+        .where(F.col("n") > 7)
+    )
+    zr = daily.join(mom, "event_type").select(
+        "event_type",
+        "n",
+        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("z"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("x", "day")
+        )
+        .cast("double")
+        .alias("i"),
+    )
+    term = F.round(F.expr(_AD_TERM), 8).cast("decimal(38,8)")
+    a2 = zr.groupBy("event_type").agg(
+        F.first("n").cast("bigint").alias("n_days"),
+        (
+            -F.first("n")
+            - F.sum(term).cast("double") / F.first("n")
+        ).alias("a2_raw"),
+    )
+    star = F.col("a2_raw") * (
+        1.0
+        + 0.75 / F.col("n_days")
+        + 2.25 / (F.col("n_days") * F.col("n_days"))
+    )
+    return a2.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("a2_raw"), 4).alias("a2_stat"),
+        F.round(star, 4).alias("a2_star"),
+        (star < _AD_CRIT).alias("normal_ok_05"),
     )

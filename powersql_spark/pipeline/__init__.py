@@ -9,6 +9,7 @@ from powersql_spark.pipeline import (  # noqa: F401
     curation,
     dedup,
     embeddings,
+    evalmetrics,
     graph,
     layout,
     linkage,

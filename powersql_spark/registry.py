@@ -563,6 +563,10 @@ _PRIORITY: tuple[str, ...] = (
     "stats_runs_test",
     "ts_dtw_distance",
     "text_js_divergence",
+    "stats_holm_bonferroni",
+    "stats_anderson_darling",
+    "eval_auc_roc",
+    "eval_calibration_ece",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2524,3 +2524,46 @@ def test_js_divergence_one_explode_broadcast_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan
     assert plan.count("documents.parquet") <= plan.count("InMemoryTableScan")
+
+
+def test_holm_bonferroni_broadcast_crit_window(spark, sf_dir):
+    """Holm: the five welch t-stats collapse to constant state; the
+    rank-vs-critical join is a broadcast of the 5-row crit literal;
+    the step-down is one window; no Python."""
+    plan = plan_of(spark, sf_dir, "stats_holm_bonferroni")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_anderson_darling_cached_daily_no_python(spark, sf_dir):
+    """A-D: one (event_type, day) collapse cached; moments from
+    decimal sums; the rank window and term aggregate ride the tiny
+    daily table; the Phi polynomial is a pure JVM expression."""
+    plan = plan_of(spark, sf_dir, "stats_anderson_darling")
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    assert "InMemoryTableScan" in plan, "daily table not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+
+
+def test_eval_auc_single_scan_rank_window(spark, sf_dir):
+    """AUC: one documents scan, tie-averaged ranks via windows over
+    the per-source sort, constant per-source state after; no
+    Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "eval_auc_roc")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_eval_calibration_single_scan_partial_agg(spark, sf_dir):
+    """ECE: one scan collapsing to <=10 bins with map-side partial
+    aggregation; the ECE window rides the bin rows; no Python."""
+    plan = plan_of(spark, sf_dir, "eval_calibration_ece")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_(sum|count)", plan), "no partial agg"

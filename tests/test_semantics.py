@@ -7175,3 +7175,153 @@ def test_js_divergence_recomputed_and_bounded(spark, sf_dir):
         assert r["in_unit_range"] is True
         assert r["n_shared"] == len(sc)
     assert set(rows) == set(s_cnt)
+
+
+def test_holm_bonferroni_replays_stepdown(spark, sf_dir):
+    """Replay Holm in Python from the welch t-stats: rank by |t|
+    descending, reject at rank r only while every smaller-p test
+    cleared alpha/(m-r+1). Bonferroni-significant must imply
+    Holm-significant (Holm is uniformly more powerful), and
+    Holm-significant must imply uncorrected-significant."""
+    rows = SPECS["stats_holm_bonferroni"].fn(spark, sf_dir).collect()
+    welch = {r["event_type"]: r["t_stat"] for r in
+             SPECS["stats_welch_ttest"].fn(spark, sf_dir).collect()}
+    crit = [2.5758, 2.4977, 2.394, 2.2414, 1.96]
+    order = sorted(welch, key=lambda et: (-abs(welch[et]), et))
+    by_rank = sorted(rows, key=lambda r: r["holm_rank"])
+    assert [r["event_type"] for r in by_rank] == order
+    alive = True
+    for i, r in enumerate(by_rank, 1):
+        t = welch[r["event_type"]]
+        assert abs(r["t_stat"] - t) < 1e-9
+        assert r["z_crit"] == crit[i - 1]
+        alive = alive and abs(t) >= crit[i - 1]
+        assert r["significant_holm"] == alive
+        assert r["significant_bonferroni"] == (abs(t) >= 2.5758)
+        if r["significant_bonferroni"]:
+            assert r["significant_holm"]
+        if r["significant_holm"]:
+            assert r["significant_uncorrected"]
+
+
+def test_anderson_darling_replays_statistic(spark, sf_dir):
+    """Recompute A2 per event type in Python with the SAME A&S
+    erf-polynomial Phi and the same 8dp term rounding, from the raw
+    daily revenue series; the small-sample correction and the 5%
+    verdict must match."""
+    rows = {r["event_type"]: r for r in
+            SPECS["stats_anderson_darling"].fn(spark, sf_dir).collect()}
+    assert rows, "no event types with >7 days"
+    import math
+
+    def phi(z):
+        x = abs(z) / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+                 * t - 0.284496736) * t + 0.254829592) * t
+        erf = 1.0 - poly * math.exp(-x * x)
+        p = 0.5 * (1.0 + erf) if z >= 0 else 0.5 * (1.0 - erf)
+        return max(p, 1e-12)
+
+    pdf = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .toPandas()
+    )
+    pdf["day"] = pdf["ts"].dt.date
+    for et, g in pdf.groupby("event_type"):
+        daily = g.groupby("day")["value"].apply(
+            lambda s: float(round(s.round(6).sum(), 6))
+        ).sort_index()
+        x = sorted(daily.tolist())
+        n = len(x)
+        if n <= 7:
+            assert et not in rows
+            continue
+        mu = sum(x) / n
+        sd = math.sqrt(
+            (sum(v * v for v in x) - n * mu * mu) / (n - 1)
+        )
+        s = 0.0
+        for i, v in enumerate(x, 1):
+            z = (v - mu) / sd
+            term = (2.0 * i - 1.0) * math.log(phi(z)) + (
+                2.0 * n - 2.0 * i + 1.0
+            ) * math.log(1.0 - phi(z) + 1e-12)
+            s += round(term, 8)
+        a2 = -n - s / n
+        star = a2 * (1.0 + 0.75 / n + 2.25 / (n * n))
+        r = rows[et]
+        assert r["n_days"] == n
+        assert abs(r["a2_stat"] - round(a2, 4)) <= 2e-3, (et, a2)
+        assert abs(r["a2_star"] - round(star, 4)) <= 2e-3, (et, star)
+        assert r["normal_ok_05"] == (star < 0.752)
+
+
+def _eval_scored_pdf(spark):
+    """Python replay of the eval-family score: stopword ratio +
+    length credit per document."""
+    pdf = spark.table("documents").select(
+        "doc_id", "source", "lang", "text"
+    ).toPandas()
+    sw = {"the", "a", "and", "of", "to", "in", "is", "it"}
+
+    def score(text):
+        toks = text.strip().split()
+        return sum(t in sw for t in toks) / len(toks) + len(toks) / 2000.0
+
+    pdf["s"] = pdf["text"].map(score)
+    pdf["pos"] = pdf["lang"] == "en"
+    return pdf
+
+
+def test_eval_auc_matches_python_replay(spark, sf_dir):
+    """Recompute per-source AUC in pandas via tie-averaged ranks;
+    values must match to 1e-6 and English docs must score higher
+    than chance (the stopword markers ARE English)."""
+    rows = {r["source"]: r for r in
+            SPECS["eval_auc_roc"].fn(spark, sf_dir).collect()}
+    pdf = _eval_scored_pdf(spark)
+    assert rows
+    for src, g in pdf.groupby("source"):
+        n_pos = int(g["pos"].sum())
+        n_neg = len(g) - n_pos
+        if n_pos == 0 or n_neg == 0:
+            assert src not in rows
+            continue
+        ranks = g["s"].rank(method="average")
+        auc = (ranks[g["pos"]].sum() - n_pos * (n_pos + 1) / 2.0) / (
+            n_pos * n_neg
+        )
+        r = rows[src]
+        assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+        assert abs(r["auc"] - auc) < 1e-6, (src, auc)
+        # The synthetic corpus draws words independently of `lang`,
+        # so AUC hovers near chance — bound it, don't direction it.
+        assert 0.0 < r["auc"] < 1.0
+
+
+def test_eval_calibration_replays_ece(spark, sf_dir):
+    """Recompute the reliability table in pandas: bin populations,
+    mean predictions, positive rates, and the aggregate ECE
+    (one value repeated on every bin row) must all agree."""
+    rows = SPECS["eval_calibration_ece"].fn(spark, sf_dir).collect()
+    assert rows and len(rows) <= 10
+    pdf = _eval_scored_pdf(spark)
+    pdf["p"] = pdf["s"].clip(0.0, 1.0)
+    pdf["bin"] = (pdf["p"] * 10).astype(int).clip(upper=9)
+    total = len(pdf)
+    ece = sum(
+        r["n_docs"] * r["abs_gap"] for r in rows
+    ) / total
+    for r in rows:
+        g = pdf[pdf["bin"] == r["bin"]]
+        assert r["n_docs"] == len(g)
+        assert abs(r["avg_pred"] - g["p"].mean()) < 1e-6
+        assert abs(r["pos_rate"] - g["pos"].mean()) < 1e-6
+        assert abs(
+            r["abs_gap"] - abs(r["avg_pred"] - r["pos_rate"])
+        ) < 2e-6
+        assert abs(r["ece"] - ece) < 1e-5
+        assert 0.0 <= r["pos_rate"] <= 1.0
+    assert sum(r["n_docs"] for r in rows) == total
