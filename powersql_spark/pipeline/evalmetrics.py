@@ -216,3 +216,194 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "n_docs", "avg_pred", "pos_rate", "abs_gap",
         ece.alias("ece"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# pass@k — the unbiased estimator from the Codex paper (Chen et al.
+# 2021, "Evaluating Large Language Models Trained on Code", eq. 1):
+# pass@k = 1 - C(n-c, k)/C(n, k), computed as a product of k ratios so
+# nothing overflows at any n. Here each user's non-null events are the
+# task's n trials and "success" is value > 150 — the same shape an
+# eval harness produces (task_id, trial, passed).
+# ---------------------------------------------------------------------------
+
+_PASS_K = 5
+
+
+def _pass_at_k_sql(n: str, c: str, k: int) -> str:
+    """1 - prod_{i<k} (n-c-i)/(n-i) as one shared fp tree; 1.0 when
+    fewer than k failures exist (the estimator's boundary case)."""
+    # 1e0 (not 1.0): Spark parses a bare 1.0 literal as DECIMAL and
+    # the whole product silently becomes decimal division with its
+    # own scale/rounding; 1e0 is a DOUBLE literal in both engines.
+    prod = " * ".join(
+        f"(({n} - {c} - {i}) * 1e0 / ({n} - {i}))" for i in range(k)
+    )
+    return (
+        f"CASE WHEN {n} - {c} < {k} THEN 1e0 ELSE 1e0 - {prod} END"
+    )
+
+
+@query(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH trials AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN value > 150 THEN 1 END) AS BIGINT)
+                   AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id HAVING COUNT(*) >= {_PASS_K}
+    )
+    SELECT user_id, n AS n_trials, c AS n_success,
+           {sql_jround("c * 1e0 / n", 6)} AS pass_at_1,
+           {sql_jround(_pass_at_k_sql('n', 'c', _PASS_K), 6)}
+               AS pass_at_5
+    FROM trials
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (k=5) per task with the unbiased combinatorial
+    estimator 1 - C(n-c,k)/C(n,k), evaluated as a product of k
+    ratio terms — overflow-free at any trial count, identical fp
+    tree in both engines. pass@1 = c/n is the same estimator at
+    k=1. The generation-eval readout: given n sampled attempts per
+    task and c successes, the probability at least one of k draws
+    passes.
+
+    Scale shape: one scan, one groupBy(user_id) with map-side
+    partial counts; the estimator is per-row arithmetic on the
+    (n, c) aggregate — no joins, no windows."""
+    trials = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.when(F.col("value") > 150, 1))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .where(F.col("n") >= _PASS_K)
+    )
+    return trials.select(
+        "user_id",
+        F.col("n").alias("n_trials"),
+        F.col("c").alias("n_success"),
+        F.round(F.col("c") * 1.0 / F.col("n"), 6).alias("pass_at_1"),
+        F.round(
+            F.expr(_pass_at_k_sql("n", "c", _PASS_K)), 6
+        ).alias("pass_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 — ranking-quality evaluation: does ordering documents by the
+# heuristic quality score surface the graded-relevant ones first?
+# Graded relevance from the gold lang column (en=2, de=1, else 0);
+# gains (2^rel - 1) discounted by log2(rank+1), normalized by the
+# ideal ordering's DCG.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# (2^rel - 1) with rel graded from lang: en=2 -> 3, de=1 -> 1, else 0.
+_GAIN_SQL = (
+    "CASE WHEN lang = 'en' THEN 3.0"
+    " WHEN lang = 'de' THEN 1.0 ELSE 0.0 END"
+)
+
+
+@query(
+    "eval_ndcg_at_k",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ranked AS (
+        SELECT source,
+               {_GAIN_SQL} AS gain,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY s DESC, doc_id)
+                   AS rk,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_GAIN_SQL} DESC, doc_id) AS ideal_rk
+        FROM scored
+    ),
+    terms AS (
+        SELECT source,
+               CASE WHEN rk <= {_NDCG_K} THEN CAST(round(
+                   gain / (ln(rk + 1) / ln(2)), 8) AS DECIMAL(28,8))
+                   ELSE CAST(0 AS DECIMAL(28,8)) END AS dcg_term,
+               CASE WHEN ideal_rk <= {_NDCG_K} THEN CAST(round(
+                   gain / (ln(ideal_rk + 1) / ln(2)), 8)
+                   AS DECIMAL(28,8))
+                   ELSE CAST(0 AS DECIMAL(28,8)) END AS idcg_term
+        FROM ranked
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(dcg_term) AS DOUBLE) AS dcg,
+               CAST(SUM(idcg_term) AS DOUBLE) AS idcg
+        FROM terms GROUP BY source
+    )
+    SELECT source,
+           {sql_jround("dcg", 6)} AS dcg_at_10,
+           {sql_jround("idcg", 6)} AS idcg_at_10,
+           {sql_jround("dcg / idcg", 6)} AS ndcg_at_10
+    FROM agg WHERE idcg > 0
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per source for the heuristic-quality ranking against
+    lang-graded relevance (en=2, de=1, else 0): DCG sums the top-10
+    discounted gains in score order (tie-break doc_id), IDCG the same
+    in ideal (relevance-sorted) order, NDCG = DCG/IDCG. The standard
+    ranking-eval readout for any retrieval stack.
+
+    Scale shape: one scan; two rank windows over the same per-source
+    sort exchange; terms are 8dp-decimal so the two 10-term sums are
+    partition-order independent; output is one row per source."""
+    scored = _scored(spark)
+    gain = F.expr(_GAIN_SQL)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("s").desc(), "doc_id"
+    )
+    w_ideal = Window.partitionBy("source").orderBy(
+        gain.desc(), "doc_id"
+    )
+    log2 = lambda c: F.log(c + 1) / F.log(F.lit(2.0))  # noqa: E731
+    ranked = scored.select(
+        "source",
+        gain.alias("gain"),
+        F.row_number().over(w_rank).alias("rk"),
+        F.row_number().over(w_ideal).alias("ideal_rk"),
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    terms = ranked.select(
+        "source",
+        F.when(
+            F.col("rk") <= _NDCG_K,
+            F.round(F.col("gain") / log2(F.col("rk")), 8).cast(
+                "decimal(28,8)"
+            ),
+        )
+        .otherwise(zero)
+        .alias("dcg_term"),
+        F.when(
+            F.col("ideal_rk") <= _NDCG_K,
+            F.round(
+                F.col("gain") / log2(F.col("ideal_rk")), 8
+            ).cast("decimal(28,8)"),
+        )
+        .otherwise(zero)
+        .alias("idcg_term"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("dcg_term").cast("double").alias("dcg"),
+        F.sum("idcg_term").cast("double").alias("idcg"),
+    )
+    return agg.where(F.col("idcg") > 0).select(
+        "source",
+        F.round("dcg", 6).alias("dcg_at_10"),
+        F.round("idcg", 6).alias("idcg_at_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )

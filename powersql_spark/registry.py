@@ -567,6 +567,8 @@ _PRIORITY: tuple[str, ...] = (
     "stats_anderson_darling",
     "eval_auc_roc",
     "eval_calibration_ece",
+    "eval_pass_at_k",
+    "eval_ndcg_at_k",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2567,3 +2567,25 @@ def test_eval_calibration_single_scan_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_(sum|count)", plan), "no partial agg"
+
+
+def test_eval_pass_at_k_single_agg_no_window(spark, sf_dir):
+    """pass@k: one events scan, one groupBy with map-side partials,
+    per-row arithmetic on the (n, c) aggregate — no windows, no
+    joins, no Python."""
+    plan = plan_of(spark, sf_dir, "eval_pass_at_k")
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_eval_ndcg_rank_windows_single_scan(spark, sf_dir):
+    """NDCG: one documents scan feeding both rank windows; constant
+    per-source state after; no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "eval_ndcg_at_k")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1

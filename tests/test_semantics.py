@@ -7325,3 +7325,73 @@ def test_eval_calibration_replays_ece(spark, sf_dir):
         assert abs(r["ece"] - ece) < 1e-5
         assert 0.0 <= r["pos_rate"] <= 1.0
     assert sum(r["n_docs"] for r in rows) == total
+
+
+def test_eval_pass_at_k_matches_combinatorial(spark, sf_dir):
+    """Replay the unbiased estimator with math.comb per task; the
+    ratio-product form must equal 1 - C(n-c,5)/C(n,5) to 1e-6, and
+    pass@5 must dominate pass@1 (more draws can only help)."""
+    import math
+
+    rows = SPECS["eval_pass_at_k"].fn(spark, sf_dir).collect()
+    assert rows
+    pdf = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("value") > 150, 1)).alias("c"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: r for r in pdf}
+    for r in rows:
+        w = want[r["user_id"]]
+        n, c = w["n"], w["c"]
+        assert r["n_trials"] == n and r["n_success"] == c
+        exact = (
+            1.0
+            if n - c < 5
+            else 1.0 - math.comb(n - c, 5) / math.comb(n, 5)
+        )
+        assert abs(r["pass_at_5"] - exact) < 1e-6, (n, c, exact)
+        assert abs(r["pass_at_1"] - c / n) < 1e-6
+        assert r["pass_at_5"] >= r["pass_at_1"] - 1e-9
+        assert 0.0 <= r["pass_at_5"] <= 1.0
+    assert len(rows) == sum(1 for w in pdf if w["n"] >= 5)
+
+
+def test_eval_ndcg_matches_python_replay(spark, sf_dir):
+    """Recompute DCG@10 / IDCG@10 per source in pandas from the
+    score ordering (tie-break doc_id) and the lang-graded gains;
+    NDCG must match to 1e-5 and sit in [0, 1]."""
+    import math
+
+    rows = {r["source"]: r for r in
+            SPECS["eval_ndcg_at_k"].fn(spark, sf_dir).collect()}
+    pdf = _eval_scored_pdf(spark)
+    gain_of = {"en": 3.0, "de": 1.0}
+    pdf["gain"] = pdf["lang"].map(lambda v: gain_of.get(v, 0.0))
+    assert rows
+    for src, g in pdf.groupby("source"):
+        ranked = g.sort_values(["s", "doc_id"],
+                               ascending=[False, True])
+        dcg = sum(
+            gv / math.log2(i + 2)
+            for i, gv in enumerate(ranked["gain"].head(10))
+        )
+        ideal = g.sort_values(["gain", "doc_id"],
+                              ascending=[False, True])
+        idcg = sum(
+            gv / math.log2(i + 2)
+            for i, gv in enumerate(ideal["gain"].head(10))
+        )
+        if idcg <= 0:
+            assert src not in rows
+            continue
+        r = rows[src]
+        assert abs(r["dcg_at_10"] - dcg) < 1e-5
+        assert abs(r["idcg_at_10"] - idcg) < 1e-5
+        assert abs(r["ndcg_at_10"] - dcg / idcg) < 1e-5
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0 + 1e-9
