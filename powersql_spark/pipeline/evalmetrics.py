@@ -407,3 +407,311 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_at_10"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference ratings (arena-style eval).
+#
+# Battles: each day every pair of event types present that day
+# "fights"; the higher decimal-exact daily revenue wins (ties skipped).
+# Ratings via Hunter (2004) MM updates, 3 iterations unrolled:
+#   p_i <- W_i / sum_{j != i} n_ij / (p_i + p_j),   then rescale so
+# sum(p) = m. Iteration boundaries are rounded to 10dp decimals so
+# both engines carry bit-identical state into the next step.
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 3
+
+
+def _bt_iter_sql(prev: str, nxt: str) -> str:
+    """One MM iteration as SQL CTEs: denom per player from the
+    directed pair table, unnormalized update, rescale to sum = m."""
+    return f"""
+    {nxt}_raw AS (
+        SELECT d.i AS event_type,
+               ANY_VALUE(w.wins) * 1e0 / CAST(SUM(CAST(round(
+                   d.n_ij * 1e0 / (pi.p + pj.p), 10)
+                   AS DECIMAL(38,10))) AS DOUBLE) AS p
+        FROM directed d
+        JOIN {prev} pi ON pi.event_type = d.i
+        JOIN {prev} pj ON pj.event_type = d.j
+        JOIN wintot w ON w.event_type = d.i
+        GROUP BY d.i
+    ),
+    {nxt} AS (
+        SELECT event_type,
+               CAST(round(p * (SELECT COUNT(*) * 1e0 FROM {nxt}_raw)
+                   / (SELECT CAST(SUM(CAST(round(p, 10)
+                       AS DECIMAL(38,10))) AS DOUBLE) FROM {nxt}_raw),
+                   10) AS DOUBLE) AS p
+        FROM {nxt}_raw
+    )"""
+
+
+@query(
+    "eval_bradley_terry",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,6))) AS rev
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    battles AS (
+        SELECT a.event_type AS i, b.event_type AS j,
+               CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END AS i_wins
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type < b.event_type
+        WHERE a.rev <> b.rev
+    ),
+    pairs AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_ij,
+               CAST(SUM(i_wins) AS BIGINT) AS w_i
+        FROM battles GROUP BY i, j
+    ),
+    directed AS (
+        SELECT i, j, n_ij, w_i AS wins FROM pairs
+        UNION ALL
+        SELECT j AS i, i AS j, n_ij, n_ij - w_i AS wins FROM pairs
+    ),
+    wintot AS (
+        SELECT i AS event_type, CAST(SUM(wins) AS BIGINT) AS wins,
+               CAST(SUM(n_ij) AS BIGINT) AS n_battles
+        FROM directed GROUP BY i
+    ),
+    p0 AS (SELECT event_type, 1e0 AS p FROM wintot),
+    {_bt_iter_sql('p0', 'p1')},
+    {_bt_iter_sql('p1', 'p2')},
+    {_bt_iter_sql('p2', 'p3')}
+    SELECT w.event_type, w.n_battles, w.wins,
+           {sql_jround("p3.p", 6)} AS bt_rating,
+           CAST(RANK() OVER (ORDER BY round(p3.p, 6) DESC,
+                             w.event_type) AS INTEGER) AS bt_rank
+    FROM wintot w JOIN p3 ON p3.event_type = w.event_type
+    ORDER BY bt_rank
+    """,
+)
+def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry ratings over daily pairwise "battles" between
+    event types (higher decimal-exact daily revenue wins), fit with
+    three unrolled MM iterations (Hunter 2004):
+    p_i <- W_i / sum_j n_ij/(p_i+p_j), rescaled to sum(p) = m each
+    step. The arena-style preference readout (model A vs model B
+    win-rates -> a single strength scale) expressed as pure
+    DataFrame ops — the iteration state is m rows, so each step is
+    a broadcast join against the 20-row directed pair table.
+
+    Scale shape: one scan collapses events to the (type, day) daily
+    table; the battle self-join is day-equi (never cartesian across
+    days); everything after is constant-size (m players). 10dp
+    decimal rounding at every iteration boundary keeps both engines'
+    state bit-identical."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    battles = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .where(F.col("a.rev") != F.col("b.rev"))
+        .select(
+            F.col("a.event_type").alias("i"),
+            F.col("b.event_type").alias("j"),
+            F.when(F.col("a.rev") > F.col("b.rev"), 1)
+            .otherwise(0)
+            .alias("i_wins"),
+        )
+    )
+    pairs = battles.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n_ij"),
+        F.sum("i_wins").cast("bigint").alias("w_i"),
+    )
+    directed = pairs.select(
+        "i", "j", "n_ij", F.col("w_i").alias("wins")
+    ).unionAll(
+        pairs.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n_ij",
+            (F.col("n_ij") - F.col("w_i")).alias("wins"),
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    directed = track_persist(directed)
+    wintot = directed.groupBy(F.col("i").alias("event_type")).agg(
+        F.sum("wins").cast("bigint").alias("wins"),
+        F.sum("n_ij").cast("bigint").alias("n_battles"),
+    )
+    wintot = track_persist(wintot)
+
+    p = wintot.select("event_type", F.lit(1.0).alias("p"))
+    w_all = Window.partitionBy(F.lit(1))
+    for _ in range(_BT_ITERS):
+        pi = p.select(
+            F.col("event_type").alias("i"), F.col("p").alias("p_i")
+        )
+        pj = p.select(
+            F.col("event_type").alias("j"), F.col("p").alias("p_j")
+        )
+        raw = (
+            directed.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .join(
+                F.broadcast(
+                    wintot.select(
+                        F.col("event_type").alias("i"),
+                        F.col("wins").alias("w_tot"),
+                    )
+                ),
+                "i",
+            )
+            .groupBy(F.col("i").alias("event_type"))
+            .agg(
+                (
+                    F.first("w_tot") * 1.0
+                    / F.sum(
+                        F.round(
+                            F.col("n_ij")
+                            * 1.0
+                            / (F.col("p_i") + F.col("p_j")),
+                            10,
+                        ).cast("decimal(38,10)")
+                    ).cast("double")
+                ).alias("p")
+            )
+        )
+        m = F.count("*").over(w_all) * 1.0
+        tot = (
+            F.sum(F.round(F.col("p"), 10).cast("decimal(38,10)"))
+            .over(w_all)
+            .cast("double")
+        )
+        p = raw.select(
+            "event_type",
+            F.round(F.col("p") * m / tot, 10)
+            .cast("double")
+            .alias("p"),
+        )
+    return (
+        wintot.join(p, "event_type")
+        .select(
+            "event_type",
+            "n_battles",
+            "wins",
+            F.round(F.col("p"), 6).alias("bt_rating"),
+            F.rank()
+            .over(
+                Window.orderBy(
+                    F.round(F.col("p"), 6).desc(), "event_type"
+                )
+            )
+            .cast("int")
+            .alias("bt_rank"),
+        )
+        .orderBy("bt_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test — paired comparison of two binary gates on the SAME
+# documents (did switching filters actually change outcomes, or just
+# shuffle them?). Only the discordant cells matter:
+# chi2 = (|b - c| - 1)^2 / (b + c) with continuity correction.
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_CRIT = 3.841  # chi-square(1 df), 5%
+
+
+@query(
+    "eval_mcnemar_paired",
+    oracle=rf"""
+    WITH gates AS (
+        SELECT source,
+               len(t) BETWEEN 10 AND 1000 AS gate_a,
+               CAST(len(list_filter(t, x -> x IN ({_SW_SQL})))
+                    AS DOUBLE) / len(t) BETWEEN 0.01 AND 0.5 AS gate_b
+        FROM (SELECT source,
+                     string_split_regex(trim(text), '\s+') AS t
+              FROM documents)
+    ),
+    cells AS (
+        SELECT source,
+               CAST(COUNT(CASE WHEN gate_a AND gate_b THEN 1 END)
+                    AS BIGINT) AS both_pass,
+               CAST(COUNT(CASE WHEN gate_a AND NOT gate_b THEN 1 END)
+                    AS BIGINT) AS only_a,
+               CAST(COUNT(CASE WHEN NOT gate_a AND gate_b THEN 1 END)
+                    AS BIGINT) AS only_b,
+               CAST(COUNT(CASE WHEN NOT gate_a AND NOT gate_b THEN 1
+                    END) AS BIGINT) AS neither
+        FROM gates GROUP BY source
+    )
+    SELECT source, both_pass, only_a, only_b, neither,
+           {sql_jround(
+               "CASE WHEN only_a + only_b = 0 THEN 0e0 ELSE"
+               " (abs(only_a - only_b) - 1)"
+               " * (abs(only_a - only_b) - 1) * 1e0"
+               " / (only_a + only_b) END", 6)} AS chi2_cc,
+           CASE WHEN only_a + only_b = 0 THEN FALSE ELSE
+               (abs(only_a - only_b) - 1)
+               * (abs(only_a - only_b) - 1) * 1e0
+               / (only_a + only_b) > {_MCNEMAR_CRIT} END
+               AS gates_differ_05
+    FROM cells
+    """,
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test per source between the two components of
+    the heuristic quality gate (length-in-range vs stopword-ratio-in-
+    range) applied to the SAME documents: the 2x2 concordance table,
+    continuity-corrected chi2 = (|b-c|-1)^2/(b+c) over the discordant
+    cells only, and the 5% verdict. The right test when comparing two
+    filters/classifiers on one corpus — a two-proportion z-test would
+    ignore the pairing.
+
+    Scale shape: one scan, map-only gate evaluation, four conditional
+    counts per source with map-side partials; the statistic is
+    per-row arithmetic on the aggregate."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    d = spark.table("documents").select("source", t.alias("t"))
+    n_tok = F.size("t")
+    sw_ratio = (
+        F.size(F.filter("t", lambda x: x.isin(*_STOPWORDS))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    gates = d.select(
+        "source",
+        n_tok.between(10, 1000).alias("gate_a"),
+        sw_ratio.between(0.01, 0.5).alias("gate_b"),
+    )
+    a, b = F.col("gate_a"), F.col("gate_b")
+    cells = gates.groupBy("source").agg(
+        F.count(F.when(a & b, 1)).cast("bigint").alias("both_pass"),
+        F.count(F.when(a & ~b, 1)).cast("bigint").alias("only_a"),
+        F.count(F.when(~a & b, 1)).cast("bigint").alias("only_b"),
+        F.count(F.when(~a & ~b, 1)).cast("bigint").alias("neither"),
+    )
+    disc = F.col("only_a") + F.col("only_b")
+    dev = F.abs(F.col("only_a") - F.col("only_b")) - 1
+    chi2 = F.when(disc == 0, F.lit(0.0)).otherwise(
+        dev * dev * 1.0 / disc
+    )
+    return cells.select(
+        "source",
+        "both_pass",
+        "only_a",
+        "only_b",
+        "neither",
+        F.round(chi2, 6).alias("chi2_cc"),
+        F.when(disc == 0, F.lit(False))
+        .otherwise(dev * dev * 1.0 / disc > _MCNEMAR_CRIT)
+        .alias("gates_differ_05"),
+    )

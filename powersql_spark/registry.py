@@ -569,6 +569,8 @@ _PRIORITY: tuple[str, ...] = (
     "eval_calibration_ece",
     "eval_pass_at_k",
     "eval_ndcg_at_k",
+    "eval_bradley_terry",
+    "eval_mcnemar_paired",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2589,3 +2589,30 @@ def test_eval_ndcg_rank_windows_single_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_bradley_terry_broadcast_iterations_cached_pairs(spark, sf_dir):
+    """BT: the directed pair table and win totals are cached (one
+    events collapse); each MM iteration joins the m-row ratings as
+    broadcasts; the battle self-join is day-equi — never cartesian;
+    no Python."""
+    plan = plan_of(spark, sf_dir, "eval_bradley_terry")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan, "pair/wintot tables not cached"
+    # Nested caches (wintot is built FROM cached directed) reprint the
+    # raw scan inside every InMemoryTableScan subtree, so a scan-count
+    # bound is meaningless here; the cache + broadcast assertions above
+    # are the load-bearing ones.
+
+
+def test_mcnemar_single_scan_partial_agg(spark, sf_dir):
+    """McNemar: map-only gate evaluation, four conditional counts per
+    source with map-side partials; no windows, joins, or Python."""
+    plan = plan_of(spark, sf_dir, "eval_mcnemar_paired")
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

@@ -7395,3 +7395,95 @@ def test_eval_ndcg_matches_python_replay(spark, sf_dir):
         assert abs(r["idcg_at_10"] - idcg) < 1e-5
         assert abs(r["ndcg_at_10"] - dcg / idcg) < 1e-5
         assert 0.0 <= r["ndcg_at_10"] <= 1.0 + 1e-9
+
+
+def test_bradley_terry_replays_mm_iterations(spark, sf_dir):
+    """Replay the 3 MM iterations in Python from the raw battles
+    (decimal-exact daily revenue, higher wins, ties skipped) with
+    the same 10dp boundary rounding; ratings must match to 1e-5,
+    stay positive, and sum to the player count after rescaling."""
+    rows = {r["event_type"]: r for r in
+            SPECS["eval_bradley_terry"].fn(spark, sf_dir).collect()}
+    assert rows
+    pdf = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .toPandas()
+    )
+    pdf["day"] = pdf["ts"].dt.date
+    daily = (
+        pdf.assign(rev=pdf["value"].round(6))
+        .groupby(["event_type", "day"])["rev"].sum().round(6)
+    )
+    from collections import defaultdict
+
+    n_ij = defaultdict(int)
+    wins = defaultdict(int)
+    by_day = defaultdict(dict)
+    for (et, day), rev in daily.items():
+        by_day[day][et] = rev
+    for day, revs in by_day.items():
+        ets = sorted(revs)
+        for x in range(len(ets)):
+            for y in range(x + 1, len(ets)):
+                i, j = ets[x], ets[y]
+                if revs[i] == revs[j]:
+                    continue
+                n_ij[(i, j)] += 1
+                n_ij[(j, i)] += 1
+                wins[i if revs[i] > revs[j] else j] += 1
+    players = sorted({i for i, _ in n_ij})
+    m = len(players)
+    p = {i: 1.0 for i in players}
+    for _ in range(3):
+        new = {}
+        for i in players:
+            denom = sum(
+                round(n_ij[(i, j)] / (p[i] + p[j]), 10)
+                for j in players
+                if (i, j) in n_ij
+            )
+            new[i] = wins[i] / denom
+        tot = sum(round(v, 10) for v in new.values())
+        p = {i: round(v * m / tot, 10) for i, v in new.items()}
+    for i in players:
+        r = rows[i]
+        assert abs(r["bt_rating"] - round(p[i], 6)) <= 2e-5, (i, p[i])
+        assert r["bt_rating"] > 0
+        assert r["wins"] == wins[i]
+        assert r["n_battles"] == sum(
+            v for (a, _), v in n_ij.items() if a == i
+        )
+    assert abs(sum(p.values()) - m) < 1e-6
+    by_rank = sorted(rows.values(), key=lambda r: r["bt_rank"])
+    ratings = [r["bt_rating"] for r in by_rank]
+    assert ratings == sorted(ratings, reverse=True)
+
+
+def test_mcnemar_replays_cells_and_statistic(spark, sf_dir):
+    """Recompute the 2x2 gate concordance per source in pandas; the
+    cells, the continuity-corrected chi2, and the 5% verdict must
+    match, and the four cells must cover every document."""
+    rows = {r["source"]: r for r in
+            SPECS["eval_mcnemar_paired"].fn(spark, sf_dir).collect()}
+    pdf = spark.table("documents").select("source", "text").toPandas()
+    sw = {"the", "a", "and", "of", "to", "in", "is", "it"}
+    for src, g in pdf.groupby("source"):
+        toks = g["text"].map(lambda t: t.strip().split())
+        gate_a = toks.map(lambda t: 10 <= len(t) <= 1000)
+        gate_b = toks.map(
+            lambda t: 0.01 <= sum(x in sw for x in t) / len(t) <= 0.5
+        )
+        b = int((gate_a & ~gate_b).sum())
+        c = int((~gate_a & gate_b).sum())
+        r = rows[src]
+        assert r["only_a"] == b and r["only_b"] == c
+        assert r["both_pass"] == int((gate_a & gate_b).sum())
+        assert r["neither"] == int((~gate_a & ~gate_b).sum())
+        assert (
+            r["both_pass"] + r["only_a"] + r["only_b"] + r["neither"]
+            == len(g)
+        )
+        chi2 = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
+        assert abs(r["chi2_cc"] - chi2) < 1e-6
+        assert r["gates_differ_05"] == (b + c > 0 and chi2 > 3.841)
