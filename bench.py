@@ -126,6 +126,9 @@ HEADLINE = {
     "q58_feature_store": "pipeline_feature_store_e2e",
     "q59_textrank": "text_textrank_keywords",
     "q60_nprobe_curve": "sim_ivf_nprobe_curve",
+    # eval-family headline: rank-window AUC is the heaviest shape in
+    # the new model-evaluation surface (per-source sort + rank sums).
+    "q61_eval_auc": "eval_auc_roc",
 }
 
 

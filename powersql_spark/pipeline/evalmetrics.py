@@ -715,3 +715,261 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dev * dev * 1.0 / disc > _MCNEMAR_CRIT)
         .alias("gates_differ_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiclass classification report — per-class precision / recall / F1
+# plus support for the marker-word language-ID heuristic (the same rule
+# as text_lang_id) against the gold lang column. The per-class view a
+# confusion matrix summarizes; macro rows live in eval_cohens_kappa's
+# agreement readout.
+# ---------------------------------------------------------------------------
+
+_LANG_PRED_SQL = """
+    CASE
+        WHEN (' ' || text || ' ') LIKE '% the %'
+          OR (' ' || text || ' ') LIKE '% and %' THEN 'en'
+        WHEN (' ' || text || ' ') LIKE '% der %'
+          OR (' ' || text || ' ') LIKE '% und %' THEN 'de'
+        WHEN (' ' || text || ' ') LIKE '% el %'
+          OR (' ' || text || ' ') LIKE '% los %' THEN 'es'
+        ELSE 'unk'
+    END
+"""
+
+
+@query(
+    "eval_classification_report",
+    oracle=f"""
+    WITH preds AS (
+        SELECT lang AS gold, {_LANG_PRED_SQL} AS pred FROM documents
+    ),
+    classes AS (
+        SELECT gold AS cls FROM preds
+        UNION SELECT pred AS cls FROM preds
+    ),
+    counts AS (
+        SELECT c.cls,
+               CAST(COUNT(CASE WHEN p.gold = c.cls
+                               AND p.pred = c.cls THEN 1 END)
+                    AS BIGINT) AS tp,
+               CAST(COUNT(CASE WHEN p.pred = c.cls
+                               AND p.gold <> c.cls THEN 1 END)
+                    AS BIGINT) AS fp,
+               CAST(COUNT(CASE WHEN p.gold = c.cls
+                               AND p.pred <> c.cls THEN 1 END)
+                    AS BIGINT) AS fn,
+               CAST(COUNT(CASE WHEN p.gold = c.cls THEN 1 END)
+                    AS BIGINT) AS support
+        FROM classes c CROSS JOIN preds p
+        GROUP BY c.cls
+    )
+    SELECT cls, tp, fp, fn, support,
+           {sql_jround(
+               "CASE WHEN tp + fp = 0 THEN 0e0"
+               " ELSE tp * 1e0 / (tp + fp) END", 6)} AS precision_,
+           {sql_jround(
+               "CASE WHEN tp + fn = 0 THEN 0e0"
+               " ELSE tp * 1e0 / (tp + fn) END", 6)} AS recall_,
+           {sql_jround(
+               "CASE WHEN 2 * tp + fp + fn = 0 THEN 0e0"
+               " ELSE 2 * tp * 1e0 / (2 * tp + fp + fn) END", 6)}
+               AS f1
+    FROM counts
+    ORDER BY cls
+    """,
+)
+def eval_classification_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 / support for the
+    marker-word language-ID heuristic (text_lang_id's exact rule)
+    against the gold lang column — the confusion-matrix summary every
+    classifier gate ships with. F1 uses the fused 2tp/(2tp+fp+fn)
+    form so zero-division cases collapse to one guard.
+
+    Scale shape: predictions are map-only; the per-class tp/fp/fn
+    collapse is one aggregation of the (gold, pred) count table —
+    implemented as a groupBy over the tiny distinct-class frame
+    joined against (gold, pred) cells, never a row-level cross
+    join."""
+    preds = spark.table("documents").select(
+        F.col("lang").alias("gold"),
+        F.expr(_LANG_PRED_SQL).alias("pred"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    # (gold, pred) confusion cells: the only corpus-sized pass.
+    cells = track_persist(
+        preds.groupBy("gold", "pred").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+    )
+    classes = (
+        cells.select(F.col("gold").alias("cls"))
+        .union(cells.select(F.col("pred").alias("cls")))
+        .distinct()
+    )
+    joined = classes.join(F.broadcast(cells), how="cross")
+    counts = joined.groupBy("cls").agg(
+        F.sum(
+            F.when(
+                (F.col("gold") == F.col("cls"))
+                & (F.col("pred") == F.col("cls")),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("pred") == F.col("cls"))
+                & (F.col("gold") != F.col("cls")),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("gold") == F.col("cls"))
+                & (F.col("pred") != F.col("cls")),
+                F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(
+            F.when(F.col("gold") == F.col("cls"), F.col("n")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("support"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return counts.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        F.round(
+            F.when(tp + fp == 0, F.lit(0.0)).otherwise(
+                tp * 1.0 / (tp + fp)
+            ),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.when(tp + fn == 0, F.lit(0.0)).otherwise(
+                tp * 1.0 / (tp + fn)
+            ),
+            6,
+        ).alias("recall_"),
+        F.round(
+            F.when(2 * tp + fp + fn == 0, F.lit(0.0)).otherwise(
+                2 * tp * 1.0 / (2 * tp + fp + fn)
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement between two binary raters
+# (the two quality-gate components on the same documents):
+# kappa = (p_o - p_e) / (1 - p_e).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle=rf"""
+    WITH gates AS (
+        SELECT source,
+               len(t) BETWEEN 10 AND 1000 AS gate_a,
+               CAST(len(list_filter(t, x -> x IN ({_SW_SQL})))
+                    AS DOUBLE) / len(t) BETWEEN 0.01 AND 0.5 AS gate_b
+        FROM (SELECT source,
+                     string_split_regex(trim(text), '\s+') AS t
+              FROM documents)
+    ),
+    cells AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN gate_a AND gate_b THEN 1 END)
+                    AS BIGINT) AS yy,
+               CAST(COUNT(CASE WHEN NOT gate_a AND NOT gate_b THEN 1
+                    END) AS BIGINT) AS nn,
+               CAST(COUNT(CASE WHEN gate_a THEN 1 END) AS BIGINT)
+                   AS a_yes,
+               CAST(COUNT(CASE WHEN gate_b THEN 1 END) AS BIGINT)
+                   AS b_yes
+        FROM gates GROUP BY source
+    ),
+    probs AS (
+        SELECT source, n,
+               (yy + nn) * 1e0 / n AS p_o,
+               (a_yes * 1e0 / n) * (b_yes * 1e0 / n)
+                 + ((n - a_yes) * 1e0 / n) * ((n - b_yes) * 1e0 / n)
+                 AS p_e
+        FROM cells
+    )
+    SELECT source, n AS n_docs,
+           {sql_jround("p_o", 6)} AS observed_agreement,
+           {sql_jround("p_e", 6)} AS expected_agreement,
+           {sql_jround(
+               "CASE WHEN p_e >= 1e0 THEN 1e0"
+               " ELSE (p_o - p_e) / (1e0 - p_e) END", 6)} AS kappa
+    FROM probs
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source between the two quality-gate
+    components rating the same documents: observed agreement
+    corrected for the agreement two independent raters with these
+    marginals would reach by chance, kappa = (p_o - p_e)/(1 - p_e)
+    (1 when p_e saturates). The agreement readout that tells you
+    whether two filters are redundant (high kappa) or complementary
+    (low kappa) — McNemar (eval_mcnemar_paired) answers the sibling
+    question of whether their RATES differ.
+
+    Scale shape: identical to McNemar — one scan, map-only gates,
+    five conditional counts per source with map-side partials."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    d = spark.table("documents").select("source", t.alias("t"))
+    n_tok = F.size("t")
+    sw_ratio = (
+        F.size(F.filter("t", lambda x: x.isin(*_STOPWORDS))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    gates = d.select(
+        "source",
+        n_tok.between(10, 1000).alias("gate_a"),
+        sw_ratio.between(0.01, 0.5).alias("gate_b"),
+    )
+    a, b = F.col("gate_a"), F.col("gate_b")
+    cells = gates.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(a & b, 1)).cast("bigint").alias("yy"),
+        F.count(F.when(~a & ~b, 1)).cast("bigint").alias("nn"),
+        F.count(F.when(a, 1)).cast("bigint").alias("a_yes"),
+        F.count(F.when(b, 1)).cast("bigint").alias("b_yes"),
+    )
+    n = F.col("n")
+    p_o = (F.col("yy") + F.col("nn")) * 1.0 / n
+    p_e = (F.col("a_yes") * 1.0 / n) * (F.col("b_yes") * 1.0 / n) + (
+        (n - F.col("a_yes")) * 1.0 / n
+    ) * ((n - F.col("b_yes")) * 1.0 / n)
+    kappa = F.when(p_e >= 1.0, F.lit(1.0)).otherwise(
+        (p_o - p_e) / (1.0 - p_e)
+    )
+    return cells.select(
+        "source",
+        n.alias("n_docs"),
+        F.round(p_o, 6).alias("observed_agreement"),
+        F.round(p_e, 6).alias("expected_agreement"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -571,6 +571,8 @@ _PRIORITY: tuple[str, ...] = (
     "eval_ndcg_at_k",
     "eval_bradley_terry",
     "eval_mcnemar_paired",
+    "eval_classification_report",
+    "eval_cohens_kappa",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

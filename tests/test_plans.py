@@ -2616,3 +2616,31 @@ def test_mcnemar_single_scan_partial_agg(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_classification_report_cells_cached_broadcast(spark, sf_dir):
+    """Classification report: the corpus collapses once to the
+    (gold, pred) cell table (cached); per-class tp/fp/fn ride the
+    tiny class x cell frame via a broadcast — the corpus is never
+    cross-joined; no Python."""
+    plan = plan_of(spark, sf_dir, "eval_classification_report")
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "confusion cells not cached"
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    # The only allowed product is cells x classes — both class-count
+    # sized. The raw documents scan appears once per cached lineage
+    # print, never as an extra physical read.
+    assert plan.count("documents.parquet") <= plan.count(
+        "InMemoryTableScan"
+    )
+
+
+def test_cohens_kappa_single_scan_partial_agg(spark, sf_dir):
+    """Kappa: one scan, map-only gates, five conditional counts per
+    source with map-side partials; no windows, joins, or Python."""
+    plan = plan_of(spark, sf_dir, "eval_cohens_kappa")
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

@@ -7487,3 +7487,77 @@ def test_mcnemar_replays_cells_and_statistic(spark, sf_dir):
         chi2 = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
         assert abs(r["chi2_cc"] - chi2) < 1e-6
         assert r["gates_differ_05"] == (b + c > 0 and chi2 > 3.841)
+
+
+def test_classification_report_replays_confusion(spark, sf_dir):
+    """Recompute per-class tp/fp/fn/support and P/R/F1 in pandas
+    from the same marker rule; every class present in gold or pred
+    must have a row and micro-averaged recall must equal overall
+    accuracy."""
+    rows = {r["cls"]: r for r in
+            SPECS["eval_classification_report"].fn(spark, sf_dir)
+            .collect()}
+    pdf = spark.table("documents").select("lang", "text").toPandas()
+
+    def pred_of(text):
+        padded = f" {text} "
+        if " the " in padded or " and " in padded:
+            return "en"
+        if " der " in padded or " und " in padded:
+            return "de"
+        if " el " in padded or " los " in padded:
+            return "es"
+        return "unk"
+
+    pdf["pred"] = pdf["text"].map(pred_of)
+    classes = set(pdf["lang"]) | set(pdf["pred"])
+    assert set(rows) == classes
+    for cls in classes:
+        tp = int(((pdf["lang"] == cls) & (pdf["pred"] == cls)).sum())
+        fp = int(((pdf["pred"] == cls) & (pdf["lang"] != cls)).sum())
+        fn = int(((pdf["lang"] == cls) & (pdf["pred"] != cls)).sum())
+        r = rows[cls]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn), cls
+        assert r["support"] == tp + fn
+        prec = 0.0 if tp + fp == 0 else tp / (tp + fp)
+        rec = 0.0 if tp + fn == 0 else tp / (tp + fn)
+        f1 = 0.0 if 2 * tp + fp + fn == 0 else 2 * tp / (
+            2 * tp + fp + fn
+        )
+        assert abs(r["precision_"] - prec) < 1e-6
+        assert abs(r["recall_"] - rec) < 1e-6
+        assert abs(r["f1"] - f1) < 1e-6
+    micro_tp = sum(r["tp"] for r in rows.values())
+    assert micro_tp == int((pdf["lang"] == pdf["pred"]).sum())
+
+
+def test_cohens_kappa_replays_and_bounds(spark, sf_dir):
+    """Replay kappa per source in pandas; kappa must match to 1e-6,
+    sit in [-1, 1], and observed agreement must be consistent with
+    McNemar's cells (same gates, same documents)."""
+    rows = {r["source"]: r for r in
+            SPECS["eval_cohens_kappa"].fn(spark, sf_dir).collect()}
+    mc = {r["source"]: r for r in
+          SPECS["eval_mcnemar_paired"].fn(spark, sf_dir).collect()}
+    pdf = spark.table("documents").select("source", "text").toPandas()
+    sw = {"the", "a", "and", "of", "to", "in", "is", "it"}
+    for src, g in pdf.groupby("source"):
+        toks = g["text"].map(lambda t: t.strip().split())
+        gate_a = toks.map(lambda t: 10 <= len(t) <= 1000)
+        gate_b = toks.map(
+            lambda t: 0.01 <= sum(x in sw for x in t) / len(t) <= 0.5
+        )
+        n = len(g)
+        p_o = ((gate_a == gate_b).sum()) / n
+        p_e = (gate_a.mean() * gate_b.mean()
+               + (1 - gate_a.mean()) * (1 - gate_b.mean()))
+        kappa = 1.0 if p_e >= 1.0 else (p_o - p_e) / (1 - p_e)
+        r = rows[src]
+        assert r["n_docs"] == n
+        assert abs(r["observed_agreement"] - p_o) < 1e-6
+        assert abs(r["expected_agreement"] - p_e) < 1e-6
+        assert abs(r["kappa"] - kappa) < 1e-6
+        assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9
+        m = mc[src]
+        agree = m["both_pass"] + m["neither"]
+        assert abs(r["observed_agreement"] - agree / n) < 1e-6
