@@ -973,3 +973,268 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("expected_agreement"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MRR@k — reciprocal rank of the first relevant document in each
+# source's score ranking, plus the global mean. The retrieval
+# counterpart of NDCG when only the FIRST hit matters (navigational
+# queries, dedup-lookup, agent tool-selection).
+# ---------------------------------------------------------------------------
+
+_MRR_K = 10
+
+
+@query(
+    "eval_mrr_at_k",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ranked AS (
+        SELECT source, lang = 'en' AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY s DESC, doc_id) AS rk
+        FROM scored
+    ),
+    firsts AS (
+        SELECT source,
+               min(CASE WHEN rel THEN rk END) AS first_rel
+        FROM ranked GROUP BY source
+    ),
+    rr AS (
+        SELECT source,
+               CAST(first_rel AS BIGINT) AS first_relevant_rank,
+               CASE WHEN first_rel IS NULL
+                         OR first_rel > {_MRR_K} THEN 0e0
+                    ELSE 1e0 / first_rel END AS rr_at_k
+        FROM firsts
+    )
+    SELECT source, first_relevant_rank,
+           {sql_jround("rr_at_k", 6)} AS rr_at_10,
+           {sql_jround(
+               "CAST(SUM(CAST(round(rr_at_k, 8) AS DECIMAL(38,8)))"
+               " OVER () AS DOUBLE) / COUNT(*) OVER ()", 6)}
+               AS mrr_at_10
+    FROM rr
+    """,
+)
+def eval_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 treating each source as a query over its own documents
+    ranked by the heuristic score (tie-break doc_id) with `lang='en'`
+    as relevance: per source the rank of the first relevant document
+    and its reciprocal (0 when none lands in the top 10), plus the
+    corpus-level mean repeated on every row. The first-hit retrieval
+    readout beside NDCG's graded view.
+
+    Scale shape: the MIN(first relevant rank) collapses each source
+    to one row right after the rank window — the corpus never leaves
+    the per-source sort exchange; the global mean is a window over
+    the source-count-sized result."""
+    scored = _scored(spark)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("s").desc(), "doc_id"
+    )
+    ranked = scored.select(
+        "source",
+        (F.col("lang") == "en").alias("rel"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    firsts = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rel"), F.col("rk"))).alias("first_rel")
+    )
+    rr = firsts.select(
+        "source",
+        F.col("first_rel").cast("bigint").alias(
+            "first_relevant_rank"
+        ),
+        F.when(
+            F.col("first_rel").isNull()
+            | (F.col("first_rel") > _MRR_K),
+            F.lit(0.0),
+        )
+        .otherwise(1.0 / F.col("first_rel"))
+        .alias("rr_at_k"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return rr.select(
+        "source",
+        "first_relevant_rank",
+        F.round(F.col("rr_at_k"), 6).alias("rr_at_10"),
+        F.round(
+            F.sum(F.round(F.col("rr_at_k"), 8).cast("decimal(38,8)"))
+            .over(w_all)
+            .cast("double")
+            / F.count("*").over(w_all),
+            6,
+        ).alias("mrr_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score with the Murphy (1973) three-way decomposition over the
+# same 10 calibration bins as eval_calibration_ece:
+#   Brier = reliability - resolution + uncertainty
+# computed bin-exactly (within-bin prediction variance is charged to
+# the reliability-vs-Brier residual term we emit for reconciliation).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    binned AS (
+        SELECT least(CAST(floor(least(1.0, greatest(0.0, s)) * 10)
+                          AS INTEGER), 9) AS bin,
+               least(1.0, greatest(0.0, s)) AS p,
+               CASE WHEN lang = 'en' THEN 1e0 ELSE 0e0 END AS y
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(round(p, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) / COUNT(*) AS pbar,
+               CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS ybar,
+               CAST(SUM(CAST(round((p - y) * (p - y), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS sq_err
+        FROM binned GROUP BY bin
+    ),
+    totals AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(sq_err, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sq_err_tot,
+               CAST(SUM(CAST(round(n_docs * (pbar - ybar)
+                        * (pbar - ybar), 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS rel_tot,
+               CAST(SUM(CAST(round(n_docs * ybar, 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS pos_tot
+        FROM per_bin
+    ),
+    readout AS (
+        SELECT n,
+               sq_err_tot / n AS brier,
+               rel_tot / n AS reliability,
+               (pos_tot / n) * (1e0 - pos_tot / n) AS uncertainty,
+               (SELECT CAST(SUM(CAST(round(n_docs
+                    * (ybar - t.pos_tot / t.n)
+                    * (ybar - t.pos_tot / t.n), 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) FROM per_bin) / n AS resolution
+        FROM totals t
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           {sql_jround("brier", 6)} AS brier,
+           {sql_jround("reliability", 6)} AS reliability,
+           {sql_jround("resolution", 6)} AS resolution,
+           {sql_jround("uncertainty", 6)} AS uncertainty,
+           {sql_jround(
+               "brier - (reliability - resolution + uncertainty)",
+               6)} AS within_bin_residual
+    FROM readout
+    """,
+)
+def eval_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brier score of the clipped quality score against the
+    lang='en' outcome, with the Murphy decomposition over the same
+    10 bins as eval_calibration_ece: reliability (calibration gap),
+    resolution (how much bin outcome rates spread from the base
+    rate), uncertainty (base-rate variance), and the within-bin
+    residual that reconciles the bin-level decomposition with the
+    exact Brier (zero only when predictions are constant within
+    bins). One number each — the score-quality counterpart of ECE's
+    table.
+
+    Scale shape: one scan to 10 bin rows (map-side combine,
+    8dp-decimal sums); the decomposition is arithmetic over the bin
+    table; output is a single row."""
+    scored = _scored(spark)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
+    binned = scored.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+        p.alias("p"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.round(F.col("p"), 8).cast("decimal(38,8)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("pbar"),
+        (
+            F.sum(F.col("y").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("ybar"),
+        F.sum(
+            F.round(
+                (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")),
+                8,
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("sq_err"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    per_bin = track_persist(per_bin)
+    dec28 = "decimal(28,6)"
+    totals = per_bin.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("sq_err"), 6).cast(dec28))
+        .cast("double")
+        .alias("sq_err_tot"),
+        F.sum(
+            F.round(
+                F.col("n_docs")
+                * (F.col("pbar") - F.col("ybar"))
+                * (F.col("pbar") - F.col("ybar")),
+                6,
+            ).cast(dec28)
+        )
+        .cast("double")
+        .alias("rel_tot"),
+        F.sum(F.round(F.col("n_docs") * F.col("ybar"), 6).cast(dec28))
+        .cast("double")
+        .alias("pos_tot"),
+    )
+    res = per_bin.join(F.broadcast(totals), how="cross").agg(
+        F.sum(
+            F.round(
+                F.col("n_docs")
+                * (F.col("ybar") - F.col("pos_tot") / F.col("n"))
+                * (F.col("ybar") - F.col("pos_tot") / F.col("n")),
+                6,
+            ).cast(dec28)
+        )
+        .cast("double")
+        .alias("res_tot")
+    )
+    readout = totals.join(F.broadcast(res), how="cross").select(
+        F.col("n").alias("n_docs"),
+        (F.col("sq_err_tot") / F.col("n")).alias("brier"),
+        (F.col("rel_tot") / F.col("n")).alias("reliability"),
+        (F.col("res_tot") / F.col("n")).alias("resolution"),
+        (
+            (F.col("pos_tot") / F.col("n"))
+            * (1.0 - F.col("pos_tot") / F.col("n"))
+        ).alias("uncertainty"),
+    )
+    return readout.select(
+        "n_docs",
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+        F.round(
+            F.col("brier")
+            - (
+                F.col("reliability")
+                - F.col("resolution")
+                + F.col("uncertainty")
+            ),
+            6,
+        ).alias("within_bin_residual"),
+    )

@@ -573,6 +573,8 @@ _PRIORITY: tuple[str, ...] = (
     "eval_mcnemar_paired",
     "eval_classification_report",
     "eval_cohens_kappa",
+    "eval_mrr_at_k",
+    "eval_brier_decomposition",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

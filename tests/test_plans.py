@@ -2644,3 +2644,24 @@ def test_cohens_kappa_single_scan_partial_agg(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_mrr_collapses_at_rank_window(spark, sf_dir):
+    """MRR: one documents scan, the per-source rank window, an
+    immediate MIN collapse to one row per source; the global-mean
+    window rides the tiny result; no Python."""
+    plan = plan_of(spark, sf_dir, "eval_mrr_at_k")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_brier_bins_cached_constant_joins(spark, sf_dir):
+    """Brier: one scan to 10 cached bin rows; the totals/resolution
+    passes are constant-size cross joins of 1- and 10-row frames;
+    no Python."""
+    plan = plan_of(spark, sf_dir, "eval_brier_decomposition")
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "bin table not cached"
+    assert re.search(r"partial_(sum|count)", plan), "no partial agg"

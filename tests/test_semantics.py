@@ -7561,3 +7561,54 @@ def test_cohens_kappa_replays_and_bounds(spark, sf_dir):
         m = mc[src]
         agree = m["both_pass"] + m["neither"]
         assert abs(r["observed_agreement"] - agree / n) < 1e-6
+
+
+def test_mrr_matches_python_replay(spark, sf_dir):
+    """Recompute first-relevant rank and MRR@10 in pandas; the
+    per-source reciprocal ranks and the repeated global mean must
+    match."""
+    rows = SPECS["eval_mrr_at_k"].fn(spark, sf_dir).collect()
+    pdf = _eval_scored_pdf(spark)
+    want_rr = {}
+    for src, g in pdf.groupby("source"):
+        ranked = g.sort_values(["s", "doc_id"],
+                               ascending=[False, True])
+        first = None
+        for i, pos in enumerate(ranked["pos"], 1):
+            if pos:
+                first = i
+                break
+        want_rr[src] = (
+            first,
+            0.0 if first is None or first > 10 else 1.0 / first,
+        )
+    mrr = sum(v for _, v in want_rr.values()) / len(want_rr)
+    assert len(rows) == len(want_rr)
+    for r in rows:
+        first, rr = want_rr[r["source"]]
+        assert r["first_relevant_rank"] == first
+        assert abs(r["rr_at_10"] - rr) < 1e-6
+        assert abs(r["mrr_at_10"] - mrr) < 1e-6
+
+
+def test_brier_decomposition_reconciles(spark, sf_dir):
+    """The Murphy identity must reconcile: brier = reliability -
+    resolution + uncertainty + within_bin_residual (to rounding),
+    every component non-negative except the residual, and the exact
+    Brier must match a pandas replay."""
+    [r] = SPECS["eval_brier_decomposition"].fn(spark, sf_dir).collect()
+    pdf = _eval_scored_pdf(spark)
+    p = pdf["s"].clip(0.0, 1.0)
+    y = pdf["pos"].astype(float)
+    brier = (
+        sum(round((pi - yi) ** 2, 8) for pi, yi in zip(p, y))
+        / len(pdf)
+    )
+    assert r["n_docs"] == len(pdf)
+    assert abs(r["brier"] - brier) < 1e-5
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+    assert 0 <= r["uncertainty"] <= 0.25 + 1e-9
+    lhs = r["brier"]
+    rhs = (r["reliability"] - r["resolution"] + r["uncertainty"]
+           + r["within_bin_residual"])
+    assert abs(lhs - rhs) < 5e-6
