@@ -1238,3 +1238,159 @@ def eval_brier_decomposition(
             6,
         ).alias("within_bin_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_eval_e2e — the model-evaluation dashboard as ONE query:
+# every per-source readout of the eval family plus the corpus-level
+# scalars, normalized to (entity, metric, value) rows. Reuses the
+# registered component callables and their oracle texts verbatim, so
+# the composite cannot drift from its parts.
+# ---------------------------------------------------------------------------
+
+
+def _component_oracle(key: str) -> str:
+    # Earlier keys in this module are already registered by the time
+    # this line runs at import; reading their oracle text here keeps
+    # the composite's oracle literally the components'.
+    from powersql_spark.registry import _REGISTRY
+
+    return _REGISTRY[key].oracle
+
+
+_EVAL_E2E_ORACLE = f"""
+    SELECT source AS entity, 'auc_roc' AS metric, auc AS value
+    FROM ({_component_oracle('eval_auc_roc')})
+    UNION ALL
+    SELECT source, 'cohens_kappa', kappa
+    FROM ({_component_oracle('eval_cohens_kappa')})
+    UNION ALL
+    SELECT source, 'mcnemar_chi2', chi2_cc
+    FROM ({_component_oracle('eval_mcnemar_paired')})
+    UNION ALL
+    SELECT source, 'ndcg_at_10', ndcg_at_10
+    FROM ({_component_oracle('eval_ndcg_at_k')})
+    UNION ALL
+    SELECT source, 'rr_at_10', rr_at_10
+    FROM ({_component_oracle('eval_mrr_at_k')})
+    UNION ALL
+    SELECT 'ALL', 'mrr_at_10', min(mrr_at_10)
+    FROM ({_component_oracle('eval_mrr_at_k')})
+    UNION ALL
+    SELECT 'ALL', 'ece', min(ece)
+    FROM ({_component_oracle('eval_calibration_ece')})
+    UNION ALL
+    SELECT 'ALL', 'brier', min(brier)
+    FROM ({_component_oracle('eval_brier_decomposition')})
+    UNION ALL
+    SELECT 'ALL', 'macro_f1',
+           {sql_jround(
+               "CAST(SUM(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)"
+               " / COUNT(*)", 6)}
+    FROM ({_component_oracle('eval_classification_report')})
+    UNION ALL
+    SELECT 'ALL', 'accuracy',
+           {sql_jround("SUM(tp) * 1e0 / SUM(support)", 6)}
+    FROM ({_component_oracle('eval_classification_report')})
+"""
+
+# A dashboard over zero rows should emit zero rows: the global
+# aggregates each yield one NULL-valued row on empty input — drop
+# them (no real-data metric is ever NULL; every component guards its
+# denominators).
+_EVAL_E2E_ORACLE = f"""
+    SELECT * FROM ({_EVAL_E2E_ORACLE}) WHERE value IS NOT NULL
+"""
+
+
+@query("pipeline_eval_e2e", oracle=_EVAL_E2E_ORACLE)
+def pipeline_eval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-evaluation dashboard as one long-format table:
+    per-source AUC, kappa, McNemar chi2, NDCG@10, and reciprocal
+    rank, plus corpus-level MRR, ECE, Brier, macro-F1, and accuracy
+    — each row computed by the REGISTERED component key (the
+    callables are invoked, not re-implemented), so the dashboard
+    cannot disagree with the standalone readouts.
+
+    Scale shape: the union of the component plans; each component is
+    individually shuffle-light, and nothing joins across them."""
+    from powersql_spark.registry import _REGISTRY
+
+    def fn(key):
+        return _REGISTRY[key].fn(spark, sf_dir)
+
+    lit = F.lit
+    parts = [
+        fn("eval_auc_roc").select(
+            F.col("source").alias("entity"),
+            lit("auc_roc").alias("metric"),
+            F.col("auc").alias("value"),
+        ),
+        fn("eval_cohens_kappa").select(
+            F.col("source").alias("entity"),
+            lit("cohens_kappa").alias("metric"),
+            F.col("kappa").alias("value"),
+        ),
+        fn("eval_mcnemar_paired").select(
+            F.col("source").alias("entity"),
+            lit("mcnemar_chi2").alias("metric"),
+            F.col("chi2_cc").alias("value"),
+        ),
+        fn("eval_ndcg_at_k").select(
+            F.col("source").alias("entity"),
+            lit("ndcg_at_10").alias("metric"),
+            F.col("ndcg_at_10").alias("value"),
+        ),
+        fn("eval_mrr_at_k").select(
+            F.col("source").alias("entity"),
+            lit("rr_at_10").alias("metric"),
+            F.col("rr_at_10").alias("value"),
+        ),
+        fn("eval_mrr_at_k").agg(
+            F.min("mrr_at_10").alias("value")
+        ).select(
+            lit("ALL").alias("entity"),
+            lit("mrr_at_10").alias("metric"),
+            "value",
+        ),
+        fn("eval_calibration_ece").agg(
+            F.min("ece").alias("value")
+        ).select(
+            lit("ALL").alias("entity"),
+            lit("ece").alias("metric"),
+            "value",
+        ),
+        fn("eval_brier_decomposition").select(
+            lit("ALL").alias("entity"),
+            lit("brier").alias("metric"),
+            F.col("brier").alias("value"),
+        ),
+        fn("eval_classification_report").agg(
+            F.round(
+                F.sum(F.col("f1").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("value")
+        ).select(
+            lit("ALL").alias("entity"),
+            lit("macro_f1").alias("metric"),
+            "value",
+        ),
+        fn("eval_classification_report").agg(
+            F.round(
+                F.sum("tp") * 1.0 / F.sum("support"), 6
+            ).alias("value")
+        ).select(
+            lit("ALL").alias("entity"),
+            lit("accuracy").alias("metric"),
+            "value",
+        ),
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionAll(part)
+    return out.where(F.col("value").isNotNull()).orderBy(
+        "entity", "metric"
+    )

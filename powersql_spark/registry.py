@@ -575,6 +575,7 @@ _PRIORITY: tuple[str, ...] = (
     "eval_cohens_kappa",
     "eval_mrr_at_k",
     "eval_brier_decomposition",
+    "pipeline_eval_e2e",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2665,3 +2665,12 @@ def test_brier_bins_cached_constant_joins(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "InMemoryTableScan" in plan, "bin table not cached"
     assert re.search(r"partial_(sum|count)", plan), "no partial agg"
+
+
+def test_eval_e2e_union_no_python(spark, sf_dir):
+    """The eval dashboard is the union of its components' plans —
+    no Python anywhere, no row-level cartesian (the only products
+    are the components' constant-size stat frames)."""
+    plan = plan_of(spark, sf_dir, "pipeline_eval_e2e")
+    assert "EvalPython" not in plan
+    assert "Union" in plan

@@ -7612,3 +7612,26 @@ def test_brier_decomposition_reconciles(spark, sf_dir):
     rhs = (r["reliability"] - r["resolution"] + r["uncertainty"]
            + r["within_bin_residual"])
     assert abs(lhs - rhs) < 5e-6
+
+
+def test_eval_e2e_agrees_with_components(spark, sf_dir):
+    """Every dashboard row equals the standalone component key's
+    value (the composite invokes the registered callables, but this
+    pins the reshaping too)."""
+    rows = {(r["entity"], r["metric"]): r["value"] for r in
+            SPECS["pipeline_eval_e2e"].fn(spark, sf_dir).collect()}
+    for r in SPECS["eval_auc_roc"].fn(spark, sf_dir).collect():
+        assert rows[(r["source"], "auc_roc")] == r["auc"]
+    for r in SPECS["eval_cohens_kappa"].fn(spark, sf_dir).collect():
+        assert rows[(r["source"], "cohens_kappa")] == r["kappa"]
+    for r in SPECS["eval_ndcg_at_k"].fn(spark, sf_dir).collect():
+        assert rows[(r["source"], "ndcg_at_10")] == r["ndcg_at_10"]
+    mrr_rows = SPECS["eval_mrr_at_k"].fn(spark, sf_dir).collect()
+    for r in mrr_rows:
+        assert rows[(r["source"], "rr_at_10")] == r["rr_at_10"]
+    assert rows[("ALL", "mrr_at_10")] == mrr_rows[0]["mrr_at_10"]
+    [br] = SPECS["eval_brier_decomposition"].fn(spark, sf_dir).collect()
+    assert rows[("ALL", "brier")] == br["brier"]
+    rep = SPECS["eval_classification_report"].fn(spark, sf_dir).collect()
+    acc = sum(r["tp"] for r in rep) / sum(r["support"] for r in rep)
+    assert abs(rows[("ALL", "accuracy")] - acc) < 1e-6
