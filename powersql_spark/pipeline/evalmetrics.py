@@ -1394,3 +1394,198 @@ def pipeline_eval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("value").isNotNull()).orderBy(
         "entity", "metric"
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (PR-AUC, interpolation-free form): the mean of
+# precision@i over the positive positions of the score ranking. The
+# right headline when positives are rare — ROC-AUC saturates under
+# class imbalance, AP does not.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_average_precision",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ranked AS (
+        SELECT source, lang = 'en' AS pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY s DESC, doc_id) AS rk,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY source ORDER BY s DESC, doc_id)
+                   AS cum_pos
+        FROM scored
+    ),
+    st AS (
+        SELECT source,
+               CAST(MAX(cum_pos) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN pos THEN CAST(round(
+                    cum_pos * 1e0 / rk, 8) AS DECIMAL(38,8)) END)
+                    AS DOUBLE) AS prec_sum
+        FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, n_pos,
+           {sql_jround("prec_sum / n_pos", 6)} AS average_precision,
+           {sql_jround("n_pos * 1e0 / n_docs", 6)} AS base_rate
+    FROM st WHERE n_pos > 0
+    """,
+)
+def eval_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average precision per source (the interpolation-free PR-AUC):
+    AP = mean over positive rank positions i of precision@i =
+    cum_pos(i)/i, ranking by the heuristic score (tie-break doc_id).
+    The imbalance-robust sibling of eval_auc_roc — under rare
+    positives ROC saturates while AP tracks the precision the gate
+    actually delivers; base_rate is emitted as AP's no-skill floor.
+
+    Scale shape: one scan, one per-source sort exchange shared by
+    the rank and running-positive windows, then a constant-state
+    collapse; precision terms are 8dp-decimal summed."""
+    scored = _scored(spark)
+    w = Window.partitionBy("source").orderBy(
+        F.col("s").desc(), "doc_id"
+    )
+    pos = (F.col("lang") == "en").alias("pos")
+    ranked = scored.select(
+        "source",
+        pos,
+        F.row_number().over(w).alias("rk"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .over(w)
+        .alias("cum_pos"),
+    )
+    st = (
+        ranked.groupBy("source")
+        .agg(
+            F.max("cum_pos").cast("bigint").alias("n_pos"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("pos"),
+                    F.round(
+                        F.col("cum_pos") * 1.0 / F.col("rk"), 8
+                    ).cast("decimal(38,8)"),
+                )
+            )
+            .cast("double")
+            .alias("prec_sum"),
+        )
+        .where(F.col("n_pos") > 0)
+    )
+    return st.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        F.round(F.col("prec_sum") / F.col("n_pos"), 6).alias(
+            "average_precision"
+        ),
+        F.round(F.col("n_pos") * 1.0 / F.col("n_docs"), 6).alias(
+            "base_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep — precision / recall / F1 at nine operating points
+# of the clipped score, per source: the table you read before turning
+# a score into a keep/drop gate.
+# ---------------------------------------------------------------------------
+
+_THRESHOLDS = tuple(round(0.1 * k, 1) for k in range(1, 10))
+_THRESH_SQL = ", ".join(f"({t})" for t in _THRESHOLDS)
+
+
+@query(
+    "eval_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    thresholds(thr) AS (VALUES {_THRESH_SQL}),
+    cells AS (
+        SELECT source, CAST(thr AS DOUBLE) AS threshold,
+               CAST(COUNT(CASE WHEN least(1.0, greatest(0.0, s))
+                    >= thr AND lang = 'en' THEN 1 END) AS BIGINT)
+                    AS tp,
+               CAST(COUNT(CASE WHEN least(1.0, greatest(0.0, s))
+                    >= thr AND lang <> 'en' THEN 1 END) AS BIGINT)
+                    AS fp,
+               CAST(COUNT(CASE WHEN least(1.0, greatest(0.0, s))
+                    < thr AND lang = 'en' THEN 1 END) AS BIGINT)
+                    AS fn
+        FROM scored CROSS JOIN thresholds
+        GROUP BY source, thr
+    )
+    SELECT source, threshold, tp, fp, fn,
+           {sql_jround(
+               "CASE WHEN tp + fp = 0 THEN 0e0"
+               " ELSE tp * 1e0 / (tp + fp) END", 6)} AS precision_,
+           {sql_jround(
+               "CASE WHEN tp + fn = 0 THEN 0e0"
+               " ELSE tp * 1e0 / (tp + fn) END", 6)} AS recall_,
+           {sql_jround(
+               "CASE WHEN 2 * tp + fp + fn = 0 THEN 0e0"
+               " ELSE 2 * tp * 1e0 / (2 * tp + fp + fn) END", 6)}
+               AS f1
+    FROM cells
+    ORDER BY source, threshold
+    """,
+)
+def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 per source at nine fixed thresholds of
+    the clipped score vs the lang='en' label — the operating-point
+    table consulted before a score becomes a keep/drop gate
+    (eval_calibration_ece says whether the scores are honest; this
+    says what each cut costs).
+
+    Scale shape: one scan crossed with a 9-row literal threshold
+    frame (constant fan-out, broadcast by construction), collapsed
+    by (source, threshold) with map-side partials."""
+    scored = _scored(spark)
+    thr = spark.createDataFrame(
+        [(t,) for t in _THRESHOLDS], "thr double"
+    )
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
+    joined = scored.crossJoin(F.broadcast(thr))
+    en = F.col("lang") == "en"
+    cells = joined.groupBy(
+        "source", F.col("thr").cast("double").alias("threshold")
+    ).agg(
+        F.count(F.when((p >= F.col("thr")) & en, 1))
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.when((p >= F.col("thr")) & ~en, 1))
+        .cast("bigint")
+        .alias("fp"),
+        F.count(F.when((p < F.col("thr")) & en, 1))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cells.select(
+        "source",
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(tp + fp == 0, F.lit(0.0)).otherwise(
+                tp * 1.0 / (tp + fp)
+            ),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.when(tp + fn == 0, F.lit(0.0)).otherwise(
+                tp * 1.0 / (tp + fn)
+            ),
+            6,
+        ).alias("recall_"),
+        F.round(
+            F.when(2 * tp + fp + fn == 0, F.lit(0.0)).otherwise(
+                2 * tp * 1.0 / (2 * tp + fp + fn)
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("source", "threshold")

@@ -2674,3 +2674,29 @@ def test_eval_e2e_union_no_python(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pipeline_eval_e2e")
     assert "EvalPython" not in plan
     assert "Union" in plan
+
+
+def test_average_precision_shared_sort_exchange(spark, sf_dir):
+    """AP: the rank and running-positive windows share one
+    per-source sort; constant state after the collapse; no Python,
+    no cartesian."""
+    plan = plan_of(spark, sf_dir, "eval_average_precision")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1
+    # One sort feeds both window functions (same partition/order
+    # spec) — two Sort operators over documents would mean the
+    # windows didn't fuse.
+    assert plan.count("Sort [source") <= 1
+
+
+def test_threshold_sweep_broadcast_constant_fanout(spark, sf_dir):
+    """Sweep: the 9-row threshold frame joins as a broadcast
+    (constant fan-out), then one (source, threshold) collapse with
+    map-side partials; no Python."""
+    plan = plan_of(spark, sf_dir, "eval_threshold_sweep")
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

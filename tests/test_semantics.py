@@ -7635,3 +7635,63 @@ def test_eval_e2e_agrees_with_components(spark, sf_dir):
     rep = SPECS["eval_classification_report"].fn(spark, sf_dir).collect()
     acc = sum(r["tp"] for r in rep) / sum(r["support"] for r in rep)
     assert abs(rows[("ALL", "accuracy")] - acc) < 1e-6
+
+
+def test_average_precision_matches_python_replay(spark, sf_dir):
+    """Recompute AP in pandas from the same ranking; AP must match
+    to 1e-6 and respect its bounds: base_rate <= AP <= 1 can fail on
+    adversarial orders only for AP < base_rate*something — assert
+    the hard bounds 0 < AP <= 1 and exact equality with the
+    definition."""
+    rows = {r["source"]: r for r in
+            SPECS["eval_average_precision"].fn(spark, sf_dir)
+            .collect()}
+    pdf = _eval_scored_pdf(spark)
+    for src, g in pdf.groupby("source"):
+        ranked = g.sort_values(["s", "doc_id"],
+                               ascending=[False, True])
+        cum = 0
+        prec_terms = []
+        for i, pos in enumerate(ranked["pos"], 1):
+            if pos:
+                cum += 1
+                prec_terms.append(round(cum / i, 8))
+        if not prec_terms:
+            assert src not in rows
+            continue
+        ap = sum(prec_terms) / len(prec_terms)
+        r = rows[src]
+        assert r["n_pos"] == len(prec_terms)
+        assert r["n_docs"] == len(g)
+        assert abs(r["average_precision"] - ap) < 1e-6, (src, ap)
+        assert 0.0 < r["average_precision"] <= 1.0 + 1e-9
+        assert abs(r["base_rate"] - len(prec_terms) / len(g)) < 1e-6
+
+
+def test_threshold_sweep_monotone_and_replays(spark, sf_dir):
+    """Recall must be non-increasing in the threshold (raising the
+    bar can only drop positives), tp+fn must be constant per source
+    (the positive count), and spot-replay the middle threshold in
+    pandas."""
+    rows = SPECS["eval_threshold_sweep"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    pdf = _eval_scored_pdf(spark)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["threshold"])
+        assert [r["threshold"] for r in rs] == [
+            round(0.1 * k, 1) for k in range(1, 10)
+        ]
+        recalls = [r["recall_"] for r in rs]
+        assert all(a >= b - 1e-9 for a, b in zip(recalls, recalls[1:]))
+        assert len({r["tp"] + r["fn"] for r in rs}) == 1
+        g = pdf[pdf["source"] == src]
+        p = g["s"].clip(0.0, 1.0)
+        mid = rs[4]
+        assert mid["threshold"] == 0.5
+        tp = int(((p >= 0.5) & g["pos"]).sum())
+        fp = int(((p >= 0.5) & ~g["pos"]).sum())
+        assert (mid["tp"], mid["fp"]) == (tp, fp)
