@@ -1675,3 +1675,82 @@ def sample_seed_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(expected, 4).alias("expected_joint"),
         (F.abs(joint - expected) < 0.05).alias("independent_ok"),
     )
+
+
+@query(
+    "split_kfold",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':kfold'), 1, 8))::BIGINT % 5 AS INTEGER)
+                   AS fold
+        FROM documents
+    ),
+    cells AS (
+        SELECT fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en
+        FROM assigned GROUP BY fold
+    )
+    SELECT fold, n_docs, n_en,
+           {sql_jround("n_en * 1e0 / n_docs", 6)} AS en_frac,
+           {sql_jround("n_docs * 1e0 / SUM(n_docs) OVER ()", 6)}
+               AS share
+    FROM cells
+    ORDER BY fold
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment, reported as a
+    per-fold balance table (row count, English count, class fraction,
+    corpus share). fold = md5(doc_id || salt)[:8] % 5 — the same
+    salted-hash protocol as split_train_val_test, so folds are stable
+    across runs, corpus growth, and engines, and a k-fold sweep is
+    five WHERE clauses over one free column rather than five shuffled
+    materializations.
+
+    Scale shape: assignment is map-only hashing inside whole-stage
+    codegen; the report collapses to exactly 5 rows with map-side
+    partial counts, and the share window runs on that constant
+    5-row frame."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":kfold")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ).cast("int")
+    cells = (
+        spark.table("documents")
+        .select(fold.alias("fold"), "lang")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_en"),
+        )
+    )
+    w = Window.partitionBy()
+    return cells.select(
+        "fold",
+        "n_docs",
+        "n_en",
+        F.round(F.col("n_en") * 1e0 / F.col("n_docs"), 6).alias(
+            "en_frac"
+        ),
+        F.round(
+            F.col("n_docs") * 1e0 / F.sum("n_docs").over(w), 6
+        ).alias("share"),
+    ).orderBy("fold")

@@ -1589,3 +1589,108 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("source", "threshold")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift by score decile: the campaign-targeting view
+# of a classifier — "scoring the top 30% captures X% of positives at
+# Y× random". Complements AP (one number) with the whole capture
+# curve at ten operating points.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_lift_gains",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    dec AS (
+        SELECT source, lang = 'en' AS pos,
+               NTILE(10) OVER (
+                   PARTITION BY source ORDER BY s DESC, doc_id)
+                   AS decile
+        FROM scored
+    ),
+    cells AS (
+        SELECT source, decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM dec GROUP BY source, decile
+    ),
+    cum AS (
+        SELECT source, decile, n_docs, n_pos,
+               SUM(n_docs) OVER (
+                   PARTITION BY source ORDER BY decile) AS cum_docs,
+               SUM(n_pos) OVER (
+                   PARTITION BY source ORDER BY decile) AS cum_pos,
+               SUM(n_docs) OVER (PARTITION BY source) AS tot_docs,
+               SUM(n_pos) OVER (PARTITION BY source) AS tot_pos
+        FROM cells
+    )
+    SELECT source, decile, n_docs, n_pos,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           {sql_jround("cum_pos * 1e0 / tot_pos", 6)} AS cum_gain,
+           {sql_jround(
+               "(cum_pos * 1e0 / cum_docs)"
+               " / (tot_pos * 1e0 / tot_docs)", 6)} AS cum_lift
+    FROM cum WHERE tot_pos > 0
+    ORDER BY source, decile
+    """,
+)
+def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift per score decile, per source: rank by
+    the heuristic score (tie-break doc_id), NTILE into 10 equal
+    buckets, then report what fraction of all positives the top-k
+    deciles capture (cum_gain) and how that compares to random
+    targeting (cum_lift = capture rate / base rate). The standard
+    model-vs-random readout read next to eval_average_precision.
+
+    Scale shape: the same single per-source sort exchange the other
+    ranking metrics pay feeds NTILE; the collapse leaves 10 rows per
+    source, and the cumulative/total windows run on that constant-
+    size frame. All counters are BIGINT-exact; only the two final
+    ratios are doubles (identical expression trees both engines)."""
+    scored = _scored(spark)
+    w = Window.partitionBy("source").orderBy(
+        F.col("s").desc(), "doc_id"
+    )
+    dec = scored.select(
+        "source",
+        (F.col("lang") == "en").alias("pos"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    cells = dec.groupBy("source", "decile").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    cum = cells.select(
+        "source",
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wc).alias("cum_docs"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n_docs").over(wt).alias("tot_docs"),
+        F.sum("n_pos").over(wt).alias("tot_pos"),
+    ).where(F.col("tot_pos") > 0)
+    cum_docs, cum_pos = F.col("cum_docs"), F.col("cum_pos")
+    tot_docs, tot_pos = F.col("tot_docs"), F.col("tot_pos")
+    return cum.select(
+        "source",
+        "decile",
+        "n_docs",
+        "n_pos",
+        cum_pos.cast("bigint").alias("cum_pos"),
+        F.round(cum_pos * 1e0 / tot_pos, 6).alias("cum_gain"),
+        F.round(
+            (cum_pos * 1e0 / cum_docs) / (tot_pos * 1e0 / tot_docs), 6
+        ).alias("cum_lift"),
+    ).orderBy("source", "decile")

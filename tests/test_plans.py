@@ -2700,3 +2700,26 @@ def test_threshold_sweep_broadcast_constant_fanout(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_lift_gains_single_sort_constant_tail(spark, sf_dir):
+    """Gains/lift: one per-source sort exchange feeds NTILE; after the
+    (source, decile) collapse every window runs on a 10-rows-per-source
+    frame. No Python, no cartesian, one scan."""
+    plan = plan_of(spark, sf_dir, "eval_lift_gains")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count|partial_sum", plan), "no partial agg"
+
+
+def test_split_kfold_maponly_assignment(spark, sf_dir):
+    """k-fold: the fold column is pure row-local hashing (codegen), the
+    only shuffle is the 5-row report collapse with map-side partials;
+    the share window runs on the constant 5-row frame."""
+    plan = plan_of(spark, sf_dir, "split_kfold")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

@@ -7695,3 +7695,83 @@ def test_threshold_sweep_monotone_and_replays(spark, sf_dir):
         tp = int(((p >= 0.5) & g["pos"]).sum())
         fp = int(((p >= 0.5) & ~g["pos"]).sum())
         assert (mid["tp"], mid["fp"]) == (tp, fp)
+
+
+def test_lift_gains_invariants_and_replay(spark, sf_dir):
+    """Gains must be non-decreasing in decile and end at 1.0; decile 10
+    lift must be exactly 1.0 (the full population is 1x random); and
+    the decile-1 capture must replay from pandas NTILE."""
+    rows = SPECS["eval_lift_gains"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    pdf = _eval_scored_pdf(spark)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(1, 11))
+        gains = [r["cum_gain"] for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(gains, gains[1:]))
+        assert abs(gains[-1] - 1.0) < 1e-9
+        assert abs(rs[-1]["cum_lift"] - 1.0) < 1e-9
+        # pandas replay of decile 1: same total order, first ceil-share
+        # bucket of NTILE.
+        g = pdf[pdf["source"] == src].sort_values(
+            ["s", "doc_id"], ascending=[False, True]
+        )
+        n = len(g)
+        d1 = n // 10 + (1 if n % 10 >= 1 else 0)
+        assert rs[0]["n_docs"] == d1
+        assert rs[0]["n_pos"] == int(g["pos"].head(d1).sum())
+
+
+def test_split_kfold_partitions_and_replays(spark, sf_dir):
+    """The five folds must partition the table exactly, sizes must be
+    hash-uniform (each within 5 sigma of n/5), and the fold of the
+    first 20 doc_ids must replay from Python's md5."""
+    import hashlib
+    import math
+
+    rows = SPECS["split_kfold"].fn(spark, sf_dir).collect()
+    docs = spark.table("documents")
+    n = docs.count()
+    assert sorted(r["fold"] for r in rows) == [0, 1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["n_en"] for r in rows) == docs.where("lang = 'en'").count()
+    sigma = math.sqrt(n * 0.2 * 0.8)
+    for r in rows:
+        assert abs(r["n_docs"] - n / 5) <= 5 * sigma + 1, r
+        assert abs(r["share"] - r["n_docs"] / n) < 1e-6
+        assert abs(r["en_frac"] - r["n_en"] / r["n_docs"]) < 1e-6
+    # bit-level replay of the assignment protocol
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(20).collect()]
+    expect = {
+        i: int(hashlib.md5(f"{i}:kfold".encode()).hexdigest()[:8], 16) % 5
+        for i in ids
+    }
+    from pyspark.sql import functions as F
+
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":kfold")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ).cast("int")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in docs.where(F.col("doc_id").isin(ids))
+        .select("doc_id", fold.alias("f"))
+        .collect()
+    }
+    assert got == expect
