@@ -2719,3 +2719,99 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_unit_range"
         ),
     )
+
+
+@query(
+    "text_keyness_gtest",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok GROUP BY source, word
+    ),
+    framed AS (
+        SELECT source, word, a,
+               SUM(a) OVER (PARTITION BY word) - a AS b,
+               SUM(a) OVER (PARTITION BY source) AS c,
+               SUM(a) OVER () - SUM(a) OVER (PARTITION BY source) AS d
+        FROM cells
+    ),
+    g AS (
+        SELECT source, word, a, CAST(b AS BIGINT) AS n_rest,
+               c * 1e0 * (a + b) / (c + d) AS e1,
+               d * 1e0 * (a + b) / (c + d) AS e2,
+               2 * (a * round(ln(a * 1e0 / (c * 1e0 * (a + b)
+                                            / (c + d))), 8)
+                    + CASE WHEN b > 0
+                           THEN b * round(ln(b * 1e0
+                                / (d * 1e0 * (a + b) / (c + d))), 8)
+                           ELSE 0e0 END) AS g2_raw,
+               CASE WHEN a * 1e0 / c >= b * 1e0 / d THEN 'over'
+                    ELSE 'under' END AS direction
+        FROM framed
+    )
+    SELECT source, word, a AS n_source, n_rest,
+           {sql_jround("e1", 4)} AS expected_source,
+           {sql_jround("g2_raw", 4)} AS g2, direction
+    FROM g
+    """,
+)
+def text_keyness_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyness via the log-likelihood G-test (Rayson & Garside's
+    corpus-comparison statistic): for every (source, word) cell,
+    G2 = 2*(a*ln(a/E1) + b*ln(b/E2)) comparing the word's rate in the
+    source (a of c tokens) against the rest of the corpus (b of d),
+    with expected counts E from the pooled rate. The word-frequency
+    sibling of stats_chi2_independence — G2 stays valid at the small
+    expected counts a vocabulary tail produces, and `direction` says
+    whether the word is over- or under-represented. Only observed
+    cells (a >= 1) are emitted, the standard keyness table shape.
+
+    Scale shape: one corpus scan and token explode collapse to the
+    vocabulary-sized (source, word) cell table; the b/c/d margins are
+    windows over that metadata-sized frame, never over tokens. Each
+    ln term is rounded to 8dp before the integer-weighted combination
+    (the repo's cross-engine libm discipline); no ranking happens on
+    doubles, so the output is engine-order-free."""
+    tok = spark.table("documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    cells = tok.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("a")
+    )
+    w_word = Window.partitionBy("word")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    framed = cells.select(
+        "source",
+        "word",
+        "a",
+        (F.sum("a").over(w_word) - F.col("a")).alias("b"),
+        F.sum("a").over(w_src).alias("c"),
+        (F.sum("a").over(w_all) - F.sum("a").over(w_src)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    e1 = c * 1e0 * (a + b) / (c + d)
+    e2 = d * 1e0 * (a + b) / (c + d)
+    g2 = 2 * (
+        a * F.round(F.log(a * 1e0 / e1), 8)
+        + F.when(b > 0, b * F.round(F.log(b * 1e0 / e2), 8)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return framed.select(
+        "source",
+        "word",
+        a.alias("n_source"),
+        b.cast("bigint").alias("n_rest"),
+        F.round(e1, 4).alias("expected_source"),
+        F.round(g2, 4).alias("g2"),
+        F.when(a * 1e0 / c >= b * 1e0 / d, "over")
+        .otherwise("under")
+        .alias("direction"),
+    )

@@ -576,6 +576,12 @@ _PRIORITY: tuple[str, ...] = (
     "eval_mrr_at_k",
     "eval_brier_decomposition",
     "pipeline_eval_e2e",
+    "eval_average_precision",
+    "eval_threshold_sweep",
+    "eval_lift_gains",
+    "split_kfold",
+    "text_keyness_gtest",
+    "graph_scc",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

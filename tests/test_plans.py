@@ -2723,3 +2723,27 @@ def test_split_kfold_maponly_assignment(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_keyness_windows_on_cell_frame(spark, sf_dir):
+    """Keyness: one corpus scan explodes to tokens, collapses to the
+    vocabulary-sized cell table, and the b/c/d margins are windows on
+    that frame; no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "text_keyness_gtest")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_graph_scc_no_python_no_cartesian(spark, sf_dir):
+    """SCC: after the per-round checkpoints the final plan is the
+    mutual equi-join + min-agg + size window over the constant-size
+    closure — no Python, no cartesian. (The fact-table scans live
+    behind the checkpoints, so scan counts are asserted in the
+    semantics replay instead.)"""
+    plan = plan_of(spark, sf_dir, "graph_scc")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

@@ -7775,3 +7775,107 @@ def test_split_kfold_partitions_and_replays(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_keyness_gtest_replays_in_pandas(spark, sf_dir):
+    """Replay the G-test cells in pandas with the same 8dp-rounded ln
+    terms: a/b/c/d margins, expected counts, G2, and direction must
+    all match; G2 must be (near-)nonnegative by Gibbs' inequality."""
+    import math
+
+    rows = SPECS["text_keyness_gtest"].fn(spark, sf_dir).collect()
+    tok = (
+        spark.table("documents")
+        .selectExpr("source", "explode(split(trim(text), '\\\\s+')) AS word")
+        .toPandas()
+    )
+    cells = tok.groupby(["source", "word"]).size()
+    word_tot = tok.groupby("word").size()
+    src_tot = tok.groupby("source").size()
+    grand = len(tok)
+    assert len(rows) == len(cells)
+    for r in rows:
+        a = cells[(r["source"], r["word"])]
+        b = word_tot[r["word"]] - a
+        c = src_tot[r["source"]]
+        d = grand - c
+        assert (r["n_source"], r["n_rest"]) == (a, b)
+        e1 = c * (a + b) / (c + d)
+        assert abs(r["expected_source"] - round(e1, 4)) < 1e-9
+        g2 = 2 * (
+            a * round(math.log(a / e1), 8)
+            + (b * round(math.log(b / (d * (a + b) / (c + d))), 8) if b else 0.0)
+        )
+        assert abs(r["g2"] - round(g2, 4)) < 1e-6, (r, g2)
+        assert r["g2"] >= -1e-3
+        assert r["direction"] == ("over" if a / c >= b / d else "under")
+
+
+def test_graph_scc_matches_tarjan(spark, sf_dir):
+    """Replay exact SCCs with Tarjan's algorithm on the same distinct
+    edge list; the partition into components, the min-member ids, and
+    the sizes must all match."""
+    rows = SPECS["graph_scc"].fn(spark, sf_dir).collect()
+    edges = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.expr("l_orderkey = o_orderkey"))
+        .join(spark.table("customer"), F.expr("o_custkey = c_custkey"))
+        .join(spark.table("supplier"), F.expr("l_suppkey = s_suppkey"))
+        .where("c_nationkey <> s_nationkey")
+        .select("c_nationkey", "s_nationkey")
+        .distinct()
+        .collect()
+    )
+    nodes = [
+        r["n_nationkey"]
+        for r in spark.table("nation").select("n_nationkey").collect()
+    ]
+    adj = {n: [] for n in nodes}
+    for e in edges:
+        adj[e["c_nationkey"]].append(e["s_nationkey"])
+
+    # iterative Tarjan
+    index, low, onstk, stack, sccs = {}, {}, set(), [], []
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(frozenset(comp))
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    expect = {n: min(s) for s in sccs for n in s}
+    sizes = {n: len(s) for s in sccs for n in s}
+    assert len(rows) == len(nodes)
+    for r in rows:
+        assert r["scc_id"] == expect[r["n_nationkey"]], r
+        assert r["scc_size"] == sizes[r["n_nationkey"]], r
