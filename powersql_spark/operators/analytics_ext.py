@@ -6837,3 +6837,139 @@ def stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(star, 4).alias("a2_star"),
         (star < _AD_CRIT).alias("normal_ok_05"),
     )
+
+
+_WSR_Z = (
+    "((w_plus - n * (n + 1) / 4.0)"
+    " / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie_t / 48.0))"
+)
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH paired AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CASE WHEN isodow(ts) >= 6
+                             THEN CAST(value AS DECIMAL(18,6)) END)
+                    AS DOUBLE)
+                   / COUNT(CASE WHEN isodow(ts) >= 6 THEN 1 END)
+                 - CAST(SUM(CASE WHEN isodow(ts) < 6
+                                 THEN CAST(value AS DECIMAL(18,6)) END)
+                        AS DOUBLE)
+                   / COUNT(CASE WHEN isodow(ts) < 6 THEN 1 END) AS d
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, user_id
+        HAVING COUNT(CASE WHEN isodow(ts) >= 6 THEN 1 END) > 0
+           AND COUNT(CASE WHEN isodow(ts) < 6 THEN 1 END) > 0
+    ),
+    vals AS (
+        SELECT event_type, abs(d) AS ad,
+               COUNT(*) AS cnt,
+               COUNT(CASE WHEN d > 0 THEN 1 END) AS cnt_pos
+        FROM paired WHERE d <> 0
+        GROUP BY event_type, abs(d)
+    ),
+    ranked AS (
+        SELECT event_type, cnt, cnt_pos,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
+                              ROWS UNBOUNDED PRECEDING) - cnt
+                   AS cum_prev
+        FROM vals
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(CAST(cnt_pos * (cum_prev + (cnt + 1) / 2.0)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS w_plus,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie_t
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n, w_plus,
+           {sql_jround(_WSR_Z, 4)} AS z_stat,
+           abs({sql_jround(_WSR_Z, 4)}) > 1.96 AS significant_5pct
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def stats_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test per event_type on PAIRED per-user
+    differences (mean weekend value minus mean weekday value, users
+    active in both) — the paired nonparametric complement of
+    stats_mann_whitney (unpaired) and stats_welch_ttest (parametric):
+    valid for skewed engagement values because it ranks |d| instead of
+    assuming normal differences. Zero differences are dropped and ties
+    midranked with the standard tie-corrected variance, both per the
+    classical procedure.
+
+    Scale shape: one scan collapses to (event_type, user) paired
+    means with map-side partials (means are decimal-summed, so d is
+    bit-identical across engines and partition counts); ranking runs
+    on the (event_type, |d|) distinct-value collapse — bounded by
+    value cardinality — with one window on its own partitioning.
+    Rank sums are half-integer exact and decimal-summed."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    wknd = F.expr("weekday(ts)") >= 5
+    dec = F.col("value").cast("decimal(18,6)")
+    paired = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.when(wknd, dec)).cast("double").alias("we_sum"),
+            F.count(F.when(wknd, 1)).alias("we_n"),
+            F.sum(F.when(~wknd, dec)).cast("double").alias("wd_sum"),
+            F.count(F.when(~wknd, 1)).alias("wd_n"),
+        )
+        .where((F.col("we_n") > 0) & (F.col("wd_n") > 0))
+        .select(
+            "event_type",
+            (
+                F.col("we_sum") / F.col("we_n")
+                - F.col("wd_sum") / F.col("wd_n")
+            ).alias("d"),
+        )
+        .where(F.col("d") != 0)
+    )
+    vals = paired.groupBy("event_type", F.abs("d").alias("ad")).agg(
+        F.count("*").alias("cnt"),
+        F.count(F.when(F.col("d") > 0, 1)).alias("cnt_pos"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vals.select(
+        "event_type",
+        "cnt",
+        "cnt_pos",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            (
+                F.col("cnt_pos")
+                * (F.col("cum_prev") + (F.col("cnt") + 1) / 2.0)
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("w_plus"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("double")
+        .alias("tie_t"),
+    )
+    n, w_plus, tie_t = F.col("n"), F.col("w_plus"), F.col("tie_t")
+    z = (w_plus - n * (n + 1) / 4.0) / F.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - tie_t / 48.0
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "w_plus",
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(F.round(z, 4)) > 1.96).alias("significant_5pct"),
+    ).orderBy("event_type")

@@ -23,7 +23,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC
+from powersql_spark.operators.common import DEC, sql_jround
 from powersql_spark.registry import query
 
 
@@ -1248,3 +1248,109 @@ def profile_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_term"),
     ).orderBy("first_digit")
+
+
+# (table, determinant, dependent) functional-dependency candidates:
+# two true FDs (primary keys) and four expected violations, so the
+# report exercises both verdicts.
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("part", "p_brand", "p_type"),
+)
+
+
+def _fd_cte(tbl: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{tbl}' AS table_name, '{det}' AS determinant,
+           '{dep}' AS dependent,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violating,
+           {sql_jround(
+               "COALESCE((SUM(tot) - SUM(max_cnt)) * 1e0 / SUM(tot),"
+               " 0e0)", 6)}
+               AS g3_error,
+           COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END), 0) = 0
+               AS fd_holds
+    FROM (
+        SELECT {det}, MAX(cnt) AS max_cnt, SUM(cnt) AS tot,
+               COUNT(*) AS n_dep
+        FROM (SELECT {det}, {dep}, COUNT(*) AS cnt
+              FROM {tbl} GROUP BY {det}, {dep}) cells
+        GROUP BY {det}
+    ) per_det
+    """
+
+
+@query(
+    "profile_functional_dependency",
+    oracle=f"""
+    {" UNION ALL ".join(_fd_cte(t, a, b) for t, a, b in _FD_CANDIDATES)}
+    ORDER BY table_name, determinant, dependent
+    """,
+)
+def profile_functional_dependency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency discovery over a candidate list: for each
+    (determinant -> dependent) pair, count determinant groups, groups
+    that violate the FD (more than one dependent value), and the g3
+    error — the minimum fraction of rows to delete for the FD to hold
+    (Kivinen & Mannila's measure; the standard approximate-FD score in
+    data profilers like Metanome). Two candidates are true key
+    dependencies and four are expected violations, so both verdicts are
+    exercised. The schema-discovery complement of profile_pk_candidate
+    (which tests uniqueness, i.e. X -> everything).
+
+    Scale shape: one column-pruned scan per candidate collapsing to
+    (det, dep) cells with map-side partials, then a determinant-level
+    rollup and a 1-row summary — the exchange carries distinct pairs,
+    never rows. Candidates are independent plans unioned at the
+    6-row report level."""
+    frames = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        cells = (
+            spark.table(tbl)
+            .groupBy(det, dep)
+            .agg(F.count("*").alias("cnt"))
+        )
+        per_det = cells.groupBy(det).agg(
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("tot"),
+            F.count("*").alias("n_dep"),
+        )
+        # COALESCE makes the empty-table report vacuously clean:
+        # 0 groups, 0 violations, 0 error, FD holds.
+        viol = F.coalesce(
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        frames.append(
+            per_det.agg(
+                F.count("*").cast("bigint").alias("n_groups"),
+                viol.cast("bigint").alias("n_violating"),
+                F.round(
+                    F.coalesce(
+                        (F.sum("tot") - F.sum("max_cnt"))
+                        * 1e0
+                        / F.sum("tot"),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("g3_error"),
+                (viol == 0).alias("fd_holds"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_groups",
+                "n_violating",
+                "g3_error",
+                "fd_holds",
+            )
+        )
+    out = reduce(DataFrame.unionAll, frames)
+    return out.orderBy("table_name", "determinant", "dependent")

@@ -582,6 +582,8 @@ _PRIORITY: tuple[str, ...] = (
     "split_kfold",
     "text_keyness_gtest",
     "graph_scc",
+    "profile_functional_dependency",
+    "stats_wilcoxon_signed_rank",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -72,6 +72,9 @@ def test_runs_on_empty_input(spark, key):
         # recon report: empty snapshots still yield one zero-count
         # row per category (nothing added/removed/changed), correct.
         "profile_snapshot_recon",
+        # FD report: an empty table still yields one row per declared
+        # candidate (vacuously holding, zero g3 error), correct.
+        "profile_functional_dependency",
     }
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"

@@ -2747,3 +2747,26 @@ def test_graph_scc_no_python_no_cartesian(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_fd_profile_partial_aggs_union(spark, sf_dir):
+    """FD discovery: each candidate collapses to (det, dep) cells with
+    map-side partials, unioned at the 6-row report; no Python, no
+    cartesian, column-pruned scans."""
+    plan = plan_of(spark, sf_dir, "profile_functional_dependency")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_wilcoxon_rank_on_collapsed_values(spark, sf_dir):
+    """Wilcoxon: one events scan collapses to (event_type, user)
+    pairs, ranks run on the (event_type, |d|) distinct collapse with
+    one window; no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "stats_wilcoxon_signed_rank")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("events.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

@@ -7879,3 +7879,71 @@ def test_graph_scc_matches_tarjan(spark, sf_dir):
     for r in rows:
         assert r["scc_id"] == expect[r["n_nationkey"]], r
         assert r["scc_size"] == sizes[r["n_nationkey"]], r
+
+
+def test_fd_profile_replays_in_pandas(spark, sf_dir):
+    """Replay every candidate's group counts, violations, and g3 error
+    in pandas; key FDs must hold with zero g3."""
+    rows = {
+        (r["table_name"], r["determinant"], r["dependent"]): r
+        for r in SPECS["profile_functional_dependency"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    from powersql_spark.pipeline.profiling import _FD_CANDIDATES
+
+    assert set(rows) == set(_FD_CANDIDATES)
+    for tbl, det, dep in _FD_CANDIDATES:
+        pdf = spark.table(tbl).select(det, dep).toPandas()
+        cells = pdf.groupby([det, dep]).size()
+        per_det = cells.groupby(level=0)
+        n_groups = pdf[det].nunique()
+        n_viol = int((per_det.size() > 1).sum())
+        g3 = (len(pdf) - per_det.max().sum()) / len(pdf)
+        r = rows[(tbl, det, dep)]
+        assert r["n_groups"] == n_groups
+        assert r["n_violating"] == n_viol
+        assert abs(r["g3_error"] - round(g3, 6)) < 1e-9
+        assert r["fd_holds"] == (n_viol == 0)
+        if det in ("o_orderkey", "c_custkey"):  # true keys
+            assert r["fd_holds"] and r["g3_error"] == 0.0
+
+
+def test_wilcoxon_replays_in_pandas(spark, sf_dir):
+    """Recompute the paired weekend-vs-weekday differences, midranks
+    of |d|, W+, and the tie-corrected z in pandas; all must match."""
+    import math
+
+    rows = {
+        r["event_type"]: r
+        for r in SPECS["stats_wilcoxon_signed_rank"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    pdf = spark.table("events").where("value IS NOT NULL").toPandas()
+    pdf["wknd"] = pdf["ts"].dt.weekday >= 5
+    for et, g in pdf.groupby("event_type"):
+        piv = g.groupby(["user_id", "wknd"])["value"].agg(
+            ["sum", "count"]
+        ).unstack("wknd")
+        piv = piv.dropna()
+        if len(piv) == 0:
+            assert et not in rows
+            continue
+        d = (
+            piv[("sum", True)] / piv[("count", True)]
+            - piv[("sum", False)] / piv[("count", False)]
+        )
+        d = d[d != 0]
+        n = len(d)
+        ranks = d.abs().rank(method="average")
+        w_plus = float(ranks[d > 0].sum())
+        cnts = d.abs().value_counts()
+        tie_t = float((cnts**3 - cnts).sum())
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - tie_t / 48.0
+        z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+        r = rows[et]
+        assert r["n"] == n
+        assert abs(r["w_plus"] - w_plus) < 1e-6
+        assert abs(r["z_stat"] - round(z, 4)) < 2e-4, (et, z)
+        assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
