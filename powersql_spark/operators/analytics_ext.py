@@ -6973,3 +6973,135 @@ def stats_wilcoxon_signed_rank(
         F.round(z, 4).alias("z_stat"),
         (F.abs(F.round(z, 4)) > 1.96).alias("significant_5pct"),
     ).orderBy("event_type")
+
+
+_FRIEDMAN_K = 5  # the five event types are the matched treatments
+_CHI2_CRIT_DF4 = 9.4877  # chi-square 0.95 quantile, df = k - 1
+
+
+@query(
+    "stats_friedman_test",
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    framed AS (
+        SELECT user_id, event_type, m,
+               COUNT(*) OVER (PARTITION BY user_id) AS kk,
+               CAST(RANK() OVER (PARTITION BY user_id ORDER BY m)
+                    AS DOUBLE)
+                 + (COUNT(*) OVER (PARTITION BY user_id, m) - 1)
+                   / 2.0 AS r
+        FROM cells
+    ),
+    ranked AS (
+        SELECT user_id, event_type, r FROM framed
+        WHERE kk = {_FRIEDMAN_K}
+    ),
+    treat AS (
+        SELECT event_type,
+               CAST(SUM(CAST(r AS DECIMAL(28,4))) AS DOUBLE) AS rj,
+               CAST(SUM(CAST(r * r AS DECIMAL(28,4))) AS DOUBLE)
+                   AS rj2,
+               COUNT(*) AS n
+        FROM ranked GROUP BY event_type
+    ),
+    s AS (
+        SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST((rj - n * ({_FRIEDMAN_K} + 1) / 2.0)
+                             * (rj - n * ({_FRIEDMAN_K} + 1) / 2.0)
+                             AS DECIMAL(38,4)))
+                    AS DOUBLE) AS num,
+               CAST(SUM(CAST(rj2 AS DECIMAL(38,4))) AS DOUBLE) AS a1
+        FROM treat
+    )
+    SELECT n_blocks, {_FRIEDMAN_K} AS k,
+           {sql_jround(
+               f"({_FRIEDMAN_K} - 1) * num"
+               f" / (a1 - n_blocks * {_FRIEDMAN_K}"
+               f"      * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1)"
+               f"      / 4.0)", 4)} AS chi2_f,
+           ({_FRIEDMAN_K} - 1) * num
+               / (a1 - n_blocks * {_FRIEDMAN_K}
+                       * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1)
+                       / 4.0) > {_CHI2_CRIT_DF4} AS significant_5pct
+    FROM s
+    """,
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test across the five event types, blocked by user (only
+    users observed in ALL five types are blocks): within-user midranks
+    of the per-type mean values, Conover's tie-corrected statistic
+    T1 = (k-1) * sum_j (Rj - n(k+1)/2)^2 / (A1 - C1), df = k-1. The
+    PAIRED k-sample member of the nonparametric family — completes the
+    matrix with stats_kruskal_wallis (unpaired k-sample),
+    stats_wilcoxon_signed_rank (paired two-sample via weekday split)
+    and stats_mann_whitney (unpaired two-sample).
+
+    Scale shape: one scan collapses to (user, type) decimal-summed
+    means; block filtering and within-block ranking shuffle once on
+    user_id (constant 5-row windows per block); rank sums and squared
+    ranks are quarter-integer exact and decimal-summed, so the
+    statistic is bit-identical across engines and partition counts."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    cells = e.groupBy("user_id", "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    # Block filtering rides the SAME per-user exchange as the ranking
+    # (a count window instead of a groupBy self-join), so the events
+    # table is scanned exactly once.
+    w_blk = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy("m")
+    w_tie = Window.partitionBy("user_id", "m")
+    ranked = (
+        cells.select(
+            "user_id",
+            "event_type",
+            F.count("*").over(w_blk).alias("kk"),
+            (
+                F.rank().over(w_rank).cast("double")
+                + (F.count("*").over(w_tie) - 1) / 2.0
+            ).alias("r"),
+        )
+        .where(F.col("kk") == _FRIEDMAN_K)
+        .select("user_id", "event_type", "r")
+    )
+    treat = ranked.groupBy("event_type").agg(
+        F.sum(F.col("r").cast("decimal(28,4)")).cast("double").alias("rj"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("rj2"),
+        F.count("*").alias("n"),
+    )
+    k = _FRIEDMAN_K
+    dev = F.col("rj") - F.col("n") * (k + 1) / 2.0
+    s = treat.agg(
+        F.any_value("n").cast("bigint").alias("n_blocks"),
+        F.sum((dev * dev).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("num"),
+        F.sum(F.col("rj2").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("a1"),
+    )
+    chi2 = (
+        (k - 1)
+        * F.col("num")
+        / (
+            F.col("a1")
+            - F.col("n_blocks") * k * (k + 1) * (k + 1) / 4.0
+        )
+    )
+    return s.select(
+        "n_blocks",
+        F.lit(k).alias("k"),
+        F.round(chi2, 4).alias("chi2_f"),
+        (chi2 > _CHI2_CRIT_DF4).alias("significant_5pct"),
+    )

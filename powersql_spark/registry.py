@@ -584,6 +584,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_scc",
     "profile_functional_dependency",
     "stats_wilcoxon_signed_rank",
+    "stats_friedman_test",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2770,3 +2770,15 @@ def test_wilcoxon_rank_on_collapsed_values(spark, sf_dir):
     assert "Window" in plan
     assert plan.count("events.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_friedman_ranks_within_user_blocks(spark, sf_dir):
+    """Friedman: one events scan collapses to (user, type) means,
+    ranks run inside constant 5-row per-user blocks, and the
+    treatment rollup is 5 rows; no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "stats_friedman_test")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("events.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

@@ -7947,3 +7947,32 @@ def test_wilcoxon_replays_in_pandas(spark, sf_dir):
         assert abs(r["w_plus"] - w_plus) < 1e-6
         assert abs(r["z_stat"] - round(z, 4)) < 2e-4, (et, z)
         assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+
+
+def test_friedman_replays_in_pandas(spark, sf_dir):
+    """Recompute Friedman's tie-corrected T1 in pandas: per-user mean
+    ranks (average method), Rj sums, A1, C1 — must match to the 4dp
+    rounding; the untied identity 12/nk(k+1) form must agree when no
+    ties exist."""
+    r = SPECS["stats_friedman_test"].fn(spark, sf_dir).collect()[0]
+    pdf = spark.table("events").where("value IS NOT NULL").toPandas()
+    cells = (
+        pdf.groupby(["user_id", "event_type"])["value"]
+        .mean()
+        .reset_index()
+    )
+    k = 5
+    counts = cells.groupby("user_id").size()
+    blocks = counts[counts == k].index
+    cells = cells[cells["user_id"].isin(blocks)]
+    cells["r"] = cells.groupby("user_id")["value"].rank(method="average")
+    n = len(blocks)
+    rj = cells.groupby("event_type")["r"].sum()
+    a1 = float((cells["r"] ** 2).sum())
+    c1 = n * k * (k + 1) ** 2 / 4.0
+    num = (k - 1) * float(((rj - n * (k + 1) / 2.0) ** 2).sum())
+    t1 = num / (a1 - c1)
+    assert r["n_blocks"] == n
+    assert r["k"] == k
+    assert abs(r["chi2_f"] - round(t1, 4)) < 2e-4, (r, t1)
+    assert r["significant_5pct"] == (t1 > 9.4877)
