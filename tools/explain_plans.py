@@ -159,6 +159,21 @@ SHOW = {
     "stats_mann_whitney": "Rank-sum test: corpus collapses to "
     "(event_type, value) distinct counts before any window; the rank "
     "prefix sum and final statistic run on the collapsed table.",
+    "eval_auc_roc": "Rank-sum AUC (bench q61): one per-source sort "
+    "exchange feeds tie-averaged rank windows; the statistic "
+    "collapses to one row per source with decimal-summed rank sums.",
+    "text_keyness_gtest": "G-test keyness: token explode collapses to "
+    "the vocabulary-sized (source, word) cell table; the b/c/d "
+    "margins are windows over that frame — tokens never shuffle "
+    "twice.",
+    "graph_scc": "Exact SCC: the final plan is the mutual equi-join + "
+    "min-agg + size window over the checkpointed closure (constant "
+    "O(nations^2) rows); the 3^k lineage blowup is cut by per-round "
+    "localCheckpoint.",
+    "profile_functional_dependency": "FD discovery: each candidate "
+    "collapses to (det, dep) cells with map-side partials; the "
+    "exchange carries distinct pairs, and candidates union at the "
+    "6-row report.",
 }
 
 
