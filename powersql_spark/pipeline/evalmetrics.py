@@ -1694,3 +1694,166 @@ def eval_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum_pos * 1e0 / cum_docs) / (tot_pos * 1e0 / tot_docs), 6
         ).alias("cum_lift"),
     ).orderBy("source", "decile")
+
+
+# ---------------------------------------------------------------------------
+# DeLong confidence interval for AUC: the standard error of the
+# rank-sum AUC from the placement-value variances (DeLong, DeLong &
+# Clarke-Pearson 1988) — deterministic, no bootstrap resampling.
+# Placement identity used below: with tie-averaged ranks,
+# r_all(i) - r_within_class(i) = #other-class below i + ties/2.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "eval_auc_delong_ci",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ranked AS (
+        SELECT source, lang = 'en' AS pos,
+               CAST(RANK() OVER (PARTITION BY source ORDER BY s)
+                    AS DOUBLE)
+                 + (COUNT(*) OVER (PARTITION BY source, s) - 1) / 2.0
+                   AS r_all,
+               CAST(RANK() OVER (PARTITION BY source, lang = 'en'
+                                 ORDER BY s) AS DOUBLE)
+                 + (COUNT(*) OVER (PARTITION BY source, lang = 'en', s)
+                    - 1) / 2.0 AS r_grp,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY source) AS n_pos,
+               SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) OVER (
+                   PARTITION BY source) AS n_neg
+        FROM scored
+    ),
+    placed AS (
+        SELECT source, pos, n_pos, n_neg,
+               CASE WHEN pos THEN (r_all - r_grp) / n_neg
+                    ELSE 1 - (r_all - r_grp) / n_pos END AS v
+        FROM ranked WHERE n_pos > 0 AND n_neg > 0
+    ),
+    st AS (
+        SELECT source,
+               CAST(ANY_VALUE(n_pos) AS BIGINT) AS n_pos,
+               CAST(ANY_VALUE(n_neg) AS BIGINT) AS n_neg,
+               CAST(SUM(CASE WHEN pos THEN CAST(round(v, 8)
+                    AS DECIMAL(38,8)) END) AS DOUBLE) AS sv10,
+               CAST(SUM(CASE WHEN pos THEN CAST(round(v * v, 8)
+                    AS DECIMAL(38,8)) END) AS DOUBLE) AS svv10,
+               CAST(SUM(CASE WHEN NOT pos THEN CAST(round(v, 8)
+                    AS DECIMAL(38,8)) END) AS DOUBLE) AS sv01,
+               CAST(SUM(CASE WHEN NOT pos THEN CAST(round(v * v, 8)
+                    AS DECIMAL(38,8)) END) AS DOUBLE) AS svv01
+        FROM placed GROUP BY source
+    ),
+    ci AS (
+        SELECT source, n_pos, n_neg,
+               sv10 / n_pos AS auc,
+               sqrt(
+                 CASE WHEN n_pos > 1
+                      THEN (svv10 - sv10 * sv10 / n_pos)
+                           / (n_pos - 1) / n_pos ELSE 0e0 END
+                 + CASE WHEN n_neg > 1
+                        THEN (svv01 - sv01 * sv01 / n_neg)
+                             / (n_neg - 1) / n_neg ELSE 0e0 END)
+                   AS se
+        FROM st
+    )
+    SELECT source, n_pos, n_neg,
+           {sql_jround("auc", 6)} AS auc,
+           {sql_jround("se", 6)} AS se,
+           {sql_jround("auc - 1.96 * se", 6)} AS ci_lo,
+           {sql_jround("auc + 1.96 * se", 6)} AS ci_hi
+    FROM ci
+    """,
+)
+def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong 95% confidence interval for the per-source AUC: placement
+    values from the two tie-averaged rank windows (overall rank minus
+    within-class rank = opposite-class mass below, ties halved),
+    Var(AUC) = S10/n+ + S01/n- from their sample variances, CI =
+    AUC +- 1.96 SE. The uncertainty the bare eval_auc_roc point
+    estimate needs before two classifier gates are compared — exact
+    and deterministic where a bootstrap would burn passes and inject
+    resampling noise.
+
+    Scale shape: the same single per-source sort exchange as
+    eval_auc_roc feeds all four windows (the within-class ranks
+    partition by (source, pos) — a sub-partitioning of the same sort
+    order); placements are 8dp-decimal-pinned before the variance
+    sums, so the CI is bit-identical across engines and partition
+    counts."""
+    scored = _scored(spark)
+    pos = F.col("lang") == "en"
+    w_all = Window.partitionBy("source").orderBy("s")
+    w_tie = Window.partitionBy("source", "s")
+    w_grp = Window.partitionBy("source", pos).orderBy("s")
+    w_gtie = Window.partitionBy("source", pos, "s")
+    w_src = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        pos.alias("pos"),
+        (
+            F.rank().over(w_all).cast("double")
+            + (F.count("*").over(w_tie) - 1) / 2.0
+        ).alias("r_all"),
+        (
+            F.rank().over(w_grp).cast("double")
+            + (F.count("*").over(w_gtie) - 1) / 2.0
+        ).alias("r_grp"),
+        F.sum(F.when(pos, 1).otherwise(0)).over(w_src).alias("n_pos"),
+        F.sum(F.when(pos, 0).otherwise(1)).over(w_src).alias("n_neg"),
+    )
+    placed = ranked.where(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    ).select(
+        "source",
+        "pos",
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("pos"),
+            (F.col("r_all") - F.col("r_grp")) / F.col("n_neg"),
+        )
+        .otherwise(
+            1 - (F.col("r_all") - F.col("r_grp")) / F.col("n_pos")
+        )
+        .alias("v"),
+    )
+    v = F.col("v")
+    dec8 = lambda c: F.round(c, 8).cast("decimal(38,8)")  # noqa: E731
+    st = placed.groupBy("source").agg(
+        F.any_value("n_pos").cast("bigint").alias("n_pos"),
+        F.any_value("n_neg").cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("pos"), dec8(v))).cast("double").alias("sv10"),
+        F.sum(F.when(F.col("pos"), dec8(v * v)))
+        .cast("double")
+        .alias("svv10"),
+        F.sum(F.when(~F.col("pos"), dec8(v))).cast("double").alias("sv01"),
+        F.sum(F.when(~F.col("pos"), dec8(v * v)))
+        .cast("double")
+        .alias("svv01"),
+    )
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    auc = F.col("sv10") / n_pos
+    s10 = F.when(
+        n_pos > 1,
+        (F.col("svv10") - F.col("sv10") * F.col("sv10") / n_pos)
+        / (n_pos - 1)
+        / n_pos,
+    ).otherwise(F.lit(0.0))
+    s01 = F.when(
+        n_neg > 1,
+        (F.col("svv01") - F.col("sv01") * F.col("sv01") / n_neg)
+        / (n_neg - 1)
+        / n_neg,
+    ).otherwise(F.lit(0.0))
+    se = F.sqrt(s10 + s01)
+    return st.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(se, 6).alias("se"),
+        F.round(auc - 1.96 * se, 6).alias("ci_lo"),
+        F.round(auc + 1.96 * se, 6).alias("ci_hi"),
+    )

@@ -585,6 +585,7 @@ _PRIORITY: tuple[str, ...] = (
     "profile_functional_dependency",
     "stats_wilcoxon_signed_rank",
     "stats_friedman_test",
+    "eval_auc_delong_ci",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

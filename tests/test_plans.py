@@ -2782,3 +2782,14 @@ def test_friedman_ranks_within_user_blocks(spark, sf_dir):
     assert "Window" in plan
     assert plan.count("events.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_delong_shares_source_sort(spark, sf_dir):
+    """DeLong CI: all four rank/tie windows ride per-source sorts of
+    the same scored frame; constant state after the collapse; no
+    Python, no cartesian, one scan."""
+    plan = plan_of(spark, sf_dir, "eval_auc_delong_ci")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("documents.parquet") == 1

@@ -7976,3 +7976,41 @@ def test_friedman_replays_in_pandas(spark, sf_dir):
     assert r["k"] == k
     assert abs(r["chi2_f"] - round(t1, 4)) < 2e-4, (r, t1)
     assert r["significant_5pct"] == (t1 > 9.4877)
+
+
+def test_delong_ci_replays_in_pandas(spark, sf_dir):
+    """Recompute DeLong placements and variances in pandas: AUC must
+    equal the rank-sum AUC from eval_auc_roc, SE must match the
+    placement-variance formula, and the CI must bracket the AUC."""
+    rows = {
+        r["source"]: r
+        for r in SPECS["eval_auc_delong_ci"].fn(spark, sf_dir).collect()
+    }
+    auc_rows = {
+        r["source"]: r["auc"]
+        for r in SPECS["eval_auc_roc"].fn(spark, sf_dir).collect()
+    }
+    pdf = _eval_scored_pdf(spark)
+    for src, g in pdf.groupby("source"):
+        npos, nneg = int(g["pos"].sum()), int((~g["pos"]).sum())
+        if npos == 0 or nneg == 0:
+            assert src not in rows
+            continue
+        r_all = g["s"].rank(method="average")
+        r_grp = g.groupby("pos")["s"].rank(method="average")
+        v = (r_all - r_grp).where(
+            g["pos"], 1 - (r_all - r_grp) / npos
+        )
+        v[g["pos"]] = (r_all - r_grp)[g["pos"]] / nneg
+        v10, v01 = v[g["pos"]].round(8), v[~g["pos"]].round(8)
+        auc = v10.sum() / npos
+        s10 = v10.var(ddof=1) / npos if npos > 1 else 0.0
+        s01 = v01.var(ddof=1) / nneg if nneg > 1 else 0.0
+        se = (s10 + s01) ** 0.5
+        r = rows[src]
+        assert (r["n_pos"], r["n_neg"]) == (npos, nneg)
+        assert abs(r["auc"] - auc) < 1e-5
+        assert abs(r["auc"] - auc_rows[src]) < 1e-5  # same statistic
+        assert abs(r["se"] - se) < 1e-4, (src, se)
+        assert r["ci_lo"] <= r["auc"] <= r["ci_hi"]
+        assert abs((r["ci_hi"] - r["ci_lo"]) / 2 - 1.96 * r["se"]) < 1e-4
