@@ -4574,7 +4574,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "t",
     )
-    per_grp = (
+    per_grp = track_persist(
         cells.join(ranked, "x")
         .groupBy("grp")
         .agg(
@@ -7105,3 +7105,154 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2_f"),
         (chi2 > _CHI2_CRIT_DF4).alias("significant_5pct"),
     )
+
+
+_DUNN_ZCRIT = 2.8070  # Phi^-1(1 - 0.05 / (2 * 10)): Bonferroni, k=5 -> 10 pairs
+
+
+@query(
+    "stats_dunn_posthoc",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type AS grp, value AS x, COUNT(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, value
+    ),
+    vals AS (SELECT x, SUM(cnt) AS t FROM cells GROUP BY x),
+    ranked AS (
+        SELECT x,
+               SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                   - t + (t + 1) / 2.0 AS frank,
+               t
+        FROM vals
+    ),
+    per_grp AS (
+        SELECT grp,
+               CAST(SUM(cnt) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(cnt * frank AS DECIMAL(28,6)))
+                    AS DOUBLE) / SUM(cnt) AS rbar
+        FROM cells c JOIN ranked rk ON rk.x = c.x
+        GROUP BY grp
+    ),
+    sig AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               (SELECT CAST(SUM(t * t * t - t) AS DOUBLE) FROM vals)
+                   AS tie_t
+        FROM per_grp
+    ),
+    pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               a.n_g AS n_a, b.n_g AS n_b,
+               a.rbar AS mean_rank_a, b.rbar AS mean_rank_b,
+               (a.rbar - b.rbar)
+                 / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                         - tie_t / (12.0 * (n - 1)))
+                        * (1.0 / a.n_g + 1.0 / b.n_g)) AS z
+        FROM per_grp a JOIN per_grp b ON a.grp < b.grp
+        CROSS JOIN sig
+    )
+    SELECT grp_a, grp_b, n_a, n_b,
+           {sql_jround("mean_rank_a", 4)} AS mean_rank_a,
+           {sql_jround("mean_rank_b", 4)} AS mean_rank_b,
+           {sql_jround("z", 4)} AS z_stat,
+           abs({sql_jround("z", 4)}) > {_DUNN_ZCRIT}
+               AS significant_bonf
+    FROM pairs
+    ORDER BY grp_a, grp_b
+    """,
+)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test: all 10 pairwise event-type comparisons
+    that follow a significant Kruskal-Wallis — z_ij = (Rbar_i - Rbar_j)
+    / sqrt((N(N+1)/12 - tie/(12(N-1)))(1/n_i + 1/n_j)) on the POOLED
+    midranks (not per-pair reranks, which is what makes Dunn the
+    correct follow-up rather than 10 Mann-Whitneys), Bonferroni-held
+    at alpha = 0.05 over the 10 comparisons. Completes the omnibus ->
+    post-hoc workflow beside stats_kruskal_wallis.
+
+    Scale shape: identical collapse to stats_kruskal_wallis — the
+    corpus reduces to (group, value) distinct counts, pooled ranks
+    come from one prefix-sum window over the value-collapse, and the
+    pairwise stage is a self-join of the constant k-row group table.
+    Mean ranks are decimal-summed; z is a fixed expression tree."""
+    from powersql_spark.catalog import track_persist
+
+    e = spark.table("events").where(F.col("value").isNotNull())
+    # cells, vals and per_grp each feed two+ consumers below; persist
+    # the collapsed frames so the corpus is scanned exactly once (the
+    # same discipline as graph_label_propagation's adjacency).
+    cells = track_persist(
+        e.groupBy(
+            F.col("event_type").alias("grp"), F.col("value").alias("x")
+        ).agg(F.count("*").alias("cnt"))
+    )
+    vals = track_persist(cells.groupBy("x").agg(F.sum("cnt").alias("t")))
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vals.select(
+        "x",
+        (F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0).alias(
+            "frank"
+        ),
+        "t",
+    )
+    per_grp = track_persist(
+        cells.join(ranked, "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            (
+                F.sum(
+                    (F.col("cnt") * F.col("frank")).cast("decimal(28,6)")
+                ).cast("double")
+                / F.sum("cnt")
+            ).alias("rbar"),
+        )
+    )
+    sig = per_grp.agg(
+        F.sum("n_g").cast("bigint").alias("n")
+    ).crossJoin(
+        F.broadcast(
+            vals.agg(
+                F.sum(
+                    F.col("t") * F.col("t") * F.col("t") - F.col("t")
+                )
+                .cast("double")
+                .alias("tie_t")
+            )
+        )
+    )
+    a, b = per_grp.alias("a"), per_grp.alias("b")
+    pairs = (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(sig))
+        .select(
+            F.col("a.grp").alias("grp_a"),
+            F.col("b.grp").alias("grp_b"),
+            F.col("a.n_g").alias("n_a"),
+            F.col("b.n_g").alias("n_b"),
+            F.col("a.rbar").alias("mean_rank_a"),
+            F.col("b.rbar").alias("mean_rank_b"),
+            (
+                (F.col("a.rbar") - F.col("b.rbar"))
+                / F.sqrt(
+                    (
+                        F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+                        - F.col("tie_t") / (12.0 * (F.col("n") - 1))
+                    )
+                    * (1.0 / F.col("a.n_g") + 1.0 / F.col("b.n_g"))
+                )
+            ).alias("z"),
+        )
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.round("mean_rank_a", 4).alias("mean_rank_a"),
+        F.round("mean_rank_b", 4).alias("mean_rank_b"),
+        F.round("z", 4).alias("z_stat"),
+        (F.abs(F.round("z", 4)) > _DUNN_ZCRIT).alias("significant_bonf"),
+    ).orderBy("grp_a", "grp_b")

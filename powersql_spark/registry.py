@@ -586,6 +586,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_wilcoxon_signed_rank",
     "stats_friedman_test",
     "eval_auc_delong_ci",
+    "stats_dunn_posthoc",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2793,3 +2793,16 @@ def test_delong_shares_source_sort(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_dunn_pairs_on_constant_group_table(spark, sf_dir):
+    """Dunn: the corpus collapses to (group, value) cells; the only
+    non-equi join is the k-row group-table self-pairing (constant
+    fan-out). No Python; the cell/group frames are cached, so the
+    events scan executes once — the scan substring repeats only
+    inside printed cached lineage (one per InMemoryTableScan)."""
+    plan = plan_of(spark, sf_dir, "stats_dunn_posthoc")
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan, "cell table not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+    assert re.search(r"partial_count|partial_sum", plan), "no partial agg"

@@ -8014,3 +8014,33 @@ def test_delong_ci_replays_in_pandas(spark, sf_dir):
         assert abs(r["se"] - se) < 1e-4, (src, se)
         assert r["ci_lo"] <= r["auc"] <= r["ci_hi"]
         assert abs((r["ci_hi"] - r["ci_lo"]) / 2 - 1.96 * r["se"]) < 1e-4
+
+
+def test_dunn_replays_and_agrees_with_kw_ranks(spark, sf_dir):
+    """Replay Dunn in pandas on pooled midranks: mean ranks, the
+    tie-corrected sigma, and every pairwise z must match; the pair
+    grid must be the complete k-choose-2 upper triangle."""
+    import itertools
+    import math
+
+    rows = SPECS["stats_dunn_posthoc"].fn(spark, sf_dir).collect()
+    pdf = spark.table("events").where("value IS NOT NULL").toPandas()
+    pdf["r"] = pdf["value"].rank(method="average")
+    n = len(pdf)
+    cnts = pdf["value"].value_counts()
+    tie_t = float((cnts**3 - cnts).sum())
+    sig2 = n * (n + 1) / 12.0 - tie_t / (12.0 * (n - 1))
+    g = pdf.groupby("event_type")["r"].agg(["mean", "size"])
+    expected_pairs = set(
+        itertools.combinations(sorted(g.index), 2)
+    )
+    assert {(r["grp_a"], r["grp_b"]) for r in rows} == expected_pairs
+    for r in rows:
+        ma, mb = g.loc[r["grp_a"]], g.loc[r["grp_b"]]
+        z = (ma["mean"] - mb["mean"]) / math.sqrt(
+            sig2 * (1.0 / ma["size"] + 1.0 / mb["size"])
+        )
+        assert (r["n_a"], r["n_b"]) == (ma["size"], mb["size"])
+        assert abs(r["mean_rank_a"] - round(ma["mean"], 4)) < 1e-6
+        assert abs(r["z_stat"] - round(z, 4)) < 2e-4, (r, z)
+        assert r["significant_bonf"] == (abs(round(z, 4)) > 2.8070)
