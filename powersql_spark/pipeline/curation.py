@@ -1754,3 +1754,102 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * 1e0 / F.sum("n_docs").over(w), 6
         ).alias("share"),
     ).orderBy("fold")
+
+
+@query(
+    "curation_rejection_sampling",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               least(1.0, greatest(0.0,
+                   CAST(len(list_filter(t, x -> x IN
+                        ('the','a','and','of','to','in','is','it')))
+                        AS DOUBLE) / len(t)
+                   + CAST(len(t) AS DOUBLE) / 2000.0)) AS p_keep
+        FROM (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    ),
+    drawn AS (
+        SELECT source, p_keep,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rej'),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u < p_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           {sql_jround(
+               "SUM(CASE WHEN u < p_keep THEN 1 ELSE 0 END)"
+               " * 1e0 / COUNT(*)", 6)} AS keep_rate,
+           {sql_jround(
+               "CAST(SUM(CAST(round(p_keep, 8) AS DECIMAL(38,8)))"
+               "      AS DOUBLE) / COUNT(*)", 6)} AS mean_p_keep
+    FROM drawn
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def curation_rejection_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Soft quality filtering by rejection sampling: each document is
+    kept with probability equal to its clipped quality score (the
+    FineWeb-style alternative to a hard threshold — borderline
+    documents survive in proportion to their quality instead of
+    dying at a cliff). The coin flip is a salted md5 uniform
+    u = hash[:8]/2^32, so the decision is deterministic, replayable
+    across runs/engines, and independent of the score (a different
+    salt than every other sampling key). Reported per source: corpus
+    size, kept count, realized keep rate, and the mean acceptance
+    probability (their agreement is the sampler's sanity check,
+    asserted in tests).
+
+    Scale shape: scoring and the coin flip are pure map-side codegen
+    on the scan; the only shuffle is the per-source report collapse
+    with map-side partials. Changing the quality model re-flips
+    nothing (u is score-independent), so an incremental re-curation
+    only moves documents whose p crossed their fixed u."""
+    from powersql_spark.pipeline.evalmetrics import _scored
+
+    scored = _scored(spark)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":rej")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    drawn = scored.select(
+        "source", p.alias("p_keep"), u.alias("u")
+    )
+    kept = F.sum(
+        F.when(F.col("u") < F.col("p_keep"), 1).otherwise(0)
+    )
+    return (
+        drawn.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            kept.cast("bigint").alias("n_kept"),
+            F.round(kept * 1e0 / F.count("*"), 6).alias("keep_rate"),
+            F.round(
+                F.sum(
+                    F.round(F.col("p_keep"), 8).cast("decimal(38,8)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_p_keep"),
+        )
+        .orderBy("source")
+    )

@@ -587,6 +587,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_friedman_test",
     "eval_auc_delong_ci",
     "stats_dunn_posthoc",
+    "curation_rejection_sampling",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

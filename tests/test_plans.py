@@ -2806,3 +2806,14 @@ def test_dunn_pairs_on_constant_group_table(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "cell table not cached"
     assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
     assert re.search(r"partial_count|partial_sum", plan), "no partial agg"
+
+
+def test_rejection_sampling_maponly_coin(spark, sf_dir):
+    """Rejection sampling: score and coin flip are map-side codegen on
+    the scan; the only shuffle is the per-source report collapse. No
+    Python, no join, one scan."""
+    plan = plan_of(spark, sf_dir, "curation_rejection_sampling")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

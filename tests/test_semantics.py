@@ -8044,3 +8044,42 @@ def test_dunn_replays_and_agrees_with_kw_ranks(spark, sf_dir):
         assert abs(r["mean_rank_a"] - round(ma["mean"], 4)) < 1e-6
         assert abs(r["z_stat"] - round(z, 4)) < 2e-4, (r, z)
         assert r["significant_bonf"] == (abs(round(z, 4)) > 2.8070)
+
+
+def test_rejection_sampling_replays_and_concentrates(spark, sf_dir):
+    """Replay every keep decision from Python's md5 and the score
+    replay; corpus-wide the realized keep count must sit within 5
+    sigma of the sum of acceptance probabilities (the sampler's
+    unbiasedness), and per-source counts must match the replay
+    exactly."""
+    import hashlib
+    import math
+
+    rows = {
+        r["source"]: r
+        for r in SPECS["curation_rejection_sampling"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    pdf = _eval_scored_pdf(spark)
+    pdf["p"] = pdf["s"].clip(0.0, 1.0)
+    pdf["u"] = pdf["doc_id"].map(
+        lambda i: int(
+            hashlib.md5(f"{i}:rej".encode()).hexdigest()[:8], 16
+        )
+        / 4294967296.0
+    )
+    pdf["keep"] = pdf["u"] < pdf["p"]
+    for src, g in pdf.groupby("source"):
+        r = rows[src]
+        assert r["n_docs"] == len(g)
+        assert r["n_kept"] == int(g["keep"].sum()), src
+        assert abs(r["keep_rate"] - round(g["keep"].mean(), 6)) < 1e-9
+        assert (
+            abs(r["mean_p_keep"] - round(g["p"].round(8).mean(), 6))
+            < 1e-6
+        )
+    mu = float(pdf["p"].sum())
+    sd = math.sqrt(float((pdf["p"] * (1 - pdf["p"])).sum()))
+    kept = int(pdf["keep"].sum())
+    assert abs(kept - mu) <= 5 * sd + 1, (kept, mu, sd)
