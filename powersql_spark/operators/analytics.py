@@ -2527,3 +2527,129 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 2).alias("welch_df"),
         (F.abs(F.round(t, 4)) > 1.96).alias("significant_5pct"),
     ).orderBy("event_type")
+
+
+# Shapley subset lattice for the four touch channels (bit order:
+# click=1, error=2, signup=4, view=8). Weight of a coalition S for a
+# channel outside S is |S|! (k-1-|S|)! / k! with k = 4.
+_SHAP_CHANNELS = (("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+_SHAP_W = {0: 6 / 24, 1: 2 / 24, 2: 2 / 24, 3: 6 / 24}
+_SHAP_TERMS = tuple(
+    (s, s | bit, name, _SHAP_W[bin(s).count("1")])
+    for name, bit in _SHAP_CHANNELS
+    for s in range(16)
+    if not s & bit
+)
+_SHAP_TERMS_SQL = ", ".join(
+    f"({s}, {sc}, '{name}', {w!r})" for s, sc, name, w in _SHAP_TERMS
+)
+
+
+@query(
+    "attribution_shapley",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(DISTINCT CASE event_type
+                   WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                   WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                   ELSE 0 END) AS mask,
+               MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT mask, COUNT(*) AS users,
+               SUM(converted) * 1e0 / COUNT(*) AS v
+        FROM per_user GROUP BY mask
+    ),
+    terms(s, sc, channel, w) AS (VALUES {_SHAP_TERMS_SQL}),
+    contrib AS (
+        SELECT t.channel,
+               t.w * (COALESCE(v1.v, 0e0) - COALESCE(v0.v, 0e0))
+                   AS marginal
+        FROM terms t
+        LEFT JOIN v v0 ON v0.mask = t.s
+        LEFT JOIN v v1 ON v1.mask = t.sc
+    )
+    SELECT channel,
+           {sql_jround(
+               "CAST(SUM(CAST(round(marginal, 10) AS DECIMAL(38,10)))"
+               "     AS DOUBLE)", 6)} AS shapley_value
+    FROM contrib
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution: users collapse to their
+    touched-channel coalition (a 4-bit mask over the non-purchase
+    event types) with a converted flag; v(S) is the observed
+    conversion rate of coalition S (0 for unobserved coalitions); each
+    channel's Shapley value is the coalition-weighted average marginal
+    lift sum_(S not containing c) |S|!(k-1-|S|)!/k! * (v(S+c) - v(S)).
+    The principled attribution the heuristic keys approximate
+    (attribution_last_touch, attribution_position_based) — exact here
+    because the channel universe is small, which is the realistic
+    marketing case.
+
+    Scale shape: ONE scan collapses users to (mask, converted) with
+    map-side partials; v(S) is an at-most-16-row table, and the whole
+    Shapley computation is a constant 32-term literal join on that
+    table. Per-term marginals are 10dp-decimal-pinned before the
+    4-row sum, so the values are engine- and partition-order-exact."""
+    e = spark.table("events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum_distinct(bit).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    # v feeds both sides of the lattice join; persist the <=16-row
+    # coalition table so the corpus is scanned exactly once.
+    v = track_persist(
+        per_user.groupBy("mask").agg(
+            F.count("*").alias("users"),
+            (F.sum("converted") * 1e0 / F.count("*")).alias("v"),
+        )
+    )
+    terms = spark.createDataFrame(
+        list(_SHAP_TERMS), "s int, sc int, channel string, w double"
+    )
+    v0 = v.select(F.col("mask").alias("s"), F.col("v").alias("v0"))
+    v1 = v.select(F.col("mask").alias("sc"), F.col("v").alias("v1"))
+    contrib = (
+        terms.join(F.broadcast(v0), "s", "left")
+        .join(F.broadcast(v1), "sc", "left")
+        .select(
+            "channel",
+            (
+                F.col("w")
+                * (
+                    F.coalesce(F.col("v1"), F.lit(0.0))
+                    - F.coalesce(F.col("v0"), F.lit(0.0))
+                )
+            ).alias("marginal"),
+        )
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("marginal"), 10).cast("decimal(38,10)")
+                ).cast("double"),
+                6,
+            ).alias("shapley_value")
+        )
+        .orderBy("channel")
+    )

@@ -588,6 +588,7 @@ _PRIORITY: tuple[str, ...] = (
     "eval_auc_delong_ci",
     "stats_dunn_posthoc",
     "curation_rejection_sampling",
+    "attribution_shapley",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

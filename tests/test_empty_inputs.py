@@ -75,6 +75,9 @@ def test_runs_on_empty_input(spark, key):
         # FD report: an empty table still yields one row per declared
         # candidate (vacuously holding, zero g3 error), correct.
         "profile_functional_dependency",
+        # Shapley lattice is literal: an empty corpus still yields one
+        # zero-value row per channel, the correct attribution.
+        "attribution_shapley",
     }
     assert len(rows) <= 1 or key in generators, (
         f"{key}: {len(rows)} rows from empty input"

@@ -2817,3 +2817,17 @@ def test_rejection_sampling_maponly_coin(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_shapley_constant_lattice_join(spark, sf_dir):
+    """Shapley: one events scan collapses users to (mask, converted);
+    the Shapley stage is a 32-row literal joined against the cached
+    <=16-row coalition table (broadcast), so the corpus scan executes
+    once — the scan substring repeats only inside printed cached
+    lineage. No Python."""
+    plan = plan_of(spark, sf_dir, "attribution_shapley")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "coalition table not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+    assert "BroadcastHashJoin" in plan

