@@ -1853,3 +1853,85 @@ def curation_rejection_sampling(
         )
         .orderBy("source")
     )
+
+
+_GATE_THRESHOLD = 0.1  # fixed operating point of the clipped score
+
+
+@query(
+    "curation_gate_parity_audit",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               least(1.0, greatest(0.0,
+                   CAST(len(list_filter(t, x -> x IN
+                        ('the','a','and','of','to','in','is','it')))
+                        AS DOUBLE) / len(t)
+                   + CAST(len(t) AS DOUBLE) / 2000.0)) AS p
+        FROM (SELECT source,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN p >= {_GATE_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM scored GROUP BY source
+    )
+    SELECT source, n_docs, n_kept,
+           {sql_jround("n_kept * 1e0 / n_docs", 6)} AS keep_rate,
+           {sql_jround(
+               "(n_kept * 1e0 / n_docs)"
+               " / (MAX(n_kept * 1e0 / n_docs) OVER ())", 6)}
+               AS parity_ratio,
+           (n_kept * 1e0 / n_docs)
+               / (MAX(n_kept * 1e0 / n_docs) OVER ()) >= 0.8
+               AS passes_four_fifths
+    FROM per_src
+    ORDER BY source
+    """,
+)
+def curation_gate_parity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Disparate-impact audit of the quality gate: per-source keep rate
+    at a fixed operating point of the clipped score, each source's
+    selection ratio against the most-kept source, and the four-fifths
+    rule verdict (selection ratio >= 0.8, the classical adverse-impact
+    screen applied to data curation) — the governance readout that
+    says whether a quality filter silently erases a source before the
+    mix is trained on. Pairs with curation_source_report (what's in
+    the corpus) and eval_threshold_sweep (what the cut costs
+    globally).
+
+    Scale shape: scoring and gating are map-side codegen; the only
+    corpus shuffle is the per-source collapse, and the parity window
+    runs on the source-count-sized frame."""
+    from powersql_spark.pipeline.evalmetrics import _scored
+
+    scored = _scored(spark)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
+    per_src = (
+        scored.select("source", p.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("p") >= _GATE_THRESHOLD, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+    rate = F.col("n_kept") * 1e0 / F.col("n_docs")
+    w = Window.partitionBy()
+    ratio = rate / F.max(rate).over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.round(rate, 6).alias("keep_rate"),
+        F.round(ratio, 6).alias("parity_ratio"),
+        (ratio >= 0.8).alias("passes_four_fifths"),
+    ).orderBy("source")

@@ -589,6 +589,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_dunn_posthoc",
     "curation_rejection_sampling",
     "attribution_shapley",
+    "curation_gate_parity_audit",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2831,3 +2831,14 @@ def test_shapley_constant_lattice_join(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "coalition table not cached"
     assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
     assert "BroadcastHashJoin" in plan
+
+
+def test_parity_audit_maponly_gate(spark, sf_dir):
+    """Parity audit: score + gate are map-side; the only corpus
+    shuffle is the per-source collapse, and the parity window runs on
+    the source-sized frame. No Python, no join, one scan."""
+    plan = plan_of(spark, sf_dir, "curation_gate_parity_audit")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

@@ -8125,3 +8125,27 @@ def test_shapley_replays_and_is_efficient(spark, sf_dir):
         # coalitions are observed the sum telescopes to v_full - v_empty
         pass
     assert abs(sum(rows.values()) - (v_full - v_empty)) < 0.5
+
+
+def test_parity_audit_replays_and_flags(spark, sf_dir):
+    """Replay the gate in pandas: keep rates, ratios against the
+    most-kept source, and the four-fifths verdicts must match; the
+    best source must pass with ratio exactly 1."""
+    rows = {
+        r["source"]: r
+        for r in SPECS["curation_gate_parity_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    pdf = _eval_scored_pdf(spark)
+    pdf["keep"] = pdf["s"].clip(0.0, 1.0) >= 0.1
+    g = pdf.groupby("source")["keep"].agg(["mean", "size", "sum"])
+    best = g["mean"].max()
+    assert any(abs(r["parity_ratio"] - 1.0) < 1e-9 for r in rows.values())
+    for src, row in g.iterrows():
+        r = rows[src]
+        assert r["n_docs"] == row["size"]
+        assert r["n_kept"] == row["sum"]
+        assert abs(r["keep_rate"] - round(row["mean"], 6)) < 1e-9
+        assert abs(r["parity_ratio"] - round(row["mean"] / best, 6)) < 1e-6
+        assert r["passes_four_fifths"] == (row["mean"] / best >= 0.8 - 1e-12)
