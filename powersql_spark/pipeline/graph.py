@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
 _DAMPING = 0.85
@@ -1799,3 +1800,212 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scc_id",
         F.count("*").over(w).alias("scc_size"),
     )
+
+
+_BFS_ROUNDS = 6  # covers diameter <= 6; exactness replayed in tests
+
+
+def _bfs_ctes() -> str:
+    """f2..f7 / acc1..acc6 frontier-expansion CTE chain (SQL text):
+    level-synchronous all-sources BFS carrying shortest-path counts."""
+    steps = []
+    for l in range(2, _BFS_ROUNDS + 2):
+        p, a = f"f{l - 1}", f"acc{l - 2}"
+        steps.append(
+            f"f{l} AS MATERIALIZED ("
+            f"SELECT g.src, adj.nbr AS dst, {l} AS d,"
+            f" SUM(g.sigma) AS sigma "
+            f"FROM f{l - 1} g JOIN adj ON g.dst = adj.node "
+            f"LEFT JOIN {a} seen ON seen.src = g.src"
+            f" AND seen.dst = adj.nbr "
+            f"WHERE seen.src IS NULL "
+            f"GROUP BY g.src, adj.nbr)"
+        )
+        steps.append(
+            f"acc{l - 1} AS MATERIALIZED (SELECT * FROM {a} UNION ALL "
+            f"SELECT src, dst, d, sigma FROM f{l})"
+        )
+    return ",\n    ".join(steps)
+
+
+@query(
+    "graph_betweenness",
+    oracle=f"""
+    WITH raw AS MATERIALIZED (
+        SELECT DISTINCT cn.n_nationkey AS src, sn.n_nationkey AS dst
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM raw
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    f1 AS MATERIALIZED (
+        SELECT node AS src, nbr AS dst, 1 AS d,
+               CAST(1 AS BIGINT) AS sigma
+        FROM adj
+    ),
+    acc0 AS MATERIALIZED (
+        SELECT n_nationkey AS src, n_nationkey AS dst, 0 AS d,
+               CAST(1 AS BIGINT) AS sigma
+        FROM nation
+        UNION ALL SELECT * FROM f1
+    ),
+    {_bfs_ctes()},
+    paths AS MATERIALIZED (SELECT * FROM acc{_BFS_ROUNDS}),
+    contrib AS (
+        SELECT sv.dst AS v,
+               sv.sigma * vt.sigma * 1e0 / st.sigma AS c
+        FROM paths sv
+        JOIN paths vt ON vt.src = sv.dst
+        JOIN paths st ON st.src = sv.src AND st.dst = vt.dst
+        WHERE sv.d + vt.d = st.d
+          AND sv.src <> vt.dst
+          AND sv.dst <> sv.src AND sv.dst <> vt.dst
+    )
+    SELECT n.n_nationkey,
+           {sql_jround(
+               "COALESCE(CAST(SUM(CAST(round(c.c, 10)"
+               " AS DECIMAL(38,10))) AS DOUBLE), 0e0) / 2.0", 6)}
+               AS betweenness
+    FROM nation n LEFT JOIN contrib c ON c.v = n.n_nationkey
+    GROUP BY n.n_nationkey
+    ORDER BY n.n_nationkey
+    """,
+)
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT betweenness centrality of the undirected trade graph:
+    level-synchronous all-sources BFS ({_BFS_ROUNDS} unrolled rounds,
+    carrying shortest-path counts sigma per frontier), then the
+    Brandes pair-dependency sum B(v) = sum over (s,t) with
+    d(s,v)+d(v,t)=d(s,t) of sigma_sv * sigma_vt / sigma_st, halved for
+    the undirected double count. Exact whenever the diameter is within
+    the unrolled rounds — asserted against a full Python BFS replay in
+    tests, and trivially true for the dense 25-nation trade graph.
+    Completes the centrality ladder beside graph_pagerank (flow),
+    graph_katz_centrality (walks) and graph_hits (authority).
+
+    Scale shape: the one data-sized step is the distinct-edge
+    aggregation; every BFS round and the dependency join run on the
+    checkpointed O(nations^2) distance/count table (<= 650 rows), with
+    per-round localCheckpoint cutting the re-expanding lineage exactly
+    like graph_scc. Per-pair contributions are 10dp-decimal-pinned, so
+    the centrality is engine- and partition-order-exact."""
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        spark.table("customer").select("c_custkey", "c_nationkey")
+    )
+    s = F.broadcast(
+        spark.table("supplier").select("s_suppkey", "s_nationkey")
+    )
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    nodes = spark.table("nation").select(F.col("n_nationkey").alias("node"))
+    # Checkpointed so the first frontier-vs-adjacency join is not an
+    # ambiguous self-join (f1 is derived from adj).
+    f = adj.select(
+        F.col("node").alias("src"),
+        F.col("nbr").alias("dst"),
+        F.lit(1).alias("d"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint()
+    acc = (
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).alias("d"),
+            F.lit(1).cast("bigint").alias("sigma"),
+        )
+        .unionAll(f)
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    for l in range(2, _BFS_ROUNDS + 2):
+        hop = (
+            f.join(adj, f.dst == adj.node)
+            .groupBy(f.src, adj.nbr)
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                F.col("src"),
+                F.col("nbr").alias("dst"),
+                F.lit(l).alias("d"),
+                "sigma",
+            )
+        )
+        f = (
+            hop.join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        acc = acc.unionAll(f).coalesce(1).localCheckpoint()
+    sv = acc.alias("sv")
+    vt = acc.alias("vt")
+    st = acc.alias("st")
+    contrib = (
+        sv.join(vt, F.col("sv.dst") == F.col("vt.src"))
+        .join(
+            st,
+            (F.col("st.src") == F.col("sv.src"))
+            & (F.col("st.dst") == F.col("vt.dst")),
+        )
+        .where(
+            (F.col("sv.d") + F.col("vt.d") == F.col("st.d"))
+            & (F.col("sv.src") != F.col("vt.dst"))
+            & (F.col("sv.dst") != F.col("sv.src"))
+            & (F.col("sv.dst") != F.col("vt.dst"))
+        )
+        .select(
+            F.col("sv.dst").alias("v"),
+            (
+                F.col("sv.sigma") * F.col("vt.sigma") * 1e0
+                / F.col("st.sigma")
+            ).alias("c"),
+        )
+    )
+    out = (
+        nodes.join(contrib, nodes.node == contrib.v, "left")
+        .groupBy(nodes.node)
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.round(F.col("c"), 10).cast("decimal(38,10)")
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+                / 2.0
+            ).alias("b_raw")
+        )
+    )
+    return out.select(
+        F.col("node").alias("n_nationkey"),
+        F.round("b_raw", 6).alias("betweenness"),
+    ).orderBy("n_nationkey")

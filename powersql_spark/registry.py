@@ -590,6 +590,7 @@ _PRIORITY: tuple[str, ...] = (
     "curation_rejection_sampling",
     "attribution_shapley",
     "curation_gate_parity_audit",
+    "graph_betweenness",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2842,3 +2842,12 @@ def test_parity_audit_maponly_gate(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
+
+
+def test_betweenness_no_python_no_cartesian(spark, sf_dir):
+    """Betweenness: after the per-round checkpoints the final plan is
+    the three-way equi-join of the constant-size path table + the
+    pinned dependency sum — no Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "graph_betweenness")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

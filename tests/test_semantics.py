@@ -8149,3 +8149,60 @@ def test_parity_audit_replays_and_flags(spark, sf_dir):
         assert abs(r["keep_rate"] - round(row["mean"], 6)) < 1e-9
         assert abs(r["parity_ratio"] - round(row["mean"] / best, 6)) < 1e-6
         assert r["passes_four_fifths"] == (row["mean"] / best >= 0.8 - 1e-12)
+
+
+def test_betweenness_matches_python_bfs_brandes(spark, sf_dir):
+    """Replay exact betweenness in Python: all-sources BFS with path
+    counts on the same undirected edge list, then the pair-dependency
+    sum — every node's centrality must match, which also proves the
+    unrolled rounds covered the true diameter."""
+    from collections import deque
+
+    rows = {
+        r["n_nationkey"]: r["betweenness"]
+        for r in SPECS["graph_betweenness"].fn(spark, sf_dir).collect()
+    }
+    edges = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.expr("l_orderkey = o_orderkey"))
+        .join(spark.table("customer"), F.expr("o_custkey = c_custkey"))
+        .join(spark.table("supplier"), F.expr("l_suppkey = s_suppkey"))
+        .where("c_nationkey <> s_nationkey")
+        .select("c_nationkey", "s_nationkey")
+        .distinct()
+        .collect()
+    )
+    nodes = [
+        r["n_nationkey"]
+        for r in spark.table("nation").select("n_nationkey").collect()
+    ]
+    adj = {n: set() for n in nodes}
+    for e in edges:
+        a, b = e["c_nationkey"], e["s_nationkey"]
+        adj[a].add(b)
+        adj[b].add(a)
+    # all-pairs BFS with path counts
+    d, sig = {}, {}
+    for s in nodes:
+        d[(s, s)], sig[(s, s)] = 0, 1
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if (s, w) not in d:
+                    d[(s, w)] = d[(s, u)] + 1
+                    sig[(s, w)] = 0
+                    q.append(w)
+                if d[(s, w)] == d[(s, u)] + 1:
+                    sig[(s, w)] += sig[(s, u)]
+    bc = {n: 0.0 for n in nodes}
+    for (s, v), dsv in d.items():
+        if v == s:
+            continue
+        for t in nodes:
+            if t == s or t == v:
+                continue
+            if (v, t) in d and (s, t) in d and dsv + d[(v, t)] == d[(s, t)]:
+                bc[v] += round(sig[(s, v)] * sig[(v, t)] / sig[(s, t)], 10)
+    for n in nodes:
+        assert abs(rows[n] - round(bc[n] / 2.0, 6)) < 1e-6, (n, bc[n] / 2)
