@@ -3997,3 +3997,213 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diag, 4).alias("diag_distance"),
         (dtw <= diag).alias("dtw_le_diag"),
     )
+
+
+_GRANGER_FCRIT = 3.8415  # F(1, n-3) ~ chi2_1 0.95 quantile for large n
+
+
+def _granger_dir_sql(name: str, resp: str, own: str, other: str) -> str:
+    """One direction's closed-form nested-OLS F readout (SQL text) over
+    the pinned raw moments of the lagged hourly frame."""
+    return f"""
+    SELECT '{name}' AS direction, n AS n_obs,
+           CAST(round(CAST(CAST((
+               ((syy - s1y * s1y / s11)
+                - (syy - b1u * s1y - b2u * s2y))
+               / ((syy - b1u * s1y - b2u * s2y) / (n - 3))
+           ) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS f_stat,
+           ((syy - s1y * s1y / s11)
+            - (syy - b1u * s1y - b2u * s2y))
+           / ((syy - b1u * s1y - b2u * s2y) / (n - 3))
+               > {_GRANGER_FCRIT} AS causal_5pct
+    FROM (
+        SELECT n, syy, s11, s22, s12, s1y, s2y,
+               (s2y * s11 - s1y * s12)
+                   / (s22 * s11 - s12 * s12) AS b2u,
+               (s1y - (s2y * s11 - s1y * s12)
+                      / (s22 * s11 - s12 * s12) * s12) / s11 AS b1u
+        FROM (
+            SELECT CAST(cnt AS BIGINT) AS n,
+                   sum_{resp}2 - sum_{resp} * sum_{resp} / cnt AS syy,
+                   sum_{own}2 - sum_{own} * sum_{own} / cnt AS s11,
+                   sum_{other}2 - sum_{other} * sum_{other} / cnt
+                       AS s22,
+                   sum_{own}_{other}
+                       - sum_{own} * sum_{other} / cnt AS s12,
+                   sum_{own}_{resp}
+                       - sum_{own} * sum_{resp} / cnt AS s1y,
+                   sum_{other}_{resp}
+                       - sum_{other} * sum_{resp} / cnt AS s2y
+            FROM moments
+        ) c
+    ) s
+    WHERE n > 3
+    """
+
+
+@query(
+    "ts_granger_causality",
+    oracle=f"""
+    WITH hourly AS MATERIALIZED (
+        SELECT epoch(date_trunc('hour', ts)) AS he,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE)
+                   AS x,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE)
+                   AS y
+        FROM events
+        WHERE value IS NOT NULL
+          AND event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    lagged AS MATERIALIZED (
+        SELECT y AS yt, x AS xt,
+               LAG(y) OVER (ORDER BY he) AS yl,
+               LAG(x) OVER (ORDER BY he) AS xl
+        FROM hourly
+        QUALIFY yl IS NOT NULL
+    ),
+    moments AS MATERIALIZED (
+        SELECT
+          CAST(SUM(CAST(round(yt, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_yt,
+          CAST(SUM(CAST(round(xt, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_xt,
+          CAST(SUM(CAST(round(yl, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_yl,
+          CAST(SUM(CAST(round(xl, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sum_xl,
+          CAST(SUM(CAST(round(yt * yt, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_yt2,
+          CAST(SUM(CAST(round(xt * xt, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_xt2,
+          CAST(SUM(CAST(round(yl * yl, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_yl2,
+          CAST(SUM(CAST(round(xl * xl, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_xl2,
+          CAST(SUM(CAST(round(yl * xl, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_yl_xl,
+          CAST(SUM(CAST(round(xl * yl, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_xl_yl,
+          CAST(SUM(CAST(round(yl * yt, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_yl_yt,
+          CAST(SUM(CAST(round(xl * yt, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_xl_yt,
+          CAST(SUM(CAST(round(xl * xt, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_xl_xt,
+          CAST(SUM(CAST(round(yl * xt, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS sum_yl_xt,
+          COUNT(*) AS cnt
+        FROM lagged
+    )
+    {_granger_dir_sql("click->purchase", "yt", "yl", "xl")}
+    UNION ALL
+    {_granger_dir_sql("purchase->click", "xt", "xl", "yl")}
+    ORDER BY direction
+    """,
+)
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag 1) between the hourly click and purchase
+    value series, both directions: does adding last hour's OTHER
+    series to an AR(1) of the response reduce the residual sum of
+    squares more than chance — F = (RSS_restricted - RSS_full)
+    / (RSS_full / (n-3)) against F(1, n-3). Closed-form two-predictor
+    OLS from centered moments (no iterative solver), the significance
+    upgrade of ts_cross_correlation_lag's descriptive CCF.
+
+    Scale shape: one events scan collapses to the hourly grid
+    (decimal-summed, so the series is bit-identical across engines);
+    the lag is one window over that bounded frame, and every raw
+    moment is 6dp-decimal-pinned before the one-row closed-form
+    solve — both directions read the same moment row."""
+    from powersql_spark.catalog import track_persist
+
+    e = spark.table("events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    dec = F.col("value").cast("decimal(28,6)")
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("he")
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", dec)), F.lit(0)
+        )
+        .cast("double")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec)),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    w = Window.orderBy("he")
+    lagged = (
+        hourly.select(
+            F.col("y").alias("yt"),
+            F.col("x").alias("xt"),
+            F.lag("y").over(w).alias("yl"),
+            F.lag("x").over(w).alias("xl"),
+        )
+        .where(F.col("yl").isNotNull())
+    )
+
+    def pin(c):
+        return F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+
+    yt, xt, yl, xl = (F.col(c) for c in ("yt", "xt", "yl", "xl"))
+    moments = track_persist(
+        lagged.agg(
+            pin(yt).alias("sum_yt"),
+            pin(xt).alias("sum_xt"),
+            pin(yl).alias("sum_yl"),
+            pin(xl).alias("sum_xl"),
+            pin(yt * yt).alias("sum_yt2"),
+            pin(xt * xt).alias("sum_xt2"),
+            pin(yl * yl).alias("sum_yl2"),
+            pin(xl * xl).alias("sum_xl2"),
+            pin(yl * xl).alias("sum_yl_xl"),
+            pin(xl * yl).alias("sum_xl_yl"),
+            pin(yl * yt).alias("sum_yl_yt"),
+            pin(xl * yt).alias("sum_xl_yt"),
+            pin(xl * xt).alias("sum_xl_xt"),
+            pin(yl * xt).alias("sum_yl_xt"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+    def direction(name: str, resp: str, own: str, other: str):
+        n = F.col("cnt")
+        syy = F.col(f"sum_{resp}2") - F.col(f"sum_{resp}") * F.col(
+            f"sum_{resp}"
+        ) / n
+        s11 = F.col(f"sum_{own}2") - F.col(f"sum_{own}") * F.col(
+            f"sum_{own}"
+        ) / n
+        s22 = F.col(f"sum_{other}2") - F.col(f"sum_{other}") * F.col(
+            f"sum_{other}"
+        ) / n
+        s12 = F.col(f"sum_{own}_{other}") - F.col(f"sum_{own}") * F.col(
+            f"sum_{other}"
+        ) / n
+        s1y = F.col(f"sum_{own}_{resp}") - F.col(f"sum_{own}") * F.col(
+            f"sum_{resp}"
+        ) / n
+        s2y = F.col(f"sum_{other}_{resp}") - F.col(
+            f"sum_{other}"
+        ) * F.col(f"sum_{resp}") / n
+        b2u = (s2y * s11 - s1y * s12) / (s22 * s11 - s12 * s12)
+        b1u = (s1y - b2u * s12) / s11
+        rss_u = syy - b1u * s1y - b2u * s2y
+        rss_r = syy - s1y * s1y / s11
+        f_stat = (rss_r - rss_u) / (rss_u / (n - 3))
+        return moments.where(n > 3).select(
+            F.lit(name).alias("direction"),
+            n.cast("bigint").alias("n_obs"),
+            F.round(f_stat, 4).alias("f_stat"),
+            (f_stat > _GRANGER_FCRIT).alias("causal_5pct"),
+        )
+
+    return (
+        direction("click->purchase", "yt", "yl", "xl")
+        .unionAll(direction("purchase->click", "xt", "xl", "yl"))
+        .orderBy("direction")
+    )

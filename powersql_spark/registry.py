@@ -591,6 +591,7 @@ _PRIORITY: tuple[str, ...] = (
     "attribution_shapley",
     "curation_gate_parity_audit",
     "graph_betweenness",
+    "ts_granger_causality",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

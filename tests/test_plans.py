@@ -2851,3 +2851,14 @@ def test_betweenness_no_python_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_betweenness")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_granger_one_scan_pinned_moments(spark, sf_dir):
+    """Granger: one events scan collapses to the hourly grid; the lag
+    window runs on that bounded frame and both directions read the
+    same cached 1-row moment table. No Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "ts_granger_causality")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "moment row not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")

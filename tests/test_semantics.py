@@ -8206,3 +8206,57 @@ def test_betweenness_matches_python_bfs_brandes(spark, sf_dir):
                 bc[v] += round(sig[(s, v)] * sig[(v, t)] / sig[(s, t)], 10)
     for n in nodes:
         assert abs(rows[n] - round(bc[n] / 2.0, 6)) < 1e-6, (n, bc[n] / 2)
+
+
+def test_granger_replays_nested_ols(spark, sf_dir):
+    """Recompute both Granger F statistics in pandas via explicit
+    nested OLS (numpy lstsq on the lagged hourly series); F values
+    must match to the 4dp rounding and n_obs to the row count."""
+    import numpy as np
+
+    rows = {
+        r["direction"]: r
+        for r in SPECS["ts_granger_causality"].fn(spark, sf_dir).collect()
+    }
+    pdf = (
+        spark.table("events")
+        .where(
+            "value IS NOT NULL AND event_type IN ('click', 'purchase')"
+        )
+        .toPandas()
+    )
+    pdf["he"] = pdf["ts"].dt.floor("h")
+    hourly = (
+        pdf.pivot_table(
+            index="he",
+            columns="event_type",
+            values="value",
+            aggfunc=lambda v: float(sum(v.round(6))),
+        )
+        .fillna(0.0)
+        .sort_index()
+    )
+    x, y = hourly["click"].values, hourly["purchase"].values
+
+    def f_stat(resp, own, other):
+        r, o, q = resp[1:], own[:-1], other[:-1]
+        n = len(r)
+        Xu = np.column_stack([np.ones(n), o, q])
+        Xr = np.column_stack([np.ones(n), o])
+        rss_u = float(
+            ((r - Xu @ np.linalg.lstsq(Xu, r, rcond=None)[0]) ** 2).sum()
+        )
+        rss_r = float(
+            ((r - Xr @ np.linalg.lstsq(Xr, r, rcond=None)[0]) ** 2).sum()
+        )
+        return n, (rss_r - rss_u) / (rss_u / (n - 3))
+
+    for name, (resp, own, other) in {
+        "click->purchase": (y, y, x),
+        "purchase->click": (x, x, y),
+    }.items():
+        n, f = f_stat(resp, own, other)
+        r = rows[name]
+        assert r["n_obs"] == n
+        assert abs(r["f_stat"] - round(f, 4)) < 5e-3, (name, f)
+        assert r["causal_5pct"] == (f > 3.8415)
