@@ -129,6 +129,11 @@ HEADLINE = {
     # eval-family headline: rank-window AUC is the heaviest shape in
     # the new model-evaluation surface (per-source sort + rank sums).
     "q61_eval_auc": "eval_auc_roc",
+    # round-6 tail: the corpus-keyness shape (full token explode ->
+    # vocabulary-cell windows) and the iterative-graph shape (6 BFS
+    # frontier rounds + the Brandes three-way dependency join).
+    "q62_keyness": "text_keyness_gtest",
+    "q63_betweenness": "graph_betweenness",
 }
 
 
