@@ -15,6 +15,8 @@ within one).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4206,4 +4208,167 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction("click->purchase", "yt", "yl", "xl")
         .unionAll(direction("purchase->click", "xt", "xl", "yl"))
         .orderBy("direction")
+    )
+
+
+_HURST_SIZES = (8, 16, 32, 64)
+_HURST_LX = tuple(math.log(m) for m in _HURST_SIZES)
+_HURST_MX = sum(_HURST_LX) / len(_HURST_LX)
+_HURST_SSX = sum((x - _HURST_MX) ** 2 for x in _HURST_LX)
+# OLS slope weights: H = sum_i w_i * ln(mean_RS_i) — constants, so the
+# log-log regression is a literal linear combination in both engines.
+_HURST_W = tuple((x - _HURST_MX) / _HURST_SSX for x in _HURST_LX)
+
+
+def _hurst_size_sql(m: int) -> str:
+    """mean R/S at block size m (SQL text, one row: n_blocks, mean_rs)."""
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks_{m},
+           CAST(SUM(CAST(round(rs, 8) AS DECIMAL(38,8))) AS DOUBLE)
+               / COUNT(*) AS rs_{m}
+    FROM (
+        SELECT b,
+               CAST(MAX(cum) - MIN(cum) AS DOUBLE)
+                   / sqrt(CAST(SUM(CAST(round(d * d, 8)
+                         AS DECIMAL(38,8))) AS DOUBLE) / {m}) AS rs
+        FROM (
+            SELECT b, d,
+                   SUM(CAST(round(d, 6) AS DECIMAL(28,6)))
+                       OVER (PARTITION BY b ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (
+                SELECT b, t,
+                       y - CAST(SUM(CAST(y AS DECIMAL(28,6)))
+                                OVER (PARTITION BY b) AS DOUBLE)
+                           / {m} AS d
+                FROM (
+                    SELECT y, t, (t - 1) // {m} AS b,
+                           COUNT(*) OVER (
+                               PARTITION BY (t - 1) // {m}) AS kk
+                    FROM idx
+                ) blk WHERE kk = {m}
+            ) dev
+        ) cums
+        GROUP BY b
+        HAVING SUM(CAST(round(d * d, 8) AS DECIMAL(38,8))) > 0
+    ) per_block
+    """
+
+
+@query(
+    "ts_hurst_exponent",
+    oracle=f"""
+    WITH hours AS MATERIALIZED (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY hr) AS t FROM hours
+    ),
+    {", ".join(f"rs{m} AS MATERIALIZED ({_hurst_size_sql(m)})"
+               for m in _HURST_SIZES)},
+    n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours FROM idx)
+    SELECT n_hours,
+           {", ".join(f"n_blocks_{m}, "
+                      + "CAST(round(CAST(CAST(rs_" + str(m)
+                      + " AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)"
+                      + f" AS mean_rs_{m}" for m in _HURST_SIZES)},
+           CAST(round(CAST(CAST((
+               {" + ".join(f"({w!r}) * round(ln(rs_{m}), 8)"
+                           for m, w in zip(_HURST_SIZES, _HURST_W))}
+           ) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS hurst_h
+    FROM n_t, {", ".join(f"rs{m}" for m in _HURST_SIZES)}
+    """,
+)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-count series by classical
+    rescaled-range (R/S) analysis: for block sizes 8/16/32/64, split
+    the series into full blocks, compute R (range of the cumulative
+    mean-deviation) over S (block standard deviation), and fit
+    H = slope of log mean(R/S) vs log block size. H ~ 0.5 is a
+    memoryless series; H > 0.5 long-range persistence (busy hours
+    cluster) — the long-memory diagnostic beside ts_autocorr's
+    short-lag view. The log-log OLS weights are plan literals, so the
+    whole fit is a 4-term linear combination.
+
+    Scale shape: one scan collapses to the bounded hourly grid; each
+    block size is an independent window + group pass on that frame
+    (deviations and squares decimal-pinned, the running cumulative sum
+    exact in DECIMAL, so R, S and every mean R/S are bit-identical
+    across engines and partition counts); the four 1-row size frames
+    broadcast into the final literal fit."""
+    from powersql_spark.catalog import track_persist
+
+    hours = spark.table("events").groupBy(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("double").alias("y"))
+    idx = track_persist(
+        hours.select(
+            "y", F.row_number().over(Window.orderBy("hr")).alias("t")
+        )
+    )
+
+    def size_frame(m: int):
+        b = ((F.col("t") - 1) / m).cast("bigint")
+        blk = idx.select("y", "t", b.alias("b")).withColumn(
+            "kk", F.count("*").over(Window.partitionBy("b"))
+        ).where(F.col("kk") == m)
+        mu = (
+            F.sum(F.col("y").cast("decimal(28,6)"))
+            .over(Window.partitionBy("b"))
+            .cast("double")
+            / m
+        )
+        dev = blk.select("b", "t", (F.col("y") - mu).alias("d"))
+        cum = (
+            F.sum(F.round(F.col("d"), 6).cast("decimal(28,6)"))
+            .over(
+                Window.partitionBy("b")
+                .orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+        cums = dev.select("b", "d", cum.alias("cum"))
+        sq = F.sum(
+            F.round(F.col("d") * F.col("d"), 8).cast("decimal(38,8)")
+        )
+        per_block = (
+            cums.groupBy("b")
+            .agg(
+                (
+                    (F.max("cum") - F.min("cum")).cast("double")
+                    / F.sqrt(sq.cast("double") / m)
+                ).alias("rs"),
+                sq.alias("ssq"),
+            )
+            .where(F.col("ssq") > 0)
+        )
+        return per_block.agg(
+            F.count("*").cast("bigint").alias(f"n_blocks_{m}"),
+            (
+                F.sum(F.round(F.col("rs"), 8).cast("decimal(38,8)"))
+                .cast("double")
+                / F.count("*")
+            ).alias(f"rs_{m}"),
+        )
+
+    out = idx.agg(F.count("*").cast("bigint").alias("n_hours"))
+    for m in _HURST_SIZES:
+        out = out.crossJoin(F.broadcast(size_frame(m)))
+    h = None
+    for m, w in zip(_HURST_SIZES, _HURST_W):
+        term = F.lit(w) * F.round(F.log(F.col(f"rs_{m}")), 8)
+        h = term if h is None else h + term
+    return out.select(
+        "n_hours",
+        *[
+            c
+            for m in _HURST_SIZES
+            for c in (
+                F.col(f"n_blocks_{m}"),
+                F.round(F.col(f"rs_{m}"), 4).alias(f"mean_rs_{m}"),
+            )
+        ],
+        F.round(h, 4).alias("hurst_h"),
     )

@@ -592,6 +592,7 @@ _PRIORITY: tuple[str, ...] = (
     "curation_gate_parity_audit",
     "graph_betweenness",
     "ts_granger_causality",
+    "ts_hurst_exponent",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2862,3 +2862,14 @@ def test_granger_one_scan_pinned_moments(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan, "moment row not cached"
     assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+
+
+def test_hurst_bounded_frames_no_python(spark, sf_dir):
+    """Hurst: one scan collapses to the hourly grid; block passes run
+    on the cached bounded frame; the fit is a literal linear
+    combination of four broadcast 1-row frames. No Python."""
+    plan = plan_of(spark, sf_dir, "ts_hurst_exponent")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "hour grid not cached"
+    assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")

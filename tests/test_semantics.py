@@ -8260,3 +8260,46 @@ def test_granger_replays_nested_ols(spark, sf_dir):
         assert r["n_obs"] == n
         assert abs(r["f_stat"] - round(f, 4)) < 5e-3, (name, f)
         assert r["causal_5pct"] == (f > 3.8415)
+
+
+def test_hurst_replays_rescaled_range(spark, sf_dir):
+    """Recompute classical R/S analysis in numpy on the same hourly
+    series: block means, cumulative-deviation ranges, population
+    stds, mean R/S per size, and the literal-weight log-log slope —
+    all must match, and H must land in (0, 1)."""
+    import math
+
+    import numpy as np
+
+    r = SPECS["ts_hurst_exponent"].fn(spark, sf_dir).collect()[0]
+    pdf = (
+        spark.table("events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .count()
+        .orderBy("hr")
+        .toPandas()
+    )
+    y = pdf["count"].astype(float).values
+    assert r["n_hours"] == len(y)
+    sizes = (8, 16, 32, 64)
+    lx = [math.log(m) for m in sizes]
+    mx = sum(lx) / len(lx)
+    ssx = sum((v - mx) ** 2 for v in lx)
+    h = 0.0
+    for m in sizes:
+        k = len(y) // m
+        rs_vals = []
+        for b in range(k):
+            blk = y[b * m : (b + 1) * m]
+            mu = float(np.round(blk, 6).sum()) / m
+            d = blk - mu
+            cum = np.cumsum(np.round(d, 6))
+            s = math.sqrt(float(np.round(d * d, 8).sum()) / m)
+            if s > 0:
+                rs_vals.append(round((cum.max() - cum.min()) / s, 8))
+        mean_rs = sum(rs_vals) / len(rs_vals)
+        assert r[f"n_blocks_{m}"] == len(rs_vals), m
+        assert abs(r[f"mean_rs_{m}"] - round(mean_rs, 4)) < 1e-4, m
+        h += (math.log(m) - mx) / ssx * round(math.log(mean_rs), 8)
+    assert abs(r["hurst_h"] - round(h, 4)) < 1e-4
+    assert 0.0 < r["hurst_h"] < 1.0
