@@ -2815,3 +2815,155 @@ def text_keyness_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("under")
         .alias("direction"),
     )
+
+
+_DELTA_TOPK = 30  # most-frequent-word basis of the Delta measure
+
+
+@query(
+    "text_burrows_delta",
+    oracle=rf"""
+    WITH tok AS MATERIALIZED (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ),
+    vocab AS MATERIALIZED (
+        SELECT word FROM tok GROUP BY word
+        ORDER BY COUNT(*) DESC, word LIMIT {_DELTA_TOPK}
+    ),
+    src_tot AS MATERIALIZED (
+        SELECT source, COUNT(*) AS tot FROM tok GROUP BY source
+    ),
+    cells AS MATERIALIZED (
+        SELECT s.source, v.word,
+               COALESCE(c.cnt, 0) * 1e0 / s.tot AS f
+        FROM src_tot s
+        CROSS JOIN vocab v
+        LEFT JOIN (
+            SELECT source, word, COUNT(*) AS cnt
+            FROM tok GROUP BY source, word
+        ) c ON c.source = s.source AND c.word = v.word
+    ),
+    stats AS MATERIALIZED (
+        SELECT word,
+               CAST(SUM(CAST(round(f, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) / COUNT(*) AS mu,
+               sqrt(CAST(SUM(CAST(round(f * f, 10) AS DECIMAL(38,10)))
+                         AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(CAST(round(f, 8) AS DECIMAL(38,8)))
+                            AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(CAST(round(f, 8) AS DECIMAL(38,8)))
+                              AS DOUBLE) / COUNT(*))) AS sd
+        FROM cells GROUP BY word
+    ),
+    z AS MATERIALIZED (
+        SELECT c.source, c.word, (c.f - s.mu) / s.sd AS z
+        FROM cells c JOIN stats s ON s.word = c.word
+        WHERE s.sd > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           {sql_jround(
+               "CAST(SUM(CAST(round(abs(a.z - b.z), 8)"
+               "     AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*)", 6)}
+               AS delta
+    FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair:
+    z-score each source's relative frequency of the {_DELTA_TOPK}
+    most frequent corpus words (population mean/std ACROSS sources,
+    zero-filled for absent words), then Delta(a,b) = mean |z_a - z_b|.
+    The classical authorship/register-attribution measure — a
+    PAIRWISE stylistic distance matrix where text_keyness_gtest flags
+    single over-represented words and text_js_divergence measures
+    each source against the global mix.
+
+    Scale shape: one corpus scan and token explode collapse to
+    (source, word) counts; the dense grid, per-word moments, and the
+    pair join all run on the (sources x top-K)-sized frame —
+    metadata-sized at any corpus scale. Frequencies, squares, and
+    |z| gaps are decimal-pinned, so the matrix is engine- and
+    partition-order-exact."""
+    from powersql_spark.catalog import track_persist
+
+    tok = track_persist(
+        spark.table("documents").select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")
+            ).alias("word"),
+        )
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(_DELTA_TOPK)
+        .select("word")
+    )
+    src_tot = tok.groupBy("source").agg(F.count("*").alias("tot"))
+    counts = tok.groupBy("source", "word").agg(F.count("*").alias("cnt"))
+    cells = track_persist(
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0)) * 1e0 / F.col("tot")
+            ).alias("f"),
+        )
+    )
+    fcol = F.col("f")
+    sum_f = F.sum(F.round(fcol, 8).cast("decimal(38,8)")).cast("double")
+    sum_f2 = F.sum(F.round(fcol * fcol, 10).cast("decimal(38,10)")).cast(
+        "double"
+    )
+    n = F.count("*")
+    mu = sum_f / n
+    stats = cells.groupBy("word").agg(
+        mu.alias("mu"),
+        F.sqrt(sum_f2 / n - mu * mu).alias("sd"),
+    )
+    z = track_persist(
+        cells.join(F.broadcast(stats), "word")
+        .where(F.col("sd") > 0)
+        .select(
+            "source", "word", ((fcol - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            (
+                F.sum(
+                    F.round(F.abs(F.col("a.z") - F.col("b.z")), 8).cast(
+                        "decimal(38,8)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("delta"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_words",
+            F.round("delta", 6).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )

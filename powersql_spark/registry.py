@@ -593,6 +593,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_betweenness",
     "ts_granger_causality",
     "ts_hurst_exponent",
+    "text_burrows_delta",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

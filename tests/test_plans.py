@@ -2873,3 +2873,15 @@ def test_hurst_bounded_frames_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan, "hour grid not cached"
     assert plan.count("events.parquet") <= plan.count("InMemoryTableScan")
+
+
+def test_burrows_delta_metadata_sized_pair_join(spark, sf_dir):
+    """Burrows' Delta: corpus collapses to (source, word) cells; the
+    dense grid, moments, and pair join run on the cached
+    (sources x top-K) frame. No Python; token explode scans the
+    corpus once (substring repeats only in cached lineage)."""
+    plan = plan_of(spark, sf_dir, "text_burrows_delta")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "cell frame not cached"
+    assert plan.count("documents.parquet") <= plan.count("InMemoryTableScan")

@@ -8303,3 +8303,53 @@ def test_hurst_replays_rescaled_range(spark, sf_dir):
         h += (math.log(m) - mx) / ssx * round(math.log(mean_rs), 8)
     assert abs(r["hurst_h"] - round(h, 4)) < 1e-4
     assert 0.0 < r["hurst_h"] < 1.0
+
+
+def test_burrows_delta_replays_and_is_metric_like(spark, sf_dir):
+    """Replay Delta in pandas: top-K vocabulary, dense relative
+    frequencies, population z-scores, mean |z| gaps — every pair must
+    match; Delta must be symmetric-complete (k-choose-2 pairs) and
+    non-negative."""
+    import itertools
+
+    import numpy as np
+
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in SPECS["text_burrows_delta"].fn(spark, sf_dir).collect()
+    }
+    pdf = spark.table("documents").select("source", "text").toPandas()
+    tok = pdf.assign(word=pdf["text"].str.strip().str.split(r"\s+")).explode(
+        "word"
+    )[["source", "word"]]
+    vocab = (
+        tok.groupby("word")
+        .size()
+        .reset_index(name="n")
+        .sort_values(["n", "word"], ascending=[False, True])
+        .head(30)["word"]
+        .tolist()
+    )
+    srcs = sorted(tok["source"].unique())
+    tot = tok.groupby("source").size()
+    cnt = tok.groupby(["source", "word"]).size()
+    f = np.array(
+        [
+            [cnt.get((s, w), 0) / tot[s] for w in vocab]
+            for s in srcs
+        ]
+    )
+    fr = np.round(f, 8)
+    mu = fr.sum(axis=0) / len(srcs)
+    sd = np.sqrt(np.round(f * f, 10).sum(axis=0) / len(srcs) - mu * mu)
+    keep = sd > 0
+    zm = (f[:, keep] - mu[keep]) / sd[keep]
+    expect_pairs = set(itertools.combinations(srcs, 2))
+    assert set(rows) == expect_pairs
+    for (sa, sb) in expect_pairs:
+        ia, ib = srcs.index(sa), srcs.index(sb)
+        d = float(np.round(np.abs(zm[ia] - zm[ib]), 8).mean())
+        r = rows[(sa, sb)]
+        assert r["n_words"] == int(keep.sum())
+        assert abs(r["delta"] - round(d, 6)) < 1e-5, (sa, sb, d)
+        assert r["delta"] >= 0
