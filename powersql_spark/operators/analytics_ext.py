@@ -7256,3 +7256,87 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 4).alias("z_stat"),
         (F.abs(F.round("z", 4)) > _DUNN_ZCRIT).alias("significant_bonf"),
     ).orderBy("grp_a", "grp_b")
+
+
+_CA_BUCKET_WIDTH = 120  # fixed n_chars bins -> ordered dose groups
+
+
+@query(
+    "stats_cochran_armitage",
+    oracle=f"""
+    WITH grp AS (
+        SELECT LEAST(n_chars // {_CA_BUCKET_WIDTH}, 4) AS t,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    cells AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_i,
+               CAST(SUM(pos) AS BIGINT) AS r_i
+        FROM grp GROUP BY t
+    ),
+    s AS (
+        SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+               CAST(SUM(r_i) AS BIGINT) AS r,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(t * r_i) AS DOUBLE) AS str_,
+               CAST(SUM(t * n_i) AS DOUBLE) AS stn,
+               CAST(SUM(t * t * n_i) AS DOUBLE) AS sttn
+        FROM cells
+    )
+    SELECT n AS n_docs, n_buckets,
+           {sql_jround(
+               "(str_ - r * 1e0 * stn / n)"
+               " / sqrt((r * 1e0 / n) * (1 - r * 1e0 / n)"
+               "        * (sttn - stn * stn / n))", 4)} AS z_trend,
+           abs((str_ - r * 1e0 * stn / n)
+               / sqrt((r * 1e0 / n) * (1 - r * 1e0 / n)
+                      * (sttn - stn * stn / n))) > 1.96
+               AS significant_5pct
+    FROM s
+    """,
+)
+def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the P(lang = 'en') proportion
+    monotonically associated with the ordered document-length dose
+    groups (fixed {_CA_BUCKET_WIDTH}-char bins, capped at 5)?
+    Z = (sum t_i r_i - R sum t_i n_i / N)
+    / sqrt(pbar (1-pbar) (sum n_i t_i^2 - (sum n_i t_i)^2 / N)) — the
+    ORDERED-groups complement of stats_chi2_independence, which throws
+    the ordering away and so misses monotone dose-response structure.
+
+    Scale shape: binning is map-side codegen; the corpus collapses to
+    at most 5 (dose, count, positives) cells with map-side partials,
+    and the statistic is a fixed expression over integer-exact sums —
+    bit-identical across engines and partition counts."""
+    d = spark.table("documents")
+    t = F.least(
+        (F.col("n_chars") / _CA_BUCKET_WIDTH).cast("bigint"), F.lit(4)
+    )
+    cells = d.select(
+        t.alias("t"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    ).groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("pos").cast("bigint").alias("r_i"),
+    )
+    s = cells.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.col("t") * F.col("r_i")).cast("double").alias("str_"),
+        F.sum(F.col("t") * F.col("n_i")).cast("double").alias("stn"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_i"))
+        .cast("double")
+        .alias("sttn"),
+    )
+    n, r = F.col("n"), F.col("r")
+    pbar = r * 1e0 / n
+    z = (F.col("str_") - r * 1e0 * F.col("stn") / n) / F.sqrt(
+        pbar * (1 - pbar) * (F.col("sttn") - F.col("stn") * F.col("stn") / n)
+    )
+    return s.select(
+        n.alias("n_docs"),
+        "n_buckets",
+        F.round(z, 4).alias("z_trend"),
+        (F.abs(z) > 1.96).alias("significant_5pct"),
+    )

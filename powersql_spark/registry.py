@@ -594,6 +594,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_granger_causality",
     "ts_hurst_exponent",
     "text_burrows_delta",
+    "stats_cochran_armitage",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2885,3 +2885,14 @@ def test_burrows_delta_metadata_sized_pair_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan, "cell frame not cached"
     assert plan.count("documents.parquet") <= plan.count("InMemoryTableScan")
+
+
+def test_cochran_armitage_five_cell_collapse(spark, sf_dir):
+    """CA trend: binning is map-side; the corpus collapses to at most
+    5 dose cells with map-side partials; the statistic is a 1-row
+    expression. No Python, no join, one scan."""
+    plan = plan_of(spark, sf_dir, "stats_cochran_armitage")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert re.search(r"partial_count", plan), "no partial agg"

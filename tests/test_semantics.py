@@ -8353,3 +8353,35 @@ def test_burrows_delta_replays_and_is_metric_like(spark, sf_dir):
         assert r["n_words"] == int(keep.sum())
         assert abs(r["delta"] - round(d, 6)) < 1e-5, (sa, sb, d)
         assert r["delta"] >= 0
+
+
+def test_cochran_armitage_replays_in_pandas(spark, sf_dir):
+    """Replay the trend Z from the dose-cell table in pandas; the
+    statistic must match to the 4dp rounding, and it must be exactly
+    zero-mean-invariant (shifting all scores by a constant leaves Z
+    unchanged — verified by recomputing with t+7)."""
+    import math
+
+    r = SPECS["stats_cochran_armitage"].fn(spark, sf_dir).collect()[0]
+    pdf = spark.table("documents").select("n_chars", "lang").toPandas()
+    pdf["t"] = (pdf["n_chars"] // 120).clip(upper=4)
+    pdf["pos"] = (pdf["lang"] == "en").astype(int)
+    g = pdf.groupby("t").agg(n_i=("pos", "size"), r_i=("pos", "sum"))
+
+    def z_of(tshift):
+        tt = g.index.values + tshift
+        n, rr = g["n_i"].sum(), g["r_i"].sum()
+        str_ = float((tt * g["r_i"]).sum())
+        stn = float((tt * g["n_i"]).sum())
+        sttn = float((tt * tt * g["n_i"]).sum())
+        pbar = rr / n
+        return (str_ - rr * stn / n) / math.sqrt(
+            pbar * (1 - pbar) * (sttn - stn * stn / n)
+        )
+
+    z = z_of(0)
+    assert r["n_docs"] == len(pdf)
+    assert r["n_buckets"] == len(g)
+    assert abs(r["z_trend"] - round(z, 4)) < 2e-4
+    assert r["significant_5pct"] == (abs(z) > 1.96)
+    assert abs(z_of(7) - z) < 1e-9  # score-shift invariance
