@@ -1890,7 +1890,10 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     d(s,v)+d(v,t)=d(s,t) of sigma_sv * sigma_vt / sigma_st, halved for
     the undirected double count. Exact whenever the diameter is within
     the unrolled rounds — asserted against a full Python BFS replay in
-    tests, and trivially true for the dense 25-nation trade graph.
+    tests, trivially true for the dense 25-nation trade graph, and
+    (ADVICE r6) guarded at runtime: after the unrolled rounds a final
+    frontier expansion must find nothing unseen, else the query raises
+    instead of returning silently truncated centralities.
     Completes the centrality ladder beside graph_pagerank (flow),
     graph_katz_centrality (walks) and graph_hits (authority).
 
@@ -1922,13 +1925,21 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = raw.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
+    nodes = spark.table("nation").select(F.col("n_nationkey").alias("node"))
+    return _brandes_unrolled(und, nodes)
+
+
+def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Unrolled-BFS + Brandes dependency sum over an undirected edge
+    frame ``und(a, b)`` and a node universe ``nodes(node)``. Split from
+    graph_betweenness so the diameter guard is testable on synthetic
+    graphs (a path graph longer than _BFS_ROUNDS+1 must raise)."""
     adj = (
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .coalesce(1)
         .localCheckpoint()
     )
-    nodes = spark.table("nation").select(F.col("n_nationkey").alias("node"))
     # Checkpointed so the first frontier-vs-adjacency join is not an
     # ambiguous self-join (f1 is derived from adj).
     f = adj.select(
@@ -1966,6 +1977,25 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         acc = acc.unionAll(f).coalesce(1).localCheckpoint()
+    # ADVICE r6: the unrolled BFS is exact only while the diameter is
+    # <= _BFS_ROUNDS + 1; on a sparser edge distribution it would
+    # silently drop longer shortest paths. Guard loudly: one more
+    # expansion from the final frontier must find nothing unseen.
+    # Constant-cost — the frontier is empty by round ~3 on any
+    # realistic trade graph, and the frame is checkpointed and <= 650
+    # rows, so this is a sub-millisecond count, not a data-sized job.
+    leftover = (
+        f.join(adj, f.dst == adj.node)
+        .select(f.src, adj.nbr.alias("dst"))
+        .join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    if leftover.limit(1).count() > 0:
+        raise RuntimeError(
+            "graph_betweenness: BFS frontier not exhausted after "
+            f"{_BFS_ROUNDS} unrolled rounds — graph diameter exceeds "
+            f"{_BFS_ROUNDS + 1}, centrality would be silently "
+            "truncated. Raise _BFS_ROUNDS for this edge distribution."
+        )
     sv = acc.alias("sv")
     vt = acc.alias("vt")
     st = acc.alias("st")

@@ -4001,7 +4001,55 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRANGER_FCRIT = 3.8415  # F(1, n-3) ~ chi2_1 0.95 quantile for large n
+# F(1, d) 0.95 quantiles as a step function of d = n - 3 (ADVICE r6: the
+# chi2_1 asymptote 3.8415 is anti-conservative at small n — e.g. the true
+# cutoff is ~4.21 at n=30). Each entry is (d_min, crit); crit decreases in
+# d, and the step picks the entry with the LARGEST d_min <= d, so the
+# applied cutoff is always >= the exact F quantile (conservative). Values
+# are the standard F table (= t(d, .975)^2); the final bucket keeps 3.8508
+# (d=1000) rather than the asymptote so even huge-n stays non-anti-
+# conservative. One shared tuple builds BOTH the Spark CASE and the DuckDB
+# CASE, so the engines cannot disagree.
+_GRANGER_FTABLE: tuple[tuple[int, float], ...] = (
+    (1000, 3.8508),
+    (120, 3.9201),
+    (60, 4.0012),
+    (40, 4.0847),
+    (30, 4.1709),
+    (25, 4.2417),
+    (20, 4.3512),
+    (15, 4.5431),
+    (12, 4.7472),
+    (10, 4.9646),
+    (9, 5.1174),
+    (8, 5.3177),
+    (7, 5.5914),
+    (6, 5.9874),
+    (5, 6.6079),
+    (4, 7.7086),
+    (3, 10.128),
+    (2, 18.513),
+    (1, 161.45),
+)
+
+
+def _granger_fcrit_sql(d_expr: str) -> str:
+    """SQL CASE computing the conservative F(1, d) 0.95 cutoff."""
+    arms = " ".join(
+        f"WHEN {d_expr} >= {dmin} THEN {crit}"
+        for dmin, crit in _GRANGER_FTABLE
+    )
+    # CAST: DuckDB types the numeric literals DECIMAL; Spark's twin
+    # emits DOUBLE, and the driver's comparator is type-sensitive.
+    return f"CAST((CASE {arms} END) AS DOUBLE)"
+
+
+def _granger_fcrit_col(d):
+    """Spark column twin of :func:`_granger_fcrit_sql` (same table)."""
+    expr = F.lit(None).cast("double")
+    for dmin, crit in reversed(_GRANGER_FTABLE):
+        expr = F.when(d >= F.lit(dmin), F.lit(crit)).otherwise(expr)
+    return expr
 
 
 def _granger_dir_sql(name: str, resp: str, own: str, other: str) -> str:
@@ -4014,10 +4062,11 @@ def _granger_dir_sql(name: str, resp: str, own: str, other: str) -> str:
                 - (syy - b1u * s1y - b2u * s2y))
                / ((syy - b1u * s1y - b2u * s2y) / (n - 3))
            ) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS f_stat,
+           {_granger_fcrit_sql("(n - 3)")} AS f_crit,
            ((syy - s1y * s1y / s11)
             - (syy - b1u * s1y - b2u * s2y))
            / ((syy - b1u * s1y - b2u * s2y) / (n - 3))
-               > {_GRANGER_FCRIT} AS causal_5pct
+               > {_granger_fcrit_sql("(n - 3)")} AS causal_5pct
     FROM (
         SELECT n, syy, s11, s22, s12, s1y, s2y,
                (s2y * s11 - s1y * s12)
@@ -4106,9 +4155,12 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     value series, both directions: does adding last hour's OTHER
     series to an AR(1) of the response reduce the residual sum of
     squares more than chance — F = (RSS_restricted - RSS_full)
-    / (RSS_full / (n-3)) against F(1, n-3). Closed-form two-predictor
-    OLS from centered moments (no iterative solver), the significance
-    upgrade of ts_cross_correlation_lag's descriptive CCF.
+    / (RSS_full / (n-3)) against the n-dependent F(1, n-3) 0.95
+    cutoff (conservative step table `_GRANGER_FTABLE`, emitted as
+    `f_crit`; ADVICE r6 — the chi2 asymptote was anti-conservative at
+    small n). Closed-form two-predictor OLS from centered moments (no
+    iterative solver), the significance upgrade of
+    ts_cross_correlation_lag's descriptive CCF.
 
     Scale shape: one events scan collapses to the hourly grid
     (decimal-summed, so the series is bit-identical across engines);
@@ -4197,11 +4249,13 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         rss_u = syy - b1u * s1y - b2u * s2y
         rss_r = syy - s1y * s1y / s11
         f_stat = (rss_r - rss_u) / (rss_u / (n - 3))
+        f_crit = _granger_fcrit_col(n - 3)
         return moments.where(n > 3).select(
             F.lit(name).alias("direction"),
             n.cast("bigint").alias("n_obs"),
             F.round(f_stat, 4).alias("f_stat"),
-            (f_stat > _GRANGER_FCRIT).alias("causal_5pct"),
+            f_crit.alias("f_crit"),
+            (f_stat > f_crit).alias("causal_5pct"),
         )
 
     return (

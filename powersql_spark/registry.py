@@ -626,10 +626,13 @@ def _driver_green(root: str | None = None) -> frozenset[str]:
             if not isinstance(r, dict) or r.get("err"):
                 continue
             full = r.get("hash_match") and r.get("schema_match")
+            # ADVICE r6: require an affirmative rows_match=True — a
+            # malformed / partially-written row (rows_match absent) must
+            # not bank an unverified key.
             rows_only = (
                 key in _REGISTRY
                 and _REGISTRY[key].oracle is None
-                and r.get("rows_match") is not False
+                and r.get("rows_match") is True
             )
             if full or rows_only:
                 green.add(key)

@@ -58,6 +58,9 @@ def test_green_keys_rotate_to_back(tmp_path):
             "hash_match": False,
             "err": None,
         },
+        # ADVICE r6: a malformed / partially-written row (rows_match
+        # ABSENT, not merely false) must NOT bank a rows-only key.
+        "_fake_rows_only_malformed": {"err": None},
         "ts_lttb_downsample": {  # oracle key, hash fail: NOT banked
             "rows_match": True,
             "schema_match": False,
@@ -66,17 +69,20 @@ def test_green_keys_rotate_to_back(tmp_path):
         },
     }
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(r))
-    fake = reg.QuerySpec(
-        "_fake_rows_only", lambda s, d: None, None, "synthetic", "test"
-    )
-    reg._REGISTRY["_fake_rows_only"] = fake
+    fakes = ("_fake_rows_only", "_fake_rows_only_malformed")
+    for name in fakes:
+        reg._REGISTRY[name] = reg.QuerySpec(
+            name, lambda s, d: None, None, "synthetic", "test"
+        )
     try:
         green = _driver_green(root=str(tmp_path))
     finally:
-        del reg._REGISTRY["_fake_rows_only"]
+        for name in fakes:
+            del reg._REGISTRY[name]
     assert "join_inner" in green
     assert "join_left" not in green
     assert "_fake_rows_only" in green
+    assert "_fake_rows_only_malformed" not in green
     assert "ts_lttb_downsample" not in green
 
 

@@ -8151,6 +8151,34 @@ def test_parity_audit_replays_and_flags(spark, sf_dir):
         assert r["passes_four_fifths"] == (row["mean"] / best >= 0.8 - 1e-12)
 
 
+def test_betweenness_diameter_guard(spark):
+    """ADVICE r6: the unrolled BFS must refuse to return silently
+    truncated centralities. A 12-node path graph (diameter 11 >
+    _BFS_ROUNDS + 1) must raise; a 4-cycle (diameter 2) must complete
+    and give every node the exact betweenness 0.5 (each node sits on
+    one of the two shortest paths of the opposite pair)."""
+    import pytest
+
+    from powersql_spark.pipeline.graph import _brandes_unrolled
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a int, b int"
+    )
+    pnodes = spark.createDataFrame([(i,) for i in range(12)], "node int")
+    with pytest.raises(RuntimeError, match="frontier not exhausted"):
+        _brandes_unrolled(path, pnodes).collect()
+
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "a int, b int"
+    )
+    cnodes = spark.createDataFrame([(i,) for i in range(4)], "node int")
+    got = {
+        r["n_nationkey"]: r["betweenness"]
+        for r in _brandes_unrolled(cyc, cnodes).collect()
+    }
+    assert got == {0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}
+
+
 def test_betweenness_matches_python_bfs_brandes(spark, sf_dir):
     """Replay exact betweenness in Python: all-sources BFS with path
     counts on the same undirected edge list, then the pair-dependency
@@ -8259,7 +8287,16 @@ def test_granger_replays_nested_ols(spark, sf_dir):
         r = rows[name]
         assert r["n_obs"] == n
         assert abs(r["f_stat"] - round(f, 4)) < 5e-3, (name, f)
-        assert r["causal_5pct"] == (f > 3.8415)
+        # ADVICE r6: the cutoff is the conservative n-dependent F(1, n-3)
+        # step table, not the 3.8415 chi2 asymptote. Replay the step
+        # lookup independently and pin the flag against it.
+        from powersql_spark.pipeline.timeseries import _GRANGER_FTABLE
+
+        d = n - 3
+        crit = next(c for dmin, c in _GRANGER_FTABLE if d >= dmin)
+        assert crit >= 3.8508  # never anti-conservative vs the exact F
+        assert r["f_crit"] == crit
+        assert r["causal_5pct"] == (f > crit)
 
 
 def test_hurst_replays_rescaled_range(spark, sf_dir):
