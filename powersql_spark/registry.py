@@ -61,8 +61,95 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ---------------------------------------------------------------------------
 
 _PRIORITY: tuple[str, ...] = (
-    # -- driver window, slots 1-50 ---------------------------------------
-    # §2.B joins (operators/joins.py)
+    # -- r7 driver window (unchecked slots 1-50): the four queued
+    # composites (sim_pq_adc_search, pipeline_experiment_e2e,
+    # pipeline_observability_e2e, sketch_histogram_quantiles) plus the
+    # round-5 tranche — VERDICT r6 ask #1 keeps this prefix untouched.
+    "sim_pq_adc_search",
+    "stats_proportion_ztest",
+    "stats_cuped_adjustment",
+    "ts_rolling_corr",
+    "stats_srm_check",
+    "profile_freshness_lag",
+    "sample_balanced_classes",
+    "ts_cross_correlation_lag",
+    "emb_cluster_purity",
+    "stats_power_analysis",
+    "ts_outage_gaps",
+    "text_cooccurrence_pmi",
+    "dedup_lsh_tuning_curve",
+    "pipeline_experiment_e2e",
+    "window_rolling_active_users",
+    "sample_hard_negatives",
+    "ts_holt_winters",
+    "fn_data_masking",
+    "sim_filtered_ann",
+    "ts_forecast_backtest",
+    "graph_assortativity",
+    "text_zipf_fit",
+    "text_entropy_char",
+    "profile_source_overlap",
+    "ts_peak_detection",
+    "sim_mips_transform",
+    "ts_week_over_week",
+    "stats_bh_correction",
+    "pipeline_observability_e2e",
+    "join_geo_grid",
+    "stats_anova_oneway",
+    "text_readability",
+    "curation_dedup_threshold_sweep",
+    "stats_tost_equivalence",
+    "window_cohort_ltv_curve",
+    "graph_bipartite_projection",
+    "window_bounce_rate",
+    "dedup_cluster_census",
+    "window_new_vs_returning",
+    "stats_sample_size_calc",
+    "stats_diff_in_diff",
+    "window_forward_retention",
+    "text_boilerplate_fraction",
+    "attribution_position_based",
+    "sketch_histogram_quantiles",
+    "emb_dim_variance",
+    "ts_autocorr",
+    "ts_seasonal_decompose",
+    "agg_winsorized_mean",
+    "graph_jaccard_neighbors",
+    # -- r8 risk-promoted tranche (VERDICT r6 asks #3 + #5): the full
+    # eval_* model/retrieval-evaluation family incl. pipeline_eval_e2e,
+    # then the likeliest-to-diverge round-6 keys (exact Brandes
+    # betweenness, Shapley, Fisher exact, DTW, Kalman, Granger, Hurst,
+    # Burrows' Delta, Cochran-Armitage, SCC) — pulled from unchecked
+    # slots ~164-205 so they bank in r8 instead of r10.
+    "eval_auc_roc",
+    "eval_calibration_ece",
+    "eval_pass_at_k",
+    "eval_ndcg_at_k",
+    "eval_bradley_terry",
+    "eval_mcnemar_paired",
+    "eval_classification_report",
+    "eval_cohens_kappa",
+    "eval_mrr_at_k",
+    "eval_brier_decomposition",
+    "pipeline_eval_e2e",
+    "eval_average_precision",
+    "eval_threshold_sweep",
+    "eval_lift_gains",
+    "eval_auc_delong_ci",
+    "graph_betweenness",
+    "graph_scc",
+    "attribution_shapley",
+    "stats_fisher_exact",
+    "ts_dtw_distance",
+    "ts_kalman_filter",
+    "ts_granger_causality",
+    "ts_hurst_exponent",
+    "text_burrows_delta",
+    "stats_cochran_armitage",
+    # -- remaining unchecked backlog + banked greens, in the curated
+    # pre-r7 relative order (banked keys are filtered to the back at
+    # import time by _ordered(); their rank here only matters if every
+    # unchecked key ever drains).
     "join_inner",
     "join_left",
     "join_right",
@@ -70,7 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_cross",
     "join_semi",
     "join_anti",
-    # §2.B projection + predicates + expressions (operators/projection.py)
     "project_cols",
     "project_star",
     "filter_where",
@@ -83,18 +169,15 @@ _PRIORITY: tuple[str, ...] = (
     "expr_case",
     "expr_arith",
     "expr_bool_logic",
-    # §2.B scans (operators/scans.py)
     "scan_model",
     "scan_external",
     "scan_derived",
     "scan_nested_join",
-    # §2.B subqueries (operators/subqueries.py)
     "subq_scalar",
     "subq_exists",
     "subq_in",
     "subq_cte",
     "subq_nested_query",
-    # §2.B sorts / limits / set ops / windows (operators/sorts_sets.py)
     "sort_order_by",
     "limit",
     "topk",
@@ -103,13 +186,10 @@ _PRIORITY: tuple[str, ...] = (
     "set_intersect",
     "set_except",
     "window_fns",
-    # §2.B remaining function family (operators/functions.py)
     "fn_conditional",
-    # round-1 non-green rows, fixed this round
     "agg_collect_set",
     "agg_approx_percentile",
     "agg_approx_distinct",
-    # TPC-H rotation, first tranche
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -120,7 +200,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
-    # -- beyond slot 50: next rotation tranches, still curated -----------
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
@@ -133,7 +212,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # remaining §2.B expression / scan / sort keys
     "expr_unary",
     "expr_nested",
     "expr_collate",
@@ -145,8 +223,6 @@ _PRIORITY: tuple[str, ...] = (
     "set_except_all",
     "subq_correlated",
     "join_lateral",
-    # function extensions (first tranche; long tail rotated below the
-    # LLM flagship keys per VERDICT r2 #4)
     "fn_array",
     "fn_map",
     "fn_json",
@@ -157,10 +233,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_sequence",
     "fn_string_advanced",
     "agg_bool",
-    # LLM-data-pipeline flagship tranche — the north-star deliverables
-    # (BASELINE.json): full dedup family incl. the end-to-end survivors
-    # pipeline, the ANN ladder incl. the learned-IVF variant, and the
-    # training-data pipeline composite, ahead of the fn_* long tail.
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -178,7 +250,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    # -- next tranche (rounds 4+) ---------------------------------------
     "fn_url",
     "fn_json_typed",
     "fn_date_spine",
@@ -192,7 +263,6 @@ _PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize",
     "mm_audio_features",
-    # streaming batch-twins
     "window_tumbling",
     "window_sliding",
     "window_session",
@@ -200,7 +270,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "rollup_hypertable",
     "stateful_user_totals",
-    # round-2 additions (never driver-run; join the rotation queue)
     "text_repetition_ratio",
     "curation_contamination_check",
     "mix_epochs_weighted",
@@ -238,7 +307,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_ntile",
     "merge_upsert",
     "fn_higher_order",
-    # round-2 session additions
     "agg_corr",
     "ts_resample_ohlc",
     "curation_domain_cap",
@@ -287,7 +355,6 @@ _PRIORITY: tuple[str, ...] = (
     "set_union_by_name",
     "agg_min_max_by",
     "agg_pivot_multi",
-    # round-3 session additions
     "dedup_url_canonical",
     "ts_lttb_downsample",
     "window_rolling_median",
@@ -309,14 +376,12 @@ _PRIORITY: tuple[str, ...] = (
     "ts_holt_linear",
     "emb_whitening",
     "ts_changepoint_cusum",
-    # round-4 session additions
     "pipeline_curation_e2e",
     "dedup_funnel_report",
     "sketch_kmv_distinct",
     "dedup_minhash_estimate",
     "stats_welch_ttest",
     "ts_derivative",
-    # round-5 session additions
     "stats_mann_whitney",
     "analytics_rfm_segments",
     "profile_psi_drift",
@@ -334,56 +399,6 @@ _PRIORITY: tuple[str, ...] = (
     "mm_shard_manifest",
     "fn_timezone",
     "sink_stats_manifest",
-    "sim_pq_adc_search",
-    "stats_proportion_ztest",
-    "stats_cuped_adjustment",
-    "ts_rolling_corr",
-    "stats_srm_check",
-    "profile_freshness_lag",
-    "sample_balanced_classes",
-    "ts_cross_correlation_lag",
-    "emb_cluster_purity",
-    "stats_power_analysis",
-    "ts_outage_gaps",
-    "text_cooccurrence_pmi",
-    "dedup_lsh_tuning_curve",
-    "pipeline_experiment_e2e",
-    "window_rolling_active_users",
-    "sample_hard_negatives",
-    "ts_holt_winters",
-    "fn_data_masking",
-    "sim_filtered_ann",
-    "ts_forecast_backtest",
-    "graph_assortativity",
-    "text_zipf_fit",
-    "text_entropy_char",
-    "profile_source_overlap",
-    "ts_peak_detection",
-    "sim_mips_transform",
-    "ts_week_over_week",
-    "stats_bh_correction",
-    "pipeline_observability_e2e",
-    "join_geo_grid",
-    "stats_anova_oneway",
-    "text_readability",
-    "curation_dedup_threshold_sweep",
-    "stats_tost_equivalence",
-    "window_cohort_ltv_curve",
-    "graph_bipartite_projection",
-    "window_bounce_rate",
-    "dedup_cluster_census",
-    "window_new_vs_returning",
-    "stats_sample_size_calc",
-    "stats_diff_in_diff",
-    "window_forward_retention",
-    "text_boilerplate_fraction",
-    "attribution_position_based",
-    "sketch_histogram_quantiles",
-    "emb_dim_variance",
-    # -- round-1 greens: banked since r1, ranked here so the curated
-    # manifest covers the registry exactly; they sit at the back anyway
-    # via the banked-green rotation, this order only matters if every
-    # other key ever goes green.
     "agg_group_by",
     "agg_sum",
     "agg_count_star",
@@ -431,11 +446,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_extract_date",
     "fn_string",
     "fn_math",
-    # -- round-3 session additions (rotate in after the backlog) ----------
-    "ts_autocorr",
-    "ts_seasonal_decompose",
-    "agg_winsorized_mean",
-    "graph_jaccard_neighbors",
     "text_bigram_logprob",
     "text_ngram_novelty",
     "ts_theilsen_slope",
@@ -466,10 +476,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_cume_dist",
     "stats_ols_multi",
     "ts_anomaly_mad",
-    # -- round-6 session additions (append-only: slots 131+ of the
-    # unchecked queue, so the curated r7 window — the four pipeline_*
-    # composites, sim_pq_adc_search, sketch_histogram_quantiles — is
-    # undisturbed; these rotate in at r8+).
     "graph_kcore",
     "graph_clustering_coefficient",
     "graph_adamic_adar",
@@ -553,48 +559,23 @@ _PRIORITY: tuple[str, ...] = (
     "emb_separation_histogram",
     "sample_seed_independence",
     "stats_ljung_box",
-    "ts_kalman_filter",
     "stats_delta_method_ratio",
     "sketch_ams_f2",
     "fn_ip_cidr",
     "ts_sax_symbolic",
     "emb_silhouette_simplified",
-    "stats_fisher_exact",
     "stats_runs_test",
-    "ts_dtw_distance",
     "text_js_divergence",
     "stats_holm_bonferroni",
     "stats_anderson_darling",
-    "eval_auc_roc",
-    "eval_calibration_ece",
-    "eval_pass_at_k",
-    "eval_ndcg_at_k",
-    "eval_bradley_terry",
-    "eval_mcnemar_paired",
-    "eval_classification_report",
-    "eval_cohens_kappa",
-    "eval_mrr_at_k",
-    "eval_brier_decomposition",
-    "pipeline_eval_e2e",
-    "eval_average_precision",
-    "eval_threshold_sweep",
-    "eval_lift_gains",
     "split_kfold",
     "text_keyness_gtest",
-    "graph_scc",
     "profile_functional_dependency",
     "stats_wilcoxon_signed_rank",
     "stats_friedman_test",
-    "eval_auc_delong_ci",
     "stats_dunn_posthoc",
     "curation_rejection_sampling",
-    "attribution_shapley",
     "curation_gate_parity_audit",
-    "graph_betweenness",
-    "ts_granger_causality",
-    "ts_hurst_exponent",
-    "text_burrows_delta",
-    "stats_cochran_armitage",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
