@@ -2451,6 +2451,15 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Welch-Satterthwaite effective degrees of freedom; at these df the
     normal 1.96 critical value is the 5% two-sided gate.
 
+    Asymptotic-cutoff note (the ADVICE-r6 Granger pattern, audited
+    here deliberately): `significant_5pct` uses 1.96 rather than the
+    t(welch_df) quantile. The emitted welch_df is >= ~118 at even the
+    smallest test SF (t-crit 1.9799 at df 120, i.e. ~1% from normal
+    and shrinking ~10x per SF decade), so the normal gate is exact to
+    the rounding the driver hashes at; a consumer re-gating at tiny n
+    should use the emitted welch_df against a t table instead of the
+    boolean.
+
     Scale shape: ONE scan, one aggregate per event_type producing six
     numbers of conditional decimal power-sum state — constant memory
     per group, bit-identical across engines and partitionings; the
