@@ -45,19 +45,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # driver-green row each round, so it is a curated manifest, not an accident
 # of import order:
 #
-#   1. _PRIORITY — every key with no driver row yet, front-loaded with the
-#      SURVEY §2.B core (joins, projections/predicates, scans, subqueries,
-#      sorts/sets) and TPC-H, i.e. the constructs the reference's own test
-#      corpus exercises (reference examples/postgres/tests/data_tests.sql:
-#      LEFT JOIN, IS NULL, EXISTS, scalar-subquery compares). The three keys
-#      that were non-green in round 1 (agg_collect_set harness crash, the two
-#      no-oracle approx sketches) are in the window so their fixes re-verify.
-#   2. _DRIVER_GREEN_R01 — keys already fully green in CORRECTNESS_r01.json,
-#      pushed to the back: their evidence is banked, re-running them buys
-#      nothing while 114 keys have no row.
-#
-# Each round, move newly-green keys from _PRIORITY into _DRIVER_GREEN so the
-# window rotates and green coverage accumulates.
+#   1. _PRIORITY ranks every key. At import, keys with a banked green row
+#      in any CORRECTNESS_r*.json rotate to the back automatically
+#      (_driver_green reads the files dynamically), so the driver window is
+#      always the first 50 never-verified keys of this curated order — no
+#      manual bookkeeping when a round's results land.
+#   2. The order within the unchecked segment is risk-curated, not FIFO:
+#      each round the next window is kept stable while later tranches are
+#      reordered to front-load the keys likeliest to diverge on the driver
+#      host (complex composites, statistical tests with host-sensitive
+#      float paths) — VERDICT r6 ask #3. Reorders must keep the CURRENT
+#      window (first 50 unchecked) byte-identical, since the driver
+#      verifies it at round end from this very ordering.
+#   3. tests/test_registry_rotation.py + test_registry_order.py pin the
+#      invariants (exact coverage, no banked key in a window slot, window
+#      == first 50 unbanked of _PRIORITY, greens at the back).
 # ---------------------------------------------------------------------------
 
 _PRIORITY: tuple[str, ...] = (
