@@ -306,3 +306,27 @@ def test_kmv_sketch_merge_invariance(ha, hb):
         est_direct = (k - 1) * 2**32 / direct[-1]
         est_merged = (k - 1) * 2**32 / merged[-1]
         assert est_direct == est_merged
+
+
+@given(st.integers(min_value=1, max_value=100_000))
+@settings(max_examples=300, deadline=None)
+def test_granger_fcrit_table_is_conservative_and_monotone(d):
+    """ADVICE r6 invariants of the shared F(1, d) 0.95 step table: the
+    lookup is defined for every d >= 1, never drops below the d=1000
+    table value (so it can never be anti-conservative vs the exact F
+    quantile, which decreases in d), and is non-increasing in d (more
+    degrees of freedom never tightens the gate the wrong way)."""
+    from powersql_spark.pipeline.timeseries import _GRANGER_FTABLE
+
+    # Table well-formed: d_min strictly decreasing, crit strictly
+    # increasing as d_min decreases (first match = tightest bucket).
+    dmins = [dm for dm, _ in _GRANGER_FTABLE]
+    crits = [c for _, c in _GRANGER_FTABLE]
+    assert dmins == sorted(dmins, reverse=True)
+    assert crits == sorted(crits)
+
+    def lookup(dd):
+        return next(c for dm, c in _GRANGER_FTABLE if dd >= dm)
+
+    assert lookup(d) >= 3.8508
+    assert lookup(d + 1) <= lookup(d)
