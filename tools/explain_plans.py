@@ -174,6 +174,27 @@ SHOW = {
     "collapses to (det, dep) cells with map-side partials; the "
     "exchange carries distinct pairs, and candidates union at the "
     "6-row report.",
+    "graph_betweenness": "Exact Brandes betweenness: the only "
+    "data-sized step is the distinct-edge aggregation (dimensions "
+    "broadcast); BFS rounds and the three-way dependency join run on "
+    "the checkpointed O(nations^2) table, so the final plan is "
+    "joins+aggregates over localCheckpoint scans, not fact scans.",
+    "pipeline_experiment_e2e": "Experiment readout composite: three "
+    "independent map-side-combinable collapses of one corpus (SRM, "
+    "Welch, proportion-z) unioned at metadata size — no cross-check "
+    "joins, no corpus re-shuffle between checks.",
+    "sketch_histogram_quantiles": "Mergeable-histogram quantiles: the "
+    "corpus collapses to (type, bin) integer counts — the exchange "
+    "carries 60-bin state, the CDF walk is a window over that "
+    "constant table.",
+    "attribution_shapley": "Exact Shapley over 4 channels: users "
+    "collapse to (mask, converted) with map-side partials; the "
+    "32-term coalition computation is a literal join on the "
+    "<=16-row v(S) table — constant past the first aggregate.",
+    "ts_dtw_distance": "DTW as nested higher-order aggregates: the "
+    "corpus collapses to per-type 24-point hourly profiles; the "
+    "O(24^2) DP runs inside one JVM projection over the persisted "
+    "profile self-join — no UDF, no per-pair shuffle.",
 }
 
 
