@@ -6887,7 +6887,9 @@ _WSR_Z = (
     )
     SELECT event_type, n, w_plus,
            {sql_jround(_WSR_Z, 4)} AS z_stat,
-           abs({sql_jround(_WSR_Z, 4)}) > 1.96 AS significant_5pct
+           CASE WHEN n >= 20
+                THEN abs({sql_jround(_WSR_Z, 4)}) > 1.96
+           END AS significant_5pct
     FROM s
     ORDER BY event_type
     """,
@@ -6902,7 +6904,10 @@ def stats_wilcoxon_signed_rank(
     valid for skewed engagement values because it ranks |d| instead of
     assuming normal differences. Zero differences are dropped and ties
     midranked with the standard tie-corrected variance, both per the
-    classical procedure.
+    classical procedure. The 5% verdict uses the normal approximation,
+    which is only reliable from n ~ 20 pairs; below that the flag is
+    NULL (unknown) rather than an anti-conservative normal gate — the
+    same honesty rule as ts_granger_causality's n-dependent F cutoff.
 
     Scale shape: one scan collapses to (event_type, user) paired
     means with map-side partials (means are decimal-summed, so d is
@@ -6971,7 +6976,12 @@ def stats_wilcoxon_signed_rank(
         "n",
         "w_plus",
         F.round(z, 4).alias("z_stat"),
-        (F.abs(F.round(z, 4)) > 1.96).alias("significant_5pct"),
+        # Normal approximation only: NULL (unknown) below the n=20
+        # exact-table regime rather than an anti-conservative verdict
+        # (the ADVICE-r6 Granger treatment; at the driver SF n~145).
+        F.when(F.col("n") >= 20, F.abs(F.round(z, 4)) > 1.96).alias(
+            "significant_5pct"
+        ),
     ).orderBy("event_type")
 
 

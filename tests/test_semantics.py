@@ -7946,7 +7946,12 @@ def test_wilcoxon_replays_in_pandas(spark, sf_dir):
         assert r["n"] == n
         assert abs(r["w_plus"] - w_plus) < 1e-6
         assert abs(r["z_stat"] - round(z, 4)) < 2e-4, (et, z)
-        assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+        # Below n=20 the normal-approximation verdict is withheld
+        # (NULL) rather than reported anti-conservatively.
+        if n >= 20:
+            assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+        else:
+            assert r["significant_5pct"] is None
 
 
 def test_friedman_replays_in_pandas(spark, sf_dir):
