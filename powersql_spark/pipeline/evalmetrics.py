@@ -673,7 +673,13 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity-corrected chi2 = (|b-c|-1)^2/(b+c) over the discordant
     cells only, and the 5% verdict. The right test when comparing two
     filters/classifiers on one corpus — a two-proportion z-test would
-    ignore the pairing.
+    ignore the pairing. Small-sample note (audited against the
+    ADVICE-r6 anti-conservatism pattern): at tiny discordant counts
+    the continuity-corrected chi2 under-rejects relative to the exact
+    binomial (e.g. b=5,c=0: chi2_cc 3.2 vs exact p 0.0625; b=6,c=0:
+    chi2_cc 4.17 vs exact p 0.031 — both gates agree), so the verdict
+    is conservative, never inflated; an exact-binomial variant is the
+    upgrade path if sub-25 discordant counts ever need sharp power.
 
     Scale shape: one scan, map-only gate evaluation, four conditional
     counts per source with map-side partials; the statistic is
