@@ -60,6 +60,15 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Subset drive: `python tools/drive_contract.py key1 key2 ...`
+    # runs only those keys (after the entry() smoke) — the cheap way
+    # to re-verify a changed operator under the exact driver contract.
+    if len(sys.argv) > 1:
+        unknown = [k for k in sys.argv[1:] if k not in queries]
+        if unknown:
+            print(f"unknown keys: {unknown}")
+            return 2
+        queries = {k: queries[k] for k in sys.argv[1:]}
     bad, t0 = [], time.time()
     for i, (key, fn) in enumerate(queries.items()):
         try:
