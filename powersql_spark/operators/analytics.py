@@ -2436,7 +2436,9 @@ _W_DF = (
            {sql_jround(_W_MEAN_B, 6)} AS mean_b,
            {sql_jround(_W_T, 4)} AS t_stat,
            {sql_jround(_W_DF, 2)} AS welch_df,
-           abs({sql_jround(_W_T, 4)}) > 1.96 AS significant_5pct
+           CASE WHEN {sql_jround(_W_DF, 2)} >= 100
+                THEN abs({sql_jround(_W_T, 4)}) > 1.96
+           END AS significant_5pct
     FROM s
     ORDER BY event_type
     """,
@@ -2451,14 +2453,17 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Welch-Satterthwaite effective degrees of freedom; at these df the
     normal 1.96 critical value is the 5% two-sided gate.
 
-    Asymptotic-cutoff note (the ADVICE-r6 Granger pattern, audited
-    here deliberately): `significant_5pct` uses 1.96 rather than the
-    t(welch_df) quantile. The emitted welch_df is >= ~118 at even the
-    smallest test SF (t-crit 1.9799 at df 120, i.e. ~1% from normal
-    and shrinking ~10x per SF decade), so the normal gate is exact to
-    the rounding the driver hashes at; a consumer re-gating at tiny n
-    should use the emitted welch_df against a t table instead of the
-    boolean.
+    Asymptotic-cutoff note (the ADVICE-r6 Granger pattern; guard added
+    per VERDICT r7 ask #5 — the Wilcoxon treatment):
+    `significant_5pct` uses the normal 1.96 gate ONLY when
+    welch_df >= 100, where the exact t(welch_df) 0.975 quantile is
+    within ~1.2% of 1.96 (1.9840 at df 100, 1.9799 at df 120,
+    shrinking ~10x per SF decade; emitted welch_df is >= ~118 at even
+    the smallest test SF, so tested behavior is unchanged). Below
+    df 100 the verdict is withheld (NULL) rather than reported
+    anti-conservatively — a consumer at tiny n gets the emitted t_stat
+    and welch_df to gate against a t table, never an unconditioned
+    asymptotic boolean.
 
     Scale shape: ONE scan, one aggregate per event_type producing six
     numbers of conditional decimal power-sum state — constant memory
@@ -2534,7 +2539,9 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_b, 6).alias("mean_b"),
         F.round(t, 4).alias("t_stat"),
         F.round(df, 2).alias("welch_df"),
-        (F.abs(F.round(t, 4)) > 1.96).alias("significant_5pct"),
+        F.when(
+            F.round(df, 2) >= 100, F.abs(F.round(t, 4)) > 1.96
+        ).alias("significant_5pct"),
     ).orderBy("event_type")
 
 

@@ -1984,18 +1984,22 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
     # Constant-cost — the frontier is empty by round ~3 on any
     # realistic trade graph, and the frame is checkpointed and <= 650
     # rows, so this is a sub-millisecond count, not a data-sized job.
-    leftover = (
-        f.join(adj, f.dst == adj.node)
-        .select(f.src, adj.nbr.alias("dst"))
-        .join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
-    )
-    if leftover.limit(1).count() > 0:
-        raise RuntimeError(
-            "graph_betweenness: BFS frontier not exhausted after "
-            f"{_BFS_ROUNDS} unrolled rounds — graph diameter exceeds "
-            f"{_BFS_ROUNDS + 1}, centrality would be silently "
-            "truncated. Raise _BFS_ROUNDS for this edge distribution."
+    # ADVICE r7: the frontier is checkpointed, so isEmpty() is a cheap
+    # local read — skip the join job entirely in the (typical) case
+    # where the last round already found nothing new.
+    if not f.isEmpty():
+        leftover = (
+            f.join(adj, f.dst == adj.node)
+            .select(f.src, adj.nbr.alias("dst"))
+            .join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
         )
+        if leftover.limit(1).count() > 0:
+            raise RuntimeError(
+                "graph_betweenness: BFS frontier not exhausted after "
+                f"{_BFS_ROUNDS} unrolled rounds — graph diameter exceeds "
+                f"{_BFS_ROUNDS + 1}, centrality would be silently "
+                "truncated. Raise _BFS_ROUNDS for this edge distribution."
+            )
     sv = acc.alias("sv")
     vt = acc.alias("vt")
     st = acc.alias("st")

@@ -4062,17 +4062,18 @@ def _granger_dir_sql(name: str, resp: str, own: str, other: str) -> str:
                 - (syy - b1u * s1y - b2u * s2y))
                / ((syy - b1u * s1y - b2u * s2y) / (n - 3))
            ) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS f_stat,
-           {_granger_fcrit_sql("(n - 3)")} AS f_crit,
+           f_crit,
            ((syy - s1y * s1y / s11)
             - (syy - b1u * s1y - b2u * s2y))
            / ((syy - b1u * s1y - b2u * s2y) / (n - 3))
-               > {_granger_fcrit_sql("(n - 3)")} AS causal_5pct
+               > f_crit AS causal_5pct
     FROM (
         SELECT n, syy, s11, s22, s12, s1y, s2y,
                (s2y * s11 - s1y * s12)
                    / (s22 * s11 - s12 * s12) AS b2u,
                (s1y - (s2y * s11 - s1y * s12)
-                      / (s22 * s11 - s12 * s12) * s12) / s11 AS b1u
+                      / (s22 * s11 - s12 * s12) * s12) / s11 AS b1u,
+               {_granger_fcrit_sql("(n - 3)")} AS f_crit
         FROM (
             SELECT CAST(cnt AS BIGINT) AS n,
                    sum_{resp}2 - sum_{resp} * sum_{resp} / cnt AS syy,

@@ -2411,7 +2411,57 @@ def test_welch_ttest_matches_python_recomputation(spark, sf_dir):
         assert abs(r["t_stat"] - t) < 1e-3, (r["event_type"], r["t_stat"], t)
         assert abs(r["welch_df"] - df) < 0.5
         assert min(len(a), len(b)) - 1 <= r["welch_df"] <= len(a) + len(b) - 2
-        assert r["significant_5pct"] == (abs(r["t_stat"]) > 1.96)
+        # VERDICT r7 ask #5: the 1.96 verdict is conditioned on
+        # welch_df >= 100 (withheld below, like Wilcoxon's n>=20).
+        if r["welch_df"] >= 100:
+            assert r["significant_5pct"] == (abs(r["t_stat"]) > 1.96)
+        else:
+            assert r["significant_5pct"] is None
+
+
+def test_welch_small_n_verdict_withheld(spark, sf_dir):
+    """At tiny group sizes (welch_df < 100) the asymptotic 1.96 gate
+    is anti-conservative (exact t-crit 2.10 at df 18), so the verdict
+    must be NULL in BOTH engines while t_stat/welch_df stay reported —
+    the Wilcoxon treatment applied to Welch (VERDICT r7 ask #5)."""
+    import duckdb
+    import hashlib
+    import pandas as pd
+
+    from powersql_spark.operators.analytics import stats_welch_ttest
+    from powersql_spark.registry import all_specs
+
+    rows = [
+        (uid, "click", float(1.0 + (uid * 7 % 13) * 0.25))
+        for uid in range(1, 25)
+    ]
+    n_a = sum(
+        1
+        for uid, _, _ in rows
+        if hashlib.md5(f"{uid}:welch".encode()).hexdigest()[0] < "8"
+    )
+    assert 2 <= n_a <= len(rows) - 2  # both arms populated
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    spark._powersql_views.pop("events", None)
+    try:
+        r = stats_welch_ttest(spark, sf_dir).collect()[0]
+        assert r["welch_df"] < 100
+        assert r["t_stat"] is not None
+        assert r["significant_5pct"] is None
+        con = duckdb.connect()
+        con.register("events", pdf)
+        odf = con.execute(
+            all_specs()["stats_welch_ttest"].oracle
+        ).df()
+        assert len(odf) == 1
+        assert odf["significant_5pct"][0] is None or pd.isna(
+            odf["significant_5pct"][0]
+        )
+        assert abs(float(odf["t_stat"][0]) - r["t_stat"]) < 1e-9
+    finally:
+        spark.catalog.dropTempView("events")
+        spark._powersql_views.pop("events", None)
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,14 @@ def main() -> int:
         if unknown:
             print(f"unknown keys: {unknown}")
             return 2
+        # ADVICE r7: duplicate argv keys would be silently deduplicated
+        # by the dict comprehension below — reject so typos in long key
+        # lists are caught instead of shrinking the drive.
+        dupes = sorted(
+            {k for k in sys.argv[1:] if sys.argv[1:].count(k) > 1})
+        if dupes:
+            print(f"duplicate keys on argv: {dupes}")
+            return 2
         queries = {k: queries[k] for k in sys.argv[1:]}
     bad, t0 = [], time.time()
     for i, (key, fn) in enumerate(queries.items()):
