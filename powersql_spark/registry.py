@@ -63,10 +63,179 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ---------------------------------------------------------------------------
 
 _PRIORITY: tuple[str, ...] = (
-    # -- r7 driver window (unchecked slots 1-50): the four queued
-    # composites (sim_pq_adc_search, pipeline_experiment_e2e,
-    # pipeline_observability_e2e, sketch_histogram_quantiles) plus the
-    # round-5 tranche — VERDICT r6 ask #1 keeps this prefix untouched.
+    # -- r8 driver window (unchecked slots 1-50), loaded by the r7
+    # reorder and VERIFIED against the union of all CORRECTNESS files:
+    # the full eval_* family incl. pipeline_eval_e2e, then the ten
+    # likeliest-to-diverge round-6 keys. VERDICT r7 ask #1 keeps this
+    # prefix byte-stable until the driver runs.
+    "eval_auc_roc",
+    "eval_calibration_ece",
+    "eval_pass_at_k",
+    "eval_ndcg_at_k",
+    "eval_bradley_terry",
+    "eval_mcnemar_paired",
+    "eval_classification_report",
+    "eval_cohens_kappa",
+    "eval_mrr_at_k",
+    "eval_brier_decomposition",
+    "pipeline_eval_e2e",
+    "eval_average_precision",
+    "eval_threshold_sweep",
+    "eval_lift_gains",
+    "eval_auc_delong_ci",
+    "graph_betweenness",
+    "graph_scc",
+    "attribution_shapley",
+    "stats_fisher_exact",
+    "ts_dtw_distance",
+    "ts_kalman_filter",
+    "ts_granger_causality",
+    "ts_hurst_exponent",
+    "text_burrows_delta",
+    "stats_cochran_armitage",
+    "text_bigram_logprob",
+    "text_ngram_novelty",
+    "ts_theilsen_slope",
+    "diff_metric_snapshots",
+    "emb_outlier_distance",
+    "join_asof_tolerance",
+    "path_trigram_topk",
+    "sketch_bloom_prefilter",
+    "assert_quality_report",
+    "graph_label_propagation",
+    "sample_coreset_kcenter",
+    "stats_ks_two_sample",
+    "layout_hilbert",
+    "stats_chi2_independence",
+    "split_group_holdout",
+    "ts_time_weighted_avg",
+    "join_dpp_pruned",
+    "agg_weighted_median",
+    "ts_downsample_m4",
+    "path_regex_match",
+    "sim_matryoshka_recall",
+    "dedup_incremental_delta",
+    "funnel_window_depth",
+    "source_corrupt_quarantine",
+    "ts_max_drawdown",
+    # -- r9 risk-ranked tranche (VERDICT r7 ask #3, loaded at r8 start
+    # without touching the window above): the remaining
+    # iterative/numeric/special-function keys promoted ahead of
+    # mechanical window/profile/join keys — recursions (Durbin-Levinson
+    # PACF, Katz/HITS power iterations, SPRT walk), special functions
+    # (Anderson-Darling erf polynomial, SAX gaussian breakpoints,
+    # chi2/F tails), rank-and-tie statistics, resampling determinism,
+    # and log-based text/embedding numerics.
+    "ts_sax_symbolic",
+    "stats_anderson_darling",
+    "graph_katz_centrality",
+    "sketch_ams_f2",
+    "ts_pacf_durbin",
+    "stats_ols_multi",
+    "window_rolling_regression",
+    "graph_hits",
+    "graph_modularity",
+    "stats_sprt_sequential",
+    "stats_bayesian_ab",
+    "analytics_survival_km",
+    "stats_ljung_box",
+    "stats_kruskal_wallis",
+    "stats_friedman_test",
+    "stats_dunn_posthoc",
+    "stats_wilcoxon_signed_rank",
+    "stats_holm_bonferroni",
+    "stats_runs_test",
+    "stats_levene",
+    "stats_spearman_corr",
+    "stats_cramers_v",
+    "stats_permutation_test",
+    "stats_bootstrap_ci",
+    "stats_jackknife_ratio",
+    "stats_delta_method_ratio",
+    "text_js_divergence",
+    "text_keyness_gtest",
+    "profile_benford_law",
+    "emb_intrinsic_dimension",
+    "emb_silhouette_simplified",
+    "ts_dominant_period",
+    "ts_strength_measures",
+    "ts_seasonal_anomaly",
+    "ts_retention_halflife",
+    "text_textrank_keywords",
+    "text_rake_keywords",
+    "mm_audio_vad",
+    "sim_ivf_nprobe_curve",
+    "sketch_theta_intersection",
+    "sketch_countmin_width_curve",
+    "emb_alignment_uniformity",
+    "emb_hubness",
+    "emb_triplet_accuracy",
+    "emb_centroid_drift",
+    "emb_random_projection",
+    "emb_separation_histogram",
+    "dedup_soft_weights",
+    "curation_rejection_sampling",
+    "sample_importance_systematic",
+    "sample_stratified_neyman",
+    "analytics_markov_transitions",
+    "ts_spc_western_electric",
+    "text_word_burstiness",
+    "stats_iqr_outliers",
+    # -- remaining unchecked backlog (mechanical window/profile/join/
+    # sink/analytics keys, current relative order) — drains r10.
+    "agg_gini_revenue",
+    "subq_not_in_null_aware",
+    "window_cume_dist",
+    "ts_anomaly_mad",
+    "graph_kcore",
+    "graph_clustering_coefficient",
+    "graph_adamic_adar",
+    "graph_degree_distribution",
+    "analytics_market_basket",
+    "analytics_pareto_concentration",
+    "window_streak_longest",
+    "join_interval_overlap",
+    "cdc_deletion_vectors",
+    "text_langid_eval",
+    "stats_cohens_d",
+    "profile_pk_candidate",
+    "window_keyset_pagination",
+    "text_ngram_coverage",
+    "ts_traffic_profile",
+    "sink_dynamic_partition_overwrite",
+    "fn_month_arithmetic",
+    "agg_approx_topk",
+    "window_growth_accounting",
+    "analytics_power_user_curve",
+    "analytics_abc_xyz",
+    "layout_zone_map_pruning",
+    "profile_fk_orphan_report",
+    "pipeline_feature_store_e2e",
+    "profile_snapshot_recon",
+    "analytics_net_revenue_retention",
+    "text_negative_sampling_table",
+    "ts_alert_episodes",
+    "curation_source_report",
+    "text_feature_hashing",
+    "sink_merge_schema",
+    "analytics_interpurchase_time",
+    "analytics_segment_migration",
+    "dedup_cross_source_matrix",
+    "graph_reciprocity",
+    "agg_theil_inequality",
+    "analytics_revenue_bridge",
+    "ts_concurrency_sweepline",
+    "ts_year_over_year",
+    "analytics_basket_size_curve",
+    "text_lexical_diversity",
+    "sample_seed_independence",
+    "fn_ip_cidr",
+    "split_kfold",
+    "profile_functional_dependency",
+    "curation_gate_parity_audit",
+    # -- banked driver-green keys, in the curated pre-r7 relative
+    # order (filtered to the back at import time by _ordered(); their
+    # rank here only matters if every unchecked key ever drains).
     "sim_pq_adc_search",
     "stats_proportion_ztest",
     "stats_cuped_adjustment",
@@ -117,41 +286,6 @@ _PRIORITY: tuple[str, ...] = (
     "ts_seasonal_decompose",
     "agg_winsorized_mean",
     "graph_jaccard_neighbors",
-    # -- r8 risk-promoted tranche (VERDICT r6 asks #3 + #5): the full
-    # eval_* model/retrieval-evaluation family incl. pipeline_eval_e2e,
-    # then the likeliest-to-diverge round-6 keys (exact Brandes
-    # betweenness, Shapley, Fisher exact, DTW, Kalman, Granger, Hurst,
-    # Burrows' Delta, Cochran-Armitage, SCC) — pulled from unchecked
-    # slots ~164-205 so they bank in r8 instead of r10.
-    "eval_auc_roc",
-    "eval_calibration_ece",
-    "eval_pass_at_k",
-    "eval_ndcg_at_k",
-    "eval_bradley_terry",
-    "eval_mcnemar_paired",
-    "eval_classification_report",
-    "eval_cohens_kappa",
-    "eval_mrr_at_k",
-    "eval_brier_decomposition",
-    "pipeline_eval_e2e",
-    "eval_average_precision",
-    "eval_threshold_sweep",
-    "eval_lift_gains",
-    "eval_auc_delong_ci",
-    "graph_betweenness",
-    "graph_scc",
-    "attribution_shapley",
-    "stats_fisher_exact",
-    "ts_dtw_distance",
-    "ts_kalman_filter",
-    "ts_granger_causality",
-    "ts_hurst_exponent",
-    "text_burrows_delta",
-    "stats_cochran_armitage",
-    # -- remaining unchecked backlog + banked greens, in the curated
-    # pre-r7 relative order (banked keys are filtered to the back at
-    # import time by _ordered(); their rank here only matters if every
-    # unchecked key ever drains).
     "join_inner",
     "join_left",
     "join_right",
@@ -448,136 +582,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_extract_date",
     "fn_string",
     "fn_math",
-    "text_bigram_logprob",
-    "text_ngram_novelty",
-    "ts_theilsen_slope",
-    "diff_metric_snapshots",
-    "emb_outlier_distance",
-    "join_asof_tolerance",
-    "path_trigram_topk",
-    "sketch_bloom_prefilter",
-    "assert_quality_report",
-    "graph_label_propagation",
-    "sample_coreset_kcenter",
-    "stats_ks_two_sample",
-    "layout_hilbert",
-    "stats_chi2_independence",
-    "split_group_holdout",
-    "ts_time_weighted_avg",
-    "join_dpp_pruned",
-    "agg_weighted_median",
-    "ts_downsample_m4",
-    "path_regex_match",
-    "sim_matryoshka_recall",
-    "dedup_incremental_delta",
-    "funnel_window_depth",
-    "source_corrupt_quarantine",
-    "ts_max_drawdown",
-    "agg_gini_revenue",
-    "subq_not_in_null_aware",
-    "window_cume_dist",
-    "stats_ols_multi",
-    "ts_anomaly_mad",
-    "graph_kcore",
-    "graph_clustering_coefficient",
-    "graph_adamic_adar",
-    "graph_degree_distribution",
-    "stats_bootstrap_ci",
-    "stats_bayesian_ab",
-    "stats_sprt_sequential",
-    "stats_iqr_outliers",
-    "analytics_market_basket",
-    "analytics_pareto_concentration",
-    "analytics_markov_transitions",
-    "window_streak_longest",
-    "sketch_theta_intersection",
-    "join_interval_overlap",
-    "cdc_deletion_vectors",
-    "emb_random_projection",
-    "mm_audio_vad",
-    "text_rake_keywords",
-    "graph_hits",
-    "text_langid_eval",
-    "emb_triplet_accuracy",
-    "ts_dominant_period",
-    "stats_permutation_test",
-    "stats_cohens_d",
-    "profile_pk_candidate",
-    "window_keyset_pagination",
-    "graph_modularity",
-    "sample_importance_systematic",
-    "text_ngram_coverage",
-    "ts_traffic_profile",
-    "ts_seasonal_anomaly",
-    "emb_centroid_drift",
-    "sink_dynamic_partition_overwrite",
-    "fn_month_arithmetic",
-    "agg_approx_topk",
-    "window_growth_accounting",
-    "analytics_power_user_curve",
-    "stats_spearman_corr",
-    "stats_kruskal_wallis",
-    "analytics_survival_km",
-    "analytics_abc_xyz",
-    "emb_hubness",
-    "sim_ivf_nprobe_curve",
-    "layout_zone_map_pruning",
-    "profile_fk_orphan_report",
-    "pipeline_feature_store_e2e",
-    "window_rolling_regression",
-    "ts_spc_western_electric",
-    "sample_stratified_neyman",
-    "text_textrank_keywords",
-    "profile_snapshot_recon",
-    "stats_cramers_v",
-    "stats_levene",
-    "analytics_net_revenue_retention",
-    "text_negative_sampling_table",
-    "dedup_soft_weights",
-    "graph_katz_centrality",
-    "ts_alert_episodes",
-    "curation_source_report",
-    "emb_intrinsic_dimension",
-    "stats_jackknife_ratio",
-    "text_feature_hashing",
-    "sink_merge_schema",
-    "profile_benford_law",
-    "ts_retention_halflife",
-    "analytics_interpurchase_time",
-    "analytics_segment_migration",
-    "dedup_cross_source_matrix",
-    "graph_reciprocity",
-    "ts_strength_measures",
-    "emb_alignment_uniformity",
-    "ts_pacf_durbin",
-    "agg_theil_inequality",
-    "analytics_revenue_bridge",
-    "text_word_burstiness",
-    "sketch_countmin_width_curve",
-    "ts_concurrency_sweepline",
-    "ts_year_over_year",
-    "analytics_basket_size_curve",
-    "text_lexical_diversity",
-    "emb_separation_histogram",
-    "sample_seed_independence",
-    "stats_ljung_box",
-    "stats_delta_method_ratio",
-    "sketch_ams_f2",
-    "fn_ip_cidr",
-    "ts_sax_symbolic",
-    "emb_silhouette_simplified",
-    "stats_runs_test",
-    "text_js_divergence",
-    "stats_holm_bonferroni",
-    "stats_anderson_darling",
-    "split_kfold",
-    "text_keyness_gtest",
-    "profile_functional_dependency",
-    "stats_wilcoxon_signed_rank",
-    "stats_friedman_test",
-    "stats_dunn_posthoc",
-    "curation_rejection_sampling",
-    "curation_gate_parity_audit",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
