@@ -162,6 +162,16 @@ SHOW = {
     "eval_auc_roc": "Rank-sum AUC (bench q61): one per-source sort "
     "exchange feeds tie-averaged rank windows; the statistic "
     "collapses to one row per source with decimal-summed rank sums.",
+    "eval_auc_delong_ci": "DeLong AUC CI: all four rank windows "
+    "(overall + within-class, tie counts) ride ONE per-source sort "
+    "exchange — the within-class partitioning is a sub-partitioning "
+    "of the same sort order; placements are decimal-pinned before "
+    "the variance sums collapse to one row per source.",
+    "pipeline_eval_e2e": "Evaluation dashboard composite: the "
+    "registered component keys are INVOKED (not re-implemented) and "
+    "unioned in long format at metadata size — each component is "
+    "individually shuffle-light and nothing joins across them, so "
+    "the plan is a union of the audited component plans.",
     "text_keyness_gtest": "G-test keyness: token explode collapses to "
     "the vocabulary-sized (source, word) cell table; the b/c/d "
     "margins are windows over that frame — tokens never shuffle "
