@@ -172,6 +172,50 @@ SHOW = {
     "unioned in long format at metadata size — each component is "
     "individually shuffle-light and nothing joins across them, so "
     "the plan is a union of the audited component plans.",
+    "ts_pacf_durbin": "Durbin-Levinson PACF: one daily collapse, "
+    "demeaned lag products decimal-summed into a ONE-ROW ACF table; "
+    "the recursion is scalar arithmetic on that row (unrolled, no "
+    "iteration over data), reshaped to 4 (lag, acf, pacf) rows.",
+    "ts_sax_symbolic": "SAX words: one (user_id) exchange shared by "
+    "the NTILE window and both aggregates; z-scores are compared "
+    "against Gaussian breakpoints, never emitted, so no rounding "
+    "guard is needed; constant state per series.",
+    "stats_ols_multi": "Multivariate OLS via normal equations: ONE "
+    "partial-aggregated pass collapses the corpus to ten decimal "
+    "sufficient statistics per group; Cramer's rule on the 3x3 Gram "
+    "matrix is post-aggregation arithmetic — the fixed-dimension "
+    "linear-model pattern at 100 TB.",
+    "window_rolling_regression": "Rolling OLS slope: the four "
+    "sufficient statistics ride ONE ROWS frame on one shuffle of "
+    "(custkey, day, orderkey); slope is closed-form per row — no "
+    "self-join, no per-entity fitting loop.",
+    "stats_sprt_sequential": "SPRT: map-side aggregation to a bit "
+    "per user, one window cumsum over INTEGER counts (LLR "
+    "reconstructed as count * ln-constant, so floats never "
+    "accumulate); the global ORDER BY is the operator's semantics "
+    "and costs one sort of user-grain rows.",
+    "analytics_survival_km": "Kaplan-Meier: corpus collapses to "
+    "customer grain then to the bounded month-duration step table; "
+    "the cumulative product is an explicit ordered left fold on that "
+    "tiny frame — deterministic IEEE sequence on both engines.",
+    "graph_katz_centrality": "Katz: the fact-sized work is one "
+    "edge-build join tree + aggregation; each unrolled iteration "
+    "joins the 25-row score vector against the binary edge table — "
+    "bounded depth, metadata-sized frames.",
+    "graph_hits": "HITS: one-pass fact collapse to the edge list; "
+    "each half-iteration is one id-keyed join + one decimal "
+    "aggregation, the normalizer a one-row broadcast — no "
+    "driver-side state. The plan TEXT is huge because every "
+    "InMemoryTableScan of the persisted edge table reprints the "
+    "cached build's description; the fact-sized build executes ONCE "
+    "(InMemoryRelation), and everything downstream joins 25-row "
+    "frames.",
+    "sketch_ams_f2": "AMS F2: one exchange collapses the corpus to "
+    "the per-key count table; the 64 sign counters and exact F2 ride "
+    "ONE single-row aggregate — constant, linearly mergeable state.",
+    "stats_anderson_darling": "Anderson-Darling: one (event_type, "
+    "day) collapse; the rank window and 8dp-decimal-summed term "
+    "aggregate ride the metadata-sized daily table.",
     "text_keyness_gtest": "G-test keyness: token explode collapses to "
     "the vocabulary-sized (source, word) cell table; the b/c/d "
     "margins are windows over that frame — tokens never shuffle "
