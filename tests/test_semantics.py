@@ -2449,6 +2449,19 @@ def test_welch_small_n_verdict_withheld(spark, sf_dir):
         assert r["welch_df"] < 100
         assert r["t_stat"] is not None
         assert r["significant_5pct"] is None
+        # The composite's welch_t row must withhold identically — the
+        # guard is shared (imported df formula), never re-derived.
+        from powersql_spark.operators.analytics_ext import (
+            pipeline_experiment_e2e,
+        )
+
+        e2e = {
+            (x["check_name"], x["scope"]): x
+            for x in pipeline_experiment_e2e(spark, sf_dir).collect()
+        }
+        er = e2e[("welch_t", "click")]
+        assert er["statistic"] == r["t_stat"]
+        assert er["flagged"] is None
         con = duckdb.connect()
         con.register("events", pdf)
         odf = con.execute(
