@@ -2431,19 +2431,29 @@ def test_welch_small_n_verdict_withheld(spark, sf_dir):
     from powersql_spark.operators.analytics import stats_welch_ttest
     from powersql_spark.registry import all_specs
 
+    # Two event types so ANOVA's k-1 is nonzero under ANSI mode; the
+    # click segment (28 users) is the one every assertion reads. All
+    # guards trip by construction: welch/TOST df <= 26 < 100, MWU
+    # min arm <= 14 < 20, ANOVA within-df 38 < 500.
     rows = [
         (uid, "click", float(1.0 + (uid * 7 % 13) * 0.25))
-        for uid in range(1, 25)
+        for uid in range(1, 29)
+    ] + [
+        (uid, "view", float(2.0 + (uid * 5 % 11) * 0.5))
+        for uid in range(29, 41)
     ]
-    n_a = sum(
-        1
-        for uid, _, _ in rows
-        if hashlib.md5(f"{uid}:welch".encode()).hexdigest()[0] < "8"
-    )
-    assert 2 <= n_a <= len(rows) - 2  # both arms populated
+    for et in ("click", "view"):
+        n_a = sum(
+            1
+            for uid, t, _ in rows
+            if t == et
+            and hashlib.md5(f"{uid}:welch".encode()).hexdigest()[0] < "8"
+        )
+        n_tot = sum(1 for _, t, _ in rows if t == et)
+        assert 2 <= n_a <= n_tot - 2  # both arms populated per type
     pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
     spark.createDataFrame(pdf).createOrReplaceTempView("events")
-    spark._powersql_views.pop("events", None)
+    getattr(spark, "_powersql_views", {}).pop("events", None)
     try:
         r = stats_welch_ttest(spark, sf_dir).collect()[0]
         assert r["welch_df"] < 100
@@ -2462,19 +2472,37 @@ def test_welch_small_n_verdict_withheld(spark, sf_dir):
         er = e2e[("welch_t", "click")]
         assert er["statistic"] == r["t_stat"]
         assert er["flagged"] is None
+        # The whole asymptotic-verdict class withholds on this frame:
+        # MWU (< 20 per arm), ANOVA (within-df 23 < 500), TOST
+        # (Welch df < 100) — statistics still reported.
+        from powersql_spark.operators.analytics_ext import (
+            stats_anova_oneway,
+            stats_mann_whitney,
+            stats_tost_equivalence,
+        )
+
+        mwu = stats_mann_whitney(spark, sf_dir).collect()[0]
+        assert mwu["z_stat"] is not None
+        assert mwu["significant_5pct"] is None
+        anova = stats_anova_oneway(spark, sf_dir).collect()[0]
+        assert anova["f_stat"] is not None
+        assert anova["significant_5pct"] is None  # within-df 38 < 500
+        tost = stats_tost_equivalence(spark, sf_dir).collect()[0]
+        assert tost["t_lower"] is not None
+        assert tost["equivalent_5pct"] is None
         con = duckdb.connect()
         con.register("events", pdf)
         odf = con.execute(
             all_specs()["stats_welch_ttest"].oracle
         ).df()
-        assert len(odf) == 1
+        assert len(odf) == 2  # click + view, ordered by event_type
         assert odf["significant_5pct"][0] is None or pd.isna(
             odf["significant_5pct"][0]
         )
         assert abs(float(odf["t_stat"][0]) - r["t_stat"]) < 1e-9
     finally:
         spark.catalog.dropTempView("events")
-        spark._powersql_views.pop("events", None)
+        getattr(spark, "_powersql_views", {}).pop("events", None)
 
 
 # ---------------------------------------------------------------------------
@@ -2530,7 +2558,11 @@ def test_mann_whitney_matches_numpy_definition(spark, sf_dir):
         assert r["n_a"] == n_a and r["n_b"] == n_b
         assert abs(r["u_a"] - u_a) < 1e-6, (et, r["u_a"], u_a)
         assert abs(r["z_stat"] - round(z, 4)) < 1e-3, (et, r["z_stat"], z)
-        assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+        # Normal-approximation verdict withheld below 20 per arm.
+        if min(n_a, n_b) >= 20:
+            assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+        else:
+            assert r["significant_5pct"] is None
 
 
 def test_rfm_scores_are_quintiles_and_segments_consistent(spark, sf_dir):
@@ -3891,7 +3923,12 @@ def test_anova_matches_numpy(spark, sf_dir):
     assert abs(r["ss_between"] - ssb) / max(abs(ssb), 1) < 1e-6
     assert abs(r["ss_within"] - ssw) / max(abs(ssw), 1) < 1e-6
     assert abs(r["f_stat"] - round(float(f), 4)) < 1e-3
-    assert r["significant_5pct"] == (r["f_stat"] > 2.372)
+    # Verdict withheld below within-df 500 (2.372 is the F(4, inf)
+    # quantile; at small df2 it is anti-conservative).
+    if n - k >= 500:
+        assert r["significant_5pct"] == (r["f_stat"] > 2.372)
+    else:
+        assert r["significant_5pct"] is None
 
 
 def test_readability_matches_python(spark, sf_dir):
@@ -3947,10 +3984,19 @@ def test_tost_consistent_with_welch(spark, sf_dir):
         assert abs(
             r["mean_diff"] - round(w["mean_b"] - w["mean_a"], 4)
         ) <= 1.01e-4
-        assert r["equivalent_5pct"] == (
-            min(r["t_lower"], r["t_upper"]) > 1.645
-        )
-        if abs(r["mean_diff"]) > 5.0 and w["significant_5pct"]:
+        # Shared Welch-Satterthwaite guard: TOST withholds exactly
+        # where stats_welch_ttest does (same df formula, df >= 100).
+        if w["welch_df"] >= 100:
+            assert r["equivalent_5pct"] == (
+                min(r["t_lower"], r["t_upper"]) > 1.645
+            )
+        else:
+            assert r["equivalent_5pct"] is None
+        if (
+            abs(r["mean_diff"]) > 5.0
+            and w["significant_5pct"]
+            and r["equivalent_5pct"] is not None
+        ):
             assert not r["equivalent_5pct"]
 
 
