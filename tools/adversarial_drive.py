@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
-import traceback
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -50,17 +48,9 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if len(sys.argv) > 1:
-        unknown = [k for k in sys.argv[1:] if k not in queries]
-        if unknown:
-            print(f"unknown keys: {unknown}")
+        queries = dc.select_keys(queries, sys.argv[1:])
+        if queries is None:
             return 2
-        dupes = sorted(
-            {k for k in sys.argv[1:] if sys.argv[1:].count(k) > 1}
-        )
-        if dupes:
-            print(f"duplicate keys on argv: {dupes}")
-            return 2
-        queries = {k: queries[k] for k in sys.argv[1:]}
 
     con = duckdb.connect()
     for t in dc.TABLES:
@@ -68,37 +58,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{dc.SF_DIR}/{t}.parquet'"
         )
 
-    bad, t0 = [], time.time()
-    for i, (key, fn) in enumerate(queries.items()):
-        try:
-            sdf = fn(spark, dc.SF_DIR).toPandas()
-        except Exception:
-            print(f"[{i}] {key}: SPARK ERROR")
-            traceback.print_exc(limit=3)
-            bad.append(key)
-            continue
-        if key not in oracles:
-            print(f"[{i}] {key}: rows-only ({len(sdf)} rows)")
-            continue
-        try:
-            odf = con.execute(oracles[key]).df()
-        except Exception:
-            print(f"[{i}] {key}: ORACLE ERROR")
-            traceback.print_exc(limit=3)
-            bad.append(key)
-            continue
-        ok = len(sdf) == len(odf) and sorted(
-            map(str.lower, sdf.columns)
-        ) == sorted(map(str.lower, odf.columns))
-        sdf.columns = [c.lower() for c in sdf.columns]
-        odf.columns = [c.lower() for c in odf.columns]
-        ok = ok and dc._hash(sdf) == dc._hash(odf)
-        if not ok:
-            print(f"[{i}] {key}: MISMATCH under adversarial partitioning")
-            bad.append(key)
-    print(
-        f"\n{len(queries)} keys in {time.time() - t0:.0f}s under "
-        f"local[32]/shuffle=7/parallelism=13; {len(bad)} bad: {bad}"
+    # The compare loop IS drive_contract's (ADVICE r8: one hash
+    # contract, two session geometries) — only the session differs.
+    bad = dc.compare_keys(
+        spark, con, queries, oracles,
+        label=" under local[32]/shuffle=7/parallelism=13",
     )
     return 1 if bad else 0
 

@@ -43,40 +43,29 @@ def _hash(df: pd.DataFrame) -> int:
     return int(pd.util.hash_pandas_object(_canon(df), index=False).sum())
 
 
-def main() -> int:
-    import __spark_entry__ as entrymod
+def select_keys(queries: dict, argv_keys: list[str]) -> dict | None:
+    """Validate an argv key subset against the registry: unknown keys
+    and duplicates (which the dict comprehension would silently
+    deduplicate, shrinking the drive — ADVICE r7) are both rejected.
+    Returns the ordered subset, or None on a bad argv."""
+    unknown = [k for k in argv_keys if k not in queries]
+    if unknown:
+        print(f"unknown keys: {unknown}")
+        return None
+    dupes = sorted({k for k in argv_keys if argv_keys.count(k) > 1})
+    if dupes:
+        print(f"duplicate keys on argv: {dupes}")
+        return None
+    return {k: queries[k] for k in argv_keys}
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
-    res = entrymod.entry(spark)
-    n = len(res.collect())
-    print(f"entry(): {n} rows, schema={res.schema.simpleString()[:90]}")
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    # Subset drive: `python tools/drive_contract.py key1 key2 ...`
-    # runs only those keys (after the entry() smoke) — the cheap way
-    # to re-verify a changed operator under the exact driver contract.
-    if len(sys.argv) > 1:
-        unknown = [k for k in sys.argv[1:] if k not in queries]
-        if unknown:
-            print(f"unknown keys: {unknown}")
-            return 2
-        # ADVICE r7: duplicate argv keys would be silently deduplicated
-        # by the dict comprehension below — reject so typos in long key
-        # lists are caught instead of shrinking the drive.
-        dupes = sorted(
-            {k for k in sys.argv[1:] if sys.argv[1:].count(k) > 1})
-        if dupes:
-            print(f"duplicate keys on argv: {dupes}")
-            return 2
-        queries = {k: queries[k] for k in sys.argv[1:]}
+def compare_keys(spark, con, queries: dict, oracles: dict,
+                 label: str = "") -> list:
+    """The per-key Spark-vs-DuckDB hash-contract loop (rows, schema,
+    order-insensitive value hash), shared by the vanilla drive below
+    and tools/adversarial_drive.py (ADVICE r8: previously copy-pasted
+    there, so contract changes could silently drift). Returns the
+    failing keys."""
     bad, t0 = [], time.time()
     for i, (key, fn) in enumerate(queries.items()):
         try:
@@ -119,7 +108,36 @@ def main() -> int:
                 print(a[neq].head(3))
                 print(b[neq].head(3))
     dt = time.time() - t0
-    print(f"\n{len(queries)} keys in {dt:.0f}s; {len(bad)} bad: {bad}")
+    print(f"\n{len(queries)} keys in {dt:.0f}s{label}; "
+          f"{len(bad)} bad: {bad}")
+    return bad
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    res = entrymod.entry(spark)
+    n = len(res.collect())
+    print(f"entry(): {n} rows, schema={res.schema.simpleString()[:90]}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    # Subset drive: `python tools/drive_contract.py key1 key2 ...`
+    # runs only those keys (after the entry() smoke) — the cheap way
+    # to re-verify a changed operator under the exact driver contract.
+    if len(sys.argv) > 1:
+        queries = select_keys(queries, sys.argv[1:])
+        if queries is None:
+            return 2
+    bad = compare_keys(spark, con, queries, oracles)
     spark.stop()
     return 1 if bad else 0
 
