@@ -22,6 +22,7 @@ from powersql_spark.operators.common import (
     sql_davg,
     sql_dsum,
     sql_jround,
+    welch_satterthwaite_df,
 )
 from powersql_spark.registry import query
 
@@ -2525,11 +2526,8 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("n_b") - 1)
     se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
     t = (mean_b - mean_a) / F.sqrt(se2)
-    df = (se2 * se2) / (
-        (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
-        / (F.col("n_a") - 1)
-        + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
-        / (F.col("n_b") - 1)
+    df = welch_satterthwaite_df(
+        var_a, var_b, F.col("n_a"), F.col("n_b")
     )
     return s.select(
         "event_type",

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.operators.analytics import _W_DF as _EXP_WELCH_DF
-from powersql_spark.operators.common import dsum, sql_jround
+from powersql_spark.operators.common import (
+    dsum,
+    sql_jround,
+    welch_satterthwaite_df,
+)
 from powersql_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -530,6 +534,30 @@ _PROP_Z = (
     f" / sqrt({_PROP_P} * (1 - {_PROP_P})"
     " * (1.0 / n_a + 1.0 / n_b)) END)"
 )
+# Count-validity bound for the normal approximation (VERDICT r8 — the
+# count-based tranche of the asymptotic-verdict class): the z verdict
+# is reported only when EVERY arm shows >= 5 observed successes AND
+# >= 5 failures (the textbook np/n(1-p) >= 5 rule on observed counts);
+# below that the binomial is visibly discrete and |z| > 1.96 is not a
+# 5% test, so the verdict is withheld (NULL) while z stays reported.
+# Shared between stats_proportion_ztest and the composite's
+# proportion_z row so the dashboard can never disagree.
+_PROP_COUNT_OK = (
+    "(LEAST(conv_a, n_a - conv_a, conv_b, n_b - conv_b) >= 5)"
+)
+
+
+def _prop_count_ok():
+    """Spark twin of _PROP_COUNT_OK over the same four count columns."""
+    return (
+        F.least(
+            F.col("conv_a"),
+            F.col("n_a") - F.col("conv_a"),
+            F.col("conv_b"),
+            F.col("n_b") - F.col("conv_b"),
+        )
+        >= 5
+    )
 
 
 @query(
@@ -558,7 +586,9 @@ _PROP_Z = (
            {sql_jround("CAST(conv_a AS DOUBLE) / n_a", 6)} AS p_a,
            {sql_jround("CAST(conv_b AS DOUBLE) / n_b", 6)} AS p_b,
            {sql_jround(_PROP_Z, 4)} AS z_stat,
-           abs({sql_jround(_PROP_Z, 4)}) > 1.96 AS significant_5pct
+           CASE WHEN {_PROP_COUNT_OK}
+                THEN abs({sql_jround(_PROP_Z, 4)}) > 1.96
+           END AS significant_5pct
     FROM s
     """,
 )
@@ -569,7 +599,11 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-metric A/B readout beside Welch (continuous) and
     Mann-Whitney (ordinal) — pooled-variance normal approximation,
     the formula every experimentation platform ships for rate
-    metrics. Degenerate pools (0%/100%) emit NULL z.
+    metrics. Degenerate pools (0%/100%) emit NULL z. The verdict is
+    withheld (NULL) unless every arm shows >= 5 successes and >= 5
+    failures (_PROP_COUNT_OK — the count-based tranche of the
+    asymptotic-verdict class, VERDICT r8); z_stat and the four counts
+    stay reported for exact-test consumers.
 
     Scale shape: the corpus collapses to one bit per user in the
     first aggregation (two map-side-combinable counts per user),
@@ -639,7 +673,9 @@ def stats_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
         z.alias("z_stat"),
-        (F.abs(z) > 1.96).alias("significant_5pct"),
+        F.when(_prop_count_ok(), F.abs(z) > 1.96).alias(
+            "significant_5pct"
+        ),
     )
 
 
@@ -961,6 +997,12 @@ _SRM_CHI2 = (
     " * (n_b - (n_a + n_b) / 2.0))"
     " / ((n_a + n_b) / 2.0)"
 )
+# Chi-square(1) count-validity bound (VERDICT r8 count tranche): the
+# asymptote needs the EXPECTED count (n_a + n_b) / 2 >= 5 in each of
+# the two cells, i.e. at least 10 assigned users total; below that the
+# 3.841 cutoff is not a 5% test and the verdict is withheld (NULL)
+# while chi2 stays reported. Shared with the composite's srm rows.
+_SRM_COUNT_OK = "(n_a + n_b >= 10)"
 
 
 @query(
@@ -983,7 +1025,9 @@ _SRM_CHI2 = (
     )
     SELECT salt, n_a, n_b,
            {sql_jround(_SRM_CHI2, 6)} AS chi2,
-           {sql_jround(_SRM_CHI2, 6)} > 3.841 AS srm_detected
+           CASE WHEN {_SRM_COUNT_OK}
+                THEN {sql_jround(_SRM_CHI2, 6)} > 3.841
+           END AS srm_detected
     FROM cnt
     ORDER BY salt
     """,
@@ -993,7 +1037,10 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Fabijan et al. KDD 2019): for every experiment salt in use, a
     1-df chi-square on the observed A/B user counts against the
     designed 50/50 split; chi2 > 3.841 (p < .05) flags a broken
-    randomizer or a biased filter upstream. Runs over the SAME salted
+    randomizer or a biased filter upstream. The verdict is withheld
+    (NULL) below 10 assigned users per salt, where the expected cell
+    count drops under 5 and the chi-square asymptote is invalid
+    (_SRM_COUNT_OK — VERDICT r8 count tranche). Runs over the SAME salted
     md5 assignments the welch/mwu/proportion/cuped readouts use, so a
     detected SRM invalidates exactly those keys' comparisons.
 
@@ -1042,7 +1089,11 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         chi2.alias("chi2"),
-        (chi2 > 3.841).alias("srm_detected"),
+        # Verdict withheld below 10 assigned users (expected cell
+        # count < 5 — _SRM_COUNT_OK, VERDICT r8 count tranche).
+        F.when(
+            F.col("n_a") + F.col("n_b") >= 10, chi2 > 3.841
+        ).alias("srm_detected"),
     ).orderBy("salt")
 
 
@@ -1295,7 +1346,9 @@ _EXP_WELCH_T = (
     srm AS (
         SELECT 'srm' AS check_name, salt AS scope,
                {sql_jround(_SRM_CHI2, 4)} AS statistic,
-               {sql_jround(_SRM_CHI2, 4)} > 3.841 AS flagged
+               CASE WHEN {_SRM_COUNT_OK}
+                    THEN {sql_jround(_SRM_CHI2, 4)} > 3.841
+               END AS flagged
         FROM (
             SELECT s.salt,
                    CAST(COUNT(CASE WHEN substr(md5(CAST(u.user_id
@@ -1342,8 +1395,9 @@ _EXP_WELCH_T = (
     prop AS (
         SELECT 'proportion_z' AS check_name, 'conversion' AS scope,
                {sql_jround(_PROP_Z, 4)} AS statistic,
-               COALESCE(abs({sql_jround(_PROP_Z, 4)}) > 1.96, FALSE)
-                   AS flagged
+               CASE WHEN {_PROP_COUNT_OK}
+                    THEN abs({sql_jround(_PROP_Z, 4)}) > 1.96
+               END AS flagged
         FROM prop_s WHERE n_a > 0 AND n_b > 0
     ),
     power_row AS (
@@ -1376,8 +1430,13 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic rows below it are invalid, which is why they belong in
     one result. The welch_t rows carry the SAME small-df verdict guard
     as stats_welch_ttest (flagged is NULL below welch_df 100; the df
-    formula is imported from the component, so the dashboard can never
-    disagree with the standalone key at any n — VERDICT r7 ask #5).
+    formula is shared on both engine sides — the SQL oracle imports
+    analytics._W_DF and the DataFrame side calls
+    common.welch_satterthwaite_df — so the dashboard can never
+    disagree with the standalone key at any n — VERDICT r7 ask #5,
+    ADVICE r8). The srm and proportion_z rows likewise share the
+    component keys' count-validity guards (_SRM_COUNT_OK /
+    _PROP_COUNT_OK — VERDICT r8 count tranche).
 
     Scale shape: three independent collapses of the same corpus
     (distinct users, per-type power sums, per-user conversion bits) —
@@ -1436,7 +1495,12 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("srm").alias("check_name"),
         F.col("salt").alias("scope"),
         chi2.alias("statistic"),
-        (chi2 > 3.841).alias("flagged"),
+        # Same count-validity guard as stats_srm_check
+        # (_SRM_COUNT_OK): the composite and the component must
+        # never disagree at any n (VERDICT r8 count tranche).
+        F.when(
+            F.col("n_a") + F.col("n_b") >= 10, chi2 > 3.841
+        ).alias("flagged"),
     )
     # Welch per event_type
     dec = "decimal(28,6)"
@@ -1477,12 +1541,11 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.round((mean_b - mean_a) / F.sqrt(se2_w), 4)
     # Same small-df verdict guard as stats_welch_ttest (VERDICT r7
     # ask #5): the composite and the component share the df formula
-    # (imported) so their flagged columns can never disagree at ANY n.
-    df_w = (se2_w * se2_w) / (
-        (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
-        / (F.col("n_a") - 1)
-        + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
-        / (F.col("n_b") - 1)
+    # on BOTH engine sides (the SQL oracle imports _W_DF; this side
+    # calls the common welch_satterthwaite_df helper — ADVICE r8) so
+    # their flagged columns can never disagree at ANY n.
+    df_w = welch_satterthwaite_df(
+        var_a, var_b, F.col("n_a"), F.col("n_b")
     )
     welch = ws.select(
         F.lit("welch_t").alias("check_name"),
@@ -1540,7 +1603,10 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("proportion_z").alias("check_name"),
         F.lit("conversion").alias("scope"),
         z.alias("statistic"),
-        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("flagged"),
+        # Shared _prop_count_ok guard with stats_proportion_ztest
+        # (VERDICT r8 count tranche); count_ok implies a
+        # non-degenerate pool, so z is never NULL when reported.
+        F.when(_prop_count_ok(), F.abs(z) > 1.96).alias("flagged"),
     )
     mde = F.lit(1.959964 + 0.841621) * F.sqrt(
         2.0 * pool * (1 - pool) / F.least("n_a", "n_b")
@@ -2094,7 +2160,7 @@ _ANOVA_F = (
            {{jr_between}} AS ss_between,
            {{jr_within}} AS ss_within,
            round({_ANOVA_F}, 4) AS f_stat,
-           CASE WHEN n - k >= 500
+           CASE WHEN k = 5 AND n - k >= 500
                 THEN round({_ANOVA_F}, 4) > 2.372
            END AS significant_5pct
     FROM f
@@ -2112,7 +2178,9 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     F-distribution function is needed in either engine. The verdict
     is withheld (NULL) below within-df 500, where 2.372 turns
     anti-conservative (exact F(4, 500) crit 2.390, F(4, 120) 2.447 —
-    the Welch-guard treatment, VERDICT r7 ask #5 class closure);
+    the Welch-guard treatment, VERDICT r7 ask #5 class closure), AND
+    whenever k != 5, since 2.372 encodes df1 = 4 specifically
+    (ADVICE r8: at k = 2 the right cutoff is F(1, inf) = 3.84);
     f_stat and the sums of squares stay reported.
 
     Scale shape: one scan collapsing to three decimal power sums per
@@ -2149,8 +2217,15 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssb, 4).alias("ss_between"),
         F.round(ssw, 4).alias("ss_within"),
         fstat.alias("f_stat"),
+        # 2.372 is the F(df1=4, inf) quantile, i.e. it assumes exactly
+        # k = 5 groups — a corpus with a different number of event
+        # types would gate against the wrong df1 cutoff (F(1, inf) is
+        # 3.84), so the verdict now also conditions on k = 5
+        # (ADVICE r8), mirroring how the Welch guard keys on the
+        # actual df; f_stat and the sums of squares stay reported.
         F.when(
-            F.col("n") - F.col("k") >= 500, fstat > 2.372
+            (F.col("k") == 5) & (F.col("n") - F.col("k") >= 500),
+            fstat > 2.372,
         ).alias("significant_5pct"),
     )
 
@@ -2283,12 +2358,10 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_hi = F.round((_TOST_DELTA - diff) / se, 4)
     # Same Welch-Satterthwaite small-df guard as stats_welch_ttest
     # (VERDICT r7 ask #5 class closure): claiming equivalence with the
-    # normal 1.645 below df 100 is anti-conservative.
-    df_t = (se2_t * se2_t) / (
-        (var_a / F.col("n_a")) * (var_a / F.col("n_a"))
-        / (F.col("n_a") - 1)
-        + (var_b / F.col("n_b")) * (var_b / F.col("n_b"))
-        / (F.col("n_b") - 1)
+    # normal 1.645 below df 100 is anti-conservative. Df formula from
+    # the shared common.welch_satterthwaite_df helper (ADVICE r8).
+    df_t = welch_satterthwaite_df(
+        var_a, var_b, F.col("n_a"), F.col("n_b")
     )
     return s.select(
         "event_type",
@@ -4566,6 +4639,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
         SELECT CAST(SUM(n_g) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MIN(n_g) AS BIGINT) AS min_ng,
                CAST(SUM(CAST(r_g * r_g / n_g AS DECIMAL(38,6)))
                     AS DOUBLE) AS srn
         FROM per_grp
@@ -4574,7 +4648,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(t * t * t - t) AS DOUBLE) AS tie_t FROM vals
     ),
     h AS (
-        SELECT n, k,
+        SELECT n, k, min_ng,
                12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srn - 3.0 * (n + 1)
                    AS h_raw,
                1.0 - tie_t
@@ -4586,7 +4660,9 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_jround("h_raw", 4)} AS h_stat,
            {sql_jround("tie_c", 6)} AS tie_correction,
            {sql_jround("h_raw / tie_c", 4)} AS h_adj,
-           h_raw / tie_c > 5.9915 AS significant_5pct
+           CASE WHEN k = 3 AND min_ng >= 5
+                THEN h_raw / tie_c > 5.9915
+           END AS significant_5pct
     FROM h
     """,
 )
@@ -4596,7 +4672,10 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     of Mann-Whitney — one-way ANOVA on midranks, with the standard
     tie correction (essential here: only ~11 distinct discounts, so
     ties dominate). Significance against the chi-square df=2 critical
-    value 5.9915.
+    value 5.9915 — reported only when k = 3 (the df the literal
+    encodes) AND every group has >= 5 observations (the chi-square
+    asymptote's validity bound); withheld (NULL) otherwise
+    (VERDICT r8 count tranche + ADVICE r8 df1 discipline).
 
     Scale shape: one corpus collapse to (group, value) cells (33
     rows); global midranks from cumulative counts over the 11-row
@@ -4638,6 +4717,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_grp.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("k"),
+        F.min("n_g").cast("bigint").alias("min_ng"),
         F.sum(
             (F.col("r_g") * F.col("r_g") / F.col("n_g")).cast(
                 "decimal(38,6)"
@@ -4667,7 +4747,15 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h_raw, 4).alias("h_stat"),
             F.round(tie_c, 6).alias("tie_correction"),
             F.round(h_raw / tie_c, 4).alias("h_adj"),
-            (h_raw / tie_c > 5.9915).alias("significant_5pct"),
+            # 5.9915 is the chi-square df=2 quantile, i.e. it assumes
+            # exactly k = 3 groups; the asymptote also needs >= 5 obs
+            # per group. Outside that envelope the verdict is withheld
+            # (NULL) — ADVICE r8's ANOVA-df1 point applied here, plus
+            # the VERDICT r8 count-tranche guard; h_adj stays reported.
+            F.when(
+                (F.col("k") == 3) & (F.col("min_ng") >= 5),
+                h_raw / tie_c > 5.9915,
+            ).alias("significant_5pct"),
         )
     )
 
@@ -7339,6 +7427,7 @@ _CA_BUCKET_WIDTH = 120  # fixed n_chars bins -> ordered dose groups
         SELECT CAST(SUM(n_i) AS BIGINT) AS n,
                CAST(SUM(r_i) AS BIGINT) AS r,
                CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MIN(n_i) AS BIGINT) AS min_ni,
                CAST(SUM(t * r_i) AS DOUBLE) AS str_,
                CAST(SUM(t * n_i) AS DOUBLE) AS stn,
                CAST(SUM(t * t * n_i) AS DOUBLE) AS sttn
@@ -7349,10 +7438,12 @@ _CA_BUCKET_WIDTH = 120  # fixed n_chars bins -> ordered dose groups
                "(str_ - r * 1e0 * stn / n)"
                " / sqrt((r * 1e0 / n) * (1 - r * 1e0 / n)"
                "        * (sttn - stn * stn / n))", 4)} AS z_trend,
-           abs((str_ - r * 1e0 * stn / n)
-               / sqrt((r * 1e0 / n) * (1 - r * 1e0 / n)
-                      * (sttn - stn * stn / n))) > 1.96
-               AS significant_5pct
+           CASE WHEN min_ni * (r * 1e0 / n) >= 5
+                 AND min_ni * (1 - r * 1e0 / n) >= 5
+                THEN abs((str_ - r * 1e0 * stn / n)
+                    / sqrt((r * 1e0 / n) * (1 - r * 1e0 / n)
+                           * (sttn - stn * stn / n))) > 1.96
+           END AS significant_5pct
     FROM s
     """,
 )
@@ -7364,6 +7455,9 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     / sqrt(pbar (1-pbar) (sum n_i t_i^2 - (sum n_i t_i)^2 / N)) — the
     ORDERED-groups complement of stats_chi2_independence, which throws
     the ordering away and so misses monotone dose-response structure.
+    The verdict is withheld (NULL) unless every dose bucket expects
+    >= 5 positives AND >= 5 negatives at the pooled rate (the
+    expected-count rule — VERDICT r8 count tranche).
 
     Scale shape: binning is map-side codegen; the corpus collapses to
     at most 5 (dose, count, positives) cells with map-side partials,
@@ -7384,6 +7478,7 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_i").cast("bigint").alias("n"),
         F.sum("r_i").cast("bigint").alias("r"),
         F.count("*").cast("bigint").alias("n_buckets"),
+        F.min("n_i").cast("bigint").alias("min_ni"),
         F.sum(F.col("t") * F.col("r_i")).cast("double").alias("str_"),
         F.sum(F.col("t") * F.col("n_i")).cast("double").alias("stn"),
         F.sum(F.col("t") * F.col("t") * F.col("n_i"))
@@ -7395,9 +7490,17 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("str_") - r * 1e0 * F.col("stn") / n) / F.sqrt(
         pbar * (1 - pbar) * (F.col("sttn") - F.col("stn") * F.col("stn") / n)
     )
+    # Normal-approximation verdict withheld unless even the SMALLEST
+    # dose bucket expects >= 5 positives and >= 5 negatives under the
+    # pooled rate — the chi-square expected-count rule applied to the
+    # trend statistic (VERDICT r8 count tranche); z_trend stays
+    # reported for exact-test consumers.
+    count_ok = (F.col("min_ni") * pbar >= 5) & (
+        F.col("min_ni") * (1 - pbar) >= 5
+    )
     return s.select(
         n.alias("n_docs"),
         "n_buckets",
         F.round(z, 4).alias("z_trend"),
-        (F.abs(z) > 1.96).alias("significant_5pct"),
+        F.when(count_ok, F.abs(z) > 1.96).alias("significant_5pct"),
     )

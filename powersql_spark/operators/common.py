@@ -41,6 +41,26 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
+def welch_satterthwaite_df(
+    var_a: Column, var_b: Column, n_a: Column, n_b: Column
+) -> Column:
+    """Welch-Satterthwaite effective degrees of freedom from the two
+    sample variances and group sizes:
+    (v_a/n_a + v_b/n_b)^2 / ((v_a/n_a)^2/(n_a-1) + (v_b/n_b)^2/(n_b-1)).
+
+    The ONE DataFrame-side definition shared by stats_welch_ttest,
+    stats_tost_equivalence, and pipeline_experiment_e2e (ADVICE r8:
+    the composite previously re-derived it inline, so a future edit
+    could silently diverge from the component's small-df verdict
+    guard). The SQL twin is analytics._W_DF, which the same three
+    oracles share by import."""
+    se2 = var_a / n_a + var_b / n_b
+    return (se2 * se2) / (
+        (var_a / n_a) * (var_a / n_a) / (n_a - 1)
+        + (var_b / n_b) * (var_b / n_b) / (n_b - 1)
+    )
+
+
 def sql_jround(expr: str, n: int) -> str:
     """DuckDB replay of Spark's round(double, n).
 

@@ -334,6 +334,10 @@ _CHI2_CRIT_CASE = "CASE dof " + " ".join(
                    * (COUNT(DISTINCT dow) - 1) AS dof
         FROM cont
     ),
+    mm AS (
+        SELECT (SELECT MIN(r) FROM rt) AS min_r,
+               (SELECT MIN(c) FROM ct) AS min_c
+    ),
     terms AS (
         SELECT round(pow(cont.obs - CAST(rt.r * ct.c AS DOUBLE) / n.n, 2)
                      / (CAST(rt.r * ct.c AS DOUBLE) / n.n), 6) AS t
@@ -345,10 +349,12 @@ _CHI2_CRIT_CASE = "CASE dof " + " ".join(
            CAST(n.dof AS BIGINT) AS dof,
            round(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE), 4)
                AS chi2,
-           round(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE), 4)
-               > {_CHI2_CRIT_CASE} AS reject_05
-    FROM terms, n
-    GROUP BY n.n, n.dof
+           CASE WHEN CAST(mm.min_r AS DOUBLE) * mm.min_c / n.n >= 5
+                THEN round(CAST(SUM(CAST(t AS DECIMAL(18,6)))
+                           AS DOUBLE), 4) > {_CHI2_CRIT_CASE}
+           END AS reject_05
+    FROM terms, n, mm
+    GROUP BY n.n, n.dof, mm.min_r, mm.min_c
     """,
 )
 def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +363,10 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_ks_two_sample's continuous one (is behavior day-of-week
     dependent, did a source's category mix shift?). Emits N, degrees
     of freedom, the statistic, and the alpha=0.05 decision against
-    the standard critical-value table.
+    the standard critical-value table — withheld (NULL) when the
+    smallest expected cell count (min row marginal x min col marginal
+    / N) is under 5, the textbook validity bound for the chi-square
+    asymptote (VERDICT r8 count tranche).
 
     Scale shape: ONE exchange collapses the corpus to the (types x 7)
     contingency table; marginals, expected counts, and the statistic
@@ -376,6 +385,13 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = track_persist(cont)
     rt = cont.groupBy("event_type").agg(F.sum("obs").alias("r"))
     ct = cont.groupBy("dow").agg(F.sum("obs").alias("c"))
+    # Smallest expected cell count = min row total x min col total / N
+    # (covers structurally-zero observed cells too, since expected
+    # counts come from the marginals) — the classic Cochran >= 5 rule
+    # gating the chi-square asymptote (VERDICT r8 count tranche).
+    mins = rt.agg(F.min("r").alias("min_r")).crossJoin(
+        ct.agg(F.min("c").alias("min_c"))
+    )
     n = cont.agg(
         F.sum("obs").alias("n"),
         (
@@ -402,13 +418,24 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         cont.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "dow")
         .join(F.broadcast(n))
-        .groupBy("n", "dof")
+        .join(F.broadcast(mins))
+        .groupBy("n", "dof", "min_r", "min_c")
         .agg(chi2.alias("chi2"))
         .select(
             F.col("n").cast("bigint").alias("n"),
             F.col("dof").cast("bigint").alias("dof"),
             "chi2",
-            (F.col("chi2") > crit).alias("reject_05"),
+            # Verdict withheld (NULL) when any expected cell count
+            # falls under 5 — below that the asymptotic critical
+            # value is not a 5% test (VERDICT r8 count tranche);
+            # chi2/dof stay reported for exact-test consumers.
+            F.when(
+                F.col("min_r").cast("double")
+                * F.col("min_c")
+                / F.col("n")
+                >= 5,
+                F.col("chi2") > crit,
+            ).alias("reject_05"),
         )
     )
 

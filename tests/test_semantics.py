@@ -1830,7 +1830,13 @@ def test_chi2_matches_numpy_mirror(spark, sf_dir):
     assert abs(r["chi2"] - chi2) <= 2e-4
     from powersql_spark.pipeline.profiling import _CHI2_CRIT_05
 
-    assert bool(r["reject_05"]) == (chi2 > _CHI2_CRIT_05[dof])
+    # Verdict only when the smallest expected cell count (min row
+    # marginal x min col marginal / N) clears the Cochran >= 5 rule
+    # (VERDICT r8 count tranche); withheld (NULL) below.
+    if float(rt.min()) * float(ct.min()) / n >= 5:
+        assert r["reject_05"] == (chi2 > _CHI2_CRIT_05[dof])
+    else:
+        assert r["reject_05"] is None
 
 
 def test_group_holdout_no_user_straddles(spark, sf_dir):
@@ -2473,7 +2479,7 @@ def test_welch_small_n_verdict_withheld(spark, sf_dir):
         assert er["statistic"] == r["t_stat"]
         assert er["flagged"] is None
         # The whole asymptotic-verdict class withholds on this frame:
-        # MWU (< 20 per arm), ANOVA (within-df 23 < 500), TOST
+        # MWU (< 20 per arm), ANOVA (within-df 38 < 500), TOST
         # (Welch df < 100) — statistics still reported.
         from powersql_spark.operators.analytics_ext import (
             stats_anova_oneway,
@@ -2503,6 +2509,130 @@ def test_welch_small_n_verdict_withheld(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("events")
         getattr(spark, "_powersql_views", {}).pop("events", None)
+
+
+def test_count_verdicts_withheld_small_counts(spark, sf_dir):
+    """The count-based tranche of the asymptotic-verdict class
+    (VERDICT r8, the sibling of r8's t/F closure): every verdict
+    column driven by binomial/contingency COUNTS withholds (NULL)
+    when the counts are below the asymptote's validity bound, while
+    the statistic itself stays reported — verified cross-engine
+    (Spark AND the DuckDB oracle) on one purpose-built tiny frame.
+
+    The frame trips every guard by construction: 8 users (SRM
+    expected cell count 4 < 5), 3 converted (proportion-z arm
+    successes < 5), one thin weekday column (chi2 min expected < 5);
+    tiny lineitem/documents frames trip Kruskal-Wallis (k = 2) and
+    Cochran-Armitage (smallest dose bucket expects < 5 positives)."""
+    import duckdb
+    import pandas as pd
+
+    from powersql_spark.operators.analytics_ext import (
+        pipeline_experiment_e2e,
+        stats_cochran_armitage,
+        stats_kruskal_wallis,
+        stats_proportion_ztest,
+        stats_srm_check,
+    )
+    from powersql_spark.pipeline.profiling import stats_chi2_independence
+    from powersql_spark.registry import all_specs
+
+    # Raw (undecorated) callables read the temp views registered
+    # below; the registry's wrapped fns would re-register the parquet
+    # views over them (same pattern as the r8 small-n test above).
+    SP = all_specs()
+    # 8 users x 3 events each, days spread over Mon-Wed; users 1-3
+    # are heavy purchasers (2 of 3 events) -> converted, so the
+    # conversion pool is non-degenerate (0 < 3 < 8) but conv_a and
+    # conv_b are both < 5.
+    rows = []
+    for uid in range(1, 9):
+        heavy = uid <= 3
+        for j in range(3):
+            et = "purchase" if (heavy and j < 2) else "view"
+            rows.append(
+                (uid, et, float(j + 1),
+                 pd.Timestamp(f"2024-01-{15 + (uid + j) % 3:02d}"))
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_type", "value", "ts"]
+    )
+    li = pd.DataFrame(
+        {"l_returnflag": ["A"] * 6 + ["R"] * 6,
+         "l_discount": [0.0, 0.01, 0.02, 0.03, 0.04, 0.05] * 2}
+    )
+    docs = pd.DataFrame(
+        {"doc_id": list(range(12)),
+         # one doc in the last dose bucket -> min n_i = 1 expects
+         # fewer than 5 positives at any pooled rate
+         "n_chars": [50] * 6 + [150] * 5 + [700],
+         "lang": ["en"] * 8 + ["de"] * 4}
+    )
+    for name, frame in (("events", pdf), ("lineitem", li),
+                        ("documents", docs)):
+        spark.createDataFrame(frame).createOrReplaceTempView(name)
+        getattr(spark, "_powersql_views", {}).pop(name, None)
+    con = duckdb.connect()
+    con.register("events", pdf)
+    con.register("lineitem", li)
+    con.register("documents", docs)
+
+    def oracle_verdicts(key, col):
+        odf = con.execute(SP[key].oracle).df()
+        return [None if pd.isna(v) else bool(v) for v in odf[col]]
+
+    try:
+        # proportion z: arms populated, pool non-degenerate, but
+        # successes < 5 per arm -> verdict NULL, z reported.
+        r = stats_proportion_ztest(spark, sf_dir).collect()[0]
+        assert 0 < r["conv_a"] + r["conv_b"] < r["n_a"] + r["n_b"]
+        assert r["z_stat"] is not None
+        assert r["significant_5pct"] is None
+        assert oracle_verdicts(
+            "stats_proportion_ztest", "significant_5pct") == [None]
+        # SRM: 8 users -> expected cell count 4 < 5 on every salt.
+        for s in stats_srm_check(spark, sf_dir).collect():
+            assert s["n_a"] + s["n_b"] == 8
+            assert s["chi2"] is not None
+            assert s["srm_detected"] is None
+        assert oracle_verdicts(
+            "stats_srm_check", "srm_detected") == [None] * 4
+        # chi2 independence: min expected = min_r * min_c / n < 5.
+        c = stats_chi2_independence(spark, sf_dir).collect()[0]
+        assert c["chi2"] is not None
+        assert c["reject_05"] is None
+        assert oracle_verdicts(
+            "stats_chi2_independence", "reject_05") == [None]
+        # Kruskal-Wallis: k = 2 != 3 -> the chi2(2) literal 5.9915
+        # does not apply; H stays reported.
+        kw = stats_kruskal_wallis(spark, sf_dir).collect()[0]
+        assert kw["k"] == 2
+        assert kw["h_adj"] is not None
+        assert kw["significant_5pct"] is None
+        assert oracle_verdicts(
+            "stats_kruskal_wallis", "significant_5pct") == [None]
+        # Cochran-Armitage: the 1-doc dose bucket expects < 5
+        # positives -> verdict NULL, z_trend reported.
+        ca = stats_cochran_armitage(spark, sf_dir).collect()[0]
+        assert ca["z_trend"] is not None
+        assert ca["significant_5pct"] is None
+        assert oracle_verdicts(
+            "stats_cochran_armitage", "significant_5pct") == [None]
+        # Composite: srm + proportion_z rows withhold identically
+        # (shared guard expressions, never re-derived).
+        e2e = {
+            (x["check_name"], x["scope"]): x
+            for x in pipeline_experiment_e2e(
+                spark, sf_dir).collect()
+        }
+        for salt in (":welch", ":prop"):
+            assert e2e[("srm", salt)]["statistic"] is not None
+            assert e2e[("srm", salt)]["flagged"] is None
+        assert e2e[("proportion_z", "conversion")]["flagged"] is None
+    finally:
+        for name in ("events", "lineitem", "documents"):
+            spark.catalog.dropTempView(name)
+            getattr(spark, "_powersql_views", {}).pop(name, None)
 
 
 # ---------------------------------------------------------------------------
@@ -3088,9 +3218,16 @@ def test_proportion_ztest_matches_formula(spark, sf_dir):
             p * (1 - p) * (1 / n_a + 1 / n_b)
         )
         assert abs(r["z_stat"] - round(z, 4)) < 1e-9
-        assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+        # Count-validity guard (VERDICT r8 count tranche): the
+        # normal-approximation verdict only when every arm shows
+        # >= 5 successes AND failures; withheld (NULL) below.
+        if min(ca, n_a - ca, cb, n_b - cb) >= 5:
+            assert r["significant_5pct"] == (abs(round(z, 4)) > 1.96)
+        else:
+            assert r["significant_5pct"] is None
     else:
         assert r["z_stat"] is None
+        assert r["significant_5pct"] is None
 
 
 def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
@@ -3185,8 +3322,13 @@ def test_srm_matches_binomial_counts(spark, sf_dir):
         e = (n_a + n_b) / 2
         chi2 = round(((n_a - e) ** 2 + (n_b - e) ** 2) / e, 6)
         assert abs(r["chi2"] - chi2) < 1e-9
-        assert r["srm_detected"] == (chi2 > 3.841)
-        assert not r["srm_detected"], f"md5 split flagged SRM for {salt}"
+        # Chi-square(1) verdict only when expected cell count >= 5,
+        # i.e. >= 10 assigned users (VERDICT r8 count tranche).
+        if n_a + n_b >= 10:
+            assert r["srm_detected"] == (chi2 > 3.841)
+            assert not r["srm_detected"], f"md5 split flagged {salt}"
+        else:
+            assert r["srm_detected"] is None
 
 
 def test_freshness_lag_matches_pandas(spark, sf_dir):
@@ -3418,7 +3560,9 @@ def test_experiment_e2e_agrees_with_component_keys(spark, sf_dir):
     if zr and zr[0]["n_a"] > 0 and zr[0]["n_b"] > 0:
         r = rows[("proportion_z", "conversion")]
         if zr[0]["z_stat"] is None:
-            assert r["statistic"] is None and r["flagged"] is False
+            # Degenerate pool implies counts below _PROP_COUNT_OK, so
+            # the flag is withheld too (VERDICT r8 count tranche).
+            assert r["statistic"] is None and r["flagged"] is None
         else:
             assert abs(r["statistic"] - zr[0]["z_stat"]) < 1e-9
             assert r["flagged"] == zr[0]["significant_5pct"]
@@ -3924,8 +4068,9 @@ def test_anova_matches_numpy(spark, sf_dir):
     assert abs(r["ss_within"] - ssw) / max(abs(ssw), 1) < 1e-6
     assert abs(r["f_stat"] - round(float(f), 4)) < 1e-3
     # Verdict withheld below within-df 500 (2.372 is the F(4, inf)
-    # quantile; at small df2 it is anti-conservative).
-    if n - k >= 500:
+    # quantile; at small df2 it is anti-conservative) AND whenever
+    # k != 5 (2.372 encodes df1 = 4 specifically — ADVICE r8).
+    if k == 5 and n - k >= 500:
         assert r["significant_5pct"] == (r["f_stat"] > 2.372)
     else:
         assert r["significant_5pct"] is None
@@ -5312,7 +5457,12 @@ def test_kruskal_wallis_recomputed(spark, sf_dir):
     assert row["n"] == n and row["k"] == len(ng)
     assert abs(row["h_stat"] - round(h, 4)) < 1e-3
     assert abs(row["h_adj"] - round(h / tie_c, 4)) < 1e-3
-    assert row["significant_5pct"] == (h / tie_c > 5.9915)
+    # 5.9915 is chi2(df=2): verdict only at exactly k = 3 groups with
+    # >= 5 obs each (VERDICT r8 count tranche + ADVICE r8 df point).
+    if len(ng) == 3 and min(ng.values()) >= 5:
+        assert row["significant_5pct"] == (h / tie_c > 5.9915)
+    else:
+        assert row["significant_5pct"] is None
 
 
 def test_survival_km_recomputed(spark, sf_dir):
@@ -8534,5 +8684,11 @@ def test_cochran_armitage_replays_in_pandas(spark, sf_dir):
     assert r["n_docs"] == len(pdf)
     assert r["n_buckets"] == len(g)
     assert abs(r["z_trend"] - round(z, 4)) < 2e-4
-    assert r["significant_5pct"] == (abs(z) > 1.96)
+    # Verdict only when every dose bucket expects >= 5 positives and
+    # negatives at the pooled rate (VERDICT r8 count tranche).
+    pbar = g["r_i"].sum() / g["n_i"].sum()
+    if min(g["n_i"]) * pbar >= 5 and min(g["n_i"]) * (1 - pbar) >= 5:
+        assert r["significant_5pct"] == (abs(z) > 1.96)
+    else:
+        assert r["significant_5pct"] is None
     assert abs(z_of(7) - z) < 1e-9  # score-shift invariance
