@@ -176,63 +176,74 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_soft_weights",
     "curation_rejection_sampling",
     "sample_importance_systematic",
-    "sample_stratified_neyman",
+    # -- r10 risk-ranked tranche (VERDICT r8 ask #5, loaded at r9
+    # start WITHOUT touching the 50-key window above, which ends at
+    # sample_importance_systematic): the trailing 55 reordered to
+    # front-load residual numeric/iterative/fold risk — the k-core
+    # peeling loop, percentile-interpolation and double-median
+    # numerics, sorted cumulative folds (Gini/Pareto), log/pow/sqrt
+    # special functions (Theil, negative-sampling 0.75 power,
+    # Adamic-Adar, lexical diversity, langid), ordering-sensitive
+    # sweepline + SPC rule folds, hash-determinism sampling keys, and
+    # the two composites — ahead of mechanical window/profile/sink/
+    # calendar keys.
+    "graph_kcore",
+    "stats_iqr_outliers",
+    "ts_anomaly_mad",
+    "agg_gini_revenue",
+    "agg_theil_inequality",
+    "text_negative_sampling_table",
     "analytics_markov_transitions",
+    "sample_stratified_neyman",
     "ts_spc_western_electric",
     "text_word_burstiness",
-    "stats_iqr_outliers",
-    # -- remaining unchecked backlog (mechanical window/profile/join/
-    # sink/analytics keys, current relative order) — drains r10.
-    "agg_gini_revenue",
-    "subq_not_in_null_aware",
-    "window_cume_dist",
-    "ts_anomaly_mad",
-    "graph_kcore",
+    "stats_cohens_d",
     "graph_clustering_coefficient",
     "graph_adamic_adar",
+    "text_lexical_diversity",
+    "text_langid_eval",
+    "ts_concurrency_sweepline",
+    "analytics_pareto_concentration",
+    "sample_seed_independence",
+    "split_kfold",
+    "text_feature_hashing",
+    "agg_approx_topk",
+    "dedup_cross_source_matrix",
+    "pipeline_feature_store_e2e",
+    "curation_gate_parity_audit",
+    "profile_functional_dependency",
+    "analytics_interpurchase_time",
+    "ts_alert_episodes",
+    # -- mechanical remainder (window/profile/join/sink/calendar
+    # keys, prior relative order) — drains r10/r11.
+    "subq_not_in_null_aware",
+    "window_cume_dist",
     "graph_degree_distribution",
     "analytics_market_basket",
-    "analytics_pareto_concentration",
     "window_streak_longest",
     "join_interval_overlap",
     "cdc_deletion_vectors",
-    "text_langid_eval",
-    "stats_cohens_d",
     "profile_pk_candidate",
     "window_keyset_pagination",
     "text_ngram_coverage",
     "ts_traffic_profile",
     "sink_dynamic_partition_overwrite",
     "fn_month_arithmetic",
-    "agg_approx_topk",
     "window_growth_accounting",
     "analytics_power_user_curve",
     "analytics_abc_xyz",
     "layout_zone_map_pruning",
     "profile_fk_orphan_report",
-    "pipeline_feature_store_e2e",
     "profile_snapshot_recon",
     "analytics_net_revenue_retention",
-    "text_negative_sampling_table",
-    "ts_alert_episodes",
     "curation_source_report",
-    "text_feature_hashing",
     "sink_merge_schema",
-    "analytics_interpurchase_time",
     "analytics_segment_migration",
-    "dedup_cross_source_matrix",
     "graph_reciprocity",
-    "agg_theil_inequality",
     "analytics_revenue_bridge",
-    "ts_concurrency_sweepline",
     "ts_year_over_year",
     "analytics_basket_size_curve",
-    "text_lexical_diversity",
-    "sample_seed_independence",
     "fn_ip_cidr",
-    "split_kfold",
-    "profile_functional_dependency",
-    "curation_gate_parity_audit",
     # -- banked driver-green keys, in the curated pre-r7 relative
     # order (filtered to the back at import time by _ordered(); their
     # rank here only matters if every unchecked key ever drains).
