@@ -1320,6 +1320,44 @@ _EXP_WELCH_T = (
     " + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)"
 )
 
+# Welch-t domain guard (VERDICT r9 ask #4 — the multiple-comparison
+# re-rank boundary): _EXP_WELCH_T is undefined when either arm has
+# < 2 observations (the n-1 divisors) or the squared standard error
+# is not strictly positive (both arms constant). The BH/Holm ladders
+# wrap the t in this CASE so an undefined component is withheld as
+# NULL on BOTH engines — never an engine-dependent NaN/±inf/NULL
+# artifact that would rank differently under each engine's null
+# ordering. The inner CASE nests so the n-1 divisors are never
+# evaluated at n < 2 (AND short-circuit is not guaranteed in SQL).
+_EXP_WELCH_SE2 = (
+    "((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a"
+    " + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b"
+)
+_WELCH_T_GUARDED = (
+    "CASE WHEN n_a >= 2 AND n_b >= 2 THEN"
+    f" CASE WHEN ({_EXP_WELCH_SE2}) > 0 THEN {{t}} END END"
+)
+
+
+def _welch_t_guarded_sql(rounded_t: str) -> str:
+    """The guarded form of a (rounded) Welch-t SQL expression."""
+    return _WELCH_T_GUARDED.format(t=rounded_t)
+
+
+def _welch_t_guarded_col(t):  # Column -> Column, mirrors the SQL CASE
+    se2 = (
+        (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+        + (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    return F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2),
+        F.when(se2 > 0, t),
+    )
+
 
 @query(
     "pipeline_experiment_e2e",
@@ -1743,15 +1781,17 @@ _BH_CRIT_SQL = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(_BH_CRIT))
     ),
     t AS (
         SELECT event_type,
-               abs({sql_jround(_EXP_WELCH_T, 4)}) AS abs_t,
-               {sql_jround(_EXP_WELCH_T, 4)} AS t_stat
+               abs({_welch_t_guarded_sql(sql_jround(_EXP_WELCH_T, 4))})
+                   AS abs_t,
+               {_welch_t_guarded_sql(sql_jround(_EXP_WELCH_T, 4))}
+                   AS t_stat
         FROM welch_s
     ),
     ranked AS (
         SELECT event_type, t_stat, abs_t,
                ROW_NUMBER() OVER (ORDER BY abs_t DESC, event_type)
                    AS bh_rank
-        FROM t
+        FROM t WHERE abs_t IS NOT NULL
     ),
     crit(r, z_crit) AS (VALUES {_BH_CRIT_SQL}),
     flags AS (
@@ -1768,7 +1808,14 @@ _BH_CRIT_SQL = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(_BH_CRIT))
            bh_rank <= cutoff.k AS significant_fdr,
            abs_t > 1.96 AS significant_uncorrected
     FROM flags, cutoff
-    ORDER BY bh_rank
+    UNION ALL
+    SELECT event_type, CAST(NULL AS DOUBLE) AS t_stat,
+           CAST(NULL AS INTEGER) AS bh_rank,
+           CAST(NULL AS DOUBLE) AS z_crit,
+           CAST(NULL AS BOOLEAN) AS significant_fdr,
+           CAST(NULL AS BOOLEAN) AS significant_uncorrected
+    FROM t WHERE abs_t IS NULL
+    ORDER BY bh_rank NULLS LAST, event_type
     """,
 )
 def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1782,6 +1829,15 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     five literal z-values so neither engine needs an inverse-normal
     function. Emits both corrected and uncorrected verdicts so the
     difference is visible.
+
+    Withheld-component boundary (VERDICT r9 ask #4), pinned as
+    DROP-NOT-RERANK: a segment whose Welch t is undefined (an arm
+    with < 2 rows, or both arms constant — _WELCH_T_GUARDED) is
+    excluded from the ranking and carries NULL rank/crit/verdicts,
+    while the critical values keep the DESIGN family size m=5, so a
+    withheld test never loosens alpha*r/m for the survivors. Both
+    engines rank only the defined components, so no engine-specific
+    NULL ordering can ever enter the ladder.
 
     Scale shape: the same single-scan constant-state collapse as
     stats_welch_ttest; ranking, the critical-value join (5x5), and
@@ -1838,15 +1894,22 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_b = (
         F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")
     ) / (F.col("n_b") - 1)
-    t = F.round(
-        (mean_b - mean_a)
-        / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
-        4,
+    t = _welch_t_guarded_col(
+        F.round(
+            (mean_b - mean_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            4,
+        )
     )
     tt = ws.select(
         "event_type", t.alias("t_stat"), F.abs(t).alias("abs_t")
     )
-    ranked = tt.select(
+    # Drop-not-rerank (VERDICT r9 ask #4): components whose t is
+    # undefined are EXCLUDED from the ladder — they keep NULL rank and
+    # NULL verdicts below — while the family size stays the DESIGN m=5
+    # (crit literals unchanged), so a withheld test never loosens the
+    # alpha*r/m thresholds of the survivors.
+    ranked = tt.where(F.col("abs_t").isNotNull()).select(
         "*",
         F.row_number()
         .over(Window.orderBy(F.desc("abs_t"), "event_type"))
@@ -1870,6 +1933,14 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("clears"), F.col("bh_rank"))), F.lit(0)
         ).alias("k")
     )
+    withheld = tt.where(F.col("abs_t").isNull()).select(
+        "event_type",
+        F.lit(None).cast("double").alias("t_stat"),
+        F.lit(None).cast("int").alias("bh_rank"),
+        F.lit(None).cast("double").alias("z_crit"),
+        F.lit(None).cast("boolean").alias("significant_fdr"),
+        F.lit(None).cast("boolean").alias("significant_uncorrected"),
+    )
     return (
         flags.join(F.broadcast(cutoff))
         .select(
@@ -1880,7 +1951,8 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bh_rank") <= F.col("k")).alias("significant_fdr"),
             (F.col("abs_t") > 1.96).alias("significant_uncorrected"),
         )
-        .orderBy("bh_rank")
+        .unionByName(withheld)
+        .orderBy(F.col("bh_rank").asc_nulls_last(), "event_type")
     )
 
 
@@ -2751,6 +2823,27 @@ _DID_Q = (
     "THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE)"
 )
 
+# DiD z domain guard (VERDICT r9 sweep — the four-cell sibling of
+# _WELCH_T_GUARDED): every cell needs >= 2 rows for its n-1 variance
+# divisor, and the summed SE^2 must be strictly positive; outside
+# that domain z (and therefore the verdict, by NULL propagation) is
+# withheld identically on both engines.
+_DID_SE2 = (
+    "((q_a0 - s_a0 * s_a0 / n_a0) / (n_a0 - 1)) / n_a0"
+    " + ((q_a1 - s_a1 * s_a1 / n_a1) / (n_a1 - 1)) / n_a1"
+    " + ((q_b0 - s_b0 * s_b0 / n_b0) / (n_b0 - 1)) / n_b0"
+    " + ((q_b1 - s_b1 * s_b1 / n_b1) / (n_b1 - 1)) / n_b1"
+)
+_DID_Z = (
+    "round(((s_b1 / n_b1 - s_b0 / n_b0)"
+    " - (s_a1 / n_a1 - s_a0 / n_a0))"
+    f" / sqrt({_DID_SE2}), 4)"
+)
+_DID_Z_GUARDED = (
+    "CASE WHEN n_a0 >= 2 AND n_a1 >= 2 AND n_b0 >= 2 AND n_b1 >= 2"
+    f" THEN CASE WHEN ({_DID_SE2}) > 0 THEN {_DID_Z} END END"
+)
+
 
 @query(
     "stats_diff_in_diff",
@@ -2781,22 +2874,8 @@ _DID_Q = (
     SELECT n_a0, n_a1, n_b0, n_b1,
            {sql_jround("(s_b1 / n_b1 - s_b0 / n_b0)"
                        " - (s_a1 / n_a1 - s_a0 / n_a0)", 4)} AS did,
-           round(((s_b1 / n_b1 - s_b0 / n_b0)
-                  - (s_a1 / n_a1 - s_a0 / n_a0))
-                 / sqrt(
-                   ((q_a0 - s_a0 * s_a0 / n_a0) / (n_a0 - 1)) / n_a0
-                 + ((q_a1 - s_a1 * s_a1 / n_a1) / (n_a1 - 1)) / n_a1
-                 + ((q_b0 - s_b0 * s_b0 / n_b0) / (n_b0 - 1)) / n_b0
-                 + ((q_b1 - s_b1 * s_b1 / n_b1) / (n_b1 - 1)) / n_b1),
-                 4) AS z_stat,
-           abs(round(((s_b1 / n_b1 - s_b0 / n_b0)
-                  - (s_a1 / n_a1 - s_a0 / n_a0))
-                 / sqrt(
-                   ((q_a0 - s_a0 * s_a0 / n_a0) / (n_a0 - 1)) / n_a0
-                 + ((q_a1 - s_a1 * s_a1 / n_a1) / (n_a1 - 1)) / n_a1
-                 + ((q_b0 - s_b0 * s_b0 / n_b0) / (n_b0 - 1)) / n_b0
-                 + ((q_b1 - s_b1 * s_b1 / n_b1) / (n_b1 - 1)) / n_b1),
-                 4)) > 1.96 AS significant_5pct
+           {_DID_Z_GUARDED} AS z_stat,
+           abs({_DID_Z_GUARDED}) > 1.96 AS significant_5pct
     FROM cells
     """,
 )
@@ -2865,13 +2944,21 @@ def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / (F.col(f"n_{tag}") - 1)
 
     did = (m("b1") - m("b0")) - (m("a1") - m("a0"))
-    se = F.sqrt(
+    se2 = (
         v("a0") / F.col("n_a0")
         + v("a1") / F.col("n_a1")
         + v("b0") / F.col("n_b0")
         + v("b1") / F.col("n_b1")
     )
-    z = F.round(did / se, 4)
+    n_ok = (
+        (F.col("n_a0") >= 2)
+        & (F.col("n_a1") >= 2)
+        & (F.col("n_b0") >= 2)
+        & (F.col("n_b1") >= 2)
+    )
+    # _DID_Z_GUARDED mirror: z withheld outside the variance domain;
+    # the verdict follows by NULL propagation (abs(NULL) > 1.96).
+    z = F.when(n_ok, F.when(se2 > 0, F.round(did / F.sqrt(se2), 4)))
     return cells.select(
         "n_a0",
         "n_a1",
@@ -5298,8 +5385,10 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_jround(
                "((between_ss - stot * stot / n) / (k - 1))"
                " / (within_ss / (n - k))", 4)} AS w_stat,
-           ((between_ss - stot * stot / n) / (k - 1))
-               / (within_ss / (n - k)) > 2.9957 AS reject_05
+           CASE WHEN k = 3 AND n - k >= 500 THEN
+               ((between_ss - stot * stot / n) / (k - 1))
+                   / (within_ss / (n - k)) > 2.9957
+           END AS reject_05
     FROM tot
     WHERE k > 1 AND within_ss > 0
     """,
@@ -5311,7 +5400,11 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE trusting stats_anova_oneway's equal-variance assumption.
     Decision against F(k-1, inf) at alpha=0.05 (2.9957 for k=3; n-k
     is ~1e5+, so the infinite-denominator critical value is exact to
-    4dp).
+    4dp). The verdict is withheld (NULL) unless exactly k = 3 groups
+    are present AND within-df n-k >= 500 — the same guard envelope as
+    stats_anova_oneway, since 2.9957 encodes df1 = 2 specifically and
+    turns anti-conservative at small within-df; w_stat stays
+    reported.
 
     Scale shape: two passes — group means (map-side-combinable, 3
     broadcast rows) then one aggregation of decimal-exact |deviation|
@@ -5373,7 +5466,15 @@ def stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "k",
             F.round(w, 4).alias("w_stat"),
-            (w > 2.9957).alias("reject_05"),
+            # 2.9957 is F(df1=2, inf): the verdict conditions on
+            # exactly k = 3 AND within-df >= 500, the same envelope
+            # as stats_anova_oneway (ADVICE r8 df1 discipline applied
+            # to the last unguarded F literal — VERDICT r9 sweep);
+            # w_stat stays reported.
+            F.when(
+                (F.col("k") == 3) & (F.col("n") - F.col("k") >= 500),
+                w > 2.9957,
+            ).alias("reject_05"),
         )
     )
 
@@ -6679,15 +6780,17 @@ _BONF_CRIT = 2.5758  # alpha/m for all
     ),
     t AS (
         SELECT event_type,
-               abs({sql_jround(_EXP_WELCH_T, 4)}) AS abs_t,
-               {sql_jround(_EXP_WELCH_T, 4)} AS t_stat
+               abs({_welch_t_guarded_sql(sql_jround(_EXP_WELCH_T, 4))})
+                   AS abs_t,
+               {_welch_t_guarded_sql(sql_jround(_EXP_WELCH_T, 4))}
+                   AS t_stat
         FROM welch_s
     ),
     ranked AS (
         SELECT event_type, t_stat, abs_t,
                ROW_NUMBER() OVER (ORDER BY abs_t DESC, event_type)
                    AS holm_rank
-        FROM t
+        FROM t WHERE abs_t IS NOT NULL
     ),
     crit(r, z_crit) AS (VALUES {_HOLM_CRIT_SQL}),
     flags AS (
@@ -6704,7 +6807,15 @@ _BONF_CRIT = 2.5758  # alpha/m for all
            abs_t >= {_BONF_CRIT} AS significant_bonferroni,
            abs_t > 1.96 AS significant_uncorrected
     FROM flags
-    ORDER BY holm_rank
+    UNION ALL
+    SELECT event_type, CAST(NULL AS DOUBLE) AS t_stat,
+           CAST(NULL AS INTEGER) AS holm_rank,
+           CAST(NULL AS DOUBLE) AS z_crit,
+           CAST(NULL AS BOOLEAN) AS significant_holm,
+           CAST(NULL AS BOOLEAN) AS significant_bonferroni,
+           CAST(NULL AS BOOLEAN) AS significant_uncorrected
+    FROM t WHERE abs_t IS NULL
+    ORDER BY holm_rank NULLS LAST, event_type
     """,
 )
 def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6716,6 +6827,15 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     powerful than plain Bonferroni (also emitted for contrast) —
     completing the multiple-testing pair with stats_bh_correction's
     FDR view.
+
+    Withheld-component boundary (VERDICT r9 ask #4), pinned as
+    DROP-NOT-RERANK exactly like stats_bh_correction: an undefined
+    Welch t (_WELCH_T_GUARDED domain) is excluded from the step-down
+    with NULL rank/crit/verdicts; the alpha/(m-r+1) criticals keep
+    the DESIGN m=5, so dropping a component can only move survivors
+    to SMALLER ranks, i.e. STRICTER thresholds — conservative in the
+    FWER direction — and the result is identical on both engines
+    because NULLs never enter the rank ORDER BY.
 
     Scale shape: identical single-scan constant-state collapse to
     BH; the step-down is one window over the five-row rank table."""
@@ -6763,11 +6883,15 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_b"),
         )
     )
-    t = F.round(F.expr(_EXP_WELCH_T), 4)
+    t = _welch_t_guarded_col(F.round(F.expr(_EXP_WELCH_T), 4))
     tt = ws.select(
         "event_type", t.alias("t_stat"), F.abs(t).alias("abs_t")
     )
-    ranked = tt.select(
+    # Drop-not-rerank (VERDICT r9 ask #4): undefined components are
+    # excluded from the step-down — NULL rank, NULL verdicts — and
+    # the crit literals keep the design m=5, so the alpha/(m-r+1)
+    # ladder of the surviving tests is unchanged by a withheld one.
+    ranked = tt.where(F.col("abs_t").isNotNull()).select(
         "*",
         F.row_number()
         .over(Window.orderBy(F.desc("abs_t"), "event_type"))
@@ -6791,6 +6915,15 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = Window.orderBy("holm_rank").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    withheld = tt.where(F.col("abs_t").isNull()).select(
+        "event_type",
+        F.lit(None).cast("double").alias("t_stat"),
+        F.lit(None).cast("int").alias("holm_rank"),
+        F.lit(None).cast("double").alias("z_crit"),
+        F.lit(None).cast("boolean").alias("significant_holm"),
+        F.lit(None).cast("boolean").alias("significant_bonferroni"),
+        F.lit(None).cast("boolean").alias("significant_uncorrected"),
+    )
     return (
         flags.select(
             "event_type",
@@ -6805,7 +6938,8 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("abs_t") > 1.96).alias("significant_uncorrected"),
         )
-        .orderBy("holm_rank")
+        .unionByName(withheld)
+        .orderBy(F.col("holm_rank").asc_nulls_last(), "event_type")
     )
 
 
@@ -7169,15 +7303,23 @@ _CHI2_CRIT_DF4 = 9.4877  # chi-square 0.95 quantile, df = k - 1
         FROM treat
     )
     SELECT n_blocks, {_FRIEDMAN_K} AS k,
+           CASE WHEN (a1 - n_blocks * {_FRIEDMAN_K}
+                      * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1)
+                      / 4.0) > 0 THEN
            {sql_jround(
                f"({_FRIEDMAN_K} - 1) * num"
                f" / (a1 - n_blocks * {_FRIEDMAN_K}"
                f"      * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1)"
-               f"      / 4.0)", 4)} AS chi2_f,
+               f"      / 4.0)", 4)}
+           END AS chi2_f,
+           CASE WHEN (a1 - n_blocks * {_FRIEDMAN_K}
+                      * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1)
+                      / 4.0) > 0 THEN
            ({_FRIEDMAN_K} - 1) * num
                / (a1 - n_blocks * {_FRIEDMAN_K}
                        * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1)
-                       / 4.0) > {_CHI2_CRIT_DF4} AS significant_5pct
+                       / 4.0) > {_CHI2_CRIT_DF4}
+           END AS significant_5pct
     FROM s
     """,
 )
@@ -7240,19 +7382,21 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("a1"),
     )
-    chi2 = (
-        (k - 1)
-        * F.col("num")
-        / (
-            F.col("a1")
-            - F.col("n_blocks") * k * (k + 1) * (k + 1) / 4.0
-        )
-    )
+    denom = F.col("a1") - F.col("n_blocks") * k * (k + 1) * (k + 1) / 4.0
+    chi2 = (k - 1) * F.col("num") / denom
+    # Conover's T1 is 0/0 when every block's ranks tie completely
+    # (A1 = C1): statistic AND verdict withheld there — never an
+    # engine-dependent div-by-zero artifact (VERDICT r9 sweep; the
+    # chi2(4) literal itself is safe: df1 = k-1 is the DESIGN k=5,
+    # pinned by the kk = 5 block filter, and the asymptote is
+    # standard at k > 4 for any block count).
     return s.select(
         "n_blocks",
         F.lit(k).alias("k"),
-        F.round(chi2, 4).alias("chi2_f"),
-        (chi2 > _CHI2_CRIT_DF4).alias("significant_5pct"),
+        F.when(denom > 0, F.round(chi2, 4)).alias("chi2_f"),
+        F.when(denom > 0, chi2 > _CHI2_CRIT_DF4).alias(
+            "significant_5pct"
+        ),
     )
 
 
@@ -7285,6 +7429,7 @@ _DUNN_ZCRIT = 2.8070  # Phi^-1(1 - 0.05 / (2 * 10)): Bonferroni, k=5 -> 10 pairs
     ),
     sig AS (
         SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
                (SELECT CAST(SUM(t * t * t - t) AS DOUBLE) FROM vals)
                    AS tie_t
         FROM per_grp
@@ -7292,11 +7437,16 @@ _DUNN_ZCRIT = 2.8070  # Phi^-1(1 - 0.05 / (2 * 10)): Bonferroni, k=5 -> 10 pairs
     pairs AS (
         SELECT a.grp AS grp_a, b.grp AS grp_b,
                a.n_g AS n_a, b.n_g AS n_b,
-               a.rbar AS mean_rank_a, b.rbar AS mean_rank_b,
-               (a.rbar - b.rbar)
-                 / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
-                         - tie_t / (12.0 * (n - 1)))
-                        * (1.0 / a.n_g + 1.0 / b.n_g)) AS z
+               a.rbar AS mean_rank_a, b.rbar AS mean_rank_b, k,
+               CASE WHEN n >= 2 THEN
+                 CASE WHEN (CAST(n AS DOUBLE) * (n + 1) / 12.0
+                            - tie_t / (12.0 * (n - 1))) > 0 THEN
+                   (a.rbar - b.rbar)
+                     / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                             - tie_t / (12.0 * (n - 1)))
+                            * (1.0 / a.n_g + 1.0 / b.n_g))
+                 END
+               END AS z
         FROM per_grp a JOIN per_grp b ON a.grp < b.grp
         CROSS JOIN sig
     )
@@ -7304,8 +7454,9 @@ _DUNN_ZCRIT = 2.8070  # Phi^-1(1 - 0.05 / (2 * 10)): Bonferroni, k=5 -> 10 pairs
            {sql_jround("mean_rank_a", 4)} AS mean_rank_a,
            {sql_jround("mean_rank_b", 4)} AS mean_rank_b,
            {sql_jround("z", 4)} AS z_stat,
-           abs({sql_jround("z", 4)}) > {_DUNN_ZCRIT}
-               AS significant_bonf
+           CASE WHEN k = 5 AND z IS NOT NULL
+                THEN abs({sql_jround("z", 4)}) > {_DUNN_ZCRIT}
+           END AS significant_bonf
     FROM pairs
     ORDER BY grp_a, grp_b
     """,
@@ -7318,6 +7469,13 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct follow-up rather than 10 Mann-Whitneys), Bonferroni-held
     at alpha = 0.05 over the 10 comparisons. Completes the omnibus ->
     post-hoc workflow beside stats_kruskal_wallis.
+
+    Withheld-component boundary (VERDICT r9 ask #4): z is NULL when
+    its variance term is undefined (N < 2) or zero (all values tied),
+    and significant_bonf is withheld unless exactly k = 5 groups are
+    present — the 2.8070 critical encodes the 10-pair design family,
+    and a missing group DROPS its pairs (join semantics) rather than
+    re-ranking the critical against a smaller family.
 
     Scale shape: identical collapse to stats_kruskal_wallis — the
     corpus reduces to (group, value) distinct counts, pooled ranks
@@ -7360,7 +7518,8 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sig = per_grp.agg(
-        F.sum("n_g").cast("bigint").alias("n")
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
     ).crossJoin(
         F.broadcast(
             vals.agg(
@@ -7373,6 +7532,19 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, b = per_grp.alias("a"), per_grp.alias("b")
+    # z domain guard + design-family pin (VERDICT r9 ask #4): the
+    # pooled variance term N(N+1)/12 - tie/(12(N-1)) needs N >= 2 and
+    # collapses to 0 when every value ties — z is withheld (NULL)
+    # there, never an engine-dependent div-by-zero artifact. The
+    # Bonferroni critical 2.8070 encodes the DESIGN k=5 (10 pairs):
+    # with fewer groups present the verdict is withheld, never
+    # re-ranked against a smaller family (pairs of absent groups are
+    # dropped by the join; the crit is pinned, mirroring
+    # stats_kruskal_wallis's k guard).
+    vterm = (
+        F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+        - F.col("tie_t") / (12.0 * (F.col("n") - 1))
+    )
     pairs = (
         a.join(b, F.col("a.grp") < F.col("b.grp"))
         .crossJoin(F.broadcast(sig))
@@ -7383,15 +7555,17 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_g").alias("n_b"),
             F.col("a.rbar").alias("mean_rank_a"),
             F.col("b.rbar").alias("mean_rank_b"),
-            (
-                (F.col("a.rbar") - F.col("b.rbar"))
-                / F.sqrt(
-                    (
-                        F.col("n").cast("double") * (F.col("n") + 1) / 12.0
-                        - F.col("tie_t") / (12.0 * (F.col("n") - 1))
-                    )
-                    * (1.0 / F.col("a.n_g") + 1.0 / F.col("b.n_g"))
-                )
+            "k",
+            F.when(
+                F.col("n") >= 2,
+                F.when(
+                    vterm > 0,
+                    (F.col("a.rbar") - F.col("b.rbar"))
+                    / F.sqrt(
+                        vterm
+                        * (1.0 / F.col("a.n_g") + 1.0 / F.col("b.n_g"))
+                    ),
+                ),
             ).alias("z"),
         )
     )
@@ -7403,7 +7577,10 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_rank_a", 4).alias("mean_rank_a"),
         F.round("mean_rank_b", 4).alias("mean_rank_b"),
         F.round("z", 4).alias("z_stat"),
-        (F.abs(F.round("z", 4)) > _DUNN_ZCRIT).alias("significant_bonf"),
+        F.when(
+            (F.col("k") == 5) & F.col("z").isNotNull(),
+            F.abs(F.round("z", 4)) > _DUNN_ZCRIT,
+        ).alias("significant_bonf"),
     ).orderBy("grp_a", "grp_b")
 
 

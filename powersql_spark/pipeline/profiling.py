@@ -339,11 +339,12 @@ _CHI2_CRIT_CASE = "CASE dof " + " ".join(
                (SELECT MIN(c) FROM ct) AS min_c
     ),
     terms AS (
-        SELECT round(pow(cont.obs - CAST(rt.r * ct.c AS DOUBLE) / n.n, 2)
+        SELECT round(pow(COALESCE(cont.obs, 0)
+                         - CAST(rt.r * ct.c AS DOUBLE) / n.n, 2)
                      / (CAST(rt.r * ct.c AS DOUBLE) / n.n), 6) AS t
-        FROM cont
-        JOIN rt USING (event_type)
-        JOIN ct USING (dow), n
+        FROM rt CROSS JOIN ct
+        LEFT JOIN cont USING (event_type, dow)
+        CROSS JOIN n
     )
     SELECT CAST(n.n AS BIGINT) AS n,
            CAST(n.dof AS BIGINT) AS dof,
@@ -370,9 +371,12 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE exchange collapses the corpus to the (types x 7)
     contingency table; marginals, expected counts, and the statistic
-    all live on that metadata-sized table (broadcast joins). Terms
-    round to 6dp and decimal-sum, so the 4dp statistic and the
-    threshold comparison are deterministic cross-engine."""
+    all live on that metadata-sized table (broadcast joins). The term
+    sum runs over the FULL marginal cross product (absent cells
+    contribute their (0-E)^2/E = E — ADVICE r9), matching the dof,
+    which also counts those cells. Terms round to 6dp and
+    decimal-sum, so the 4dp statistic and the threshold comparison
+    are deterministic cross-engine."""
     cont = (
         spark.table("events")
         .groupBy(
@@ -400,8 +404,14 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
     )
     exp = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    # Structurally-absent (event_type, dow) cells still contribute
+    # their (0 - E)^2 / E = E term — the grid is the full marginal
+    # cross product with obs COALESCEd to 0 (ADVICE r9: previously
+    # only observed cells were summed while dof counted all cells).
+    # Both frames are metadata-sized (types x 7), so the cross join
+    # is constant work at any corpus scale.
     term = F.round(
-        F.pow(F.col("obs") - exp, 2) / exp, 6
+        F.pow(F.coalesce(F.col("obs"), F.lit(0)) - exp, 2) / exp, 6
     ).cast(DEC)
     chi2 = F.round(F.sum(term).cast("double"), 4)
     crit = F.element_at(
@@ -415,8 +425,8 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dof").cast("int"),
     )
     return (
-        cont.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(cont), ["event_type", "dow"], "left")
         .join(F.broadcast(n))
         .join(F.broadcast(mins))
         .groupBy("n", "dof", "min_r", "min_c")
@@ -1081,10 +1091,12 @@ def _cramer_sql(tbl: str, a: str, b: str) -> str:
             ),
             terms AS (
                 SELECT round(
-                    pow(cont.obs - CAST(rt.r * ct.c AS DOUBLE) / nn.n, 2)
+                    pow(COALESCE(cont.obs, 0)
+                        - CAST(rt.r * ct.c AS DOUBLE) / nn.n, 2)
                     / (CAST(rt.r * ct.c AS DOUBLE) / nn.n), 6) AS t
-                FROM cont
-                JOIN rt USING (ra) JOIN ct USING (cb), nn
+                FROM rt CROSS JOIN ct
+                LEFT JOIN cont USING (ra, cb)
+                CROSS JOIN nn
             )
             SELECT nn.n, nn.dof, nn.mindim,
                    CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS chi2
@@ -1113,8 +1125,9 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per pair, ONE exchange collapses the table to its
     contingency cells; marginals/expected/statistic live on that
     metadata-sized table. The three reports union constant rows.
-    Terms round 6dp and decimal-sum exactly as
-    stats_chi2_independence (shared discipline)."""
+    Terms round 6dp and decimal-sum, and the sum covers the FULL
+    marginal cross product (absent cells add their E term) exactly as
+    stats_chi2_independence (shared discipline, ADVICE r9)."""
     out = []
     for tbl, a, b in _CRAMER_PAIRS:
         cont = (
@@ -1137,13 +1150,21 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mindim"),
         )
         exp = F.col("r") * F.col("c") / F.col("n")
+        # Full marginal cross product: structurally-absent cells
+        # contribute (0-E)^2/E = E, matching the dof that counts them
+        # (ADVICE r9, shared discipline with stats_chi2_independence).
+        # rt x ct is category-cardinality-sized — constant work.
         terms = (
-            cont.join(rt, "ra")
-            .join(ct, "cb")
+            rt.crossJoin(F.broadcast(ct))
+            .join(F.broadcast(cont), ["ra", "cb"], "left")
             .join(F.broadcast(nn))
             .select(
                 F.round(
-                    F.pow(F.col("obs") - exp.cast("double"), 2)
+                    F.pow(
+                        F.coalesce(F.col("obs"), F.lit(0))
+                        - exp.cast("double"),
+                        2,
+                    )
                     / exp.cast("double"),
                     6,
                 ).alias("t"),

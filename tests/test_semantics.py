@@ -2635,6 +2635,184 @@ def test_count_verdicts_withheld_small_counts(spark, sf_dir):
             getattr(spark, "_powersql_views", {}).pop(name, None)
 
 
+def test_chi2_empty_cells_contribute_expected_term(spark, sf_dir):
+    """ADVICE r9: the chi2 term sum must run over the FULL marginal
+    cross product — a structurally-absent cell contributes its
+    (0-E)^2/E = E — matching the dof, which already counted it.
+    Hand-computed 2x2 frame with one empty cell: type A = 4 Mon +
+    2 Tue, type B = 3 Mon + 0 Tue -> E(B,Tue) = 3*2/9 = 2/3 and
+    chi2 = 0.095238 + 0.333333 + 0.190476 + 0.666667 = 1.2857 (4dp);
+    summing observed cells only would give 0.6190. Verified on BOTH
+    engines; the verdict is withheld (min expected 2/3 < 5), which
+    the count-tranche test already pins."""
+    import duckdb
+    import pandas as pd
+
+    from powersql_spark.pipeline.profiling import (
+        stats_chi2_independence,
+    )
+    from powersql_spark.registry import all_specs
+
+    mon, tue = pd.Timestamp("2024-01-15"), pd.Timestamp("2024-01-16")
+    rows = (
+        [(1, "A", 1.0, mon)] * 4
+        + [(2, "A", 1.0, tue)] * 2
+        + [(3, "B", 1.0, mon)] * 3
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_type", "value", "ts"]
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    getattr(spark, "_powersql_views", {}).pop("events", None)
+    try:
+        r = stats_chi2_independence(spark, sf_dir).collect()[0]
+        assert r["n"] == 9 and r["dof"] == 1
+        assert r["chi2"] == 1.2857, r["chi2"]
+        assert r["reject_05"] is None  # min expected 2/3 < 5
+        con = duckdb.connect()
+        con.register("events", pdf)
+        o = con.execute(
+            all_specs()["stats_chi2_independence"].oracle
+        ).df()
+        assert float(o["chi2"][0]) == 1.2857
+    finally:
+        spark.catalog.dropTempView("events")
+        getattr(spark, "_powersql_views", {}).pop("events", None)
+
+
+def test_ladder_verdicts_drop_not_rerank(spark, sf_dir):
+    """The multiple-comparison re-rank boundary (VERDICT r9 ask #4),
+    pinned cross-engine as DROP-NOT-RERANK: when a component test of
+    the BH / Holm ladders is withheld (its Welch t undefined — an arm
+    under 2 rows, or both arms constant), the component is EXCLUDED
+    from the ranking with NULL rank/crit/verdicts, survivors rank
+    densely against the UNCHANGED design-m=5 criticals (stricter,
+    never looser), and Dunn withholds its Bonferroni verdict whenever
+    the group count differs from the k=5 its critical encodes or the
+    pooled variance term degenerates (all values tied).
+
+    The frame makes the boundary bite mid-ladder: of five event
+    types, 'signup' has an empty A arm and 'search' is constant in
+    both arms (two distinct withhold reasons), while the three valid
+    types are tuned so |t| = 12.2474 / 2.4495 / 0.6124 — under Holm
+    the 2.4495 at (dense) rank 2 FAILS its m=5 critical 2.4977 yet
+    would have PASSED rank 3's 2.394, so any engine that re-ranked or
+    ranked NULLs would produce a different verdict vector. Both
+    engines are asserted row-identical."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from powersql_spark.operators.analytics_ext import (
+        stats_bh_correction,
+        stats_dunn_posthoc,
+        stats_holm_bonferroni,
+    )
+    from powersql_spark.registry import all_specs
+
+    SP = all_specs()
+    arm_a = [u for u in range(1, 200) if hashlib.md5(
+        f"{u}:welch".encode()).hexdigest()[0] < "8"][:3]
+    arm_b = [u for u in range(1, 200) if hashlib.md5(
+        f"{u}:welch".encode()).hexdigest()[0] >= "8"][:3]
+    rows = []
+    # Valid types: arm A values {1,2,3}, arm B shifted by d -> both
+    # arm variances 1, se = sqrt(2/3), |t| = d / 0.81650 exactly.
+    for et, d in (("click", 10.0), ("purchase", 2.0), ("view", 0.5)):
+        for i, u in enumerate(arm_a):
+            rows.append((u, et, float(i + 1)))
+        for i, u in enumerate(arm_b):
+            rows.append((u, et, float(i + 1) + d))
+    # Withheld reason 1: empty A arm (n_a = 0 < 2).
+    rows += [(arm_b[0], "signup", 5.0), (arm_b[1], "signup", 7.0)]
+    # Withheld reason 2: both arms constant (se^2 = 0).
+    rows += [(u, "search", 4.0) for u in arm_a[:2] + arm_b[:2]]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "value"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("events")
+    getattr(spark, "_powersql_views", {}).pop("events", None)
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    def _norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        key = [c for c in ("event_type", "grp_a", "grp_b")
+               if c in df.columns]
+        df = df.sort_values(key).reset_index(drop=True)
+        return df.astype(object).where(pd.notna(df), None)
+
+    def _both(key, fn):
+        sdf = _norm(fn(spark, sf_dir).toPandas())
+        odf = _norm(con.execute(SP[key].oracle).df())
+        pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+        return sdf.set_index(
+            "event_type" if "event_type" in sdf.columns else
+            ["grp_a", "grp_b"]
+        )
+
+    try:
+        holm = _both("stats_holm_bonferroni", stats_holm_bonferroni)
+        for et in ("signup", "search"):  # both withhold reasons
+            for c in ("t_stat", "holm_rank", "z_crit",
+                      "significant_holm", "significant_bonferroni",
+                      "significant_uncorrected"):
+                assert holm.loc[et, c] is None, (et, c)
+        # Dense ranks over survivors; design-m criticals unchanged.
+        assert holm.loc["click", "holm_rank"] == 1
+        assert holm.loc["purchase", "holm_rank"] == 2
+        assert holm.loc["view", "holm_rank"] == 3
+        assert holm.loc["purchase", "z_crit"] == 2.4977  # m=5 rank-2
+        # 2.4495 fails 2.4977 (would pass a re-ranked 2.394): the
+        # step-down admits only rank 1.
+        assert holm.loc["click", "significant_holm"] == True  # noqa: E712
+        assert holm.loc["purchase", "significant_holm"] == False  # noqa: E712
+        assert holm.loc["view", "significant_holm"] == False  # noqa: E712
+
+        bh = _both("stats_bh_correction", stats_bh_correction)
+        for c in ("t_stat", "bh_rank", "z_crit", "significant_fdr",
+                  "significant_uncorrected"):
+            assert bh.loc["signup", c] is None, c
+            assert bh.loc["search", c] is None, c
+        # BH at m=5: 2.4495 >= 2.3263 (rank 2) -> cutoff k=2.
+        assert bh.loc["click", "significant_fdr"] == True  # noqa: E712
+        assert bh.loc["purchase", "significant_fdr"] == True  # noqa: E712
+        assert bh.loc["view", "significant_fdr"] == False  # noqa: E712
+
+        # Dunn at the k=5 design on the same frame: verdicts present.
+        dunn = _both("stats_dunn_posthoc", stats_dunn_posthoc)
+        assert len(dunn) == 10
+        assert all(v is not None for v in dunn["significant_bonf"])
+
+        # k = 4 != design -> every verdict withheld, z still reported.
+        pdf4 = pdf[pdf.event_type != "signup"]
+        spark.createDataFrame(pdf4).createOrReplaceTempView("events")
+        getattr(spark, "_powersql_views", {}).pop("events", None)
+        con.unregister("events")
+        con.register("events", pdf4)
+        dunn4 = _both("stats_dunn_posthoc", stats_dunn_posthoc)
+        assert len(dunn4) == 6
+        assert all(v is None for v in dunn4["significant_bonf"])
+        assert all(v is not None for v in dunn4["z_stat"])
+
+        # All values tied -> variance term 0 -> z itself withheld.
+        pdft = pd.DataFrame(
+            [(u, et, 9.0) for u in (arm_a[0], arm_b[0])
+             for et in ("click", "purchase", "view", "signup",
+                        "search")],
+            columns=["user_id", "event_type", "value"],
+        )
+        spark.createDataFrame(pdft).createOrReplaceTempView("events")
+        getattr(spark, "_powersql_views", {}).pop("events", None)
+        con.unregister("events")
+        con.register("events", pdft)
+        dunnt = _both("stats_dunn_posthoc", stats_dunn_posthoc)
+        assert all(v is None for v in dunnt["z_stat"])
+        assert all(v is None for v in dunnt["significant_bonf"])
+    finally:
+        spark.catalog.dropTempView("events")
+        getattr(spark, "_powersql_views", {}).pop("events", None)
+
+
 # ---------------------------------------------------------------------------
 # Round-5 additions: independent NumPy/pandas recomputation of each
 # operator's definition (not a replay of the SQL) over the same inputs.
