@@ -176,8 +176,10 @@ def main() -> None:
     # Reversing order on odd passes puts every query at a different
     # wall-clock offset each pass, so the min survives any contention
     # window shorter than a full pass; three passes by default
-    # (VERDICT r8 ask #4 — override with SPARK_GRAFT_BENCH_REPEAT).
-    repeat = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
+    # (VERDICT r8 ask #4 — override with SPARK_GRAFT_BENCH_REPEAT;
+    # any value >= 1 is honored, e.g. 1 = a single quick pass with no
+    # contention defense — ADVICE r9).
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
     for _pass in range(repeat):
         order = list(HEADLINE.items())
