@@ -1789,9 +1789,9 @@ _BH_CRIT_SQL = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(_BH_CRIT))
     ),
     ranked AS (
         SELECT event_type, t_stat, abs_t,
-               ROW_NUMBER() OVER (ORDER BY abs_t DESC, event_type)
-                   AS bh_rank
-        FROM t WHERE abs_t IS NOT NULL
+               ROW_NUMBER() OVER (ORDER BY abs_t DESC NULLS LAST,
+                                  event_type) AS bh_rank
+        FROM t
     ),
     crit(r, z_crit) AS (VALUES {_BH_CRIT_SQL}),
     flags AS (
@@ -1803,19 +1803,16 @@ _BH_CRIT_SQL = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(_BH_CRIT))
         SELECT COALESCE(MAX(bh_rank), 0) AS k
         FROM flags WHERE clears
     )
-    SELECT event_type, t_stat, CAST(bh_rank AS INTEGER) AS bh_rank,
-           CAST(z_crit AS DOUBLE) AS z_crit,
-           bh_rank <= cutoff.k AS significant_fdr,
+    SELECT event_type, t_stat,
+           CASE WHEN abs_t IS NOT NULL
+                THEN CAST(bh_rank AS INTEGER) END AS bh_rank,
+           CASE WHEN abs_t IS NOT NULL
+                THEN CAST(z_crit AS DOUBLE) END AS z_crit,
+           CASE WHEN abs_t IS NOT NULL
+                THEN bh_rank <= cutoff.k END AS significant_fdr,
            abs_t > 1.96 AS significant_uncorrected
     FROM flags, cutoff
-    UNION ALL
-    SELECT event_type, CAST(NULL AS DOUBLE) AS t_stat,
-           CAST(NULL AS INTEGER) AS bh_rank,
-           CAST(NULL AS DOUBLE) AS z_crit,
-           CAST(NULL AS BOOLEAN) AS significant_fdr,
-           CAST(NULL AS BOOLEAN) AS significant_uncorrected
-    FROM t WHERE abs_t IS NULL
-    ORDER BY bh_rank NULLS LAST, event_type
+    ORDER BY bh_rank
     """,
 )
 def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1832,12 +1829,12 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Withheld-component boundary (VERDICT r9 ask #4), pinned as
     DROP-NOT-RERANK: a segment whose Welch t is undefined (an arm
-    with < 2 rows, or both arms constant — _WELCH_T_GUARDED) is
-    excluded from the ranking and carries NULL rank/crit/verdicts,
-    while the critical values keep the DESIGN family size m=5, so a
-    withheld test never loosens alpha*r/m for the survivors. Both
-    engines rank only the defined components, so no engine-specific
-    NULL ordering can ever enter the ladder.
+    with < 2 rows, or both arms constant — _WELCH_T_GUARDED) ranks
+    BEHIND every defined one (explicit NULLS LAST on both engines, so
+    no engine-default NULL ordering can enter the ladder), giving the
+    survivors exactly the dense drop ranking against the UNCHANGED
+    design-m=5 criticals — a withheld test never loosens alpha*r/m.
+    The withheld row itself reports NULL rank/crit/verdicts.
 
     Scale shape: the same single-scan constant-state collapse as
     stats_welch_ttest; ranking, the critical-value join (5x5), and
@@ -1904,15 +1901,19 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = ws.select(
         "event_type", t.alias("t_stat"), F.abs(t).alias("abs_t")
     )
-    # Drop-not-rerank (VERDICT r9 ask #4): components whose t is
-    # undefined are EXCLUDED from the ladder — they keep NULL rank and
-    # NULL verdicts below — while the family size stays the DESIGN m=5
-    # (crit literals unchanged), so a withheld test never loosens the
-    # alpha*r/m thresholds of the survivors.
-    ranked = tt.where(F.col("abs_t").isNotNull()).select(
+    # Drop-not-rerank (VERDICT r9 ask #4) in ONE lineage (one corpus
+    # scan): ALL components rank with explicitly pinned NULLS LAST,
+    # so withheld (NULL-t) components occupy the TRAILING ranks and
+    # the valid components' ranks + design-m=5 criticals are exactly
+    # the dense drop ranking; withheld rows' rank/crit/verdicts are
+    # NULLed on output, and the cutoff MAX reads only cleared (valid)
+    # rows.
+    ranked = tt.select(
         "*",
         F.row_number()
-        .over(Window.orderBy(F.desc("abs_t"), "event_type"))
+        .over(
+            Window.orderBy(F.desc_nulls_last("abs_t"), "event_type")
+        )
         .alias("bh_rank"),
     )
     crit = spark.createDataFrame(
@@ -1933,25 +1934,21 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("clears"), F.col("bh_rank"))), F.lit(0)
         ).alias("k")
     )
-    withheld = tt.where(F.col("abs_t").isNull()).select(
-        "event_type",
-        F.lit(None).cast("double").alias("t_stat"),
-        F.lit(None).cast("int").alias("bh_rank"),
-        F.lit(None).cast("double").alias("z_crit"),
-        F.lit(None).cast("boolean").alias("significant_fdr"),
-        F.lit(None).cast("boolean").alias("significant_uncorrected"),
-    )
+    valid = F.col("abs_t").isNotNull()
     return (
         flags.join(F.broadcast(cutoff))
         .select(
             "event_type",
             "t_stat",
-            F.col("bh_rank").cast("int").alias("bh_rank"),
-            "z_crit",
-            (F.col("bh_rank") <= F.col("k")).alias("significant_fdr"),
+            F.when(valid, F.col("bh_rank").cast("int")).alias(
+                "bh_rank"
+            ),
+            F.when(valid, F.col("z_crit")).alias("z_crit"),
+            F.when(valid, F.col("bh_rank") <= F.col("k")).alias(
+                "significant_fdr"
+            ),
             (F.col("abs_t") > 1.96).alias("significant_uncorrected"),
         )
-        .unionByName(withheld)
         .orderBy(F.col("bh_rank").asc_nulls_last(), "event_type")
     )
 
@@ -6788,9 +6785,9 @@ _BONF_CRIT = 2.5758  # alpha/m for all
     ),
     ranked AS (
         SELECT event_type, t_stat, abs_t,
-               ROW_NUMBER() OVER (ORDER BY abs_t DESC, event_type)
-                   AS holm_rank
-        FROM t WHERE abs_t IS NOT NULL
+               ROW_NUMBER() OVER (ORDER BY abs_t DESC NULLS LAST,
+                                  event_type) AS holm_rank
+        FROM t
     ),
     crit(r, z_crit) AS (VALUES {_HOLM_CRIT_SQL}),
     flags AS (
@@ -6800,22 +6797,17 @@ _BONF_CRIT = 2.5758  # alpha/m for all
         FROM ranked JOIN crit ON crit.r = ranked.holm_rank
     )
     SELECT event_type, t_stat,
-           CAST(holm_rank AS INTEGER) AS holm_rank,
-           CAST(z_crit AS DOUBLE) AS z_crit,
-           MIN(clears) OVER (ORDER BY holm_rank) = 1
-               AS significant_holm,
+           CASE WHEN abs_t IS NOT NULL
+                THEN CAST(holm_rank AS INTEGER) END AS holm_rank,
+           CASE WHEN abs_t IS NOT NULL
+                THEN CAST(z_crit AS DOUBLE) END AS z_crit,
+           CASE WHEN abs_t IS NOT NULL THEN
+               MIN(clears) OVER (ORDER BY holm_rank) = 1
+           END AS significant_holm,
            abs_t >= {_BONF_CRIT} AS significant_bonferroni,
            abs_t > 1.96 AS significant_uncorrected
     FROM flags
-    UNION ALL
-    SELECT event_type, CAST(NULL AS DOUBLE) AS t_stat,
-           CAST(NULL AS INTEGER) AS holm_rank,
-           CAST(NULL AS DOUBLE) AS z_crit,
-           CAST(NULL AS BOOLEAN) AS significant_holm,
-           CAST(NULL AS BOOLEAN) AS significant_bonferroni,
-           CAST(NULL AS BOOLEAN) AS significant_uncorrected
-    FROM t WHERE abs_t IS NULL
-    ORDER BY holm_rank NULLS LAST, event_type
+    ORDER BY holm_rank
     """,
 )
 def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6830,12 +6822,13 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Withheld-component boundary (VERDICT r9 ask #4), pinned as
     DROP-NOT-RERANK exactly like stats_bh_correction: an undefined
-    Welch t (_WELCH_T_GUARDED domain) is excluded from the step-down
-    with NULL rank/crit/verdicts; the alpha/(m-r+1) criticals keep
+    Welch t (_WELCH_T_GUARDED domain) ranks BEHIND every defined one
+    (explicit NULLS LAST on both engines) and reports NULL
+    rank/crit/verdicts, so the step-down's running MIN never reads a
+    withheld row before a valid one; the alpha/(m-r+1) criticals keep
     the DESIGN m=5, so dropping a component can only move survivors
     to SMALLER ranks, i.e. STRICTER thresholds — conservative in the
-    FWER direction — and the result is identical on both engines
-    because NULLs never enter the rank ORDER BY.
+    FWER direction.
 
     Scale shape: identical single-scan constant-state collapse to
     BH; the step-down is one window over the five-row rank table."""
@@ -6887,14 +6880,19 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = ws.select(
         "event_type", t.alias("t_stat"), F.abs(t).alias("abs_t")
     )
-    # Drop-not-rerank (VERDICT r9 ask #4): undefined components are
-    # excluded from the step-down — NULL rank, NULL verdicts — and
-    # the crit literals keep the design m=5, so the alpha/(m-r+1)
-    # ladder of the surviving tests is unchanged by a withheld one.
-    ranked = tt.where(F.col("abs_t").isNotNull()).select(
+    # Drop-not-rerank (VERDICT r9 ask #4) in ONE lineage (one corpus
+    # scan): ALL components rank with explicitly pinned NULLS LAST —
+    # withheld (NULL-t) components therefore occupy the TRAILING
+    # ranks, so the valid components' ranks and alpha/(m-r+1)
+    # criticals (design m=5) are exactly the dense drop ranking, and
+    # the running MIN below never reads a withheld row before a valid
+    # one. Withheld rows' rank/crit/verdicts are NULLed on output.
+    ranked = tt.select(
         "*",
         F.row_number()
-        .over(Window.orderBy(F.desc("abs_t"), "event_type"))
+        .over(
+            Window.orderBy(F.desc_nulls_last("abs_t"), "event_type")
+        )
         .alias("holm_rank"),
     )
     crit = spark.createDataFrame(
@@ -6915,22 +6913,16 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = Window.orderBy("holm_rank").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    withheld = tt.where(F.col("abs_t").isNull()).select(
-        "event_type",
-        F.lit(None).cast("double").alias("t_stat"),
-        F.lit(None).cast("int").alias("holm_rank"),
-        F.lit(None).cast("double").alias("z_crit"),
-        F.lit(None).cast("boolean").alias("significant_holm"),
-        F.lit(None).cast("boolean").alias("significant_bonferroni"),
-        F.lit(None).cast("boolean").alias("significant_uncorrected"),
-    )
+    valid = F.col("abs_t").isNotNull()
     return (
         flags.select(
             "event_type",
             "t_stat",
-            F.col("holm_rank").cast("int").alias("holm_rank"),
-            "z_crit",
-            (F.min("clears").over(wmin) == 1).alias(
+            F.when(valid, F.col("holm_rank").cast("int")).alias(
+                "holm_rank"
+            ),
+            F.when(valid, F.col("z_crit")).alias("z_crit"),
+            F.when(valid, F.min("clears").over(wmin) == 1).alias(
                 "significant_holm"
             ),
             (F.col("abs_t") >= _BONF_CRIT).alias(
@@ -6938,7 +6930,6 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("abs_t") > 1.96).alias("significant_uncorrected"),
         )
-        .unionByName(withheld)
         .orderBy(F.col("holm_rank").asc_nulls_last(), "event_type")
     )
 
