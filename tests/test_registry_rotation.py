@@ -115,3 +115,81 @@ def test_cumulative_rounds_accumulate():
     if os.path.exists(os.path.join(root, "CORRECTNESS_r02.json")):
         assert "join_inner" in green
         assert "tpch_q1" in green
+
+
+# The r10 driver window (50 keys) + the r11 tail (5 keys) — the
+# endgame order that drains the never-checked backlog (VERDICT r9
+# asks #1/#2; README "Driver-rotation endgame"). Frozen as a literal
+# so any accidental reorder of the registry fails HERE, before the
+# driver round runs against a shifted window. When the 501-key freeze
+# lifts (post-501/501), extend this literal with the new tranche.
+_ENDGAME_ORDER = (
+    "graph_kcore",
+    "stats_iqr_outliers",
+    "ts_anomaly_mad",
+    "agg_gini_revenue",
+    "agg_theil_inequality",
+    "text_negative_sampling_table",
+    "analytics_markov_transitions",
+    "sample_stratified_neyman",
+    "ts_spc_western_electric",
+    "text_word_burstiness",
+    "stats_cohens_d",
+    "graph_clustering_coefficient",
+    "graph_adamic_adar",
+    "text_lexical_diversity",
+    "text_langid_eval",
+    "ts_concurrency_sweepline",
+    "analytics_pareto_concentration",
+    "sample_seed_independence",
+    "split_kfold",
+    "text_feature_hashing",
+    "agg_approx_topk",
+    "dedup_cross_source_matrix",
+    "pipeline_feature_store_e2e",
+    "curation_gate_parity_audit",
+    "profile_functional_dependency",
+    "analytics_interpurchase_time",
+    "ts_alert_episodes",
+    "subq_not_in_null_aware",
+    "window_cume_dist",
+    "graph_degree_distribution",
+    "analytics_market_basket",
+    "window_streak_longest",
+    "join_interval_overlap",
+    "cdc_deletion_vectors",
+    "profile_pk_candidate",
+    "window_keyset_pagination",
+    "text_ngram_coverage",
+    "ts_traffic_profile",
+    "sink_dynamic_partition_overwrite",
+    "fn_month_arithmetic",
+    "window_growth_accounting",
+    "analytics_power_user_curve",
+    "analytics_abc_xyz",
+    "layout_zone_map_pruning",
+    "profile_fk_orphan_report",
+    "profile_snapshot_recon",
+    "analytics_net_revenue_retention",
+    "curation_source_report",
+    "sink_merge_schema",
+    "analytics_segment_migration",
+    # r11 tail — becomes window slots 1-5 once r10 banks:
+    "graph_reciprocity",
+    "analytics_revenue_bridge",
+    "ts_year_over_year",
+    "analytics_basket_size_curve",
+    "fn_ip_cidr",
+)
+
+
+def test_endgame_window_order_is_byte_stable():
+    """The r10 window and r11 tail stay byte-stable until banked:
+    the never-banked keys, in registration order, must equal the
+    frozen endgame literal filtered by banking state — so a reorder
+    (or an accidental registry addition during the freeze) fails in
+    CI before the driver verifies a shifted window."""
+    banked = _driver_green()
+    expected = [k for k in _ENDGAME_ORDER if k not in banked]
+    unbanked = [k for k in all_specs() if k not in banked]
+    assert unbanked == expected
