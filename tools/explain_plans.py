@@ -249,6 +249,20 @@ SHOW = {
     "corpus collapses to per-type 24-point hourly profiles; the "
     "O(24^2) DP runs inside one JVM projection over the persisted "
     "profile self-join — no UDF, no per-pair shuffle.",
+    "join_interval_overlap": "Interval x interval via grid bucketing: "
+    "sessions explode to the hour buckets they span, spike windows "
+    "occupy one bucket, candidates come from an hour EQUI-join (no "
+    "theta-join node anywhere); the overlap predicate filters only "
+    "grid-collocated pairs.",
+    "sim_hybrid_rrf": "RRF fusion: BM25 posting lists and one map-only "
+    "cosine pass against a broadcast query vector; both rank windows "
+    "cut to top-50 BEFORE the fusion join, so the full-outer join is "
+    "50x50-row, and the final cut is TakeOrderedAndProject.",
+    "dedup_embedding_lsh": "Hyperplane-LSH near-dup: signatures from "
+    "one Arrow-batched matmul (map-only); the band equi-join moves "
+    "(vec_id, band, value) scalars only — arrays are fetched by id "
+    "AFTER the candidate dedup, and no all-pairs stage exists in the "
+    "plan.",
 }
 
 
