@@ -263,6 +263,18 @@ SHOW = {
     "(vec_id, band, value) scalars only — arrays are fetched by id "
     "AFTER the candidate dedup, and no all-pairs stage exists in the "
     "plan.",
+    "pipeline_feature_store_e2e": "Point-in-time feature backfill: "
+    "ONE custkey shuffle serves all four leakage-safe RANGE frames "
+    "(shared partitioning + sort); the customer dimension joins "
+    "broadcast — no self-join, no per-entity loop.",
+    "curation_gate_parity_audit": "Disparate-impact audit: scoring "
+    "and gating fuse into the scan stage (map-side codegen); the "
+    "only corpus exchange is the per-source collapse, and the "
+    "four-fifths window runs on the source-count-sized frame.",
+    "analytics_market_basket": "Market basket: DISTINCT (order, part) "
+    "once; the pair stage self-equi-joins on orderkey so cost is "
+    "bounded by basket size squared, never corpus squared; n_ab >= 2 "
+    "filters before lift; top-20 is TakeOrderedAndProject.",
 }
 
 
