@@ -2559,7 +2559,11 @@ def test_count_verdicts_withheld_small_counts(spark, sf_dir):
     )
     li = pd.DataFrame(
         {"l_returnflag": ["A"] * 6 + ["R"] * 6,
-         "l_discount": [0.0, 0.01, 0.02, 0.03, 0.04, 0.05] * 2}
+         "l_discount": [0.0, 0.01, 0.02, 0.03, 0.04, 0.05] * 2,
+         # non-constant so Levene's within_ss > 0 (its k=2 trips the
+         # F(2, inf)-literal guard, not the domain filter)
+         "l_extendedprice": [100.0, 110.0, 120.0, 130.0, 140.0,
+                             150.0] * 2}
     )
     docs = pd.DataFrame(
         {"doc_id": list(range(12)),
@@ -2618,6 +2622,17 @@ def test_count_verdicts_withheld_small_counts(spark, sf_dir):
         assert ca["significant_5pct"] is None
         assert oracle_verdicts(
             "stats_cochran_armitage", "significant_5pct") == [None]
+        # Levene: k = 2 != 3 (and within-df 10 < 500) -> the F(2, inf)
+        # literal 2.9957 does not apply; W stays reported (the r10
+        # sweep applying the ANOVA guard envelope to the last
+        # unguarded F literal).
+        from powersql_spark.operators.analytics_ext import stats_levene
+
+        lv = stats_levene(spark, sf_dir).collect()[0]
+        assert lv["k"] == 2
+        assert lv["w_stat"] is not None
+        assert lv["reject_05"] is None
+        assert oracle_verdicts("stats_levene", "reject_05") == [None]
         # Composite: srm + proportion_z rows withhold identically
         # (shared guard expressions, never re-derived).
         e2e = {
@@ -2808,6 +2823,22 @@ def test_ladder_verdicts_drop_not_rerank(spark, sf_dir):
         dunnt = _both("stats_dunn_posthoc", stats_dunn_posthoc)
         assert all(v is None for v in dunnt["z_stat"])
         assert all(v is None for v in dunnt["significant_bonf"])
+        # Friedman on the same all-tied frame: both users are complete
+        # k=5 blocks, every within-block rank ties -> A1 = C1 makes
+        # Conover's T1 0/0 -> statistic AND verdict withheld on BOTH
+        # engines (never an engine div-by-zero artifact).
+        from powersql_spark.operators.analytics_ext import (
+            stats_friedman_test,
+        )
+
+        fr = stats_friedman_test(spark, sf_dir).collect()[0]
+        assert fr["n_blocks"] == 2
+        assert fr["chi2_f"] is None
+        assert fr["significant_5pct"] is None
+        fro = con.execute(
+            SP["stats_friedman_test"].oracle).df()
+        assert pd.isna(fro["chi2_f"][0])
+        assert pd.isna(fro["significant_5pct"][0])
     finally:
         spark.catalog.dropTempView("events")
         getattr(spark, "_powersql_views", {}).pop("events", None)
