@@ -658,11 +658,12 @@ _MCNEMAR_CRIT = 3.841  # chi-square(1 df), 5%
                " (abs(only_a - only_b) - 1)"
                " * (abs(only_a - only_b) - 1) * 1e0"
                " / (only_a + only_b) END", 6)} AS chi2_cc,
-           CASE WHEN only_a + only_b = 0 THEN FALSE ELSE
+           CASE WHEN only_a + only_b = 0 THEN FALSE
+                WHEN only_a + only_b >= 25 THEN
                (abs(only_a - only_b) - 1)
                * (abs(only_a - only_b) - 1) * 1e0
-               / (only_a + only_b) > {_MCNEMAR_CRIT} END
-               AS gates_differ_05
+               / (only_a + only_b) > {_MCNEMAR_CRIT}
+           END AS gates_differ_05
     FROM cells
     """,
 )
@@ -673,13 +674,13 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuity-corrected chi2 = (|b-c|-1)^2/(b+c) over the discordant
     cells only, and the 5% verdict. The right test when comparing two
     filters/classifiers on one corpus — a two-proportion z-test would
-    ignore the pairing. Small-sample note (audited against the
-    ADVICE-r6 anti-conservatism pattern): at tiny discordant counts
-    the continuity-corrected chi2 under-rejects relative to the exact
-    binomial (e.g. b=5,c=0: chi2_cc 3.2 vs exact p 0.0625; b=6,c=0:
-    chi2_cc 4.17 vs exact p 0.031 — both gates agree), so the verdict
-    is conservative, never inflated; an exact-binomial variant is the
-    upgrade path if sub-25 discordant counts ever need sharp power.
+    ignore the pairing. Small-sample boundary (r10 sweep, closing the
+    ADVICE-r6 anti-conservatism note as a guard instead of a doc): at
+    sub-25 discordant counts the chi2(1) asymptote is exact-binomial
+    territory (e.g. b=5,c=0: chi2_cc 3.2 vs exact p 0.0625), so the
+    verdict is WITHHELD (NULL) for 1-24 discordants, chi2_cc stays
+    reported, and zero discordants remains the deterministic FALSE —
+    mirrored in the oracle and pinned by the replay test.
 
     Scale shape: one scan, map-only gate evaluation, four conditional
     counts per source with map-side partials; the statistic is
@@ -717,8 +718,14 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only_b",
         "neither",
         F.round(chi2, 6).alias("chi2_cc"),
+        # Zero discordant pairs is a DETERMINISTIC no-difference
+        # (FALSE, not withheld); 1-24 discordants sit below the
+        # chi2(1) continuity-corrected asymptote's >= 25 rule (exact
+        # binomial territory), so the verdict is withheld (NULL)
+        # there while chi2_cc stays reported — asymptotic-verdict
+        # discipline, oracle-mirrored.
         F.when(disc == 0, F.lit(False))
-        .otherwise(dev * dev * 1.0 / disc > _MCNEMAR_CRIT)
+        .when(disc >= 25, dev * dev * 1.0 / disc > _MCNEMAR_CRIT)
         .alias("gates_differ_05"),
     )
 

@@ -1401,9 +1401,11 @@ _MK_Z = (
            CAST(s_stat AS BIGINT) AS s_stat,
            CAST(n_pairs AS BIGINT) AS n_pairs,
            {_MK_Z} AS z_stat,
-           CASE WHEN {_MK_Z} > 1.96 THEN 'increasing'
-                WHEN {_MK_Z} < -1.96 THEN 'decreasing'
-                ELSE 'no_trend' END AS trend
+           CASE WHEN n >= 10 THEN
+               CASE WHEN {_MK_Z} > 1.96 THEN 'increasing'
+                    WHEN {_MK_Z} < -1.96 THEN 'decreasing'
+                    ELSE 'no_trend' END
+           END AS trend
     FROM pair_s p
     JOIN pts USING (user_id)
     JOIN ties USING (user_id)
@@ -1415,7 +1417,10 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone-trend detector (S = sum of pairwise value-order signs,
     tie-corrected normal approximation with continuity correction) —
     the significance companion to ts_theilsen_slope's magnitude: MK
-    says WHETHER a series trends, Theil-Sen says how fast.
+    says WHETHER a series trends, Theil-Sen says how fast. The
+    S -> z normal approximation is a >= 10-point rule (Gilbert 1987):
+    shorter series report z but the trend CALL is withheld (NULL) —
+    r10 sweep of the asymptotic-verdict class, oracle-mirrored.
 
     Scale shape: the pairwise stage is the same EQUI-join on the
     series key as Theil-Sen — O(L^2) only in the bounded per-entity
@@ -1490,10 +1495,16 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_stat").cast("bigint").alias("s_stat"),
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         z.alias("z_stat"),
-        F.when(z > 1.96, "increasing")
-        .when(z < -1.96, "decreasing")
-        .otherwise("no_trend")
-        .alias("trend"),
+        # The S -> z normal approximation is a >= 10-point rule
+        # (Gilbert 1987); below it the trend CALL is withheld (NULL)
+        # while z stays reported — the asymptotic-verdict discipline
+        # (VERDICT r8-r10 class), mirrored in the oracle.
+        F.when(
+            F.col("n") >= 10,
+            F.when(z > 1.96, "increasing")
+            .when(z < -1.96, "decreasing")
+            .otherwise("no_trend"),
+        ).alias("trend"),
     ).orderBy("user_id")
 
 
@@ -3355,9 +3366,10 @@ def ts_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
                "n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)"
                " + r3 * r3 / (n - 3) + r4 * r4 / (n - 4))", 4)}
                AS q_stat,
-           n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
-               + r3 * r3 / (n - 3) + r4 * r4 / (n - 4)) > 9.4877
-               AS reject_white_noise_05
+           CASE WHEN n >= 20 THEN
+               n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                   + r3 * r3 / (n - 3) + r4 * r4 / (n - 4)) > 9.4877
+           END AS reject_white_noise_05
     FROM r
     WHERE n > 5
     """,
@@ -3368,7 +3380,11 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha=0.05) — the 'is ANY autocorrelation left' gate run on
     forecaster residuals (ts_forecast_backtest) and before trusting
     i.i.d.-assuming tests, where ts_pacf_durbin diagnoses WHICH lag
-    carries the structure.
+    carries the structure. The Q -> chi2(4) asymptote needs the lag
+    count small relative to the series (h <= n/5, Hyndman's rule:
+    h = 4 -> n >= 20): below that the verdict is withheld (NULL)
+    while Q stays reported (r10 sweep of the asymptotic-verdict
+    class).
 
     Scale shape: identical cost to the PACF key — one daily collapse,
     decimal-exact ACF sufficient statistics on one row, closed-form
@@ -3418,7 +3434,14 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n",
             F.round(q, 4).alias("q_stat"),
-            (q > 9.4877).alias("reject_white_noise_05"),
+            # Q -> chi2(4) needs the lag count small relative to the
+            # series (h <= n/5, Hyndman's rule: h=4 -> n >= 20);
+            # below that the verdict is withheld (NULL) while Q stays
+            # reported — asymptotic-verdict discipline, mirrored in
+            # the oracle.
+            F.when(F.col("n") >= 20, q > 9.4877).alias(
+                "reject_white_noise_05"
+            ),
         )
     )
 
@@ -3724,8 +3747,7 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " / ((n_above + n_below) * (n_above + n_below)"
                    "    * (n_above + n_below - 1.0)))", 4)}
            END AS z_stat,
-           CASE WHEN n_above > 0 AND n_below > 0
-                     AND n_above + n_below > 1 THEN
+           CASE WHEN n_above >= 10 AND n_below >= 10 THEN
                abs((n_runs - (2.0 * n_above * n_below
                     / (n_above + n_below) + 1))
                    / sqrt(2.0 * n_above * n_below
@@ -3743,7 +3765,10 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering/trend, too MANY means oscillation. The nonparametric
     randomness gate beside stats_ljung_box's parametric ACF test —
     distribution-free, so it survives the heavy-tailed metrics that
-    break Gaussian assumptions.
+    break Gaussian assumptions. The z normal approximation is a
+    >= 10-per-side rule: the randomness verdict is withheld (NULL)
+    below it while z stays reported under the domain guard (r10
+    sweep of the asymptotic-verdict class).
 
     Scale shape: one (event_type, day) collapse, then every window
     (rank for the median, lag for the run boundaries) shares the
@@ -3830,7 +3855,13 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_below",
         "n_runs",
         F.when(ok, F.round(z, 4)).alias("z_stat"),
-        F.when(ok, F.abs(z) < 1.96).alias("random_ok_05"),
+        # The runs -> z normal approximation is a >= 10-per-side rule
+        # (Wald-Wolfowitz); below it the randomness VERDICT is
+        # withheld (NULL) while z stays reported under the domain
+        # guard — asymptotic-verdict discipline, oracle-mirrored.
+        F.when((n1 >= 10) & (n2 >= 10), F.abs(z) < 1.96).alias(
+            "random_ok_05"
+        ),
     )
 
 

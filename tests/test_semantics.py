@@ -3196,7 +3196,8 @@ def test_mann_kendall_matches_numpy(spark, sf_dir):
         assert r["n"] == n and r["n_pairs"] == n * (n - 1) // 2
         assert r["s_stat"] == s, (uid, r["s_stat"], s)
         assert abs(r["z_stat"] - z) < 1e-3
-        want = ("increasing" if r["z_stat"] > 1.96
+        want = (None if n < 10  # normal-approx bound: call withheld
+                else "increasing" if r["z_stat"] > 1.96
                 else "decreasing" if r["z_stat"] < -1.96 else "no_trend")
         assert r["trend"] == want
 
@@ -7258,7 +7259,9 @@ def test_ljung_box_recomputed(spark, sf_dir):
     assert row["n"] == n
     assert abs(row["q_stat"] - round(q, 4)) < 1e-2
     assert row["q_stat"] >= 0
-    assert row["reject_white_noise_05"] == (q > 9.4877)
+    assert row["reject_white_noise_05"] == (
+        (q > 9.4877) if n >= 20 else None  # h <= n/5 asymptote bound
+    )
 
 
 def test_kalman_filter_recursion_and_convergence(spark, sf_dir):
@@ -7559,7 +7562,11 @@ def test_runs_test_recomputed(spark, sf_dir):
             / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
         )
         assert abs(r["z_stat"] - (runs - mu) / sig) < 1e-3
-        assert r["random_ok_05"] == (abs((runs - mu) / sig) < 1.96)
+        assert r["random_ok_05"] == (
+            (abs((runs - mu) / sig) < 1.96)
+            if n1 >= 10 and n2 >= 10  # normal-approx per-side bound
+            else None
+        )
 
 
 def test_dtw_matches_classic_dp_and_bounds(spark, sf_dir):
@@ -7954,7 +7961,11 @@ def test_mcnemar_replays_cells_and_statistic(spark, sf_dir):
         )
         chi2 = 0.0 if b + c == 0 else (abs(b - c) - 1) ** 2 / (b + c)
         assert abs(r["chi2_cc"] - chi2) < 1e-6
-        assert r["gates_differ_05"] == (b + c > 0 and chi2 > 3.841)
+        assert r["gates_differ_05"] == (
+            False if b + c == 0           # deterministic no-difference
+            else (chi2 > 3.841) if b + c >= 25  # chi2(1) cc bound
+            else None
+        )
 
 
 def test_classification_report_replays_confusion(spark, sf_dir):

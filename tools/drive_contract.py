@@ -27,7 +27,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             if len(nn) and isinstance(nn.iloc[0], datetime.date):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             else:
-                df[c] = df[c].astype(str)
+                # SQL NULL spells differently per engine in object
+                # columns (Spark toPandas -> None, DuckDB .df() ->
+                # NaN, e.g. a withheld BOOLEAN verdict); astype(str)
+                # would hash 'None' vs 'nan' apart. Canonicalize both
+                # to one sentinel first — the same normalization
+                # already applied to datetime resolutions above.
+                df[c] = (
+                    df[c]
+                    .where(pd.notna(df[c]), "<NULL>")
+                    .astype(str)
+                )
         elif df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
         elif df[c].dtype.kind == "M":
