@@ -275,6 +275,21 @@ SHOW = {
     "once; the pair stage self-equi-joins on orderkey so cost is "
     "bounded by basket size squared, never corpus squared; n_ab >= 2 "
     "filters before lift; top-20 is TakeOrderedAndProject.",
+    # graph_kcore is deliberately NOT dumped: its two unrolled peels
+    # print as a ~450-node tree (every peel re-references the prior
+    # edge set), which is analysis-time verbosity only — every branch
+    # bottoms out in the ONE persisted strong-edge InMemoryTableScan,
+    # and all peel state is <= 25-node dimension-graph tables.
+    "ts_concurrency_sweepline": "Sweep-line concurrency: "
+    "sessionization rides ONE per-user window exchange; the +1/-1 "
+    "sweep runs on session endpoints (two rows per session, far "
+    "below event grain), ends-before-starts tie order pinned in the "
+    "sort keys.",
+    "dedup_cross_source_matrix": "Cross-source dup matrix: one "
+    "collapse to (source, fingerprint) grain, then the collapsed "
+    "table equi-joins itself on fingerprint — candidate volume "
+    "bounded by source counts per fingerprint, never corpus "
+    "all-pairs; a.source < b.source halves the matrix.",
 }
 
 
