@@ -838,9 +838,16 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact tables are touched once by the shared
     strong-edge build; each peel is one degree aggregation of the
-    current edge set plus two semi-joins back — no driver loop state,
-    and on a real graph the edge table shrinks monotonically so later
-    rounds get cheaper, the classic peel behavior."""
+    current edge set plus two semi-joins back, and the per-peel edge
+    and survivor tables are localCheckpointed (the Brandes/betweenness
+    discipline, graph.py:1941+) — without the checkpoint each peel
+    re-references the prior peel's whole tree and the ANALYZED plan
+    grows ~4x per round (~450 nodes at 2 peels; 12.6 s of mostly
+    Catalyst time at sf0.1, caught by tools/scale_smoke.py r10).
+    Checkpointed state is dimension-graph-sized (<= 650 edge rows /
+    <= 25 nodes); on a real graph the edge table also shrinks
+    monotonically so later rounds get cheaper, the classic peel
+    behavior."""
     und = _strong_edges(spark)
 
     def survivors(edges: DataFrame) -> DataFrame:
@@ -853,15 +860,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = und
-    nodes = survivors(edges)
+    nodes = survivors(edges).coalesce(1).localCheckpoint()
     for _ in range(2):  # unrolled peels (count is declared semantics)
         keep = F.broadcast(nodes.select("node"))
         edges = (
             edges.join(keep.withColumnRenamed("node", "a"), "a", "semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
+            .coalesce(1)
+            .localCheckpoint()
         )
-        nodes = survivors(edges)
+        nodes = survivors(edges).coalesce(1).localCheckpoint()
     return nodes.select(
         "node", F.col("core_degree").cast("bigint")
     ).orderBy("node")
