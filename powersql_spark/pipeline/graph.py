@@ -149,8 +149,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("p")).alias("inbound"))
         )
+        # contrib is <= one row per node (O(nations)); hint it so the
+        # rank refresh is a BroadcastHashJoin in the STATIC plan, not
+        # an SMJ that AQE must rescue at runtime (two exchanges + two
+        # sorts on 25-row sides per iteration otherwise).
         pr = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
         ).select(
             "node",
             (
@@ -1271,10 +1275,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     def half_step(scores: DataFrame, inbound: bool) -> DataFrame:
         """One HITS half-iteration + L1 normalization."""
         key, other = ("dst", "src") if inbound else ("src", "dst")
+        # Edge table and score vector are both O(nations^2)-bounded;
+        # broadcast them so each of the four unrolled half-steps is a
+        # static BroadcastHashJoin chain (same rationale as the
+        # pagerank/katz refresh hints — AQE would rescue the SMJs at
+        # runtime, but the right plan should not be conditional).
         r = (
-            nodes.join(de, nodes.node == de[key], "left")
+            nodes.join(F.broadcast(de), nodes.node == de[key], "left")
             .join(
-                scores.withColumnRenamed("node", "peer"),
+                F.broadcast(scores.withColumnRenamed("node", "peer")),
                 de[other] == F.col("peer"),
                 "left",
             )
@@ -1290,13 +1299,24 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("s")
         )
-        return r.join(F.broadcast(tot)).select(
-            "node",
-            F.when(
-                F.col("s") > 0, F.col("r").cast("double") / F.col("s")
+        # localCheckpoint the O(nations)-row score vector (the
+        # kcore/Brandes discipline): each half-step otherwise embeds
+        # the FULL prior half-step's tree, so the analyzed plan grows
+        # geometrically across the four unrolled half-steps (~900
+        # nodes, with Catalyst time to match) for a 25-row result.
+        return (
+            r.join(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("s") > 0,
+                    F.col("r").cast("double") / F.col("s"),
+                )
+                .otherwise(0.0)
+                .alias("v"),
             )
-            .otherwise(0.0)
-            .alias("v"),
+            .coalesce(1)
+            .localCheckpoint()
         )
 
     for _ in range(2):  # two declared iterations
@@ -1560,14 +1580,20 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(3):
+        # The score vector is O(nations) rows; broadcast it against
+        # the persisted edge table (pagerank already hints this side
+        # — without it each unrolled iteration is a static SMJ).
         contrib = bedges.join(
-            x.withColumnRenamed("node", "src"), "src"
+            F.broadcast(x.withColumnRenamed("node", "src")), "src"
         ).select(
             F.col("dst").alias("node"),
             (F.col("x") * F.col("w").cast("double")).alias("c"),
         )
+        # <= one row per node after the regroup; broadcast so each
+        # unrolled iteration's refresh is a static BroadcastHashJoin
+        # (same rationale as graph_pagerank's rank refresh).
         x = nodes.join(
-            contrib.groupBy("node").agg(F.sum("c").alias("s")),
+            F.broadcast(contrib.groupBy("node").agg(F.sum("c").alias("s"))),
             "node",
             "left",
         ).select(

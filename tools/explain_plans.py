@@ -202,14 +202,15 @@ SHOW = {
     "edge-build join tree + aggregation; each unrolled iteration "
     "joins the 25-row score vector against the binary edge table — "
     "bounded depth, metadata-sized frames.",
-    "graph_hits": "HITS: one-pass fact collapse to the edge list; "
-    "each half-iteration is one id-keyed join + one decimal "
-    "aggregation, the normalizer a one-row broadcast — no "
-    "driver-side state. The plan TEXT is huge because every "
-    "InMemoryTableScan of the persisted edge table reprints the "
-    "cached build's description; the fact-sized build executes ONCE "
-    "(InMemoryRelation), and everything downstream joins 25-row "
-    "frames.",
+    "graph_hits": "HITS: one-pass fact collapse to the persisted "
+    "edge list; each half-iteration is a broadcast join + one "
+    "decimal aggregation, the normalizer a one-row broadcast — no "
+    "driver-side state. Each half-step's O(nations) score vector is "
+    "localCheckpointed (the kcore/Brandes discipline): without it "
+    "the analyzed plan re-embedded the full prior half-step's tree "
+    "each step (~900 nodes, 35 s of mostly Catalyst time for a "
+    "25-row result; 10 s after), so the plan below shows the final "
+    "half-step over checkpointed RDD scans.",
     "sketch_ams_f2": "AMS F2: one exchange collapses the corpus to "
     "the per-key count table; the 64 sign counters and exact F2 ride "
     "ONE single-row aggregate — constant, linearly mergeable state.",
@@ -290,6 +291,126 @@ SHOW = {
     "table equi-joins itself on fingerprint — candidate volume "
     "bounded by source counts per fingerprint, never corpus "
     "all-pairs; a.source < b.source halves the matrix.",
+    # --- r10: the remaining bench headline queries, so every one of
+    # the 63 carries a pinned plan audit. ---
+    "join_inner": "Fact-dim-dim star join: both dimensions broadcast "
+    "(BuildRight), the fact table is scanned once with its filter "
+    "pushed; no shuffle anywhere in the join tree.",
+    "agg_sum": "Grouped SUM: partial HashAggregate below the single "
+    "exchange — only (group, partial-sum) state shuffles, map-side "
+    "combine does the data-sized work.",
+    "window_fns": "Rank/lag window: exactly ONE hash exchange on the "
+    "partition key feeds the in-partition sort; the rank filter "
+    "applies inside the window stage, before any further movement.",
+    "subq_exists": "EXISTS decorrelates to a LeftSemi "
+    "BroadcastHashJoin — the filtered subquery side broadcasts; the "
+    "probe side streams with no exchange.",
+    "window_session": "Sessionization lowers to native "
+    "MergingSessions over one exchange on the session key: "
+    "per-partition partial session state merges at the exchange, so "
+    "gap-stitching never needs a second shuffle.",
+    "sim_topk_bruteforce": "Exact cosine top-k: the 1-row query "
+    "vector broadcasts (BroadcastNestedLoopJoin of a 1-row build "
+    "side = map-only attach); scoring fuses into the corpus scan and "
+    "the cut is TakeOrderedAndProject — no global sort, no shuffle "
+    "of the corpus.",
+    "text_quality_score": "Gopher-style quality components: pure "
+    "map-only codegen — tokenize/ratio/score all fuse into the "
+    "document scan; the plan has zero exchanges.",
+    "tpch_q6": "Forecast-revenue filter+agg: all three predicates "
+    "push to the scan (PushedFilters), partial aggregate below the "
+    "single exchange, which carries ONE row of partial state.",
+    "tpch_q10": "Returned-items report: lineitem scanned once with "
+    "the returnflag filter pushed; customer/orders/nation all "
+    "broadcast; the top-20-by-revenue cut is TakeOrderedAndProject.",
+    "text_chunk": "64/48 sliding-window chunking: Generate (the "
+    "stride explode) fuses into the scan stage inside WholeStageCodegen "
+    "— map-only, zero exchanges; chunk count scales the OUTPUT, not "
+    "any shuffle.",
+    "tpch_q13": "Customer order-count distribution: the orders-side "
+    "aggregate collapses to per-customer counts BEFORE the LeftOuter "
+    "join, and that count table broadcasts — customer never "
+    "shuffles; the histogram regroup runs on count-sized state.",
+    "tpch_q8": "Market-share: an eight-way join tree where every "
+    "dimension (part/supplier/customer/nation x2/region/orders-side "
+    "filters) broadcasts — lineitem is the only fact-sized scan and "
+    "it never exchanges before the final two-level aggregate.",
+    "funnel_conversion": "Step funnel: per-user ordered step "
+    "timestamps derive from THREE windows sharing ONE exchange+sort "
+    "(same partition key, Catalyst reuses the sort order); the "
+    "conversion rollup then runs on per-user step flags.",
+    "sketch_countmin_bigrams": "Count-min over bigrams: the exploded "
+    "bigram relation is cached once (InMemoryRelation reused by both "
+    "the sketch and the truth side); the sketch is a (depth x width) "
+    "constant-state aggregate; heavy-hitter verification joins "
+    "TakeOrderedAndProject output against the broadcast truth.",
+    "graph_pagerank": "PageRank, 3 unrolled iterations: the "
+    "fact-sized edge build runs ONCE into a persisted O(nations^2) "
+    "transition table (every iteration branch bottoms out in the "
+    "same InMemoryRelation); each iteration is a broadcast join of "
+    "the 25-row rank vector + one grouped sum, and the rank-vector "
+    "refresh joins broadcast too — no fact-sized exchange after the "
+    "edge aggregate.",
+    "dedup_url_canonical": "URL canonicalization dedup: normalize "
+    "fuses into the scan (map-only), then ONE exchange on the "
+    "canonical key with partial count/min below it — raw URLs never "
+    "shuffle twice.",
+    "ts_lttb_downsample": "LTTB: one hash exchange on the series key "
+    "+ partition-local sort feed a single MapInPandas — each "
+    "partition's series walk in one Arrow round-trip (NOT "
+    "per-series applyInPandas, which paid one Python call per key).",
+    "join_temporal_scd2": "SCD2 temporal join: change rows get "
+    "valid-to via LEAD over one per-key window exchange; the union "
+    "with the open tail re-windows on the SAME key so the second "
+    "exchange is the only addition — no range join, no cross "
+    "product.",
+    "path_trigram_topk": "Clickstream trigrams: per-user paths "
+    "collapse via ObjectHashAggregate (collect_list) on one "
+    "exchange; trigram Generate runs on the collapsed per-user rows; "
+    "partial counts precede the gram exchange and the top-k is "
+    "TakeOrderedAndProject.",
+    "stats_ks_two_sample": "Two-sample KS: each side collapses to "
+    "its value-grain ECDF (partial aggs + one exchange per side, "
+    "both value-distinct-sized); the 1-row count frames broadcast "
+    "(BroadcastNestedLoopJoin of a 1-row build side); the sup-gap "
+    "scan is a window over the merged ECDF, and the statistic exits "
+    "via TakeOrderedAndProject(1).",
+    "layout_hilbert": "Hilbert layout: the 1-row min/max bounds "
+    "frame broadcasts; all 8 xy2d rotation steps are CHAINED "
+    "PROJECTIONS fused map-side (named columns, not exponentially "
+    "nested expressions); the only exchange is the final per-bucket "
+    "rollup.",
+    "ts_downsample_m4": "M4 downsample: ONE exchange on the series "
+    "key; min/max/first/last per pixel bucket via SortAggregate "
+    "reusing the window's sort order — the four extremes shuffle as "
+    "partial state, never raw points twice.",
+    "funnel_window_depth": "windowFunnel-style depth: per-user event "
+    "sequences collapse through ObjectHashAggregate on one exchange; "
+    "the in-order step walk is an array fold over each user's "
+    "collected (ts, step) pairs — corpus touches one shuffle total.",
+    "pipeline_rag_e2e": "RAG index+retrieve end-to-end: chunking "
+    "explodes map-side and broadcasts into the embedding attach; "
+    "centroids collapse to a constant cells-x-dims table that "
+    "broadcasts into the probe; probed-cell candidates only reach "
+    "the scorer and the top-5 is TakeOrderedAndProject — the corpus "
+    "pays one scan + one manifest aggregate, nothing quadratic.",
+    "text_rake_keywords": "RAKE: the tokenized corpus caches ONCE "
+    "(every branch bottoms out in the same InMemoryRelation); "
+    "word-degree and phrase-score sides are vocabulary-sized "
+    "aggregates; the one SortMergeJoin joins two vocabulary-grain "
+    "tables (both far below corpus grain); top-k is "
+    "TakeOrderedAndProject.",
+    "text_textrank_keywords": "TextRank: the corpus pays ONE "
+    "posexplode + per-doc LEAD window into a cached vocabulary-sized "
+    "edge table; all 3 PageRank iterations join rank vectors "
+    "broadcast against that InMemoryRelation; the top-20 cut runs "
+    "before the final co-occurrence annotate.",
+    "sim_ivf_nprobe_curve": "IVF nprobe sweep: the corpus is scored "
+    "ONCE against the 5-query broadcast batch into a persisted "
+    "candidate table; truth, every nprobe point, and the cost axis "
+    "all read that InMemoryRelation; sweep-point joins run on "
+    "cell-pruned candidate rows (SortMergeJoin of sub-corpus "
+    "derived tables), never re-scanning the corpus.",
 }
 
 
