@@ -592,11 +592,19 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(w_all)
             .cast("double")
         )
-        p = raw.select(
-            "event_type",
-            F.round(F.col("p") * m / tot, 10)
-            .cast("double")
-            .alias("p"),
+        # localCheckpoint the 5-row rating vector per MM round (the
+        # kcore/HITS discipline): each round reads `p` twice (p_i and
+        # p_j sides), so the analyzed plan doubles per round without
+        # truncation — pure Catalyst overhead on constant-size state.
+        p = (
+            raw.select(
+                "event_type",
+                F.round(F.col("p") * m / tot, 10)
+                .cast("double")
+                .alias("p"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
         )
     return (
         wintot.join(p, "event_type")

@@ -520,9 +520,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("node", F.col("lbl").alias("new_lbl"))
         )
-        labels = labels.join(F.broadcast(best), "node", "left").select(
-            "node",
-            F.coalesce("new_lbl", "lbl").alias("lbl"),
+        # localCheckpoint the O(nations)-row label vector per round
+        # (kcore/Brandes/HITS discipline): each round reads `labels`
+        # twice (vote join + refresh), doubling the analyzed plan per
+        # round without truncation.
+        labels = (
+            labels.join(F.broadcast(best), "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+            )
+            .coalesce(1)
+            .localCheckpoint()
         )
     return labels.select(
         F.col("node").alias("n_nationkey"),
@@ -619,10 +628,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         relaxed = sym.join(
             F.broadcast(dist), sym.src == dist.node
         ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        # localCheckpoint the O(nations)-row distance table per hop
+        # (kcore/HITS discipline): each hop reads `dist` twice (the
+        # relax join + the union), doubling the analyzed plan per
+        # round without truncation.
         dist = (
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .coalesce(1)
+            .localCheckpoint()
         )
     nodes = spark.table("nation").select(
         F.col("n_nationkey").alias("node")
@@ -1439,6 +1454,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         peer = lbl.select(
             F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
         )
+        # localCheckpoint the O(nations)-row label table per round
+        # (kcore/Brandes/HITS discipline): each round references lbl
+        # TWICE (self + peer), so without truncation the analyzed
+        # plan doubles per round — ~8x the base lineage at 3 rounds,
+        # pure Catalyst overhead for a 25-row state table.
         lbl = (
             lbl.join(sym, lbl.node == sym.src, "left")
             .join(peer, F.col("dst") == F.col("pnode"), "left")
@@ -1450,6 +1470,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("new_lbl")
             )
             .select("node", F.col("new_lbl").alias("lbl"))
+            .coalesce(1)
+            .localCheckpoint()
         )
     from powersql_spark.catalog import track_persist
 
