@@ -562,6 +562,9 @@ def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_pagerank")
     assert plan.count("BroadcastHashJoin") >= _N_PAGERANK_JOINS
     assert "CartesianProduct" not in plan
+    # r10: the per-iteration rank refresh is broadcast-hinted, so the
+    # STATIC plan carries no SMJ for AQE to rescue at runtime.
+    assert "SortMergeJoin" not in plan
 
 
 def test_gap_islands_single_partitioning_no_join(spark, sf_dir):
@@ -2170,6 +2173,9 @@ def test_katz_edge_table_iterations(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "edge table not cached"
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+    # r10: both the contribution join (score vector vs edge table)
+    # and the refresh join are broadcast-hinted — no static SMJ.
+    assert "SortMergeJoin" not in plan
 
 
 def test_alert_episodes_daily_collapse(spark, sf_dir):
