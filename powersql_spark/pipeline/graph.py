@@ -1337,11 +1337,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(2):  # two declared iterations
         cur_a = half_step(cur_h, inbound=True)
         cur_h = half_step(cur_a, inbound=False)
+    # Checkpointed LogicalRDDs carry no size stats, so the static
+    # planner cannot auto-broadcast this 25-row x 25-row final join —
+    # hint it, same rationale as the pagerank/katz refresh hints.
     return (
         cur_h.withColumnRenamed("v", "hub")
         .join(
-            cur_a.withColumnRenamed("v", "authority").withColumnRenamed(
-                "node", "anode"
+            F.broadcast(
+                cur_a.withColumnRenamed("v", "authority")
+                .withColumnRenamed("node", "anode")
             ),
             F.col("node") == F.col("anode"),
         )
@@ -1473,9 +1477,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .coalesce(1)
             .localCheckpoint()
         )
-    from powersql_spark.catalog import track_persist
-
-    lbl = track_persist(lbl)
+    # lbl exits the loop as an eagerly materialized localCheckpoint
+    # RDD (already cached blocks), so the track_persist() that used to
+    # guard the three census readers would be a redundant second cache
+    # layer over 25 rows.
     m = und.agg(F.count("*").alias("m"))
     la = lbl.select(F.col("node").alias("na"), F.col("lbl").alias("ca"))
     lb = lbl.select(F.col("node").alias("nb"), F.col("lbl").alias("cb"))
