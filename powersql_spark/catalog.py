@@ -158,6 +158,64 @@ def track_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint()`` with session-scoped lifecycle tracking.
+
+    Iterative operators (PageRank/HITS/BFS/LPA/k-core/Brandes,
+    Bradley-Terry) truncate their per-round lineage by
+    localCheckpointing the O(nations)-row state vector each round.
+    Two properties of that pattern are centralized here instead of
+    being re-documented at every call site:
+
+    - **Lifecycle.** Checkpointed blocks live in the RDD storage
+      layer, NOT the CacheManager, so ``DataFrame.unpersist()`` is a
+      no-op on them and they would otherwise only be freed when the
+      ContextCleaner GCs the last reference. Each checkpointed frame
+      is therefore recorded on the session and explicitly freed by
+      :func:`release_persisted` at the next query invocation, via the
+      underlying ``LogicalRDD``'s JVM RDD handle. Blocks are tiny
+      (coalesce(1), tens of rows) but per-round × per-key unbounded
+      over a 500-key sweep without this.
+    - **Local-mode assumption.** ``localCheckpoint`` is deliberately
+      the NON-reliable variant: lineage is truncated and the blocks
+      are executor-local, so on a real cluster an executor loss makes
+      recomputation impossible and fails the query. That is the right
+      trade for this repo's driver geometry (single-JVM local mode —
+      no executor can be lost independently of the whole session). On
+      a multi-executor deployment with dynamic allocation, swap this
+      helper's body for ``spark.sparkContext.setCheckpointDir`` + a
+      reliable ``checkpoint()`` — one central switch, because every
+      iterative operator routes through here.
+
+    Note for driver-contract callers: because checkpointing is eager,
+    building an iterative key's frame via ``queries()[key](...)``
+    executes real Spark jobs at construction time (see README,
+    "Driver contract").
+    """
+    out = df.localCheckpoint()
+    spark = out.sparkSession
+    reg = getattr(spark, "_powersql_checkpointed", None)
+    if reg is None:
+        reg = []
+        spark._powersql_checkpointed = reg
+    reg.append(out)
+    return out
+
+
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Unpersist the checkpointed RDD behind a localCheckpoint frame.
+
+    ``DataFrame.unpersist()`` only talks to the CacheManager, and
+    ``df.rdd.unpersist()`` targets a derived (Python-conversion) RDD —
+    neither frees localCheckpoint storage. The checkpointed RDD itself
+    is the ``LogicalRDD`` leaf's ``rdd`` field (verified: storage-info
+    count drops to zero when it is unpersisted)."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+    except Exception:
+        pass  # non-LogicalRDD plan or teardown race: GC will reclaim
+
+
 def release_persisted(spark: SparkSession) -> None:
     """Unpersist every frame recorded by :func:`track_persist`.
 
@@ -171,14 +229,21 @@ def release_persisted(spark: SparkSession) -> None:
     if getattr(spark, "_powersql_keep_persisted", False):
         return
     reg = getattr(spark, "_powersql_persisted", None)
-    if not reg:
-        return
-    for df in reg:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session teardown races are benign
-    reg.clear()
+    if reg:
+        for df in reg:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session teardown races are benign
+        reg.clear()
+    creg = getattr(spark, "_powersql_checkpointed", None)
+    if creg:
+        # Same lifecycle contract as the persist registry: by the time
+        # the NEXT query runs, the previous result has been
+        # materialized, so its checkpointed round-state is dead weight.
+        for df in creg:
+            _free_checkpoint_blocks(df)
+        creg.clear()
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
-from powersql_spark.catalog import spread, track_persist
+from powersql_spark.catalog import spread, track_checkpoint, track_persist
 from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
@@ -783,7 +783,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 ).alias("lab"),
                 (F.col("nlab") < F.col("lab")).alias("changed"),
             )
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
         n_changed = new_labels.where(F.col("changed")).count()
         labels.unpersist()

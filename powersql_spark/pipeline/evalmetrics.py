@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import track_checkpoint
 from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
@@ -604,7 +605,7 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("p"),
             )
             .coalesce(1)
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
     return (
         wintot.join(p, "event_type")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import track_checkpoint
 from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
@@ -531,7 +532,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("new_lbl", "lbl").alias("lbl"),
             )
             .coalesce(1)
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
     return labels.select(
         F.col("node").alias("n_nationkey"),
@@ -637,7 +638,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .coalesce(1)
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
     nodes = spark.table("nation").select(
         F.col("n_nationkey").alias("node")
@@ -879,7 +880,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = und
-    nodes = survivors(edges).coalesce(1).localCheckpoint()
+    nodes = survivors(edges).coalesce(1).transform(track_checkpoint)
     for _ in range(2):  # unrolled peels (count is declared semantics)
         keep = F.broadcast(nodes.select("node"))
         edges = (
@@ -887,9 +888,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
             .coalesce(1)
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
-        nodes = survivors(edges).coalesce(1).localCheckpoint()
+        nodes = survivors(edges).coalesce(1).transform(track_checkpoint)
     return nodes.select(
         "node", F.col("core_degree").cast("bigint")
     ).orderBy("node")
@@ -1331,7 +1332,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("v"),
             )
             .coalesce(1)
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
 
     for _ in range(2):  # two declared iterations
@@ -1475,7 +1476,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("node", F.col("new_lbl").alias("lbl"))
             .coalesce(1)
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
     # lbl exits the loop as an eagerly materialized localCheckpoint
     # RDD (already cached blocks), so the track_persist() that used to
@@ -1843,7 +1844,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan printer long before any data pressure). The frame is
         # <= nations^2 rows, so the eager materialization is constant
         # work per round.
-        r = r.unionAll(hop).distinct().coalesce(1).localCheckpoint()
+        r = r.unionAll(hop).distinct().coalesce(1).transform(track_checkpoint)
     mutual = (
         r.alias("p")
         .join(
@@ -2000,7 +2001,7 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .coalesce(1)
-        .localCheckpoint()
+        .transform(track_checkpoint)
     )
     # Checkpointed so the first frontier-vs-adjacency join is not an
     # ambiguous self-join (f1 is derived from adj).
@@ -2009,7 +2010,7 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
         F.col("nbr").alias("dst"),
         F.lit(1).alias("d"),
         F.lit(1).cast("bigint").alias("sigma"),
-    ).localCheckpoint()
+    ).transform(track_checkpoint)
     acc = (
         nodes.select(
             F.col("node").alias("src"),
@@ -2019,7 +2020,7 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
         )
         .unionAll(f)
         .coalesce(1)
-        .localCheckpoint()
+        .transform(track_checkpoint)
     )
     for l in range(2, _BFS_ROUNDS + 2):
         hop = (
@@ -2036,9 +2037,9 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
         f = (
             hop.join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
             .coalesce(1)
-            .localCheckpoint()
+            .transform(track_checkpoint)
         )
-        acc = acc.unionAll(f).coalesce(1).localCheckpoint()
+        acc = acc.unionAll(f).coalesce(1).transform(track_checkpoint)
     # ADVICE r6: the unrolled BFS is exact only while the diameter is
     # <= _BFS_ROUNDS + 1; on a sparser edge distribution it would
     # silently drop longer shortest paths. Guard loudly: one more

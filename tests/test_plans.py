@@ -1035,7 +1035,14 @@ def test_label_propagation_cached_adjacency(spark, sf_dir):
     checkpointed vector's scan, constant-size."""
     plan = plan_of(spark, sf_dir, "graph_label_propagation")
     assert "ExistingRDD" in plan, "label state not checkpointed"
-    assert len(plan.splitlines()) < 40, "round lineage not truncated"
+    # Structural truncation gate (not a line count, which is tied to a
+    # Spark version's plan formatting): without the checkpoint every
+    # round re-embeds its vote-join + refresh-join subtree, so the
+    # final plan carries ~2 joins and a fact-table scan per round.
+    # Truncated, it is a pure projection over the last checkpointed
+    # vector: zero joins, zero parquet scans.
+    assert plan.count("Join") == 0, "round join subtrees not truncated"
+    assert ".parquet" not in plan, "fact scan leaked past the checkpoint"
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
 
@@ -1309,7 +1316,11 @@ def test_bfs_frontier_broadcasts(spark, sf_dir):
     truncated lineage, broadcast final join, no cartesian/Python."""
     plan = plan_of(spark, sf_dir, "graph_bfs_hops")
     assert "ExistingRDD" in plan, "distance state not checkpointed"
-    assert len(plan.splitlines()) < 40, "hop lineage not truncated"
+    # Structural truncation gate: each untruncated hop re-embeds a
+    # frontier-expansion join, so the final plan would hold one join
+    # (+ an edge scan) PER HOP. Truncated, only the final nodes⋈dist
+    # broadcast join remains.
+    assert plan.count("Join") <= 2, "hop join subtrees not truncated"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -1765,9 +1776,12 @@ def test_hits_iterations_on_cached_edges(spark, sf_dir):
     of Catalyst time before; ~20 nodes, 10 s total after)."""
     plan = plan_of(spark, sf_dir, "graph_hits")
     assert "ExistingRDD" in plan, "half-step state not checkpointed"
-    # The checkpoint keeps the analyzed tree constant-size per step;
-    # without it the plan text ran to hundreds of lines.
-    assert len(plan.splitlines()) < 60, "half-step lineage not truncated"
+    # Structural truncation gate: untruncated, every half-step embeds
+    # its score join against the edge table (~2 joins per iteration,
+    # hundreds of plan nodes). Truncated, only the final
+    # hub⋈authority join over checkpointed RDD scans remains.
+    assert plan.count("Join") <= 2, "half-step join subtrees not truncated"
+    assert ".parquet" not in plan, "fact scan leaked past the checkpoint"
     # Checkpointed RDDs have no size stats, so the final hub⋈authority
     # join must be broadcast-HINTED or it plans as a static SMJ.
     assert "SortMergeJoin" not in plan

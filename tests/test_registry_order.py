@@ -48,7 +48,13 @@ def test_manifest_covers_registry_exactly():
 
 
 def test_no_banked_key_occupies_a_window_slot():
-    window = KEYS[:50]
+    """No banked key may sit ahead of any unbanked key. While ≥50 keys
+    are unbanked this means the 50-slot window is banked-free; in the
+    endgame (<50 unbanked) the window's remaining slots are necessarily
+    backfilled by banked keys — the driver then re-verifies those, which
+    is harmless (and extra evidence), so only the unbanked prefix is
+    gated."""
+    window = KEYS[: min(50, len(UNBANKED))]
     overlap = set(window) & BANKED
     assert overlap == set(), (
         f"banked-green keys occupy driver window slots: {sorted(overlap)}"

@@ -17,18 +17,20 @@ from powersql_spark.registry import _driver_green, all_specs
 
 
 def test_current_window_is_all_unverified():
-    """Whatever the current window holds, none of it may be banked; and
-    while unbanked keys remain, the window must be full of them."""
+    """All unbanked keys precede all banked keys, so the driver window
+    (a 50-key prefix) is filled with unbanked keys first. In the
+    endgame, when fewer than 50 keys are unbanked, the remaining window
+    slots backfill with banked keys by construction — the driver then
+    re-verifies those, which is harmless — so the gate is on the
+    unbanked prefix, not a blanket first-50 exclusion."""
     keys = list(all_specs())
-    window = keys[:50]
     banked = _driver_green()
+    unbanked = [k for k in keys if k not in banked]
+    window = keys[: min(50, len(unbanked))]
     assert not (set(window) & banked), (
         "banked-green keys occupy driver window slots"
     )
-    unbanked = [k for k in keys if k not in banked]
-    assert len(window) == min(50, len(keys))
-    if len(unbanked) >= 50:
-        assert set(window) <= set(unbanked)
+    assert window == unbanked[: len(window)]
 
 
 def test_green_keys_rotate_to_back(tmp_path):
