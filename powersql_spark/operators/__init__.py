@@ -16,6 +16,7 @@ from powersql_spark.operators import (  # noqa: F401
     projection,
     scans,
     sorts_sets,
+    stats_more,
     subqueries,
     tpch,
     tpch_more,

@@ -2667,3 +2667,158 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_suppkey
+    ),
+    tot AS (
+        SELECT p_brand, SUM(CAST(r AS DECIMAL(28,2))) AS t,
+               COUNT(*) AS n_suppliers
+        FROM rev GROUP BY p_brand
+    )
+    SELECT r.p_brand,
+           CAST(ANY_VALUE(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           round(CAST(SUM(CAST(round(
+               10000.0 * pow(r.r / CAST(t.t AS DOUBLE), 2), 8)
+               AS DECIMAL(38,8))) AS DOUBLE), 2) AS hhi,
+           CASE WHEN CAST(SUM(CAST(round(
+                    10000.0 * pow(r.r / CAST(t.t AS DOUBLE), 2), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) >= 2500
+                    THEN 'high'
+                WHEN CAST(SUM(CAST(round(
+                    10000.0 * pow(r.r / CAST(t.t AS DOUBLE), 2), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) >= 1500
+                    THEN 'moderate'
+                ELSE 'unconcentrated' END AS doj_class
+    FROM rev r JOIN tot t ON t.p_brand = r.p_brand
+    GROUP BY r.p_brand
+    ORDER BY r.p_brand
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per brand:
+    HHI = sum over suppliers of (10000 x revenue share)^2, classed by
+    the DOJ merger-guideline bands (<1500 unconcentrated, 1500-2500
+    moderate, >=2500 high) — the market-structure readout behind
+    supplier-risk and single-source-dependency dashboards, completing
+    the inequality family (agg_gini_revenue: person-level inequality;
+    this: market-level concentration).
+
+    Scale shape: one corpus collapse to (brand, supplier) revenue
+    cells — bounded by the brand x supplier grid, not row count;
+    brand totals are an aggregation of that cell table joined back
+    brand-wise. Shares square exact decimal revenues; the HHI terms
+    are 8dp-rounded and decimal-summed (order-independent)."""
+    rev = (
+        spark.table("lineitem")
+        .join(
+            spark.table("part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("p_brand").agg(
+        F.sum(F.col("r").cast("decimal(28,2)")).alias("t"),
+        F.count("*").alias("n_suppliers"),
+    )
+    term = F.round(
+        10000.0
+        * F.pow(F.col("r") / F.col("t").cast("double"), 2),
+        8,
+    ).cast("decimal(38,8)")
+    hhi = F.sum(term).cast("double")
+    return (
+        rev.join(
+            F.broadcast(tot.withColumnRenamed("p_brand", "b")),
+            F.col("p_brand") == F.col("b"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.any_value("n_suppliers").cast("bigint").alias(
+                "n_suppliers"
+            ),
+            F.round(hhi, 2).alias("hhi"),
+            F.when(hhi >= 2500, "high")
+            .when(hhi >= 1500, "moderate")
+            .otherwise("unconcentrated")
+            .alias("doj_class"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.10) AS DOUBLE), 6)
+                   AS lo,
+               round(CAST(quantile_cont(value, 0.90) AS DOUBLE), 6)
+                   AS hi,
+               COUNT(*) AS n_total
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT e.event_type, b.lo, b.hi,
+           CAST(ANY_VALUE(b.n_total) AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept,
+           {sql_davg("round(e.value, 6)", "trimmed_mean")}
+    FROM events e
+    JOIN bounds b ON b.event_type = e.event_type
+    WHERE e.value IS NOT NULL
+      AND round(e.value, 6) BETWEEN b.lo AND b.hi
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of event value per event type:
+    DROP everything outside the exact [p10, p90] quantiles, then
+    average the interior — the harsher sibling of agg_winsorized_mean
+    (which CLAMPS the tails instead of discarding them; the trimmed
+    mean fully ignores outlier magnitude, the winsorized mean caps
+    it). n_total vs n_kept makes the discarded mass auditable.
+
+    Spark shape: pass 1 computes exact interpolated percentile bounds
+    per group (one exchange), broadcast back; pass 2 filters and
+    decimal-averages in the same exchange. Bounds and values are
+    6dp-rounded before the comparison so the keep/drop decision — and
+    therefore the mean — is bit-identical across engines."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    bounds = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.10)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.90)), 6).alias("hi"),
+        F.count("*").alias("n_total"),
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .where(F.round("value", 6).between(F.col("lo"), F.col("hi")))
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.any_value("n_total").cast("bigint").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            davg(F.round(F.col("value"), 6), "trimmed_mean"),
+        )
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            "n_total",
+            "n_kept",
+            "trimmed_mean",
+        )
+    )

@@ -7672,3 +7672,265 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_trend"),
         F.when(count_ok, F.abs(z) > 1.96).alias("significant_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 BI widening: seasonal index, price elasticity, time-decay
+# attribution.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "analytics_seasonality_index",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT month(o_orderdate) AS mth,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev) AS t, COUNT(*) AS n_months FROM monthly)
+    SELECT CAST(m.mth AS BIGINT) AS mth, m.n_orders,
+           CAST(m.rev AS DOUBLE) AS revenue,
+           {sql_jround(
+               "CAST(m.rev AS DOUBLE)"
+               " / (CAST(t.t AS DOUBLE) / t.n_months)", 4)}
+               AS seasonal_index
+    FROM monthly m, tot t
+    ORDER BY mth
+    """,
+)
+def analytics_seasonality_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical monthly seasonal index of order revenue: each
+    calendar month's all-years revenue divided by the average monthly
+    revenue — index > 1 marks the high season. The multiplicative
+    seasonal profile used to deseasonalize targets and forecasts
+    (revenue / index = seasonally adjusted), the calendar-level
+    companion of ts_traffic_profile's day x hour grid.
+
+    Scale shape: one corpus collapse to <= 12 month rows (sums
+    decimal-exact); the grand total is an aggregation of that
+    constant table, broadcast back. The index is a ratio of exact
+    decimals replayed digit-for-digit by the oracle's
+    shortest-decimal rounding."""
+    monthly = spark.table("orders").groupBy(
+        F.month("o_orderdate").alias("mth")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev"),
+    )
+    tot = monthly.agg(
+        F.sum("rev").alias("t"), F.count("*").alias("n_months")
+    )
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("mth").cast("bigint").alias("mth"),
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double")
+                / (F.col("t").cast("double") / F.col("n_months")),
+                4,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("mth")
+    )
+
+
+@query(
+    "analytics_price_elasticity",
+    oracle="""
+    WITH obs AS (
+        SELECT p.p_brand,
+               ln(l.l_extendedprice * (1 - l.l_discount)
+                  / l.l_quantity) AS x,
+               ln(l.l_quantity) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    s AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(x, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(y, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(x * y, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(x * x, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(round(y * y, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS syy
+        FROM obs GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4)
+               AS elasticity,
+           round(pow(sxy - sx * sy / n, 2)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4)
+               AS r2
+    FROM s
+    ORDER BY p_brand
+    """,
+)
+def analytics_price_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(discounted unit price) across that brand's
+    line items — the %-change-in-volume per %-change-in-price readout
+    behind pricing and promo decisions, with R^2 reported so
+    near-zero-signal brands are visibly untrustworthy rather than
+    silently precise.
+
+    Scale shape: the regression needs only five sufficient sums per
+    brand — one corpus collapse, no per-brand iteration; the log
+    terms are 8dp-rounded and decimal-summed so each brand's slope is
+    order-independent (the elasticity family's partition-proof
+    form)."""
+    obs = (
+        spark.table("lineitem")
+        .join(
+            spark.table("part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.log(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                / F.col("l_quantity")
+            ).alias("x"),
+            F.log(F.col("l_quantity")).alias("y"),
+        )
+    )
+    dec8 = lambda c: F.sum(F.round(c, 8).cast("decimal(38,8)")).cast(
+        "double"
+    )
+    s = obs.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec8(F.col("x")).alias("sx"),
+        dec8(F.col("y")).alias("sy"),
+        dec8(F.col("x") * F.col("y")).alias("sxy"),
+        dec8(F.col("x") * F.col("x")).alias("sxx"),
+        dec8(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(cxy / cxx, 4).alias("elasticity"),
+        F.round(F.pow(cxy, 2) / (cxx * cyy), 4).alias("r2"),
+    ).orderBy("p_brand")
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type,
+               round(pow(0.5,
+                   (date_diff('second', e.ts, f.conv_ts) / 86400.0)
+                   / 7.0), 8) AS w
+        FROM events e JOIN firsts f
+          ON e.user_id = f.user_id AND e.ts < f.conv_ts
+        WHERE e.event_type <> 'purchase'
+    ),
+    normed AS (
+        SELECT event_type,
+               round(w / CAST(SUM(CAST(w AS DECIMAL(38,8)))
+                   OVER (PARTITION BY user_id) AS DOUBLE), 8)
+                   AS credit
+        FROM touches
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           CAST(SUM(CAST(credit AS DECIMAL(28,8))) AS DOUBLE)
+               AS total_credit
+    FROM normed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-decay multi-touch attribution with a 7-day half-life:
+    each converting user's pre-purchase touches share the conversion
+    credit in proportion to 2^(-days_before_conversion / 7) — recency
+    earns credit smoothly, the standard middle ground between
+    last-touch (all recency) and linear (no recency), completing the
+    attribution family (last_touch / position_based / shapley).
+
+    Scale shape: identical skeleton to attribution_position_based —
+    one first-conversion aggregate joined back to pre-conversion
+    touches (both exchanges on user_id, planned as one), per-user
+    normalization as a window over the same partitioning, and a
+    channel rollup of 8dp-rounded decimal-summed credits. The decay
+    weight uses integer-second deltas (floor semantics on both
+    engines), so the credits are bit-identical."""
+    firsts = (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    e = spark.table("events")
+    touches = (
+        e.join(firsts, "user_id")
+        .where(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.round(
+                F.pow(
+                    0.5,
+                    (
+                        (
+                            F.unix_timestamp("conv_ts")
+                            - F.unix_timestamp("ts")
+                        )
+                        / 86400.0
+                    )
+                    / 7.0,
+                ),
+                8,
+            ).alias("w"),
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    normed = touches.select(
+        "event_type",
+        F.round(
+            F.col("w")
+            / F.sum(F.col("w").cast("decimal(38,8)"))
+            .over(wu)
+            .cast("double"),
+            8,
+        ).alias("credit"),
+    )
+    return (
+        normed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum(F.col("credit").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("total_credit"),
+        )
+        .orderBy("event_type")
+    )

@@ -244,6 +244,29 @@ _PRIORITY: tuple[str, ...] = (
     "ts_year_over_year",
     "analytics_basket_size_curve",
     "fn_ip_cidr",
+    # -- r11 expansion tranche (45 keys), ranked strictly AFTER the
+    # five r11 tail keys so the rotation endgame's slots 1-5 are
+    # untouched: the r11 window becomes tail-5 + these, all covered
+    # by the driver's 50-slot check in one round.
+    "stats_ttest_paired",
+    "stats_sign_test",
+    "stats_kendall_tau",
+    "stats_mood_median",
+    "stats_hodges_lehmann",
+    "stats_grubbs_outlier",
+    "stats_theil_u",
+    "stats_durbin_watson",
+    "stats_breusch_pagan",
+    "stats_cooks_distance",
+    "stats_chow_test",
+    "stats_partial_corr",
+    "stats_g_test",
+    "stats_concordance_cindex",
+    "agg_hhi_concentration",
+    "agg_trimmed_mean",
+    "analytics_seasonality_index",
+    "analytics_price_elasticity",
+    "attribution_time_decay",
     # -- banked driver-green keys, in the curated pre-r7 relative
     # order (filtered to the back at import time by _ordered(); their
     # rank here only matters if every unchecked key ever drains).

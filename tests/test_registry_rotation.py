@@ -182,6 +182,28 @@ _ENDGAME_ORDER = (
     "ts_year_over_year",
     "analytics_basket_size_curve",
     "fn_ip_cidr",
+    # r11 expansion tranche — ranked strictly after the tail keys, so
+    # the endgame slots 1-5 stay byte-stable while the new keys fill
+    # slots 6+ of the same 50-key window:
+    "stats_ttest_paired",
+    "stats_sign_test",
+    "stats_kendall_tau",
+    "stats_mood_median",
+    "stats_hodges_lehmann",
+    "stats_grubbs_outlier",
+    "stats_theil_u",
+    "stats_durbin_watson",
+    "stats_breusch_pagan",
+    "stats_cooks_distance",
+    "stats_chow_test",
+    "stats_partial_corr",
+    "stats_g_test",
+    "stats_concordance_cindex",
+    "agg_hhi_concentration",
+    "agg_trimmed_mean",
+    "analytics_seasonality_index",
+    "analytics_price_elasticity",
+    "attribution_time_decay",
 )
 
 
