@@ -2967,3 +2967,447 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 vocabulary-statistics widening.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_heaps_law",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS ntok,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+        FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM docs),
+    cumtok AS (
+        SELECT r, SUM(ntok) OVER (ORDER BY r
+                   ROWS UNBOUNDED PRECEDING) AS n_cum
+        FROM docs
+    ),
+    firsts AS (  -- each type's first document rank
+        SELECT MIN(d.r) AS first_r
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word
+              FROM documents) t
+        JOIN docs d ON d.doc_id = t.doc_id
+        GROUP BY t.word
+    ),
+    frank AS (
+        SELECT first_r, COUNT(*) AS new_types
+        FROM firsts GROUP BY first_r
+    ),
+    chk AS (
+        SELECT gs.i * 10 AS chk_pct,
+               CAST(nd.n_docs * gs.i / 10 AS BIGINT) AS c
+        FROM nd, generate_series(1, 10) AS gs(i)
+    ),
+    pts AS (
+        SELECT k.chk_pct,
+               CAST(ct.n_cum AS BIGINT) AS cum_tokens,
+               CAST((SELECT COALESCE(SUM(new_types), 0) FROM frank f
+                     WHERE f.first_r <= k.c) AS BIGINT) AS vocab
+        FROM chk k JOIN cumtok ct ON ct.r = k.c
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(round(ln(cum_tokens), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(ln(vocab), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(round(ln(cum_tokens) * ln(vocab), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(round(ln(cum_tokens) * ln(cum_tokens), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+        FROM pts
+    )
+    SELECT p.chk_pct, p.cum_tokens, p.vocab,
+           round((f.sxy - f.sx * f.sy / f.m)
+                 / (f.sxx - f.sx * f.sx / f.m), 4) AS heaps_beta,
+           round(exp(f.sy / f.m - (f.sxy - f.sx * f.sy / f.m)
+                 / (f.sxx - f.sx * f.sx / f.m) * f.sx / f.m), 4)
+               AS heaps_k
+    FROM pts p, fit f
+    ORDER BY p.chk_pct
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary V(N) against cumulative tokens N at ten corpus
+    checkpoints (docs in doc_id order), with the fitted power law
+    V = k N^beta (log-log OLS over the checkpoints) — the curve that
+    predicts how much NEW vocabulary another billion tokens will
+    bring (tokenizer sizing, dedup-value forecasting; natural text
+    gives beta in 0.4-0.6, templated corpora much less). Completes
+    text_zipf_fit (frequency decay) with the growth view.
+
+    Scale shape: vocabulary growth needs each type's FIRST position
+    only — one explode to (word, doc_rank) min-aggregated, then the
+    checkpoint joins ride the (first_rank -> new-type-count) table,
+    vocabulary-bounded like every text key. Checkpoint sums are
+    integers; only the 10-point log-log fit touches floats
+    (8dp-rounded, decimal-summed)."""
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.size(_tokens()).alias("ntok"),
+        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
+    )
+    n_docs = docs.count()
+    cumtok = docs.select(
+        "r",
+        F.sum("ntok")
+        .over(
+            Window.orderBy("r").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("n_cum"),
+    )
+    tok = (
+        spark.table("documents")
+        .select("doc_id", F.explode(_tokens()).alias("word"))
+        .join(docs.select("doc_id", "r"), "doc_id")
+    )
+    frank = (
+        tok.groupBy("word")
+        .agg(F.min("r").alias("first_r"))
+        .groupBy("first_r")
+        .agg(F.count("*").alias("new_types"))
+    )
+    chk = spark.range(1, 11).select(
+        (F.col("id") * 10).cast("bigint").alias("chk_pct"),
+        (F.lit(n_docs) * F.col("id") / 10)
+        .cast("bigint")
+        .alias("c"),
+    )
+    pts = (
+        chk.join(cumtok, F.col("r") == F.col("c"))
+        .join(
+            F.broadcast(frank),
+            F.col("first_r") <= F.col("c"),
+            "left",
+        )
+        .groupBy("chk_pct")
+        .agg(
+            F.any_value("n_cum").cast("bigint").alias("cum_tokens"),
+            F.coalesce(F.sum("new_types"), F.lit(0))
+            .cast("bigint")
+            .alias("vocab"),
+        )
+    )
+    dec8 = lambda c: F.sum(F.round(c, 8).cast("decimal(38,8)")).cast(
+        "double"
+    )
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    fit = pts.agg(
+        F.count("*").cast("bigint").alias("m"),
+        dec8(lx).alias("sx"),
+        dec8(ly).alias("sy"),
+        dec8(lx * ly).alias("sxy"),
+        dec8(lx * lx).alias("sxx"),
+    )
+    m = F.col("m")
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / m) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / m
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "chk_pct",
+            "cum_tokens",
+            "vocab",
+            F.round(beta, 4).alias("heaps_beta"),
+            F.round(
+                F.exp(F.col("sy") / m - beta * F.col("sx") / m), 4
+            ).alias("heaps_k"),
+        )
+        .orderBy("chk_pct")
+    )
+
+
+@query(
+    "text_frequency_spectrum",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word
+              FROM documents)
+        GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS v1,
+           CAST(COUNT(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS v2,
+           CAST(COUNT(CASE WHEN c = 3 THEN 1 END) AS BIGINT) AS v3,
+           round(10000.0 * (SUM(c * c) - SUM(c))
+                 / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 4) AS yule_k,
+           round(SUM(c * (c - 1))
+                 / (CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1)), 6)
+               AS simpson_d
+    FROM tok
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_frequency_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Word-frequency spectrum summary per source: the head of the
+    frequency-of-frequencies table (V1/V2/V3 — types seen once,
+    twice, thrice; the Good-Turing mass estimators), Yule's
+    characteristic K = 10^4 (sum c^2 - N)/N^2, and Simpson's
+    repeat-rate D = sum c(c-1)/(N(N-1)) — the length-invariant
+    repetitiousness constants: K and D barely move when a corpus
+    doubles, so a source whose K is 3x its peers is template spam
+    regardless of its size. Completes the diversity suite
+    (text_lexical_diversity: type counts; text_zipf_fit: rank decay;
+    this: the repeat-rate spectrum).
+
+    Scale shape: one explode to (source, word) counts; K, D, and the
+    spectrum head are integer-exact conditional sums of that
+    vocabulary-bounded table — floats appear only in the two final
+    ratios."""
+    tok = (
+        spark.table("documents")
+        .select("source", F.explode(_tokens()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    c = F.col("c")
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.sum(c).cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.count(F.when(c == 1, 1)).cast("bigint").alias("v1"),
+            F.count(F.when(c == 2, 1)).cast("bigint").alias("v2"),
+            F.count(F.when(c == 3, 1)).cast("bigint").alias("v3"),
+            F.round(
+                10000.0
+                * (F.sum(c * c) - F.sum(c))
+                / (F.sum(c).cast("double") * F.sum(c)),
+                4,
+            ).alias("yule_k"),
+            F.round(
+                F.sum(c * (c - 1))
+                / (F.sum(c).cast("double") * (F.sum(c) - 1)),
+                6,
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_word_length_profile",
+    oracle=rf"""
+    WITH words AS (
+        SELECT source, length(word) AS l
+        FROM (SELECT source,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word
+              FROM documents)
+    ),
+    hist AS (
+        SELECT source, l, CAST(COUNT(*) AS BIGINT) AS c
+        FROM words GROUP BY source, l
+    ),
+    histp AS (
+        SELECT source, l, c,
+               c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE)
+                   AS p
+        FROM hist
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           {sql_jround("SUM(l * c) / CAST(SUM(c) AS DOUBLE)", 4)}
+               AS mean_len,
+           CAST(MAX(l) AS BIGINT) AS max_len,
+           {sql_jround(
+               "SUM(CASE WHEN l >= 8 THEN c ELSE 0 END)"
+               " / CAST(SUM(c) AS DOUBLE)", 6)} AS frac_long,
+           round(-SUM(p * ln(p)), 4) AS len_entropy
+    FROM histp
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_word_length_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Word-length profile per source: mean/max token length, the
+    fraction of long (>= 8 char) tokens, and the Shannon entropy of
+    the length distribution — the zero-cost signature that separates
+    natural prose (smooth unimodal length histogram, entropy ~2)
+    from ID dumps, base64 blobs, and CJK-segmented text (spiky or
+    heavy-tailed lengths) before any language model runs.
+
+    Scale shape: lengths collapse the explode to a (source, length)
+    histogram — a few dozen cells per source regardless of corpus
+    size; every statistic is a conditional aggregate of integer cell
+    counts, with floats only in the final ratios/entropy."""
+    words = spark.table("documents").select(
+        "source", F.explode(_tokens()).alias("word")
+    ).select("source", F.length("word").alias("l"))
+    hist = words.groupBy("source", "l").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = Window.partitionBy("source")
+    p = F.col("c") / F.sum("c").over(tot).cast("double")
+    hist_p = hist.select(
+        "source", "l", "c", (-p * F.log(p)).alias("ent_term")
+    )
+    return (
+        hist_p.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("l") * F.col("c"))
+                / F.sum("c").cast("double"),
+                4,
+            ).alias("mean_len"),
+            F.max("l").cast("bigint").alias("max_len"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l") >= 8, F.col("c")).otherwise(0)
+                )
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("frac_long"),
+            F.round(F.sum("ent_term"), 4).alias("len_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_positional_divergence",
+    oracle=r"""
+    WITH placed AS (
+        SELECT source,
+               CASE WHEN pos < 5 THEN 'head' ELSE 'body' END
+                   AS stratum,
+               word
+        FROM (SELECT source,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word,
+                     unnest(range(len(string_split_regex(trim(text),
+                         '\s+')))) AS pos
+              FROM documents)
+    ),
+    cells AS (
+        SELECT source, stratum, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM placed GROUP BY 1, 2, 3
+    ),
+    wide AS (
+        SELECT source, word,
+               COALESCE(SUM(CASE WHEN stratum = 'head'
+                   THEN c END), 0) AS ch,
+               COALESCE(SUM(CASE WHEN stratum = 'body'
+                   THEN c END), 0) AS cb
+        FROM cells GROUP BY source, word
+    ),
+    tots AS (
+        SELECT source, SUM(ch) AS th, SUM(cb) AS tb
+        FROM wide GROUP BY source
+    ),
+    terms AS (
+        SELECT w.source,
+               t.th, t.tb,
+               CAST(w.ch AS DOUBLE) / t.th AS p,
+               CAST(w.cb AS DOUBLE) / t.tb AS q
+        FROM wide w JOIN tots t ON t.source = w.source
+    )
+    SELECT source,
+           CAST(ANY_VALUE(th) AS BIGINT) AS n_head_tokens,
+           CAST(ANY_VALUE(tb) AS BIGINT) AS n_body_tokens,
+           round(CAST(SUM(CAST(round(
+               0.5 * CASE WHEN p > 0
+                     THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+               + 0.5 * CASE WHEN q > 0
+                     THEN q * ln(q / ((p + q) / 2)) ELSE 0 END, 8)
+               AS DECIMAL(38,8))) AS DOUBLE), 6) AS js_divergence
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_positional_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Positional vocabulary divergence per source: Jensen-Shannon
+    divergence between the unigram distribution of each document's
+    first five tokens ("head") and everything after ("body") — the
+    template-prefix detector: boilerplate headers, SEO lead-ins, and
+    prompt-injection preambles concentrate mass in the head stratum
+    and push JS up, while natural text keeps both strata near the
+    same distribution. The positional companion of
+    text_js_divergence (which compares sources to the global
+    corpus).
+
+    Scale shape: ONE positional explode (posexplode — DuckDB's
+    zipped parallel unnest replays it) to (source, stratum, word)
+    cells, vocabulary-bounded; the divergence is an 8dp-rounded
+    decimal sum over the per-source cell table. Zero-mass strata
+    terms contribute 0 exactly on both engines."""
+    placed = spark.table("documents").select(
+        "source",
+        F.posexplode(_tokens()).alias("pos", "word"),
+    ).select(
+        "source",
+        F.when(F.col("pos") < 5, "head").otherwise("body").alias(
+            "stratum"
+        ),
+        "word",
+    )
+    cells = placed.groupBy("source", "stratum", "word").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wide = cells.groupBy("source", "word").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("stratum") == "head", F.col("c"))),
+            F.lit(0),
+        ).alias("ch"),
+        F.coalesce(
+            F.sum(F.when(F.col("stratum") == "body", F.col("c"))),
+            F.lit(0),
+        ).alias("cb"),
+    )
+    tots = wide.groupBy("source").agg(
+        F.sum("ch").alias("th"), F.sum("cb").alias("tb")
+    )
+    terms = wide.join(tots, "source").select(
+        "source",
+        "th",
+        "tb",
+        (F.col("ch").cast("double") / F.col("th")).alias("p"),
+        (F.col("cb").cast("double") / F.col("tb")).alias("q"),
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / 2
+    term = 0.5 * F.when(p > 0, p * F.log(p / m)).otherwise(
+        0.0
+    ) + 0.5 * F.when(q > 0, q * F.log(q / m)).otherwise(0.0)
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.any_value("th").cast("bigint").alias("n_head_tokens"),
+            F.any_value("tb").cast("bigint").alias("n_body_tokens"),
+            F.round(
+                F.sum(F.round(term, 8).cast("decimal(38,8)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )

@@ -4458,3 +4458,543 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.round(h, 4).alias("hurst_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 technical-indicator family on per-type daily revenue.
+#
+# One shared construction: y = decimal-exact daily value sum per
+# event_type (5 series x 30 days at any SF — the corpus collapses once;
+# everything downstream rides the metadata-sized daily table).
+# ---------------------------------------------------------------------------
+
+_TSD_CTE = """
+    daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _typed_daily(spark: SparkSession) -> DataFrame:
+    """Spark twin of ``_TSD_CTE``: (event_type, day, y) with y an
+    exact DECIMAL(18,6) daily sum."""
+    return (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
+    )
+
+
+@query(
+    "ts_bollinger_bands",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    roll AS (
+        SELECT event_type, day, y,
+               COUNT(*) OVER w AS n_w,
+               CAST(SUM(y) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(CAST(y AS DECIMAL(19,6))
+                        * CAST(y AS DECIMAL(19,6))) OVER w
+                    AS DOUBLE) AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, CAST(y AS DOUBLE) AS y,
+           {sql_jround("s1 / 7", 4)} AS mid,
+           round(sqrt((s2 - s1 * s1 / 7) / 6), 4) AS sd,
+           round(s1 / 7 + 2 * sqrt((s2 - s1 * s1 / 7) / 6), 4)
+               AS upper_band,
+           round(s1 / 7 - 2 * sqrt((s2 - s1 * s1 / 7) / 6), 4)
+               AS lower_band,
+           CAST(y AS DOUBLE)
+               > s1 / 7 + 2 * sqrt((s2 - s1 * s1 / 7) / 6)
+               OR CAST(y AS DOUBLE)
+               < s1 / 7 - 2 * sqrt((s2 - s1 * s1 / 7) / 6)
+               AS breakout
+    FROM roll WHERE n_w = 7
+    ORDER BY event_type, day
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (7-day rolling mean +/- 2 rolling sd) per
+    event-type daily series, with breakout days flagged — the
+    volatility-envelope anomaly screen: a breakout is a day more than
+    two local standard deviations from its own recent level, the
+    adaptive sibling of the global-threshold ts_anomaly_zscore.
+
+    Scale shape: one corpus collapse to the per-type daily table;
+    rolling sums ride ONE (event_type) exchange as window aggregates
+    over exact decimals (y and y^2 both decimal — the rolling moments
+    are order-independent), so mid/sd/bands replay exactly; only full
+    7-day windows emit."""
+    daily = _typed_daily(spark)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    y19 = F.col("y").cast("decimal(19,6)")
+    roll = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.count("*").over(w).alias("n_w"),
+        F.sum("y").over(w).cast("double").alias("s1"),
+        F.sum(y19 * y19).over(w).cast("double").alias("s2"),
+    )
+    s1, s2 = F.col("s1"), F.col("s2")
+    sd = F.sqrt((s2 - s1 * s1 / 7) / 6)
+    up, lo = s1 / 7 + 2 * sd, s1 / 7 - 2 * sd
+    yv = F.col("y").cast("double")
+    return (
+        roll.where(F.col("n_w") == 7)
+        .select(
+            "event_type",
+            "day",
+            yv.alias("y"),
+            F.round(s1 / 7, 4).alias("mid"),
+            F.round(sd, 4).alias("sd"),
+            F.round(up, 4).alias("upper_band"),
+            F.round(lo, 4).alias("lower_band"),
+            ((yv > up) | (yv < lo)).alias("breakout"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "ts_rsi",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    delta AS (
+        SELECT event_type, day,
+               CAST(y - LAG(y) OVER (PARTITION BY event_type
+                                     ORDER BY day)
+                    AS DECIMAL(18,6)) AS d
+        FROM daily
+    ),
+    gl AS (
+        SELECT event_type, day,
+               COUNT(d) OVER w AS n_w,
+               CAST(SUM(CASE WHEN d > 0 THEN d
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) OVER w
+                    AS DOUBLE) AS sg,
+               CAST(SUM(CASE WHEN d < 0 THEN -d
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) OVER w
+                    AS DOUBLE) AS sl
+        FROM delta WHERE d IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           {sql_jround(
+               "CASE WHEN sg + sl = 0 THEN 50.0"
+               " ELSE 100.0 * sg / (sg + sl) END", 4)} AS rsi,
+           CASE WHEN sg + sl = 0 THEN 50.0
+                ELSE 100.0 * sg / (sg + sl) END > 70 AS overbought,
+           CASE WHEN sg + sl = 0 THEN 50.0
+                ELSE 100.0 * sg / (sg + sl) END < 30 AS oversold
+    FROM gl WHERE n_w = 14
+    ORDER BY event_type, day
+    """,
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (14-day simple-moving-average form) per
+    event-type daily series: 100 * sum(gains) / (sum(gains) +
+    sum(losses)) over the trailing 14 deltas, with the classic 70/30
+    overbought/oversold flags — the mean-reversion momentum readout;
+    Cutler's SMA variant is used (rather than Wilder's recursive
+    smoothing) because it is windowed, hence backfill-stable and
+    partition-exact.
+
+    Scale shape: deltas and rolling gain/loss sums are window
+    aggregates over exact decimals on ONE (event_type) exchange; the
+    day with an incomplete 14-delta window is withheld. The RSI
+    ratio's terminating-decimal rounding is replayed by the oracle's
+    shortest-repr round."""
+    daily = _typed_daily(spark)
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    delta = daily.select(
+        "event_type",
+        "day",
+        (F.col("y") - F.lag("y").over(wlag))
+        .cast("decimal(18,6)")
+        .alias("d"),
+    ).where(F.col("d").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    gl = delta.select(
+        "event_type",
+        "day",
+        F.count("d").over(w).alias("n_w"),
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(zero))
+        .over(w)
+        .cast("double")
+        .alias("sg"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(zero))
+        .over(w)
+        .cast("double")
+        .alias("sl"),
+    )
+    rsi = F.when(F.col("sg") + F.col("sl") == 0, F.lit(50.0)).otherwise(
+        100.0 * F.col("sg") / (F.col("sg") + F.col("sl"))
+    )
+    return (
+        gl.where(F.col("n_w") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.round(rsi, 4).alias("rsi"),
+            (rsi > 70).alias("overbought"),
+            (rsi < 30).alias("oversold"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_MACD_FOLD = (
+    "list_reduce(vals, (acc, x) -> acc * {om} + {a} * x)"
+)
+
+
+@query(
+    "ts_macd",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    listed AS (
+        SELECT event_type, day,
+               list(CAST(y AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS vals
+        FROM daily
+    ),
+    line AS (
+        SELECT event_type, day,
+               {_MACD_FOLD.format(om=11.0 / 13.0, a=2.0 / 13.0)}
+                   - {_MACD_FOLD.format(om=25.0 / 27.0, a=2.0 / 27.0)}
+                   AS macd
+        FROM listed
+    ),
+    sig AS (
+        SELECT event_type, day, macd,
+               list(macd) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS mvals
+        FROM line
+    )
+    SELECT event_type, day,
+           round(macd, 4) AS macd,
+           round(list_reduce(mvals,
+               (acc, x) -> acc * {8.0 / 10.0} + {2.0 / 10.0} * x), 4)
+               AS signal,
+           round(macd - list_reduce(mvals,
+               (acc, x) -> acc * {8.0 / 10.0} + {2.0 / 10.0} * x), 4)
+               AS histogram,
+           macd > list_reduce(mvals,
+               (acc, x) -> acc * {8.0 / 10.0} + {2.0 / 10.0} * x)
+               AS bullish
+    FROM sig
+    ORDER BY event_type, day
+    """,
+)
+def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12/26-day EMA difference) with its 9-day EMA signal line
+    and histogram per event-type daily series: the trend-following
+    crossover indicator — histogram sign flips mark momentum
+    reversals. EMAs use the pandas ``adjust=False`` recursion seeded
+    at the first observation, computed as the ts_ewma running-list
+    fold so both engines walk the identical prefix in the identical
+    order (bit-identical doubles before the single final rounding).
+
+    Scale shape: the series is the metadata-sized per-type daily
+    table, so the O(L^2) running-frame fold is constant work (L = 30
+    at any corpus scale — growth adds event types, not days); one
+    (event_type) exchange carries all three folds."""
+    daily = _typed_daily(spark)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = F.collect_list(F.col("y").cast("double")).over(w)
+
+    def ema(col, alpha: float):
+        a = F.lit(alpha)
+        return F.aggregate(
+            F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0))),
+            F.element_at(col, 1),
+            lambda acc, x: acc * (F.lit(1.0) - a) + a * x,
+        )
+
+    line = daily.select(
+        "event_type",
+        "day",
+        (ema(vals, 2.0 / 13.0) - ema(vals, 2.0 / 27.0)).alias("macd"),
+    )
+    mvals = F.collect_list("macd").over(w)
+    sig = line.select(
+        "event_type", "day", "macd", mvals.alias("mvals")
+    )
+    signal = ema(F.col("mvals"), 2.0 / 10.0)
+    return sig.select(
+        "event_type",
+        "day",
+        F.round("macd", 4).alias("macd"),
+        F.round(signal, 4).alias("signal"),
+        F.round(F.col("macd") - signal, 4).alias("histogram"),
+        (F.col("macd") > signal).alias("bullish"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "ts_turning_points",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT event_type, y,
+               LAG(y)  OVER (PARTITION BY event_type ORDER BY day)
+                   AS yp,
+               LEAD(y) OVER (PARTITION BY event_type ORDER BY day)
+                   AS yn
+        FROM daily
+    ),
+    marks AS (
+        SELECT event_type,
+               CAST(COUNT(*) + 2 AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN y > yp AND y > yn THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_peaks,
+               CAST(SUM(CASE WHEN y < yp AND y < yn THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_troughs
+        FROM ctx WHERE yp IS NOT NULL AND yn IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_days, n_peaks, n_troughs,
+           round(2.0 * (n_days - 2) / 3.0, 4) AS expected_turns,
+           round((n_peaks + n_troughs - 2.0 * (n_days - 2) / 3.0)
+                 / sqrt((16.0 * n_days - 29) / 90.0), 4) AS z_stat
+    FROM marks
+    ORDER BY event_type
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test of randomness per event-type daily series:
+    count strict local maxima and minima and compare against the
+    i.i.d. expectation 2(n-2)/3 with variance (16n-29)/90 — fewer
+    turns than expected means trend/momentum, more means
+    oscillation/over-differencing. The distribution-free
+    trend-detection sibling of stats_runs_test (which tests sign
+    runs; this tests shape).
+
+    Scale shape: lag/lead neighbor tests on exact decimals over ONE
+    (event_type) exchange; per-type counts are a constant-row
+    aggregate. Interior ties break strictly (a plateau is not a
+    turn), identically on both engines."""
+    daily = _typed_daily(spark)
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    ctx = daily.select(
+        "event_type",
+        "y",
+        F.lag("y").over(wlag).alias("yp"),
+        F.lead("y").over(wlag).alias("yn"),
+    ).where(F.col("yp").isNotNull() & F.col("yn").isNotNull())
+    marks = ctx.groupBy("event_type").agg(
+        (F.count("*") + 2).cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                (F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_peaks"),
+        F.sum(
+            F.when(
+                (F.col("y") < F.col("yp")) & (F.col("y") < F.col("yn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_troughs"),
+    )
+    n = F.col("n_days")
+    mu = 2.0 * (n - 2) / 3.0
+    return marks.select(
+        "event_type",
+        "n_days",
+        "n_peaks",
+        "n_troughs",
+        F.round(mu, 4).alias("expected_turns"),
+        F.round(
+            (F.col("n_peaks") + F.col("n_troughs") - mu)
+            / F.sqrt((16.0 * n - 29) / 90.0),
+            4,
+        ).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_variance_ratio",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    ret AS (
+        SELECT event_type, day,
+               ln(CAST(y AS DOUBLE)
+                  / CAST(LAG(y) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS DOUBLE)) AS r
+        FROM daily
+    ),
+    base AS (
+        SELECT event_type, CAST(COUNT(r) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(r, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sr,
+               CAST(SUM(CAST(round(r * r, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS srr
+        FROM ret WHERE r IS NOT NULL GROUP BY event_type
+    ),
+    qs AS (
+        SELECT event_type, day, q,
+               SUM(r) OVER (PARTITION BY event_type, q ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS s_raw,
+               COUNT(r) OVER (PARTITION BY event_type, q ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS cnt_w,
+               SUM(r) OVER (PARTITION BY event_type, q ORDER BY day
+                            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+                   AS s2_raw,
+               COUNT(r) OVER (PARTITION BY event_type, q ORDER BY day
+                            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+                   AS cnt2_w
+        FROM ret, (SELECT 2 AS q UNION ALL SELECT 4) qq
+        WHERE r IS NOT NULL
+    ),
+    qsum AS (
+        SELECT event_type, q,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(CAST(round(CASE WHEN q = 2 THEN s2_raw
+                        ELSE s_raw END, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS ss,
+               CAST(SUM(CAST(round(pow(CASE WHEN q = 2 THEN s2_raw
+                        ELSE s_raw END, 2), 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sss
+        FROM qs
+        WHERE (q = 2 AND cnt2_w = 2) OR (q = 4 AND cnt_w = 4)
+        GROUP BY event_type, q
+    )
+    SELECT b.event_type, CAST(q.q AS BIGINT) AS q, b.n AS n_returns,
+           round(((q.sss - q.ss * q.ss / q.m) / (q.m - 1))
+                 / (q.q * ((b.srr - b.sr * b.sr / b.n) / (b.n - 1))),
+                 4) AS variance_ratio
+    FROM qsum q JOIN base b ON b.event_type = q.event_type
+    ORDER BY b.event_type, q
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistic VR(q) for q = 2 and 4 on
+    per-type daily log returns: Var(q-period overlapping sums) /
+    (q * Var(1-period)) — 1 under a random walk, > 1 under momentum
+    (positive autocorrelation), < 1 under mean reversion. The
+    random-walk diagnostic that complements ts_hurst_exponent's
+    long-memory view with short-horizon ratios.
+
+    Scale shape: log returns and overlapping q-sums are window ops on
+    ONE (event_type) exchange (the q spine is a constant 2-row
+    broadcast); all variance terms are 8dp-rounded and decimal-summed
+    so both numerator and denominator are order-independent."""
+    daily = _typed_daily(spark)
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    ret = daily.select(
+        "event_type",
+        "day",
+        F.log(
+            F.col("y").cast("double")
+            / F.lag("y").over(wlag).cast("double")
+        ).alias("r"),
+    ).where(F.col("r").isNotNull())
+    dec8 = lambda c: F.sum(F.round(c, 8).cast("decimal(38,8)")).cast(
+        "double"
+    )
+    base = ret.groupBy("event_type").agg(
+        F.count("r").cast("bigint").alias("n"),
+        dec8(F.col("r")).alias("sr"),
+        dec8(F.col("r") * F.col("r")).alias("srr"),
+    )
+    qspine = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4))).alias("q")
+    )
+    qs = ret.crossJoin(F.broadcast(qspine))
+    w4 = (
+        Window.partitionBy("event_type", "q")
+        .orderBy("day")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("event_type", "q")
+        .orderBy("day")
+        .rowsBetween(-1, Window.currentRow)
+    )
+    qs = qs.select(
+        "event_type",
+        "q",
+        "day",
+        F.sum("r").over(w4).alias("s_raw"),
+        F.count("r").over(w4).alias("cnt_w"),
+        F.sum("r").over(w2).alias("s2_raw"),
+        F.count("r").over(w2).alias("cnt2_w"),
+    )
+    s = F.when(F.col("q") == 2, F.col("s2_raw")).otherwise(
+        F.col("s_raw")
+    )
+    qsum = (
+        qs.where(
+            ((F.col("q") == 2) & (F.col("cnt2_w") == 2))
+            | ((F.col("q") == 4) & (F.col("cnt_w") == 4))
+        )
+        .groupBy("event_type", "q")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            dec8(s).alias("ss"),
+            dec8(F.pow(s, 2)).alias("sss"),
+        )
+    )
+    var_q = (F.col("sss") - F.col("ss") * F.col("ss") / F.col("m")) / (
+        F.col("m") - 1
+    )
+    var_1 = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return (
+        qsum.join(base, "event_type")
+        .select(
+            "event_type",
+            F.col("q").cast("bigint").alias("q"),
+            F.col("n").alias("n_returns"),
+            F.round(var_q / (F.col("q") * var_1), 4).alias(
+                "variance_ratio"
+            ),
+        )
+        .orderBy("event_type", "q")
+    )

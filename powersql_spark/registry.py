@@ -267,6 +267,15 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_seasonality_index",
     "analytics_price_elasticity",
     "attribution_time_decay",
+    "ts_bollinger_bands",
+    "ts_rsi",
+    "ts_macd",
+    "ts_turning_points",
+    "ts_variance_ratio",
+    "text_heaps_law",
+    "text_frequency_spectrum",
+    "text_word_length_profile",
+    "text_positional_divergence",
     # -- banked driver-green keys, in the curated pre-r7 relative
     # order (filtered to the back at import time by _ordered(); their
     # rank here only matters if every unchecked key ever drains).

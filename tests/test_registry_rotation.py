@@ -204,6 +204,15 @@ _ENDGAME_ORDER = (
     "analytics_seasonality_index",
     "analytics_price_elasticity",
     "attribution_time_decay",
+    "ts_bollinger_bands",
+    "ts_rsi",
+    "ts_macd",
+    "ts_turning_points",
+    "ts_variance_ratio",
+    "text_heaps_law",
+    "text_frequency_spectrum",
+    "text_word_length_profile",
+    "text_positional_divergence",
 )
 
 
