@@ -1935,3 +1935,111 @@ def curation_gate_parity_audit(
         F.round(ratio, 6).alias("parity_ratio"),
         (ratio >= 0.8).alias("passes_four_fifths"),
     ).orderBy("source")
+
+
+_SPLIT_TRAIN_END = "2024-01-21"  # train < this day
+_SPLIT_VAL_END = "2024-01-26"    # val < this day; test = rest
+
+
+@query(
+    "split_time_based",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts < TIMESTAMP '{_SPLIT_TRAIN_END}'
+                        THEN 'train'
+                    WHEN ts < TIMESTAMP '{_SPLIT_VAL_END}'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events
+    ),
+    train_users AS (
+        SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+    ),
+    per AS (
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_users,
+               CAST(MIN(CAST(ts AS DATE)) AS DATE) AS first_day,
+               CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
+               CAST(COUNT(DISTINCT CASE WHEN tu.user_id IS NOT NULL
+                    THEN t.user_id END) AS BIGINT)
+                   AS users_seen_in_train
+        FROM tagged t
+        LEFT JOIN train_users tu ON tu.user_id = t.user_id
+        GROUP BY split
+    )
+    SELECT split, n_events, n_users, first_day, last_day,
+           users_seen_in_train,
+           round(n_events / CAST(SUM(n_events) OVER () AS DOUBLE), 4)
+               AS event_share
+    FROM per
+    ORDER BY split
+    """,
+)
+def split_time_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split of the event stream at fixed
+    date cutoffs (the leakage-safe split for anything
+    time-structured: random splits let the model peek at the
+    future), with the audit columns that make it trustworthy —
+    per-split event/user counts, date ranges that must not overlap,
+    and users_seen_in_train per split (the returning-user fraction:
+    expected overlap for user-level features, but a warm-start bias
+    to KNOW about). Completes the split family (random:
+    train_val_test; grouped: group_holdout; k-fold: kfold; this:
+    temporal).
+
+    Scale shape: the split tag is a map-side CASE on the scan; the
+    train-user set joins back broadcast; one aggregation to three
+    rows. Cutoffs are literals, so the filter pushes down when a
+    consumer selects one split."""
+    e = spark.table("events")
+    split = (
+        F.when(
+            F.col("ts") < F.lit(_SPLIT_TRAIN_END).cast("timestamp"),
+            "train",
+        )
+        .when(
+            F.col("ts") < F.lit(_SPLIT_VAL_END).cast("timestamp"),
+            "val",
+        )
+        .otherwise("test")
+    )
+    tagged = e.select("user_id", "ts", split.alias("split"))
+    train_users = (
+        tagged.where(F.col("split") == "train")
+        .select("user_id")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    per = (
+        tagged.join(F.broadcast(train_users), "user_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias(
+                "n_users"
+            ),
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count_distinct(
+                F.when(F.col("in_train").isNotNull(), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("users_seen_in_train"),
+        )
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "split",
+        "n_events",
+        "n_users",
+        "first_day",
+        "last_day",
+        "users_seen_in_train",
+        F.round(
+            F.col("n_events")
+            / F.sum("n_events").over(wall).cast("double"),
+            4,
+        ).alias("event_share"),
+    ).orderBy("split")

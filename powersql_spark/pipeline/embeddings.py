@@ -2227,3 +2227,105 @@ def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_d.alias("b_dist"),
         s_val.alias("silhouette"),
     )
+
+
+@query(
+    "emb_mahalanobis_outlier",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label,
+               unnest(embedding) AS x,
+               unnest(range(len(embedding))) AS d
+        FROM embeddings
+    ),
+    mom AS (
+        SELECT label, d,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(CAST(x AS DOUBLE), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(round(CAST(x AS DOUBLE)
+                    * CAST(x AS DOUBLE), 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sxx
+        FROM dims GROUP BY label, d
+    ),
+    var_ AS (
+        SELECT label, d, sx / n AS mu,
+               (sxx - sx * sx / n) / n + 1e-9 AS v
+        FROM mom
+    ),
+    md AS (
+        SELECT dm.vec_id, dm.label,
+               CAST(SUM(CAST(round(
+                   pow(CAST(dm.x AS DOUBLE) - v.mu, 2) / v.v, 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS md2
+        FROM dims dm JOIN var_ v
+          ON v.label = dm.label AND v.d = dm.d
+        GROUP BY dm.vec_id, dm.label
+    )
+    SELECT vec_id, label, round(md2, 4) AS md2,
+           round(sqrt(md2), 4) AS mahalanobis_d
+    FROM md
+    ORDER BY md2 DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_mahalanobis_outlier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Diagonal-covariance Mahalanobis outlier scoring per label:
+    each vector's variance-whitened squared distance to its label's
+    per-dimension mean, sum_d (x_d - mu_d)^2 / sigma_d^2 — unlike
+    emb_outlier_distance's raw L2-to-centroid, a dimension with 10x
+    the spread no longer dominates the score, so outliers in LOW
+    variance dimensions (the subtle mislabels) surface. Top-10
+    reported with deterministic tie-break.
+
+    Scale shape: one positional explode to (vec, dim) rows; moments
+    collapse to the (label x dim) grid (constant-sized); scoring
+    joins that grid back map-side and decimal-sums 8dp-rounded
+    whitened terms per vector (order-independent); the top-10 is a
+    TakeOrderedAndProject."""
+    dims = spark.table("embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("d", "x"),
+    )
+    dec8 = lambda c: F.sum(F.round(c, 8).cast("decimal(38,8)")).cast(
+        "double"
+    )
+    xd = F.col("x").cast("double")
+    mom = dims.groupBy("label", "d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec8(xd).alias("sx"),
+        dec8(xd * xd).alias("sxx"),
+    )
+    var_ = mom.select(
+        "label",
+        "d",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / F.col("n")
+            + 1e-9
+        ).alias("v"),
+    )
+    md = (
+        dims.join(F.broadcast(var_), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            dec8(
+                F.pow(F.col("x").cast("double") - F.col("mu"), 2)
+                / F.col("v")
+            ).alias("md2")
+        )
+    )
+    return (
+        md.orderBy(F.col("md2").desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round("md2", 4).alias("md2"),
+            F.round(F.sqrt("md2"), 4).alias("mahalanobis_d"),
+        )
+    )

@@ -1879,3 +1879,689 @@ def eval_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc - 1.96 * se, 6).alias("ci_lo"),
         F.round(auc + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 eval widening: binary-metric completions (MCC, log loss),
+# multi-rater agreement (Fleiss kappa, Krippendorff alpha), LLM-arena
+# readouts (pairwise win-rate matrix, length bias), and rank-list
+# similarity (RBO).
+# ---------------------------------------------------------------------------
+
+_MCC_THRESH = 0.09  # fixed decision threshold on the shared score
+
+
+@query(
+    "eval_matthews_corr",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    cm AS (
+        SELECT
+            CAST(COUNT(CASE WHEN s > {_MCC_THRESH}
+                 AND lang = 'en' THEN 1 END) AS BIGINT) AS tp,
+            CAST(COUNT(CASE WHEN s > {_MCC_THRESH}
+                 AND lang <> 'en' THEN 1 END) AS BIGINT) AS fp,
+            CAST(COUNT(CASE WHEN s <= {_MCC_THRESH}
+                 AND lang = 'en' THEN 1 END) AS BIGINT) AS fn,
+            CAST(COUNT(CASE WHEN s <= {_MCC_THRESH}
+                 AND lang <> 'en' THEN 1 END) AS BIGINT) AS tn
+        FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+                THEN 0.0  -- degenerate margin: MCC defined as 0
+                ELSE round((CAST(tp AS DOUBLE) * tn
+                            - CAST(fp AS DOUBLE) * fn)
+                     / sqrt((CAST(tp AS DOUBLE) + fp) * (tp + fn)
+                            * (CAST(tn AS DOUBLE) + fp) * (tn + fn)),
+                     6) END AS mcc
+    FROM cm
+    """,
+)
+def eval_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the shared quality score
+    (thresholded at 0.25) as an English-document detector: MCC =
+    (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
+    single-number binary metric that stays honest under class
+    imbalance, where accuracy and even F1 (which ignores TN) flatter
+    a majority-class predictor. Completes the binary-eval family
+    (AUC: threshold-free; F1: report; MCC: balanced single number).
+
+    Scale shape: one corpus scan to four confusion counts — integer
+    sufficient statistics; the coefficient is one float expression
+    over them."""
+    scored = _scored(spark)
+    pred = F.col("s") > _MCC_THRESH
+    gold = F.col("lang") == "en"
+    cm = scored.agg(
+        F.count(F.when(pred & gold, 1)).cast("bigint").alias("tp"),
+        F.count(F.when(pred & ~gold, 1)).cast("bigint").alias("fp"),
+        F.count(F.when(~pred & gold, 1)).cast("bigint").alias("fn"),
+        F.count(F.when(~pred & ~gold, 1)).cast("bigint").alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    degenerate = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) == 0
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (tp * tn - fp * fn)
+                / F.sqrt(
+                    (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                ),
+                6,
+            )
+        )
+        .alias("mcc"),
+    )
+
+
+@query(
+    "eval_log_loss",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    clipped AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               LEAST(GREATEST(s, 0.000001), 0.999999) AS p
+        FROM scored
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(
+                   -(y * ln(p) + (1 - y) * ln(1 - p)), 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS ll_sum,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS base
+        FROM clipped
+    )
+    SELECT n,
+           round(ll_sum / n, 6) AS log_loss,
+           round(-(base * ln(base) + (1 - base) * ln(1 - base)), 6)
+               AS baseline_loss,
+           round(1 - (ll_sum / n)
+                 / (-(base * ln(base) + (1 - base) * ln(1 - base))),
+                 6) AS skill_score
+    FROM s
+    """,
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy (log loss) of the shared quality score as
+    an English-probability estimate, with probabilities clipped to
+    [1e-6, 1-1e-6]: the PROPER scoring rule that punishes confident
+    wrong predictions quadratically harder than AUC's pure ranking
+    view, reported against the base-rate entropy baseline and as a
+    skill score (1 - LL/LL_baseline, > 0 means the score beats
+    always-predict-the-base-rate). Completes the probability-quality
+    trio (calibration_ece: reliability; brier: quadratic; this:
+    logarithmic).
+
+    Scale shape: one corpus scan; per-doc loss terms are 8dp-rounded
+    and decimal-summed so the mean is order-independent."""
+    scored = _scored(spark)
+    y = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    p = F.least(F.greatest(F.col("s"), F.lit(0.000001)), F.lit(0.999999))
+    clipped = scored.select(y.alias("y"), p.alias("p"))
+    term = -(
+        F.col("y") * F.log(F.col("p"))
+        + (1 - F.col("y")) * F.log(1 - F.col("p"))
+    )
+    s = clipped.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(term, 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("ll_sum"),
+        (F.sum("y").cast("double") / F.count("*")).alias("base"),
+    )
+    base = F.col("base")
+    baseline = -(base * F.log(base) + (1 - base) * F.log(1 - base))
+    return s.select(
+        "n",
+        F.round(F.col("ll_sum") / F.col("n"), 6).alias("log_loss"),
+        F.round(baseline, 6).alias("baseline_loss"),
+        F.round(
+            1 - (F.col("ll_sum") / F.col("n")) / baseline, 6
+        ).alias("skill_score"),
+    )
+
+
+@query(
+    "eval_win_rate_matrix",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS rev
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END)
+                AS BIGINT) AS wins_a,
+           CAST(SUM(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END)
+                AS BIGINT) AS ties,
+           round((SUM(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END)
+                  + 0.5 * SUM(CASE WHEN a.rev = b.rev
+                              THEN 1 ELSE 0 END))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS win_rate_a
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win-rate matrix over the daily event-type battles
+    (higher decimal-exact daily revenue wins, ties credit 1/2): the
+    raw arena table behind eval_bradley_terry's fitted strength
+    scale — the artifact every LLM-arena leaderboard publishes
+    alongside its ratings, because intransitive pockets (A beats B
+    beats C beats A) are visible HERE and destroyed by the fit.
+
+    Scale shape: one corpus collapse to the (type, day) daily table;
+    the battle join is day-equi (never cartesian across days); the
+    matrix is category-pair bounded. Exact decimal revenue makes
+    every win/tie decision engine-identical."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    win = F.when(F.col("a.rev") > F.col("b.rev"), 1).otherwise(0)
+    tie = F.when(F.col("a.rev") == F.col("b.rev"), 1).otherwise(0)
+    return (
+        j.groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(win).cast("bigint").alias("wins_a"),
+            F.sum(tie).cast("bigint").alias("ties"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_days",
+            "wins_a",
+            "ties",
+            F.round(
+                (F.col("wins_a") + 0.5 * F.col("ties"))
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("win_rate_a"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "eval_length_bias",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    obs AS (
+        SELECT sc.source, sc.s, d.n_chars
+        FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+    ),
+    cells AS (
+        SELECT source, s AS x, CAST(n_chars AS DOUBLE) AS y,
+               COUNT(*) AS cnt
+        FROM obs GROUP BY 1, 2, 3
+    ),
+    xr AS (
+        SELECT source, x,
+               SUM(t) OVER (PARTITION BY source ORDER BY x
+                            ROWS UNBOUNDED PRECEDING)
+                   - t + (t + 1) / 2.0 AS rx
+        FROM (SELECT source, x, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+    ),
+    yr AS (
+        SELECT source, y,
+               SUM(t) OVER (PARTITION BY source ORDER BY y
+                            ROWS UNBOUNDED PRECEDING)
+                   - t + (t + 1) / 2.0 AS ry
+        FROM (SELECT source, y, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+    ),
+    st AS (
+        SELECT c.source,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(CAST(cnt * rx AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sx,
+               CAST(SUM(CAST(cnt * ry AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(cnt * rx * ry AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(cnt * rx * rx AS DECIMAL(28,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(cnt * ry * ry AS DECIMAL(28,6)))
+                    AS DOUBLE) AS syy
+        FROM cells c
+        JOIN xr ON xr.source = c.source AND xr.x = c.x
+        JOIN yr ON yr.source = c.source AND yr.y = c.y
+        GROUP BY c.source
+    )
+    SELECT source, n,
+           round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                 4) AS length_bias_rho,
+           abs((sxy - sx * sy / n)
+               / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+               > 0.5 AS strongly_biased
+    FROM st
+    WHERE (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+    ORDER BY source
+    """,
+)
+def eval_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length bias of the shared quality score, per source: Spearman
+    rank correlation between score and document length — the
+    judge-bias audit every LLM-eval pipeline runs, because a scorer
+    that secretly rewards length gets gamed by verbosity (and a
+    curation gate built on it silently selects for long documents).
+    |rho| > 0.5 flags a strongly length-confounded source.
+
+    Scale shape: the spearman midrank-histogram machinery (cells
+    bounded by distinct (score, length) values per source, not doc
+    count); decimal-exact half-integer rank sums make rho
+    bit-identical across engines."""
+    scored = _scored(spark)
+    obs = scored.join(
+        spark.table("documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    cells = obs.groupBy(
+        "source",
+        F.col("s").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    ).agg(F.count("*").alias("cnt"))
+
+    def midranks(col: str, alias: str) -> DataFrame:
+        hist = cells.groupBy("source", col).agg(
+            F.sum("cnt").alias("t")
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return hist.select(
+            "source",
+            col,
+            (
+                F.sum("t").over(w) - F.col("t") + (F.col("t") + 1) / 2.0
+            ).alias(alias),
+        )
+
+    joined = cells.join(midranks("x", "rx"), ["source", "x"]).join(
+        midranks("y", "ry"), ["source", "y"]
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")
+    st = joined.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        dec(F.col("cnt") * F.col("rx")).alias("sx"),
+        dec(F.col("cnt") * F.col("ry")).alias("sy"),
+        dec(F.col("cnt") * F.col("rx") * F.col("ry")).alias("sxy"),
+        dec(F.col("cnt") * F.col("rx") * F.col("rx")).alias("sxx"),
+        dec(F.col("cnt") * F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    rho = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        vx * vy
+    )
+    return (
+        st.where((vx > 0) & (vy > 0))
+        .select(
+            "source",
+            "n",
+            F.round(rho, 4).alias("length_bias_rho"),
+            (F.abs(rho) > 0.5).alias("strongly_biased"),
+        )
+        .orderBy("source")
+    )
+
+
+# Three deterministic rule-based "raters" bucket each document into
+# low/mid/high quality by thresholding the shared score at slightly
+# different cutoffs — the reproducible stand-in for human annotators
+# that makes multi-rater agreement oracle-checkable.
+_RATER_CUTS = ((0.20, 0.35), (0.18, 0.33), (0.22, 0.37))
+
+
+def _rater_sql(lo: float, hi: float) -> str:
+    return (
+        f"CASE WHEN s < {lo} THEN 'low' "
+        f"WHEN s < {hi} THEN 'mid' ELSE 'high' END"
+    )
+
+
+_RATINGS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {_rater_sql(lo, hi)} AS cat FROM scored"
+    for lo, hi in _RATER_CUTS
+)
+
+
+def _ratings(spark: SparkSession) -> DataFrame:
+    """(doc_id, cat) with one row per rater per document."""
+    scored = _scored(spark)
+    parts = []
+    for lo, hi in _RATER_CUTS:
+        cat = (
+            F.when(F.col("s") < lo, "low")
+            .when(F.col("s") < hi, "mid")
+            .otherwise("high")
+        )
+        parts.append(scored.select("doc_id", cat.alias("cat")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "eval_fleiss_kappa",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ratings AS ({_RATINGS_SQL}),
+    item_cat AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_ic
+        FROM ratings GROUP BY doc_id, cat
+    ),
+    per_item AS (  -- P_i = (sum n_ic^2 - m) / (m (m - 1)), m = 3
+        SELECT doc_id,
+               (SUM(n_ic * n_ic) - 3) / (3.0 * 2.0) AS p_i
+        FROM item_cat GROUP BY doc_id
+    ),
+    pbar AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(round(p_i, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) / COUNT(*) AS p_bar
+        FROM per_item
+    ),
+    pe AS (
+        SELECT SUM(pow(cnt / tot, 2)) AS p_e FROM (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+                   CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS tot
+            FROM ratings GROUP BY cat
+        )
+    )
+    SELECT pbar.n_items, round(pbar.p_bar, 6) AS p_bar,
+           round(pe.p_e, 6) AS p_e,
+           round((pbar.p_bar - pe.p_e) / (1 - pe.p_e), 6)
+               AS fleiss_kappa
+    FROM pbar, pe
+    """,
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three deterministic quality raters (the
+    shared score thresholded at three cutoff pairs into
+    low/mid/high): chance-corrected agreement for MANY raters —
+    kappa = (P_bar - P_e) / (1 - P_e) with per-item agreement P_i =
+    (sum n_ic^2 - m)/(m(m-1)) — generalizing eval_cohens_kappa's
+    two-rater form to the annotation-pool setting every labeling
+    pipeline audits before trusting majority votes.
+
+    Scale shape: ratings explode to 3 rows per doc, collapse to
+    (doc, category) counts; P_i terms are exact rationals
+    (8dp-rounded, decimal-summed) and P_e comes from the pooled
+    category margin — no per-rater pairwise blowup."""
+    ratings = _ratings(spark)
+    item_cat = ratings.groupBy("doc_id", "cat").agg(
+        F.count("*").cast("bigint").alias("n_ic")
+    )
+    per_item = item_cat.groupBy("doc_id").agg(
+        (
+            (F.sum(F.col("n_ic") * F.col("n_ic")) - 3) / (3.0 * 2.0)
+        ).alias("p_i")
+    )
+    pbar = per_item.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (
+            F.sum(F.round(F.col("p_i"), 8).cast("decimal(38,8)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("p_bar"),
+    )
+    tot = Window.partitionBy()
+    pe = (
+        ratings.groupBy("cat")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .select(
+            F.pow(
+                F.col("cnt") / F.sum("cnt").over(tot), 2
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").alias("p_e"))
+    )
+    return pbar.crossJoin(F.broadcast(pe)).select(
+        "n_items",
+        F.round(F.col("p_bar"), 6).alias("p_bar"),
+        F.round(F.col("p_e"), 6).alias("p_e"),
+        F.round(
+            (F.col("p_bar") - F.col("p_e")) / (1 - F.col("p_e")), 6
+        ).alias("fleiss_kappa"),
+    )
+
+
+@query(
+    "eval_krippendorff_alpha",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ratings AS ({_RATINGS_SQL}),
+    item_cat AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_ic
+        FROM ratings GROUP BY doc_id, cat
+    ),
+    within AS (  -- disagreeing pairs within each item (m = 3 raters)
+        SELECT doc_id,
+               (9 - SUM(n_ic * n_ic)) / 2 AS dis_pairs
+        FROM item_cat GROUP BY doc_id
+    ),
+    do_ AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(dis_pairs) AS DOUBLE) / (COUNT(*) * 3)
+                   AS d_o  -- per-pair rate: m(m-1)/2 = 3 pairs/item
+        FROM within
+    ),
+    marg AS (
+        SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_c FROM ratings
+        GROUP BY cat
+    ),
+    de AS (
+        SELECT 1.0 - SUM(CAST(n_c AS DOUBLE) * (n_c - 1))
+                     / (CAST(nt AS DOUBLE) * (nt - 1)) AS d_e
+        FROM marg, (SELECT SUM(n_c) AS nt FROM marg)
+        GROUP BY nt
+    )
+    SELECT do_.n_items,
+           round(do_.d_o, 6) AS d_o,
+           round(de.d_e, 6) AS d_e,
+           round(1 - do_.d_o / de.d_e, 6) AS krippendorff_alpha
+    FROM do_, de
+    """,
+)
+def eval_krippendorff_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) over the same three
+    deterministic raters: 1 - D_o / D_e, where D_o is the observed
+    within-item pairwise disagreement rate and D_e the disagreement
+    expected from the pooled category margin WITH the (N-1)
+    small-sample correction — the agreement coefficient that (unlike
+    Fleiss' kappa) generalizes to missing ratings and other metrics,
+    and the conventional >= 0.8 publication bar. Reporting both
+    alongside fleiss_kappa shows the chance-model disagreement
+    directly.
+
+    Scale shape: same (doc, category) count collapse as Fleiss —
+    integer disagreeing-pair counts per item, one margin aggregate;
+    floats only in the two final rates."""
+    ratings = _ratings(spark)
+    item_cat = ratings.groupBy("doc_id", "cat").agg(
+        F.count("*").cast("bigint").alias("n_ic")
+    )
+    within = item_cat.groupBy("doc_id").agg(
+        ((9 - F.sum(F.col("n_ic") * F.col("n_ic"))) / 2).alias(
+            "dis_pairs"
+        )
+    )
+    do_ = within.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (
+            F.sum("dis_pairs").cast("double") / (F.count("*") * 3)
+        ).alias("d_o"),
+    )
+    marg = ratings.groupBy("cat").agg(
+        F.count("*").cast("bigint").alias("n_c")
+    )
+    nt = marg.agg(F.sum("n_c").alias("nt"))
+    de = (
+        marg.crossJoin(F.broadcast(nt))
+        .agg(
+            (
+                1.0
+                - F.sum(
+                    F.col("n_c").cast("double") * (F.col("n_c") - 1)
+                )
+                / F.any_value(
+                    F.col("nt").cast("double") * (F.col("nt") - 1)
+                )
+            ).alias("d_e")
+        )
+    )
+    return do_.crossJoin(F.broadcast(de)).select(
+        "n_items",
+        F.round(F.col("d_o"), 6).alias("d_o"),
+        F.round(F.col("d_e"), 6).alias("d_e"),
+        F.round(1 - F.col("d_o") / F.col("d_e"), 6).alias(
+            "krippendorff_alpha"
+        ),
+    )
+
+
+_RBO_P = 0.9
+_RBO_DEPTH = 20
+
+
+@query(
+    "eval_rbo_overlap",
+    oracle=f"""
+    WITH ra AS (
+        SELECT l_partkey AS pk,
+               ROW_NUMBER() OVER (
+                   ORDER BY SUM(CAST(l_extendedprice
+                       AS DECIMAL(18,2))) DESC, l_partkey) AS r
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY r LIMIT {_RBO_DEPTH}
+    ),
+    rb AS (
+        SELECT l_partkey AS pk,
+               ROW_NUMBER() OVER (
+                   ORDER BY COUNT(*) DESC, l_partkey) AS r
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY r LIMIT {_RBO_DEPTH}
+    ),
+    pref AS (
+        SELECT ra.r AS r_a, rb.r AS r_b
+        FROM ra JOIN rb ON ra.pk = rb.pk
+    ),
+    depths AS (
+        SELECT gs.d,
+               CAST((SELECT COUNT(*) FROM pref
+                     WHERE r_a <= gs.d AND r_b <= gs.d) AS BIGINT)
+                   AS overlap
+        FROM generate_series(1, {_RBO_DEPTH}) AS gs(d)
+    )
+    SELECT CAST({_RBO_DEPTH} AS BIGINT) AS depth,
+           {_RBO_P} AS p,
+           CAST(MAX(CASE WHEN d = {_RBO_DEPTH} THEN overlap END)
+                AS BIGINT) AS overlap_at_depth,
+           round((1 - {_RBO_P}) * CAST(SUM(CAST(round(
+                   pow({_RBO_P}, d - 1) * overlap / d, 8)
+                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS rbo_min
+    FROM depths
+    """,
+)
+def eval_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p = 0.9, truncated at depth 20)
+    between two part rankings — by revenue vs by order-line count:
+    (1-p) sum p^(d-1) |A_d intersect B_d| / d, the top-weighted
+    rank-list similarity that answers "do these two rankers agree
+    where it matters (the head)?" — indefinite-list-safe where
+    Kendall/Spearman need identical support. The truncated (lower
+    bound) form is reported.
+
+    Scale shape: both rankings are TakeOrderedAndProject top-20 cuts
+    with decimal-exact keys and partkey tie-breaks; the depth curve
+    rides a 20-row spine against the joined prefix table. Everything
+    after the two aggregations is constant-sized."""
+    li = spark.table("lineitem")
+    ra = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .alias("rev")
+        )
+        .select(
+            "pk",
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), F.col("pk")))
+            .alias("r"),
+        )
+        .where(F.col("r") <= _RBO_DEPTH)
+    )
+    rb = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "pk",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("pk")))
+            .alias("r"),
+        )
+        .where(F.col("r") <= _RBO_DEPTH)
+    )
+    both = ra.join(
+        rb.withColumnRenamed("r", "r_b"), "pk"
+    ).select(F.col("r").alias("r_a"), "r_b")
+    depths = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").alias("d")
+    )
+    curve = (
+        depths.join(
+            F.broadcast(both),
+            (F.col("r_a") <= F.col("d")) & (F.col("r_b") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("r_a").cast("bigint").alias("overlap"))
+    )
+    term = F.round(
+        F.pow(F.lit(_RBO_P), F.col("d") - 1)
+        * F.col("overlap")
+        / F.col("d"),
+        8,
+    ).cast("decimal(38,8)")
+    return curve.agg(
+        F.lit(_RBO_DEPTH).cast("bigint").alias("depth"),
+        F.lit(_RBO_P).alias("p"),
+        F.max(
+            F.when(F.col("d") == _RBO_DEPTH, F.col("overlap"))
+        )
+        .cast("bigint")
+        .alias("overlap_at_depth"),
+        F.round(
+            (1 - _RBO_P) * F.sum(term).cast("double"), 6
+        ).alias("rbo_min"),
+    )

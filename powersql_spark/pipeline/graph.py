@@ -2106,3 +2106,357 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
         F.col("node").alias("n_nationkey"),
         F.round("b_raw", 6).alias("betweenness"),
     ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 distance-centrality family: all-pairs shortest paths on the
+# thresholded trade graph (25 nodes), then closeness / harmonic /
+# eccentricity readouts, plus the degree-stratified rich-club curve.
+# ---------------------------------------------------------------------------
+
+_APSP_ROUNDS = 5  # covers diameter <= 5; guard raises loudly beyond
+
+
+def _apsp_expand_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT src, node, MIN(dist) AS dist FROM (
+            SELECT src, node, dist FROM {prev}
+            UNION ALL
+            SELECT d.src, s.dst AS node, d.dist + 1 AS dist
+            FROM sym s JOIN {prev} d ON s.src_n = d.node
+        ) GROUP BY src, node
+    )"""
+
+
+_APSP_CTE = (
+    _STRONG_EDGES_CTE
+    + """,
+    sym AS (
+        SELECT a AS src_n, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    d0 AS (
+        SELECT n_nationkey AS src, n_nationkey AS node, 0 AS dist
+        FROM nation
+    )"""
+    + ","
+    + ",".join(
+        _apsp_expand_sql(f"d{i}", f"d{i + 1}")
+        for i in range(_APSP_ROUNDS)
+    )
+    + f""",
+    dist AS (SELECT * FROM d{_APSP_ROUNDS})
+"""
+)
+
+
+def _apsp_dist(spark: SparkSession) -> DataFrame:
+    """All-pairs shortest-path table (src, node, dist) over the
+    thresholded undirected trade graph, by {_APSP_ROUNDS} unrolled
+    multi-source min-plus rounds on a checkpointed O(nations^2) state
+    (<= 625 rows — the kcore/Brandes lineage discipline). Unreachable
+    pairs are absent. Guard: one extra round must not shrink any
+    distance, else the diameter exceeded the unroll and the
+    centralities would silently truncate (the Brandes guard applied
+    to the multi-source case)."""
+    und = _strong_edges(spark)
+    sym = (
+        und.select(F.col("a").alias("src_n"), F.col("b").alias("dst"))
+        .unionAll(
+            und.select(
+                F.col("b").alias("src_n"), F.col("a").alias("dst")
+            )
+        )
+        .coalesce(1)
+        .transform(track_checkpoint)
+    )
+    dist = (
+        spark.table("nation")
+        .select(
+            F.col("n_nationkey").alias("src"),
+            F.col("n_nationkey").alias("node"),
+            F.lit(0).alias("dist"),
+        )
+        .coalesce(1)
+        .transform(track_checkpoint)
+    )
+
+    def expand(d: DataFrame) -> DataFrame:
+        hop = (
+            sym.join(
+                F.broadcast(d.withColumnRenamed("node", "src_n")),
+                "src_n",
+            )
+            .select("src", F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        return (
+            d.unionAll(hop)
+            .groupBy("src", "node")
+            .agg(F.min("dist").alias("dist"))
+            .coalesce(1)
+            .transform(track_checkpoint)
+        )
+
+    for _ in range(_APSP_ROUNDS):
+        dist = expand(dist)
+    # Loud convergence guard (constant-cost: both frames are
+    # checkpointed <= 625-row states).
+    extra = expand(dist)
+    changed = (
+        extra.join(dist, ["src", "node", "dist"], "left_anti")
+        .limit(1)
+        .count()
+    )
+    if changed:
+        raise RuntimeError(
+            "_apsp_dist: distances still shrinking after "
+            f"{_APSP_ROUNDS} unrolled rounds — graph diameter exceeds "
+            f"{_APSP_ROUNDS}, centralities would be silently "
+            "truncated. Raise _APSP_ROUNDS for this edge distribution."
+        )
+    return dist
+
+
+@query(
+    "graph_closeness_centrality",
+    oracle=f"""
+    WITH {_APSP_CTE}
+    SELECT src AS n_nationkey,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable,
+           round(CAST(COUNT(*) - 1 AS DOUBLE)
+                 / NULLIF(SUM(dist), 0), 6) AS closeness
+    FROM dist
+    GROUP BY src
+    ORDER BY n_nationkey
+    """,
+)
+def graph_closeness_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closeness centrality per nation on the thresholded trade
+    graph: (number of reachable peers) / (sum of shortest-path
+    distances to them) — the "how few hops to everyone" centrality,
+    computed on the reachable component so disconnected nodes score
+    by their own component (the Wasserman-Faust convention without
+    the component scaling, reported with n_reachable so the
+    denominator is auditable).
+
+    Scale shape: the distance table comes from {_APSP_ROUNDS}
+    multi-source min-plus rounds on a checkpointed O(nations^2)
+    state — the edge build is the only fact-sized step; the readout
+    is one aggregation of <= 625 integer rows."""
+    dist = _apsp_dist(spark)
+    return (
+        dist.groupBy(F.col("src").alias("n_nationkey"))
+        .agg(
+            (F.count("*") - 1).cast("bigint").alias("n_reachable"),
+            F.round(
+                (F.count("*") - 1).cast("double")
+                / F.nullif(F.sum("dist"), F.lit(0)),
+                6,
+            ).alias("closeness"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "graph_harmonic_centrality",
+    oracle=f"""
+    WITH {_APSP_CTE}
+    SELECT src AS n_nationkey,
+           CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT)
+               AS n_reachable,
+           CAST(SUM(CASE WHEN dist > 0
+                THEN CAST(round(1.0 / dist, 8) AS DECIMAL(38,8))
+                ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+               AS harmonic
+    FROM dist
+    GROUP BY src
+    ORDER BY n_nationkey
+    """,
+)
+def graph_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic centrality per nation: sum of 1/d over all other
+    nodes (unreachable contribute 0) — the centrality that stays
+    well-defined on disconnected graphs, where closeness needs a
+    component convention; Boldi-Vigna's recommended replacement.
+    Reported unnormalized (divide by n-1 downstream for the [0,1]
+    form).
+
+    Scale shape: same checkpointed APSP state as closeness; the
+    reciprocal terms are 8dp-rounded and decimal-summed, so the
+    score is exact and order-independent."""
+    dist = _apsp_dist(spark)
+    recip = F.when(
+        F.col("dist") > 0,
+        F.round(1.0 / F.col("dist"), 8).cast("decimal(38,8)"),
+    ).otherwise(F.lit(0).cast("decimal(38,8)"))
+    return (
+        dist.groupBy(F.col("src").alias("n_nationkey"))
+        .agg(
+            F.count(F.when(F.col("dist") > 0, 1))
+            .cast("bigint")
+            .alias("n_reachable"),
+            F.sum(recip).cast("double").alias("harmonic"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "graph_eccentricity",
+    oracle=f"""
+    WITH {_APSP_CTE},
+    ecc AS (
+        SELECT src AS n_nationkey,
+               CAST(MAX(dist) AS BIGINT) AS eccentricity,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable
+        FROM dist GROUP BY src
+    ),
+    summ AS (
+        SELECT CAST(MAX(eccentricity) AS BIGINT) AS diameter,
+               CAST(MIN(eccentricity) AS BIGINT) AS radius
+        FROM ecc WHERE n_reachable > 0
+    )
+    SELECT e.n_nationkey, e.eccentricity, e.n_reachable,
+           s.diameter, s.radius,
+           e.eccentricity = s.radius AND e.n_reachable > 0 AS is_center
+    FROM ecc e, summ s
+    ORDER BY e.n_nationkey
+    """,
+)
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity per nation (its farthest reachable peer's
+    distance) with the graph diameter, radius, and center flags —
+    the worst-case-hops view of the trade graph: diameter bounds any
+    BFS/propagation unroll (and is exactly what sized this family's
+    _APSP_ROUNDS), centers are where a coordinator would sit.
+
+    Scale shape: one MAX/COUNT aggregation of the checkpointed APSP
+    state; the diameter/radius summary is a second constant-sized
+    aggregate broadcast back onto the 25 node rows. All integer
+    arithmetic."""
+    dist = _apsp_dist(spark)
+    ecc = dist.groupBy(F.col("src").alias("n_nationkey")).agg(
+        F.max("dist").cast("bigint").alias("eccentricity"),
+        (F.count("*") - 1).cast("bigint").alias("n_reachable"),
+    )
+    summ = ecc.where(F.col("n_reachable") > 0).agg(
+        F.max("eccentricity").cast("bigint").alias("diameter"),
+        F.min("eccentricity").cast("bigint").alias("radius"),
+    )
+    return (
+        ecc.crossJoin(F.broadcast(summ))
+        .select(
+            "n_nationkey",
+            "eccentricity",
+            "n_reachable",
+            "diameter",
+            "radius",
+            (
+                (F.col("eccentricity") == F.col("radius"))
+                & (F.col("n_reachable") > 0)
+            ).alias("is_center"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM und
+            UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ),
+    ks AS (SELECT gs.k FROM generate_series(1, 12) AS gs(k)),
+    club AS (
+        SELECT ks.k,
+               CAST((SELECT COUNT(*) FROM deg
+                     WHERE deg.deg > ks.k) AS BIGINT) AS n_k,
+               CAST((SELECT COUNT(*) FROM und e
+                     JOIN deg da ON da.node = e.a
+                     JOIN deg db ON db.node = e.b
+                     WHERE da.deg > ks.k AND db.deg > ks.k)
+                    AS BIGINT) AS e_k
+        FROM ks
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_k, e_k,
+           round(2.0 * e_k / (CAST(n_k AS DOUBLE) * (n_k - 1)), 6)
+               AS phi
+    FROM club
+    WHERE n_k > 1
+    ORDER BY k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve phi(k) = 2 E_k / (N_k (N_k - 1)):
+    among nations of degree > k, what fraction of possible edges
+    exist? A rising curve means the high-degree trade hubs
+    preferentially interconnect (a rich club — systemic-risk core);
+    flat means hubs spread their edges. The degree-stratified
+    companion of graph_assortativity's single correlation number.
+
+    Scale shape: degrees are one aggregation of the O(nations^2)
+    edge table; each k stratum is a broadcast semi-filtered count of
+    the same constant-sized tables over a 12-row k spine — no
+    fact-sized work beyond the shared edge build."""
+    und = _strong_edges(spark)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    ks = spark.range(1, 13).select(F.col("id").alias("k"))
+    edge_deg = und.join(
+        F.broadcast(deg.withColumnRenamed("node", "a_n")),
+        F.col("a") == F.col("a_n"),
+    ).join(
+        F.broadcast(
+            deg.select(
+                F.col("node").alias("b_n"), F.col("deg").alias("degb")
+            )
+        ),
+        F.col("b") == F.col("b_n"),
+    ).select("a", "b", F.col("deg").alias("dega"), "degb")
+    n_k = (
+        ks.join(
+            F.broadcast(deg), F.col("deg") > F.col("k"), "left"
+        )
+        .groupBy("k")
+        .agg(F.count("node").cast("bigint").alias("n_k"))
+    )
+    e_k = (
+        ks.join(
+            F.broadcast(edge_deg),
+            (F.col("dega") > F.col("k")) & (F.col("degb") > F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("a").cast("bigint").alias("e_k"))
+    )
+    return (
+        n_k.join(e_k, "k")
+        .where(F.col("n_k") > 1)
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_k",
+            "e_k",
+            F.round(
+                2.0
+                * F.col("e_k")
+                / (F.col("n_k").cast("double") * (F.col("n_k") - 1)),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

@@ -1402,3 +1402,331 @@ def profile_functional_dependency(
         )
     out = reduce(DataFrame.unionAll, frames)
     return out.orderBy("table_name", "determinant", "dependent")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 profiling widening: value-shape patterns, FK fanout
+# classification, and string type inference.
+# ---------------------------------------------------------------------------
+
+_PATTERN_COLS = (
+    ("customer", "c_name"),
+    ("part", "p_brand"),
+    ("orders", "o_orderpriority"),
+    ("nation", "n_name"),
+)
+
+
+def _shape_sql(expr: str) -> str:
+    """Collapsed character-class signature: runs of uppercase -> A,
+    lowercase -> a, digits -> 9; everything else literal."""
+    # DuckDB regexp_replace is first-match-only without the 'g' flag
+    # (Spark's replaces all matches by default).
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '[A-Z]+', 'A', 'g'), '[a-z]+', 'a', 'g'),"
+        " '[0-9]+', '9', 'g')"
+    )
+
+
+def _shape_col(c):
+    out = F.regexp_replace(c, "[A-Z]+", "A")
+    out = F.regexp_replace(out, "[a-z]+", "a")
+    return F.regexp_replace(out, "[0-9]+", "9")
+
+
+@query(
+    "profile_value_pattern",
+    oracle=f"""
+    WITH vals AS (
+        {" UNION ALL ".join(
+            f"SELECT '{t}.{c}' AS col_name, {_shape_sql(c)} AS pattern"
+            f" FROM {t}"
+            for t, c in _PATTERN_COLS
+        )}
+    ),
+    counts AS (
+        SELECT col_name, pattern,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM vals GROUP BY col_name, pattern
+    ),
+    ranked AS (
+        SELECT col_name, pattern, n_rows,
+               SUM(n_rows) OVER (PARTITION BY col_name) AS col_total,
+               ROW_NUMBER() OVER (PARTITION BY col_name
+                   ORDER BY n_rows DESC, pattern) AS rn
+        FROM counts
+    )
+    SELECT col_name, pattern, n_rows,
+           {sql_jround("n_rows / CAST(col_total AS DOUBLE)", 6)}
+               AS coverage
+    FROM ranked WHERE rn <= 5
+    ORDER BY col_name, n_rows DESC, pattern
+    """,
+)
+def profile_value_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-shape pattern profile (the Potter's Wheel structure
+    discovery): map every value of the audited string columns to its
+    collapsed character-class signature (runs of upper -> A, lower ->
+    a, digits -> 9; punctuation literal — 'Customer#000000001' ->
+    'A#9'), then report each column's top-5 signatures with coverage
+    — the screen that finds mixed formats, stray whitespace, and
+    rogue encodings in columns that LOOK uniform.
+
+    Scale shape: the signature map is per-row regexp work fused into
+    each scan; patterns collapse to a tiny (column x signature)
+    table; ranking and coverage ride that metadata. Column list is a
+    curated audit panel (config, not discovery — the same panel on
+    both engines)."""
+    frames = []
+    for t, c in _PATTERN_COLS:
+        frames.append(
+            spark.table(t).select(
+                F.lit(f"{t}.{c}").alias("col_name"),
+                _shape_col(F.col(c)).alias("pattern"),
+            )
+        )
+    vals = frames[0]
+    for fr in frames[1:]:
+        vals = vals.unionAll(fr)
+    counts = vals.groupBy("col_name", "pattern").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    wtot = Window.partitionBy("col_name")
+    wrank = Window.partitionBy("col_name").orderBy(
+        F.col("n_rows").desc(), "pattern"
+    )
+    ranked = counts.select(
+        "col_name",
+        "pattern",
+        "n_rows",
+        F.sum("n_rows").over(wtot).alias("col_total"),
+        F.row_number().over(wrank).alias("rn"),
+    )
+    return (
+        ranked.where(F.col("rn") <= 5)
+        .select(
+            "col_name",
+            "pattern",
+            "n_rows",
+            F.round(
+                F.col("n_rows") / F.col("col_total").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("col_name", F.col("n_rows").desc(), "pattern")
+    )
+
+
+_FK_PAIRS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _fk_pair_sql(ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+    SELECT '{ct}.{ck} -> {pt}.{pk}' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {pt}) AS n_parents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_children,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT {ck} FROM {ct})) AS parents_referenced,
+           (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM {ct} GROUP BY {ck}))
+               AS max_fanout,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}
+            WHERE {ck} NOT IN (SELECT {pk} FROM {pt}))
+               AS orphan_children
+    """
+
+
+@query(
+    "profile_join_cardinality",
+    oracle=f"""
+    WITH pairs AS (
+        {" UNION ALL ".join(_fk_pair_sql(*p) for p in _FK_PAIRS)}
+    )
+    SELECT fk, n_parents, n_children, parents_referenced,
+           max_fanout, orphan_children,
+           {sql_jround(
+               "n_children / CAST(parents_referenced AS DOUBLE)", 4)}
+               AS avg_fanout,
+           CASE WHEN max_fanout = 1 THEN '1:1' ELSE '1:N' END
+               AS cardinality_class,
+           parents_referenced < n_parents AS has_childless_parents
+    FROM pairs
+    ORDER BY fk
+    """,
+)
+def profile_join_cardinality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-cardinality profile of the star schema's five FK
+    relationships: parent/child counts, referenced-parent count,
+    max/avg fanout, orphan children, and the inferred 1:1 vs 1:N
+    class — the facts a query planner's estimates, a dimensional
+    model review, and every JOIN-explosion postmortem start from
+    (an unexpected N on the 'one' side is how fan-out duplicates
+    revenue). Complements profile_fk_orphan_report (which lists the
+    orphans; this classifies the relationship).
+
+    Scale shape: each relationship costs one child-side key
+    aggregation plus a broadcast existence probe against the parent
+    key set — five independent constant-output subplans unioned; no
+    cross-relationship shuffle."""
+    rows = []
+    for ct, ck, pt, pk in _FK_PAIRS:
+        child = spark.table(ct)
+        parent = spark.table(pt)
+        fan = child.groupBy(ck).agg(F.count("*").alias("c"))
+        orphans = child.join(
+            F.broadcast(parent.select(F.col(pk).alias(ck))),
+            ck,
+            "left_anti",
+        ).count()
+        rows.append(
+            fan.agg(
+                F.lit(f"{ct}.{ck} -> {pt}.{pk}").alias("fk"),
+                F.lit(parent.count()).cast("bigint").alias(
+                    "n_parents"
+                ),
+                F.sum("c").cast("bigint").alias("n_children"),
+                F.count("*").cast("bigint").alias(
+                    "parents_referenced"
+                ),
+                F.max("c").cast("bigint").alias("max_fanout"),
+                F.lit(orphans).cast("bigint").alias(
+                    "orphan_children"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "fk",
+        "n_parents",
+        "n_children",
+        "parents_referenced",
+        "max_fanout",
+        "orphan_children",
+        F.round(
+            F.col("n_children")
+            / F.col("parents_referenced").cast("double"),
+            4,
+        ).alias("avg_fanout"),
+        F.when(F.col("max_fanout") == 1, "1:1")
+        .otherwise("1:N")
+        .alias("cardinality_class"),
+        (F.col("parents_referenced") < F.col("n_parents")).alias(
+            "has_childless_parents"
+        ),
+    ).orderBy("fk")
+
+
+_TYPE_COLS = (
+    ("orders", "o_orderpriority"),
+    ("part", "p_brand"),
+    ("documents", "lang"),
+    ("events", "props"),
+    ("part", "p_size"),
+)
+
+
+@query(
+    "profile_type_inference",
+    oracle=f"""
+    WITH vals AS (
+        {" UNION ALL ".join(
+            f"SELECT '{t}.{c}' AS col_name,"
+            f" CAST({c} AS VARCHAR) AS v FROM {t}"
+            for t, c in _TYPE_COLS
+        )}
+    ),
+    probes AS (
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(COUNT(CASE WHEN TRY_CAST(v AS BIGINT) IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS n_int,
+               CAST(COUNT(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS n_float,
+               CAST(COUNT(CASE WHEN TRY_CAST(v AS DATE) IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS n_date,
+               CAST(COUNT(CASE WHEN lower(v) IN ('true', 'false')
+                    THEN 1 END) AS BIGINT) AS n_bool
+        FROM vals GROUP BY col_name
+    )
+    SELECT col_name, n_rows, n_distinct, n_int, n_float, n_date,
+           n_bool,
+           CASE
+               WHEN n_bool = n_rows THEN 'boolean'
+               WHEN n_int = n_rows THEN 'integer'
+               WHEN n_float = n_rows THEN 'double'
+               WHEN n_date = n_rows THEN 'date'
+               ELSE 'string'
+           END AS inferred_type
+    FROM probes
+    ORDER BY col_name
+    """,
+)
+def profile_type_inference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """String type inference over an audited column panel: for each
+    column, the fraction of values parseable as integer / double /
+    date / boolean (via TRY_CAST probes) and the inferred tightest
+    type when 100% parse — the schema-sniffing pass behind every
+    CSV/JSON ingestion ("this VARCHAR is really an INT") and schema
+    drift audit. Columns that are numeric-typed upstream (p_size)
+    round-trip through VARCHAR to prove the probe.
+
+    Scale shape: probes are per-row TRY_CASTs fused into each scan,
+    collapsed to one row per column — conditional-count sufficient
+    statistics, no second pass, no driver-side sampling."""
+    frames = []
+    for t, c in _TYPE_COLS:
+        frames.append(
+            spark.table(t).select(
+                F.lit(f"{t}.{c}").alias("col_name"),
+                F.col(c).cast("string").alias("v"),
+            )
+        )
+    vals = frames[0]
+    for fr in frames[1:]:
+        vals = vals.unionAll(fr)
+    probes = vals.groupBy("col_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct("v").cast("bigint").alias("n_distinct"),
+        F.count(F.col("v").try_cast("bigint"))
+        .cast("bigint")
+        .alias("n_int"),
+        F.count(F.col("v").try_cast("double"))
+        .cast("bigint")
+        .alias("n_float"),
+        F.count(F.col("v").try_cast("date"))
+        .cast("bigint")
+        .alias("n_date"),
+        F.count(
+            F.when(F.lower(F.col("v")).isin("true", "false"), 1)
+        )
+        .cast("bigint")
+        .alias("n_bool"),
+    )
+    return probes.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_int",
+        "n_float",
+        "n_date",
+        "n_bool",
+        F.when(F.col("n_bool") == F.col("n_rows"), "boolean")
+        .when(F.col("n_int") == F.col("n_rows"), "integer")
+        .when(F.col("n_float") == F.col("n_rows"), "double")
+        .when(F.col("n_date") == F.col("n_rows"), "date")
+        .otherwise("string")
+        .alias("inferred_type"),
+    ).orderBy("col_name")

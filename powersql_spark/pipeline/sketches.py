@@ -1115,3 +1115,99 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("f2_estimate") < 2.0 * F.col("f2_exact"))
         ).alias("within_2x"),
     )
+
+
+_LC_M = 1024  # linear-counting bitmap width
+
+
+@query(
+    "sketch_linear_counting",
+    oracle=f"""
+    WITH marked AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#lc'),
+                               1, 8))::BIGINT % {_LC_M} AS bkt
+        FROM events
+    ),
+    filled AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT bkt) AS BIGINT) AS n_filled
+        FROM marked GROUP BY event_type
+    ),
+    truth AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_filled, t.true_distinct,
+           CAST(round(-{_LC_M}.0
+                * ln(({_LC_M}.0 - f.n_filled) / {_LC_M}.0), 0)
+                AS BIGINT) AS lc_estimate,
+           round(abs(-{_LC_M}.0
+                 * ln(({_LC_M}.0 - f.n_filled) / {_LC_M}.0)
+                 - t.true_distinct)
+                 / t.true_distinct, 4) AS rel_error
+    FROM filled f JOIN truth t ON t.event_type = f.event_type
+    ORDER BY f.event_type
+    """,
+)
+def sketch_linear_counting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear (probabilistic) counting of distinct users per event
+    type: hash each user into an m = 1024 bucket bitmap and estimate
+    distinct count as -m ln(V_empty / m) — the low-range-accurate
+    distinct sketch (beats HLL below ~m distinct values), completing
+    the cardinality family (exact bitmap / KMV / HLL / this). The
+    exact count rides alongside so the estimator's relative error is
+    itself part of the verified result.
+
+    Scale shape: the bitmap is a distinct-count over hash buckets —
+    partial aggregation caps per-partition state at m counters per
+    group, and two bitmaps OR-merge (the mergeability a
+    1000-executor rollup needs). The md5-derived bucket is the
+    repo's portable hash family, so both engines fill identical
+    buckets."""
+    e = spark.table("events")
+    bkt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"), F.lit("#lc")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _LC_M
+    )
+    filled = e.select("event_type", bkt.alias("bkt")).groupBy(
+        "event_type"
+    ).agg(F.count_distinct("bkt").cast("bigint").alias("n_filled"))
+    truth = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias(
+            "true_distinct"
+        )
+    )
+    est = -float(_LC_M) * F.log(
+        (float(_LC_M) - F.col("n_filled")) / float(_LC_M)
+    )
+    return (
+        filled.join(truth, "event_type")
+        .select(
+            "event_type",
+            "n_filled",
+            "true_distinct",
+            F.round(est, 0).cast("bigint").alias("lc_estimate"),
+            F.round(
+                F.abs(est - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )

@@ -213,6 +213,23 @@ _ENDGAME_ORDER = (
     "text_frequency_spectrum",
     "text_word_length_profile",
     "text_positional_divergence",
+    "graph_closeness_centrality",
+    "graph_harmonic_centrality",
+    "graph_eccentricity",
+    "graph_rich_club",
+    "eval_matthews_corr",
+    "eval_log_loss",
+    "eval_win_rate_matrix",
+    "eval_length_bias",
+    "eval_fleiss_kappa",
+    "eval_krippendorff_alpha",
+    "eval_rbo_overlap",
+    "emb_mahalanobis_outlier",
+    "sketch_linear_counting",
+    "profile_value_pattern",
+    "profile_join_cardinality",
+    "profile_type_inference",
+    "split_time_based",
 )
 
 
