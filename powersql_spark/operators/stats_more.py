@@ -91,7 +91,8 @@ def _nation_year_pairs(spark: SparkSession) -> DataFrame:
     s AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(d) AS DOUBLE) AS sd1,
-               CAST(SUM(CAST(d * d AS DECIMAL(38,4))) AS DOUBLE) AS sd2
+               CAST(SUM(CAST(d AS DECIMAL(19,2))
+                        * CAST(d AS DECIMAL(19,2))) AS DOUBLE) AS sd2
         FROM d
     )
     SELECT n,
@@ -386,12 +387,14 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_mood_median",
     oracle=f"""
-    WITH vals AS (
+    WITH cells AS (  -- ONE corpus collapse: (segment, value) grid
         SELECT c.c_mktsegment AS seg,
-               CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
     ),
-    hist AS (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY v),
+    hist AS (SELECT v, SUM(cnt) AS cnt FROM cells GROUP BY v),
     med AS (  -- lower median: smallest v with 2*cum >= N
         SELECT MIN(v) AS m FROM (
             SELECT v, SUM(cnt) OVER (ORDER BY v
@@ -403,10 +406,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_seg AS (
         SELECT seg,
                CAST(SUM(CASE WHEN v > (SELECT m FROM med)
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+                    THEN cnt ELSE 0 END) AS BIGINT) AS n_above,
                CAST(SUM(CASE WHEN v < (SELECT m FROM med)
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_below
-        FROM vals GROUP BY seg
+                    THEN cnt ELSE 0 END) AS BIGINT) AS n_below
+        FROM cells GROUP BY seg
     ),
     tot AS (
         SELECT SUM(n_above) AS ta, SUM(n_below) AS tb FROM per_seg
@@ -444,18 +447,25 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     first); per-segment counts are one aggregation; the 2 x k
     chi-square table is constant-sized. Median selection is on exact
     DECIMAL(18,2) values — no interpolation, no float ties."""
-    vals = (
+    from powersql_spark.catalog import track_persist
+
+    # ONE corpus collapse to the (segment, value) grid — bounded by
+    # the price grid x 5 segments, not row count — persisted because
+    # the median derivation and the per-segment counts both read it
+    # (two corpus scans otherwise).
+    cells = track_persist(
         spark.table("orders")
         .join(
             spark.table("customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .select(
+        .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
         )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    hist = vals.groupBy("v").agg(F.count("*").alias("cnt"))
+    hist = cells.groupBy("v").agg(F.sum("cnt").alias("cnt"))
     wcum = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -470,13 +480,17 @@ def stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v").alias("m"))
     )
     per_seg = (
-        vals.crossJoin(F.broadcast(med))
+        cells.crossJoin(F.broadcast(med))
         .groupBy("seg")
         .agg(
-            F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("v") > F.col("m"), F.col("cnt")).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_above"),
-            F.sum(F.when(F.col("v") < F.col("m"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("v") < F.col("m"), F.col("cnt")).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_below"),
         )
@@ -590,10 +604,9 @@ def stats_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                    / COUNT(*) AS mu,
-               sqrt((CAST(SUM(CAST(
-                         CAST(c_acctbal AS DECIMAL(18,2))
-                         * CAST(c_acctbal AS DECIMAL(18,2))
-                         AS DECIMAL(38,4))) AS DOUBLE)
+               sqrt((CAST(SUM(CAST(c_acctbal AS DECIMAL(19,2))
+                         * CAST(c_acctbal AS DECIMAL(19,2)))
+                         AS DOUBLE)
                      - COUNT(*) * pow(
                          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
                               AS DOUBLE) / COUNT(*), 2))

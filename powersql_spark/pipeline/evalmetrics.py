@@ -2484,7 +2484,7 @@ _RBO_DEPTH = 20
         FROM generate_series(1, {_RBO_DEPTH}) AS gs(d)
     )
     SELECT CAST({_RBO_DEPTH} AS BIGINT) AS depth,
-           {_RBO_P} AS p,
+           CAST({_RBO_P} AS DOUBLE) AS p,
            CAST(MAX(CASE WHEN d = {_RBO_DEPTH} THEN overlap END)
                 AS BIGINT) AS overlap_at_depth,
            round((1 - {_RBO_P}) * CAST(SUM(CAST(round(

@@ -69,6 +69,10 @@ def test_runs_on_empty_input(spark, key):
         # FK-edge report: an empty schema still yields one zero-count
         # row per declared edge, the correct answer.
         "profile_fk_orphan_report",
+        # FK-cardinality report: same shape — one row per declared
+        # relationship even when both sides are empty, the correct
+        # profile ("0 parents, 0 children, no orphans").
+        "profile_join_cardinality",
         # recon report: empty snapshots still yield one zero-count
         # row per category (nothing added/removed/changed), correct.
         "profile_snapshot_recon",

@@ -2971,3 +2971,100 @@ def test_iterative_bases_stay_persisted(spark, sf_dir):
             "base cache dropped; every checkpoint round would re-run "
             "the fact build"
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 tranche plan gates.
+# ---------------------------------------------------------------------------
+
+
+def test_apsp_centralities_read_checkpointed_state(spark, sf_dir):
+    """Closeness (and the APSP family behind it): the multi-source
+    min-plus rounds execute eagerly into checkpointed O(nations^2)
+    state, so the FINAL plan is a pure aggregation over the last
+    checkpoint — zero joins, zero fact scans (the LPA/BFS/HITS
+    truncation discipline applied to the distance table)."""
+    plan = plan_of(spark, sf_dir, "graph_closeness_centrality")
+    assert "ExistingRDD" in plan, "APSP state not checkpointed"
+    assert plan.count("Join") == 0, "round join subtrees not truncated"
+    assert ".parquet" not in plan, "fact scan leaked past the checkpoint"
+    assert "EvalPython" not in plan
+
+
+def test_hhi_broadcasts_cell_totals(spark, sf_dir):
+    """HHI: brand totals and the part dimension join back broadcast;
+    no cartesian anywhere; the only corpus exchange is the (brand,
+    supplier) cell collapse."""
+    plan = plan_of(spark, sf_dir, "agg_hhi_concentration")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rbo_rankings_are_topk_cuts(spark, sf_dir):
+    """RBO: both rankings must plan as top-k cuts (rank-limit
+    windows), and the depth curve's non-equi join is a broadcast
+    nested loop of the CONSTANT 20-row prefix table — bounded work,
+    explicitly allowed; a cartesian of anything data-sized is not."""
+    plan = plan_of(spark, sf_dir, "eval_rbo_overlap")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_elasticity_single_corpus_collapse(spark, sf_dir):
+    """Price elasticity: the regression needs five sufficient sums
+    per brand — ONE lineitem scan with the part dimension broadcast;
+    a second corpus scan means the sufficient-statistic form was
+    lost."""
+    plan = plan_of(spark, sf_dir, "analytics_price_elasticity")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_mahalanobis_topk_and_broadcast_moments(spark, sf_dir):
+    """Mahalanobis outliers: the (label x dim) moment grid joins back
+    BROADCAST onto the exploded vectors, and the top-10 is a
+    TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(spark, sf_dir, "emb_mahalanobis_outlier")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_linear_counting_partial_aggregates(spark, sf_dir):
+    """Linear counting: the bucket distinct-count must partial-
+    aggregate before the exchange (per-partition state capped at m
+    counters per group — the mergeability the estimator exists
+    for)."""
+    plan = plan_of(spark, sf_dir, "sketch_linear_counting")
+    assert "partial" in plan.lower(), "no map-side partial aggregation"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mood_median_single_corpus_collapse(spark, sf_dir):
+    """Mood's median: the (segment, value) grid is the ONLY corpus
+    collapse — the global median histogram and the per-segment
+    above/below counts both derive from the cached grid, so the
+    fact tables are scanned once, not once per readout."""
+    plan = plan_of(spark, sf_dir, "stats_mood_median")
+    # Every consumer (median histogram, per-segment counts, margin
+    # totals) must read the cached grid — the InMemoryRelation's
+    # printed subtree repeats the file scan TEXT per consumer, but the
+    # build runs once; the gate is that no consumer bypasses the
+    # cache, i.e. at least three InMemoryTableScans appear.
+    assert plan.count("InMemoryTableScan") >= 3, "cell grid not cached"
+    assert "EvalPython" not in plan
+
+
+def test_time_decay_attribution_broadcast_normalization(spark, sf_dir):
+    """Time-decay attribution: no cartesian, no Python; the per-user
+    normalization rides a window on the same user_id partitioning as
+    the conversion join (the position_based skeleton)."""
+    plan = plan_of(spark, sf_dir, "attribution_time_decay")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "hashpartitioning(user_id" in plan

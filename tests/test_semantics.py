@@ -8912,3 +8912,115 @@ def test_cochran_armitage_replays_in_pandas(spark, sf_dir):
     else:
         assert r["significant_5pct"] is None
     assert abs(z_of(7) - z) < 1e-9  # score-shift invariance
+
+
+# ---------------------------------------------------------------------------
+# Round-11 tranche invariants (oracle parity proves value equality;
+# these pin the CLAIMS the numbers must satisfy).
+# ---------------------------------------------------------------------------
+
+
+def test_eccentricity_summary_consistent(spark, sf_dir):
+    """Diameter/radius must equal the max/min eccentricity over
+    reachable nodes, and every center's eccentricity is the radius."""
+    rows = SPECS["graph_eccentricity"].fn(spark, sf_dir).collect()
+    reach = [r for r in rows if r["n_reachable"] > 0]
+    assert reach, "no reachable nodes in the trade graph"
+    diam = max(r["eccentricity"] for r in reach)
+    rad = min(r["eccentricity"] for r in reach)
+    for r in rows:
+        assert r["diameter"] == diam and r["radius"] == rad
+        if r["is_center"]:
+            assert r["eccentricity"] == rad
+
+
+def test_win_rate_matrix_shape_and_bounds(spark, sf_dir):
+    """One row per unordered type pair; rates in [0,1]; wins+ties
+    bounded by battle count."""
+    rows = SPECS["eval_win_rate_matrix"].fn(spark, sf_dir).collect()
+    types = set()
+    for r in rows:
+        types.add(r["type_a"])
+        types.add(r["type_b"])
+        assert 0.0 <= r["win_rate_a"] <= 1.0
+        assert r["wins_a"] + r["ties"] <= r["n_days"]
+        assert r["type_a"] < r["type_b"]
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_agreement_coefficients_bounded(spark, sf_dir):
+    """Fleiss kappa and Krippendorff alpha are chance-corrected: both
+    must land in [-1, 1] and both raters' item counts must equal the
+    document count."""
+    n_docs = spark.table("documents").count()
+    fk = SPECS["eval_fleiss_kappa"].fn(spark, sf_dir).collect()[0]
+    ka = SPECS["eval_krippendorff_alpha"].fn(spark, sf_dir).collect()[0]
+    assert fk["n_items"] == n_docs and ka["n_items"] == n_docs
+    assert -1.0 <= fk["fleiss_kappa"] <= 1.0
+    assert -1.0 <= ka["krippendorff_alpha"] <= 1.0
+
+
+def test_rsi_bounded_and_flags_consistent(spark, sf_dir):
+    rows = SPECS["ts_rsi"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rsi"] <= 100.0
+        assert r["overbought"] == (r["rsi"] > 70)
+        assert r["oversold"] == (r["rsi"] < 30)
+
+
+def test_heaps_curve_monotone(spark, sf_dir):
+    """Cumulative tokens and vocabulary must be nondecreasing in the
+    checkpoint order (a violation means the first-rank accounting is
+    wrong), and the fitted exponent must be a sane Heaps beta."""
+    rows = SPECS["text_heaps_law"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] >= a["cum_tokens"]
+        assert b["vocab"] >= a["vocab"]
+    # The synthetic corpus draws from a small fixed vocabulary, so the
+    # curve SATURATES (vocab flat once every type has appeared) and the
+    # fitted beta can legitimately be ~0 at tiny SFs; natural corpora
+    # sit in 0.4-0.6. Bound, don't pin.
+    assert 0.0 <= rows[0]["heaps_beta"] <= 1.0
+
+
+def test_time_split_no_date_overlap(spark, sf_dir):
+    """The three splits' date ranges must be disjoint and ordered, the
+    event shares must sum to 1, and train's users_seen_in_train must
+    equal its user count (every train user trivially 'seen')."""
+    rows = {
+        r["split"]: r
+        for r in SPECS["split_time_based"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "val", "test"}
+    assert rows["train"]["last_day"] < rows["val"]["first_day"]
+    assert rows["val"]["last_day"] < rows["test"]["first_day"]
+    assert rows["train"]["users_seen_in_train"] == rows["train"]["n_users"]
+    assert abs(sum(r["event_share"] for r in rows.values()) - 1.0) < 0.01
+
+
+def test_mood_median_counts_bounded(spark, sf_dir):
+    """With the LOWER grand median, strictly-above and strictly-below
+    counts are each at most half the classified total."""
+    rows = SPECS["stats_mood_median"].fn(spark, sf_dir).collect()
+    above = sum(r["n_above"] for r in rows)
+    below = sum(r["n_below"] for r in rows)
+    assert above <= (above + below) / 2 + 1
+    assert below <= (above + below) / 2 + 1
+
+
+def test_hhi_in_doj_range(spark, sf_dir):
+    """HHI is a sum of squared shares scaled by 10^4: every brand must
+    land in (0, 10000] with the class matching the bands."""
+    rows = SPECS["agg_hhi_concentration"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["hhi"] <= 10000.0
+        expected = (
+            "high"
+            if r["hhi"] >= 2500
+            else "moderate" if r["hhi"] >= 1500 else "unconcentrated"
+        )
+        assert r["doj_class"] == expected
