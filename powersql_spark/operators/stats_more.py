@@ -343,7 +343,9 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("yb"),
     )
     prs = a.join(F.broadcast(b), F.col("na") < F.col("nb"))
-    n_total = m.count()
+    # n rides the plan as a broadcast 1-row aggregate (no eager
+    # .count() job at frame-construction time).
+    n_row = m.agg(F.count("*").cast("bigint").alias("n"))
     sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
     cnt = prs.agg(
         F.sum(F.when(sgn > 0, 1).otherwise(0))
@@ -370,7 +372,7 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("ties_y"),
-    ).withColumn("n", F.lit(n_total).cast("bigint"))
+    ).crossJoin(F.broadcast(n_row))
     n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
     return cnt.select(
         "n",
@@ -1397,21 +1399,33 @@ def stats_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    dof = (rm.count() - 1) * (cm.count() - 1)
-    return terms.groupBy("n").agg(
-        F.round(
-            2.0
-            * F.sum(
-                F.round(
-                    F.col("obs") * F.log(F.col("obs") / F.col("e")), 8
-                ).cast("decimal(38,8)")
-            ).cast("double"),
-            4,
-        ).alias("g_stat")
-    ).select(
-        F.col("n").cast("bigint").alias("n_orders"),
-        F.lit(dof).cast("bigint").alias("dof"),
-        "g_stat",
+    dims = cells.agg(
+        (
+            (F.count_distinct("x") - 1) * (F.count_distinct("y") - 1)
+        )
+        .cast("bigint")
+        .alias("dof")
+    )
+    return (
+        terms.groupBy("n")
+        .agg(
+            F.round(
+                2.0
+                * F.sum(
+                    F.round(
+                        F.col("obs") * F.log(F.col("obs") / F.col("e")),
+                        8,
+                    ).cast("decimal(38,8)")
+                ).cast("double"),
+                4,
+            ).alias("g_stat")
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("bigint").alias("n_orders"),
+            "dof",
+            "g_stat",
+        )
     )
 
 
@@ -1501,7 +1515,7 @@ def stats_concordance_cindex(
         F.broadcast(b),
         (F.col("cka") < F.col("ckb")) & (F.col("oa") != F.col("ob")),
     )
-    n_panel = panel.count()
+    n_row = panel.agg(F.count("*").cast("bigint").alias("n_panel"))
     cnt = prs.agg(
         F.count("*").cast("bigint").alias("comparable"),
         F.sum(
@@ -1518,8 +1532,8 @@ def stats_concordance_cindex(
         .cast("bigint")
         .alias("pred_ties"),
     )
-    return cnt.select(
-        F.lit(n_panel).cast("bigint").alias("n_panel"),
+    return cnt.crossJoin(F.broadcast(n_row)).select(
+        "n_panel",
         "comparable",
         "concordant",
         "pred_ties",

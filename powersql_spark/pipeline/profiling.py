@@ -1576,31 +1576,38 @@ def profile_join_cardinality(
     aggregation plus a broadcast existence probe against the parent
     key set — five independent constant-output subplans unioned; no
     cross-relationship shuffle."""
+    # Fully lazy: every per-relationship scalar (parent count, orphan
+    # count) rides the plan as a broadcast 1-row aggregate — no eager
+    # .count() jobs at frame-construction time (construction stays
+    # metadata-only; the driver's collect() runs the five subplans).
     rows = []
     for ct, ck, pt, pk in _FK_PAIRS:
         child = spark.table(ct)
         parent = spark.table(pt)
         fan = child.groupBy(ck).agg(F.count("*").alias("c"))
-        orphans = child.join(
-            F.broadcast(parent.select(F.col(pk).alias(ck))),
-            ck,
-            "left_anti",
-        ).count()
+        npar = parent.agg(
+            F.count("*").cast("bigint").alias("n_parents")
+        )
+        orph = (
+            child.select(F.col(ck))
+            .join(
+                F.broadcast(parent.select(F.col(pk).alias(ck))),
+                ck,
+                "left_anti",
+            )
+            .agg(F.count("*").cast("bigint").alias("orphan_children"))
+        )
         rows.append(
             fan.agg(
                 F.lit(f"{ct}.{ck} -> {pt}.{pk}").alias("fk"),
-                F.lit(parent.count()).cast("bigint").alias(
-                    "n_parents"
-                ),
                 F.sum("c").cast("bigint").alias("n_children"),
                 F.count("*").cast("bigint").alias(
                     "parents_referenced"
                 ),
                 F.max("c").cast("bigint").alias("max_fanout"),
-                F.lit(orphans).cast("bigint").alias(
-                    "orphan_children"
-                ),
             )
+            .crossJoin(F.broadcast(npar))
+            .crossJoin(F.broadcast(orph))
         )
     out = rows[0]
     for r in rows[1:]:

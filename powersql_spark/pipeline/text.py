@@ -3057,7 +3057,7 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tokens()).alias("ntok"),
         F.row_number().over(Window.orderBy("doc_id")).alias("r"),
     )
-    n_docs = docs.count()
+    nd = docs.agg(F.count("*").alias("n_docs"))
     cumtok = docs.select(
         "r",
         F.sum("ntok")
@@ -3079,11 +3079,15 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("first_r")
         .agg(F.count("*").alias("new_types"))
     )
-    chk = spark.range(1, 11).select(
-        (F.col("id") * 10).cast("bigint").alias("chk_pct"),
-        (F.lit(n_docs) * F.col("id") / 10)
-        .cast("bigint")
-        .alias("c"),
+    chk = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            (F.col("id") * 10).cast("bigint").alias("chk_pct"),
+            (F.col("n_docs") * F.col("id") / 10)
+            .cast("bigint")
+            .alias("c"),
+        )
     )
     pts = (
         chk.join(cumtok, F.col("r") == F.col("c"))
