@@ -2671,7 +2671,7 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hhi_concentration",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
         SELECT p.p_brand, l.l_suppkey,
                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
@@ -2686,9 +2686,10 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.p_brand,
            CAST(ANY_VALUE(t.n_suppliers) AS BIGINT) AS n_suppliers,
-           round(CAST(SUM(CAST(round(
-               10000.0 * pow(r.r / CAST(t.t AS DOUBLE), 2), 8)
-               AS DECIMAL(38,8))) AS DOUBLE), 2) AS hhi,
+           {sql_jround(
+               "CAST(SUM(CAST(round("
+               "10000.0 * pow(r.r / CAST(t.t AS DOUBLE), 2), 8)"
+               " AS DECIMAL(38,8))) AS DOUBLE)", 2)} AS hhi,
            CASE WHEN CAST(SUM(CAST(round(
                     10000.0 * pow(r.r / CAST(t.t AS DOUBLE), 2), 8)
                     AS DECIMAL(38,8))) AS DOUBLE) >= 2500

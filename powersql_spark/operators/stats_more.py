@@ -1329,7 +1329,7 @@ def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_g_test",
-    oracle="""
+    oracle=f"""
     WITH cells AS (
         SELECT c.c_mktsegment AS x, o.o_orderpriority AS y,
                CAST(COUNT(*) AS BIGINT) AS obs
@@ -1351,9 +1351,9 @@ def stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n.n AS BIGINT) AS n_orders,
            CAST(((SELECT COUNT(*) FROM rm) - 1)
                 * ((SELECT COUNT(*) FROM cm) - 1) AS BIGINT) AS dof,
-           round(2.0 * CAST(SUM(CAST(round(
-                   obs * ln(obs / e), 8) AS DECIMAL(38,8)))
-                   AS DOUBLE), 4) AS g_stat
+           {sql_jround(
+               "2.0 * CAST(SUM(CAST(round(obs * ln(obs / e), 8)"
+               " AS DECIMAL(38,8))) AS DOUBLE)", 4)} AS g_stat
     FROM terms, n
     GROUP BY n.n
     """,

@@ -2231,7 +2231,7 @@ def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_mahalanobis_outlier",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
         SELECT vec_id, label,
                unnest(embedding) AS x,
@@ -2262,7 +2262,7 @@ def emb_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON v.label = dm.label AND v.d = dm.d
         GROUP BY dm.vec_id, dm.label
     )
-    SELECT vec_id, label, round(md2, 4) AS md2,
+    SELECT vec_id, label, {sql_jround("md2", 4)} AS md2,
            round(sqrt(md2), 4) AS mahalanobis_d
     FROM md
     ORDER BY md2 DESC, vec_id

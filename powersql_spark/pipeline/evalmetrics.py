@@ -1979,7 +1979,7 @@ def eval_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM clipped
     )
     SELECT n,
-           round(ll_sum / n, 6) AS log_loss,
+           {sql_jround("ll_sum / n", 6)} AS log_loss,
            round(-(base * ln(base) + (1 - base) * ln(1 - base)), 6)
                AS baseline_loss,
            round(1 - (ll_sum / n)
@@ -2030,7 +2030,7 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "eval_win_rate_matrix",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -2045,10 +2045,11 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS wins_a,
            CAST(SUM(CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END)
                 AS BIGINT) AS ties,
-           round((SUM(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END)
-                  + 0.5 * SUM(CASE WHEN a.rev = b.rev
-                              THEN 1 ELSE 0 END))
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS win_rate_a
+           {sql_jround(
+               "(SUM(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END)"
+               " + 0.5 * SUM(CASE WHEN a.rev = b.rev"
+               " THEN 1 ELSE 0 END))"
+               " / CAST(COUNT(*) AS DOUBLE)", 6)} AS win_rate_a
     FROM daily a JOIN daily b
       ON a.day = b.day AND a.event_type < b.event_type
     GROUP BY a.event_type, b.event_type
@@ -2296,9 +2297,10 @@ def _ratings(spark: SparkSession) -> DataFrame:
             FROM ratings GROUP BY cat
         )
     )
-    SELECT pbar.n_items, round(pbar.p_bar, 6) AS p_bar,
-           round(pe.p_e, 6) AS p_e,
-           round((pbar.p_bar - pe.p_e) / (1 - pe.p_e), 6)
+    SELECT pbar.n_items, {sql_jround("pbar.p_bar", 6)} AS p_bar,
+           {sql_jround("pe.p_e", 6)} AS p_e,
+           {sql_jround(
+               "(pbar.p_bar - pe.p_e) / (1 - pe.p_e)", 6)}
                AS fleiss_kappa
     FROM pbar, pe
     """,
@@ -2385,9 +2387,10 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY nt
     )
     SELECT do_.n_items,
-           round(do_.d_o, 6) AS d_o,
-           round(de.d_e, 6) AS d_e,
-           round(1 - do_.d_o / de.d_e, 6) AS krippendorff_alpha
+           {sql_jround("do_.d_o", 6)} AS d_o,
+           {sql_jround("de.d_e", 6)} AS d_e,
+           {sql_jround("1 - do_.d_o / de.d_e", 6)}
+               AS krippendorff_alpha
     FROM do_, de
     """,
 )
@@ -2487,9 +2490,10 @@ _RBO_DEPTH = 20
            CAST({_RBO_P} AS DOUBLE) AS p,
            CAST(MAX(CASE WHEN d = {_RBO_DEPTH} THEN overlap END)
                 AS BIGINT) AS overlap_at_depth,
-           round((1 - {_RBO_P}) * CAST(SUM(CAST(round(
-                   pow({_RBO_P}, d - 1) * overlap / d, 8)
-                   AS DECIMAL(38,8))) AS DOUBLE), 6) AS rbo_min
+           {sql_jround(
+               f"(1 - {_RBO_P}) * CAST(SUM(CAST(round("
+               f"pow({_RBO_P}, d - 1) * overlap / d, 8)"
+               " AS DECIMAL(38,8))) AS DOUBLE)", 6)} AS rbo_min
     FROM depths
     """,
 )

@@ -3295,7 +3295,7 @@ def text_word_length_profile(
 
 @query(
     "text_positional_divergence",
-    oracle=r"""
+    oracle=rf"""
     WITH placed AS (
         SELECT source,
                CASE WHEN pos < 5 THEN 'head' ELSE 'body' END
@@ -3334,12 +3334,13 @@ def text_word_length_profile(
     SELECT source,
            CAST(ANY_VALUE(th) AS BIGINT) AS n_head_tokens,
            CAST(ANY_VALUE(tb) AS BIGINT) AS n_body_tokens,
-           round(CAST(SUM(CAST(round(
-               0.5 * CASE WHEN p > 0
-                     THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
-               + 0.5 * CASE WHEN q > 0
-                     THEN q * ln(q / ((p + q) / 2)) ELSE 0 END, 8)
-               AS DECIMAL(38,8))) AS DOUBLE), 6) AS js_divergence
+           {sql_jround(
+               "CAST(SUM(CAST(round("
+               "0.5 * CASE WHEN p > 0"
+               " THEN p * ln(p / ((p + q) / 2)) ELSE 0 END"
+               " + 0.5 * CASE WHEN q > 0"
+               " THEN q * ln(q / ((p + q) / 2)) ELSE 0 END, 8)"
+               " AS DECIMAL(38,8))) AS DOUBLE)", 6)} AS js_divergence
     FROM terms
     GROUP BY source
     ORDER BY source
