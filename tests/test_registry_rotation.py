@@ -119,12 +119,17 @@ def test_cumulative_rounds_accumulate():
         assert "tpch_q1" in green
 
 
-# The r10 driver window (50 keys) + the r11 tail (5 keys) — the
-# endgame order that drains the never-checked backlog (VERDICT r9
-# asks #1/#2; README "Driver-rotation endgame"). Frozen as a literal
-# so any accidental reorder of the registry fails HERE, before the
-# driver round runs against a shifted window. When the 501-key freeze
-# lifts (post-501/501), extend this literal with the new tranche.
+# The r10 driver window (50 keys) + the r11 tail (5 keys) + the r11
+# expansion tranche — the order that drains the never-checked backlog
+# (VERDICT r9 asks #1/#2; README "Driver-rotation endgame"). Frozen as
+# a literal so any accidental reorder of the registry fails HERE,
+# before the driver round runs against a shifted window. The 501-key
+# freeze was lifted IN r11 rather than post-501/501: its purpose was
+# only to guarantee the tail 5 occupy window slots 1-5, which ranking
+# the new tranche strictly after them preserves byte-for-byte (see
+# README "r11 expansion") — so the backlog still drains in r11 AND the
+# new keys ride the same window. Extend this literal with any future
+# tranche, always after the existing unbanked keys.
 _ENDGAME_ORDER = (
     "graph_kcore",
     "stats_iqr_outliers",
