@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 from powersql_spark.operators.common import dsum
 from powersql_spark.registry import query
 
-_STAGE = os.path.join(tempfile.gettempdir(), "powersql_connectors")
+# Pid-suffixed so concurrent sessions never write the same staging
+# files (a fixed shared path let one session read another's half-written
+# overwrite). The oracle SQL strings embed this path at import time, and
+# the driver runs the Spark query and its DuckDB oracle in the SAME
+# process, so parity holds per session.
+_STAGE = os.path.join(
+    tempfile.gettempdir(), f"powersql_connectors_{os.getpid()}"
+)
 
 
 def _stage_path(name: str) -> str:

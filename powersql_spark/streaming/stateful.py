@@ -243,12 +243,16 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    stage = os.path.join(
-        tempfile.gettempdir(), "powersql_stream_upsert"
-    )
+    # Per-invocation staging dir: a fixed shared path raced when two
+    # sessions ran this key concurrently (one rmtree'd the other's live
+    # checkpoint). The target parquet must OUTLIVE this call — the
+    # returned frame reads it lazily — so only the checkpoint dir is
+    # cleaned up after termination; the small per-run target dir is
+    # left for the OS tmp reaper, like the sibling mkdtemp sites
+    # (stateful.py applyInPandasWithState, windows.py session windows).
+    stage = tempfile.mkdtemp(prefix="powersql_stream_upsert_")
     target = os.path.join(stage, "target")
     ckpt = os.path.join(stage, "ckpt")
-    shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(target, exist_ok=True)
 
     from powersql_spark.catalog import read_parquet_stream
@@ -265,6 +269,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
+    shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.read.schema(_UPSERT_SINK_SCHEMA)
         .parquet(target)
