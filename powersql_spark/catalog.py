@@ -158,6 +158,35 @@ def track_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+# Cluster-deployment switch (see track_checkpoint): "local" uses
+# executor-local localCheckpoint (right for single-JVM local mode);
+# "reliable" routes every iterative operator's round-state through
+# reliable checkpoint() files under SparkContext.setCheckpointDir —
+# required on multi-executor deployments with dynamic allocation,
+# where an executor loss would otherwise lose un-recomputable blocks.
+_CHECKPOINT_MODE = "local"
+
+
+def set_checkpoint_mode(
+    mode: str, spark: SparkSession | None = None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Flip every iterative operator between localCheckpoint and
+    reliable checkpoint() in one place. ``mode="reliable"`` requires a
+    ``checkpoint_dir`` (passed to ``setCheckpointDir``) — on a real
+    cluster, an HDFS/object-store path."""
+    global _CHECKPOINT_MODE
+    if mode not in ("local", "reliable"):
+        raise ValueError(f"unknown checkpoint mode: {mode!r}")
+    if mode == "reliable":
+        if spark is None or checkpoint_dir is None:
+            raise ValueError(
+                "reliable mode needs spark + checkpoint_dir"
+            )
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    _CHECKPOINT_MODE = mode
+
+
 def track_checkpoint(df: DataFrame) -> DataFrame:
     """``df.localCheckpoint()`` with session-scoped lifecycle tracking.
 
@@ -172,8 +201,11 @@ def track_checkpoint(df: DataFrame) -> DataFrame:
       no-op on them and they would otherwise only be freed when the
       ContextCleaner GCs the last reference. Each checkpointed frame
       is therefore recorded on the session and explicitly freed by
-      :func:`release_persisted` at the next query invocation, via the
-      underlying ``LogicalRDD``'s JVM RDD handle. Blocks are tiny
+      :func:`release_persisted` via the underlying ``LogicalRDD``'s
+      JVM RDD handle — one generation LATE (query N's blocks are freed
+      when query N+2 is constructed), because a freed checkpoint is
+      unrecoverable and a driver may construct the next key's frame
+      before collecting the previous one's. Blocks are tiny
       (coalesce(1), tens of rows) but per-round × per-key unbounded
       over a 500-key sweep without this.
     - **Local-mode assumption.** ``localCheckpoint`` is deliberately
@@ -182,17 +214,22 @@ def track_checkpoint(df: DataFrame) -> DataFrame:
       recomputation impossible and fails the query. That is the right
       trade for this repo's driver geometry (single-JVM local mode —
       no executor can be lost independently of the whole session). On
-      a multi-executor deployment with dynamic allocation, swap this
-      helper's body for ``spark.sparkContext.setCheckpointDir`` + a
-      reliable ``checkpoint()`` — one central switch, because every
-      iterative operator routes through here.
+      a multi-executor deployment with dynamic allocation, call
+      :func:`set_checkpoint_mode` (``"reliable"`` + a durable
+      checkpoint dir) — one central switch that reroutes every
+      iterative operator through reliable ``checkpoint()``, exercised
+      both ways by tests/test_persist_lifecycle.py.
 
     Note for driver-contract callers: because checkpointing is eager,
     building an iterative key's frame via ``queries()[key](...)``
     executes real Spark jobs at construction time (see README,
     "Driver contract").
     """
-    out = df.localCheckpoint()
+    out = (
+        df.checkpoint()
+        if _CHECKPOINT_MODE == "reliable"
+        else df.localCheckpoint()
+    )
     spark = out.sparkSession
     reg = getattr(spark, "_powersql_checkpointed", None)
     if reg is None:
@@ -236,13 +273,22 @@ def release_persisted(spark: SparkSession) -> None:
             except Exception:
                 pass  # session teardown races are benign
         reg.clear()
-    creg = getattr(spark, "_powersql_checkpointed", None)
-    if creg:
-        # Same lifecycle contract as the persist registry: by the time
-        # the NEXT query runs, the previous result has been
-        # materialized, so its checkpointed round-state is dead weight.
-        for df in creg:
+    # Checkpoint blocks are freed ONE GENERATION LATE (ADVICE r11):
+    # unlike cached frames (recomputable after unpersist), a freed
+    # localCheckpoint makes its frame unrecoverable, so freeing the
+    # immediately-previous query's blocks here would hard-fail a driver
+    # that constructs key B before collecting key A's frame. Deferring
+    # by one generation (free N-2's blocks when N starts) keeps the
+    # build-then-build-then-collect pattern safe while still bounding
+    # live checkpoint storage at two queries' worth of tiny
+    # (coalesce(1), tens-of-rows) round-state.
+    prev = getattr(spark, "_powersql_checkpointed_prev", None)
+    if prev:
+        for df in prev:
             _free_checkpoint_blocks(df)
+    creg = getattr(spark, "_powersql_checkpointed", None)
+    spark._powersql_checkpointed_prev = list(creg) if creg else []
+    if creg:
         creg.clear()
 
 

@@ -17,6 +17,7 @@ from powersql_spark.operators import (  # noqa: F401
     scans,
     sorts_sets,
     stats_more,
+    stats_more2,
     subqueries,
     tpch,
     tpch_more,

@@ -1953,6 +1953,202 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benjamini-Yekutieli criticals: alpha*r/(m*c(m)) with the harmonic
+# correction c(5) = 1 + 1/2 + ... + 1/5 = 2.283333..., mapped to
+# two-sided z-criticals via the standard normal inverse (computed once
+# offline with Python's statistics.NormalDist().inv_cdf — no inverse
+# normal needed at query time on either engine, the BH-literal
+# discipline).
+_BY_CRIT = (2.8494, 2.6213, 2.48, 2.3756, 2.2921)
+_BY_CRIT_SQL = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(_BY_CRIT))
+
+
+@query(
+    "stats_by_correction",
+    oracle=f"""
+    WITH welch_s AS (
+        SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+                AS s_b,
+            CAST(SUM(CASE WHEN is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_a,
+            CAST(SUM(CASE WHEN NOT is_a
+                     THEN CAST(value * value AS DECIMAL(28,6)) END)
+                 AS DOUBLE) AS q_b
+        FROM (SELECT event_type, value,
+                     substr(md5(CAST(user_id AS VARCHAR) || ':welch'),
+                            1, 1) < '8' AS is_a
+              FROM events WHERE value IS NOT NULL)
+        GROUP BY event_type
+    ),
+    t AS (
+        SELECT event_type,
+               abs({_welch_t_guarded_sql(sql_jround(_EXP_WELCH_T, 4))})
+                   AS abs_t,
+               {_welch_t_guarded_sql(sql_jround(_EXP_WELCH_T, 4))}
+                   AS t_stat
+        FROM welch_s
+    ),
+    ranked AS (
+        SELECT event_type, t_stat, abs_t,
+               ROW_NUMBER() OVER (ORDER BY abs_t DESC NULLS LAST,
+                                  event_type) AS by_rank
+        FROM t
+    ),
+    crit(r, z_crit) AS (VALUES {_BY_CRIT_SQL}),
+    flags AS (
+        SELECT ranked.*, crit.z_crit,
+               ranked.abs_t >= crit.z_crit AS clears
+        FROM ranked JOIN crit ON crit.r = ranked.by_rank
+    ),
+    cutoff AS (
+        SELECT COALESCE(MAX(by_rank), 0) AS k
+        FROM flags WHERE clears
+    )
+    SELECT event_type, t_stat,
+           CASE WHEN abs_t IS NOT NULL
+                THEN CAST(by_rank AS INTEGER) END AS by_rank,
+           CASE WHEN abs_t IS NOT NULL
+                THEN CAST(z_crit AS DOUBLE) END AS z_crit,
+           CASE WHEN abs_t IS NOT NULL
+                THEN by_rank <= cutoff.k END AS significant_fdr_dep,
+           abs_t > 1.96 AS significant_uncorrected
+    FROM flags, cutoff
+    ORDER BY by_rank
+    """,
+)
+def stats_by_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR correction across the five per-segment
+    Welch tests: BH's step-up ladder with the harmonic-sum penalty
+    c(m) = sum 1/i that makes the FDR guarantee hold under ARBITRARY
+    dependence between the tests (BH assumes independence/PRDS — but
+    five metrics of the same experiment are correlated by
+    construction, which is exactly BY's use case). Criticals are
+    alpha*r/(m*c(m)) embedded as z literals, so a comparison against
+    stats_bh_correction's output shows precisely which discoveries
+    survive the dependence-robust ladder.
+
+    The drop-not-rerank withheld-component discipline is inherited
+    verbatim from the BH key (NULLS LAST pinned on both engines;
+    withheld rows report NULL rank/crit/verdicts).
+
+    Scale shape: identical to stats_bh_correction — one corpus scan
+    to five sufficient-statistic rows; ranking, the 5x5 critical
+    join, and the cutoff scalar are constant-sized."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":welch")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    dec = "decimal(28,6)"
+    ws = (
+        e.select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+            F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("value").cast(dec)))
+            .cast("double")
+            .alias("s_b"),
+            F.sum(
+                F.when(
+                    F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_a"),
+            F.sum(
+                F.when(
+                    ~F.col("is_a"),
+                    (F.col("value") * F.col("value")).cast(dec),
+                )
+            )
+            .cast("double")
+            .alias("q_b"),
+        )
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (
+        F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t = _welch_t_guarded_col(
+        F.round(
+            (mean_b - mean_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            4,
+        )
+    )
+    tt = ws.select(
+        "event_type", t.alias("t_stat"), F.abs(t).alias("abs_t")
+    )
+    ranked = tt.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(F.desc_nulls_last("abs_t"), "event_type")
+        )
+        .alias("by_rank"),
+    )
+    crit = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(_BY_CRIT)], ["r", "z_crit"]
+    )
+    flags = ranked.join(
+        F.broadcast(crit), ranked.by_rank == F.col("r")
+    ).select(
+        "event_type",
+        "t_stat",
+        "abs_t",
+        "by_rank",
+        "z_crit",
+        (F.col("abs_t") >= F.col("z_crit")).alias("clears"),
+    )
+    cutoff = flags.agg(
+        F.coalesce(
+            F.max(F.when(F.col("clears"), F.col("by_rank"))), F.lit(0)
+        ).alias("k")
+    )
+    valid = F.col("abs_t").isNotNull()
+    return (
+        flags.join(F.broadcast(cutoff))
+        .select(
+            "event_type",
+            "t_stat",
+            F.when(valid, F.col("by_rank").cast("int")).alias(
+                "by_rank"
+            ),
+            F.when(valid, F.col("z_crit")).alias("z_crit"),
+            F.when(valid, F.col("by_rank") <= F.col("k")).alias(
+                "significant_fdr_dep"
+            ),
+            (F.col("abs_t") > 1.96).alias("significant_uncorrected"),
+        )
+        .orderBy(F.col("by_rank").asc_nulls_last(), "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Composite pipeline-observability readout — the ops dashboard as ONE
 # query, each row hash-agreeing with its standalone key.
@@ -7586,15 +7782,23 @@ _CA_BUCKET_WIDTH = 120  # fixed n_chars bins -> ordered dose groups
                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
         FROM documents
     ),
-    cells AS (
+    obs AS (
         SELECT t, CAST(COUNT(*) AS BIGINT) AS n_i,
                CAST(SUM(pos) AS BIGINT) AS r_i
         FROM grp GROUP BY t
     ),
+    cells AS (  -- FULL dose grid 0..4: an empty bucket must reach the
+                -- expected-count guard as n_i = 0 (absent-cell sweep)
+        SELECT gs.i AS t, COALESCE(o.n_i, 0) AS n_i,
+               COALESCE(o.r_i, 0) AS r_i
+        FROM generate_series(0, 4) AS gs(i)
+        LEFT JOIN obs o ON o.t = gs.i
+    ),
     s AS (
         SELECT CAST(SUM(n_i) AS BIGINT) AS n,
                CAST(SUM(r_i) AS BIGINT) AS r,
-               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN n_i > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_buckets,
                CAST(MIN(n_i) AS BIGINT) AS min_ni,
                CAST(SUM(t * r_i) AS DOUBLE) AS str_,
                CAST(SUM(t * n_i) AS DOUBLE) AS stn,
@@ -7625,7 +7829,10 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordering away and so misses monotone dose-response structure.
     The verdict is withheld (NULL) unless every dose bucket expects
     >= 5 positives AND >= 5 negatives at the pooled rate (the
-    expected-count rule — VERDICT r8 count tranche).
+    expected-count rule — VERDICT r8 count tranche). The guard ranges
+    over the FULL fixed dose grid 0..4, so a bucket with zero
+    documents withholds the verdict (min_ni = 0) instead of silently
+    dropping out of the minimum (absent-cell sweep, r10/r11).
 
     Scale shape: binning is map-side codegen; the corpus collapses to
     at most 5 (dose, count, positives) cells with map-side partials,
@@ -7635,17 +7842,34 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.least(
         (F.col("n_chars") / _CA_BUCKET_WIDTH).cast("bigint"), F.lit(4)
     )
-    cells = d.select(
+    obs = d.select(
         t.alias("t"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     ).groupBy("t").agg(
         F.count("*").cast("bigint").alias("n_i"),
         F.sum("pos").cast("bigint").alias("r_i"),
     )
+    # Full dose grid 0..4 (absent-cell sweep, VERDICT r10/r11): the
+    # bucket domain is structurally fixed by least(..., 4), so an
+    # UNOBSERVED bucket is an empty group that must reach the
+    # expected-count guard as n_i = 0 (withholding the verdict), not
+    # vanish from min_ni. Empty buckets add 0 to every statistic sum,
+    # so z_trend itself is unchanged.
+    spine = spark.range(0, 5).select(F.col("id").alias("t"))
+    cells = (
+        spine.join(F.broadcast(obs), "t", "left")
+        .select(
+            "t",
+            F.coalesce(F.col("n_i"), F.lit(0)).alias("n_i"),
+            F.coalesce(F.col("r_i"), F.lit(0)).alias("r_i"),
+        )
+    )
     s = cells.agg(
         F.sum("n_i").cast("bigint").alias("n"),
         F.sum("r_i").cast("bigint").alias("r"),
-        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("n_i") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buckets"),
         F.min("n_i").cast("bigint").alias("min_ni"),
         F.sum(F.col("t") * F.col("r_i")).cast("double").alias("str_"),
         F.sum(F.col("t") * F.col("n_i")).cast("double").alias("stn"),

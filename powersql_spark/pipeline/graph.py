@@ -2460,3 +2460,367 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 widening: whole-graph distance summary, global transitivity,
+# tie-strength structure, and link prediction on the thresholded trade
+# graph. All reuse the shared edge/APSP machinery (one fact-sized edge
+# build; every readout is metadata-sized).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_wiener_index",
+    oracle=f"""
+    WITH {_APSP_CTE},
+    pairs AS (
+        SELECT src, node, dist FROM dist WHERE src < node
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation)
+    SELECT CAST(SUM(p.dist) AS BIGINT) AS wiener_index,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs_reachable,
+           CAST(nn.n * (nn.n - 1) / 2 AS BIGINT) AS n_pairs_total,
+           CAST(nn.n * (nn.n - 1) / 2 - COUNT(*) AS BIGINT)
+               AS n_pairs_unreachable,
+           round(CAST(SUM(p.dist) AS DOUBLE) / COUNT(*), 6)
+               AS avg_path_length
+    FROM pairs p, nn
+    GROUP BY nn.n
+    """,
+)
+def graph_wiener_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiener index of the thresholded trade graph: the sum of
+    shortest-path distances over unordered reachable pairs, with the
+    average path length and the unreachable-pair count — the
+    one-number compactness summary ("how many hops does a random
+    introduction take"), the whole-graph complement of the per-node
+    closeness/harmonic keys that share this APSP state.
+
+    Scale shape: one aggregation of the checkpointed O(nations^2)
+    APSP table ({_APSP_ROUNDS} unrolled min-plus rounds, the
+    closeness-centrality lineage); all integer arithmetic except the
+    final average."""
+    dist = _apsp_dist(spark)
+    pairs = dist.where(F.col("src") < F.col("node"))
+    nn = spark.table("nation").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    total = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .groupBy("n")
+        .agg(
+            F.sum("dist").cast("bigint").alias("wiener_index"),
+            F.count("*").cast("bigint").alias("n_pairs_reachable"),
+            F.round(
+                F.sum("dist").cast("double") / F.count("*"), 6
+            ).alias("avg_path_length"),
+        )
+        .select(
+            "wiener_index",
+            "n_pairs_reachable",
+            total.alias("n_pairs_total"),
+            (total - F.col("n_pairs_reachable"))
+            .cast("bigint")
+            .alias("n_pairs_unreachable"),
+            "avg_path_length",
+        )
+    )
+
+
+@query(
+    "graph_transitivity_global",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM und
+            UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wedge AS (
+        SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT t.n_tri AS n_triangles, w.n_wedges,
+           round(3.0 * t.n_tri / w.n_wedges, 6) AS transitivity
+    FROM tri t, wedge w
+    WHERE w.n_wedges > 0
+    """,
+)
+def graph_transitivity_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global transitivity (the triangle-to-wedge ratio 3T/W) of the
+    thresholded trade graph: what fraction of connected triples
+    close into triangles — the WHOLE-graph clustering number, which
+    weights hubs by their wedge count and so can differ sharply from
+    graph_clustering_coefficient's unweighted per-node average
+    (the classic Watts-Strogatz vs Newman distinction; shipping both
+    makes the divergence auditable).
+
+    Scale shape: the shared thresholded edge build is the only
+    fact-sized step; the triangle join and degree wedge sum run on
+    the O(nations^2) edge table; output is one row of integers plus
+    one ratio."""
+    und = _strong_edges(spark)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedge))
+        .where(F.col("n_wedges") > 0)
+        .select(
+            F.col("n_tri").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                3.0 * F.col("n_tri") / F.col("n_wedges"), 6
+            ).alias("transitivity"),
+        )
+    )
+
+
+@query(
+    "graph_local_bridges",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    sym AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY node
+    ),
+    common AS (
+        SELECT e.a, e.b, CAST(COUNT(sb.node) AS BIGINT) AS n_common
+        FROM und e
+        LEFT JOIN sym sa ON sa.node = e.a
+        LEFT JOIN sym sb ON sb.node = e.b AND sb.nbr = sa.nbr
+        GROUP BY e.a, e.b
+    )
+    SELECT c.a, c.b, c.n_common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (da.deg + db.deg - 2 - c.n_common), 6)
+               AS embeddedness,
+           c.n_common = 0 AS is_local_bridge
+    FROM common c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    ORDER BY c.a, c.b
+    """,
+)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness and local bridges on the thresholded trade
+    graph: for every edge, the number of common neighbors of its
+    endpoints, the Jaccard embeddedness common/(deg_a + deg_b - 2 -
+    common), and the local-bridge flag (zero common neighbors — the
+    edge is its endpoints' only short connection, span > 2).
+    Granovetter's tie-strength structure: local bridges are the weak
+    ties information crosses communities on; high-embeddedness edges
+    are intra-community. Complements graph_jaccard_neighbors (which
+    scores NODE pairs) by scoring the EDGES themselves.
+
+    The embeddedness denominator counts the union of OTHER neighbors
+    (each endpoint's degree minus the edge itself), so a guard is
+    unnecessary: it is 0 only when both endpoints have degree 1, in
+    which case n_common = 0 and the edge reports NULL embeddedness
+    on both engines (0/0 -> NULL via DuckDB and Spark division of
+    integers... both produce NULL only for NULL inputs, so the 0/0
+    case is pinned explicitly below).
+
+    Scale shape: one shared edge build; the common-neighbor count is
+    an (edge x neighbor) equi-join on the O(nations^2) tables."""
+    und = _strong_edges(spark)
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    sa = sym.alias("sa")
+    sb = sym.alias("sb")
+    common = (
+        und.alias("e")
+        .join(sa, F.col("sa.node") == F.col("e.a"), "left")
+        .join(
+            sb,
+            (F.col("sb.node") == F.col("e.b"))
+            & (F.col("sb.nbr") == F.col("sa.nbr")),
+            "left",
+        )
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .agg(F.count("sb.node").cast("bigint").alias("n_common"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("deg_b")
+    )
+    j = common.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    denom = (
+        F.col("deg_a") + F.col("deg_b") - 2 - F.col("n_common")
+    )
+    return j.select(
+        "a",
+        "b",
+        "n_common",
+        "deg_a",
+        "deg_b",
+        F.when(
+            denom > 0,
+            F.round(F.col("n_common").cast("double") / denom, 6),
+        ).alias("embeddedness"),
+        (F.col("n_common") == 0).alias("is_local_bridge"),
+    ).orderBy("a", "b")
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    sym AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY node
+    ),
+    cand AS (  -- non-adjacent pairs among nodes with >= 1 edge
+        SELECT d1.node AS a, d2.node AS b,
+               d1.deg AS deg_a, d2.deg AS deg_b
+        FROM deg d1 JOIN deg d2 ON d1.node < d2.node
+        WHERE NOT EXISTS (SELECT 1 FROM und e
+                          WHERE e.a = d1.node AND e.b = d2.node)
+    ),
+    scored AS (
+        SELECT c.a, c.b, c.deg_a, c.deg_b,
+               CAST(COUNT(dz.node) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(round(1.0 / dz.deg, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE)
+                   AS resource_allocation
+        FROM cand c
+        LEFT JOIN sym sa ON sa.node = c.a
+        LEFT JOIN sym sb ON sb.node = c.b AND sb.nbr = sa.nbr
+        LEFT JOIN deg dz ON dz.node = sb.nbr
+        GROUP BY c.a, c.b, c.deg_a, c.deg_b
+    )
+    SELECT a, b, common_neighbors,
+           CAST(deg_a * deg_b AS BIGINT) AS pref_attachment,
+           -- no final rounding: the decimal-sum is already exact at
+           -- 8dp and a 6dp round could land on a true half-boundary
+           -- where the engines' rounding modes diverge
+           COALESCE(resource_allocation, 0) AS resource_allocation
+    FROM scored
+    ORDER BY a, b
+    """,
+)
+def graph_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link-prediction scores for every NON-adjacent nation pair (both
+    endpoints active in the thresholded trade graph): common-neighbor
+    count, preferential attachment (deg_a * deg_b), and resource
+    allocation (sum of 1/deg over common neighbors — the
+    Zhou-Lu-Zhang score that consistently wins CN-family benchmarks).
+    graph_adamic_adar ranks EXISTING structure; this key scores the
+    absent edges — "which trade link forms next" — which is the
+    actual link-prediction task.
+
+    Scale shape: candidates are deg x deg over active nodes
+    (O(nations^2), metadata-sized) anti-joined against the edge
+    list; common-neighbor resolution is the same equi-join as the
+    bridges key; 1/deg terms are 8dp-rounded decimal sums. At corpus
+    scale the candidate set is bounded by the entity graph, never by
+    fact rows."""
+    und = _strong_edges(spark)
+    sym = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    d1 = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("deg_a")
+    )
+    d2 = deg.select(
+        F.col("node").alias("b"), F.col("deg").alias("deg_b")
+    )
+    cand = d1.join(
+        F.broadcast(d2), F.col("a") < F.col("b")
+    ).join(und, ["a", "b"], "left_anti")
+    sa = sym.alias("sa")
+    sb = sym.alias("sb")
+    dz = deg.select(
+        F.col("node").alias("z"), F.col("deg").alias("deg_z")
+    ).alias("dz")
+    scored = (
+        cand.alias("c")
+        .join(sa, F.col("sa.node") == F.col("c.a"), "left")
+        .join(
+            sb,
+            (F.col("sb.node") == F.col("c.b"))
+            & (F.col("sb.nbr") == F.col("sa.nbr")),
+            "left",
+        )
+        .join(dz, F.col("dz.z") == F.col("sb.nbr"), "left")
+        .groupBy(
+            F.col("c.a").alias("a"),
+            F.col("c.b").alias("b"),
+            F.col("c.deg_a").alias("deg_a"),
+            F.col("c.deg_b").alias("deg_b"),
+        )
+        .agg(
+            F.count("dz.z").cast("bigint").alias("common_neighbors"),
+            F.sum(
+                F.round(1.0 / F.col("dz.deg_z"), 8).cast(
+                    "decimal(38,8)"
+                )
+            )
+            .cast("double")
+            .alias("resource_allocation"),
+        )
+    )
+    return scored.select(
+        "a",
+        "b",
+        "common_neighbors",
+        (F.col("deg_a") * F.col("deg_b"))
+        .cast("bigint")
+        .alias("pref_attachment"),
+        F.coalesce(F.col("resource_allocation"), F.lit(0.0)).alias(
+            "resource_allocation"
+        ),
+    ).orderBy("a", "b")

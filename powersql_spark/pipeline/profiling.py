@@ -1737,3 +1737,159 @@ def profile_type_inference(
         .otherwise("string")
         .alias("inferred_type"),
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Round-12 widening: mutual information between two categorical
+# columns.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_mutual_information",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    m AS (
+        SELECT lang, source, c,
+               SUM(c) OVER () AS n,
+               SUM(c) OVER (PARTITION BY lang) AS c_lang,
+               SUM(c) OVER (PARTITION BY source) AS c_src
+        FROM cells
+    ),
+    mi AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(c * CAST(round(ln(CAST(c AS DOUBLE) * n
+                        / (1e0 * c_lang * c_src)), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) / MAX(n) AS mi_nats
+        FROM m
+    ),
+    hh AS (
+        SELECT
+            (SELECT -CAST(SUM(cl * CAST(round(ln(CAST(cl AS DOUBLE)
+                     / nn), 8) AS DECIMAL(38,8))) AS DOUBLE) / MAX(nn)
+             FROM (SELECT CAST(SUM(c) AS BIGINT) AS cl,
+                          (SELECT SUM(c) FROM cells) AS nn
+                   FROM cells GROUP BY lang)) AS h_lang,
+            (SELECT -CAST(SUM(cs * CAST(round(ln(CAST(cs AS DOUBLE)
+                     / nn), 8) AS DECIMAL(38,8))) AS DOUBLE) / MAX(nn)
+             FROM (SELECT CAST(SUM(c) AS BIGINT) AS cs,
+                          (SELECT SUM(c) FROM cells) AS nn
+                   FROM cells GROUP BY source)) AS h_src
+    )
+    SELECT mi.n, mi.n_cells,
+           {sql_jround("mi.mi_nats", 6)} AS mi_nats,
+           {sql_jround("hh.h_lang", 6)} AS h_lang,
+           {sql_jround("hh.h_src", 6)} AS h_source,
+           {sql_jround(
+               "mi.mi_nats / sqrt(hh.h_lang * hh.h_src)", 6)}
+               AS nmi_sqrt
+    FROM mi, hh
+    WHERE hh.h_lang > 0 AND hh.h_src > 0
+    """,
+)
+def profile_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between the lang and source columns of the
+    documents table (with both marginal entropies and the
+    sqrt-normalized NMI): MI = sum p(x,y) ln(p(x,y)/(p(x)p(y))) over
+    OBSERVED cells — the dependence profile a partitioning/
+    denormalization decision reads (high NMI: the columns are
+    redundant, one predicts the other; near 0: independent, both
+    needed as partition keys). Completes the profiling family's
+    pairwise view (functional dependency: exact determinism;
+    chi2/Cramer's V: significance/strength; this: the
+    information-theoretic quantity in nats).
+
+    Absent-cell note: a (lang, source) combination with zero count
+    contributes exactly 0 MI mass (c ln(...) -> 0 as c -> 0), and the
+    marginals are sums of observed counts, so restricting to observed
+    cells is exact — the same argument as text_keyness_gtest's
+    audit, recorded here per the r10/r11 absent-cell sweep.
+
+    Scale shape: one scan collapses to the (lang x source)
+    contingency cells (metadata-sized); marginals are windows over
+    that grid; ln terms 8dp-rounded, integer-weighted, decimal-
+    summed."""
+    cells = spark.table("documents").groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    from powersql_spark.catalog import track_persist
+
+    cells = track_persist(cells)
+    w_all = Window.partitionBy(F.lit(1))
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    m = cells.select(
+        "c",
+        F.sum("c").over(w_all).alias("n"),
+        F.sum("c").over(w_lang).alias("c_lang"),
+        F.sum("c").over(w_src).alias("c_src"),
+    )
+    mi = m.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        (
+            F.sum(
+                F.col("c")
+                * F.round(
+                    F.log(
+                        F.col("c").cast("double")
+                        * F.col("n")
+                        / (1.0 * F.col("c_lang") * F.col("c_src"))
+                    ),
+                    8,
+                ).cast("decimal(38,8)")
+            ).cast("double")
+            / F.max("n")
+        ).alias("mi_nats"),
+    )
+
+    def marg_entropy(key: str, alias: str) -> DataFrame:
+        marg = cells.groupBy(key).agg(
+            F.sum("c").cast("bigint").alias("ck")
+        )
+        tot = marg.agg(F.sum("ck").alias("nn"))
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .agg(
+                (
+                    -F.sum(
+                        F.col("ck")
+                        * F.round(
+                            F.log(
+                                F.col("ck").cast("double")
+                                / F.col("nn")
+                            ),
+                            8,
+                        ).cast("decimal(38,8)")
+                    ).cast("double")
+                    / F.max("nn")
+                ).alias(alias)
+            )
+        )
+
+    h_lang = marg_entropy("lang", "h_lang")
+    h_src = marg_entropy("source", "h_source")
+    out = mi.crossJoin(F.broadcast(h_lang)).crossJoin(
+        F.broadcast(h_src)
+    )
+    return (
+        out.where((F.col("h_lang") > 0) & (F.col("h_source") > 0))
+        .select(
+            "n",
+            "n_cells",
+            F.round(F.col("mi_nats"), 6).alias("mi_nats"),
+            F.round(F.col("h_lang"), 6).alias("h_lang"),
+            F.round(F.col("h_source"), 6).alias("h_source"),
+            F.round(
+                F.col("mi_nats")
+                / F.sqrt(F.col("h_lang") * F.col("h_source")),
+                6,
+            ).alias("nmi_sqrt"),
+        )
+    )

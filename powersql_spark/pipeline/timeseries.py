@@ -4998,3 +4998,1023 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 technical/diagnostic family on the per-type daily series.
+#
+# Second shared construction beside _TSD_CTE: daily OHLC candles per
+# event type (the day-granularity twin of ts_resample_ohlc's hourly
+# key, value-null-filtered so open/close tie-breaks see only real
+# observations). 5 types x 30 days at any SF — metadata-sized.
+# ---------------------------------------------------------------------------
+
+_DOHLC_CTE = """
+    dohlc AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               arg_min(value,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+                   AS o,
+               max(value) AS h,
+               min(value) AS l,
+               arg_max(value,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+                   AS c,
+               CAST(COUNT(*) AS BIGINT) AS vol
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _daily_ohlc(spark: SparkSession) -> DataFrame:
+    """Spark twin of ``_DOHLC_CTE``: (event_type, day, o, h, l, c,
+    vol) via one aggregation pass; open/close are MIN_BY/MAX_BY over
+    the zero-padded (epoch-micros, event_id) key so simultaneous
+    events tie-break identically on both engines (the
+    ts_resample_ohlc device at day granularity)."""
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.min_by("value", key).alias("o"),
+            F.max("value").alias("h"),
+            F.min("value").alias("l"),
+            F.max_by("value", key).alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("vol"),
+        )
+    )
+
+
+@query(
+    "ts_dickey_fuller",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    lagd AS (
+        SELECT event_type,
+               LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS x,
+               y - LAG(y) OVER (PARTITION BY event_type ORDER BY day)
+                   AS dy
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(dy) AS DOUBLE) AS sy,
+               -- widen before multiplying: DuckDB keeps the operand
+               -- width for decimal products and overflows at (18,6)
+               CAST(SUM(CAST(x AS DECIMAL(19,6))
+                        * CAST(x AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(x AS DECIMAL(19,6))
+                        * CAST(dy AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(dy AS DECIMAL(19,6))
+                        * CAST(dy AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        FROM lagd WHERE x IS NOT NULL
+        GROUP BY event_type
+    ),
+    fit AS (
+        SELECT event_type, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                   / n AS alpha,
+               sxx - sx * sx / n AS sxx_c
+        FROM s
+    ),
+    tt AS (
+        SELECT f.event_type, f.n, f.beta,
+               (s.syy - f.alpha * s.sy - f.beta * s.sxy)
+                   / (f.n - 2) AS s2,
+               f.sxx_c
+        FROM fit f JOIN s ON s.event_type = f.event_type
+    )
+    SELECT event_type, n AS n_diffs,
+           {sql_jround("beta", 6)} AS beta,
+           {sql_jround("beta / sqrt(s2 / sxx_c)", 4)} AS df_tstat,
+           beta / sqrt(s2 / sxx_c) < -2.89 AS stationary_5pct
+    FROM tt WHERE n > 2 AND sxx_c > 0 AND s2 > 0
+    ORDER BY event_type
+    """,
+)
+def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test per event-type daily series:
+    regress the first difference on the lagged level (with
+    intercept), Delta y_t = alpha + beta y_(t-1); beta's t statistic
+    against the tau-mu 5% critical value -2.89 decides whether the
+    series mean-reverts (stationary — safe to model levels) or walks
+    randomly (difference it first). The pre-flight check for every
+    forecasting key in this family (Holt/ARIMA-class models assume
+    the answer).
+
+    The regression's sufficient statistics are EXACT: y is a
+    DECIMAL(18,6) daily sum, so the lag, the difference, and all
+    cross products stay in decimal arithmetic until the final
+    closed-form ratio — no rounding discipline needed at all.
+
+    Scale shape: one corpus collapse to the daily table, one lag
+    window on its (event_type) exchange, one aggregation to five
+    sufficient-statistic rows."""
+    daily = _typed_daily(spark)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = daily.select(
+        "event_type",
+        F.lag("y").over(w).alias("x"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    ).where(F.col("x").isNotNull())
+    s = lagd.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("dy")).cast("double").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    alpha = (F.col("sy") - beta * F.col("sx")) / n
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    s2 = (
+        F.col("syy") - alpha * F.col("sy") - beta * F.col("sxy")
+    ) / (n - 2)
+    t = beta / F.sqrt(s2 / sxx_c)
+    return (
+        s.where((n > 2) & (sxx_c > 0) & (s2 > 0))
+        .select(
+            "event_type",
+            n.alias("n_diffs"),
+            F.round(beta, 6).alias("beta"),
+            F.round(t, 4).alias("df_tstat"),
+            (t < -2.89).alias("stationary_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_stochastic_oscillator",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    roll AS (
+        SELECT event_type, day, y,
+               COUNT(*) OVER w AS n_w,
+               MIN(y) OVER w AS mn,
+               MAX(y) OVER w AS mx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT event_type, day,
+               CASE WHEN mx > mn THEN
+                   round(100.0 * CAST(y - mn AS DOUBLE)
+                         / CAST(mx - mn AS DOUBLE), 8)
+               END AS pct_k
+        FROM roll WHERE n_w = 14
+    ),
+    d AS (
+        SELECT event_type, day, pct_k,
+               COUNT(pct_k) OVER w3 AS k_cnt,
+               CAST(SUM(CAST(pct_k AS DECIMAL(28,8))) OVER w3
+                    AS DOUBLE) AS k_sum
+        FROM k
+        WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           {sql_jround("pct_k", 4)} AS pct_k,
+           CASE WHEN k_cnt = 3 AND pct_k IS NOT NULL
+                THEN {sql_jround("k_sum / 3", 4)} END AS pct_d,
+           pct_k > 80 AS overbought,
+           pct_k < 20 AS oversold
+    FROM d
+    ORDER BY event_type, day
+    """,
+)
+def ts_stochastic_oscillator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stochastic oscillator %K/%D per event-type daily series:
+    %K = 100 (y - min14)/(max14 - min14) locates today inside its
+    own trailing 14-day range, %D is %K's 3-day simple average —
+    the range-position momentum readout complementing ts_rsi's
+    gain/loss ratio (RSI says how one-sided moves were; the
+    stochastic says where the level sits in its recent band), with
+    the classic 80/20 bands. A flat 14-day window (max = min) yields
+    NULL %K on both engines rather than a 0/0 artifact.
+
+    Scale shape: rolling extrema and the %K average ride ONE
+    (event_type) exchange as window aggregates; y/min/max are exact
+    decimals so the range ratio is bit-identical; %K is 8dp-rounded
+    before the %D decimal-sum (order independence)."""
+    daily = _typed_daily(spark)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    roll = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.count("*").over(w).alias("n_w"),
+        F.min("y").over(w).alias("mn"),
+        F.max("y").over(w).alias("mx"),
+    )
+    k = roll.where(F.col("n_w") == 14).select(
+        "event_type",
+        "day",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.round(
+                100.0
+                * (F.col("y") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn")).cast("double"),
+                8,
+            ),
+        ).alias("pct_k"),
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    d = k.select(
+        "event_type",
+        "day",
+        "pct_k",
+        F.count("pct_k").over(w3).alias("k_cnt"),
+        F.sum(F.col("pct_k").cast("decimal(28,8)"))
+        .over(w3)
+        .cast("double")
+        .alias("k_sum"),
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.round(F.col("pct_k"), 4).alias("pct_k"),
+        F.when(
+            (F.col("k_cnt") == 3) & F.col("pct_k").isNotNull(),
+            F.round(F.col("k_sum") / 3, 4),
+        ).alias("pct_d"),
+        (F.col("pct_k") > 80).alias("overbought"),
+        (F.col("pct_k") < 20).alias("oversold"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "ts_atr",
+    oracle=f"""
+    WITH {_DOHLC_CTE},
+    tr AS (
+        SELECT event_type, day,
+               round(GREATEST(
+                   h - l,
+                   abs(h - LAG(c) OVER (PARTITION BY event_type
+                                        ORDER BY day)),
+                   abs(l - LAG(c) OVER (PARTITION BY event_type
+                                        ORDER BY day))), 2) AS tr
+        FROM dohlc
+    ),
+    roll AS (
+        SELECT event_type, day, tr,
+               COUNT(tr) OVER w AS n_w,
+               CAST(SUM(CAST(tr AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS tr_sum
+        FROM tr WHERE tr IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, CAST(tr AS DOUBLE) AS true_range,
+           {sql_jround("tr_sum / 14", 4)} AS atr
+    FROM roll WHERE n_w = 14
+    ORDER BY event_type, day
+    """,
+)
+def ts_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average true range per event-type daily OHLC candles: true
+    range = max(high - low, |high - prev close|, |low - prev close|)
+    — the gap-aware volatility unit (a plain high-low range misses
+    overnight jumps) — smoothed by a 14-day simple average (the
+    windowed, backfill-stable variant of Wilder's recursion, the
+    same choice ts_rsi documents). The position-sizing volatility
+    number, complementing Bollinger's sd bands.
+
+    True ranges are differences of 2dp event values, so round(tr, 2)
+    recovers the exact 2dp decimal on both engines and the ATR sum
+    is decimal-exact; only the final /14 touches doubles.
+
+    Scale shape: one corpus collapse to daily candles (pure partial
+    aggregation); the lag and rolling sum ride one (event_type)
+    exchange."""
+    ohlc = _daily_ohlc(spark)
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    pc = F.lag("c").over(w_lag)
+    tr = F.round(
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - pc),
+            F.abs(F.col("l") - pc),
+        ),
+        2,
+    )
+    trf = ohlc.select("event_type", "day", tr.alias("tr")).where(
+        F.col("tr").isNotNull()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    roll = trf.select(
+        "event_type",
+        "day",
+        "tr",
+        F.count("tr").over(w).alias("n_w"),
+        F.sum(F.col("tr").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("tr_sum"),
+    )
+    return (
+        roll.where(F.col("n_w") == 14)
+        .select(
+            "event_type",
+            "day",
+            F.col("tr").cast("double").alias("true_range"),
+            F.round(F.col("tr_sum") / 14, 4).alias("atr"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "ts_donchian_channels",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    roll AS (
+        SELECT event_type, day, y,
+               COUNT(*) OVER w AS n_w,
+               MAX(y) OVER w AS upper_ch,
+               MIN(y) OVER w AS lower_ch
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, CAST(y AS DOUBLE) AS y,
+           CAST(upper_ch AS DOUBLE) AS upper_ch,
+           CAST(lower_ch AS DOUBLE) AS lower_ch,
+           y > upper_ch AS breakout_up,
+           y < lower_ch AS breakout_down
+    FROM roll WHERE n_w = 10
+    ORDER BY event_type, day
+    """,
+)
+def ts_donchian_channels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Donchian channels per event-type daily series: the prior
+    10-day high/low band (window EXCLUDES the current day — the
+    channel must be known before today's value arrives, or every new
+    high trivially "breaks out" of a band containing itself), with
+    breakout flags above/below — the turtle-trading breakout screen;
+    for metrics pipelines, a distribution-free new-regime detector
+    complementing Bollinger's parametric sd bands.
+
+    Scale shape: two window extrema on one (event_type) exchange;
+    y and the channel bounds are exact decimals, so the breakout
+    comparisons are bit-identical across engines and partition
+    counts."""
+    daily = _typed_daily(spark)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-10, -1)
+    )
+    roll = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.count("*").over(w).alias("n_w"),
+        F.max("y").over(w).alias("upper_ch"),
+        F.min("y").over(w).alias("lower_ch"),
+    )
+    return (
+        roll.where(F.col("n_w") == 10)
+        .select(
+            "event_type",
+            "day",
+            F.col("y").cast("double").alias("y"),
+            F.col("upper_ch").cast("double").alias("upper_ch"),
+            F.col("lower_ch").cast("double").alias("lower_ch"),
+            (F.col("y") > F.col("upper_ch")).alias("breakout_up"),
+            (F.col("y") < F.col("lower_ch")).alias("breakout_down"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "ts_ulcer_index",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    dd AS (
+        SELECT event_type, day, y,
+               100.0 * CAST(y - MAX(y) OVER (PARTITION BY event_type
+                            ORDER BY day ROWS UNBOUNDED PRECEDING)
+                            AS DOUBLE)
+                     / CAST(MAX(y) OVER (PARTITION BY event_type
+                            ORDER BY day ROWS UNBOUNDED PRECEDING)
+                            AS DOUBLE) AS dd_pct
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {sql_jround("MIN(dd_pct)", 4)} AS max_drawdown_pct,
+           {sql_jround(
+               "sqrt(CAST(SUM(CAST(round(dd_pct * dd_pct, 8)"
+               "     AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*))", 6)}
+               AS ulcer_index
+    FROM dd
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per event-type daily series: the root-mean-square
+    of percentage drawdowns below the running peak — the
+    depth-AND-duration risk number (ts_max_drawdown reports only the
+    single worst dip; a series that spends months 5% underwater can
+    hurt more than one brief 10% spike, and only the ulcer index
+    sees that). Peaks are exact decimal order statistics; the
+    squared drawdowns are 8dp-rounded then decimal-summed.
+
+    Scale shape: one running-max window and one aggregation, both on
+    the same (event_type) exchange of the metadata-sized daily
+    table."""
+    daily = _typed_daily(spark)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("y").over(w)
+    dd = daily.select(
+        "event_type",
+        (
+            100.0
+            * (F.col("y") - peak).cast("double")
+            / peak.cast("double")
+        ).alias("dd_pct"),
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.min("dd_pct"), 4).alias("max_drawdown_pct"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            F.col("dd_pct") * F.col("dd_pct"), 8
+                        ).cast("decimal(38,8)")
+                    ).cast("double")
+                    / F.count("*")
+                ),
+                6,
+            ).alias("ulcer_index"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_garman_klass",
+    oracle=f"""
+    WITH {_DOHLC_CTE},
+    terms AS (
+        -- zero-valued observations exist at larger SFs: a candle
+        -- whose low or open is 0 has no defined log range and is
+        -- excluded on both engines (documented degenerate-day guard)
+        SELECT event_type,
+               round(ln(h / l), 8) AS u,
+               round(ln(c / o), 8) AS d
+        FROM dohlc WHERE l > 0 AND o > 0
+    ),
+    gk AS (
+        SELECT event_type,
+               round(0.5 * u * u - (2 * ln(2) - 1) * d * d, 10) AS g
+        FROM terms
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+                   / COUNT(*) AS gk_var
+        FROM gk GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           {sql_jround("gk_var", 8)} AS gk_variance,
+           CASE WHEN gk_var >= 0
+                THEN {sql_jround("sqrt(gk_var)", 6)} END AS gk_vol
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def ts_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass volatility per event-type daily OHLC:
+    sigma^2 = mean(0.5 ln(H/L)^2 - (2 ln 2 - 1) ln(C/O)^2) — the
+    range-based estimator that is ~7x more efficient than
+    close-to-close variance because each candle's high-low span
+    already contains intraday information a single close throws
+    away. The per-day log terms are 8dp-rounded (cross-engine libm
+    discipline), the daily GK values 10dp-rounded and decimal-summed;
+    a negative mean (possible for the GK combination on extreme
+    candles) reports NULL volatility on both engines rather than a
+    NaN from sqrt.
+
+    Scale shape: candles are pure partial aggregation; everything
+    after is per-row arithmetic plus one aggregation of the
+    metadata-sized daily table."""
+    ohlc = _daily_ohlc(spark).where(
+        (F.col("l") > 0) & (F.col("o") > 0)
+    )
+    u = F.round(F.log(F.col("h") / F.col("l")), 8)
+    d = F.round(F.log(F.col("c") / F.col("o")), 8)
+    import math
+
+    g = F.round(
+        0.5 * u * u - (2 * math.log(2) - 1) * d * d, 10
+    )
+    s = (
+        ohlc.select("event_type", g.alias("g"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            (
+                F.sum(F.col("g").cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("gk_var"),
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("gk_var"), 8).alias("gk_variance"),
+        F.when(
+            F.col("gk_var") >= 0,
+            F.round(F.sqrt(F.col("gk_var")), 6),
+        ).alias("gk_vol"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_obv",
+    oracle=f"""
+    WITH {_DOHLC_CTE},
+    daily2 AS (
+        SELECT event_type, day, c, vol,
+               CASE WHEN c > LAG(c) OVER w THEN vol
+                    WHEN c < LAG(c) OVER w THEN -vol
+                    WHEN LAG(c) OVER w IS NULL THEN NULL
+                    ELSE 0 END AS signed_vol
+        FROM dohlc
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, vol, signed_vol,
+           CAST(SUM(COALESCE(signed_vol, 0)) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM daily2
+    ORDER BY event_type, day
+    """,
+)
+def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per event-type day: each day's event count
+    (volume) signed by the direction of the daily close-to-close
+    move, accumulated — the classic volume-confirms-price readout
+    (price rising on swelling OBV is broad participation; rising on
+    flat OBV is a thin move). The first day has no direction and
+    contributes 0 to the running sum (reported as NULL signed_vol).
+
+    Everything is integer or exact-value comparison: closes are raw
+    event values compared exactly, volumes are counts, OBV is an
+    integer running sum — bit-identical by construction.
+
+    Scale shape: candles are pure partial aggregation; the lag and
+    running sum share one (event_type) exchange."""
+    ohlc = _daily_ohlc(spark)
+    w = Window.partitionBy("event_type").orderBy("day")
+    pc = F.lag("c").over(w)
+    signed = (
+        F.when(F.col("c") > pc, F.col("vol"))
+        .when(F.col("c") < pc, -F.col("vol"))
+        .when(pc.isNull(), F.lit(None))
+        .otherwise(F.lit(0))
+    )
+    daily2 = ohlc.select(
+        "event_type", "day", "vol", signed.alias("signed_vol")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily2.select(
+        "event_type",
+        "day",
+        "vol",
+        "signed_vol",
+        F.sum(F.coalesce(F.col("signed_vol"), F.lit(0)))
+        .over(w_run)
+        .cast("bigint")
+        .alias("obv"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "ts_aroon",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    idx AS (
+        SELECT event_type, day, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS rn
+        FROM daily
+    ),
+    win AS (  -- trailing 11-row window as an entity-bounded self-join
+        SELECT a.event_type, a.day, a.rn,
+               COUNT(*) AS n_w,
+               MAX(b.y) AS hi, MIN(b.y) AS lo
+        FROM idx a JOIN idx b
+          ON b.event_type = a.event_type
+         AND b.rn BETWEEN a.rn - 10 AND a.rn
+        GROUP BY a.event_type, a.day, a.rn
+    ),
+    hilo AS (  -- second pass: most-recent row index of each extreme
+        SELECT w.event_type, w.day, w.rn, w.n_w,
+               MAX(CASE WHEN b.y = w.hi THEN b.rn END) AS rn_hi,
+               MAX(CASE WHEN b.y = w.lo THEN b.rn END) AS rn_lo
+        FROM win w JOIN idx b
+          ON b.event_type = w.event_type
+         AND b.rn BETWEEN w.rn - 10 AND w.rn
+        GROUP BY w.event_type, w.day, w.rn, w.n_w
+    )
+    SELECT event_type, day,
+           CAST(100 * (10 - (rn - rn_hi)) / 10 AS DOUBLE) AS aroon_up,
+           CAST(100 * (10 - (rn - rn_lo)) / 10 AS DOUBLE)
+               AS aroon_down,
+           (100 * (10 - (rn - rn_hi)) / 10)
+             - (100 * (10 - (rn - rn_lo)) / 10) > 50 AS strong_up,
+           (100 * (10 - (rn - rn_lo)) / 10)
+             - (100 * (10 - (rn - rn_hi)) / 10) > 50 AS strong_down
+    FROM hilo WHERE n_w = 11
+    ORDER BY event_type, day
+    """,
+)
+def ts_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon indicator per event-type daily series: aroon_up =
+    100 (10 - days since the trailing-11-day high)/10 (aroon_down
+    likewise for the low) — "how recently did this series set a
+    local extreme", the trend-age readout that distinguishes a fresh
+    breakout (aroon 100) from a stale drifting high. Ties on the
+    extreme value resolve to the MOST RECENT day on both engines
+    (MAX of the qualifying row index), the standard convention. The
+    oscillator difference over +/-50 flags strong trends.
+
+    Values are exact decimals compared exactly, so "b.y = hi" is
+    deterministic; aroon values are exact multiples of 10.
+
+    Scale shape: the trailing window is an entity-bounded self-join
+    of the persisted <= 150-row daily index (11 rows per anchor day
+    — metadata-sized, the stats_more pair-join discipline), never a
+    corpus-sized operation; the daily table itself is the usual one
+    corpus collapse."""
+    from powersql_spark.catalog import track_persist
+
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    idx = track_persist(
+        _typed_daily(spark).select(
+            "event_type",
+            "day",
+            "y",
+            F.row_number().over(w_rn).alias("rn"),
+        )
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.rn") >= F.col("a.rn") - 10)
+        & (F.col("b.rn") <= F.col("a.rn")),
+    )
+    win = joined.groupBy(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        F.col("a.rn").alias("rn"),
+    ).agg(
+        F.count("*").alias("n_w"),
+        F.max("b.y").alias("hi"),
+        F.min("b.y").alias("lo"),
+        F.max_by("b.rn", F.struct(F.col("b.y"), F.col("b.rn"))).alias(
+            "rn_hi"
+        ),
+        F.min_by(
+            "b.rn",
+            F.struct(F.col("b.y"), (-F.col("b.rn")).alias("neg")),
+        ).alias("rn_lo"),
+    )
+    up = 100 * (10 - (F.col("rn") - F.col("rn_hi"))) / 10
+    dn = 100 * (10 - (F.col("rn") - F.col("rn_lo"))) / 10
+    return (
+        win.where(F.col("n_w") == 11)
+        .select(
+            "event_type",
+            "day",
+            up.cast("double").alias("aroon_up"),
+            dn.cast("double").alias("aroon_down"),
+            (up - dn > 50).alias("strong_up"),
+            (dn - up > 50).alias("strong_down"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "ts_permutation_entropy",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    trip AS (
+        SELECT event_type,
+               LAG(y, 2) OVER w AS y1,
+               LAG(y, 1) OVER w AS y2,
+               y AS y3
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    pat AS (  -- stable ordinal pattern: ties resolve to earlier index
+        SELECT event_type,
+               (1 + CASE WHEN y2 < y1 THEN 1 ELSE 0 END
+                  + CASE WHEN y3 < y1 THEN 1 ELSE 0 END) * 100
+             + (1 + CASE WHEN y1 <= y2 THEN 1 ELSE 0 END
+                  + CASE WHEN y3 < y2 THEN 1 ELSE 0 END) * 10
+             + (1 + CASE WHEN y1 <= y3 THEN 1 ELSE 0 END
+                  + CASE WHEN y2 <= y3 THEN 1 ELSE 0 END) AS pattern
+        FROM trip WHERE y1 IS NOT NULL
+    ),
+    cnts AS (
+        SELECT event_type, pattern, CAST(COUNT(*) AS BIGINT) AS m
+        FROM pat GROUP BY event_type, pattern
+    ),
+    withtot AS (
+        SELECT event_type, m,
+               SUM(m) OVER (PARTITION BY event_type) AS ntot
+        FROM cnts
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(m) AS BIGINT) AS n_windows,
+               CAST(COUNT(*) AS BIGINT) AS n_patterns,
+               CAST(SUM(m * CAST(round(ln(CAST(m AS DOUBLE) / ntot),
+                                       8)
+                        AS DECIMAL(38,8))) AS DOUBLE) AS s_mlnp
+        FROM withtot
+        GROUP BY event_type
+    )
+    SELECT event_type, n_windows, n_patterns,
+           {sql_jround("-s_mlnp / n_windows", 6)} AS perm_entropy,
+           {sql_jround("-s_mlnp / n_windows / ln(6)", 6)}
+               AS normalized_pe
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def ts_permutation_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation entropy (order m = 3, Bandt-Pompe) per event-type
+    daily series: slide a 3-day window, map each triple to its
+    ordinal pattern (which of the 6 orderings the values take, ties
+    resolved to the earlier day — the stable convention), and take
+    the Shannon entropy of the pattern distribution, normalized by
+    ln 6. Near 1 = the series orders like noise; low = persistent
+    deterministic structure. The complexity readout complementing
+    ts_hurst_exponent (memory) and ts_dominant_period (cycles),
+    robust to any monotone transform of the values.
+
+    Patterns are computed from exact-decimal comparisons (integer
+    rank codes); only ln(p) is rounded (8dp) before the
+    integer-weighted decimal sum.
+
+    Scale shape: two lags on one (event_type) exchange, then the
+    corpus collapses to at most 6 pattern counts per type."""
+    daily = _typed_daily(spark)
+    w = Window.partitionBy("event_type").orderBy("day")
+    trip = daily.select(
+        "event_type",
+        F.lag("y", 2).over(w).alias("y1"),
+        F.lag("y", 1).over(w).alias("y2"),
+        F.col("y").alias("y3"),
+    ).where(F.col("y1").isNotNull())
+    y1, y2, y3 = F.col("y1"), F.col("y2"), F.col("y3")
+    r1 = (
+        1
+        + F.when(y2 < y1, 1).otherwise(0)
+        + F.when(y3 < y1, 1).otherwise(0)
+    )
+    r2 = (
+        1
+        + F.when(y1 <= y2, 1).otherwise(0)
+        + F.when(y3 < y2, 1).otherwise(0)
+    )
+    r3 = (
+        1
+        + F.when(y1 <= y3, 1).otherwise(0)
+        + F.when(y2 <= y3, 1).otherwise(0)
+    )
+    pat = trip.select(
+        "event_type", (r1 * 100 + r2 * 10 + r3).alias("pattern")
+    )
+    cnts = pat.groupBy("event_type", "pattern").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    w_t = Window.partitionBy("event_type")
+    s = (
+        cnts.select(
+            "event_type",
+            "m",
+            F.round(
+                F.log(
+                    F.col("m").cast("double") / F.sum("m").over(w_t)
+                ),
+                8,
+            )
+            .cast("decimal(38,8)")
+            .alias("lnp"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_windows"),
+            F.count("*").cast("bigint").alias("n_patterns"),
+            F.sum(F.col("m") * F.col("lnp"))
+            .cast("double")
+            .alias("s_mlnp"),
+        )
+    )
+    import math
+
+    return s.select(
+        "event_type",
+        "n_windows",
+        "n_patterns",
+        F.round(-F.col("s_mlnp") / F.col("n_windows"), 6).alias(
+            "perm_entropy"
+        ),
+        F.round(
+            -F.col("s_mlnp") / F.col("n_windows") / math.log(6), 6
+        ).alias("normalized_pe"),
+    ).orderBy("event_type")
+
+
+@query(
+    "ts_cci",
+    oracle=f"""
+    WITH {_DOHLC_CTE},
+    tp AS (
+        SELECT event_type, day,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS rn,
+               (h + l + c) / 3.0 AS tp
+        FROM dohlc
+    ),
+    sma AS (
+        SELECT a.event_type, a.day, a.rn, a.tp,
+               COUNT(*) AS n_w,
+               CAST(SUM(CAST(round(b.tp, 6) AS DECIMAL(28,6)))
+                    AS DOUBLE) / 20 AS sma
+        FROM tp a JOIN tp b
+          ON b.event_type = a.event_type
+         AND b.rn BETWEEN a.rn - 19 AND a.rn
+        GROUP BY a.event_type, a.day, a.rn, a.tp
+    ),
+    md AS (
+        SELECT s.event_type, s.day, s.tp, s.sma, s.n_w,
+               CAST(SUM(CAST(round(abs(b.tp - s.sma), 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) / 20 AS mean_dev
+        FROM sma s JOIN tp b
+          ON b.event_type = s.event_type
+         AND b.rn BETWEEN s.rn - 19 AND s.rn
+        GROUP BY s.event_type, s.day, s.tp, s.sma, s.n_w
+    )
+    SELECT event_type, day,
+           {sql_jround("tp", 4)} AS typical_price,
+           {sql_jround("sma", 4)} AS sma20,
+           {sql_jround(
+               "(tp - sma) / (0.015 * mean_dev)", 4)} AS cci,
+           (tp - sma) / (0.015 * mean_dev) > 100 AS overbought,
+           (tp - sma) / (0.015 * mean_dev) < -100 AS oversold
+    FROM md WHERE n_w = 20 AND mean_dev > 0
+    ORDER BY event_type, day
+    """,
+)
+def ts_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity channel index per event-type daily candles:
+    CCI = (tp - SMA20(tp)) / (0.015 MD) with tp the typical price
+    (H+L+C)/3 and MD the mean ABSOLUTE deviation from the current
+    SMA — the volatility-unit momentum score whose 0.015 constant
+    puts ~70-80% of values inside +/-100. MAD-around-current-SMA is
+    not expressible as a plain running window (each window element's
+    deviation references the anchor row's own mean), so both engines
+    compute it as two entity-bounded self-joins of the persisted
+    daily typical-price table — the stats_more pair-join discipline,
+    metadata-sized at any corpus scale.
+
+    Scale shape: one corpus collapse to candles; two 20-row-per-
+    anchor self-joins of a <= 150-row frame; rounded decimal sums
+    inside both windows for order independence."""
+    from powersql_spark.catalog import track_persist
+
+    ohlc = _daily_ohlc(spark)
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    tp = track_persist(
+        ohlc.select(
+            "event_type",
+            "day",
+            F.row_number().over(w_rn).alias("rn"),
+            ((F.col("h") + F.col("l") + F.col("c")) / 3.0).alias(
+                "tp"
+            ),
+        )
+    )
+    a = tp.alias("a")
+    b = tp.alias("b")
+    in_win = (
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.rn") >= F.col("a.rn") - 19)
+        & (F.col("b.rn") <= F.col("a.rn"))
+    )
+    sma = a.join(b, in_win).groupBy(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day"),
+        F.col("a.rn").alias("rn"),
+        F.col("a.tp").alias("tp"),
+    ).agg(
+        F.count("*").alias("n_w"),
+        (
+            F.sum(
+                F.round(F.col("b.tp"), 6).cast("decimal(28,6)")
+            ).cast("double")
+            / 20
+        ).alias("sma"),
+    )
+    s = sma.alias("s")
+    b2 = tp.alias("b")
+    in_win2 = (
+        (F.col("b.event_type") == F.col("s.event_type"))
+        & (F.col("b.rn") >= F.col("s.rn") - 19)
+        & (F.col("b.rn") <= F.col("s.rn"))
+    )
+    md = s.join(b2, in_win2).groupBy(
+        F.col("s.event_type").alias("event_type"),
+        F.col("s.day").alias("day"),
+        F.col("s.tp").alias("tp"),
+        F.col("s.sma").alias("sma"),
+        F.col("s.n_w").alias("n_w"),
+    ).agg(
+        (
+            F.sum(
+                F.round(
+                    F.abs(F.col("b.tp") - F.col("s.sma")), 8
+                ).cast("decimal(28,8)")
+            ).cast("double")
+            / 20
+        ).alias("mean_dev")
+    )
+    cci = (F.col("tp") - F.col("sma")) / (0.015 * F.col("mean_dev"))
+    return (
+        md.where((F.col("n_w") == 20) & (F.col("mean_dev") > 0))
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("tp"), 4).alias("typical_price"),
+            F.round(F.col("sma"), 4).alias("sma20"),
+            F.round(cci, 4).alias("cci"),
+            (cci > 100).alias("overbought"),
+            (cci < -100).alias("oversold"),
+        )
+        .orderBy("event_type", "day")
+    )

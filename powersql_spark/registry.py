@@ -642,6 +642,44 @@ _PRIORITY: tuple[str, ...] = (
     "fn_extract_date",
     "fn_string",
     "fn_math",
+    # -- r12 expansion tranche (34 keys): ranked after every banked
+    # key per the README r12 plan, so the whole tranche fills the
+    # r12 driver window and is verified the round it lands. Order
+    # matches tests/test_registry_rotation._ENDGAME_ORDER.
+    "stats_jarque_bera",
+    "stats_bartlett_test",
+    "stats_brown_forsythe",
+    "stats_f_test_variance",
+    "stats_wilson_ci",
+    "stats_cohens_h",
+    "stats_cliffs_delta",
+    "stats_kr20_reliability",
+    "stats_by_correction",
+    "ts_dickey_fuller",
+    "ts_stochastic_oscillator",
+    "ts_atr",
+    "ts_donchian_channels",
+    "ts_ulcer_index",
+    "ts_garman_klass",
+    "ts_obv",
+    "ts_aroon",
+    "ts_permutation_entropy",
+    "ts_cci",
+    "graph_wiener_index",
+    "graph_transitivity_global",
+    "graph_local_bridges",
+    "graph_link_prediction",
+    "eval_precision_recall_at_k",
+    "eval_spiegelhalter_z",
+    "eval_hosmer_lemeshow",
+    "eval_gwets_ac1",
+    "eval_weighted_kappa",
+    "emb_anisotropy",
+    "emb_cka_halves",
+    "text_simpson_diversity",
+    "text_entropy_rate_bigram",
+    "profile_mutual_information",
+    "join_fuzzy_levenshtein",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

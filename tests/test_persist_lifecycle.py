@@ -49,6 +49,75 @@ def test_sweep_does_not_accumulate_cached_frames(spark, sf_dir):
         release_persisted(spark)
 
 
+def test_checkpoint_release_is_deferred_one_generation(spark, sf_dir):
+    """ADVICE r11: freeing a localCheckpoint makes its frame
+    unrecoverable (unlike a cache unpersist), so release_persisted
+    must free checkpoint blocks one generation LATE — a driver that
+    constructs key B before collecting key A's frame stays safe."""
+    from pyspark.sql import functions as F
+
+    from powersql_spark.catalog import track_checkpoint
+
+    release_persisted(spark)
+    release_persisted(spark)  # drain both generations
+
+    df = track_checkpoint(
+        spark.range(10).withColumn("x", F.col("id") * 2)
+    )
+    rdd = df._jdf.queryExecution().optimizedPlan().rdd()
+    rdd_id = rdd.id()
+
+    def live_ids():
+        sc = spark.sparkContext._jsc.sc()
+        return {info.id() for info in sc.getRDDStorageInfo()}
+
+    assert rdd_id in live_ids()
+    release_persisted(spark)  # "query N+1 starts": blocks survive
+    assert rdd_id in live_ids()
+    assert df.count() == 10  # frame still collectible after release
+    release_persisted(spark)  # "query N+2 starts": now freed
+    assert rdd_id not in live_ids()
+    assert not getattr(spark, "_powersql_checkpointed_prev")
+
+
+def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path):
+    """The cluster-deployment switch documented in
+    catalog.track_checkpoint is real: set_checkpoint_mode("reliable")
+    reroutes EVERY iterative operator through reliable checkpoint()
+    files under setCheckpointDir, and an iterative key produces
+    identical results in both modes."""
+    import os
+
+    import powersql_spark.catalog as cat
+    from powersql_spark.registry import all_specs
+
+    # label propagation routes every round's state through
+    # track_checkpoint (pagerank is a declarative unroll and never
+    # checkpoints — it would not exercise the switch)
+    spec = all_specs()["graph_label_propagation"]
+    local_rows = sorted(map(tuple, spec.fn(spark, sf_dir).collect()))
+
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    cat.set_checkpoint_mode("reliable", spark, ckpt_dir)
+    try:
+        reliable_rows = sorted(
+            map(tuple, spec.fn(spark, sf_dir).collect())
+        )
+        # reliable checkpoint() materialized files under the dir
+        staged = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt_dir)
+            for f in files
+        ]
+        assert staged, "reliable mode wrote no checkpoint files"
+    finally:
+        cat.set_checkpoint_mode("local")
+        release_persisted(spark)
+        release_persisted(spark)
+
+    assert reliable_rows == local_rows
+
+
 def test_keep_persisted_opt_out(spark, sf_dir):
     """Bench sessions set _powersql_keep_persisted: release becomes a
     no-op so warmup-pass caches survive into the timed pass."""

@@ -12,7 +12,9 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.01"
+# Default mirrors the external harness (sf0.01); override via env for
+# larger-SF parity pre-clears (the r11/r12 tranche bar).
+SF_DIR = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
