@@ -935,11 +935,18 @@ def stats_brown_forsythe(
     window, deviation sums, and the F ratio all ride the grid (value
     cardinality), never the raw rows; cross-group sums decimal-cast
     for order independence."""
+    from powersql_spark.catalog import track_persist
+
     li = spark.table("lineitem")
-    cells = li.groupBy(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
-    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    # The grid feeds BOTH the median window and the deviation sums —
+    # persist it so the corpus collapses exactly once (the
+    # stats_mood_median lesson, gated in test_plans.py).
+    cells = track_persist(
+        li.groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("v"),
+        ).agg(F.count("*").cast("bigint").alias("cnt"))
+    )
     w_cum = (
         Window.partitionBy("g")
         .orderBy("v")

@@ -3058,7 +3058,7 @@ def eval_weighted_kappa(
     gi = spark.range(0, 4).select(F.col("id").cast("int").alias("ra"))
     gj = spark.range(0, 4).select(F.col("id").cast("int").alias("rb"))
     grid = (
-        gi.crossJoin(gj)
+        gi.crossJoin(F.broadcast(gj))
         .join(F.broadcast(obs), ["ra", "rb"], "left")
         .select(
             "ra",

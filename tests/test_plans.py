@@ -3068,3 +3068,115 @@ def test_time_decay_attribution_broadcast_normalization(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-12 tranche plan gates.
+# ---------------------------------------------------------------------------
+
+
+def test_daily_indicator_family_single_scan_no_joins(spark, sf_dir):
+    """The r12 daily-series indicators collapse the corpus ONCE to
+    the per-type daily table (or daily OHLC candles) and do all
+    window math on that one (event_type) exchange — one events scan,
+    zero joins, zero Python."""
+    for key in (
+        "ts_dickey_fuller",
+        "ts_stochastic_oscillator",
+        "ts_garman_klass",
+    ):
+        plan = plan_of(spark, sf_dir, key)
+        assert plan.count("events.parquet") == 1, key
+        assert "Join" not in plan, key
+        assert "EvalPython" not in plan, key
+
+
+def test_anchored_window_indicators_persist_daily_frame(spark, sf_dir):
+    """Aroon / CCI reference the anchor row's own window aggregate
+    (days-since-extreme, MAD around the current SMA), so they plan as
+    self-joins of the PERSISTED daily frame — every consumer must
+    read the cache (the stats_mood_median discipline applied at
+    authoring time), and the join stays broadcast-hash, never a
+    cartesian."""
+    for key, min_imts in (("ts_aroon", 2), ("ts_cci", 3)):
+        plan = plan_of(spark, sf_dir, key)
+        assert plan.count("InMemoryTableScan") >= min_imts, key
+        assert "CartesianProduct" not in plan, key
+        assert "EvalPython" not in plan, key
+
+
+def test_brown_forsythe_single_corpus_collapse(spark, sf_dir):
+    """Brown-Forsythe's (group, value) grid feeds both the median
+    window and the deviation sums — it must be cached so the corpus
+    collapses exactly once."""
+    plan = plan_of(spark, sf_dir, "stats_brown_forsythe")
+    assert plan.count("InMemoryTableScan") >= 2, "cell grid not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cliffs_delta_never_materializes_pairs(spark, sf_dir):
+    """Cliff's delta uses the midrank Mann-Whitney identity: one
+    (event_type, value) collapse, one rank window — NO join of any
+    kind (a pair join would be quadratic in rows)."""
+    plan = plan_of(spark, sf_dir, "stats_cliffs_delta")
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_wiener_reads_checkpointed_apsp_state(spark, sf_dir):
+    """Wiener index aggregates the checkpointed APSP distance table:
+    final plan over ExistingRDD, zero fact scans (the closeness-
+    centrality truncation discipline); the node-count attach is the
+    one allowed 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "graph_wiener_index")
+    assert "ExistingRDD" in plan
+    assert ".parquet" not in plan.replace("nation.parquet", "", 1)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_anisotropy_no_pair_join(spark, sf_dir):
+    """Anisotropy's mean pairwise cosine must come from the
+    sum-vector identity: one posexplode + per-dim sums — the only
+    join is the broadcast 1-row count attach; a vector-vector join
+    means the identity was lost."""
+    plan = plan_of(spark, sf_dir, "emb_anisotropy")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cka_moment_passes_share_centered_cache(spark, sf_dir):
+    """Linear CKA's three Frobenius moment grids must all read the
+    persisted centered-coordinate frame (three vec_id equi-join
+    passes over one cache — never a recomputed explode per pass, and
+    never a row-level Gram)."""
+    plan = plan_of(spark, sf_dir, "emb_cka_halves")
+    assert plan.count("InMemoryTableScan") >= 3, "centered frame not cached"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fuzzy_levenshtein_blocked_and_name_deduped(spark, sf_dir):
+    """The fuzzy join must pair at DISTINCT-name granularity from the
+    persisted name table (cache read by both the pair stage and the
+    per-brand counts) with a brand-equi hash join — a cartesian or a
+    row-granularity pair stage is the quadratic failure mode."""
+    plan = plan_of(spark, sf_dir, "join_fuzzy_levenshtein")
+    assert plan.count("InMemoryTableScan") >= 2, "name table not cached"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_precision_recall_k_spine_is_constant_side(spark, sf_dir):
+    """P/R@k's only non-equi join is the 3-row k-spine broadcast
+    against the rank window — bounded fan-out, explicitly allowed; a
+    cartesian of anything data-sized is not."""
+    plan = plan_of(spark, sf_dir, "eval_precision_recall_at_k")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
