@@ -7817,6 +7817,7 @@ _CA_BUCKET_WIDTH = 120  # fixed n_chars bins -> ordered dose groups
                            * (sttn - stn * stn / n))) > 1.96
            END AS significant_5pct
     FROM s
+    WHERE n > 0  -- the full grid makes n = 0 (not NULL) on empty input
     """,
 )
 def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7890,7 +7891,10 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_ok = (F.col("min_ni") * pbar >= 5) & (
         F.col("min_ni") * (1 - pbar) >= 5
     )
-    return s.select(
+    # WHERE n > 0: the full dose grid makes the aggregate row carry
+    # n = 0 (not NULL) on empty input, so the divisions must be
+    # reachable only for populated corpora (mirrored in the oracle).
+    return s.where(n > 0).select(
         n.alias("n_docs"),
         "n_buckets",
         F.round(z, 4).alias("z_trend"),

@@ -3001,6 +3001,9 @@ def eval_gwets_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN obs o ON o.ra = gi.i AND o.rb = gj.j
     ),
     m AS (
+        -- the grid always has 16 rows, so on EMPTY input n is 0 (not
+        -- NULL): every division is guarded so zero-row tables produce
+        -- zero output rows instead of 0/0
         SELECT ra, rb, cnt,
                SUM(cnt) OVER () AS n,
                SUM(cnt) OVER (PARTITION BY ra) AS row_m,
@@ -3011,11 +3014,16 @@ def eval_gwets_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT CAST(MAX(n) AS BIGINT) AS n,
                CAST(SUM(CAST(round(w * cnt, 8) AS DECIMAL(38,8)))
-                    AS DOUBLE) / MAX(n) AS po_w,
-               CAST(SUM(CAST(round(w * row_m * col_m / (1e0 * n), 8)
-                             AS DECIMAL(38,8))) AS DOUBLE)
-                   / MAX(n) AS pe_w
+                    AS DOUBLE) AS s_po,
+               CAST(SUM(CAST(round(CASE WHEN n > 0 THEN
+                                   w * row_m * col_m / (1e0 * n) END,
+                                   8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS s_pe
         FROM m
+    ),
+    r AS (
+        SELECT n, s_po / n AS po_w, s_pe / n AS pe_w
+        FROM s WHERE n > 0
     )
     SELECT n AS n_docs, {sql_jround("po_w", 6)} AS po_weighted,
            {sql_jround("pe_w", 6)} AS pe_weighted,
@@ -3023,7 +3031,7 @@ def eval_gwets_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
                "CASE WHEN pe_w >= 1e0 THEN 1e0"
                " ELSE (po_w - pe_w) / (1e0 - pe_w) END", 6)}
                AS weighted_kappa
-    FROM s
+    FROM r
     """,
 )
 def eval_weighted_kappa(
@@ -3069,6 +3077,9 @@ def eval_weighted_kappa(
     w_all = Window.partitionBy(F.lit(1))
     w_row = Window.partitionBy("ra")
     w_col = Window.partitionBy("rb")
+    # The grid always holds 16 rows, so on EMPTY input n is 0, not
+    # NULL — every division is guarded (per-row and post-aggregate)
+    # so zero-row tables produce zero output rows instead of 0/0.
     m = grid.select(
         "ra",
         "rb",
@@ -3080,26 +3091,32 @@ def eval_weighted_kappa(
     )
     s = m.agg(
         F.max("n").cast("bigint").alias("n"),
-        (
-            F.sum(
-                F.round(F.col("w") * F.col("cnt"), 8).cast(
-                    "decimal(38,8)"
-                )
-            ).cast("double")
-            / F.max("n")
-        ).alias("po_w"),
-        (
-            F.sum(
-                F.round(
+        F.sum(
+            F.round(F.col("w") * F.col("cnt"), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("s_po"),
+        F.sum(
+            F.round(
+                F.when(
+                    F.col("n") > 0,
                     F.col("w")
                     * F.col("row_m")
                     * F.col("col_m")
                     / (1.0 * F.col("n")),
-                    8,
-                ).cast("decimal(38,8)")
-            ).cast("double")
-            / F.max("n")
-        ).alias("pe_w"),
+                ),
+                8,
+            ).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("s_pe"),
+    )
+    s = s.where(F.col("n") > 0).select(
+        "n",
+        (F.col("s_po") / F.col("n")).alias("po_w"),
+        (F.col("s_pe") / F.col("n")).alias("pe_w"),
     )
     po_w, pe_w = F.col("po_w"), F.col("pe_w")
     kw = F.when(pe_w >= 1.0, F.lit(1.0)).otherwise(
