@@ -7902,6 +7902,142 @@ def stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Page's L z-statistic with k = _FRIEDMAN_K baked in as literals so the
+# oracle f-string stays flat: E[L] = n k(k+1)^2/4,
+# Var[L] = n k^2 (k+1)(k^2-1)/144.
+_PAGE_Z = (
+    f"(page_l - n_blocks * {_FRIEDMAN_K}.0"
+    f" * ({_FRIEDMAN_K} + 1) * ({_FRIEDMAN_K} + 1) / 4)"
+    f" / sqrt(n_blocks * {_FRIEDMAN_K}.0 * {_FRIEDMAN_K}"
+    f" * ({_FRIEDMAN_K} + 1)"
+    f" * ({_FRIEDMAN_K} * {_FRIEDMAN_K} - 1) / 144)"
+)
+
+
+@query(
+    "stats_page_trend",
+    oracle=f"""
+    WITH cells AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    framed AS (
+        SELECT user_id, event_type, m,
+               COUNT(*) OVER (PARTITION BY user_id) AS kk,
+               CAST(RANK() OVER (PARTITION BY user_id ORDER BY m)
+                    AS DOUBLE)
+                 + (COUNT(*) OVER (PARTITION BY user_id, m) - 1)
+                   / 2.0 AS r
+        FROM cells
+    ),
+    ranked AS (
+        SELECT user_id, event_type, r FROM framed
+        WHERE kk = {_FRIEDMAN_K}
+    ),
+    treat AS (  -- hypothesized order = alphabetical treatment label
+        SELECT event_type,
+               DENSE_RANK() OVER (ORDER BY event_type) AS cj,
+               rj
+        FROM (SELECT event_type,
+                     CAST(SUM(CAST(r AS DECIMAL(28,4))) AS DOUBLE)
+                         AS rj
+              FROM ranked GROUP BY event_type)
+    ),
+    s AS (
+        SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM ranked)
+                    AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST(cj * rj AS DECIMAL(38,4))) AS DOUBLE)
+                   AS page_l
+        FROM treat
+    )
+    SELECT n_blocks, CAST({_FRIEDMAN_K} AS BIGINT) AS k,
+           {sql_jround("page_l", 4)} AS page_l,
+           {sql_jround(_PAGE_Z, 4)} AS z_trend,
+           {_PAGE_Z} > 1.645 AS increasing_5pct
+    FROM s WHERE n_blocks > 0
+    """,
+)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative in the Friedman
+    layout (same user-blocked within-block midranks over the five
+    event types): L = sum_j c_j R_j with c_j the hypothesized
+    treatment order — here the alphabetical event-type order, a
+    fixed demonstration ordering — and the large-sample z =
+    (L - n k(k+1)^2/4) / sqrt(n k^2 (k+1)(k^2-1)/144), one-sided at
+    1.645. Where stats_friedman_test asks "do the treatments differ
+    at all", Page's asks the sharper monotone question "do they
+    INCREASE along this order" — much more powerful when the
+    ordering is real. Midranks make the variance slightly
+    conservative under heavy ties (the standard large-sample
+    treatment; both engines share it).
+
+    Scale shape: identical to the Friedman key — one scan to
+    (user, type) decimal-summed means, one user_id exchange for the
+    block ranks, quarter-integer-exact rank sums; L and z are
+    closed-form on the 5-row treatment table."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    cells = e.groupBy("user_id", "event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    w_blk = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy("m")
+    w_tie = Window.partitionBy("user_id", "m")
+    ranked = (
+        cells.select(
+            "user_id",
+            "event_type",
+            F.count("*").over(w_blk).alias("kk"),
+            (
+                F.rank().over(w_rank).cast("double")
+                + (F.count("*").over(w_tie) - 1) / 2.0
+            ).alias("r"),
+        )
+        .where(F.col("kk") == _FRIEDMAN_K)
+        .select("user_id", "event_type", "r")
+    )
+    from powersql_spark.catalog import track_persist
+
+    ranked = track_persist(ranked)
+    rj = ranked.groupBy("event_type").agg(
+        F.sum(F.col("r").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("rj")
+    )
+    treat = rj.select(
+        "event_type",
+        F.dense_rank().over(Window.orderBy("event_type")).alias("cj"),
+        "rj",
+    )
+    n_row = ranked.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_blocks")
+    )
+    s = treat.agg(
+        F.sum((F.col("cj") * F.col("rj")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("page_l")
+    ).crossJoin(F.broadcast(n_row))
+    k = _FRIEDMAN_K
+    nb = F.col("n_blocks")
+    ez = nb * float(k) * (k + 1) * (k + 1) / 4
+    vz = nb * float(k) * k * (k + 1) * (k * k - 1) / 144
+    z = (F.col("page_l") - ez) / F.sqrt(vz)
+    return s.where(nb > 0).select(
+        "n_blocks",
+        F.lit(k).cast("bigint").alias("k"),
+        F.round(F.col("page_l"), 4).alias("page_l"),
+        F.round(z, 4).alias("z_trend"),
+        (z > 1.645).alias("increasing_5pct"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Round-11 BI widening: seasonal index, price elasticity, time-decay
 # attribution.

@@ -1031,3 +1031,154 @@ def stats_brown_forsythe(
             ).alias("reject_05"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ICC(1,1) — one-way random-effects intraclass correlation on the
+# nation x year revenue panel.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_icc_oneway",
+    oracle=f"""
+    WITH panel AS (  -- the stats_ttest_paired panel: 25 nations x 2 yrs
+        SELECT c.c_nationkey AS nk, year(o.o_orderdate) AS yr,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(15,2)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY c.c_nationkey, year(o.o_orderdate)
+    ),
+    subj AS (  -- balanced subjects only; pair sums/diffs stay decimal
+        SELECT nk,
+               CAST(SUM(CASE WHEN yr = 1996 THEN x END)
+                    AS DECIMAL(15,2)) AS x1,
+               CAST(SUM(CASE WHEN yr = 1997 THEN x END)
+                    AS DECIMAL(15,2)) AS x2
+        FROM panel GROUP BY nk
+        HAVING COUNT(*) = 2 AND SUM(CASE WHEN yr = 1996 THEN 1
+                                         ELSE 0 END) = 1
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x1 + x2 AS DECIMAL(19,2))
+                   * CAST(x1 + x2 AS DECIMAL(19,2))) AS a,
+               CAST(SUM(CAST(x1 + x2 AS DECIMAL(17,2)))
+                    AS DECIMAL(18,2)) AS g,
+               SUM(CAST(x1 - x2 AS DECIMAL(19,2))
+                   * CAST(x1 - x2 AS DECIMAL(19,2))) AS ssd
+        FROM subj
+    ),
+    ms AS (  -- cancellation happens IN DECIMAL: n*A - g^2 and the
+             -- pair-difference sum are exact before any double cast.
+             -- The double cast routes through VARCHAR because
+             -- DuckDB's wide-decimal -> DOUBLE cast is not correctly
+             -- rounded past 2^53 (unscaled int128 / 10^scale), while
+             -- Spark's BigDecimal cast is — the VARCHAR parse is
+             -- correctly rounded on both engines.
+        SELECT n,
+               CAST(CAST(n * a - CAST(g AS DECIMAL(19,2))
+                                 * CAST(g AS DECIMAL(19,2))
+                         AS VARCHAR) AS DOUBLE)
+                   / (2.0 * n * (n - 1)) AS msb,
+               CAST(CAST(ssd AS VARCHAR) AS DOUBLE)
+                   / (2.0 * n) AS msw
+        FROM sums WHERE n > 1
+    )
+    SELECT n AS n_subjects, CAST(2 AS BIGINT) AS k_raters,
+           -- no rounding on the mean squares: at ~1e13 magnitude a
+           -- 4dp round is SUB-ULP (shortest-repr dependent, so the
+           -- engines disagree); the doubles are already bit-identical
+           -- via the exact-decimal numerators
+           msb AS ms_between,
+           msw AS ms_within,
+           {sql_jround("(msb - msw) / (msb + msw)", 6)} AS icc_1_1
+    FROM ms WHERE msb + msw > 0
+    """,
+)
+def stats_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1,1) — the one-way random-effects intraclass correlation —
+    on the nation x year revenue panel (each nation "rated" twice, by
+    its 1996 and 1997 order revenue): ICC = (MSB - MSW)/(MSB +
+    (k-1) MSW) with k = 2. The consistency-of-repeated-measurements
+    readout: high ICC means nation identity explains revenue (stable
+    panel), near 0 means the two years are as different as two
+    random nations — the continuous counterpart of the agreement
+    family (kappa/AC1 rate categorical raters; ICC rates numeric
+    ones). Only nations observed in both years enter (balanced
+    panel).
+
+    Numerical discipline (found live at sf0.1): the textbook
+    sum-of-squares form subtracts two ~1e18 doubles whose
+    decimal->double casts can differ between engines by an ulp,
+    which cancellation amplifies into the reported mean squares. The
+    k = 2 identities avoid it: MSW = sum (x1-x2)^2 / 2n and
+    MSB = (n sum s_i^2 - g^2) / (2n(n-1)) keep every subtraction in
+    EXACT decimal arithmetic; doubles appear only after the
+    cancellation.
+
+    Scale shape: one fact-table collapse to the 50-cell panel; the
+    balanced-subject pivot and both mean squares ride that
+    metadata-sized frame."""
+    o = spark.table("orders")
+    c = F.broadcast(
+        spark.table("customer").select("c_custkey", "c_nationkey")
+    )
+    panel = (
+        o.where(F.year("o_orderdate").isin(1996, 1997))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(15,2)")
+            .alias("x")
+        )
+    )
+    subj = (
+        panel.groupBy("nk")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, F.col("x")))
+            .cast("decimal(15,2)")
+            .alias("x1"),
+            F.sum(F.when(F.col("yr") == 1997, F.col("x")))
+            .cast("decimal(15,2)")
+            .alias("x2"),
+            F.count("*").alias("k"),
+            F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias(
+                "k96"
+            ),
+        )
+        .where((F.col("k") == 2) & (F.col("k96") == 1))
+    )
+    s19 = (F.col("x1") + F.col("x2")).cast("decimal(19,2)")
+    d19 = (F.col("x1") - F.col("x2")).cast("decimal(19,2)")
+    sums = subj.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(s19 * s19).alias("a"),
+        F.sum((F.col("x1") + F.col("x2")).cast("decimal(17,2)"))
+        .cast("decimal(18,2)")
+        .alias("g"),
+        F.sum(d19 * d19).alias("ssd"),
+    )
+    n = F.col("n")
+    g19 = F.col("g").cast("decimal(19,2)")
+    msb = (n * F.col("a") - g19 * g19).cast("double") / (
+        2.0 * n * (n - 1)
+    )
+    msw = F.col("ssd").cast("double") / (2.0 * n)
+    ms = sums.where(n > 1)
+    # No rounding on the mean squares: at ~1e13 a 4dp round is
+    # sub-ulp (shortest-repr dependent); the doubles are bit-identical
+    # across engines already (exact decimal numerators, VARCHAR-routed
+    # cast on the oracle side).
+    return ms.where(msb + msw > 0).select(
+        n.alias("n_subjects"),
+        F.lit(2).cast("bigint").alias("k_raters"),
+        msb.alias("ms_between"),
+        msw.alias("ms_within"),
+        F.round((msb - msw) / (msb + msw), 6).alias("icc_1_1"),
+    )

@@ -3128,3 +3128,165 @@ def eval_weighted_kappa(
         F.round(pe_w, 6).alias("pe_weighted"),
         F.round(kw, 6).alias("weighted_kappa"),
     )
+
+
+@query(
+    "eval_kendalls_w",
+    oracle=r"""
+    WITH metrics AS (  -- three integer judge scores per source
+        SELECT source,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS m_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS m_chars,
+               CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END)
+                    AS BIGINT) AS m_en
+        FROM documents GROUP BY source
+    ),
+    long AS (
+        SELECT source, 1 AS rater, m_tokens AS v FROM metrics
+        UNION ALL
+        SELECT source, 2, m_chars FROM metrics
+        UNION ALL
+        SELECT source, 3, m_en FROM metrics
+    ),
+    ranked AS (
+        SELECT source, rater, v,
+               CAST(RANK() OVER (PARTITION BY rater ORDER BY v)
+                    AS DOUBLE)
+                 + (COUNT(*) OVER (PARTITION BY rater, v) - 1) / 2.0
+                   AS r
+        FROM long
+    ),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+        FROM (SELECT rater, v, COUNT(*) AS t
+              FROM long GROUP BY rater, v)
+    ),
+    items AS (
+        SELECT source,
+               CAST(SUM(CAST(r AS DECIMAL(28,4))) AS DOUBLE) AS ri
+        FROM ranked GROUP BY source
+    ),
+    framed AS (  -- materialize n before aggregating (no window
+                 -- calls inside aggregate arguments)
+        SELECT ri, COUNT(*) OVER () AS n_w,
+               ri - 3 * (COUNT(*) OVER () + 1) / 2.0 AS dev
+        FROM items
+    ),
+    s AS (
+        SELECT CAST(MAX(n_w) AS BIGINT) AS n,
+               CAST(SUM(CAST(dev * dev AS DECIMAL(38,4)))
+                    AS DOUBLE) AS ss
+        FROM framed
+    ),
+    w AS (
+        SELECT s.n, s.ss,
+               s.ss / (9.0 * (CAST(s.n AS DOUBLE) * s.n * s.n - s.n)
+                       / 12.0
+                       - 3.0 * t.tsum / 12.0) AS kw
+        FROM s, ties t
+        WHERE 9.0 * (CAST(s.n AS DOUBLE) * s.n * s.n - s.n) / 12.0
+              - 3.0 * t.tsum / 12.0 > 0
+    )
+    SELECT n AS n_items, CAST(3 AS BIGINT) AS m_raters,
+           round(kw, 6) AS kendalls_w,
+           round(3 * (n - 1) * kw, 4) AS chi2,
+           CASE WHEN n = 20 THEN 3 * (n - 1) * kw > 30.1435 END
+               AS significant_5pct
+    FROM w
+    """,
+)
+def eval_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across three
+    deterministic integer judges ranking the sources (total tokens,
+    total characters, English-document count): W = S / (m^2 (n^3 -
+    n)/12 - m sum T /12) with the standard tie correction, plus the
+    chi-square approximation m(n-1)W against df = n-1 (the 30.1435
+    literal encodes df = 19, so the verdict is withheld unless
+    exactly the fixture's 20 sources are present). The MANY-rater
+    generalization the agreement family needed: kappa/AC1 rate two
+    categorical raters, Fleiss m categorical raters, Kendall's W m
+    ORDINAL rankings — "do the judges order the items the same way".
+
+    All ranks are midranks over INTEGER metrics, so rank sums are
+    half-integer exact and every statistic is closed-form on exact
+    sums.
+
+    Scale shape: one corpus scan to the 20-row metric table; the
+    unpivot, rank windows, and tie groups all ride that metadata-
+    sized frame."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    metrics = spark.table("documents").groupBy("source").agg(
+        F.sum(F.size(t)).cast("bigint").alias("m_tokens"),
+        F.sum("n_chars").cast("bigint").alias("m_chars"),
+        F.count(F.when(F.col("lang") == "en", 1))
+        .cast("bigint")
+        .alias("m_en"),
+    )
+    from powersql_spark.catalog import track_persist
+
+    metrics = track_persist(metrics)
+    long = (
+        metrics.select(
+            "source", F.lit(1).alias("rater"),
+            F.col("m_tokens").alias("v"),
+        )
+        .unionAll(
+            metrics.select(
+                "source", F.lit(2), F.col("m_chars")
+            )
+        )
+        .unionAll(
+            metrics.select("source", F.lit(3), F.col("m_en"))
+        )
+    )
+    w_rank = Window.partitionBy("rater").orderBy("v")
+    w_tie = Window.partitionBy("rater", "v")
+    ranked = long.select(
+        "source",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count("*").over(w_tie) - 1) / 2.0
+        ).alias("r"),
+    )
+    ties = long.groupBy("rater", "v").agg(
+        F.count("*").alias("t")
+    ).agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("bigint")
+        .alias("tsum")
+    )
+    items = ranked.groupBy("source").agg(
+        F.sum(F.col("r").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("ri")
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    dev = F.col("ri") - 3 * (F.count("*").over(w_all) + 1) / 2.0
+    framed = items.select(
+        "ri", F.count("*").over(w_all).alias("n_w"), dev.alias("dev")
+    )
+    s = framed.agg(
+        F.max("n_w").cast("bigint").alias("n"),
+        F.sum((F.col("dev") * F.col("dev")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    j = s.crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    denom = (
+        9.0 * (n.cast("double") * n * n - n) / 12.0
+        - 3.0 * F.col("tsum") / 12.0
+    )
+    kw = F.col("ss") / denom
+    return j.where(denom > 0).select(
+        n.alias("n_items"),
+        F.lit(3).cast("bigint").alias("m_raters"),
+        F.round(kw, 6).alias("kendalls_w"),
+        F.round(3 * (n - 1) * kw, 4).alias("chi2"),
+        F.when(n == 20, 3 * (n - 1) * kw > 30.1435).alias(
+            "significant_5pct"
+        ),
+    )

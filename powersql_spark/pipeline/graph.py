@@ -2824,3 +2824,136 @@ def graph_link_prediction(
             "resource_allocation"
         ),
     ).orderBy("a", "b")
+
+
+@query(
+    "graph_small_world",
+    oracle=f"""
+    WITH {_APSP_CTE},
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM und
+            UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ),
+    base AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_active,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wedge AS (
+        SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    pl AS (
+        SELECT CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS l_obs
+        FROM dist WHERE src < node
+    ),
+    comp AS (
+        SELECT b.n_active, b.n_edges,
+               3.0 * t.n_tri / w.n_wedges AS c_obs,
+               p.l_obs,
+               2.0 * b.n_edges
+                   / (CAST(b.n_active AS DOUBLE) * (b.n_active - 1))
+                   AS c_rand,
+               round(ln(CAST(b.n_active AS DOUBLE)), 8)
+                   / round(ln(2.0 * b.n_edges / b.n_active), 8)
+                   AS l_rand
+        FROM base b, tri t, wedge w, pl p
+        WHERE w.n_wedges > 0 AND b.n_active > 1
+          AND 2.0 * b.n_edges / b.n_active > 1
+    )
+    SELECT n_active, n_edges,
+           round(c_obs, 6) AS clustering_global,
+           round(l_obs, 6) AS avg_path_length,
+           round(c_rand, 6) AS c_random,
+           round(l_rand, 6) AS l_random,
+           round((c_obs / c_rand) / (l_obs / l_rand), 4)
+               AS sigma_small_world,
+           (c_obs / c_rand) / (l_obs / l_rand) > 1 AS is_small_world
+    FROM comp
+    """,
+)
+def graph_small_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-world coefficient sigma = (C/C_rand)/(L/L_rand) of the
+    thresholded trade graph (Humphries-Gurney): observed global
+    transitivity and average shortest-path length against the
+    Erdos-Renyi analytic baselines C_rand = density = 2E/(n(n-1))
+    and L_rand = ln(n)/ln(mean degree). sigma >> 1 is the
+    Watts-Strogatz signature (locally clustered yet globally short)
+    — the one-number topology classification that tells you whether
+    hub-based routing / community detection assumptions apply.
+    Composes this family's own machinery: the transitivity ratio,
+    the APSP path lengths, and the degree table, all from the shared
+    edge build; ln terms 8dp-rounded (libm discipline). Guarded to
+    mean degree > 1 and n > 1 (the ER length formula's domain).
+
+    Scale shape: one shared fact-sized edge build; everything else
+    is arithmetic over the checkpointed APSP state and O(nations)
+    degree rows — five 1-row frames broadcast together."""
+    und = _strong_edges(spark)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    base = deg.agg(
+        F.count("*").cast("bigint").alias("n_active")
+    ).crossJoin(
+        F.broadcast(
+            und.agg(F.count("*").cast("bigint").alias("n_edges"))
+        )
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    dist = _apsp_dist(spark)
+    pl = dist.where(F.col("src") < F.col("node")).agg(
+        (F.sum("dist").cast("double") / F.count("*")).alias("l_obs")
+    )
+    comp = (
+        base.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedge))
+        .crossJoin(F.broadcast(pl))
+    )
+    n_act = F.col("n_active").cast("double")
+    kbar = 2.0 * F.col("n_edges") / F.col("n_active")
+    c_obs = 3.0 * F.col("n_tri") / F.col("n_wedges")
+    c_rand = 2.0 * F.col("n_edges") / (n_act * (F.col("n_active") - 1))
+    l_rand = F.round(F.log(n_act), 8) / F.round(F.log(kbar), 8)
+    sigma = (c_obs / c_rand) / (F.col("l_obs") / l_rand)
+    return (
+        comp.where(
+            (F.col("n_wedges") > 0)
+            & (F.col("n_active") > 1)
+            & (kbar > 1)
+        )
+        .select(
+            "n_active",
+            "n_edges",
+            F.round(c_obs, 6).alias("clustering_global"),
+            F.round(F.col("l_obs"), 6).alias("avg_path_length"),
+            F.round(c_rand, 6).alias("c_random"),
+            F.round(l_rand, 6).alias("l_random"),
+            F.round(sigma, 4).alias("sigma_small_world"),
+            (sigma > 1).alias("is_small_world"),
+        )
+    )

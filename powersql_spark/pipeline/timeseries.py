@@ -6018,3 +6018,358 @@ def ts_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 second wave: cointegration and spectral entropy.
+# ---------------------------------------------------------------------------
+
+_EG_A, _EG_B = "view", "click"  # the cointegration pair
+
+
+@query(
+    "ts_cointegration_eg",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    pair AS (
+        SELECT a.day, a.y AS ya, b.y AS yb
+        FROM (SELECT day, y FROM daily
+              WHERE event_type = '{_EG_A}') a
+        JOIN (SELECT day, y FROM daily
+              WHERE event_type = '{_EG_B}') b USING (day)
+    ),
+    ols AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ya) AS DOUBLE) AS sa,
+               CAST(SUM(yb) AS DOUBLE) AS sb,
+               CAST(SUM(CAST(ya AS DECIMAL(19,6))
+                        * CAST(yb AS DECIMAL(19,6))) AS DOUBLE) AS sab,
+               CAST(SUM(CAST(yb AS DECIMAL(19,6))
+                        * CAST(yb AS DECIMAL(19,6))) AS DOUBLE) AS sbb
+        FROM pair
+    ),
+    fit AS (
+        SELECT n,
+               (n * sab - sa * sb) / (n * sbb - sb * sb) AS beta,
+               (sa - (n * sab - sa * sb) / (n * sbb - sb * sb) * sb)
+                   / n AS alpha
+        FROM ols WHERE n > 2 AND n * sbb - sb * sb > 0
+    ),
+    resid AS (
+        SELECT p.day,
+               CAST(p.ya AS DOUBLE) - f.alpha
+                   - f.beta * CAST(p.yb AS DOUBLE) AS e,
+               f.n, f.beta, f.alpha
+        FROM pair p, fit f
+    ),
+    lagd AS (
+        SELECT n, beta, alpha,
+               LAG(e) OVER (ORDER BY day) AS el,
+               e - LAG(e) OVER (ORDER BY day) AS de
+        FROM resid
+    ),
+    df AS (
+        SELECT ANY_VALUE(n) AS n, ANY_VALUE(beta) AS beta,
+               ANY_VALUE(alpha) AS alpha,
+               CAST(COUNT(*) AS BIGINT) AS n_diffs,
+               CAST(SUM(CAST(round(el * de, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sed,
+               CAST(SUM(CAST(round(el * el, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS see,
+               CAST(SUM(CAST(round(de * de, 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS sdd
+        FROM lagd WHERE el IS NOT NULL
+    )
+    SELECT n AS n_days, {sql_jround("beta", 6)} AS beta,
+           {sql_jround("alpha", 4)} AS alpha,
+           {sql_jround(
+               "(sed / see) / sqrt(((sdd - sed * sed / see)"
+               " / (n_diffs - 1)) / see)", 4)} AS eg_tstat,
+           (sed / see) / sqrt(((sdd - sed * sed / see)
+               / (n_diffs - 1)) / see) < -3.37 AS cointegrated_5pct
+    FROM df WHERE see > 0 AND n_diffs > 1
+    """,
+)
+def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test between the 'view'
+    and 'click' daily series: OLS of one level on the
+    other, then a no-constant Dickey-Fuller regression on the
+    residuals (Delta e_t = gamma e_(t-1)); gamma's t against the
+    Engle-Granger 5% critical value -3.37 (two variables, fitted
+    constant). Two trending series can each fail ts_dickey_fuller
+    yet share a stationary spread — the cointegration property that
+    makes a hedge/ratio model valid where correlating raw levels
+    (the classic spurious-regression trap) is not.
+
+    The level regression's sufficient statistics are decimal-exact
+    (the daily y values); the residual stage's products are
+    8dp-rounded decimal sums (residuals are doubles, identical
+    expression trees on both engines).
+
+    Scale shape: one corpus collapse to the daily table; the pair
+    join is day-equi on 30 rows; both regressions are one-row
+    sufficient-statistic aggregations."""
+    from powersql_spark.catalog import track_persist
+
+    # Persist the daily table: BOTH sides of the pair filter it, so
+    # without the cache the corpus would collapse twice.
+    daily = track_persist(_typed_daily(spark))
+    a = daily.where(F.col("event_type") == _EG_A).select(
+        "day", F.col("y").alias("ya")
+    )
+    b = daily.where(F.col("event_type") == _EG_B).select(
+        "day", F.col("y").alias("yb")
+    )
+    pair = track_persist(a.join(b, "day"))
+    ya19 = F.col("ya").cast("decimal(19,6)")
+    yb19 = F.col("yb").cast("decimal(19,6)")
+    ols = pair.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("ya").cast("double").alias("sa"),
+        F.sum("yb").cast("double").alias("sb"),
+        F.sum(ya19 * yb19).cast("double").alias("sab"),
+        F.sum(yb19 * yb19).cast("double").alias("sbb"),
+    )
+    n = F.col("n")
+    beta = (n * F.col("sab") - F.col("sa") * F.col("sb")) / (
+        n * F.col("sbb") - F.col("sb") * F.col("sb")
+    )
+    alpha = (F.col("sa") - beta * F.col("sb")) / n
+    fit = ols.where(
+        (n > 2) & (n * F.col("sbb") - F.col("sb") * F.col("sb") > 0)
+    ).select("n", beta.alias("beta"), alpha.alias("alpha"))
+    resid = pair.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        "beta",
+        "alpha",
+        (
+            F.col("ya").cast("double")
+            - F.col("alpha")
+            - F.col("beta") * F.col("yb").cast("double")
+        ).alias("e"),
+    )
+    w = Window.orderBy("day")
+    lagd = resid.select(
+        "n",
+        "beta",
+        "alpha",
+        F.lag("e").over(w).alias("el"),
+        (F.col("e") - F.lag("e").over(w)).alias("de"),
+    ).where(F.col("el").isNotNull())
+    df = lagd.agg(
+        F.any_value("n").alias("n"),
+        F.any_value("beta").alias("beta"),
+        F.any_value("alpha").alias("alpha"),
+        F.count("*").cast("bigint").alias("n_diffs"),
+        F.sum(
+            F.round(F.col("el") * F.col("de"), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("sed"),
+        F.sum(
+            F.round(F.col("el") * F.col("el"), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("see"),
+        F.sum(
+            F.round(F.col("de") * F.col("de"), 8).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("sdd"),
+    )
+    gamma = F.col("sed") / F.col("see")
+    s2 = (
+        F.col("sdd") - F.col("sed") * F.col("sed") / F.col("see")
+    ) / (F.col("n_diffs") - 1)
+    t = gamma / F.sqrt(s2 / F.col("see"))
+    return (
+        df.where((F.col("see") > 0) & (F.col("n_diffs") > 1))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(F.col("beta"), 6).alias("beta"),
+            F.round(F.col("alpha"), 4).alias("alpha"),
+            F.round(t, 4).alias("eg_tstat"),
+            (t < -3.37).alias("cointegrated_5pct"),
+        )
+    )
+
+
+_SE_MAX_K = 14  # frequency bins (daily series, ~30 points)
+
+
+@query(
+    "ts_spectral_entropy",
+    oracle=f"""
+    WITH {_TSD_CTE},
+    idx AS (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    ks AS (SELECT unnest(range(1, {_SE_MAX_K} + 1)) AS k),
+    terms AS (
+        SELECT i.event_type, ks.k, i.n,
+               CAST(round(cos(2 * pi() * ks.k * i.t / i.n), 8)
+                    AS DECIMAL(12,8))
+                   * CAST(i.y AS DECIMAL(19,6)) AS yc,
+               CAST(round(sin(2 * pi() * ks.k * i.t / i.n), 8)
+                    AS DECIMAL(12,8))
+                   * CAST(i.y AS DECIMAL(19,6)) AS ys
+        FROM idx i JOIN ks ON ks.k <= (i.n - 1) // 2
+    ),
+    spec AS (
+        SELECT event_type, k, ANY_VALUE(n) AS n,
+               CAST(SUM(yc) AS DOUBLE) AS ck,
+               CAST(SUM(ys) AS DOUBLE) AS sk
+        FROM terms GROUP BY event_type, k
+    ),
+    pw AS (
+        -- ptot decimal-summed: a bare double window sum would add in
+        -- engine-dependent order
+        SELECT event_type, k, n,
+               ck * ck + sk * sk AS p,
+               CAST(SUM(CAST(round(ck * ck + sk * sk, 6)
+                    AS DECIMAL(38,6))) OVER (PARTITION BY event_type)
+                    AS DOUBLE) AS ptot,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_freqs
+        FROM spec
+    ),
+    ent AS (
+        SELECT event_type, ANY_VALUE(n) AS n_days,
+               CAST(ANY_VALUE(n_freqs) AS BIGINT) AS n_freqs,
+               CAST(SUM(CAST(round((p / ptot) * ln(p / ptot), 8)
+                    AS DECIMAL(38,8))) AS DOUBLE) AS s_plnp,
+               CAST(SUM(CAST(round(ln(p), 8) AS DECIMAL(38,8)))
+                    AS DOUBLE) AS s_lnp,
+               CAST(SUM(CAST(round(p, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s_p
+        FROM pw WHERE ptot > 0 AND p > 0
+        GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days, n_freqs,
+           {sql_jround("-s_plnp", 6)} AS spectral_entropy,
+           {sql_jround("-s_plnp / ln(n_freqs)", 6)} AS normalized_se,
+           {sql_jround(
+               "exp(s_lnp / n_freqs) / (s_p / n_freqs)", 6)}
+               AS spectral_flatness
+    FROM ent
+    ORDER BY event_type
+    """,
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy and flatness of each event-type daily series:
+    an unrolled DFT periodogram at frequencies k = 1..floor((n-1)/2),
+    the Shannon entropy of the normalized power spectrum (near 1 =
+    white-noise-flat, low = concentrated seasonality), plus spectral
+    flatness (the geometric/arithmetic power-mean ratio — Wiener
+    entropy). The frequency-domain complement of
+    ts_permutation_entropy's time-domain complexity and
+    ts_dominant_period's single-peak readout: entropy says how MUCH
+    of the spectrum the peaks explain.
+
+    Cross-engine float discipline: the cos/sin factors (different
+    libm implementations) are 8dp-rounded into decimals BEFORE
+    multiplying the exact-decimal y, so the DFT sums are exact given
+    the rounded trig values; power ratios and logs follow the usual
+    8dp-rounded decimal-sum rule.
+
+    Scale shape: one corpus collapse; the DFT is a constant
+    (k-spine x days) fan-out of the metadata-sized daily table —
+    entity-bounded, never corpus-sized."""
+    import math
+
+    daily = _typed_daily(spark)
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    w_n = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number().over(w_rn).alias("t"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    ks = spark.range(1, _SE_MAX_K + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    angle = (
+        2 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    )
+    terms = idx.join(
+        F.broadcast(ks),
+        F.col("k") <= F.floor((F.col("n") - 1) / 2),
+    ).select(
+        "event_type",
+        "k",
+        "n",
+        (
+            F.round(F.cos(angle), 8).cast("decimal(12,8)")
+            * F.col("y").cast("decimal(19,6)")
+        ).alias("yc"),
+        (
+            F.round(F.sin(angle), 8).cast("decimal(12,8)")
+            * F.col("y").cast("decimal(19,6)")
+        ).alias("ys"),
+    )
+    spec = terms.groupBy("event_type", "k").agg(
+        F.any_value("n").alias("n"),
+        F.sum("yc").cast("double").alias("ck"),
+        F.sum("ys").cast("double").alias("sk"),
+    )
+    p = F.col("ck") * F.col("ck") + F.col("sk") * F.col("sk")
+    w_t = Window.partitionBy("event_type")
+    pw = spec.select(
+        "event_type",
+        "k",
+        "n",
+        p.alias("p"),
+        F.sum(F.round(p, 6).cast("decimal(38,6)"))
+        .over(w_t)
+        .cast("double")
+        .alias("ptot"),
+        F.count("*").over(w_t).alias("n_freqs"),
+    )
+    pr = F.col("p") / F.col("ptot")
+    ent = (
+        pw.where((F.col("ptot") > 0) & (F.col("p") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_days"),
+            F.any_value("n_freqs").cast("bigint").alias("n_freqs"),
+            F.sum(
+                F.round(pr * F.log(pr), 8).cast("decimal(38,8)")
+            )
+            .cast("double")
+            .alias("s_plnp"),
+            F.sum(
+                F.round(F.log(F.col("p")), 8).cast("decimal(38,8)")
+            )
+            .cast("double")
+            .alias("s_lnp"),
+            F.sum(F.round(F.col("p"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s_p"),
+        )
+    )
+    return ent.select(
+        "event_type",
+        "n_days",
+        "n_freqs",
+        F.round(-F.col("s_plnp"), 6).alias("spectral_entropy"),
+        F.round(
+            -F.col("s_plnp") / F.log(F.col("n_freqs").cast("double")),
+            6,
+        ).alias("normalized_se"),
+        F.round(
+            F.exp(F.col("s_lnp") / F.col("n_freqs"))
+            / (F.col("s_p") / F.col("n_freqs")),
+            6,
+        ).alias("spectral_flatness"),
+    ).orderBy("event_type")

@@ -680,6 +680,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_entropy_rate_bigram",
     "profile_mutual_information",
     "join_fuzzy_levenshtein",
+    # -- r12 second wave (6 keys): same pre-clear bar, ranked after
+    # the first wave so the whole round stays one 40-key window.
+    "ts_cointegration_eg",
+    "ts_spectral_entropy",
+    "stats_icc_oneway",
+    "stats_page_trend",
+    "eval_kendalls_w",
+    "graph_small_world",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -2935,10 +2935,14 @@ def test_burrows_delta_metadata_sized_pair_join(spark, sf_dir):
 def test_cochran_armitage_five_cell_collapse(spark, sf_dir):
     """CA trend: binning is map-side; the corpus collapses to at most
     5 dose cells with map-side partials; the statistic is a 1-row
-    expression. No Python, no join, one scan."""
+    expression. No Python, one scan. The only join is the r12
+    absent-cell fix: the constant 5-row dose spine LEFT-joins the
+    observed cells (broadcast, constant side) so empty buckets reach
+    the expected-count guard as zeros."""
     plan = plan_of(spark, sf_dir, "stats_cochran_armitage")
     assert "EvalPython" not in plan
-    assert "Join" not in plan
+    assert plan.count("Join") <= 2, "more than the dose-spine join"
+    assert "CartesianProduct" not in plan
     assert plan.count("documents.parquet") == 1
     assert re.search(r"partial_count", plan), "no partial agg"
 

@@ -272,6 +272,13 @@ _ENDGAME_ORDER = (
     "text_entropy_rate_bigram",
     "profile_mutual_information",
     "join_fuzzy_levenshtein",
+    # r12 second wave — slots 35-40 of the same window:
+    "ts_cointegration_eg",
+    "ts_spectral_entropy",
+    "stats_icc_oneway",
+    "stats_page_trend",
+    "eval_kendalls_w",
+    "graph_small_world",
 )
 
 

@@ -11,7 +11,7 @@ depend on how many partitions a sum was folded across or which rows
 shared a task.
 
 Usage:
-    python tools/adversarial_drive.py              # all 501 keys
+    python tools/adversarial_drive.py              # all registered keys
     python tools/adversarial_drive.py key1 key2    # subset
 
 Run from a cwd OUTSIDE the repo so workers import powersql_spark via
