@@ -1182,3 +1182,273 @@ def stats_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         msw.alias("ms_within"),
         F.round((msb - msw) / (msb + msw), 6).alias("icc_1_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mood's scale test — rank-based dispersion comparison (the scale
+# sibling of the Mann-Whitney location test).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mood_scale_test",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type, value,
+               substr(md5(CAST(user_id AS VARCHAR) || ':mwu'), 1, 1)
+                   < '8' AS is_a
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    vals AS (
+        SELECT event_type, value,
+               COUNT(*) AS cnt,
+               COUNT(CASE WHEN is_a THEN 1 END) AS cnt_a
+        FROM assigned GROUP BY event_type, value
+    ),
+    ranked AS (
+        SELECT event_type, cnt, cnt_a,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                              ROWS UNBOUNDED PRECEDING)
+                 - cnt + (cnt + 1) / 2.0 AS r,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n_tot
+        FROM vals
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+               CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+               CAST(ANY_VALUE(n_tot) AS BIGINT) AS n,
+               CAST(SUM(CAST(cnt_a * (r - (n_tot + 1) / 2.0)
+                                   * (r - (n_tot + 1) / 2.0)
+                             AS DECIMAL(38,4))) AS DOUBLE) AS t_stat
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {sql_jround("t_stat", 4)} AS mood_t,
+           {sql_jround(
+               "(t_stat - n_a * (CAST(n AS DOUBLE) * n - 1) / 12.0)"
+               " / sqrt(CAST(n_a AS DOUBLE) * n_b * (n + 1)"
+               "        * (CAST(n AS DOUBLE) * n - 4) / 180.0)", 4)}
+               AS z_stat,
+           CASE WHEN LEAST(n_a, n_b) >= 20 THEN
+               abs((t_stat - n_a * (CAST(n AS DOUBLE) * n - 1)
+                             / 12.0)
+                   / sqrt(CAST(n_a AS DOUBLE) * n_b * (n + 1)
+                          * (CAST(n AS DOUBLE) * n - 4) / 180.0))
+               > 1.96
+           END AS unequal_scale_5pct
+    FROM s WHERE n_a > 0 AND n_b > 0
+    ORDER BY event_type
+    """,
+)
+def stats_mood_scale_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's scale (dispersion) test per event type between the
+    salted 50/50 user arms: T = sum over arm A of (r_i - (N+1)/2)^2
+    — squared deviations of midranks from the central rank — with
+    the normal approximation E[T] = n_a(N^2-1)/12, Var[T] =
+    n_a n_b (N+1)(N^2-4)/180. The rank-based SCALE sibling of
+    stats_mann_whitney's location test (same arms, same rank
+    machinery): MWU asks whether one arm sits higher; this asks
+    whether one arm is more SPREAD OUT, robustly. Midranks handle
+    ties (the standard large-sample treatment, shared by both
+    engines). Verdict withheld below 20 observations per arm.
+
+    Scale shape: the MWU collapse — one (event_type, value) distinct
+    grid, one rank window, quarter-integer-exact score sums
+    decimal-cast; the statistic is closed-form per group."""
+    e = spark.table("events").where(F.col("value").isNotNull())
+    is_a = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":mwu")
+                ).cast("binary")
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    vals = (
+        e.select("event_type", "value", is_a.alias("is_a"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count(F.when(F.col("is_a"), 1)).alias("cnt_a"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "cnt",
+        "cnt_a",
+        (
+            F.sum("cnt").over(w_cum)
+            - F.col("cnt")
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("r"),
+        F.sum("cnt").over(w_all).alias("n_tot"),
+    )
+    dev = F.col("r") - (F.col("n_tot") + 1) / 2.0
+    s = ranked.groupBy("event_type").agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a"))
+        .cast("bigint")
+        .alias("n_b"),
+        F.any_value("n_tot").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("cnt_a") * dev * dev).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("t_stat"),
+    )
+    n, n_a, n_b = F.col("n"), F.col("n_a"), F.col("n_b")
+    mu = n_a * (n.cast("double") * n - 1) / 12.0
+    sig = F.sqrt(
+        n_a.cast("double")
+        * n_b
+        * (n + 1)
+        * (n.cast("double") * n - 4)
+        / 180.0
+    )
+    z = (F.col("t_stat") - mu) / sig
+    return (
+        s.where((n_a > 0) & (n_b > 0))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(F.col("t_stat"), 4).alias("mood_t"),
+            F.round(z, 4).alias("z_stat"),
+            F.when(
+                F.least(n_a, n_b) >= 20, F.abs(z) > 1.96
+            ).alias("unequal_scale_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-sample Kolmogorov-Smirnov against Uniform(0,1) — is the clipped
+# quality score usable as a probability?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ks_uniform",
+    oracle=r"""
+    WITH scored AS (
+        SELECT least(1.0, greatest(0.0,
+                   CAST(len(list_filter(t, x -> x IN
+                        ('the', 'a', 'and', 'of', 'to', 'in', 'is',
+                         'it'))) AS DOUBLE) / len(t)
+                   + CAST(len(t) AS DOUBLE) / 2000.0)) AS p
+        FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+              FROM documents)
+    ),
+    vals AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM scored GROUP BY p
+    ),
+    cum AS (
+        SELECT p, cnt,
+               SUM(cnt) OVER (ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS c,
+               SUM(cnt) OVER (ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) - cnt AS cp,
+               SUM(cnt) OVER () AS n
+        FROM vals
+    ),
+    d AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               MAX(CAST(c AS DOUBLE) / n - p) AS d_plus,
+               MAX(p - CAST(cp AS DOUBLE) / n) AS d_minus
+        FROM cum
+    )
+    SELECT n,
+           round(GREATEST(d_plus, d_minus), 6) AS d_stat,
+           round(GREATEST(d_plus, d_minus) * sqrt(CAST(n AS DOUBLE)),
+                 4) AS ks_stat,
+           GREATEST(d_plus, d_minus) * sqrt(CAST(n AS DOUBLE))
+               > 1.358 AS reject_uniform_5pct
+    FROM d WHERE n > 0
+    """,
+)
+def stats_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of the clipped quality
+    score against Uniform(0,1): D = max over the sample of
+    max(F_n(x) - x, x - F_n(x-)), with sqrt(n) D against the 1.358
+    asymptotic 5% critical value. The distribution-shape companion
+    to the calibration family: eval_calibration_ece asks whether the
+    score is honest as a probability; this asks whether its
+    DISTRIBUTION covers [0,1] like a probability should (a score
+    bunched in one band fails here first). stats_ks_two_sample
+    compares two empirical samples; this is the one-sample
+    goodness-of-fit member.
+
+    D comes from exact cumulative counts over the distinct-value
+    grid (both one-sided suprema evaluated at the jump points — the
+    exact finite-sample D, not a binned approximation).
+
+    Scale shape: one scan collapses to distinct score values; one
+    global rank window over that grid; D is a two-term aggregation."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    sw = F.size(
+        F.filter(
+            "t",
+            lambda x: x.isin(
+                "the", "a", "and", "of", "to", "in", "is", "it"
+            ),
+        )
+    )
+    n_tok = F.size("t")
+    p = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            sw.cast("double") / n_tok + n_tok.cast("double") / 2000.0,
+        ),
+    )
+    scored = (
+        spark.table("documents")
+        .select(t.alias("t"))
+        .select(p.alias("p"))
+    )
+    vals = scored.groupBy("p").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w_cum = Window.orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    cum = vals.select(
+        "p",
+        F.sum("cnt").over(w_cum).alias("c"),
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cp"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    d = cum.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.col("c").cast("double") / F.col("n") - F.col("p")).alias(
+            "d_plus"
+        ),
+        F.max(
+            F.col("p") - F.col("cp").cast("double") / F.col("n")
+        ).alias("d_minus"),
+    )
+    d_stat = F.greatest(F.col("d_plus"), F.col("d_minus"))
+    ks = d_stat * F.sqrt(F.col("n").cast("double"))
+    return d.where(F.col("n") > 0).select(
+        "n",
+        F.round(d_stat, 6).alias("d_stat"),
+        F.round(ks, 4).alias("ks_stat"),
+        (ks > 1.358).alias("reject_uniform_5pct"),
+    )

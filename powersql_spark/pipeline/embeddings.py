@@ -2580,3 +2580,100 @@ def emb_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("linear_cka"),
         )
     )
+
+
+@query(
+    "emb_participation_ratio",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(i - 1 AS INTEGER) AS dim,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(list_extract(embedding, i) AS DOUBLE)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(round(CAST(list_extract(embedding, i)
+                                        AS DOUBLE)
+                    * CAST(list_extract(embedding, i) AS DOUBLE), 8)
+                    AS DECIMAL(28,8))) AS DOUBLE) AS q
+        FROM embeddings, unnest(range(1, {_DIM + 1})) AS u(i)
+        GROUP BY i
+    ),
+    v AS (
+        SELECT dim, round((q - s * s / n) / (n - 1), 8) AS var_d
+        FROM d WHERE n > 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+               CAST(SUM(CAST(var_d AS DECIMAL(38,8))) AS DOUBLE)
+                   AS sv,
+               CAST(SUM(CAST(round(var_d * var_d, 10)
+                             AS DECIMAL(38,10))) AS DOUBLE) AS svv
+        FROM v
+    )
+    SELECT n_dims,
+           {sql_jround("sv * sv / svv", 4)} AS participation_ratio,
+           {sql_jround("sv * sv / svv / n_dims", 6)}
+               AS effective_dim_fraction
+    FROM s WHERE svv > 0
+    """,
+)
+def emb_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Participation ratio of the embedding variance spectrum:
+    PR = (sum var_d)^2 / sum var_d^2 — the "effective number of
+    dimensions" (PR = d for isotropic spaces, 1 for rank-one
+    collapse), the single-number readout that emb_dim_variance's
+    full ranking feeds into and the axis-aligned screen run before
+    paying for emb_intrinsic_dimension's neighbor-based estimate.
+    PR/d near 1 says Matryoshka truncation will cost recall; near 0
+    says most dims are dead weight.
+
+    Scale shape: the same distributed columnar reduce as
+    emb_dim_variance (posexplode to per-dim decimal power sums);
+    the PR is closed-form over the 64-row variance table."""
+    e = spark.table("embeddings")
+    d = (
+        e.select(F.posexplode("embedding").alias("dim", "xf"))
+        .select("dim", F.col("xf").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(28,8)"))
+            .cast("double")
+            .alias("s"),
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 8).cast(
+                    "decimal(28,8)"
+                )
+            )
+            .cast("double")
+            .alias("q"),
+        )
+    )
+    var_d = F.round(
+        (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1),
+        8,
+    )
+    v = d.where(F.col("n") > 1).select(var_d.alias("var_d"))
+    s = v.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.sum(F.col("var_d").cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sv"),
+        F.sum(
+            F.round(F.col("var_d") * F.col("var_d"), 10).cast(
+                "decimal(38,10)"
+            )
+        )
+        .cast("double")
+        .alias("svv"),
+    )
+    pr = F.col("sv") * F.col("sv") / F.col("svv")
+    return s.where(F.col("svv") > 0).select(
+        "n_dims",
+        F.round(pr, 4).alias("participation_ratio"),
+        F.round(pr / F.col("n_dims"), 6).alias(
+            "effective_dim_fraction"
+        ),
+    )

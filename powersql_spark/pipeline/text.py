@@ -3617,3 +3617,95 @@ def text_entropy_rate_bigram(
             -F.col("s_clnp") / F.col("n_bigrams") / math.log(2), 6
         ).alias("entropy_rate_bits"),
     )
+
+
+_MSTTR_WIN = 50  # tokens per segment
+
+
+@query(
+    "text_msttr",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               (generate_subscripts(string_split_regex(trim(text),
+                                                       '\s+'), 1) - 1)
+                   // {_MSTTR_WIN} AS win,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, source, win,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+        FROM tok GROUP BY doc_id, source, win
+    ),
+    full_seg AS (
+        SELECT source,
+               CAST(n_types AS DOUBLE) / {_MSTTR_WIN} AS ttr
+        FROM seg WHERE n_tok = {_MSTTR_WIN}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           round(CAST(SUM(CAST(ttr AS DECIMAL(28,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS msttr,
+           round(MIN(ttr), 6) AS min_ttr,
+           round(MAX(ttr), 6) AS max_ttr
+    FROM full_seg
+    GROUP BY source
+    HAVING COUNT(*) > 0
+    ORDER BY source
+    """,
+)
+def text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio per source: split every
+    document into fixed {_MSTTR_WIN}-token segments, take each FULL
+    segment's TTR, and average — the length-controlled lexical
+    diversity measure (raw TTR falls mechanically with document
+    length, so cross-source TTR comparisons are invalid;
+    text_lexical_diversity reports that raw form, and this key is
+    the comparable one). Segment TTRs are exact rationals k/50, so
+    the decimal-summed mean replays exactly.
+
+    Scale shape: one positional explode; segments collapse by
+    (doc, window) with map-side partials; the per-source average
+    rides the segment table."""
+    toks = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.posexplode(_tokens()).alias("pos", "word"),
+    )
+    seg = (
+        toks.select(
+            "doc_id",
+            "source",
+            (F.col("pos") / _MSTTR_WIN)
+            .cast("bigint")
+            .alias("win"),
+            "word",
+        )
+        .groupBy("doc_id", "source", "win")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.count_distinct("word").cast("bigint").alias("n_types"),
+        )
+    )
+    full_seg = seg.where(F.col("n_tok") == _MSTTR_WIN).select(
+        "source",
+        (F.col("n_types").cast("double") / _MSTTR_WIN).alias("ttr"),
+    )
+    return (
+        full_seg.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.round(
+                F.sum(F.col("ttr").cast("decimal(28,8)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("msttr"),
+            F.round(F.min("ttr"), 6).alias("min_ttr"),
+            F.round(F.max("ttr"), 6).alias("max_ttr"),
+        )
+        .orderBy("source")
+    )

@@ -6373,3 +6373,86 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spectral_flatness"),
     ).orderBy("event_type")
+
+
+@query(
+    "ts_amihud_illiquidity",
+    oracle=f"""
+    WITH {_DOHLC_CTE},
+    rets AS (
+        SELECT event_type, day, vol,
+               abs(c / LAG(c) OVER (PARTITION BY event_type
+                                    ORDER BY day) - 1) AS abs_ret,
+               LAG(c) OVER (PARTITION BY event_type ORDER BY day)
+                   AS pc
+        FROM dohlc
+    ),
+    terms AS (
+        SELECT event_type,
+               round(1e6 * abs_ret / vol, 8) AS illiq
+        FROM rets WHERE pc IS NOT NULL AND pc > 0 AND vol > 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {sql_jround(
+               "CAST(SUM(CAST(illiq AS DECIMAL(38,8))) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS amihud_illiq,
+           {sql_jround("MAX(illiq)", 6)} AS max_day_illiq
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_amihud_illiquidity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Amihud illiquidity per event-type daily candles: the average
+    of |daily close-to-close return| / volume (scaled by 1e6) — "how
+    much does one unit of activity move the level", the standard
+    price-impact proxy computable from daily data alone. For metrics
+    pipelines: a series whose level jumps on thin volume (high
+    Amihud) is noise-dominated and needs wider anomaly bands than
+    ts_bollinger_bands would fit on level alone. Degenerate days
+    (zero/undefined previous close, zero volume) are excluded on
+    both engines.
+
+    Scale shape: candles are pure partial aggregation; the lag and
+    the per-type average ride one (event_type) exchange; daily
+    ratios are 8dp-rounded then decimal-summed."""
+    ohlc = _daily_ohlc(spark)
+    w = Window.partitionBy("event_type").orderBy("day")
+    # Filter BEFORE any division is projected (ANSI mode: c / 0 on a
+    # to-be-dropped row must never evaluate; don't rely on predicate
+    # pushdown through the window's project).
+    lagged = ohlc.select(
+        "event_type",
+        "vol",
+        "c",
+        F.lag("c").over(w).alias("pc"),
+    ).where(
+        F.col("pc").isNotNull()
+        & (F.col("pc") > 0)
+        & (F.col("vol") > 0)
+    )
+    terms = lagged.select(
+        "event_type",
+        F.round(
+            1e6 * F.abs(F.col("c") / F.col("pc") - 1) / F.col("vol"),
+            8,
+        ).alias("illiq"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(F.col("illiq").cast("decimal(38,8)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("amihud_illiq"),
+            F.round(F.max("illiq"), 6).alias("max_day_illiq"),
+        )
+        .orderBy("event_type")
+    )

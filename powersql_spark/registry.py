@@ -688,6 +688,13 @@ _PRIORITY: tuple[str, ...] = (
     "stats_page_trend",
     "eval_kendalls_w",
     "graph_small_world",
+    # -- r12 third wave (5 keys): same pre-clear bar; the round's
+    # tranche closes at 45 keys, inside the 50-slot window budget.
+    "emb_participation_ratio",
+    "text_msttr",
+    "stats_mood_scale_test",
+    "stats_ks_uniform",
+    "ts_amihud_illiquidity",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

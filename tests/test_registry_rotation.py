@@ -279,6 +279,12 @@ _ENDGAME_ORDER = (
     "stats_page_trend",
     "eval_kendalls_w",
     "graph_small_world",
+    # r12 third wave — slots 41-45:
+    "emb_participation_ratio",
+    "text_msttr",
+    "stats_mood_scale_test",
+    "stats_ks_uniform",
+    "ts_amihud_illiquidity",
 )
 
 
