@@ -168,19 +168,18 @@ def main() -> None:
             "noop"
         ).save()
 
-    # Timed passes, min per query, ALTERNATING direction: a single
-    # pass is hostage to whatever the host's noisy neighbors do during
-    # that one second, and two same-order passes are still hostage to
-    # a multi-minute contention window (it covers the back-half
-    # queries in BOTH passes — the r8 q42-q63 artifact signature).
-    # Reversing order on odd passes puts every query at a different
-    # wall-clock offset each pass, so the min survives any contention
-    # window shorter than a full pass; three passes by default
-    # (VERDICT r8 ask #4 — override with SPARK_GRAFT_BENCH_REPEAT;
-    # any value >= 1 is honored, e.g. 1 = a single quick pass with no
-    # contention defense — ADVICE r9).
+    # Timed passes, ALTERNATING direction: a single pass is hostage to
+    # whatever the host's noisy neighbors do during that one second,
+    # and two same-order passes are still hostage to a multi-minute
+    # contention window (it covers the back-half queries in BOTH
+    # passes — the r8 q42-q63 artifact signature). Reversing order on
+    # odd passes puts every query at a different wall-clock offset each
+    # pass; three passes by default (override with
+    # SPARK_GRAFT_BENCH_REPEAT; any value >= 1 is honored, e.g. 1 = a
+    # single quick pass with no contention defense — ADVICE r9). All
+    # samples are kept; medians are reported below.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _pass in range(repeat):
         order = list(HEADLINE.items())
         if _pass % 2:
@@ -191,9 +190,20 @@ def main() -> None:
             df = fn(spark, bench_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = round(time.perf_counter() - t0, 3)
-            if bench_name not in timings or dt < timings[bench_name]:
-                timings[bench_name] = dt
+            samples.setdefault(bench_name, []).append(dt)
 
+    # Per-query MEDIAN of the passes (ADVICE r12): the min is hostage
+    # to one lucky pass and hides real 1.1-1.3x regressions inside the
+    # host-contention noise floor; the median of three alternating-order
+    # passes bounds the influence of any single contention window to
+    # one sample without rewarding it. Mins ship alongside for
+    # continuity with the r1-r12 files (their "queries" were mins).
+    import statistics
+
+    timings = {
+        k: round(statistics.median(v), 3) for k, v in samples.items()
+    }
+    mins = {k: round(min(v), 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -202,6 +212,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "min_total": round(sum(mins.values()), 3),
+                "stat": "median",
+                "passes": repeat,
                 "sf": sf,
             }
         )

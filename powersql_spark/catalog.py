@@ -246,9 +246,28 @@ def _free_checkpoint_blocks(df: DataFrame) -> None:
     ``df.rdd.unpersist()`` targets a derived (Python-conversion) RDD —
     neither frees localCheckpoint storage. The checkpointed RDD itself
     is the ``LogicalRDD`` leaf's ``rdd`` field (verified: storage-info
-    count drops to zero when it is unpersisted)."""
+    count drops to zero when it is unpersisted).
+
+    In ``"reliable"`` mode the durable side must ALSO be reclaimed
+    (ADVICE r12): unpersisting only frees the block-manager copy, while
+    the ``checkpoint()`` FILES under the checkpoint dir would otherwise
+    accumulate without bound over a long sweep. The file path comes
+    from the checkpointed RDD's own ``getCheckpointFile`` and is
+    deleted through the Hadoop FileSystem API, so the same code path
+    reclaims an HDFS/object-store dir on a real cluster. Deletion
+    happens at the same one-generation-late point as the block free —
+    by then no live frame can recompute from those files."""
     try:
-        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+        rdd = df._jdf.queryExecution().optimizedPlan().rdd()
+        rdd.unpersist(False)
+        ckpt_file = rdd.getCheckpointFile()
+        if ckpt_file.isDefined():
+            spark = df.sparkSession
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(ckpt_file.get())
+            fs = jpath.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            fs.delete(jpath, True)
     except Exception:
         pass  # non-LogicalRDD plan or teardown race: GC will reclaim
 
@@ -290,6 +309,37 @@ def release_persisted(spark: SparkSession) -> None:
     spark._powersql_checkpointed_prev = list(creg) if creg else []
     if creg:
         creg.clear()
+    # Staged temp dirs (ADVICE r12): operators that materialize a
+    # small parquet a returned frame then reads LAZILY (e.g.
+    # stream_upsert_sink's merge target) register the dir via
+    # :func:`track_tempdir`. The same one-generation deferral applies —
+    # deleting the parquet under the immediately-previous key's frame
+    # would fail a driver that builds key B before collecting key A.
+    import shutil
+
+    tprev = getattr(spark, "_powersql_tmpdirs_prev", None)
+    if tprev:
+        for path in tprev:
+            shutil.rmtree(path, ignore_errors=True)
+    treg = getattr(spark, "_powersql_tmpdirs", None)
+    spark._powersql_tmpdirs_prev = list(treg) if treg else []
+    if treg:
+        treg.clear()
+
+
+def track_tempdir(spark: SparkSession, path: str) -> None:
+    """Register a per-invocation staging dir for deferred cleanup.
+
+    For operators whose RETURNED frame lazily reads a small parquet
+    they staged under mkdtemp: the dir must outlive the call, so it is
+    rmtree'd by :func:`release_persisted` one generation late (the
+    checkpoint-release discipline), bounding tmp accumulation over a
+    long sweep at two keys' worth instead of leaning on the OS reaper."""
+    reg = getattr(spark, "_powersql_tmpdirs", None)
+    if reg is None:
+        reg = []
+        spark._powersql_tmpdirs = reg
+    reg.append(path)
 
 
 def spread(df: DataFrame) -> DataFrame:

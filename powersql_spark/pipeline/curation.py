@@ -482,14 +482,25 @@ def _weak_label_frame(spark: SparkSession) -> DataFrame:
     # can drift by an ulp and flip every h == threshold label.
     # None = empty corpus (cold-start partition); the caller returns a
     # schema-stable empty result instead of fitting on nothing.
+    #
+    # Two-pass exact rank pick (ADVICE r12, replacing a global
+    # sort + OFFSET): pass 1 counts; pass 2 pre-aggregates h into a
+    # distinct-value histogram (partial counts map-side, one tiny
+    # exchange) and takes min(h) where the cumulative count reaches
+    # the target rank. The only ordered stage left runs on the
+    # HISTOGRAM (bounded by distinct stopword-ratio values), never a
+    # whole-corpus single-partition sort pipeline.
     n = heur.count()
     if n == 0:
         return None
+    hist = heur.groupBy("h").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     med = (
-        heur.select("h")
-        .orderBy("h")
-        .offset((n - 1) // 2)
-        .limit(1)
+        hist.select("h", F.sum("cnt").over(wcum).alias("cum"))
+        .where(F.col("cum") >= (n - 1) // 2 + 1)
+        .agg(F.min("h"))
         .collect()[0][0]
     )
     return heur.select(

@@ -5101,7 +5101,17 @@ def _daily_ohlc(spark: SparkSession) -> DataFrame:
     SELECT event_type, n AS n_diffs,
            {sql_jround("beta", 6)} AS beta,
            {sql_jround("beta / sqrt(s2 / sxx_c)", 4)} AS df_tstat,
-           beta / sqrt(s2 / sxx_c) < -2.89 AS stationary_5pct
+           {sql_jround(
+               "-2.86154 - 2.8903 / CAST(n AS DOUBLE)"
+               " - 4.234 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+               " - 40.04 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+               " * CAST(n AS DOUBLE))", 4)} AS crit_5pct,
+           beta / sqrt(s2 / sxx_c)
+               < -2.86154 - 2.8903 / CAST(n AS DOUBLE)
+                 - 4.234 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 - 40.04 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))
+               AS stationary_5pct
     FROM tt WHERE n > 2 AND sxx_c > 0 AND s2 > 0
     ORDER BY event_type
     """,
@@ -5110,9 +5120,14 @@ def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dickey-Fuller unit-root test per event-type daily series:
     regress the first difference on the lagged level (with
     intercept), Delta y_t = alpha + beta y_(t-1); beta's t statistic
-    against the tau-mu 5% critical value -2.89 decides whether the
-    series mean-reverts (stationary — safe to model levels) or walks
-    randomly (difference it first). The pre-flight check for every
+    against the MacKinnon (2010) response-surface 5% critical value
+    (tau_c, N=1: -2.86154 - 2.8903/n - 4.234/n^2 - 40.04/n^3,
+    interpolated from the regression's own n rather than a fixed
+    n~100 tabulation — ADVICE r12) decides whether the series
+    mean-reverts (stationary — safe to model levels) or walks
+    randomly (difference it first). The critical value itself is
+    emitted as ``crit_5pct`` so the finite-sample approximation in
+    force is visible in the output. The pre-flight check for every
     forecasting key in this family (Holt/ARIMA-class models assume
     the answer).
 
@@ -5149,6 +5164,15 @@ def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy") - alpha * F.col("sy") - beta * F.col("sxy")
     ) / (n - 2)
     t = beta / F.sqrt(s2 / sxx_c)
+    # MacKinnon (2010) response surface, tau_c N=1 at 5%: identical
+    # double expression tree on both engines (bit-exact from bigint n).
+    nd = n.cast("double")
+    crit = (
+        F.lit(-2.86154)
+        - F.lit(2.8903) / nd
+        - F.lit(4.234) / (nd * nd)
+        - F.lit(40.04) / (nd * nd * nd)
+    )
     return (
         s.where((n > 2) & (sxx_c > 0) & (s2 > 0))
         .select(
@@ -5156,7 +5180,8 @@ def ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_diffs"),
             F.round(beta, 6).alias("beta"),
             F.round(t, 4).alias("df_tstat"),
-            (t < -2.89).alias("stationary_5pct"),
+            F.round(crit, 4).alias("crit_5pct"),
+            (t < crit).alias("stationary_5pct"),
         )
         .orderBy("event_type")
     )
@@ -6085,8 +6110,16 @@ _EG_A, _EG_B = "view", "click"  # the cointegration pair
            {sql_jround(
                "(sed / see) / sqrt(((sdd - sed * sed / see)"
                " / (n_diffs - 1)) / see)", 4)} AS eg_tstat,
+           {sql_jround(
+               "-3.33613 - 6.1101 / CAST(n_diffs AS DOUBLE)"
+               " - 6.823 / (CAST(n_diffs AS DOUBLE)"
+               " * CAST(n_diffs AS DOUBLE))", 4)} AS crit_5pct,
            (sed / see) / sqrt(((sdd - sed * sed / see)
-               / (n_diffs - 1)) / see) < -3.37 AS cointegrated_5pct
+               / (n_diffs - 1)) / see)
+               < -3.33613 - 6.1101 / CAST(n_diffs AS DOUBLE)
+                 - 6.823 / (CAST(n_diffs AS DOUBLE)
+                            * CAST(n_diffs AS DOUBLE))
+               AS cointegrated_5pct
     FROM df WHERE see > 0 AND n_diffs > 1
     """,
 )
@@ -6095,8 +6128,11 @@ def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 'click' daily series: OLS of one level on the
     other, then a no-constant Dickey-Fuller regression on the
     residuals (Delta e_t = gamma e_(t-1)); gamma's t against the
-    Engle-Granger 5% critical value -3.37 (two variables, fitted
-    constant). Two trending series can each fail ts_dickey_fuller
+    MacKinnon (2010) response-surface 5% critical value (tau_c, N=2,
+    fitted constant: -3.33613 - 6.1101/n - 6.823/n^2, interpolated
+    from the residual regression's own n rather than a fixed n~100
+    tabulation — ADVICE r12; emitted as ``crit_5pct``). Two trending
+    series can each fail ts_dickey_fuller
     yet share a stationary spread — the cointegration property that
     makes a hedge/ratio model valid where correlating raw levels
     (the classic spurious-regression trap) is not.
@@ -6189,6 +6225,14 @@ def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sdd") - F.col("sed") * F.col("sed") / F.col("see")
     ) / (F.col("n_diffs") - 1)
     t = gamma / F.sqrt(s2 / F.col("see"))
+    # MacKinnon (2010) response surface, tau_c N=2 at 5%: identical
+    # double expression tree on both engines (bit-exact from bigint n).
+    nd = F.col("n_diffs").cast("double")
+    crit = (
+        F.lit(-3.33613)
+        - F.lit(6.1101) / nd
+        - F.lit(6.823) / (nd * nd)
+    )
     return (
         df.where((F.col("see") > 0) & (F.col("n_diffs") > 1))
         .select(
@@ -6196,7 +6240,8 @@ def ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("beta"), 6).alias("beta"),
             F.round(F.col("alpha"), 4).alias("alpha"),
             F.round(t, 4).alias("eg_tstat"),
-            (t < -3.37).alias("cointegrated_5pct"),
+            F.round(crit, 4).alias("crit_5pct"),
+            (t < crit).alias("cointegrated_5pct"),
         )
     )
 

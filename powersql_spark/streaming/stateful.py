@@ -247,15 +247,19 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions ran this key concurrently (one rmtree'd the other's live
     # checkpoint). The target parquet must OUTLIVE this call — the
     # returned frame reads it lazily — so only the checkpoint dir is
-    # cleaned up after termination; the small per-run target dir is
-    # left for the OS tmp reaper, like the sibling mkdtemp sites
-    # (stateful.py applyInPandasWithState, windows.py session windows).
+    # cleaned up after termination; the stage dir itself is registered
+    # for deferred cleanup (ADVICE r12): release_persisted rmtree's it
+    # one generation LATE, the same discipline as checkpoint blocks, so
+    # a long sweep holds at most two keys' staging on disk instead of
+    # accumulating dirs until the OS tmp reaper runs.
     stage = tempfile.mkdtemp(prefix="powersql_stream_upsert_")
     target = os.path.join(stage, "target")
     ckpt = os.path.join(stage, "ckpt")
     os.makedirs(target, exist_ok=True)
 
-    from powersql_spark.catalog import read_parquet_stream
+    from powersql_spark.catalog import read_parquet_stream, track_tempdir
+
+    track_tempdir(spark, stage)
 
     empty = spark.createDataFrame([], _UPSERT_SINK_SCHEMA)
     empty.write.mode("overwrite").parquet(target)

@@ -469,7 +469,12 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        spine.join(hourly, ["event_type", "h"], "left")
+        # The hourly rollup is (types x hours) — metadata-sized at any
+        # corpus volume, so hint it broadcast (ADVICE r12): the spine
+        # probes a broadcast hash table instead of both metadata-sized
+        # sides riding a shuffle exchange. (The spine is the PRESERVED
+        # side of the left join, so the rollup is the broadcastable one.)
+        spine.join(F.broadcast(hourly), ["event_type", "h"], "left")
         .select(
             "event_type",
             F.col("h").alias("hour_ts"),

@@ -118,6 +118,89 @@ def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path):
     assert reliable_rows == local_rows
 
 
+def test_reliable_checkpoint_files_reclaimed(spark, sf_dir, tmp_path):
+    """ADVICE r12: in reliable mode the durable checkpoint FILES must
+    be deleted when their generation is released, not just the RDD
+    blocks — a long sweep must not accumulate unbounded files under
+    the checkpoint dir."""
+    import os
+
+    import powersql_spark.catalog as cat
+    from pyspark.sql import functions as F
+    from powersql_spark.catalog import track_checkpoint
+
+    release_persisted(spark)
+    release_persisted(spark)  # drain both generations
+
+    ckpt_dir = str(tmp_path / "reliable_reclaim")
+    cat.set_checkpoint_mode("reliable", spark, ckpt_dir)
+    try:
+        df = track_checkpoint(
+            spark.range(10).withColumn("x", F.col("id") * 3)
+        )
+        rdd = df._jdf.queryExecution().optimizedPlan().rdd()
+        ckpt_file = rdd.getCheckpointFile()
+        assert ckpt_file.isDefined(), "reliable checkpoint has no file"
+        path = ckpt_file.get().replace("file:", "")
+        assert os.path.exists(path)
+        release_persisted(spark)  # generation N+1: files survive
+        assert os.path.exists(path)
+        assert df.count() == 10
+        release_persisted(spark)  # generation N+2: files reclaimed
+        assert not os.path.exists(path), (
+            "reliable checkpoint files leaked after release"
+        )
+    finally:
+        cat.set_checkpoint_mode("local")
+        release_persisted(spark)
+        release_persisted(spark)
+
+
+def test_tracked_tempdir_deferred_cleanup(spark, sf_dir, tmp_path):
+    """ADVICE r12: stream_upsert_sink-style staging dirs registered via
+    track_tempdir are rmtree'd one generation late — the returned frame
+    (which reads the staged parquet lazily) stays collectible across
+    the next key's construction, then the dir is reclaimed."""
+    import os
+
+    from powersql_spark.catalog import track_tempdir
+
+    release_persisted(spark)
+    release_persisted(spark)  # drain both generations
+
+    stage = str(tmp_path / "stage_a")
+    os.makedirs(stage)
+    spark.range(5).write.mode("overwrite").parquet(
+        os.path.join(stage, "t")
+    )
+    track_tempdir(spark, stage)
+    release_persisted(spark)  # "query N+1 starts": dir survives
+    assert os.path.exists(stage)
+    assert spark.read.parquet(os.path.join(stage, "t")).count() == 5
+    release_persisted(spark)  # "query N+2 starts": now reclaimed
+    assert not os.path.exists(stage)
+    assert not getattr(spark, "_powersql_tmpdirs_prev")
+
+
+def test_stream_upsert_sink_registers_stage_dir(spark, sf_dir):
+    """The real operator wires its mkdtemp stage through track_tempdir
+    and the returned frame still collects before cleanup."""
+    import os
+
+    specs = all_specs()
+    release_persisted(spark)
+    release_persisted(spark)
+    df = specs["stream_upsert_sink"].fn(spark, sf_dir)
+    reg = list(getattr(spark, "_powersql_tmpdirs", []) or [])
+    assert reg, "stream_upsert_sink did not register its stage dir"
+    stage = reg[-1]
+    assert os.path.exists(stage)
+    assert df.count() > 0
+    release_persisted(spark)
+    release_persisted(spark)
+    assert not os.path.exists(stage)
+
+
 def test_keep_persisted_opt_out(spark, sf_dir):
     """Bench sessions set _powersql_keep_persisted: release becomes a
     no-op so warmup-pass caches survive into the timed pass."""
