@@ -6368,7 +6368,9 @@ def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mu_g") / F.col("mu")
     )
     return (
-        seg.join(within, "segment")
+        # within is segment-cardinality (5 rows) — hint it broadcast so
+        # the seg-within join never rides an SMJ exchange (plan_audit).
+        seg.join(F.broadcast(within), "segment")
         .join(F.broadcast(tot))
         .select(
             "segment",

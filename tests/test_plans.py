@@ -3184,3 +3184,45 @@ def test_precision_recall_k_spine_is_constant_side(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-13 broadcast-gate widening (ADVICE r12 #3): tools/plan_audit.py
+# swept ALL 591 plans for dimension-table scans riding shuffle joins.
+# 13 keys flagged; triage: join_full is structural (Spark cannot
+# broadcast either side of a FULL OUTER join), the graph-family SMJs
+# are edge<->edge joins of the checkpointed frontier/edge state (both
+# sides NODE/EDGE-sized — the graph IS the data; the dim scans feed
+# union'd self-loops or the one-time broadcast edge build), and the
+# two genuinely-fixable flags (agg_theil_inequality's 5-row
+# seg-within join, ts_gap_fill_locf's metadata-sized rollup side)
+# now carry explicit broadcast hints, asserted here.
+# ---------------------------------------------------------------------------
+
+
+def test_theil_segment_joins_broadcast(spark, sf_dir):
+    """Theil decomposition: every join above the (segment, customer)
+    collapse is segment-cardinality — all of them must broadcast."""
+    plan = plan_of(spark, sf_dir, "agg_theil_inequality")
+    assert "SortMergeJoin" not in plan, (
+        "segment-cardinality join rides a shuffle exchange"
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_rollup_broadcasts(spark, sf_dir):
+    """LOCF gap fill: the hourly rollup side of the spine join is
+    (types x hours) — metadata-sized — and must broadcast."""
+    plan = plan_of(spark, sf_dir, "ts_gap_fill_locf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_full_outer_join_smj_is_structural(spark, sf_dir):
+    """Spark cannot broadcast either side of a FULL OUTER equi-join:
+    the SMJ in join_full is the correct (and only) plan. Pin that
+    understanding so a future 'fix' doesn't silently change join
+    semantics to make a broadcast appear."""
+    plan = plan_of(spark, sf_dir, "join_full")
+    assert "SortMergeJoin" in plan
+    assert "FullOuter" in plan
