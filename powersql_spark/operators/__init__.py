@@ -18,6 +18,7 @@ from powersql_spark.operators import (  # noqa: F401
     sorts_sets,
     stats_more,
     stats_more2,
+    stats_r13,
     subqueries,
     tpch,
     tpch_more,

@@ -285,6 +285,22 @@ _ENDGAME_ORDER = (
     "stats_mood_scale_test",
     "stats_ks_uniform",
     "ts_amihud_illiquidity",
+    # r13 expansion tranche — every r12 key is banked by
+    # CORRECTNESS_r12, so these fill the r13 window from slot 1:
+    "stats_huber_irls",
+    "stats_cucconi_test",
+    "stats_jonckheere_terpstra",
+    "stats_siegel_slopes",
+    "stats_cox_stuart",
+    "stats_rank_biserial",
+    "stats_somers_d",
+    "stats_gk_gamma",
+    "stats_odds_ratio",
+    "stats_risk_ratio",
+    "stats_poisson_two_rate",
+    "stats_capture_recapture",
+    "stats_hedges_g",
+    "stats_uncertainty_coeff",
 )
 
 
