@@ -20,4 +20,5 @@ from powersql_spark.pipeline import (  # noqa: F401
     sketches,
     text,
     timeseries,
+    ts_r13,
 )

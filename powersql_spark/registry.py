@@ -713,6 +713,14 @@ _PRIORITY: tuple[str, ...] = (
     "stats_capture_recapture",
     "stats_hedges_g",
     "stats_uncertainty_coeff",
+    "ts_changepoint_binseg",
+    "ts_parkinson_volatility",
+    "ts_rogers_satchell",
+    "ts_yang_zhang",
+    "ts_kaufman_er",
+    "ts_vwap_daily",
+    "ts_sample_entropy",
+    "ts_higuchi_fd",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

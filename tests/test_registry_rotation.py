@@ -301,6 +301,14 @@ _ENDGAME_ORDER = (
     "stats_capture_recapture",
     "stats_hedges_g",
     "stats_uncertainty_coeff",
+    "ts_changepoint_binseg",
+    "ts_parkinson_volatility",
+    "ts_rogers_satchell",
+    "ts_yang_zhang",
+    "ts_kaufman_er",
+    "ts_vwap_daily",
+    "ts_sample_entropy",
+    "ts_higuchi_fd",
 )
 
 
