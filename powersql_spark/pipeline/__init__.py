@@ -19,6 +19,7 @@ from powersql_spark.pipeline import (  # noqa: F401
     similarity,
     sketches,
     text,
+    text_r13,
     timeseries,
     ts_r13,
 )

@@ -432,23 +432,41 @@ _ZS_CUT = 3.0  # |z| flag threshold
     "ts_anomaly_zscore",
     oracle=f"""
     WITH scored AS (
+        -- exact decimal rolling moments (value is 2dp): AVG/STDDEV
+        -- window aggregates accumulate doubles in engine-specific
+        -- order, and at sf0.1 a z landed exactly on a 4dp rounding
+        -- boundary (caught by the r13 full sf0.1 oracle sweep) — the
+        -- bollinger-band sufficient-statistics discipline makes both
+        -- engines derive mu/sd from identical exact sums instead.
         SELECT user_id, ts, event_id, value,
-               AVG(value) OVER w AS mu,
-               STDDEV_SAMP(value) OVER w AS sd,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS s1,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                             AS DECIMAL(19,2))
+                        * CAST(CAST(value AS DECIMAL(18,2))
+                               AS DECIMAL(19,2))) OVER w
+                    AS DOUBLE) AS s2,
                COUNT(value) OVER w AS n_base
         FROM events
         WHERE value IS NOT NULL
         WINDOW w AS (
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN {_ZS_FRAME} PRECEDING AND 1 PRECEDING)
+    ),
+    zs AS (
+        SELECT user_id, ts, event_id, value, n_base,
+               s1 / n_base AS mu,
+               sqrt((s2 - s1 * s1 / n_base) / (n_base - 1)) AS sd
+        FROM scored WHERE TRUE
     )
     SELECT user_id, ts, event_id, value,
-           round(CASE WHEN n_base >= {_ZS_MIN_OBS} AND sd > 0
-                 THEN (value - mu) / sd END, 4) AS z,
+           {sql_jround(
+               "CASE WHEN n_base >= " + str(_ZS_MIN_OBS)
+               + " AND sd > 0 THEN (value - mu) / sd END", 4)} AS z,
            COALESCE(CASE WHEN n_base >= {_ZS_MIN_OBS} AND sd > 0
                  THEN abs((value - mu) / sd) >= {_ZS_CUT} END,
                  FALSE) AS is_anomaly
-    FROM scored
+    FROM zs
     """,
 )
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,26 +477,45 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     10 observations. The monitoring primitive behind every alerting
     pipeline.
 
-    Scale shape: one (user_id) exchange; mean, stddev and count ride
-    the SAME bounded ROWS frame, so Catalyst plans a single Window
-    node with constant per-row state. The (ts, event_id) tie-break
-    makes the frame content deterministic under shuffle reordering;
-    4dp guard rounding absorbs the frame-sum ulp difference between
-    engines."""
+    Scale shape: one (user_id) exchange; the exact-decimal rolling
+    sums and count ride the SAME bounded ROWS frame, so Catalyst
+    plans a single Window node with constant per-row state. The
+    (ts, event_id) tie-break makes the frame content deterministic
+    under shuffle reordering. mu/sd derive from EXACT decimal frame
+    sums (value is 2dp), not engine-accumulated AVG/STDDEV — the r13
+    full sf0.1 oracle sweep caught a z on a 4dp rounding boundary
+    under the old float accumulation (the bollinger sufficient-
+    statistics discipline, applied retroactively)."""
     e = spark.table("events").where(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-_ZS_FRAME, -1)
     )
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
+    v2 = F.col("value").cast("decimal(18,2)")
+    v19 = v2.cast("decimal(19,2)")
+    s1 = F.sum(v2).over(w).cast("double")
+    s2 = F.sum(v19 * v19).over(w).cast("double")
     n_base = F.count("value").over(w)
+    scored = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        s1.alias("s1"),
+        s2.alias("s2"),
+        n_base.alias("n_base"),
+    )
+    nb = F.col("n_base")
+    mu = F.col("s1") / nb
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / nb) / (nb - 1)
+    )
     z = F.when(
-        (n_base >= _ZS_MIN_OBS) & (sd > 0),
+        (nb >= _ZS_MIN_OBS) & (sd > 0),
         (F.col("value") - mu) / sd,
     )
-    return e.select(
+    return scored.select(
         "user_id",
         "ts",
         "event_id",
@@ -486,7 +523,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.coalesce(
             F.when(
-                (n_base >= _ZS_MIN_OBS) & (sd > 0),
+                (nb >= _ZS_MIN_OBS) & (sd > 0),
                 F.abs((F.col("value") - mu) / sd) >= _ZS_CUT,
             ),
             F.lit(False),

@@ -721,6 +721,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_vwap_daily",
     "ts_sample_entropy",
     "ts_higuchi_fd",
+    "text_chao1_richness",
+    "text_pielou_evenness",
+    "text_bray_curtis_sources",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -309,6 +309,9 @@ _ENDGAME_ORDER = (
     "ts_vwap_daily",
     "ts_sample_entropy",
     "ts_higuchi_fd",
+    "text_chao1_richness",
+    "text_pielou_evenness",
+    "text_bray_curtis_sources",
 )
 
 
