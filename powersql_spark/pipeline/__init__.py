@@ -5,6 +5,7 @@ multimodal query keys.
 """
 
 from powersql_spark.pipeline import (  # noqa: F401
+    analytics_r13,
     bpe,
     curation,
     dedup,

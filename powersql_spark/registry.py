@@ -724,6 +724,11 @@ _PRIORITY: tuple[str, ...] = (
     "text_chao1_richness",
     "text_pielou_evenness",
     "text_bray_curtis_sources",
+    "analytics_prefixspan",
+    "dedup_rnn_mutual",
+    "graph_degree_gini",
+    "eval_youden_j",
+    "eval_brier_skill",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -312,6 +312,11 @@ _ENDGAME_ORDER = (
     "text_chao1_richness",
     "text_pielou_evenness",
     "text_bray_curtis_sources",
+    "analytics_prefixspan",
+    "dedup_rnn_mutual",
+    "graph_degree_gini",
+    "eval_youden_j",
+    "eval_brier_skill",
 )
 
 
