@@ -1854,3 +1854,273 @@ def stats_uncertainty_coeff(
             ).alias("u_symmetric"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k related binary outcomes).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH grid AS (
+        SELECT user_id, event_type, 1 AS x
+        FROM events GROUP BY user_id, event_type
+    ),
+    cols AS (
+        SELECT event_type, CAST(SUM(x) AS BIGINT) AS cj
+        FROM grid GROUP BY event_type
+    ),
+    rows_ AS (
+        SELECT user_id, CAST(SUM(x) AS BIGINT) AS ru
+        FROM grid GROUP BY user_id
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cols),
+    s AS (
+        SELECT CAST(SUM(cj) AS BIGINT) AS nn,
+               CAST(SUM(cj * cj) AS BIGINT) AS scj2
+        FROM cols
+    ),
+    r AS (
+        SELECT CAST(SUM(ru) AS BIGINT) AS sru,
+               CAST(SUM(ru * ru) AS BIGINT) AS sru2,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM rows_
+    )
+    SELECT k.k AS k_treatments, r.n_blocks, s.nn AS n_ones,
+           {sql_jround(
+               "(k.k - 1) * (k.k * s.scj2 - 1e0 * s.nn * s.nn)"
+               " / (1e0 * k.k * r.sru - r.sru2)", 4)} AS cochran_q,
+           (k.k - 1) * (k.k * s.scj2 - 1e0 * s.nn * s.nn)
+               / (1e0 * k.k * r.sru - r.sru2) > 9.488
+               AS differs_5pct
+    FROM k, s, r
+    WHERE k.k * r.sru - r.sru2 > 0 AND k.k > 1
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the user x event-type PARTICIPATION grid: did
+    the k = 5 event types reach different fractions of the user base,
+    treating each user as their own matched block (the
+    repeated-measures binary ANOVA — McNemar's k-treatment
+    generalization)? Q = (k-1)(k Sum Cj^2 - N^2)/(k Sum Ru - Sum
+    Ru^2) against chi-square(k-1); the 5% flag uses the df=4 critical
+    9.488 (k is structurally 5 here; the statistic itself is emitted
+    for any other df). Non-informative blocks (all-0/all-1 rows)
+    cancel identically in numerator and denominator, so no exclusion
+    pass is needed — documented instead of filtered.
+
+    Numerics: INTEGER-EXACT end to end (presence grid, row/column
+    totals, their squares); the final ratio is one shared double
+    tree.
+
+    Scale shape: one distinct-collapse to the (user, type) grid, then
+    two metadata-bounded marginal aggregations."""
+    grid = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.lit(1).alias("x"))
+    )
+    from powersql_spark.catalog import track_persist
+
+    grid = track_persist(grid)
+    cols = grid.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("cj")
+    )
+    rows_ = grid.groupBy("user_id").agg(
+        F.sum("x").cast("bigint").alias("ru")
+    )
+    k = cols.agg(F.count("*").cast("bigint").alias("k"))
+    s = cols.agg(
+        F.sum("cj").cast("bigint").alias("nn"),
+        F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("scj2"),
+    )
+    r = rows_.agg(
+        F.sum("ru").cast("bigint").alias("sru"),
+        F.sum(F.col("ru") * F.col("ru")).cast("bigint").alias("sru2"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    j = (
+        k.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(r))
+    )
+    kk = F.col("k")
+    q = (
+        (kk - 1)
+        * (kk * F.col("scj2") - 1.0 * F.col("nn") * F.col("nn"))
+        / (1.0 * kk * F.col("sru") - F.col("sru2"))
+    )
+    return (
+        j.where((kk * F.col("sru") - F.col("sru2") > 0) & (kk > 1))
+        .select(
+            kk.alias("k_treatments"),
+            F.col("n_blocks"),
+            F.col("nn").alias("n_ones"),
+            F.round(q, 4).alias("cochran_q"),
+            (q > 9.488).alias("differs_5pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quade test (weighted rank ANOVA for complete blocks).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_quade_test",
+    oracle=f"""
+    WITH cell AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    complete AS (
+        SELECT user_id FROM cell GROUP BY user_id
+        HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type)
+                           FROM cell)
+    ),
+    cc AS (
+        SELECT c.* FROM cell c JOIN complete b USING (user_id)
+    ),
+    rnk AS (
+        SELECT user_id, event_type, v,
+               2 * RANK() OVER (PARTITION BY user_id ORDER BY v)
+                 + COUNT(*) OVER (PARTITION BY user_id, v) - 1 AS r2
+        FROM cc
+    ),
+    blockrange AS (
+        SELECT user_id, MAX(v) - MIN(v) AS rng FROM cc
+        GROUP BY user_id
+    ),
+    qrank AS (
+        SELECT user_id,
+               2 * RANK() OVER (ORDER BY rng)
+                 + COUNT(*) OVER (PARTITION BY rng) - 1 AS q2
+        FROM blockrange
+    ),
+    kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+           FROM cc),
+    sterm AS (
+        SELECT r.event_type,
+               -- S_uj scaled by 4: (2Q)(2r - (k+1)) stays integer
+               CAST(SUM(q.q2 * (r.r2 - (kk.k + 1))) AS BIGINT) AS s4j,
+               CAST(SUM(q.q2 * (r.r2 - (kk.k + 1))
+                        * q.q2 * (r.r2 - (kk.k + 1))) AS BIGINT)
+                   AS s16sq
+        FROM rnk r JOIN qrank q USING (user_id), kk
+        GROUP BY r.event_type, kk.k
+    ),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qrank),
+    agg AS (
+        SELECT CAST(SUM(s16sq) AS DOUBLE) / 16.0 AS a,
+               CAST(SUM(CAST(s4j AS DOUBLE) * s4j) AS DOUBLE)
+                   / (16.0 * MAX(nb.n)) AS b,
+               MAX(nb.n) AS n, MAX(kk.k) AS k
+        FROM sterm, nb, kk
+    )
+    SELECT k AS k_treatments, n AS n_blocks,
+           {sql_jround("(n - 1) * b / (a - b)", 4)} AS quade_f,
+           (n - 1) * b / (a - b) > 2.372 AS differs_5pct
+    FROM agg WHERE a - b > 0 AND n > 1
+    """,
+)
+def stats_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test over complete user blocks: do the event types carry
+    different VALUE levels, with each user a matched block and users
+    with larger value RANGES weighted more (the range-informed
+    upgrade of stats_friedman_test, markedly more powerful at small
+    k)? Within-block midranks r_uj weight by the block-range midrank
+    Q_u; S_uj = Q_u (r_uj - (k+1)/2); F = (n-1)B/(A-B) against
+    F(k-1, (n-1)(k-1)) — the 5% flag uses the large-denominator-df
+    critical 2.372 for k = 5 (the statistic is emitted for any k).
+    Only complete blocks (all k types observed) enter, per the
+    test's definition.
+
+    Numerics: ALL ranks are doubled midranks (exact integers, the
+    r13 rank-cell discipline), so every S term scaled by 4 is an
+    exact bigint and A and B are exact integer sums divided once by
+    16 — the F ratio is the only free double. Cell means are
+    decimal-exact sums over counts (identical doubles both engines)
+    before any ranking.
+
+    Scale shape: one collapse to (user, type) cells; within-block
+    ranks ride a (user) window over k-row partitions; block ranges
+    rank over user-cardinality rows; the statistic aggregates k
+    rows."""
+    cell = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+    from powersql_spark.catalog import track_persist
+
+    cell = track_persist(cell)
+    k_total = cell.select("event_type").distinct().count()
+    complete = (
+        cell.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") == k_total)
+        .select("user_id")
+    )
+    cc = track_persist(cell.join(complete, "user_id"))
+    wur = Window.partitionBy("user_id").orderBy("v")
+    wut = Window.partitionBy("user_id", "v")
+    rnk = cc.select(
+        "user_id",
+        "event_type",
+        (
+            2 * F.rank().over(wur) + F.count("*").over(wut) - 1
+        ).alias("r2"),
+    )
+    br = cc.groupBy("user_id").agg(
+        (F.max("v") - F.min("v")).alias("rng")
+    )
+    wbr = Window.orderBy("rng")
+    wbt = Window.partitionBy("rng")
+    qrank = br.select(
+        "user_id",
+        (2 * F.rank().over(wbr) + F.count("*").over(wbt) - 1).alias(
+            "q2"
+        ),
+    )
+    n_blocks = qrank.count()
+    s4 = F.col("q2") * (F.col("r2") - (k_total + 1))
+    sterm = (
+        rnk.join(qrank, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(s4).cast("bigint").alias("s4j"),
+            F.sum(s4 * s4).cast("bigint").alias("s16sq"),
+        )
+    )
+    agg = sterm.agg(
+        (F.sum("s16sq").cast("double") / 16.0).alias("a"),
+        (
+            F.sum(F.col("s4j").cast("double") * F.col("s4j")).cast(
+                "double"
+            )
+            / (16.0 * n_blocks)
+        ).alias("b"),
+    )
+    fstat = (n_blocks - 1) * F.col("b") / (F.col("a") - F.col("b"))
+    return (
+        agg.where((F.col("a") - F.col("b") > 0) & (F.lit(n_blocks) > 1))
+        .select(
+            F.lit(k_total).cast("bigint").alias("k_treatments"),
+            F.lit(n_blocks).cast("bigint").alias("n_blocks"),
+            F.round(fstat, 4).alias("quade_f"),
+            (fstat > 2.372).alias("differs_5pct"),
+        )
+    )

@@ -575,3 +575,123 @@ def eval_brier_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cost-sensitive operating point (expected-cost threshold sweep).
+# ---------------------------------------------------------------------------
+
+_COST_FP = 1.0  # keeping a bad document
+_COST_FN = 5.0  # dropping a good one
+
+
+@query(
+    "eval_expected_cost",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    cells AS (
+        SELECT source, s,
+               CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END)
+                    AS BIGINT) AS np,
+               CAST(COUNT(CASE WHEN lang <> 'en' THEN 1 END)
+                    AS BIGINT) AS nn
+        FROM scored GROUP BY source, s
+    ),
+    cum AS (
+        SELECT source, s,
+               SUM(np) OVER (PARTITION BY source ORDER BY s DESC
+                   ROWS UNBOUNDED PRECEDING) AS tp,
+               SUM(nn) OVER (PARTITION BY source ORDER BY s DESC
+                   ROWS UNBOUNDED PRECEDING) AS fp,
+               SUM(np) OVER (PARTITION BY source) AS p,
+               SUM(nn) OVER (PARTITION BY source) AS n
+        FROM cells
+    ),
+    cost AS (
+        SELECT source, s, p, n,
+               ({_COST_FP} * fp + {_COST_FN} * (p - tp))
+                   / (p + n) AS ec,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY ({_COST_FP} * fp
+                             + {_COST_FN} * (p - tp)) / (p + n),
+                            s) AS rn
+        FROM cum WHERE p + n > 0
+    )
+    SELECT source, {sql_jround("s", 6)} AS best_threshold,
+           {sql_jround("ec", 6)} AS min_expected_cost,
+           {sql_jround(
+               f"LEAST({_COST_FN} * CAST(p AS DOUBLE), "
+               f"{_COST_FP} * CAST(n AS DOUBLE)) / (p + n)",
+               6)} AS baseline_cost
+    FROM cost WHERE rn = 1
+    ORDER BY source
+    """,
+)
+def eval_expected_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating point per source: with asymmetric
+    misclassification costs (keeping a junk document costs 1,
+    dropping a good one costs 5), sweep every observed score
+    threshold and report the one minimizing expected cost per
+    document, plus the trivial-policy baseline (keep-all vs
+    drop-all, whichever is cheaper). The deployment-facing refinement
+    of eval_youden_j — J weighs errors equally; production filters
+    never do.
+
+    Numerics: FP/FN are integer cumulative sums over (source, score)
+    cells; costs are rationals of integers and literal weights;
+    argmin rank-picked with deterministic ties (smallest threshold).
+
+    Scale shape: identical to the Youden sweep — one scan to cells,
+    one cumulative window over distinct scores."""
+    scored = _scored(spark)
+    cells = scored.groupBy("source", "s").agg(
+        F.count(F.when(F.col("lang") == "en", 1))
+        .cast("bigint")
+        .alias("np"),
+        F.count(F.when(F.col("lang") != "en", 1))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    wdesc = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wsrc = Window.partitionBy("source")
+    cum = cells.select(
+        "source",
+        "s",
+        F.sum("np").over(wdesc).alias("tp"),
+        F.sum("nn").over(wdesc).alias("fp"),
+        F.sum("np").over(wsrc).alias("p"),
+        F.sum("nn").over(wsrc).alias("n"),
+    )
+    ec = (
+        _COST_FP * F.col("fp") + _COST_FN * (F.col("p") - F.col("tp"))
+    ) / (F.col("p") + F.col("n"))
+    wr = Window.partitionBy("source").orderBy(ec, F.asc("s"))
+    cost = (
+        cum.where(F.col("p") + F.col("n") > 0)
+        .select(
+            "source",
+            "s",
+            "p",
+            "n",
+            ec.alias("ec"),
+            F.row_number().over(wr).alias("rn"),
+        )
+    )
+    baseline = F.least(
+        _COST_FN * F.col("p").cast("double"),
+        _COST_FP * F.col("n").cast("double"),
+    ) / (F.col("p") + F.col("n"))
+    return (
+        cost.where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.round("s", 6).alias("best_threshold"),
+            F.round("ec", 6).alias("min_expected_cost"),
+            F.round(baseline, 6).alias("baseline_cost"),
+        )
+        .orderBy("source")
+    )

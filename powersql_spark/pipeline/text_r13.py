@@ -285,3 +285,97 @@ def text_bray_curtis_sources(
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gunning fog readability (per document).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gunning_fog",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+'))
+                         AS word
+              FROM documents)
+    ),
+    t AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(CASE WHEN
+                    len(regexp_extract_all(lower(word), '[aeiouy]+'))
+                        >= 3 THEN 1 END) AS BIGINT) AS n_complex
+        FROM w GROUP BY doc_id
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[.!?]')) + 1
+                    AS BIGINT) AS n_sents
+        FROM documents
+    )
+    SELECT t.doc_id, t.n_words, t.n_complex, s.n_sents,
+           CAST(round(CAST(CAST(0.4 * (
+                CAST(t.n_words AS DOUBLE) / s.n_sents
+                + 100.0 * t.n_complex / t.n_words)
+                AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE)
+               AS fog_index
+    FROM t JOIN s ON s.doc_id = t.doc_id
+    WHERE t.n_words > 0
+    ORDER BY t.doc_id
+    """,
+)
+def text_gunning_fog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gunning fog index per document: 0.4 (words/sentences +
+    100 complex/words), where a complex word has >= 3 vowel groups
+    (the same syllable proxy as text_readability's Flesch — exact
+    syllabification needs a dictionary; the proxy suffices for
+    FILTERING). Fog weights long-WORD density where Flesch weights
+    total syllable load, so the pair disagrees exactly on
+    jargon-dense short-sentence text — the style curation bands care
+    about. The complement lands this family's second standard
+    readability scale from one extra per-word aggregation.
+
+    Scale shape: one explode for per-word complexity counts
+    (codegen regexp, no Python), one per-doc sentence count on the
+    raw scan, one doc-grain equi-join. The index is a terminating
+    rational of three integers — sql_jround replays Spark's
+    rounding."""
+    w = spark.table("documents").select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    )
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(word), '[aeiouy]+', 0)")
+    )
+    t = w.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.count(F.when(n_syll >= 3, 1))
+        .cast("bigint")
+        .alias("n_complex"),
+    )
+    s = spark.table("documents").select(
+        "doc_id",
+        (
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")) + 1
+        )
+        .cast("bigint")
+        .alias("n_sents"),
+    )
+    fog = 0.4 * (
+        F.col("n_words").cast("double") / F.col("n_sents")
+        + 100.0 * F.col("n_complex") / F.col("n_words")
+    )
+    return (
+        t.join(s, "doc_id")
+        .where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_complex",
+            "n_sents",
+            F.round(fog, 2).alias("fog_index"),
+        )
+        .orderBy("doc_id")
+    )

@@ -729,6 +729,10 @@ _PRIORITY: tuple[str, ...] = (
     "graph_degree_gini",
     "eval_youden_j",
     "eval_brier_skill",
+    "stats_cochran_q",
+    "stats_quade_test",
+    "eval_expected_cost",
+    "text_gunning_fog",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -317,6 +317,10 @@ _ENDGAME_ORDER = (
     "graph_degree_gini",
     "eval_youden_j",
     "eval_brier_skill",
+    "stats_cochran_q",
+    "stats_quade_test",
+    "eval_expected_cost",
+    "text_gunning_fog",
 )
 
 
