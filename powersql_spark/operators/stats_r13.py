@@ -648,7 +648,10 @@ def stats_jonckheere_terpstra(
 
     cells = track_persist(cells)
     a, b = cells.alias("a"), cells.alias("b")
-    jt = a.join(b, F.col("a.g") < F.col("b.g")).agg(
+    # The <=250-row cell table broadcasts: the non-equi pair join
+    # plans as a bounded BroadcastNestedLoopJoin, never a
+    # CartesianProduct exchange (plan_audit discipline).
+    jt = a.join(F.broadcast(b), F.col("a.g") < F.col("b.g")).agg(
         F.sum(
             F.when(
                 F.col("a.v") < F.col("b.v"),
@@ -1077,8 +1080,10 @@ def _concordance(spark: SparkSession) -> DataFrame:
 
     cells = track_persist(cells)
     a, b = cells.alias("a"), cells.alias("b")
+    # Broadcast the <=250-row cell side: bounded BNLJ, never a
+    # CartesianProduct exchange (plan_audit discipline).
     pair = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.g") < F.col("b.g"))
         | (
             (F.col("a.g") == F.col("b.g"))
