@@ -3226,3 +3226,106 @@ def test_full_outer_join_smj_is_structural(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_full")
     assert "SortMergeJoin" in plan
     assert "FullOuter" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-13 tranche plan gates: the new keys' scale shapes, pinned.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key,max_bnlj",
+    [
+        # Bounded cell-pair non-equi joins: the <=250-row side is
+        # broadcast, so every nested-loop is a bounded BNLJ and never
+        # a cartesian. JT additionally crossJoins its two one-row
+        # moment aggregates (broadcast), hence the 3-BNLJ budget.
+        ("stats_jonckheere_terpstra", 3),
+        ("stats_somers_d", 1),
+        ("stats_gk_gamma", 1),
+    ],
+)
+def test_r13_cell_pair_joins_are_bounded_bnlj(
+    spark, sf_dir, key, max_bnlj
+):
+    plan = plan_of(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # Daily-series keys: the corpus collapses once; everything
+        # downstream is metadata-sized — no shuffle join of fact data
+        # and no Python anywhere.
+        "stats_huber_irls",
+        "stats_siegel_slopes",
+        "stats_cox_stuart",
+        "ts_changepoint_binseg",
+        "ts_kaufman_er",
+        "ts_sample_entropy",
+        "ts_higuchi_fd",
+        # Rank/score-cell keys: cells first, windows on cells.
+        "stats_cucconi_test",
+        "stats_rank_biserial",
+        "eval_youden_j",
+        "eval_expected_cost",
+        "eval_brier_skill",
+        # One-scan scalar keys.
+        "stats_odds_ratio",
+        "stats_risk_ratio",
+        "stats_poisson_two_rate",
+        "stats_capture_recapture",
+        "ts_vwap_daily",
+        "ts_parkinson_volatility",
+        "ts_rogers_satchell",
+        "ts_yang_zhang",
+    ],
+)
+def test_r13_keys_no_cartesian_no_python(spark, sf_dir, key):
+    plan = plan_of(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan, f"{key} plans a cartesian"
+    assert "EvalPython" not in plan, f"{key} drops to Python"
+
+
+def test_huber_rounds_reuse_persisted_daily(spark, sf_dir):
+    """The three IRLS rounds re-read the SAME persisted daily table —
+    the corpus must collapse once, not once per round."""
+    plan = plan_of(spark, sf_dir, "stats_huber_irls")
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_prefixspan_no_sequence_materialization(spark, sf_dir):
+    """PrefixSpan rides (user, type) min/max key tables and one
+    bounded-fanout projection join — equi-joins only; the single
+    1-row broadcast (the user-count denominator) is the only BNLJ."""
+    plan = plan_of(spark, sf_dir, "analytics_prefixspan")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_rnn_mutual_blocked_equi_join(spark, sf_dir):
+    """Mutual-NN candidates come from the label-cell EQUI-join (the
+    emb_knn_graph discipline) — a cartesian here is the quadratic
+    blowup the cell blocking exists to prevent."""
+    plan = plan_of(spark, sf_dir, "dedup_rnn_mutual")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_degree_gini_edge_build_broadcasts_dims(spark, sf_dir):
+    """The strong-edge build joins its dimensions broadcast (shared
+    helper); the Gini rank window then runs on node-cardinality
+    rows."""
+    plan = plan_of(spark, sf_dir, "graph_degree_gini")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
