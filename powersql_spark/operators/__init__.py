@@ -19,6 +19,7 @@ from powersql_spark.operators import (  # noqa: F401
     stats_more,
     stats_more2,
     stats_r13,
+    stats_r13b,
     subqueries,
     tpch,
     tpch_more,

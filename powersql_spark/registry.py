@@ -733,6 +733,16 @@ _PRIORITY: tuple[str, ...] = (
     "stats_quade_test",
     "eval_expected_cost",
     "text_gunning_fog",
+    # -- r13 second wave (16 keys): same five-way pre-clear bar,
+    # ranked after the first wave so the whole round stays one
+    # 50-key window (matches tests/test_registry_rotation
+    # ._ENDGAME_ORDER).
+    "stats_median_test",
+    "stats_bowker_symmetry",
+    "stats_cronbach_alpha",
+    "stats_kuiper_uniform",
+    "stats_welch_anova",
+    "stats_dixon_q",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -321,6 +321,13 @@ _ENDGAME_ORDER = (
     "stats_quade_test",
     "eval_expected_cost",
     "text_gunning_fog",
+    # -- r13 second wave (16 keys), same pre-clear bar.
+    "stats_median_test",
+    "stats_bowker_symmetry",
+    "stats_cronbach_alpha",
+    "stats_kuiper_uniform",
+    "stats_welch_anova",
+    "stats_dixon_q",
 )
 
 
