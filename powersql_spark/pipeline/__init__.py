@@ -23,4 +23,5 @@ from powersql_spark.pipeline import (  # noqa: F401
     text_r13,
     timeseries,
     ts_r13,
+    ts_r13b,
 )

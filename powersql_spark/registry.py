@@ -743,6 +743,13 @@ _PRIORITY: tuple[str, ...] = (
     "stats_kuiper_uniform",
     "stats_welch_anova",
     "stats_dixon_q",
+    "ts_keltner_channels",
+    "ts_chaikin_money_flow",
+    "ts_mass_index",
+    "ts_trix",
+    "ts_choppiness_index",
+    "ts_ultimate_oscillator",
+    "ts_market_beta",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:
