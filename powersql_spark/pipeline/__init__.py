@@ -21,6 +21,7 @@ from powersql_spark.pipeline import (  # noqa: F401
     sketches,
     text,
     text_r13,
+    text_r13b,
     timeseries,
     ts_r13,
     ts_r13b,

@@ -695,3 +695,84 @@ def eval_expected_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Average neighbor degree by degree class (the knn(k) profile).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_avg_neighbor_degree",
+    oracle=f"""
+    WITH {_STRONG_EDGES_CTE},
+    sym AS (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src
+    ),
+    j AS (
+        SELECT ds.d AS k, dd.d AS nd
+        FROM sym s
+        JOIN deg ds ON ds.node = s.src
+        JOIN deg dd ON dd.node = s.dst
+    )
+    SELECT k AS degree, CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+           {sql_jround(
+               "CAST(SUM(nd) AS DOUBLE) / COUNT(*)", 6)} AS knn
+    FROM j GROUP BY k
+    ORDER BY degree
+    """,
+)
+def graph_avg_neighbor_degree(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average neighbor degree by degree class over the thresholded
+    trade graph: knn(k) = the mean degree of neighbors, averaged
+    over all edge ends whose source has degree k. The PROFILE behind
+    graph_assortativity's single Pearson number: a falling knn(k)
+    curve shows low-degree nations attaching to hubs
+    (disassortative mixing) even when the scalar coefficient is
+    near zero, and the curve localizes WHICH degree classes drive
+    it.
+
+    Numerics: degrees and edge-end counts are integer-exact; knn is
+    one rational per degree class, jround-replayed since it can
+    terminate.
+
+    Scale shape: the fact-sized work is _strong_edges' broadcast-
+    dimension join tree (persisted, shared across the graph family);
+    everything here joins the O(nations) degree table onto the
+    O(nations^2) edge list — metadata-sized, broadcast both legs."""
+    und = _strong_edges(spark)
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ds, dd = deg.alias("ds"), deg.alias("dd")
+    j = (
+        sym.join(
+            F.broadcast(ds), F.col("ds.node") == F.col("src")
+        )
+        .join(F.broadcast(dd), F.col("dd.node") == F.col("dst"))
+        .select(
+            F.col("ds.d").alias("k"), F.col("dd.d").alias("nd")
+        )
+    )
+    return (
+        j.groupBy(F.col("k").alias("degree"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_edge_ends"),
+            F.round(
+                F.sum("nd").cast("double") / F.count("*"), 6
+            ).alias("knn"),
+        )
+        .orderBy("degree")
+    )

@@ -750,6 +750,9 @@ _PRIORITY: tuple[str, ...] = (
     "ts_choppiness_index",
     "ts_ultimate_oscillator",
     "ts_market_beta",
+    "text_yule_k",
+    "text_coleman_liau",
+    "graph_avg_neighbor_degree",
 )
 
 def _driver_green(root: str | None = None) -> frozenset[str]:

@@ -335,6 +335,9 @@ _ENDGAME_ORDER = (
     "ts_choppiness_index",
     "ts_ultimate_oscillator",
     "ts_market_beta",
+    "text_yule_k",
+    "text_coleman_liau",
+    "graph_avg_neighbor_degree",
 )
 
 
