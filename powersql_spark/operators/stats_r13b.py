@@ -64,12 +64,13 @@ def _evkey():
 @query(
     "stats_median_test",
     oracle=f"""
-    WITH vals AS (
-        SELECT event_type, value AS v FROM events
-        WHERE value IS NOT NULL
+    WITH tvc AS (
+        SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, value
     ),
     hist AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY v
+        SELECT v, CAST(SUM(cnt) AS BIGINT) AS cnt FROM tvc GROUP BY v
     ),
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
     med AS (
@@ -81,11 +82,11 @@ def _evkey():
     ),
     grp AS (
         SELECT event_type,
-               CAST(COUNT(CASE WHEN v > med.m THEN 1 END) AS BIGINT)
-                   AS a,
-               CAST(COUNT(CASE WHEN v <= med.m THEN 1 END) AS BIGINT)
-                   AS b
-        FROM vals, med GROUP BY event_type
+               CAST(SUM(CASE WHEN v > med.m THEN cnt ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN v <= med.m THEN cnt ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM tvc, med GROUP BY event_type
     ),
     marg AS (
         SELECT CAST(SUM(a) AS BIGINT) AS ta,
@@ -140,16 +141,23 @@ def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; per-group terms are 8dp-rounded then decimal-summed so
     the k-term sum cannot depend on accumulation order.
 
-    Scale shape: one corpus collapse to a distinct-value histogram,
-    one window over that bounded grid, one group-by; every join after
-    the histogram is a broadcast of a one-row frame."""
-    vals = (
+    Scale shape: ONE corpus collapse to a persisted (event_type,
+    value) histogram; the global histogram, the rank-picked median
+    and the 2xk table are all derived from that bounded cache, so
+    the corpus is scanned exactly once and every later join is a
+    broadcast of a one-row or k-row frame (persisting the shared
+    frames also keeps the crossJoin chain from re-embedding the scan
+    per branch — the huber-IRLS lineage lesson)."""
+    from powersql_spark.catalog import track_persist
+
+    tvc = track_persist(
         spark.table("events")
         .where(F.col("value").isNotNull())
-        .select("event_type", F.col("value").alias("v"))
+        .groupBy("event_type", F.col("value").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    hist = vals.groupBy("v").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    hist = tvc.groupBy("v").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
     )
     tot = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     wcum = Window.orderBy("v").rowsBetween(
@@ -164,14 +172,20 @@ def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("v").alias("m"))
     )
-    grp = (
-        vals.crossJoin(F.broadcast(med))
+    grp = track_persist(
+        tvc.crossJoin(F.broadcast(med))
         .groupBy("event_type")
         .agg(
-            F.count(F.when(F.col("v") > F.col("m"), 1))
+            F.sum(
+                F.when(F.col("v") > F.col("m"), F.col("cnt")).otherwise(0)
+            )
             .cast("bigint")
             .alias("a"),
-            F.count(F.when(F.col("v") <= F.col("m"), 1))
+            F.sum(
+                F.when(F.col("v") <= F.col("m"), F.col("cnt")).otherwise(
+                    0
+                )
+            )
             .cast("bigint")
             .alias("b"),
         )
@@ -431,7 +445,10 @@ def stats_cronbach_alpha(
     )
     users = raw.select("user_id").distinct()
     items = raw.select("event_type").distinct()
-    grid = (
+    # Persisted: both the item-moment and the total-score aggregates
+    # read this grid — unpersisted, each branch re-embeds the
+    # grid-fill join (and its corpus scan) in its own plan.
+    grid = track_persist(
         users.crossJoin(F.broadcast(items))
         .join(raw, ["user_id", "event_type"], "left")
         .select(
@@ -732,11 +749,18 @@ def stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("var"),
     )
-    w = d.where(F.col("var") > 0).select(
-        "event_type",
-        "n",
-        "m",
-        (F.col("n").cast("double") / F.col("var")).alias("wi"),
+    # Persisted: both the weight-sum aggregate and the second-stage
+    # deviation sums read this k-row frame — unpersisted, the
+    # crossJoin branch re-embeds the corpus moment aggregation.
+    from powersql_spark.catalog import track_persist
+
+    w = track_persist(
+        d.where(F.col("var") > 0).select(
+            "event_type",
+            "n",
+            "m",
+            (F.col("n").cast("double") / F.col("var")).alias("wi"),
+        )
     )
     a1 = w.agg(
         F.sum(F.round("wi", 8).cast("decimal(38,8)"))

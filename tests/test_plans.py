@@ -3329,3 +3329,81 @@ def test_degree_gini_edge_build_broadcasts_dims(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_degree_gini")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-13 second-wave plan gates.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "key,max_bnlj",
+    [
+        # One-row / k-row scalar frames broadcast into the next
+        # stage: each crossJoin(broadcast(...)) is a bounded BNLJ,
+        # never a cartesian (the tpch_q11/q22 SCALAR_BROADCAST_OK
+        # pattern). The branch re-embeds read the PERSISTED bounded
+        # histogram (asserted below), so the budget counts constant-
+        # work joins, not corpus re-scans.
+        ("stats_median_test", 11),
+        ("stats_welch_anova", 1),
+        # Cronbach: the 5-row item grid fans the user list (bounded
+        # BNLJ), plus the one-row numerator join.
+        ("stats_cronbach_alpha", 3),
+    ],
+)
+def test_r13b_scalar_broadcasts_are_bounded_bnlj(
+    spark, sf_dir, key, max_bnlj
+):
+    plan = plan_of(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj
+    assert "EvalPython" not in plan
+    # The shared bounded frame (value histogram / score grid) is
+    # persisted, so every branch re-embed reads cache — the corpus
+    # parquet is scanned once, at cache build.
+    assert "InMemoryTableScan" in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # Daily-candle indicator keys: one corpus collapse, folds and
+        # windows on the metadata-sized grid.
+        "ts_keltner_channels",
+        "ts_chaikin_money_flow",
+        "ts_mass_index",
+        "ts_trix",
+        "ts_choppiness_index",
+        "ts_ultimate_oscillator",
+        "ts_market_beta",
+        # Histogram/cell keys and map-only scores.
+        "stats_bowker_symmetry",
+        "stats_kuiper_uniform",
+        "stats_dixon_q",
+        "text_yule_k",
+        "text_coleman_liau",
+        "graph_avg_neighbor_degree",
+    ],
+)
+def test_r13b_keys_no_cartesian_no_python(spark, sf_dir, key):
+    plan = plan_of(spark, sf_dir, key)
+    assert "CartesianProduct" not in plan, f"{key} plans a cartesian"
+    assert "EvalPython" not in plan, f"{key} drops to Python"
+
+
+def test_market_beta_day_join_broadcasts(spark, sf_dir):
+    """The per-type returns join the 29-row market-return spine via
+    the explicit broadcast hint (VERDICT r12 ask #3 — dimension-sized
+    join sides must broadcast in the STATIC plan)."""
+    plan = plan_of(spark, sf_dir, "ts_market_beta")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_avg_neighbor_degree_degree_joins_broadcast(spark, sf_dir):
+    """Both degree-table legs onto the edge list are broadcast — the
+    O(nations) side never shuffles the join."""
+    plan = plan_of(spark, sf_dir, "graph_avg_neighbor_degree")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
