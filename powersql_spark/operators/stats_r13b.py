@@ -111,10 +111,10 @@ def _evkey():
     SELECT tot.n AS n_total, CAST(med.m AS DOUBLE) AS grand_median,
            marg.k AS k_groups, marg.k - 1 AS df,
            {sql_jround("s.chi2", 6)} AS chi2,
-           CASE marg.k - 1
+           CAST(CASE marg.k - 1
                 {" ".join(f"WHEN {d} THEN {c}"
                           for d, c in _CHI2_5PCT.items())}
-           END AS crit_5pct,
+           END AS DOUBLE) AS crit_5pct,
            s.chi2 > CASE marg.k - 1
                 {" ".join(f"WHEN {d} THEN {c}"
                           for d, c in _CHI2_5PCT.items())}
@@ -266,7 +266,7 @@ def stats_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_offdiag AS n_transitions, df,
            {sql_jround("chi2", 6)} AS chi2,
-           {_CHI2_CASE_SQL} AS crit_5pct,
+           CAST({_CHI2_CASE_SQL} AS DOUBLE) AS crit_5pct,
            chi2 > {_CHI2_CASE_SQL} AS asymmetric_5pct
     FROM s WHERE df >= 1
     """,
@@ -683,7 +683,7 @@ def stats_kuiper_uniform(
            CASE WHEN lam > 0 THEN
                {sql_jround("(k * k - 1.0) / (3.0 * lam)", 2)} END
                AS df2,
-           2.372 AS crit_5pct_inf_df2,
+           CAST(2.372 AS DOUBLE) AS crit_5pct_inf_df2,
            (anum / (k - 1))
                / (1.0 + 2.0 * (k - 2) / (k * k - 1.0) * lam) > 2.372
                AS reject_equal_means_5pct
