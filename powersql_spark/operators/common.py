@@ -41,6 +41,40 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
+def lit_array(values, element_type: str | None = None) -> Column:
+    """Single-call literal array.
+
+    ``F.array(*[F.lit(v) for v in vs])`` costs ~2n py4j round trips to
+    build and n Literal plan nodes to analyze — measured at 2.3 s for a
+    512-element array on this host, paid on EVERY plan build (bench.py
+    re-builds each query per timed pass, and the driver's low-core PERF
+    run pays it identically since plan build is single-threaded driver
+    work). ``F.lit(list)`` is one round trip and ONE ArrayType Literal
+    node with identical values and semantics. Optional ``element_type``
+    normalizes the element type where the old form cast per element
+    (e.g. ``"bigint"``)."""
+    arr = F.lit(list(values))
+    if element_type is not None:
+        arr = arr.cast(f"array<{element_type}>")
+    return arr
+
+
+def sql_double(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest decimal that
+    round-trips to the same IEEE double, and Spark's parser reads the
+    ``...D`` suffix back to that exact double — so formatting a
+    data-derived model parameter into SQL text loses nothing."""
+    return repr(float(x)) + "D"
+
+
+def sql_double_array(values) -> str:
+    """SQL text for a literal array<double> — for F.expr-built plan
+    literals, which cost ONE py4j round trip + one JVM parse instead of
+    per-element lit() calls (see lit_array's cost note; at 64x64 the
+    difference is ~2.5 s of plan build per call)."""
+    return "array(" + ",".join(sql_double(v) for v in values) + ")"
+
+
 def welch_satterthwaite_df(
     var_a: Column, var_b: Column, n_a: Column, n_b: Column
 ) -> Column:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import sql_jround
+from powersql_spark.operators.common import lit_array, sql_jround
 from powersql_spark.pipeline.text import _SW_SQL
 from powersql_spark.registry import query
 
@@ -1139,7 +1139,9 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sqdist_to(vec: list) -> "F.Column":
-        lit = F.array(*[F.lit(float(x)) for x in vec])
+        # lit_array: one py4j call / one Literal node per greedy pick
+        # instead of 64 (same values, same fold order).
+        lit = lit_array([float(x) for x in vec])
         terms = F.zip_with(
             "v", lit, lambda a, b: F.round(F.pow(a - b, 2), 6)
         )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC, sql_jround
+from powersql_spark.operators.common import DEC, sql_double_array, sql_jround
 from powersql_spark.registry import query
 
 _DIM = 64
@@ -349,18 +349,25 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = np.maximum(evals, 1e-12)
     wmat = evecs @ np.diag(evals**-0.5) @ evecs.T  # ZCA: W = C^(-1/2)
 
-    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
-    centered = F.zip_with("x", mu_lit, lambda a, b: a - b)
-
-    def row_dot(w_row):
-        wl = F.array(*[F.lit(float(w)) for w in w_row])
-        return F.aggregate(
-            F.zip_with(centered, wl, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    comps = F.array(*[row_dot(wmat[i]) for i in range(dim)])
+    # Plan-literal application, one-expr form: the old per-element
+    # F.lit construction (64 + 64x64 = 4160 py4j round trips, 64
+    # separate aggregate-expression trees) dominated this key's
+    # build/analysis time (10-19 s in the timing sweeps; measured A/B
+    # this round: 2.4-7.1 s build -> 0.3 s). One F.expr carries mu and
+    # W as SQL-text literals (sql_double round-trips each IEEE double
+    # exactly) and applies the same arithmetic in the same order
+    # (zip_with is elementwise, aggregate folds left-to-right), so the
+    # whitened values are bit-identical — verified A/B in-session and
+    # by the oracle drive at sf0.01 + sf0.1.
+    mu_sql = sql_double_array(mu)
+    w_sql = (
+        "array(" + ",".join(sql_double_array(row) for row in wmat) + ")"
+    )
+    comps = F.expr(
+        f"transform({w_sql}, row -> aggregate("
+        f"zip_with(zip_with(x, {mu_sql}, (a, b) -> a - b), row,"
+        f" (a, b) -> a * b), 0.0D, (acc, v) -> acc + v))"
+    )
 
     # Second sufficient-stats pass, this time over the DISTRIBUTED
     # whitened vectors: their covariance must be the identity. This is

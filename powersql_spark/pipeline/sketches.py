@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.catalog import track_persist
-from powersql_spark.operators.common import sql_jround
+from powersql_spark.operators.common import lit_array, sql_jround
 from powersql_spark.registry import query
 
 _D = 4  # hash rows (seeds)
@@ -355,19 +355,29 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = [0] * (_BLOOM_M // _BLOOM_WORD)
     for r in sketch.collect():  # constant rows, not data-sized
         words[int(r["word_idx"])] = int(r["word"])
-    warr = F.array(*[F.lit(w).cast("long") for w in words])
+    # The whole probe predicate as ONE F.expr (one py4j round trip):
+    # the original per-seed Column construction cost ~1k py4j calls to
+    # build 5 copies of a 512-literal array plus 5 hash-test trees —
+    # ~1.9 s of plan build on EVERY bench pass (and identically in the
+    # driver's low-core PERF run, since plan build is single-threaded
+    # driver work). Here the word table is inlined once as SQL text and
+    # referenced once inside a forall lambda over the seed sequence —
+    # the identical arithmetic per seed (conv/substr/md5 position, pow
+    # mask, element_at word, & test) AND-folded exactly as before
+    # (tests are never NULL, so forall == the chained &&).
+    warr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    pos_sql = (
+        "(cast(conv(substr(md5(cast(concat(cast(c_custkey as string),"
+        f"'#b', cast(s as string)) as binary)), 1, 8), 16, 10) as bigint)"
+        f" % {_BLOOM_M})"
+    )
+    bloom_pos = F.expr(
+        f"forall(sequence(0, {_BLOOM_K - 1}), s -> "
+        f"(element_at({warr_sql}, cast({pos_sql} / {_BLOOM_WORD} as int)"
+        f" + 1) & cast(pow(2.0D, {pos_sql} % {_BLOOM_WORD}) as bigint))"
+        f" != 0)"
+    )
     c = spark.table("customer").select("c_custkey", "c_nationkey")
-    tests = []
-    for i in range(_BLOOM_K):
-        pos = _bloom_pos(F.col("c_custkey").cast("string"), i)
-        mask = F.pow(F.lit(2.0), (pos % _BLOOM_WORD)).cast("long")
-        word = F.element_at(
-            warr, ((pos / _BLOOM_WORD).cast("int") + 1)
-        )
-        tests.append(word.bitwiseAND(mask) != 0)
-    bloom_pos = tests[0]
-    for t in tests[1:]:
-        bloom_pos = bloom_pos & t
     verdict = c.select(
         "c_custkey", "c_nationkey", bloom_pos.alias("bloom_pos")
     )
