@@ -2005,12 +2005,20 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     # Checkpointed so the first frontier-vs-adjacency join is not an
     # ambiguous self-join (f1 is derived from adj).
-    f = adj.select(
+    # ONE checkpoint per BFS round: the frontier is exactly the rows of
+    # the accumulated table at the current distance (f == acc.where(d ==
+    # l-1) — every row enters acc with the d of the round that found
+    # it), so checkpointing f separately doubled the eager job count
+    # for no lineage benefit. localCheckpoint is eager, and these ~15
+    # sequential tiny jobs were ~2 s of the bench's timed plan build
+    # (the r13 split-timing measurement: 2.0 s build / 0.25 s exec);
+    # deriving f by a local filter on the checkpointed acc halves that.
+    f1 = adj.select(
         F.col("node").alias("src"),
         F.col("nbr").alias("dst"),
         F.lit(1).alias("d"),
         F.lit(1).cast("bigint").alias("sigma"),
-    ).transform(track_checkpoint)
+    )
     acc = (
         nodes.select(
             F.col("node").alias("src"),
@@ -2018,11 +2026,12 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
             F.lit(0).alias("d"),
             F.lit(1).cast("bigint").alias("sigma"),
         )
-        .unionAll(f)
+        .unionAll(f1)
         .coalesce(1)
         .transform(track_checkpoint)
     )
     for l in range(2, _BFS_ROUNDS + 2):
+        f = acc.where(F.col("d") == l - 1)
         hop = (
             f.join(adj, f.dst == adj.node)
             .groupBy(f.src, adj.nbr)
@@ -2034,12 +2043,11 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
                 "sigma",
             )
         )
-        f = (
-            hop.join(acc.select("src", "dst"), ["src", "dst"], "left_anti")
-            .coalesce(1)
-            .transform(track_checkpoint)
+        new = hop.join(
+            acc.select("src", "dst"), ["src", "dst"], "left_anti"
         )
-        acc = acc.unionAll(f).coalesce(1).transform(track_checkpoint)
+        acc = acc.unionAll(new).coalesce(1).transform(track_checkpoint)
+    f = acc.where(F.col("d") == _BFS_ROUNDS + 1)
     # ADVICE r6: the unrolled BFS is exact only while the diameter is
     # <= _BFS_ROUNDS + 1; on a sparser edge distribution it would
     # silently drop longer shortest paths. Guard loudly: one more
