@@ -43,6 +43,16 @@ def _max_partition_bytes(master: str | None) -> str:
     return "4m" if is_local else "134217728"
 
 
+def _worker_pythonpath() -> str:
+    """PYTHONPATH for Python workers: the repo root (so the preloading
+    daemon module ``powersql_spark.spark_daemon`` is importable in the
+    worker interpreter regardless of the driver's cwd) prepended to any
+    inherited PYTHONPATH."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inherited = os.environ.get("PYTHONPATH", "")
+    return f"{repo_root}:{inherited}" if inherited else repo_root
+
+
 def build_session(
     app_name: str = "powersql_spark",
     master: str | None = None,
@@ -67,6 +77,13 @@ def build_session(
         # would trip the catalog's nanos-compat path on our own output.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", _max_partition_bytes(master))
+        # Python workers fork from a daemon that preloads numpy/pandas/
+        # pyarrow (see spark_daemon.py): PythonWorkerFactory reaps idle
+        # workers after a hard-coded minute, and without the preload
+        # every post-reap Arrow/pandas query pays a 32-worker import
+        # storm (measured 2-5 s per occurrence; ~0.1 s with it).
+        .config("spark.python.daemon.module", "powersql_spark.spark_daemon")
+        .config("spark.executorEnv.PYTHONPATH", _worker_pythonpath())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
