@@ -84,6 +84,19 @@ def build_session(
         # storm (measured 2-5 s per occurrence; ~0.1 s with it).
         .config("spark.python.daemon.module", "powersql_spark.spark_daemon")
         .config("spark.executorEnv.PYTHONPATH", _worker_pythonpath())
+        # Let AQE re-plan the output partitioning of cached frames:
+        # without this, every track_persist'd intermediate is pinned at
+        # spark.sql.shuffle.partitions partitions, so a vocabulary-sized
+        # cached frame (textrank edges, basket items, LSH signatures)
+        # fans every downstream map stage out to 32 near-empty tasks.
+        # Size-based, so it is scale-adaptive by construction: big cached
+        # frames keep their parallelism. Measured on the cache-heavy
+        # bench keys: q56 2.75->2.60 s, q59 2.41->2.16 s, q49 3.47->2.52 s,
+        # q9 3.35->2.25 s (6-sample interleaved medians, same session).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
