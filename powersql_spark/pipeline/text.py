@@ -1049,17 +1049,27 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at("t", i), F.element_at("t", i + 1)
         ),
     )
-    bg = d.where(F.size("t") >= 2).select(
-        "doc_id", F.explode(bigrams).alias("bigram")
+    # Persisted: the bigram stream feeds BOTH the model aggregation and
+    # the scoring probe. Without the persist the tokenize+explode runs
+    # once per consumer (measured: 3 full tokenization passes, ~10 CPU-s
+    # each at sf0.1 — Catalyst does not reuse the subtree across the
+    # broadcast boundary); with it the corpus really is tokenized once,
+    # the phase-materialization pattern a production run uses between
+    # the train and score passes.
+    bg = track_persist(
+        d.where(F.size("t") >= 2).select(
+            "doc_id", F.explode(bigrams).alias("bigram")
+        )
     )
     c12 = bg.groupBy("bigram").agg(F.count("*").alias("n12"))
     w1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
-    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("n12").alias("n1"))
-    lp = c12.join(c1, w1 == c1.w1).select(
+    # C(w1 .) as a window over the bigram counts (one shuffle by w1)
+    # instead of a separate groupBy + equi-join back — same integer
+    # sums, two fewer reads of the c12 subtree.
+    n1 = F.sum("n12").over(Window.partitionBy(w1))
+    lp = c12.select(
         "bigram",
-        F.round(
-            F.log(F.col("n12").cast("double") / F.col("n1")), 6
-        ).alias("logp"),
+        F.round(F.log(F.col("n12").cast("double") / n1), 6).alias("logp"),
     )
     avg_lp = F.round(
         F.sum(F.col("logp").cast(DEC)).cast("double") / F.count("*"), 4
