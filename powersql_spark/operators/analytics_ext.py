@@ -1480,6 +1480,8 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct users, per-type power sums, per-user conversion bits) —
     each map-side combinable to constant state — unioned at
     metadata size. No joins beyond the constant salt dimension."""
+    from powersql_spark.catalog import track_persist
+
     e = spark.table("events")
 
     def assign(salt: str):
@@ -1496,8 +1498,30 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             < "8"
         )
 
+    # Per-user conversion bits, computed FIRST because the user-grain
+    # collapse doubles as the distinct-user set: the SRM branch and the
+    # proportion branch both read this one persisted user-grain frame
+    # instead of each re-scanning and re-shuffling the event stream
+    # (was: a separate users.distinct() scan+shuffle with identical
+    # keys to this groupBy).
+    per_user = track_persist(
+        e.groupBy("user_id").agg(
+            F.when(
+                5
+                * F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", 1
+                    ).otherwise(0)
+                )
+                > F.count("*"),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+    )
     # SRM over both salts
-    users = e.select("user_id").distinct()
+    users = per_user.select("user_id")
     salts = spark.createDataFrame(
         [(s,) for s in (":welch", ":prop")], ["salt"]
     )
@@ -1593,19 +1617,7 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged"
         ),
     )
-    # Proportion z + power on conversion
-    per_user = e.groupBy("user_id").agg(
-        F.when(
-            5
-            * F.sum(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            > F.count("*"),
-            1,
-        )
-        .otherwise(0)
-        .alias("converted")
-    )
+    # Proportion z + power on conversion (per_user persisted above)
     ps = per_user.select(assign(":prop").alias("is_a"), "converted").agg(
         F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
         F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
