@@ -462,7 +462,11 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("h")
     )
-    spine = e.select("event_type").distinct().crossJoin(hours)
+    # hours is one exploded min/max row — hint it broadcast so the spine
+    # is a BroadcastNestedLoopJoin under ANY session (AQE already picks
+    # this on the tuned session; the hint makes it plan-deterministic,
+    # matching the siblings at stats_more.py:370,498).
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")
