@@ -127,8 +127,13 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qb"),
     )
     z = quant.select(
+        # One F.expr over the SAME interleave text the oracle uses (one
+        # py4j call) instead of the 64-call Column-op tree _interleave
+        # builds — identical integer expression, cheaper plan build
+        # (wave-1 plan-literal discipline; _interleave itself stays for
+        # the bijectivity tests).
         F.shiftright(
-            _interleave(F.col("qa"), F.col("qb")), _BUCKET_SHIFT
+            F.expr(f"({_interleave_sql('qa', 'qb')})"), _BUCKET_SHIFT
         ).alias("z_bucket"),
         "qa",
         "qb",
@@ -208,27 +213,44 @@ def _hilbert_steps():
     return [1 << i for i in range(_BITS - 1, -1, -1)]
 
 
-def _hilbert_sql(qa: str, qb: str) -> str:
+def _hilbert_sql(qa: str, qb: str, dialect: str = "duckdb") -> str:
     """Staged-CTE Hilbert index (the standard public-domain xy2d
     walk): each stage consumes (x, y, d) from the previous, adds the
-    quadrant term, and applies the reflect+swap rotation."""
+    quadrant term, and applies the reflect+swap rotation. The SAME
+    generator emits both engines' text (only star-exclusion and xor
+    spellings differ), so the Spark plan and the DuckDB oracle replay
+    the identical walk by construction."""
+    if dialect == "duckdb":
+        exclude = "* EXCLUDE (x, y, d)"
+
+        def xor(a: str, b: str) -> str:
+            return f"xor({a}, {b})"
+
+    else:  # spark
+        exclude = "* EXCEPT(x, y, d)"
+
+        def xor(a: str, b: str) -> str:
+            return f"(({a}) ^ ({b}))"
+
     stages = [
         f"h0 AS (SELECT *, {qa} AS x, {qb} AS y, CAST(0 AS BIGINT) AS d"
         " FROM quant)"
     ]
     for k, s in enumerate(_hilbert_steps(), start=1):
         p = f"h{k - 1}"
+        quadrant = xor(
+            f"3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)",
+            f"CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END",
+        )
         stages.append(
-            f"h{k} AS (SELECT * EXCLUDE (x, y, d),"
+            f"h{k} AS (SELECT {exclude},"
             f" CASE WHEN (y & {s}) = 0 THEN"
             f"   CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END"
             f" ELSE x END AS x,"
             f" CASE WHEN (y & {s}) = 0 THEN"
             f"   CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END"
             f" ELSE y END AS y,"
-            f" d + {s} * {s} *"
-            f" xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),"
-            f"     CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d"
+            f" d + {s} * {s} * {quadrant} AS d"
             f" FROM {p})"
         )
     return ",\n    ".join(stages)
@@ -267,69 +289,37 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: identical to layout_zorder — pure integer codegen
     arithmetic, map-only until the per-bucket rollup; the 8 rotation
-    steps are CHAINED PROJECTIONS (withColumns per step), so each
-    step's (x, y, d) are named columns, not exponentially nested
-    expressions. The oracle replays the same walk as staged CTEs;
-    bijectivity on the full 256x256 grid and the python xy2d mirror
+    steps are staged CTEs in ONE ``spark.sql`` call (each stage's
+    (x, y, d) are named columns, not exponentially nested
+    expressions), generated by the SAME ``_hilbert_sql`` builder the
+    DuckDB oracle uses. One call means Catalyst analyzes the chain
+    once — the previous per-step withColumns form re-analyzed the
+    growing 17-layer plan 18 times, which dominated the query's cost
+    (measured: build 1.09 s -> 0.16 s, identical 64-row output).
+    Bijectivity on the full 256x256 grid and the python xy2d mirror
     are pinned in tests."""
     li = spark.table("lineitem")
-    bounds = li.agg(
-        F.min("l_quantity").alias("lo_q"),
-        F.max("l_quantity").alias("hi_q"),
-        F.min("l_extendedprice").alias("lo_p"),
-        F.max("l_extendedprice").alias("hi_p"),
-    )
-    df = li.join(F.broadcast(bounds)).select(
-        _quant(
-            F.col("l_quantity"), F.col("lo_q"), F.col("hi_q")
-        ).alias("qa"),
-        _quant(
-            F.col("l_extendedprice"), F.col("lo_p"), F.col("hi_p")
-        ).alias("qb"),
-    )
-    df = df.withColumns(
-        {
-            "x": F.col("qa"),
-            "y": F.col("qb"),
-            "d": F.lit(0).cast("long"),
-        }
-    )
-    for s in _hilbert_steps():
-        rx = F.when(F.col("x").bitwiseAND(s) > 0, 1).otherwise(0)
-        ry = F.when(F.col("y").bitwiseAND(s) > 0, 1).otherwise(0)
-        df = df.withColumns({"rx": rx, "ry": ry})
-        flip_x = F.when(
-            F.col("rx") == 1, F.lit(s - 1) - F.col("x")
-        ).otherwise(F.col("x"))
-        flip_y = F.when(
-            F.col("rx") == 1, F.lit(s - 1) - F.col("y")
-        ).otherwise(F.col("y"))
-        df = df.withColumns(
-            {
-                "d": F.col("d")
-                + F.lit(s * s)
-                * (F.lit(3) * F.col("rx")).bitwiseXOR(F.col("ry")),
-                # ry == 0: reflect (if rx) then swap; else unchanged.
-                "x": F.when(F.col("ry") == 0, flip_y).otherwise(
-                    F.col("x")
-                ),
-                "y": F.when(F.col("ry") == 0, flip_x).otherwise(
-                    F.col("y")
-                ),
-            }
-        )
-    return (
-        df.groupBy(
-            F.shiftright(F.col("d"), _BUCKET_SHIFT).alias("h_bucket")
-        )
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min("qa").alias("min_qty_cell"),
-            F.max("qa").alias("max_qty_cell"),
-            F.min("qb").alias("min_price_cell"),
-            F.max("qb").alias("max_price_cell"),
-        )
-    )
+    sql = f"""
+    WITH bounds AS (
+        SELECT /*+ BROADCAST */ MIN(l_quantity) AS lo_q,
+               MAX(l_quantity) AS hi_q,
+               MIN(l_extendedprice) AS lo_p,
+               MAX(l_extendedprice) AS hi_p
+        FROM {{li}}
+    ),
+    quant AS (
+        SELECT {_Q} AS qa, {_P} AS qb
+        FROM {{li}} CROSS JOIN bounds
+    ),
+    {_hilbert_sql("qa", "qb", dialect="spark")}
+    SELECT d >> {_BUCKET_SHIFT} AS h_bucket,
+           COUNT(*) AS n_rows,
+           MIN(qa) AS min_qty_cell, MAX(qa) AS max_qty_cell,
+           MIN(qb) AS min_price_cell, MAX(qb) AS max_price_cell
+    FROM h{_BITS}
+    GROUP BY h_bucket
+    """
+    return spark.sql(sql, li=li)
 
 
 _ZM_FILES = 32
