@@ -2032,6 +2032,17 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     for l in range(2, _BFS_ROUNDS + 2):
         f = acc.where(F.col("d") == l - 1)
+        # Early exit once the frontier empties: an empty frontier makes
+        # acc a fixpoint, so the remaining unrolled rounds would each
+        # pay an eager checkpoint job (the dominant cost of this query
+        # — sequential ~0.2 s driver round trips) only to re-materialize
+        # an unchanged acc. The check is a local read on the
+        # checkpointed single-partition frame. Results are identical by
+        # construction, and the diameter guard below still fires when
+        # the graph outruns the unroll (f is then non-empty at every
+        # round, so the loop never breaks early).
+        if f.isEmpty():
+            break
         hop = (
             f.join(adj, f.dst == adj.node)
             .groupBy(f.src, adj.nbr)
