@@ -1831,6 +1831,15 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # The closure only ever GROWS (unionAll + distinct over a superset),
+    # so an unchanged row count after a squaring is a fixpoint: every
+    # remaining round would pay an eager checkpoint job to rebuild an
+    # identical <= 625-row frame. The count is a local read on the
+    # checkpointed single-partition state (Brandes early-exit
+    # discipline); the closure is COMPLETE either way — the squaring
+    # bound 2^rounds only has to exceed the realized diameter, which
+    # the fixpoint certifies directly.
+    n_prev = r.count()
     for _ in range(_SCC_SQUARINGS):
         hop = (
             r.alias("a")
@@ -1845,6 +1854,10 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # <= nations^2 rows, so the eager materialization is constant
         # work per round.
         r = r.unionAll(hop).distinct().coalesce(1).transform(track_checkpoint)
+        n = r.count()
+        if n == n_prev:
+            break
+        n_prev = n
     mutual = (
         r.alias("p")
         .join(
@@ -2219,9 +2232,23 @@ def _apsp_dist(spark: SparkSession) -> DataFrame:
         )
 
     for _ in range(_APSP_ROUNDS):
-        dist = expand(dist)
+        nxt = expand(dist)
+        # Fixpoint early exit (the Brandes empty-frontier discipline):
+        # expand is deterministic, so an unchanged round means every
+        # remaining round AND the convergence guard are identity — each
+        # would pay an eager checkpoint job for an unchanged <= 625-row
+        # state. The anti-join runs on two checkpointed single-partition
+        # frames (same predicate as the guard below), so detecting the
+        # fixpoint costs one tiny job where the skipped rounds cost a
+        # checkpoint each. Returns the same row set by construction.
+        if nxt.join(
+            dist, ["src", "node", "dist"], "left_anti"
+        ).isEmpty():
+            return dist
+        dist = nxt
     # Loud convergence guard (constant-cost: both frames are
-    # checkpointed <= 625-row states).
+    # checkpointed <= 625-row states) — only reached when every
+    # unrolled round still changed something.
     extra = expand(dist)
     changed = (
         extra.join(dist, ["src", "node", "dist"], "left_anti")
