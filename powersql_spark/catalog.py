@@ -360,6 +360,27 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Small constant/config table as a SINGLE-slice DataFrame.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the rows into
+    defaultParallelism Python-RDD slices, and every scan of the frame
+    then pays one Python-worker round trip per (nearly empty) slice —
+    32 tasks for a 6-row grid on local[32]; a 54-row constant cross
+    join measured 13 s sliced vs 1.9 s single-slice, and an unhinted
+    cross join of two such frames plans a 32x32 RDD CartesianProduct.
+    Config tables (threshold grids, salt lists, critical values) are
+    metadata-sized at ANY scale factor, so one slice is the right
+    shape everywhere. Schema inference stays driver-side (list input
+    on the throwaway frame — no RDD-sampling job), and the explicit
+    single-slice parallelize carries the identical StructType, so the
+    result schema and rows are byte-identical to the plain call."""
+    inferred = spark.createDataFrame(data, schema).schema
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, numSlices=1), inferred
+    )
+
+
 def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming twin of :func:`read_parquet`: readStream with the same
     TIMESTAMP(NANOS) tolerance (int64 nanos -> microsecond timestamps)."""

@@ -389,15 +389,18 @@ def stats_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # Truncate the per-round lineage (the iterative-operator
-    # discipline): each fit is a 5-row scalar table, but left
-    # unpersisted every later round re-embeds the WHOLE prior chain
-    # in its plan — the sf0.1 smoke flagged the resulting many-stage
-    # schedule (13.9 s in-sweep; ~2x faster with the rounds cut).
-    from powersql_spark.catalog import track_persist
+    # Truncate the per-round LOGICAL lineage with eager checkpoints
+    # (the graph-op discipline), not persist: caching dedupes
+    # execution but Catalyst still re-ANALYZES the full logical tree,
+    # and each round references its predecessor twice (weighted sums +
+    # carry), so the plan — whose leaves are the corpus collapse and
+    # whose nodes are the wide decimal-round expressions — doubled per
+    # round. Measured cold: 32.6 s build / 16.5 s exec with persist;
+    # 1-2 s total with the <= 5-row fit states checkpointed.
+    from powersql_spark.catalog import track_checkpoint
 
-    sc = track_persist(sc)
-    f1 = track_persist(wfit(wols_round(sc), sc))
+    sc = track_checkpoint(sc.coalesce(1))
+    f1 = track_checkpoint(wfit(wols_round(sc), sc).coalesce(1))
     f2 = wfit(wols_round(f1), f1)
     return (
         f2.join(

@@ -2201,7 +2201,11 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         [(s,) for s in _LSH_GRID], ["s"]
     )
-    curve = cfg.crossJoin(grid).select(
+    # coalesce(1) + broadcast: both inputs are parallelized Python
+    # lists, so an unhinted crossJoin plans an RDD CartesianProduct of
+    # 32 x 32 = 1024 Python-worker tasks for 54 constant rows (measured
+    # 34 s on local[32]); hinted and coalesced it is one task.
+    curve = cfg.coalesce(1).crossJoin(F.broadcast(grid)).select(
         F.col("bands").cast("int").alias("bands"),
         F.col("rows_per_band").cast("int").alias("rows_per_band"),
         F.col("s").cast("double").alias("s"),

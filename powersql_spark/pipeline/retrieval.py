@@ -208,15 +208,23 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank filter), the fusion is a full-outer join of two 50-row lists
     — driver-safe, executor-cheap. RRF scores are exact rationals of
     integer ranks, identical on both engines."""
+    # Top-pool cut FIRST (orderBy+limit = TakeOrderedAndProject, a
+    # distributed partial top-K), then rank the pool-sized head — the
+    # previous global row_number window sorted the ENTIRE scored corpus
+    # on one partition just to discard all but 50 rows. The limit uses
+    # the same total order as the rank (score desc, id), so the kept
+    # rows and their ranks are identical by construction.
     kw = (
         _bm25_scores(spark)
+        .select(F.col("doc_id").alias("id"), "bm25_score")
+        .orderBy(F.desc("bm25_score"), "id")
+        .limit(_RRF_POOL)
         .select(
-            F.col("doc_id").alias("id"),
+            "id",
             F.row_number()
-            .over(Window.orderBy(F.desc("bm25_score"), "doc_id"))
+            .over(Window.orderBy(F.desc("bm25_score"), "id"))
             .alias("kw_rank"),
         )
-        .where(F.col("kw_rank") <= _RRF_POOL)
     )
     e = spark.table("embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -239,13 +247,15 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"),
             F.round(dot / (nrm * F.col("qn")), 4).alias("cos"),
         )
+        # Same top-pool-then-rank move as the keyword side.
+        .orderBy(F.desc("cos"), "id")
+        .limit(_RRF_POOL)
         .select(
             "id",
             F.row_number()
             .over(Window.orderBy(F.desc("cos"), "id"))
             .alias("vec_rank"),
         )
-        .where(F.col("vec_rank") <= _RRF_POOL)
     )
     fused = kw.join(vs, "id", "full_outer").select(
         "id",

@@ -2206,15 +2206,21 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+    # Top-K cut first (TakeOrderedAndProject — distributed partial
+    # top-K), then rank the K-row head: the previous global row_number
+    # window sorted the whole vocabulary on one partition to keep 20
+    # rows. The limit uses the same total order as the rank, so the
+    # kept rows and their ranks are identical by construction.
     wr = Window.orderBy(F.desc("textrank"), "word")
     return (
         tr.select("word", F.round("pr", 6).alias("textrank"))
+        .orderBy(F.desc("textrank"), "word")
+        .limit(_TR_TOPK)
         .select(
             "word",
             "textrank",
             F.row_number().over(wr).cast("int").alias("kw_rank"),
         )
-        .where(F.col("kw_rank") <= _TR_TOPK)
         .orderBy("kw_rank")
     )
 
