@@ -360,24 +360,116 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def local_df(spark: SparkSession, data, schema) -> DataFrame:
-    """Small constant/config table as a SINGLE-slice DataFrame.
+def _sql_literal(v) -> str:
+    """Render one Python value as an EXACT Spark SQL literal.
 
-    ``spark.createDataFrame(list, ...)`` parallelizes the rows into
-    defaultParallelism Python-RDD slices, and every scan of the frame
-    then pays one Python-worker round trip per (nearly empty) slice —
-    32 tasks for a 6-row grid on local[32]; a 54-row constant cross
-    join measured 13 s sliced vs 1.9 s single-slice, and an unhinted
-    cross join of two such frames plans a 32x32 RDD CartesianProduct.
-    Config tables (threshold grids, salt lists, critical values) are
-    metadata-sized at ANY scale factor, so one slice is the right
-    shape everywhere. Schema inference stays driver-side (list input
-    on the throwaway frame — no RDD-sampling job), and the explicit
-    single-slice parallelize carries the identical StructType, so the
-    result schema and rows are byte-identical to the plain call."""
-    inferred = spark.createDataFrame(data, schema).schema
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(data, numSlices=1), inferred
+    Floats go through ``repr``: Python's shortest-roundtrip repr
+    parses back to the identical IEEE-754 bits in Spark's SQL parser
+    (the :func:`operators.common.sql_double_array` exactness
+    argument), with explicit spellings for the non-finite values.
+    Strings are single-quote escaped. Only the types config tables
+    actually use are accepted — anything else raises rather than
+    silently coercing."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"values_df literal: unsupported type {type(v)}")
+
+
+def values_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Small constant/config table as a VALUES **LocalRelation** —
+    the zero-Python-boundary replacement for ``createDataFrame(list)``.
+
+    PySpark's ``createDataFrame(list)`` always routes local rows
+    through a parallelized Python RDD: every scan of the frame then
+    pays Python-worker round trips (defaultParallelism near-empty
+    slices on local[32]), a broadcast build of such a frame launches
+    a Python stage, and two of them cross-joined unhinted plan an RDD
+    CartesianProduct. A ``VALUES`` table parsed by the SQL parser is
+    a LocalRelation: rows live in the plan, scans are codegen'd
+    LocalTableScans, zero Python workers, zero jobs. Measured on the
+    54-row LSH tuning grid: 6.3 s (createDataFrame + crossJoin) vs
+    0.4 s (VALUES), identical rows.
+
+    ``schema`` is either a DDL string ("bands int, s double") — each
+    column is CAST to exactly that type — or a list of column names,
+    in which case each column is CAST to the type
+    ``createDataFrame``'s inference would have produced (Python int
+    -> BIGINT, float -> DOUBLE, str -> STRING, bool -> BOOLEAN):
+    same column names and dataTypes as the inferring call, with one
+    deliberate difference — all-non-null columns analyze as
+    nullable=false (see the nullability note below). Config tables
+    are metadata-sized at ANY scale factor, so an in-plan literal
+    table is the right shape everywhere."""
+    rows = [tuple(r) if not isinstance(r, tuple) else r for r in data]
+    if not rows:
+        raise ValueError(
+            "values_df needs at least one row; use "
+            "createDataFrame([], ddl) for empty frames"
+        )
+    if isinstance(schema, str):
+        parts = [p.strip() for p in schema.split(",")]
+        names = [p.split()[0] for p in parts]
+        types = [" ".join(p.split()[1:]) for p in parts]
+    else:
+        names = list(schema)
+        types = []
+        for i in range(len(names)):
+            t = None
+            for r in rows:
+                v = r[i]
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    t = "boolean"
+                elif isinstance(v, int):
+                    t = "bigint"
+                elif isinstance(v, float):
+                    t = "double"
+                elif isinstance(v, str):
+                    t = "string"
+                else:
+                    raise TypeError(
+                        f"values_df: cannot infer SQL type of {v!r}"
+                    )
+                break
+            if t is None:
+                raise TypeError(
+                    f"values_df: all-NULL column {names[i]!r} needs a "
+                    "DDL schema"
+                )
+            types.append(t)
+    body = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows
+    )
+    src = ", ".join(names)
+    cols = ", ".join(
+        f"CAST({n} AS {t}) AS {n}" for n, t in zip(names, types)
+    )
+    # Nullability note: a column whose literals are all non-null
+    # analyzes as nullable=false here, where createDataFrame declares
+    # nullable=true unconditionally (Spark 4's analyzer propagates
+    # foldable non-nullness through CAST and CASE alike, so the
+    # stricter flag is not suppressible at the SQL layer). That is
+    # the ONE schema difference vs the call this replaces — strictly
+    # more precise, invisible to the driver contract (which compares
+    # column names + value hashes), and pinned by
+    # tests/test_values_df.py.
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {body}) AS v({src})"
     )
 
 

@@ -24,6 +24,7 @@ from powersql_spark.operators.common import (
     sql_jround,
     welch_satterthwaite_df,
 )
+from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
 
@@ -310,7 +311,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-filter), same trick dedup blocking uses."""
     from powersql_spark.operators.common import dsum
 
-    bands = spark.createDataFrame(
+    bands = values_df(
+        spark,
         [
             ("small", 0.0, 100000.0),
             ("mid", 100000.0, 250000.0),
@@ -2636,8 +2638,8 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("converted") * 1e0 / F.count("*")).alias("v"),
         )
     )
-    terms = spark.createDataFrame(
-        list(_SHAP_TERMS), "s int, sc int, channel string, w double"
+    terms = values_df(
+        spark, list(_SHAP_TERMS), "s int, sc int, channel string, w double"
     )
     v0 = v.select(F.col("mask").alias("s"), F.col("v").alias("v0"))
     v1 = v.select(F.col("mask").alias("sc"), F.col("v").alias("v1"))

@@ -23,6 +23,7 @@ from powersql_spark.operators.common import (
     sql_jround,
     welch_satterthwaite_df,
 )
+from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1053,8 +1054,8 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = (
         spark.table("events").select("user_id").distinct()
     )
-    salts = spark.createDataFrame(
-        [(s,) for s in (":welch", ":mwu", ":prop", ":cuped")], ["salt"]
+    salts = values_df(
+        spark, [(s,) for s in (":welch", ":mwu", ":prop", ":cuped")], ["salt"]
     )
     assigned = users.crossJoin(F.broadcast(salts)).select(
         "salt",
@@ -1522,8 +1523,8 @@ def pipeline_experiment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # SRM over both salts
     users = per_user.select("user_id")
-    salts = spark.createDataFrame(
-        [(s,) for s in (":welch", ":prop")], ["salt"]
+    salts = values_df(
+        spark, [(s,) for s in (":welch", ":prop")], ["salt"]
     )
     sa = users.crossJoin(F.broadcast(salts)).select(
         "salt",
@@ -1928,8 +1929,8 @@ def stats_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bh_rank"),
     )
-    crit = spark.createDataFrame(
-        [(i + 1, c) for i, c in enumerate(_BH_CRIT)], ["r", "z_crit"]
+    crit = values_df(
+        spark, [(i + 1, c) for i, c in enumerate(_BH_CRIT)], ["r", "z_crit"]
     )
     flags = ranked.join(
         F.broadcast(crit), ranked.bh_rank == F.col("r")
@@ -2124,8 +2125,8 @@ def stats_by_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("by_rank"),
     )
-    crit = spark.createDataFrame(
-        [(i + 1, c) for i, c in enumerate(_BY_CRIT)], ["r", "z_crit"]
+    crit = values_df(
+        spark, [(i + 1, c) for i, c in enumerate(_BY_CRIT)], ["r", "z_crit"]
     )
     flags = ranked.join(
         F.broadcast(crit), ranked.by_rank == F.col("r")
@@ -7105,8 +7106,8 @@ def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("holm_rank"),
     )
-    crit = spark.createDataFrame(
-        [(i + 1, c) for i, c in enumerate(_HOLM_CRIT)], ["r", "z_crit"]
+    crit = values_df(
+        spark, [(i + 1, c) for i, c in enumerate(_HOLM_CRIT)], ["r", "z_crit"]
     )
     flags = ranked.join(
         F.broadcast(crit), ranked.holm_rank == F.col("r")

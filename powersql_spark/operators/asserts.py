@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
 
@@ -74,9 +75,7 @@ def assert_typecheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     'check' command's mechanism (SURVEY.md §3.2)."""
     cond_df = spark.sql("SELECT (l_quantity < 10.0) AS condition FROM lineitem")
     ok = isinstance(cond_df.schema["condition"].dataType, T.BooleanType)
-    return spark.createDataFrame(
-        [(ok,)], T.StructType([T.StructField("condition", T.BooleanType())])
-    )
+    return values_df(spark, [(ok,)], "condition boolean")
 
 
 @query(
@@ -124,7 +123,8 @@ def assert_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         and m["n_null_price"] == 0
         and m["n_nonpositive"] == 0
     )
-    return spark.createDataFrame(
+    return values_df(
+        spark,
         [(m["n_rows"], m["n_null_price"], m["n_nonpositive"], ok)],
         "n_rows bigint, n_null_price bigint, n_nonpositive bigint, condition boolean",
     )

@@ -425,6 +425,12 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged.write.mode("overwrite").partitionBy("yr").parquet(path)
     fact = spark.read.schema(staged.schema).parquet(path)
+    # Deliberately createDataFrame, NOT catalog.values_df: a VALUES
+    # LocalRelation lets ConvertToLocalRelation fold the era filter
+    # into the literal rows, and with no Filter node left on the dim
+    # side the PartitionPruning rule's hasSelectivePredicate check
+    # fails — DPP (this operator's whole point) silently stops firing
+    # (gate: test_dpp_filter_reaches_partitioned_scan).
     dim = spark.createDataFrame(
         [(1997, "old"), (1998, "recent")], "yr int, era string"
     ).where(F.col("era").isin("old", "recent"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
 
@@ -721,8 +722,8 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ".", *[x.cast("string") for x in o]
         ).alias("ip_str"),
     )
-    cidr = spark.createDataFrame(
-        list(_CIDR_BLOCKS), "block string, base long, len int"
+    cidr = values_df(
+        spark, list(_CIDR_BLOCKS), "block string, base long, len int"
     )
     out = ips
     for l in _CIDR_LENS:

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
 N_MERGES = 8
@@ -277,16 +278,10 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break lexicographically, so the merge sequence is a pure
     function of the corpus."""
     rules = learn_merges(spark)
-    return spark.createDataFrame(
-        [
-            {
-                "step": s,
-                "left": left,
-                "right": right,
-                "merged": left + right,
-                "pair_freq": n,
-            }
-            for (s, left, right, n) in rules
-        ],
-        schema="step int, left string, right string, merged string, pair_freq bigint",
+    ddl = "step int, left string, right string, merged string, pair_freq bigint"
+    rows = [(s, left, right, left + right, n) for (s, left, right, n) in rules]
+    return (
+        values_df(spark, rows, ddl)
+        if rows
+        else spark.createDataFrame([], ddl)
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import values_df
 from powersql_spark.operators.common import lit_array, sql_jround
 from powersql_spark.pipeline.text import _SW_SQL
 from powersql_spark.registry import query
@@ -1182,16 +1183,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "mind", sqdist_to(sel["v"])
                     ).alias("mind"),
                 )
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("sel_round", T.IntegerType()),
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("radius", T.DoubleType()),
-        ]
+    ddl = "sel_round int, vec_id bigint, radius double"
+    return (
+        values_df(spark, out_rows, ddl)
+        if out_rows
+        else spark.createDataFrame([], ddl)
     )
-    return spark.createDataFrame(out_rows, schema)
 
 
 @query(

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
-from powersql_spark.catalog import spread, track_checkpoint, track_persist
+from powersql_spark.catalog import (
+    spread,
+    track_checkpoint,
+    track_persist,
+    values_df,
+)
 from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
@@ -2197,15 +2202,16 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a constant 6x9 VALUES grid evaluated row-locally —
     zero I/O, zero shuffle beyond the presentation sort. The value is
     the DECISION it encodes, not the compute."""
-    cfg = spark.createDataFrame(_LSH_CONFIGS, ["bands", "rows_per_band"])
-    grid = spark.createDataFrame(
-        [(s,) for s in _LSH_GRID], ["s"]
-    )
-    # coalesce(1) + broadcast: both inputs are parallelized Python
-    # lists, so an unhinted crossJoin plans an RDD CartesianProduct of
-    # 32 x 32 = 1024 Python-worker tasks for 54 constant rows (measured
-    # 34 s on local[32]); hinted and coalesced it is one task.
-    curve = cfg.coalesce(1).crossJoin(F.broadcast(grid)).select(
+    # VALUES LocalRelations (values_df): createDataFrame(list) routes
+    # through parallelized Python RDDs, so the unhinted crossJoin of
+    # two such frames planned an RDD CartesianProduct of 32 x 32
+    # Python-worker tasks for 54 constant rows (measured 20 s warm on
+    # local[32]; 6.3 s with coalesce(1)+broadcast). As in-plan literal
+    # tables the cross join is a codegen'd LocalTableScan nested loop
+    # over constants: 0.4 s, zero Python workers, zero jobs.
+    cfg = values_df(spark, _LSH_CONFIGS, ["bands", "rows_per_band"])
+    grid = values_df(spark, [(s,) for s in _LSH_GRID], ["s"])
+    curve = cfg.crossJoin(F.broadcast(grid)).select(
         F.col("bands").cast("int").alias("bands"),
         F.col("rows_per_band").cast("int").alias("rows_per_band"),
         F.col("s").cast("double").alias("s"),
@@ -2326,8 +2332,8 @@ def curation_dedup_threshold_sweep(
         )
     )
     n_t = spark.table("documents").agg(F.count("*").alias("n_docs"))
-    sweep = spark.createDataFrame(
-        [(t,) for t in _SWEEP_THRESHOLDS], ["threshold"]
+    sweep = values_df(
+        spark, [(t,) for t in _SWEEP_THRESHOLDS], ["threshold"]
     )
     joined = sweep.crossJoin(F.broadcast(n_t)).join(
         F.broadcast(pairs), F.lit(True), "left"

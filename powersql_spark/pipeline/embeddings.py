@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powersql_spark.operators.common import DEC, sql_double_array, sql_jround
+from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
 _DIM = 64
@@ -1279,7 +1280,8 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.posexplode("embedding").alias("i", "x"),
     ).select("vec_id", "rn", "i", F.col("x").cast("double").alias("x"))
-    signs = spark.createDataFrame(
+    signs = values_df(
+        spark,
         [
             (i, j, _rp_sign(i, j))
             for i in range(_RP_IN_DIMS)

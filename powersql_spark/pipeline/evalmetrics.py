@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.catalog import track_checkpoint
+from powersql_spark.catalog import track_checkpoint, values_df
 from powersql_spark.operators.common import sql_jround
 from powersql_spark.registry import query
 
@@ -1583,8 +1583,8 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus yields all nine rows and tp/fp/fn are true conditional
     counts (zero when empty), never dropped cells."""
     scored = _scored(spark)
-    thr = spark.createDataFrame(
-        [(t,) for t in _THRESHOLDS], "thr double"
+    thr = values_df(
+        spark, [(t,) for t in _THRESHOLDS], "thr double"
     )
     p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("s")))
     joined = scored.crossJoin(F.broadcast(thr))
@@ -2663,8 +2663,8 @@ def eval_precision_recall_at_k(
     tot = ranked.groupBy("source").agg(
         F.count(F.when(F.col("rel"), 1)).cast("bigint").alias("n_rel")
     )
-    ks = spark.createDataFrame(
-        [(k,) for k in _PRK_KS], "k int"
+    ks = values_df(
+        spark, [(k,) for k in _PRK_KS], "k int"
     )
     hits = (
         ranked.join(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
 _MAX_DIST = 2
@@ -167,7 +168,8 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powersql_spark.catalog import track_persist
 
     pts = track_persist(pts)
-    offsets = spark.createDataFrame(
+    offsets = values_df(
+        spark,
         [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
         ["dy", "dx"],
     )

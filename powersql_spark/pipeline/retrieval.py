@@ -208,12 +208,15 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank filter), the fusion is a full-outer join of two 50-row lists
     — driver-safe, executor-cheap. RRF scores are exact rationals of
     integer ranks, identical on both engines."""
-    # Top-pool cut FIRST (orderBy+limit = TakeOrderedAndProject, a
-    # distributed partial top-K), then rank the pool-sized head — the
-    # previous global row_number window sorted the ENTIRE scored corpus
-    # on one partition just to discard all but 50 rows. The limit uses
-    # the same total order as the rank (score desc, id), so the kept
-    # rows and their ranks are identical by construction.
+    # Explicit top-pool cut (orderBy+limit = TakeOrderedAndProject, a
+    # distributed partial top-K), then rank the pool-sized head.
+    # Plan-equivalent to the previous rank-filter form on Spark
+    # 3.5+/4 (InferWindowGroupLimit already rewrote the
+    # `row_number <= pool` filter into the same Window-over-
+    # TakeOrderedAndProject shape), but explicit: the partial top-K
+    # no longer depends on that optimizer rule staying enabled. The
+    # limit uses the same total order as the rank (score desc, id),
+    # so the kept rows and their ranks are identical by construction.
     kw = (
         _bm25_scores(spark)
         .select(F.col("doc_id").alias("id"), "bm25_score")
@@ -247,7 +250,7 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"),
             F.round(dot / (nrm * F.col("qn")), 4).alias("cos"),
         )
-        # Same top-pool-then-rank move as the keyword side.
+        # Same explicit top-pool-then-rank move as the keyword side.
         .orderBy(F.desc("cos"), "id")
         .limit(_RRF_POOL)
         .select(

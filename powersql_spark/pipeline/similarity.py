@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.catalog import track_persist
+from powersql_spark.catalog import track_persist, values_df
 from powersql_spark.pipeline.blocks import BLOCK_CAP, sub_bucket, sub_bucket_sql
 from powersql_spark.registry import query
 
@@ -397,8 +397,12 @@ def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims = centers @ (qv / (np.linalg.norm(qv) + 1e-12))
         for c in np.argsort(-sims)[:_LEARNED_NPROBE]:
             probe_rows.append((qi, int(c)))
-    probes = spark.createDataFrame(
-        probe_rows, schema="query_id bigint, cell int"
+    # VALUES LocalRelation (catalog.values_df): the driver-built probe
+    # list stays in the plan — no Python-RDD scan per broadcast build.
+    probes = (
+        values_df(spark, probe_rows, "query_id bigint, cell int")
+        if probe_rows
+        else spark.createDataFrame([], "query_id bigint, cell int")
     )
 
     # All query cosines per row in ONE Arrow matmul per batch (the
@@ -445,8 +449,10 @@ def sim_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exact path (evaluation harness): every scored pair.
     exact = _topk(scored)
-    queries = spark.createDataFrame(
-        [(q,) for q in qids], schema="query_id bigint"
+    queries = (
+        values_df(spark, [(q,) for q in qids], "query_id bigint")
+        if qids
+        else spark.createDataFrame([], "query_id bigint")
     )
     # Batch-mean recall@k: total IVF/exact intersections over NQ * k.
     # A 1-row aggregate broadcast back onto the per-query rows so the
@@ -774,8 +780,11 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [
         (rnk + 1, v, labels[v], rel[v]) for rnk, v in enumerate(chosen)
     ]
-    return spark.createDataFrame(
-        out, schema="rnk int, vec_id bigint, label int, rel double"
+    _MMR_DDL = "rnk int, vec_id bigint, label int, rel double"
+    return (
+        values_df(spark, out, _MMR_DDL)
+        if out
+        else spark.createDataFrame([], _MMR_DDL)
     )
 
 

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.catalog import track_persist
+from powersql_spark.catalog import track_persist, values_df
 from powersql_spark.operators.common import DEC, sql_jround
 from powersql_spark.registry import query
 
@@ -2035,8 +2035,8 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("c").alias("t"), F.count("*").alias("v")
     )
-    grid = spark.createDataFrame(
-        [(k,) for k in _COV_GRID], "k int"
+    grid = values_df(
+        spark, [(k,) for k in _COV_GRID], "k int"
     )
     return (
         F.broadcast(grid)
@@ -2206,11 +2206,14 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    # Top-K cut first (TakeOrderedAndProject — distributed partial
-    # top-K), then rank the K-row head: the previous global row_number
-    # window sorted the whole vocabulary on one partition to keep 20
-    # rows. The limit uses the same total order as the rank, so the
-    # kept rows and their ranks are identical by construction.
+    # Explicit top-K cut (orderBy+limit = TakeOrderedAndProject, a
+    # distributed partial top-K), then rank the K-row head. Plan-
+    # equivalent to the previous rank-filter form on Spark 3.5+/4
+    # (InferWindowGroupLimit already rewrote `row_number <= K` into
+    # the same Window-over-TakeOrderedAndProject shape), but explicit:
+    # the partial top-K no longer depends on that optimizer rule
+    # staying enabled. The limit uses the same total order as the
+    # rank, so the kept rows and ranks are identical by construction.
     wr = Window.orderBy(F.desc("textrank"), "word")
     return (
         tr.select("word", F.round("pr", 6).alias("textrank"))
