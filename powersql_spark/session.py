@@ -97,6 +97,18 @@ def build_session(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # Turn off PySpark's per-op call-site capture (DataFrame
+        # context in error messages): with it on, EVERY DataFrame/
+        # Column method pays a Python stack walk plus 3-4 extra py4j
+        # round trips (getActiveSession + conf read + origin set/
+        # clear). Measured on _minhash_pairs plan construction with
+        # cProfile (deterministic, load-independent): 1967 -> 507
+        # py4j round trips and 0.89 -> 0.39 s per build. Pure
+        # diagnostics — plans, results and exceptions themselves are
+        # unchanged; only the "was called from <file>:<line>" line in
+        # error messages is lost. Static conf, so it must be set at
+        # build time (the driver's vanilla sessions keep the default).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
