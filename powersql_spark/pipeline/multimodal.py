@@ -344,21 +344,33 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_PHASH_CHUNKS)
     ]
     sig = track_persist(sig.select("doc_id", "sig", *chunks))
-    pairs = None
-    for i in range(_PHASH_CHUNKS):
-        a = sig.alias("a")
-        b = sig.alias("b")
-        p = a.join(
-            b,
-            (F.col(f"a.chunk{i}") == F.col(f"b.chunk{i}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        pairs = p if pairs is None else pairs.union(p)
+    # ONE banded self-equi-join on (band index, chunk value) via
+    # posexplode — the _minhash_pairs structure — instead of 4
+    # per-chunk self-joins unioned: same candidate set (the union of
+    # per-chunk matches IS the set of pairs sharing any (band, value)),
+    # same dropDuplicates for multi-chunk colliders, but 2 scans of
+    # the persisted signatures and ~3 exchanges instead of 8 scans
+    # and 9 exchanges (4 join keys + union + distinct).
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.col(f"chunk{i}") for i in range(_PHASH_CHUNKS)])
+        ).alias("band", "cv"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.cv") == F.col("b.cv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sig").alias("sig_a"),
+        F.col("b.sig").alias("sig_b"),
+    )
     hamming = F.bit_count(
         F.col("sig_a").bitwiseXOR(F.col("sig_b"))
     ).cast("int")
