@@ -142,6 +142,25 @@ _PQ_D = _DIM // _PQ_M  # dims per subspace
 _PQ_K = 16  # codebook entries per subspace
 
 
+def _sqdist_unrolled(a, b, n: int):
+    """Unrolled sum of squared differences over the first ``n`` array
+    elements, numerically IDENTICAL to the
+    ``aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, acc+x)``
+    HOF form it replaces: the same left-to-right double fold from 0.0
+    (((0+t1)+t2)+...), the same per-element expression tree. The
+    difference is execution: Catalyst evaluates higher-order-function
+    lambdas INTERPRETED per element (the q43 Theil-Sen negative
+    result, OPTIMIZATION_r13.md), while this flat arithmetic compiles
+    under whole-stage codegen — on the PQ inner loop (corpus × M × K
+    = 256k evaluations at sf0.1) that is the difference between an
+    interpreted fold per candidate cell and straight-line JIT'd code."""
+    acc = F.lit(0.0)
+    for i in range(1, n + 1):
+        t = F.element_at(a, i) - F.element_at(b, i)
+        acc = acc + t * t
+    return acc
+
+
 @query(
     "emb_pq_encode",
     oracle=f"""
@@ -221,14 +240,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("k"), "ve", m)
         .select("k", "m", subv.alias("cvec"))
     )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
+    dist = F.round(_sqdist_unrolled("svec", "cvec", _PQ_D), 6)
     d = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "label", "m", "k", dist.alias("dist")
     )
@@ -796,11 +808,7 @@ def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("ve", F.col("m") * _PQ_D + 1, _PQ_D).alias("cvec"),
         )
     )
-    sqdist = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sqdist = lambda a, b: _sqdist_unrolled(a, b, _PQ_D)  # noqa: E731
     d = sub.join(F.broadcast(cb), "m").select(
         "vec_id",
         "m",
