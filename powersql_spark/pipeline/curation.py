@@ -768,20 +768,24 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (A per-model aggregate would re-explode the corpus per model —
     # the aggregate is 128 rows either way, the scans are not.)
     spine = spark.range(_DSIR_B).select(F.col("id").alias("b"))
-    counts = (
-        spine.join(
-            bucketed.select(
-                F.col("b").alias("tb"),
-                F.col("source").isin(*_DSIR_TARGET).alias("is_tgt"),
-            ),
-            spine.b == F.col("tb"),
-            "left",
-        )
-        .groupBy("b")
-        .agg(
-            F.count("tb").alias("c_raw"),
-            F.count(F.when(F.col("is_tgt"), 1)).alias("c_tgt"),
-        )
+    # Aggregate BEFORE any join (guide §2.3): the token stream
+    # partial-aggregates map-side to <=128 (bucket, raw/tgt) counters
+    # per partition, and the spine left-joins the FINISHED 128-row
+    # aggregate (broadcast) only to zero-fill absent buckets. The
+    # previous shape joined spine LEFT-> raw token stream first — and
+    # a left-outer join cannot broadcast-build its left side, so the
+    # ENTIRE token stream shuffled by bucket (128 distinct keys) just
+    # to be counted afterwards.
+    bcounts = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count(
+            F.when(F.col("source").isin(*_DSIR_TARGET), 1)
+        ).alias("c_tgt"),
+    )
+    counts = spine.join(F.broadcast(bcounts), "b", "left").select(
+        "b",
+        F.coalesce("c_raw", F.lit(0).cast("bigint")).alias("c_raw"),
+        F.coalesce("c_tgt", F.lit(0).cast("bigint")).alias("c_tgt"),
     )
     total = Window.partitionBy()
     smooth = F.lit(float(_DSIR_B))
