@@ -59,6 +59,34 @@ def lit_array(values, element_type: str | None = None) -> Column:
     return arr
 
 
+def dot_unrolled(a, b, n: int) -> Column:
+    """Unrolled dot product over the first ``n`` array elements,
+    numerically IDENTICAL to the
+    ``aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, acc+v)`` HOF form
+    it replaces: the same left-to-right double fold from 0.0
+    (((0+a1*b1)+a2*b2)+...). The difference is execution: Catalyst
+    evaluates higher-order-function lambdas INTERPRETED per element,
+    outside whole-stage codegen (the OPTIMIZATION_r13 Theil-Sen
+    lesson), while this flat arithmetic compiles — on a pair join
+    that computes one 64-dim cosine per candidate row that is an
+    interpreted 64-step fold vs straight-line JIT'd code."""
+    acc = F.lit(0.0)
+    for i in range(1, n + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
+def sqdist_unrolled(a, b, n: int) -> Column:
+    """Unrolled sum of squared differences over the first ``n`` array
+    elements — the ``(x-y)*(x-y)`` twin of :func:`dot_unrolled`, with
+    the identical fold-order-preservation argument."""
+    acc = F.lit(0.0)
+    for i in range(1, n + 1):
+        t = F.element_at(a, i) - F.element_at(b, i)
+        acc = acc + t * t
+    return acc
+
+
 def sql_double(x: float) -> str:
     """Exact SQL double literal: repr() is the shortest decimal that
     round-trips to the same IEEE double, and Spark's parser reads the

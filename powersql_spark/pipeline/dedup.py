@@ -32,7 +32,7 @@ from powersql_spark.catalog import (
     track_persist,
     values_df,
 )
-from powersql_spark.operators.common import sql_jround
+from powersql_spark.operators.common import dot_unrolled, sql_jround
 from powersql_spark.registry import query
 
 _JACCARD_THRESHOLD = 0.30
@@ -676,6 +676,12 @@ def _embedding_cosine(
     )
     a = norms.alias("a")
     b = norms.alias("b")
+    # Deliberately the HOF form, NOT operators.common.dot_unrolled:
+    # the .where(cosine >= 0.4) below is pushed into the pair JOIN's
+    # condition, and join conditions evaluate interpreted — outside
+    # whole-stage codegen — where one zip_with/aggregate loop beats
+    # walking a 384-node unrolled expression tree per candidate row
+    # (measured 1.43 -> 4.45 s unrolled; the q28 pair_cos lesson).
     dot = F.aggregate(
         F.zip_with("a.emb", "b.emb", lambda x, y: x * y),
         F.lit(0.0),
@@ -1196,11 +1202,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     cosine = F.round(
-        F.aggregate(
-            F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        dot_unrolled("emb_a", "emb_b", _LSH_DIM)
         / (F.col("nrm_a") * F.col("nrm_b")),
         4,
     )
@@ -1474,11 +1476,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["c"],
         ).alias("cv")
     )
-    cdot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cdot = dot_unrolled("v", "cv", _LSH_DIM)
     cnorm = F.sqrt(
         F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
@@ -1497,6 +1495,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row, dwarfed by recomputing the reduce per consumer).
     scored = track_persist(scored)
     a, b = scored.alias("a"), scored.alias("b")
+    # Deliberately the HOF form, NOT dot_unrolled: this cosine is a
+    # JOIN-CONDITION predicate (the .where below is pushed into the
+    # SortMergeJoin), and join conditions evaluate interpreted —
+    # outside whole-stage codegen — where one zip_with/aggregate loop
+    # (a 3-node lambda iterated natively) beats walking a 384-node
+    # unrolled expression tree per candidate row. Measured: the
+    # unrolled form here regressed q28 2.2 -> 3.5-7 s across three
+    # interleaved A/B rounds; dot_unrolled wins only in codegen'd
+    # Project contexts (q25's verify cosine, the centrality cdot).
     pair_cos = F.round(
         F.aggregate(
             F.zip_with("a.v", "b.v", lambda x, y: x * y),

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC, sql_double_array, sql_jround
+from powersql_spark.operators.common import (
+    DEC,
+    sql_double_array,
+    sql_jround,
+    sqdist_unrolled,
+)
 from powersql_spark.catalog import values_df
 from powersql_spark.registry import query
 
@@ -142,24 +147,9 @@ _PQ_D = _DIM // _PQ_M  # dims per subspace
 _PQ_K = 16  # codebook entries per subspace
 
 
-def _sqdist_unrolled(a, b, n: int):
-    """Unrolled sum of squared differences over the first ``n`` array
-    elements, numerically IDENTICAL to the
-    ``aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, acc+x)``
-    HOF form it replaces: the same left-to-right double fold from 0.0
-    (((0+t1)+t2)+...), the same per-element expression tree. The
-    difference is execution: Catalyst evaluates higher-order-function
-    lambdas INTERPRETED per element (the q43 Theil-Sen negative
-    result, OPTIMIZATION_r13.md), while this flat arithmetic compiles
-    under whole-stage codegen — on the PQ inner loop (corpus × M × K
-    = 256k evaluations at sf0.1) that is the difference between an
-    interpreted fold per candidate cell and straight-line JIT'd code."""
-    acc = F.lit(0.0)
-    for i in range(1, n + 1):
-        t = F.element_at(a, i) - F.element_at(b, i)
-        acc = acc + t * t
-    return acc
-
+# _sqdist_unrolled moved to operators.common.sqdist_unrolled (wave 13
+# shares it with the pairwise-cosine family); alias kept for callers.
+_sqdist_unrolled = sqdist_unrolled
 
 @query(
     "emb_pq_encode",
@@ -1912,11 +1902,9 @@ def emb_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = track_persist(e)
 
     def d2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # Codegen'd unrolled form — identical fold order to the HOF
+        # (operators.common.sqdist_unrolled), compiled not interpreted.
+        return sqdist_unrolled(a, b, _DIM)
 
     a, b = e.alias("a"), e.alias("b")
     pos = a.join(
@@ -2034,6 +2022,13 @@ def emb_separation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = track_persist(e)
 
     def cos(a, b, an, bn):
+        # Deliberately the HOF form, NOT operators.common.dot_unrolled:
+        # the cross-label arm is a BroadcastNestedLoopJoin (no equi
+        # keys), whose output projection evaluates interpreted —
+        # walking a 64-dim unrolled expression tree per pair row
+        # measured 2.2/3.3 -> 6.5/6.7 s across two alternating A/B
+        # rounds (the q28 pair_cos lesson: unrolled wins only in
+        # codegen'd Project contexts like emb_alignment_uniformity's).
         return F.round(
             F.aggregate(
                 F.zip_with(a, b, lambda x, y: x * y),
