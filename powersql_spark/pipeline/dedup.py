@@ -768,10 +768,27 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected (doc_a, doc_b) pair
     frame -> (node, lab) with lab = min reachable id. Shared by the
     standalone clustering key and the e2e curation composite."""
-    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = fwd.union(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    ).persist()
+    # Both edge directions from ONE scan of `pairs` (explode of a
+    # 2-struct array), not union(fwd, swapped): Spark executes each
+    # union branch as its own subtree, so the un-persisted pair
+    # pipeline (LSH band join + jaccard verify) would run TWICE inside
+    # the round-1 checkpoint materialization. Same multiset of rows.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
     # Initialization fused with the first propagation round: label0 =
     # min over the closed neighborhood (same aggregation that builds
     # the node list) — one fewer shuffle round for every caller, and
