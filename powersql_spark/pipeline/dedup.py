@@ -960,19 +960,30 @@ def _lsh_corpus(spark: SparkSession) -> DataFrame:
             "emb"
         ),
     )
-    wobble = F.transform(
+    # Base row and planted twin from ONE scan (explode of a 2-struct
+    # array), not unionByName(e, planted): each union branch executed
+    # as its own subtree — two scans of the embeddings table — and the
+    # union doubled the partition count, so every downstream map stage
+    # over the cached signatures ran 2x the tasks on half-empty
+    # partitions. The wobble factor references the SHIFTED id exactly
+    # as the two-select union form did (pid below IS vec_id + offset,
+    # computed inline — no resolution-order ambiguity). Same row
+    # multiset, one scan, input-sized partitioning.
+    pid = F.col("vec_id") + _PLANT_OFFSET
+    wobbled = F.transform(
         F.col("emb"),
-        lambda x, i: x
-        * (1.0 + ((F.col("vec_id") + i) % 7 - 3).cast("double") / 10.0),
+        lambda x, i: x * (1.0 + ((pid + i) % 7 - 3).cast("double") / 10.0),
     )
-    # Two selects so the wobble's vec_id reference is UNAMBIGUOUSLY the
-    # shifted id (Spark 4's implicit lateral-column-alias resolution
-    # already picked the alias when both lived in one select — make
-    # that explicit instead of relying on resolution order).
-    planted = e.select(
-        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "emb"
-    ).select("vec_id", wobble.alias("emb"))
-    return e.unionByName(planted)
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_id").alias("vec_id"), F.col("emb").alias("emb")
+                ),
+                F.struct(pid.alias("vec_id"), wobbled.alias("emb")),
+            )
+        ).alias("r")
+    ).select("r.vec_id", "r.emb")
 
 
 def _lsh_signed(spark: SparkSession) -> DataFrame:
