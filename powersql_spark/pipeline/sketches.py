@@ -102,25 +102,35 @@ def sketch_countmin_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict. The oracle recomputes the identical sketch, so the
     estimates themselves are hash-compared.
 
-    Scale shape: the build explodes each gram into d (seed, bucket)
-    pairs but partial-aggregates BEFORE the exchange — each partition
-    ships at most d·w counters no matter how many grams it saw, and the
-    finished sketch is d·w rows total. The probe side broadcasts the
-    sketch (1 KB-scale) against the 30 candidates. Exact counting dies
-    when the vocabulary outgrows the shuffle; this plan's state is
-    constant."""
+    Scale shape: the gram stream partial-aggregates map-side into
+    per-gram counts (the exact side's inherent cost), then the sketch
+    build explodes each DISTINCT gram into d (seed, bucket) pairs and
+    partial-aggregates again BEFORE the exchange — each partition
+    ships at most d·w counters, and the finished sketch is d·w rows
+    total. The probe side broadcasts the sketch (1 KB-scale) against
+    the 30 candidates. Exact counting dies when the vocabulary
+    outgrows the shuffle; pure production CMS drops the exact side and
+    hashes the stream directly, keeping the same constant state."""
     d = spark.table("documents")
     n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    # Both consumers (sketch build + exact evaluation side) read the
-    # exploded gram stream; persist so the explode runs once — same
-    # idiom as the MinHash shingle stage. Production CMS has no exact
-    # side and would skip this.
-    bg = track_persist(
-        d.where(n >= 2).select(F.explode(_bigrams()).alias("gram"))
+    bg = d.where(n >= 2).select(F.explode(_bigrams()).alias("gram"))
+    # Collapse the gram stream to DISTINCT-gram counts FIRST and build
+    # BOTH consumers from that table. The exact evaluation side needs
+    # this aggregation anyway, and riding it means the d md5 bucket
+    # hashes are computed once per VOCABULARY entry instead of once
+    # per corpus OCCURRENCE (profiled: the two per-occurrence hashing
+    # stages were 12.9 + 10.5 s of executor time at sf0.1 — hashing
+    # dominated, guide §1.2 "don't compute things twice"). The sketch
+    # cell values are unchanged: summing per-gram counts into (s, b)
+    # cells is the same integer as counting occurrences per cell.
+    # Production CMS has no exact side and hashes the stream directly
+    # (one pass, partial-aggregated map-side, constant d*w state).
+    counts = track_persist(
+        bg.groupBy("gram").agg(F.count("*").alias("n_exact"))
     )
 
-    pairs = bg.select(
-        "gram",
+    pairs = counts.select(
+        "n_exact",
         F.explode(
             F.array(
                 *[
@@ -132,15 +142,10 @@ def sketch_countmin_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("sb"),
-    ).select(F.col("sb.s").alias("s"), F.col("sb.b").alias("b"))
-    sketch = pairs.groupBy("s", "b").agg(F.count("*").alias("c"))
+    ).select(F.col("sb.s").alias("s"), F.col("sb.b").alias("b"), "n_exact")
+    sketch = pairs.groupBy("s", "b").agg(F.sum("n_exact").alias("c"))
 
-    exact = (
-        bg.groupBy("gram")
-        .agg(F.count("*").alias("n_exact"))
-        .orderBy(F.desc("n_exact"), "gram")
-        .limit(30)
-    )
+    exact = counts.orderBy(F.desc("n_exact"), "gram").limit(30)
     probes = exact.select(
         "gram",
         "n_exact",

@@ -1008,12 +1008,29 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value").isNotNull())
         .select("user_id", "ts", "value")
     )
-    a, b = v.alias("a"), v.alias("b")
     hours = (
         F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
     ) / F.lit(3600e6)
+    # Shuffle the INPUT rows by user_id once and generate pairs after:
+    # the median window below needs (user_id) hash partitioning, and a
+    # shuffled self-join on user_id provides it for free — the
+    # exchange carries only the L input rows (and Spark reuses the ONE
+    # exchange for both join sides). Left to the planner, the small
+    # side broadcasts at bench SFs, the join output carries NO
+    # partitioning, and the window re-shuffles all O(L^2) PAIR rows
+    # instead (profiled: a 37.9 MB pair exchange vs 1.85 MB of input
+    # rows; guide §2.4 "window partitioned like the join needs no
+    # second shuffle"). The explicit cores-derived partition count
+    # matters: this stage's work is O(L^2) per input byte, so AQE's
+    # byte-based coalescing (which only sees the ~MB input exchange)
+    # would collapse the pair-generating stage to a handful of tasks;
+    # a pinned count scales with the cluster, not the input bytes.
+    # SHUFFLE_HASH keeps the co-partitioned join sort-free.
+    n_parts = v.sparkSession.sparkContext.defaultParallelism
+    vp = v.repartition(n_parts, "user_id")
+    a, b = vp.alias("a"), vp.alias("b")
     pairs = a.join(
-        b,
+        b.hint("shuffle_hash"),
         (F.col("b.user_id") == F.col("a.user_id"))
         & (F.col("a.ts") < F.col("b.ts")),
     ).select(
@@ -2223,11 +2240,21 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count("*").alias("n"))
-    thresh = hourly.groupBy("event_type").agg(
-        F.avg(F.col("n").cast("double")).alias("avg_n")
+    # Per-type average as a window over the hourly aggregate, not a
+    # separate groupBy + broadcast join back: the join form executed
+    # the whole corpus-sized hourly subtree TWICE (once under the
+    # broadcast build, once on the probe side — Catalyst does not
+    # reuse the subtree across the broadcast boundary; profiled as two
+    # identical 32-task scan stages of ~6 s executor time each). The
+    # window costs one exchange of the metadata-sized hourly table by
+    # event_type instead of a second corpus scan. avg(n) is a sum of
+    # integers over an exact double range, so the average is exact and
+    # summation-order-independent — bit-identical to the join form.
+    avg_n = F.avg(F.col("n").cast("double")).over(
+        Window.partitionBy("event_type")
     )
     spikes = (
-        hourly.join(F.broadcast(thresh), "event_type")
+        hourly.withColumn("avg_n", avg_n)
         .where(F.col("n").cast("double") > 1.5 * F.col("avg_n"))
         .select(
             "event_type",

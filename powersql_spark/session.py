@@ -43,6 +43,44 @@ def _max_partition_bytes(master: str | None) -> str:
     return "4m" if is_local else "134217728"
 
 
+def _local_dirs(master: str | None) -> str | None:
+    """Shuffle/spill scratch directory (``spark.local.dir``).
+
+    Thread-dump profiling of the bench showed every shuffle map task
+    serializing on shuffle-file create/commit against the sandbox's
+    root disk: a 32-task string-key partial aggregate of 265k rows
+    spent a median 708 ms wall per task at only 168 ms CPU (the rest
+    blocked), and pointing the scratch dir at tmpfs cut the stage
+    from ~1.2 s to ~0.5 s (guide §2.1: check local disk bandwidth for
+    shuffle files). Local mode only, and only when the standard tmpfs
+    mount exists and is writable; a real cluster sizes its own fast
+    local disks for 100 TB of shuffle and MUST NOT inherit a tmpfs
+    default (shuffle data would not fit in RAM). Override with
+    SPARK_GRAFT_LOCAL_DIR."""
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        return os.environ["SPARK_GRAFT_LOCAL_DIR"]
+    is_local = master is None or master.startswith("local")
+    if is_local and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/powersql_spark_local"
+    return None
+
+
+def _page_size(master: str | None) -> str | None:
+    """Execution-memory page size (``spark.buffer.pageSize``).
+
+    At bench scale each aggregate/sort task holds KB-scale state, so
+    the default page sizing (derived from heap/cores, tens of MB here)
+    makes page allocation+zeroing a fixed per-task tax; 4 MB pages
+    measured ~20-30% off the same 32-task aggregate stage. Local mode
+    only: on a cluster the computed default is sized for multi-GB
+    per-task state and smaller pages would add page-switching to big
+    aggregations. Override with SPARK_GRAFT_PAGE_SIZE."""
+    if os.environ.get("SPARK_GRAFT_PAGE_SIZE"):
+        return os.environ["SPARK_GRAFT_PAGE_SIZE"]
+    is_local = master is None or master.startswith("local")
+    return "4m" if is_local else None
+
+
 def _worker_pythonpath() -> str:
     """PYTHONPATH for Python workers: the repo root (so the preloading
     daemon module ``powersql_spark.spark_daemon`` is importable in the
@@ -110,6 +148,12 @@ def build_session(
         # build time (the driver's vanilla sessions keep the default).
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
+    local_dirs = _local_dirs(master)
+    if local_dirs:
+        builder = builder.config("spark.local.dir", local_dirs)
+    page_size = _page_size(master)
+    if page_size:
+        builder = builder.config("spark.buffer.pageSize", page_size)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
