@@ -3896,7 +3896,16 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from powersql_spark.catalog import track_persist
 
-    items = track_persist(items)
+    # Cache the basket table partitioned by the order key with a
+    # cores-derived count: the self-join below then needs NO exchange
+    # on either side, and — the part that matters — the pair-generating
+    # join stage keeps full parallelism. Its work is O(basket²) per
+    # input byte, so AQE's byte-based coalescing (seeing only the
+    # ~MB basket cache) collapsed it to 6 tasks (profiled: 5.5 s of
+    # executor time serialized into ~0.9 s of wall on 6 tasks); the
+    # q43 Theil-Sen lesson, same fix.
+    n_parts = spark.sparkContext.defaultParallelism
+    items = track_persist(items.repartition(n_parts, "ok"))
     n_orders = items.agg(F.countDistinct("ok").alias("n"))
     item_n = items.groupBy("part").agg(F.count("*").alias("n_item"))
     a, b = items.alias("a"), items.alias("b")

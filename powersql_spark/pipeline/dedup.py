@@ -359,7 +359,17 @@ def _minhash_pairs(sh: DataFrame, sig: DataFrame | None = None) -> DataFrame:
     Shared by the standalone key, the e2e curation composite, and the
     estimator key (which passes its own persisted signatures)."""
     if sig is None:
-        sig = _minhash_signatures(sh)
+        # Persisted: BOTH sides of the banded self-join below read the
+        # signature frame, and without the persist each side re-runs
+        # the full signature aggregation from the shingle cache (16
+        # min-aggregates over the md5 stream — profiled on q9 as two
+        # identical 3.9 s stages writing byte-identical shuffle
+        # output). The frame is (doc_id, 16 longs) — metadata-sized at
+        # any SF; at 100 TB this is the signature-stage parquet
+        # materialization every LSH pipeline does between phases.
+        from powersql_spark.catalog import track_persist
+
+        sig = track_persist(_minhash_signatures(sh))
     band_sigs = F.array(
         *[
             F.concat_ws(
@@ -1520,8 +1530,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final flag join); persist so the centroid reduce and the scan
     # run once — signature/centrality materialization is the standard
     # move before any pairwise ANN stage (cost: ncells*dim doubles per
-    # row, dwarfed by recomputing the reduce per consumer).
-    scored = track_persist(scored)
+    # row, dwarfed by recomputing the reduce per consumer). Cached
+    # pre-partitioned on the block key with a cores-derived count: the
+    # pair join below then exchanges neither side, and — the q43/q56
+    # lesson — the pair stage does O(block²) interpreted cosine work
+    # per input byte, so AQE's byte-based coalescing (seeing a ~MB
+    # cache) had collapsed it to ONE task (profiled: a single 678 ms
+    # serial stage carrying essentially the whole query's compute).
+    n_parts = spark.sparkContext.defaultParallelism
+    scored = track_persist(scored.repartition(n_parts, "label", "sub"))
     a, b = scored.alias("a"), scored.alias("b")
     # Deliberately the HOF form, NOT dot_unrolled: this cosine is a
     # JOIN-CONDITION predicate (the .where below is pushed into the

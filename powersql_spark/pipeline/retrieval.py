@@ -74,14 +74,26 @@ _BM25_ORACLE_CTES = r"""
 
 def _bm25_scores(spark: SparkSession) -> DataFrame:
     """(doc_id, n_terms_matched, bm25_score) for docs matching >=1 term."""
-    base = spark.table("documents").select(
-        "doc_id", _tokens().alias("t")
+    from powersql_spark.catalog import track_persist
+
+    # Persist the tokenized corpus and the matched-term tf table:
+    # three consumers read them across broadcast boundaries (corpus
+    # stats, the per-doc tf rows, and docfreq), and Catalyst does not
+    # reuse a subtree across a broadcast build — unpersisted, the
+    # split-tokenize of every document executed THREE times (profiled
+    # on q50 as two 32-task ~10 s tokenize stages feeding broadcasts
+    # plus the probe-side scan). Same phase-materialization pattern as
+    # the bigram LM: tokenize once per corpus. `m` is query-term-sized
+    # (docs matching the 3 fixed terms), so caching it is metadata
+    # cost at any SF.
+    base = track_persist(
+        spark.table("documents").select("doc_id", _tokens().alias("t"))
     )
     stats = base.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("t")).alias("total_dl"),
     )
-    m = (
+    m = track_persist(
         base.select(
             "doc_id", F.size("t").alias("dl"), F.explode("t").alias("tok")
         )
@@ -243,6 +255,11 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), nrm.alias("qn")
     )
+    # Deliberately the HOF fold, NOT dot_unrolled: the projection
+    # fuses into the 1-row broadcast nested-loop attach (non-codegen
+    # context) — interleaved A/B measured the unrolled form ~1.6x
+    # SLOWER here (0.22 vs 0.35 s medians, values bit-identical); the
+    # wave-13 join-context rule applies to join-fused projections too.
     vs = (
         e.where(F.col("vec_id") != 0)
         .join(F.broadcast(q))
@@ -330,6 +347,11 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
+    # Deliberately the HOF fold, NOT dot_unrolled: this projection is
+    # FUSED into the cell equi-join's output (non-codegen context),
+    # where walking the 384-node unrolled tree per candidate row
+    # measured 48 s of stage runtime vs ~2 s for the HOF's native
+    # Scala loop (the wave-13 join-context rule; A/B'd live here).
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
@@ -441,12 +463,23 @@ def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manifest aggregation."""
     d = spark.table("documents")
     n = F.size(_tokens())
-    chunks = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(48))
-        ).alias("start"),
-    ).select("doc_id", F.col("start").cast("int").alias("chunk_start"))
+    from powersql_spark.catalog import track_persist
+
+    # Persisted: the chunk table feeds BOTH the per-cell manifest
+    # aggregate (a broadcast build) and the probe scoring branch, and
+    # Catalyst does not reuse a subtree across a broadcast boundary —
+    # unpersisted, the tokenize+explode of every document ran twice
+    # (profiled as a 7.1 s chunking stage re-executed per consumer).
+    # Two ints per chunk row; the index build a production RAG stack
+    # materializes anyway.
+    chunks = track_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(48))
+            ).alias("start"),
+        ).select("doc_id", F.col("start").cast("int").alias("chunk_start"))
+    )
     e = spark.table("embeddings").select(
         "vec_id",
         "label",
@@ -505,6 +538,10 @@ def pipeline_rag_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cell_n_chunks"),
         F.countDistinct("doc_id").cast("bigint").alias("cell_n_docs"),
     )
+    # Deliberately the HOF fold, NOT dot_unrolled: this projection
+    # fuses into the broadcast-join output (non-codegen context) —
+    # the unrolled form A/B'd at 19.5 s of stage runtime vs 5.6 s for
+    # the HOF here (the wave-13 join-context rule).
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: x * y),
         F.lit(0.0),
