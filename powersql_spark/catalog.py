@@ -187,8 +187,21 @@ def set_checkpoint_mode(
     _CHECKPOINT_MODE = mode
 
 
-def track_checkpoint(df: DataFrame) -> DataFrame:
+def track_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``df.localCheckpoint()`` with session-scoped lifecycle tracking.
+
+    ``eager=False`` defers materialization to the caller's NEXT action
+    (an iterative round's convergence count / frontier probe), halving
+    the per-round driver job count — each local-mode job round trip
+    measured ~50-120 ms, and the iterative graph keys are job-count
+    bound. Only callers that IMMEDIATELY run a full action over the
+    frame may pass it: local checkpoints tolerate a partial first
+    action (LocalRDDCheckpointData caches computed partitions and runs
+    a fill-in job for any missing ones), but deferring with no action
+    at all would silently push the materialization into whichever
+    consumer touches the frame first. Reliable mode ignores the flag —
+    a lazy reliable ``checkpoint()`` RECOMPUTES the whole frame when
+    finalized, which is strictly worse than eager there.
 
     Iterative operators (PageRank/HITS/BFS/LPA/k-core/Brandes,
     Bradley-Terry) truncate their per-round lineage by
@@ -228,7 +241,7 @@ def track_checkpoint(df: DataFrame) -> DataFrame:
     out = (
         df.checkpoint()
         if _CHECKPOINT_MODE == "reliable"
-        else df.localCheckpoint()
+        else df.localCheckpoint(eager=eager)
     )
     spark = out.sparkSession
     reg = getattr(spark, "_powersql_checkpointed", None)

@@ -820,10 +820,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             .groupBy("a")
             .agg(F.min("lab").alias("nlab"))
         )
-        # localCheckpoint (eager) materializes the round AND severs
-        # lineage — without it each round's plan contains every prior
-        # round, and the convergence count re-executes the whole chain
-        # (O(rounds^2) work, unbounded plan growth).
+        # localCheckpoint materializes the round AND severs lineage —
+        # without it each round's plan contains every prior round, and
+        # the convergence count re-executes the whole chain
+        # (O(rounds^2) work, unbounded plan growth). LAZY: the
+        # convergence count on the next line is a full action over the
+        # frame, so it materializes the checkpoint in the SAME job —
+        # one driver round trip per round instead of two (the rounds
+        # are job-latency bound, ~50-120 ms per local job).
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -833,7 +837,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 ).alias("lab"),
                 (F.col("nlab") < F.col("lab")).alias("changed"),
             )
-            .transform(track_checkpoint)
+            .transform(lambda df: track_checkpoint(df, eager=False))
         )
         n_changed = new_labels.where(F.col("changed")).count()
         labels.unpersist()

@@ -2543,6 +2543,12 @@ def emb_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.alias("a")
     b = c.alias("b")
 
+    # Deliberately THREE region-filtered self-joins, not one full-grid
+    # join + conditional sums: the half predicates (a.dim < 32 etc.)
+    # push down to the join INPUTS, so each moment joins two 32-dim
+    # halves (1024 products per vector); a single-join grid form was
+    # A/B'd live and generated the full 64x64 fan-out before any
+    # filter could apply — 9.7-12 s warm vs 3.8-4.2 s for this form.
     def moment(pred_a, pred_b):
         return (
             a.join(b, F.col("b.vec_id") == F.col("a.vec_id"))

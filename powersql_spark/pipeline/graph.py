@@ -2070,7 +2070,17 @@ def _brandes_unrolled(und: DataFrame, nodes: DataFrame) -> DataFrame:
         new = hop.join(
             acc.select("src", "dst"), ["src", "dst"], "left_anti"
         )
-        acc = acc.unionAll(new).coalesce(1).transform(track_checkpoint)
+        # LAZY checkpoint: the next round's frontier isEmpty() probe
+        # (or the post-loop guard) is the immediate action that
+        # materializes it — one driver job per round instead of two.
+        # Single partition (coalesce(1)), so that probe computes the
+        # whole frame; LocalRDDCheckpointData would fill in any
+        # missing partition with its own job anyway.
+        acc = (
+            acc.unionAll(new)
+            .coalesce(1)
+            .transform(lambda df: track_checkpoint(df, eager=False))
+        )
     f = acc.where(F.col("d") == _BFS_ROUNDS + 1)
     # ADVICE r6: the unrolled BFS is exact only while the diameter is
     # <= _BFS_ROUNDS + 1; on a sparser edge distribution it would

@@ -331,9 +331,18 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Explicit cores-derived repartition on the group key: the
+    # grouped-map stage's cost is per-GROUP python/Arrow work, not
+    # bytes, so AQE's byte-based coalescing (seeing a ~2 MB exchange)
+    # collapsed it to ONE task running every group serially (profiled:
+    # a single 3.0 s task after a 32-way map stage). The repartition
+    # satisfies the same clustering applyInPandas requires, so no
+    # extra exchange is added — the one shuffle just keeps its width.
+    n_parts = spark.sparkContext.defaultParallelism
     return (
         spark.table("events")
         .select("event_id", "user_id", "value")
+        .repartition(n_parts, "user_id")
         .groupBy("user_id")
         .applyInPandas(zscore, schema="event_id bigint, user_id bigint, z double")
     )
