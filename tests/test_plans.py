@@ -3411,3 +3411,78 @@ def test_avg_neighbor_degree_degree_joins_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_avg_neighbor_degree")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r13 OPTIMIZATION-round gates: pin the plan shapes the optimization
+# waves introduced (OPTIMIZATION_r13.md waves 17-22). Each assertion
+# encodes the property the wave's before/after plan files evidence; if
+# a refactor or Catalyst change silently undoes one, these fail.
+# ---------------------------------------------------------------------------
+
+
+def test_theilsen_pairs_copartitioned_shuffle_join(spark, sf_dir):
+    """Wave 19: the O(L^2) pair stage rides a SHUFFLE_HASH self-join
+    over a cores-derived repartition of the INPUT rows, so the median
+    window reuses the join partitioning. A broadcast here would silently
+    re-shuffle every pair row into the window (the 37.9 MB regression
+    this gate exists to prevent)."""
+    plan = plan_of(spark, sf_dir, "ts_theilsen_slope")
+    assert "ShuffledHashJoin" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_interval_overlap_single_hourly_subtree(spark, sf_dir):
+    """Wave 17: the spike threshold is a window over the hourly
+    aggregate, not a groupBy + broadcast-join-back — the events corpus
+    appears at most 4 times in the plan (6 before: the hourly subtree
+    executed once per broadcast consumer)."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert plan.count("events.parquet") <= 4
+
+
+def test_countmin_sketch_rides_distinct_counts(spark, sf_dir):
+    """Wave 18: both the sketch build and the exact top-30 read the
+    persisted distinct-gram count table (bucket hashes computed per
+    VOCABULARY entry, not per occurrence)."""
+    plan = plan_of(spark, sf_dir, "sketch_countmin_bigrams")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_minhash_signatures_computed_once(spark, sf_dir):
+    """Wave 20: both sides of the banded self-join read the persisted
+    signature frame (plus the shingle cache) instead of re-running the
+    16-min aggregation per side."""
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_bm25_tokenize_cached_across_consumers(spark, sf_dir):
+    """Wave 20: corpus stats, tf rows and docfreq all read the cached
+    tokenized corpus / tf table — the tokenize ran three times before."""
+    for key in ("text_bm25_topk", "sim_hybrid_rrf"):
+        plan = plan_of(spark, sf_dir, key)
+        assert plan.count("InMemoryTableScan") >= 3, key
+
+
+def test_compute_dense_stages_keep_width(spark, sf_dir):
+    """Waves 20/22: stages whose work is quadratic (pair generation)
+    or per-group (pandas) in a byte-light input carry an explicit
+    cores-derived repartition so AQE's byte-based coalescing cannot
+    serialize them."""
+    for key in ("analytics_market_basket", "dedup_semdedup", "grouped_zscore"):
+        plan = plan_of(spark, sf_dir, key)
+        assert "REPARTITION_BY_NUM" in plan, key
+
+
+def test_textrank_edge_cache_single_partition(spark, sf_dir):
+    """Wave 20: the vocabulary-sized edge table is cached as ONE
+    partition, which is what lets AQE resolve every iteration exchange
+    to a trivial single-partition read at runtime (measured: 17 jobs /
+    50 stages -> 7 / 17). The static plan still PRINTS the exchanges
+    (their elision is a runtime AQE decision), so the stable property
+    to pin is the Coalesce(1) under the cached relation."""
+    df = SPECS["text_textrank_keywords"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce 1" in plan
