@@ -1243,8 +1243,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # Deliberately the HOF fold, NOT dot_unrolled: the `.where` below is
+    # pushed INTO the final broadcast join as its join condition, and
+    # join conditions (and projections fused into a join's output stage)
+    # evaluate INTERPRETED — walking the 384-node unrolled tree per
+    # candidate row loses to the HOF's native 3-node loop there. This is
+    # the same refined rule as dedup_semdedup's pair_cos; measured under
+    # the bench protocol (keep-persisted, warm, interleaved 5-sample
+    # medians): unrolled 1.400 s / unrolled-behind-a-pushdown-barrier
+    # 1.363 s / HOF 0.879 s — and the r14 driver bench confirmed the
+    # unrolled form as the one real r13 regression (1.195 -> 1.540 s).
     cosine = F.round(
-        dot_unrolled("emb_a", "emb_b", _LSH_DIM)
+        F.aggregate(
+            F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         / (F.col("nrm_a") * F.col("nrm_b")),
         4,
     )
