@@ -3909,9 +3909,20 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = items.agg(F.countDistinct("ok").alias("n"))
     item_n = items.groupBy("part").agg(F.count("*").alias("n_item"))
     a, b = items.alias("a"), items.alias("b")
+    # Pin the pair join to SHUFFLED_HASH: both sides are the SAME
+    # cached frame already partitioned by ok, so the join is
+    # exchange-free and each task hash-builds only its own slice. Left
+    # alone, AQE sees the ~3 MB cache estimate under the broadcast
+    # threshold and rewrites to BroadcastHashJoin — a serial 600k-row
+    # hashed-relation build + broadcast that defeats the
+    # co-partitioning (measured 0.89 -> 0.60 s median at sf0.1/32
+    # cores under the bench protocol; rows tuple-identical). The build
+    # side of each task is one ok-partition — bounded by basket size,
+    # no OOM risk at any scale, and the hint keeps this shape where a
+    # broadcast would be impossible anyway.
     pair_n = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.ok") == F.col("b.ok"))
             & (F.col("a.part") < F.col("b.part")),
         )
