@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import davg, dsum
+from powersql_spark.operators.common import davg_grid, dsum_grid
 from powersql_spark.registry import query
 
 
@@ -41,10 +41,10 @@ def agg_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_base_price"),
-        dsum(disc_price, "sum_disc_price"),
-        davg("l_quantity", "avg_qty"),
+        dsum_grid("l_quantity", "sum_qty"),
+        dsum_grid("l_extendedprice", "sum_base_price"),
+        dsum_grid(disc_price, "sum_disc_price"),
+        davg_grid("l_quantity", "avg_qty"),
         F.count("*").alias("count_order"),
     )
 
@@ -64,7 +64,7 @@ def agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("lineitem")
         .groupBy(F.col("l_partkey").alias("product_id"))
-        .agg(dsum("l_extendedprice", "rev"), F.count("*").alias("quantity"))
+        .agg(dsum_grid("l_extendedprice", "rev"), F.count("*").alias("quantity"))
     )
 
 
@@ -107,7 +107,7 @@ def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_custkey").alias("n_orders"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
-            davg("o_totalprice", "avg_price"),
+            davg_grid("o_totalprice", "avg_price"),
         )
     )
 
@@ -167,7 +167,7 @@ def agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("customer")
         .groupBy("c_mktsegment")
-        .agg(davg("c_acctbal", "avg_bal"))
+        .agg(davg_grid("c_acctbal", "avg_bal"))
     )
 
 
@@ -234,7 +234,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("lineitem")
         .groupBy("l_partkey")
-        .agg(dsum("l_quantity", "total_qty"))
+        .agg(dsum_grid("l_quantity", "total_qty"))
         .where(F.col("total_qty") > 150.0)
     )
 

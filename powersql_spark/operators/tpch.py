@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import davg, dsum, sql_davg, sql_dsum
+from powersql_spark.operators.common import davg_grid, dsum_grid, sql_davg, sql_dsum
 from powersql_spark.registry import query
 
 
@@ -52,13 +52,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            dsum_grid("l_quantity", "sum_qty"),
+            dsum_grid("l_extendedprice", "sum_base_price"),
+            dsum_grid(disc, "sum_disc_price"),
+            dsum_grid(charge, "sum_charge"),
+            davg_grid("l_quantity", "avg_qty"),
+            davg_grid("l_extendedprice", "avg_price"),
+            davg_grid("l_discount", "avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -98,7 +98,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(rev, "revenue"))
+        .agg(dsum_grid(rev, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -150,7 +150,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(rev, "revenue"))
+        .agg(dsum_grid(rev, "revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -176,7 +176,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    ).agg(dsum_grid(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
 
 
 @query(
@@ -213,7 +213,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(rev, "revenue"))
+        .agg(dsum_grid(rev, "revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -274,7 +274,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             vol.alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(dsum("volume", "revenue"))
+        .agg(dsum_grid("volume", "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -316,7 +316,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "total_qty"))
+        .agg(dsum_grid("l_quantity", "total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
@@ -365,5 +365,5 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .where(cond)
-        .agg(dsum(rev, "revenue"))
+        .agg(dsum_grid(rev, "revenue"))
     )

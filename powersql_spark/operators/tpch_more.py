@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powersql_spark.operators.common import DEC, dsum, sql_dsum
+from powersql_spark.operators.common import DEC, dsum_grid, sql_dsum
 from powersql_spark.registry import query
 
 _BRIDGE = "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
@@ -246,7 +246,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(dsum("amount", "sum_profit"))
+        .agg(dsum_grid("amount", "sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -290,7 +290,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
-        .agg(dsum(value, "part_value"))
+        .agg(dsum_grid(value, "part_value"))
     )
     total = per_part.agg(
         F.sum(F.col("part_value").cast(DEC)).cast("double").alias("t")
@@ -450,7 +450,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(rev, "total_revenue")
+        dsum_grid(rev, "total_revenue")
     )
     top = revenue.withColumn(
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
@@ -714,6 +714,6 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal") > F.col("avg_bal"))
         .join(buyers, c.c_custkey == buyers.o_custkey, "left_anti")
         .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
-        .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .agg(F.count("*").alias("numcust"), dsum_grid("c_acctbal", "totacctbal"))
         .orderBy("cntrycode")
     )

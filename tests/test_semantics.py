@@ -9024,3 +9024,52 @@ def test_hhi_in_doj_range(spark, sf_dir):
             else "moderate" if r["hhi"] >= 1500 else "unconcentrated"
         )
         assert r["doj_class"] == expected
+
+
+def test_dsum_grid_identical_to_dsum(spark, sf_dir):
+    """The decimal(18,0) grid fast path (common.dsum_grid/davg_grid)
+    must produce bit-identical doubles to the decimal(18,6) form it
+    replaces, for every expression family converted in tpch/aggregates
+    (r14 wave 5). Checked per-group over sf0.001 lineitem/orders/
+    customer so a future edit to the grid transform can't silently
+    drift from the oracle's sql_dsum."""
+    import os
+
+    from powersql_spark.operators.common import (
+        davg,
+        davg_grid,
+        dsum,
+        dsum_grid,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    cases = [
+        (li, "l_returnflag", F.col("l_quantity")),
+        (li, "l_returnflag", F.col("l_extendedprice")),
+        (li, "l_returnflag", F.col("l_discount")),
+        (li, "l_returnflag", disc),
+        (li, "l_returnflag", charge),
+        (li, "l_returnflag", F.col("l_extendedprice") * F.col("l_discount")),
+        (li, "l_returnflag", F.col("l_extendedprice") * F.col("l_quantity")),
+        (od, "o_orderpriority", F.col("o_totalprice")),
+        (cu, "c_mktsegment", F.col("c_acctbal")),
+    ]
+    for df, key, expr in cases:
+        got = (
+            df.groupBy(key)
+            .agg(
+                dsum(expr, "s_old"),
+                dsum_grid(expr, "s_new"),
+                davg(expr, "a_old"),
+                davg_grid(expr, "a_new"),
+            )
+            .collect()
+        )
+        assert len(got) > 0
+        for r in got:
+            assert r["s_old"] == r["s_new"], (key, r)
+            assert r["a_old"] == r["a_new"], (key, r)
