@@ -1378,10 +1378,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window-hash row per token position — linear, the
     same asymptotics as tokenization itself (the suffix array the
     original paper builds is single-node and does not distribute). The
-    shuffle key is md5(window), 16 bytes; window TEXT never moves. Then
-    the island coalescing shuffles only the duplicated subset on
-    doc_id. Two bounded shuffles, both on narrow keys — the same plan
-    at 100 TB."""
+    shuffle key is unhex(md5(window)) — the 16-byte binary digest, not
+    the 32-char hex string (r14 wave 7, guide §2.3/§6 narrower shuffle
+    rows: unhex is a bijection on md5 output, so the window partitions
+    and row_number ranks are untouched, but the dominant exchange row
+    narrows 40->24 bytes of key payload; measured 10.13 -> 6.81 MB
+    shuffle written at sf0.1, rows identical). Window TEXT never
+    moves. Then the island coalescing shuffles only the duplicated
+    subset on doc_id. Two bounded shuffles, both on narrow keys — the
+    same plan at 100 TB."""
     d = spread(spark.table("documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
@@ -1397,10 +1402,12 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("s").cast("bigint").alias("s"),
-            F.md5(
-                F.array_join(
-                    F.slice("t", F.col("s"), _SPAN_K), " "
-                ).cast("binary")
+            F.unhex(
+                F.md5(
+                    F.array_join(
+                        F.slice("t", F.col("s"), _SPAN_K), " "
+                    ).cast("binary")
+                )
             ).alias("h"),
         )
     )
