@@ -999,7 +999,7 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a timestamp inequality — O(L^2) per entity, the estimator's
     inherent cost, which is the right trade exactly when per-entity
     history L is bounded (~70 events/user here at every SF; the corpus
-    grows in USERS). The median then rides ONE window over the same
+    grows in USERS). The median is then ONE aggregate over the same
     (user_id) partitioning the join produced — no extra exchange.
     Equal-timestamp pairs are excluded (slope undefined); slopes round
     to 6dp before ranking so ordering sees identical inputs."""
@@ -1039,17 +1039,31 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         ),
     )
-    w = Window.partitionBy("user_id").orderBy("slope")
-    wp = Window.partitionBy("user_id")
-    ranked = pairs.select(
-        "user_id",
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wp).alias("n_pairs"),
+    # Lower median as an AGGREGATE (sort_array over the collected
+    # slopes), not a rank window (r14 wave 9): the window form ran TWO
+    # WindowExec passes over the O(L^2) pair rows (row_number needs an
+    # orderBy sort, count(*) a second unordered frame), each buffering
+    # the partition; one ObjectHashAggregate + a native sort_array —
+    # both codegen-adjacent expressions, NO interpreted HOF lambdas
+    # (the r13 rejected rewrite moved the slope ARITHMETIC into
+    # lambdas; here the join still generates pairs codegen'd) — does
+    # the same selection in one pass. element_at(sorted, (n+1) div 2)
+    # is the identical lower-median order statistic whatever order
+    # collect_list saw (verified tuple-identical, 1500 rows;
+    # interleaved A/B 0.493 -> 0.383 s median). Per-group state is the
+    # L^2 slope array — the same per-entity bound the window's sort
+    # buffer had.
+    agg = pairs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("slope")).alias("arr")
     )
-    return ranked.where(
-        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
-    ).select("user_id", F.col("slope").alias("ts_slope"), "n_pairs")
+    n = F.size("arr")
+    return agg.select(
+        "user_id",
+        F.element_at(
+            "arr", F.floor((n + 1) / 2).cast("int")
+        ).alias("ts_slope"),
+        n.cast("bigint").alias("n_pairs"),
+    )
 
 
 @query(

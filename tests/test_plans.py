@@ -948,15 +948,22 @@ def test_ngram_novelty_shingle_keyed_shuffles_only(spark, sf_dir):
 
 def test_theilsen_equijoin_shares_partitioning(spark, sf_dir):
     """Theil-Sen: the pairwise stage is an EQUI-join on the series key
-    (never a cartesian), and the median window rides the partitioning
-    the join produced — no exchange between join and window."""
+    (never a cartesian), and the lower-median is an AGGREGATE
+    (sort_array over collected slopes, r14 wave 9) riding the
+    partitioning the join produced — no window pass over the O(L^2)
+    pair rows and no exchange between join and aggregate."""
     plan = plan_of(spark, sf_dir, "ts_theilsen_slope")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan
+    # collect_list is the aggregate function; its sort_array wrapper
+    # sits past toString()'s expression truncation, so gate on the
+    # function name.
+    assert "collect_list" in plan
     assert "EvalPython" not in plan
     # One exchange per join input side at most; none added for the
-    # window (it reuses the join's hashpartitioning(user_id...)).
+    # median aggregate (it reuses the join's
+    # hashpartitioning(user_id...)).
     assert plan.count("Exchange") <= 2
 
 
