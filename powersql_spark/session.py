@@ -56,12 +56,23 @@ def _local_dirs(master: str | None) -> str | None:
     mount exists and is writable; a real cluster sizes its own fast
     local disks for 100 TB of shuffle and MUST NOT inherit a tmpfs
     default (shuffle data would not fit in RAM). Override with
-    SPARK_GRAFT_LOCAL_DIR."""
+    SPARK_GRAFT_LOCAL_DIR.
+
+    ADVICE r13: containers commonly mount /dev/shm at 64 MB, where a
+    shuffle-heavy run that worked on disk would die with ENOSPC
+    mid-stage — so tmpfs is only chosen when it currently has at
+    least 1 GiB free (statvfs); otherwise fall back to the default
+    disk scratch dir."""
     if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
         return os.environ["SPARK_GRAFT_LOCAL_DIR"]
     is_local = master is None or master.startswith("local")
     if is_local and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        return "/dev/shm/powersql_spark_local"
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 1 << 30:
+                return "/dev/shm/powersql_spark_local"
+        except OSError:
+            pass
     return None
 
 

@@ -30,3 +30,30 @@ def test_no_fixed_tmp_paths():
         "fixed shared temp paths found (use tempfile.mkdtemp or a "
         f"pid-suffixed stage dir): {offenders}"
     )
+
+
+def test_local_dirs_respects_shm_free_space(monkeypatch):
+    """ADVICE r13: /dev/shm is only used for shuffle scratch when it
+    has >= 1 GiB free — a 64 MB container mount must fall back to the
+    default disk scratch dir instead of dying with ENOSPC mid-stage."""
+    import os
+
+    from powersql_spark import session as s
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+
+    class Tiny:
+        f_bavail = 1024
+        f_frsize = 4096  # 4 MB free
+
+    monkeypatch.setattr(os, "statvfs", lambda p: Tiny())
+    assert s._local_dirs(None) is None
+
+    class Roomy:
+        f_bavail = 1 << 20
+        f_frsize = 4096  # 4 GiB free
+
+    monkeypatch.setattr(os, "statvfs", lambda p: Roomy())
+    assert s._local_dirs(None) == "/dev/shm/powersql_spark_local"
+    # cluster masters never inherit tmpfs regardless of free space
+    assert s._local_dirs("spark://host:7077") is None
