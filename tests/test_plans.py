@@ -3441,12 +3441,16 @@ def test_theilsen_pairs_copartitioned_shuffle_join(spark, sf_dir):
 
 
 def test_interval_overlap_single_hourly_subtree(spark, sf_dir):
-    """Wave 17: the spike threshold is a window over the hourly
-    aggregate, not a groupBy + broadcast-join-back — the events corpus
-    appears at most 4 times in the plan (6 before: the hourly subtree
-    executed once per broadcast consumer)."""
+    """Wave 17 (r13): the spike threshold is a window over the hourly
+    aggregate, not a groupBy + broadcast-join-back. Gate on the
+    STRUCTURAL count of FileScan nodes over events (ADVICE r13: a bare
+    substring count of the path was hostage to toString formatting):
+    exactly 2 — one for the session-window side, one feeding the
+    hourly-spike subtree (which the window rewrite executes once; the
+    pre-wave-17 form re-scanned it per broadcast consumer, 3 scans)."""
     plan = plan_of(spark, sf_dir, "join_interval_overlap")
-    assert plan.count("events.parquet") <= 4
+    scans = len(re.findall(r"FileScan parquet[^\n]*events", plan))
+    assert scans == 2, plan
 
 
 def test_countmin_sketch_rides_distinct_counts(spark, sf_dir):
