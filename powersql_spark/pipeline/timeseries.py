@@ -1312,7 +1312,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     an observed value or a single division — exactly deterministic
     cross-engine, no interpolation.
 
-    Scale shape: two ranked-window passes on the same (user_id)
+    Scale shape: two median AGGREGATES on the same (user_id)
     partitioning (values, then absolute deviations) produce
     group-cardinality median tables that join back on the series key;
     per-entity history is bounded, the corpus grows in users, and
@@ -1323,18 +1323,24 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "value")
     )
 
+    # Lower median as ONE aggregate per pass (the r14 wave-9 Theil-Sen
+    # form): sort_array(collect_list(col)) + element_at at (n+1) div 2
+    # selects the identical order statistic the old
+    # row_number/count(*) window pair did, without the two WindowExec
+    # sort+buffer passes per median. Inputs are non-null by
+    # construction (value filtered; d = abs over non-nulls), so
+    # collect_list's null-dropping cannot diverge from the window's
+    # null ranking. Per-group state is the bounded per-entity history.
     def lower_median(df, col, out):
-        w = Window.partitionBy("user_id").orderBy(col)
-        wp = Window.partitionBy("user_id")
-        return (
-            df.select(
-                "user_id",
-                col,
-                F.row_number().over(w).alias("rn"),
-                F.count("*").over(wp).alias("n"),
-            )
-            .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            .select("user_id", F.col(col).alias(out))
+        agg = df.groupBy("user_id").agg(
+            F.sort_array(F.collect_list(col)).alias("arr")
+        )
+        n = F.size("arr")
+        return agg.select(
+            "user_id",
+            F.element_at(
+                "arr", F.floor((n + 1) / 2).cast("int")
+            ).alias(out),
         )
 
     med = lower_median(v, "value", "med")
